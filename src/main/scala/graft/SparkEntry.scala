@@ -7,7 +7,8 @@ import graft.operators._
   *
   * `queries` is the engine's declared operator inventory (one entry per
   * implemented SURVEY.md §2 capability); `oracleSql` carries the DuckDB
-  * equivalent the driver hash-compares against on sf0.01.
+  * equivalent the driver hash-compares against on sf0.01. Each operator
+  * module contributes its own map; SparkEntry is just the union.
   */
 object SparkEntry {
 
@@ -16,14 +17,12 @@ object SparkEntry {
     Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_pricing_summary" -> (Relational.q1PricingSummary _)
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.queries ++ Events.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = Map(
-    "q1_pricing_summary" -> Relational.q1Sql
-  )
+  def oracleSql: Map[String, String] =
+    Relational.oracleSql ++ Events.oracleSql
 }

@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import OpUtils.dec
+
+/** Event-table operators (SURVEY.md §2.8 F9 json, §2.9 batch equivalents of
+  * the streaming surface): JSON extraction, tumbling/sliding windows,
+  * sessionization, as-of alignment, deterministic distribution stats.
+  * The streaming counterparts (watermarks, `session_window`,
+  * `dropDuplicatesWithinWatermark`) live in graft.streaming; these batch
+  * forms are the oracle-checkable semantics they must agree with.
+  *
+  * Scale notes: every query shuffles at most once on its natural key
+  * (bucket, user_id) and all pre-aggregation happens map-side. The as-of
+  * join is the union+window pattern — one shuffle by user, one sort by
+  * (ts, kind), no per-key nested loop — the standard way to align two
+  * event streams at 100 TB without a quadratic range join.
+  */
+object Events {
+
+  /** JSON extraction (F9): pull `props.k` out of the JSON string column and
+    * aggregate it. get_json_object is a codegen'd path expression — no UDF.
+    */
+  def q20JsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"k").as("sum_k"),
+        min($"k").as("min_k"),
+        max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
+  val q20Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** Tumbling one-hour windows (batch form of
+    * `groupBy(window($"ts","1 hour"))`): bucket = date_trunc so the oracle
+    * can express the identical grid.
+    */
+  def q21HourlyWindows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", $"ts").as("win_start"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum(dec($"value")).cast("double").as("sum_value"))
+      .orderBy($"win_start", $"event_type")
+  }
+
+  val q21Sql: String =
+    """SELECT date_trunc('hour', ts) AS win_start, event_type,
+      |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY win_start, event_type""".stripMargin
+
+  /** Sliding windows (2h window, 1h slide) via Spark's native `window()`
+    * generator; each event lands in exactly two hourly-aligned windows,
+    * which the oracle reproduces as a shifted UNION ALL.
+    */
+  def q22SlidingWindows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(window($"ts", "2 hours", "1 hour").as("win"))
+      .agg(count(lit(1)).as("n"), sum(dec($"value")).cast("double").as("sum_value"))
+      .select($"win.start".as("win_start"), $"n", $"sum_value")
+      .orderBy($"win_start")
+  }
+
+  val q22Sql: String =
+    """SELECT win_start, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM (
+      |  SELECT date_trunc('hour', ts) AS win_start, value FROM events
+      |  UNION ALL
+      |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS win_start, value FROM events) t
+      |GROUP BY 1
+      |ORDER BY win_start""".stripMargin
+
+  /** Sessionization (batch form of `session_window`): 30-minute inactivity
+    * gap, lag + running flag-sum. One shuffle by user_id; the session id is
+    * a cumulative sum over a deterministic (ts, event_id) order.
+    */
+  def q23Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val gapUs = 30L * 60 * 1000000
+    Tables.events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when($"prev_us".isNull || unix_micros($"ts") - $"prev_us" > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum($"new_session")
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_id")
+      .agg(
+        min($"ts").as("session_start"),
+        max($"ts").as("session_end"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"user_id", $"session_id")
+  }
+
+  val q23Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w > 1800000000
+      |         OR LAG(epoch_us(ts), 1) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |  MIN(ts) AS session_start, MAX(ts) AS session_end, COUNT(*) AS n_events
+      |FROM sessions
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  /** As-of join: for every click, the most recent purchase (ts <= click ts)
+    * by the same user. Implemented as union + last(ignoreNulls) over a
+    * (ts, kind) ordered window — one shuffle on user_id, linear scan,
+    * no quadratic range join. DuckDB checks it with a native ASOF JOIN.
+    */
+  def q24AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", lit(0).as("kind"), lit(null).cast("long").as("event_id"),
+        $"ts".as("purchase_ts"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", lit(1).as("kind"), $"event_id",
+        lit(null).cast("timestamp").as("purchase_ts"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"kind", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.union(clicks)
+      .withColumn("last_purchase_ts", last($"purchase_ts", ignoreNulls = true).over(w))
+      .filter($"kind" === 1)
+      .select($"event_id", $"user_id", $"ts", $"last_purchase_ts")
+      .orderBy($"event_id")
+  }
+
+  val q24Sql: String =
+    """SELECT c.event_id, c.user_id, c.ts, p.ts AS last_purchase_ts
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+      |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id AND c.ts >= p.ts
+      |ORDER BY c.event_id""".stripMargin
+
+  /** Distribution stats with deterministic floating point: stddev/variance
+    * derived from exact decimal sum + sum-of-squares through an identical
+    * IEEE expression tree on both engines (a native STDDEV would drift in
+    * the last ulp with partitioned accumulation order).
+    */
+  def q25EventStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec($"value")).cast("double").as("sum_value"),
+        sum(dec($"value") * dec($"value")).cast("double").as("sum_sq"))
+      .withColumn("avg_value", $"sum_value" / $"n")
+      .withColumn("var_value",
+        ($"sum_sq" - $"sum_value" * $"sum_value" / $"n") / ($"n" - 1))
+      .withColumn("std_value", sqrt($"var_value"))
+      .select($"event_type", $"n", $"sum_value", $"avg_value", $"var_value", $"std_value")
+      .orderBy($"event_type")
+  }
+
+  val q25Sql: String =
+    """WITH s AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_sq
+      |  FROM events GROUP BY event_type)
+      |SELECT event_type, n, sum_value,
+      |  sum_value / n AS avg_value,
+      |  (sum_sq - sum_value * sum_value / n) / (n - 1) AS var_value,
+      |  SQRT((sum_sq - sum_value * sum_value / n) / (n - 1)) AS std_value
+      |FROM s
+      |ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_json_extract" -> (q20JsonExtract _),
+    "q21_hourly_windows" -> (q21HourlyWindows _),
+    "q22_sliding_windows" -> (q22SlidingWindows _),
+    "q23_sessionize" -> (q23Sessionize _),
+    "q24_asof_join" -> (q24AsofJoin _),
+    "q25_event_stats" -> (q25EventStats _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q20_json_extract" -> q20Sql,
+    "q21_hourly_windows" -> q21Sql,
+    "q22_sliding_windows" -> q22Sql,
+    "q23_sessionize" -> q23Sql,
+    "q24_asof_join" -> q24Sql,
+    "q25_event_stats" -> q25Sql)
+}

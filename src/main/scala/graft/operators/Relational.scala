@@ -1,32 +1,44 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.sources.Tables
+import OpUtils.dec
 
 /** Core relational operator surface (SURVEY.md §2.2-§2.8): filters,
-  * projections, joins, aggregations, windows, sorts/top-k, set ops — the
-  * query layer the reference's declared dbt marts imply, expressed
-  * Spark-first so Catalyst handles pushdown/pruning/join-strategy.
+  * projections, joins (broadcast/shuffle/semi/anti), aggregations, windows,
+  * sorts/top-k, set ops, scalar functions — the query layer the reference's
+  * declared dbt marts imply (reference has no queries of its own:
+  * `citibike_project/docker-compose.yaml:115-126` declares dbt with no
+  * models), expressed Spark-first so Catalyst handles pushdown, pruning and
+  * join strategy selection.
   *
   * Oracle-parity discipline (BASELINE.md t2 contract):
   *   - money-ish doubles are cast to DECIMAL(18,4) *before* aggregation in
   *     both the Spark plan and the DuckDB oracle SQL — decimal sums are
   *     exact and order-independent, so results are bit-stable across both
   *     engines regardless of partitioning/parallelism;
-  *   - final outputs cast back to double (one deterministic conversion);
+  *   - derived doubles (avg, variance) are computed from those exact
+  *     decimal aggregates with an identical IEEE expression tree;
+  *   - integer-valued outputs are cast to the same width on both sides
+  *     (DuckDB SUM(int) is HUGEINT, Spark's is LONG — always pin BIGINT);
   *   - every query ends in a total-order sort so row order hashes stably.
+  *
+  * Scale notes (100 TB design): dimension tables (region 5 rows, nation 25,
+  * supplier ~sf*100, part ~sf*20k) are explicitly `broadcast()` so the big
+  * fact-side scan never shuffles for them; fact-fact joins (lineitem ⋈
+  * orders) shuffle on the join key once and AQE handles skew; every filter
+  * lands in `PushedFilters` of the parquet scan and projections prune the
+  * read schema.
   */
 object Relational {
 
-  /** Exact, order-independent aggregation input (see object doc). */
-  private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
-
   /** TPC-H Q1-style pricing summary: scan-heavy agg with partial (map-side)
     * aggregation; shuffles only the tiny per-group partials. At 100 TB this
-    * is bound by parquet scan throughput — only 7 of 11 lineitem columns are
-    * read (column pruning), and the shipdate filter is pushed to the scan.
+    * is bound by parquet scan throughput — only the needed lineitem columns
+    * are read (column pruning) and the shipdate filter is pushed to the scan.
     */
   def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -52,4 +64,513 @@ object Relational {
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Row-level filter + projection (SURVEY.md §2.2 P3/P4 family): every
+    * predicate is parquet-pushable and the read schema is 5 of 11 columns.
+    */
+  def q2FilterProject(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1998-01-01").cast("timestamp") &&
+        $"l_quantity" >= 45 && $"l_discount" < 0.03)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice", $"l_shipdate")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  val q2Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_quantity >= 45 AND l_discount < 0.03
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** TPC-H Q3-style shipping priority: customer ⋈ orders ⋈ lineitem, top-10
+    * unshipped orders by revenue. customer is broadcast (dimension-sized);
+    * orders ⋈ lineitem shuffles on orderkey. The final top-k runs as
+    * TakeOrderedAndProject — no full sort of the agg output.
+    */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cutoff = lit("1998-06-15").cast("timestamp")
+    val cust = Tables.customer(spark, dir).filter($"c_mktsegment" === "BUILDING")
+    val ord = Tables.orders(spark, dir).filter($"o_orderdate" < cutoff)
+    val li = Tables.lineitem(spark, dir).filter($"l_shipdate" > cutoff)
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 4)) - dec($"l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-06-15 00:00:00'
+      |  AND l_shipdate  > TIMESTAMP '1998-06-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** Semi join (EXISTS; SURVEY.md §2.3): orders having at least one
+    * high-quantity lineitem, counted by priority. left_semi never widens
+    * rows — at scale it shuffles only the two key columns after pushdown.
+    */
+  def q4SemiJoinExists(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bigLines = Tables.lineitem(spark, dir).filter($"l_quantity" >= 48)
+      .select($"l_orderkey")
+    Tables.orders(spark, dir)
+      .join(bigLines, $"o_orderkey" === $"l_orderkey", "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q4Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q5-style: 6-way star join — all four dimension sides broadcast,
+    * the lineitem ⋈ orders fact join is the only shuffle. Revenue by nation
+    * for one region/year.
+    */
+  def q5RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val region = Tables.region(spark, dir).filter($"r_name" === "ASIA")
+    val nation = Tables.nation(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val supp = Tables.supplier(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+    Tables.lineitem(spark, dir)
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 4)) - dec($"l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  val q5Sql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** TPC-H Q6-style single-row filter aggregate: pure scan + pushed range
+    * predicates, no shuffle beyond the single-partial merge.
+    */
+  def q6RevenueForecast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+        $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
+      .agg(
+        sum(dec($"l_extendedprice") * dec($"l_discount")).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q6Sql: String =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** Anti join (NOT EXISTS; SURVEY.md §2.3) — customers that never ordered,
+    * rolled up by nation. The moral equivalent of the reference's
+    * "skip if table exists" idempotency probe
+    * (`citibike_project/etl/ingest_data.py:251-262`) done relationally.
+    */
+  def q7CustomersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders1995 = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1995-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1996-01-01").cast("timestamp"))
+      .select($"o_custkey")
+    Tables.customer(spark, dir)
+      .join(orders1995, $"c_custkey" === $"o_custkey", "left_anti")
+      .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy($"n_name")
+  }
+
+  val q7Sql: String =
+    """SELECT n_name, COUNT(*) AS n_customers
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00')
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  /** Window top-N per group (SURVEY.md §2.5): each customer's 3 largest
+    * orders by row_number. One shuffle on the partition key; the rank filter
+    * is applied before any join so only N rows per key survive.
+    */
+  def q8TopOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"o_custkey", $"rk", $"o_orderkey", $"o_totalprice")
+      .orderBy($"o_custkey", $"rk")
+  }
+
+  val q8Sql: String =
+    """SELECT o_custkey, rk, o_orderkey, o_totalprice
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders) t
+      |WHERE rk <= 3
+      |ORDER BY o_custkey, rk""".stripMargin
+
+  /** Running aggregate window frame (rowsBetween): cumulative revenue per
+    * supplier in ship order. Decimal accumulation keeps the running sum
+    * bit-exact under any partitioning; the unique (shipdate, orderkey,
+    * linenumber) sort key makes the frame deterministic.
+    */
+  def q9RunningRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"l_suppkey")
+      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1998-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1998-04-01").cast("timestamp"))
+      .withColumn("running_revenue",
+        sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 4)) - dec($"l_discount")))
+          .over(w).cast("double"))
+      .select($"l_suppkey", $"l_shipdate", $"l_orderkey", $"l_linenumber", $"running_revenue")
+      .orderBy($"l_suppkey", $"l_shipdate", $"l_orderkey", $"l_linenumber")
+  }
+
+  val q9Sql: String =
+    """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+      |    OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1998-04-01 00:00:00'
+      |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin
+
+  /** lag/lead (SURVEY.md §2.5): days between consecutive orders per
+    * customer. datediff on midnight timestamps is engine-identical.
+    */
+  def q10OrderGaps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables.orders(spark, dir)
+      .withColumn("prev_date", lag($"o_orderdate", 1).over(w))
+      .withColumn("gap_days", datediff($"o_orderdate", $"prev_date").cast("long"))
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"gap_days")
+      .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+  }
+
+  val q10Sql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(DATE_DIFF('day', LAG(o_orderdate, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), o_orderdate) AS BIGINT) AS gap_days
+      |FROM orders
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
+  /** Set operations (SURVEY.md §2.7): customers active in both 1995 and
+    * 1996 (INTERSECT) vs only 1995 (EXCEPT), tagged and unioned.
+    */
+  def q11SetOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def active(y: Int) = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit(s"$y-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit(s"${y + 1}-01-01").cast("timestamp"))
+      .select($"o_custkey")
+    val both = active(1995).intersect(active(1996)).withColumn("cohort", lit("both"))
+    val only95 = active(1995).except(active(1996)).withColumn("cohort", lit("only_1995"))
+    both.union(only95)
+      .select($"cohort", $"o_custkey")
+      .orderBy($"cohort", $"o_custkey")
+  }
+
+  val q11Sql: String =
+    """WITH a95 AS (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'),
+      |     a96 AS (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+      |SELECT 'both' AS cohort, o_custkey FROM (SELECT o_custkey FROM a95 INTERSECT SELECT o_custkey FROM a96) t
+      |UNION ALL
+      |SELECT 'only_1995' AS cohort, o_custkey FROM (SELECT o_custkey FROM a95 EXCEPT SELECT o_custkey FROM a96) t
+      |ORDER BY cohort, o_custkey""".stripMargin
+
+  /** ROLLUP with GROUPING markers (SURVEY.md §2.4 cube/rollup family).
+    * Grouping-set NULLs + grouping() flags pinned to INT on both sides.
+    */
+  def q12Rollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec($"l_quantity")).cast("double").as("sum_qty"),
+        grouping($"l_returnflag").cast("int").as("g_flag"),
+        grouping($"l_linestatus").cast("int").as("g_status"))
+      .orderBy($"g_flag", $"g_status", $"l_returnflag", $"l_linestatus")
+  }
+
+  val q12Sql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+      |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin
+
+  /** Pivot (conditional aggregation): order counts + totals per nation by
+    * order status. Spark's `pivot()` yields NULL for empty cells — coalesce
+    * to 0 to match SQL's FILTER counts.
+    */
+  def q13PivotStatus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select($"n_name",
+        coalesce($"F", lit(0L)).as("n_f"),
+        coalesce($"O", lit(0L)).as("n_o"),
+        coalesce($"P", lit(0L)).as("n_p"))
+      .orderBy($"n_name")
+  }
+
+  val q13Sql: String =
+    """SELECT n_name,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  /** DISTINCT aggregation (SURVEY.md §2.4): exact distinct counts per
+    * market segment. countDistinct expands to a two-phase hash agg —
+    * the expensive-but-exact path (approx_count_distinct is the scale
+    * alternative, not oracle-checkable).
+    */
+  def q14DistinctCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(
+        countDistinct($"o_custkey").as("n_active_customers"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val q14Sql: String =
+    """SELECT c_mktsegment,
+      |  COUNT(DISTINCT o_custkey) AS n_active_customers,
+      |  COUNT(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** Scalar subquery without float drift: parts priced above their type's
+    * average. The avg comparison is cross-multiplied into exact decimal
+    * space (`price * n > total`) so both engines pick the identical row set
+    * — a double `avg` would differ in the last ulp between engines.
+    */
+  def q15AboveAvgParts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stats = Tables.part(spark, dir)
+      .groupBy($"p_type")
+      .agg(sum(dec($"p_retailprice")).as("total"), count(lit(1)).as("n"))
+    Tables.part(spark, dir)
+      .join(broadcast(stats), Seq("p_type"))
+      .filter(dec($"p_retailprice") * $"n" > $"total")
+      .select($"p_partkey", $"p_name", $"p_type", $"p_retailprice")
+      .orderBy($"p_partkey")
+  }
+
+  val q15Sql: String =
+    """SELECT p_partkey, p_name, p_type, p_retailprice
+      |FROM part
+      |JOIN (SELECT p_type AS t, SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS total, COUNT(*) AS n
+      |      FROM part GROUP BY p_type) s ON p_type = s.t
+      |WHERE CAST(p_retailprice AS DECIMAL(18,4)) * n > total
+      |ORDER BY p_partkey""".stripMargin
+
+  /** String functions (SURVEY.md §2.8 F2/F3 family): id extraction via
+    * regexp, case/substring/concat/length — all codegen'd built-ins, no
+    * UDFs.
+    */
+  def q16StringFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .select(
+        $"c_custkey",
+        regexp_extract($"c_name", "(\\d+)", 1).cast("long").as("name_id"),
+        upper(substring($"c_name", 1, 8)).as("name_prefix"),
+        length($"c_name").cast("long").as("name_len"),
+        concat_ws("/", $"c_mktsegment", $"c_name").as("tagged"))
+      .orderBy($"c_custkey")
+  }
+
+  val q16Sql: String =
+    """SELECT c_custkey,
+      |  CAST(regexp_extract(c_name, '(\d+)', 1) AS BIGINT) AS name_id,
+      |  UPPER(SUBSTRING(c_name, 1, 8)) AS name_prefix,
+      |  CAST(LENGTH(c_name) AS BIGINT) AS name_len,
+      |  CONCAT_WS('/', c_mktsegment, c_name) AS tagged
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Date bucketing (SURVEY.md §2.8 F1: the reference's only relational
+    * predicate is EXTRACT(YEAR), `citibike_project/etl/ingest_data.py:268`):
+    * year/quarter/month rollups of order value.
+    */
+  def q17DateBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy(
+        year($"o_orderdate").cast("long").as("o_year"),
+        quarter($"o_orderdate").cast("long").as("o_quarter"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec($"o_totalprice")).cast("double").as("total_value"))
+      .orderBy($"o_year", $"o_quarter")
+  }
+
+  val q17Sql: String =
+    """SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(QUARTER(o_orderdate) AS BIGINT) AS o_quarter,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM orders
+      |GROUP BY 1, 2
+      |ORDER BY o_year, o_quarter""".stripMargin
+
+  /** Sort + LIMIT/OFFSET pagination (SURVEY.md §2.6 L1/L2 — done right:
+    * the reference paginates without ORDER BY, a nondeterminism bug we fix
+    * per §7.4). Spark plans the limit as TakeOrderedAndProject.
+    */
+  def q18TopkPagination(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .offset(10)
+      .limit(20)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderdate")
+  }
+
+  val q18Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 20 OFFSET 10""".stripMargin
+
+  /** Math scalar functions over exact inputs: abs/round/floor/ceil/sqrt
+    * (IEEE-correctly-rounded, engine-identical) + integer modulo.
+    */
+  def q19MathFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .filter($"o_orderkey" % 97 === 0)
+      .select(
+        $"o_orderkey",
+        abs($"o_totalprice" - 1000.0).as("abs_centered"),
+        round($"o_totalprice", 1).as("rounded"),
+        floor($"o_totalprice").cast("long").as("floored"),
+        ceil($"o_totalprice").cast("long").as("ceiled"),
+        sqrt($"o_totalprice").as("sq"),
+        ($"o_orderkey" % 7).cast("long").as("mod7"))
+      .orderBy($"o_orderkey")
+  }
+
+  val q19Sql: String =
+    """SELECT o_orderkey,
+      |  ABS(o_totalprice - 1000.0) AS abs_centered,
+      |  ROUND(o_totalprice, 1) AS rounded,
+      |  CAST(FLOOR(o_totalprice) AS BIGINT) AS floored,
+      |  CAST(CEIL(o_totalprice) AS BIGINT) AS ceiled,
+      |  SQRT(o_totalprice) AS sq,
+      |  CAST(o_orderkey % 7 AS BIGINT) AS mod7
+      |FROM orders
+      |WHERE o_orderkey % 97 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q2_filter_project" -> (q2FilterProject _),
+    "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q4_semi_join_exists" -> (q4SemiJoinExists _),
+    "q5_region_revenue" -> (q5RegionRevenue _),
+    "q6_revenue_forecast" -> (q6RevenueForecast _),
+    "q7_customers_without_orders" -> (q7CustomersWithoutOrders _),
+    "q8_top_orders_per_customer" -> (q8TopOrdersPerCustomer _),
+    "q9_running_revenue" -> (q9RunningRevenue _),
+    "q10_order_gaps" -> (q10OrderGaps _),
+    "q11_set_ops" -> (q11SetOps _),
+    "q12_rollup" -> (q12Rollup _),
+    "q13_pivot_status" -> (q13PivotStatus _),
+    "q14_distinct_counts" -> (q14DistinctCounts _),
+    "q15_above_avg_parts" -> (q15AboveAvgParts _),
+    "q16_string_funcs" -> (q16StringFuncs _),
+    "q17_date_buckets" -> (q17DateBuckets _),
+    "q18_topk_pagination" -> (q18TopkPagination _),
+    "q19_math_funcs" -> (q19MathFuncs _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Sql,
+    "q2_filter_project" -> q2Sql,
+    "q3_shipping_priority" -> q3Sql,
+    "q4_semi_join_exists" -> q4Sql,
+    "q5_region_revenue" -> q5Sql,
+    "q6_revenue_forecast" -> q6Sql,
+    "q7_customers_without_orders" -> q7Sql,
+    "q8_top_orders_per_customer" -> q8Sql,
+    "q9_running_revenue" -> q9Sql,
+    "q10_order_gaps" -> q10Sql,
+    "q11_set_ops" -> q11Sql,
+    "q12_rollup" -> q12Sql,
+    "q13_pivot_status" -> q13Sql,
+    "q14_distinct_counts" -> q14Sql,
+    "q15_above_avg_parts" -> q15Sql,
+    "q16_string_funcs" -> q16Sql,
+    "q17_date_buckets" -> q17Sql,
+    "q18_topk_pagination" -> q18Sql,
+    "q19_math_funcs" -> q19Sql)
 }
