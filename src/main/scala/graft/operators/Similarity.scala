@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.VectorFunctions
+
+/** Similarity search over the `embeddings` table (64-dim float vectors):
+  *
+  *   - brute-force cosine top-k — the exactness baseline. The per-pair
+  *     kernel is graft's native codegen'd `CosineSimilarity` expression
+  *     (sequential double accumulation, bit-identical to DuckDB's
+  *     `list_cosine_similarity` on DOUBLE[]), so even the floating-point
+  *     scores hash-match the oracle. The probe side is broadcast: on a
+  *     cluster this is a map-side O(n·k) scan, no shuffle;
+  *   - LSH-bucketed ANN (random-hyperplane signatures) — the scale path:
+  *     bucket by an 8-bit hyperplane-sign signature, search only within
+  *     the bucket. Hyperplane weights are derived from md5 so both engines
+  *     build the identical planes; bucket-dot-product signs are decided in
+  *     exact scaled-integer arithmetic so bucketing is deterministic;
+  *   - per-label centroids — grouped vector aggregation in long form
+  *     (label × dimension), exact scaled-integer sums.
+  */
+object Similarity {
+
+  /** Brute-force cosine top-5 neighbors per vector. */
+  def q34CosineTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val a = emb.select($"vec_id".as("a_id"), $"embedding".as("ea"))
+    val b = emb.select($"vec_id".as("b_id"), $"embedding".as("eb"))
+    val w = Window.partitionBy($"a_id").orderBy($"cs".desc, $"b_id")
+    a.join(broadcast(b), $"a_id" =!= $"b_id")
+      .withColumn("cs", VectorFunctions.cosineSim($"ea", $"eb"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 5)
+      .select($"a_id", $"rk".cast("long").as("rk"), $"b_id", $"cs")
+      .orderBy($"a_id", $"rk")
+  }
+
+  val q34Sql: String =
+    """SELECT a_id, rk, b_id, cs FROM (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cs,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
+      |      ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC, b.vec_id) AS BIGINT) AS rk
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id) t
+      |WHERE rk <= 5
+      |ORDER BY a_id, rk""".stripMargin
+
+  /** ANN via random-hyperplane LSH: 8 md5-seeded integer hyperplanes,
+    * bucket = sign-bit signature, then exact cosine top-3 *within* the
+    * bucket. The candidate join is an equi-join on the bucket id — at scale
+    * the all-pairs comparison never materializes, only ~n²/2^bits bucket
+    * pairs. Dot-product signs are summed in scaled-integer space so both engines agree
+    * bit-for-bit on the bucketing.
+    */
+  def q35AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val planes = spark.range(8).select($"id".cast("int").as("h"))
+      .crossJoin(spark.range(64).select($"id".cast("int").as("d")))
+      .withColumn("w",
+        (conv(substring(md5(concat($"h".cast("string"), lit("_"), $"d".cast("string"))), 1, 15), 16, 10)
+          .cast("long") % 2001 - 1000).cast("long"))
+    val vx = Tables.embeddings(spark, dir)
+      .select($"vec_id", posexplode($"embedding").as(Seq("d", "v")))
+    val buckets = vx.join(broadcast(planes), Seq("d"))
+      .withColumn("prod", round($"v".cast("double") * $"w" * 1e6).cast("long"))
+      .groupBy($"vec_id", $"h")
+      .agg(sum($"prod").as("s"))
+      .withColumn("bit", when($"s" > 0, expr("shiftleft(CAST(1 AS BIGINT), h)")).otherwise(0L))
+      .groupBy($"vec_id")
+      .agg(sum($"bit").as("bucket"))
+    val emb = Tables.embeddings(spark, dir)
+    val withVec = buckets.join(emb, Seq("vec_id"))
+    val a = withVec.select($"vec_id".as("a_id"), $"bucket", $"embedding".as("ea"))
+    val b = withVec.select($"vec_id".as("b_id"), $"bucket", $"embedding".as("eb"))
+    val w = Window.partitionBy($"a_id").orderBy($"cs".desc, $"b_id")
+    a.join(b, Seq("bucket"))
+      .filter($"a_id" =!= $"b_id")
+      .withColumn("cs", VectorFunctions.cosineSim($"ea", $"eb"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"a_id", $"rk".cast("long").as("rk"), $"b_id", $"bucket", $"cs")
+      .orderBy($"a_id", $"rk")
+  }
+
+  val q35Sql: String =
+    """WITH planes AS (
+      |  SELECT h, d, CAST(CAST('0x' || substr(md5(CAST(h AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 15) AS BIGINT) % 2001 - 1000 AS BIGINT) AS w
+      |  FROM range(8) t1(h), range(64) t2(d)),
+      |vx AS (SELECT vec_id, i AS d, embedding[i+1] AS v FROM embeddings, range(64) r(i)),
+      |dots AS (SELECT vec_id, h, SUM(CAST(round(CAST(v AS DOUBLE) * w * 1000000.0) AS BIGINT)) AS s
+      |         FROM vx JOIN planes USING (d) GROUP BY 1, 2),
+      |buckets AS (SELECT vec_id, CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(h AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+      |            FROM dots GROUP BY 1),
+      |wv AS (SELECT b.vec_id, b.bucket, e.embedding FROM buckets b JOIN embeddings e ON b.vec_id = e.vec_id)
+      |SELECT a_id, rk, b_id, bucket, cs FROM (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket AS bucket,
+      |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cs,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
+      |      ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC, b.vec_id) AS BIGINT) AS rk
+      |  FROM wv a JOIN wv b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id) t
+      |WHERE rk <= 3
+      |ORDER BY a_id, rk""".stripMargin
+
+  /** Per-label centroids in long form (label, dim, centroid component):
+    * exact decimal sums, single deterministic division at the end. The
+    * grouped-vector-aggregation pattern (a typed `Aggregator` over
+    * Array[Float] exists in graft.functions for the Dataset API; this
+    * column form is the oracle-checkable equivalent).
+    */
+  def q36LabelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select($"label", posexplode($"embedding").as(Seq("d", "v")))
+      .groupBy($"label", $"d")
+      .agg(
+        (sum(round($"v".cast("double") * 1e9).cast("long")).cast("double") / 1e9 / count(lit(1)))
+          .as("centroid"),
+        count(lit(1)).as("n"))
+      .select($"label".cast("long").as("label"), $"d".cast("long").as("d"), $"centroid", $"n")
+      .orderBy($"label", $"d")
+  }
+
+  val q36Sql: String =
+    """SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS d,
+      |  CAST(SUM(CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000.0 / COUNT(*) AS centroid,
+      |  COUNT(*) AS n
+      |FROM embeddings, range(64) r(i)
+      |GROUP BY 1, 2
+      |ORDER BY label, d""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_cosine_topk" -> (q34CosineTopk _),
+    "q35_ann_lsh" -> (q35AnnLsh _),
+    "q36_label_centroids" -> (q36LabelCentroids _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q34_cosine_topk" -> q34Sql,
+    "q35_ann_lsh" -> q35Sql,
+    "q36_label_centroids" -> q36Sql)
+}

@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline layer (north star; the reference's only text
+  * handling is filename munging, `citibike_project/etl/ingest_data.py:81`).
+  * Everything is built from codegen'd column expressions (split/filter/
+  * regexp/length) — no UDFs — so the whole pipeline stays inside
+  * whole-stage codegen and scales as a pure map over document partitions:
+  * zero shuffles except the final per-query ordering/aggregation.
+  */
+object TextAnalysis {
+
+  /** Normalized token array: documents are single-space separated text. */
+  private def toks: Column = split(trim(col("text")), " ")
+
+  /** Token counting (whitespace tokenizer + distinct vocabulary). */
+  def q26TokenStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("toks", toks)
+      .select(
+        $"doc_id",
+        size($"toks").cast("long").as("n_tokens"),
+        size(array_distinct($"toks")).cast("long").as("n_distinct_tokens"),
+        length($"text").cast("long").as("n_chars_obs"),
+        (length(regexp_replace($"text", " ", "")).cast("double") / size($"toks"))
+          .as("avg_token_len"))
+      .orderBy($"doc_id")
+  }
+
+  val q26Sql: String =
+    """SELECT doc_id,
+      |  len(string_split(trim(text), ' ')) AS n_tokens,
+      |  len(list_distinct(string_split(trim(text), ' '))) AS n_distinct_tokens,
+      |  CAST(LENGTH(text) AS BIGINT) AS n_chars_obs,
+      |  CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / len(string_split(trim(text), ' ')) AS avg_token_len
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: stopword ratio, short-token ratio, digit ratio and a
+    * deterministic composite score — the standard cheap filters a pretraining
+    * corpus pipeline applies before expensive dedup/model scoring.
+    */
+  def q27QualityScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("toks", toks)
+      .withColumn("n_tokens", size($"toks").cast("long"))
+      .withColumn("n_stop", expr(
+        "size(filter(toks, t -> t IN ('the','a','of','to','in','and','is','on','for','with')))").cast("long"))
+      .withColumn("n_short", expr("size(filter(toks, t -> length(t) < 4))").cast("long"))
+      .withColumn("n_digit", (length($"text") - length(regexp_replace($"text", "[0-9]", ""))).cast("long"))
+      .withColumn("stop_ratio", $"n_stop".cast("double") / $"n_tokens")
+      .withColumn("short_ratio", $"n_short".cast("double") / $"n_tokens")
+      .withColumn("digit_ratio", $"n_digit".cast("double") / length($"text"))
+      .withColumn("quality",
+        lit(1.0) - ($"short_ratio" * 0.5 + $"digit_ratio" * 0.3 + $"stop_ratio" * 0.2))
+      .select($"doc_id", $"n_tokens", $"n_stop", $"n_short", $"n_digit",
+        $"stop_ratio", $"short_ratio", $"digit_ratio", $"quality")
+      .orderBy($"doc_id")
+  }
+
+  val q27Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text, string_split(trim(text), ' ') AS toks FROM documents),
+      |m AS (
+      |  SELECT doc_id, text,
+      |    CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_filter(toks, t -> t IN ('the','a','of','to','in','and','is','on','for','with'))) AS BIGINT) AS n_stop,
+      |    CAST(len(list_filter(toks, t -> length(t) < 4)) AS BIGINT) AS n_short,
+      |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit
+      |  FROM t)
+      |SELECT doc_id, n_tokens, n_stop, n_short, n_digit,
+      |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+      |  CAST(n_short AS DOUBLE) / n_tokens AS short_ratio,
+      |  CAST(n_digit AS DOUBLE) / LENGTH(text) AS digit_ratio,
+      |  1.0 - ((CAST(n_short AS DOUBLE) / n_tokens) * 0.5
+      |       + (CAST(n_digit AS DOUBLE) / LENGTH(text)) * 0.3
+      |       + (CAST(n_stop AS DOUBLE) / n_tokens) * 0.2) AS quality
+      |FROM m
+      |ORDER BY doc_id""".stripMargin
+
+  /** Language ID by marker-token scoring (n-gram/stopword heuristic):
+    * deterministic argmax with a fixed precedence tie-break.
+    */
+  def q28LangId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def score(words: Seq[String]): Column =
+      expr(s"size(filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))").cast("long")
+    Tables.documents(spark, dir)
+      .withColumn("toks", toks)
+      .withColumn("s_en", score(Seq("the", "and", "of", "fast", "slow")))
+      .withColumn("s_de", score(Seq("der", "die", "das", "und", "nicht")))
+      .withColumn("s_es", score(Seq("el", "la", "los", "que", "para")))
+      .withColumn("s_fr", score(Seq("le", "les", "des", "est", "pour")))
+      .withColumn("predicted_lang",
+        when($"s_en" >= $"s_de" && $"s_en" >= $"s_es" && $"s_en" >= $"s_fr", "en")
+          .when($"s_de" >= $"s_es" && $"s_de" >= $"s_fr", "de")
+          .when($"s_es" >= $"s_fr", "es")
+          .otherwise("fr"))
+      .select($"doc_id", $"lang".as("labeled_lang"), $"predicted_lang",
+        $"s_en", $"s_de", $"s_es", $"s_fr")
+      .orderBy($"doc_id")
+  }
+
+  val q28Sql: String =
+    """WITH t AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS toks FROM documents),
+      |s AS (SELECT doc_id, lang,
+      |  CAST(len(list_filter(toks, t -> t IN ('the','and','of','fast','slow'))) AS BIGINT) AS s_en,
+      |  CAST(len(list_filter(toks, t -> t IN ('der','die','das','und','nicht'))) AS BIGINT) AS s_de,
+      |  CAST(len(list_filter(toks, t -> t IN ('el','la','los','que','para'))) AS BIGINT) AS s_es,
+      |  CAST(len(list_filter(toks, t -> t IN ('le','les','des','est','pour'))) AS BIGINT) AS s_fr
+      |  FROM t)
+      |SELECT doc_id, lang AS labeled_lang,
+      |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+      |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+      |       WHEN s_es >= s_fr THEN 'es'
+      |       ELSE 'fr' END AS predicted_lang,
+      |  s_en, s_de, s_es, s_fr
+      |FROM s
+      |ORDER BY doc_id""".stripMargin
+
+  /** Document fingerprinting: byte-exact fingerprint (md5 of
+    * whitespace-normalized text) + order-invariant content fingerprint
+    * (md5 of the sorted distinct vocabulary) with cluster sizes — the
+    * permutation-duplicate detector.
+    */
+  def q29Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byContent = Window.partitionBy($"content_fp")
+    Tables.documents(spark, dir)
+      .withColumn("full_fp", md5(lower(trim(regexp_replace($"text", "\\s+", " ")))))
+      .withColumn("content_fp", md5(concat_ws(" ", array_sort(array_distinct(toks)))))
+      .withColumn("cluster_size", count(lit(1)).over(byContent))
+      .select($"doc_id", $"full_fp", $"content_fp", $"cluster_size")
+      .orderBy($"doc_id")
+  }
+
+  val q29Sql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS full_fp,
+      |    md5(array_to_string(list_sort(list_distinct(string_split(trim(text), ' '))), ' ')) AS content_fp
+      |  FROM documents)
+      |SELECT doc_id, full_fp, content_fp,
+      |  COUNT(*) OVER (PARTITION BY content_fp) AS cluster_size
+      |FROM f
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_token_stats" -> (q26TokenStats _),
+    "q27_quality_score" -> (q27QualityScore _),
+    "q28_lang_id" -> (q28LangId _),
+    "q29_fingerprint" -> (q29Fingerprint _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q26_token_stats" -> q26Sql,
+    "q27_quality_score" -> q27Sql,
+    "q28_lang_id" -> q28Sql,
+    "q29_fingerprint" -> q29Sql)
+}

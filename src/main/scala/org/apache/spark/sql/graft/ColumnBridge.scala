@@ -1,0 +1,26 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark 4's `private[sql]` Column <-> Expression conversions
+  * (`org.apache.spark.sql.classic.ExpressionUtils`, spark-sql_2.13-4.1.2
+  * columnNodeSupport.scala). Lives under the org.apache.spark.sql package
+  * so graft's custom Catalyst expressions can be exposed as user-facing
+  * `Column`s — the same technique third-party Spark extension libraries
+  * use for native expressions.
+  */
+object ColumnBridge {
+
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a native expression constructor under a SQL function name. */
+  def registerFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "builtin")
+}
