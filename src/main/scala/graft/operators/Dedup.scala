@@ -3,27 +3,35 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
+import graft.functions.SetFunctions
 
 /** Deduplication operators over `documents` — the core LLM-corpus pipeline
   * stage (north star). Four escalating strategies:
   *
   *   - exact (hash-groupBy on a normalized fingerprint) — one shuffle on
   *     the 16-byte hash, the 100 TB workhorse;
-  *   - MinHash + LSH banding — candidate pairs come from equi-joins on
-  *     (band, band_key) buckets, never an O(n²) compare; the exact Jaccard
-  *     verification only runs on the candidate set;
-  *   - SimHash — a single 60-bit signature per doc; near-dup = small
-  *     Hamming distance on the signature;
-  *   - direct n-gram Jaccard via an inverted-index self-join on shingles —
-  *     the exact baseline the sketches approximate (at scale you'd add
-  *     prefix filtering; here it doubles as the oracle for the sketches).
+  *   - MinHash + LSH banding — 16 permutations derived Carter-Wegman style
+  *     (h1 + i·h2) from two md5 base hashes (2 md5s per shingle, not 16),
+  *     signatures built in ONE aggregation pass (16 MIN columns, no row
+  *     blowup), 2 bands × 8 rows, candidates from equi-joins on band keys,
+  *     exact-Jaccard verification only on candidates;
+  *   - SimHash — 60-bit signature built as 60 conditional-SUM columns in
+  *     one aggregation pass (no 60× bit explode); near-dup = Hamming
+  *     distance on the packed signature;
+  *   - direct n-gram Jaccard — all-pairs with a codegen'd sorted-array
+  *     merge-intersection kernel over broadcast shingle-hash arrays.
+  *     (The textbook inverted-index self-join explodes here: the fixture's
+  *     ~37-word vocabulary gives every bigram a document frequency of
+  *     ~7% of the corpus, so the index join materializes ~n²·overlap rows.
+  *     With a large real-world shingle space the inverted index + prefix
+  *     filtering wins; `ngramJaccardInverted` keeps that path.)
   *
-  * Hashing discipline: every hash is derived from md5 (engine-portable) —
-  * `conv(substr(md5(x),1,15),16,10)` in Spark ≡ `('0x'||substr(md5(x),1,15))::BIGINT`
-  * in DuckDB — a 60-bit positive value, so the whole pipeline including the
-  * sketches is deterministic and oracle-checkable, not just the final
-  * verified pairs. (For a pure-Spark deployment you'd swap in xxhash64,
-  * ~5× faster; md5 is the cross-engine choice.)
+  * Hashing discipline: every hash derives from md5 (engine-portable) —
+  * `conv(substr(md5(x),1,15),16,10)` in Spark ≡
+  * `('0x'||substr(md5(x),1,15))::BIGINT` in DuckDB — 60-bit positive, so
+  * sketches, buckets and verified pairs are all deterministic and
+  * oracle-checkable. (A pure-Spark deployment would swap in xxhash64 for
+  * ~5× cheaper hashing; md5 is the cross-engine choice.)
   *
   * Shingling: word bigrams (w=2). The fixture's planted near-dups are
   * ~99% bigram-Jaccard similar while the global unigram vocabulary is
@@ -32,23 +40,48 @@ import graft.sources.Tables
   */
 object Dedup {
 
+  private val nPerm = 16
+  private val bandRows = 8 // 2 bands × 8 rows
+  private val h2Mod = "100000000000000003" // bounds h1 + 15*h2 < 2^63
+
   /** Word-bigram shingle set as a column (distinct, order preserved). */
   private def gramsCol: Column = array_distinct(expr(
     "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))"))
 
+  /** Documents spread across all cores: the harness tables are single
+    * row-group parquet (one scan partition), so the md5/shingle compute
+    * after the scan would otherwise run single-threaded. The explicit-N
+    * repartition survives AQE coalescing.
+    */
   private def withGrams(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("toks", split(trim($"text"), " "))
       .select($"doc_id", gramsCol.as("grams"))
   }
 
-  /** Engine-portable 60-bit hash of a string column. */
-  private def h60(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+  /** Engine-portable 60-bit hash, as a SQL expression over `e`. */
+  private def h60Expr(e: String): String =
+    s"CAST(conv(substr(md5($e), 1, 15), 16, 10) AS BIGINT)"
 
-  private val h60Sql: String => String =
-    e => s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+  private def h60DuckSql(e: String): String =
+    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  private val gramsDuckCte: String =
+    """toks AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+      |grams AS (SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS grams FROM toks)""".stripMargin
+
+  /** Docs as sorted shingle-hash arrays — the set representation the
+    * intersection kernel consumes.
+    */
+  private def hashedDocs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withGrams(spark, dir).select(
+      $"doc_id",
+      expr(s"array_sort(transform(grams, g -> ${h60Expr("g")}))").as("harr"),
+      size($"grams").cast("long").as("n"))
+  }
 
   /** Exact dedup: normalize → md5 → keep the smallest doc_id per
     * fingerprint. At 100 TB this is one shuffle of (hash, id) pairs.
@@ -69,94 +102,80 @@ object Dedup {
       |GROUP BY 1
       |ORDER BY keep_id""".stripMargin
 
-  /** MinHash (16 permutations) + LSH (4 bands × 4 rows) near-dup pairs,
-    * verified with exact Jaccard >= 0.7. The band key is the SUM of the
-    * band's 4 signature values — order-independent (no sort needed inside
-    * the aggregation) and collision-safe because candidates are re-verified
-    * exactly. Candidate generation is an equi-join on (band, band_key):
-    * at scale the only shuffles are by shingle (signature build) and by
-    * band key (bucket join) — never all-pairs.
+  /** MinHash + LSH near-dup pairs, verified with exact Jaccard >= 0.7.
+    * See object doc for the construction. Shuffles: one groupBy(doc_id)
+    * for signatures, two equi-joins on 8-row band keys for candidates,
+    * then a broadcast verification join — never all-pairs.
     */
   def q31MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val grams = withGrams(spark, dir)
-    val gx = grams.select($"doc_id", explode($"grams").as("g"))
-    val perms = spark.range(16).select($"id".cast("int").as("perm"))
-    val sig = gx.crossJoin(broadcast(perms))
-      .select($"doc_id", $"perm",
-        h60(concat($"perm".cast("string"), lit("|"), $"g")).as("h"))
-      .groupBy($"doc_id", $"perm")
-      .agg(min($"h").as("sig"))
-    val bands = sig
-      .withColumn("band", expr("perm div 4").cast("int"))
-      .groupBy($"doc_id", $"band")
-      .agg(sum($"sig").as("band_key"))
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        $"a.band" === $"b.band" && $"a.band_key" === $"b.band_key" &&
-          $"a.doc_id" < $"b.doc_id")
+    val gx = withGrams(spark, dir).select($"doc_id", explode($"grams").as("g"))
+    val hx = gx.select(
+      $"doc_id",
+      expr(h60Expr("concat('1|', g)")).as("h1"),
+      expr(s"${h60Expr("concat('2|', g)")} % $h2Mod").as("h2"))
+    val sigCols = (0 until nPerm).map(i => min(expr(s"h1 + $i * h2")).as(s"s$i"))
+    val sig = hx.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
+    def xorKey(from: Int): Column =
+      (from + 1 until from + bandRows).foldLeft(col(s"s$from"))((acc, i) => acc.bitwiseXOR(col(s"s$i")))
+    val bands = sig.select($"doc_id", xorKey(0).as("k0"), xorKey(8).as("k1"))
+    def candOn(k: String) = bands.as("a").join(bands.as("b"),
+        col(s"a.$k") === col(s"b.$k") && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
-      .distinct()
-    val sizes = grams.select($"doc_id", size($"grams").cast("long").as("n"))
-    val inter = cand
-      .join(gx.as("ga"), $"a_id" === $"ga.doc_id")
-      .join(gx.as("gb"), $"b_id" === $"gb.doc_id" && $"ga.g" === $"gb.g")
-      .groupBy($"a_id", $"b_id")
-      .agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.as("sa"), $"a_id" === $"sa.doc_id")
-      .join(sizes.as("sb"), $"b_id" === $"sb.doc_id")
-      .withColumn("jaccard", $"i".cast("double") / ($"sa.n" + $"sb.n" - $"i"))
+    val cand = candOn("k0").union(candOn("k1")).distinct()
+    val docs = hashedDocs(spark, dir)
+    cand
+      .join(docs.as("da"), $"a_id" === $"da.doc_id")
+      .join(docs.as("db"), $"b_id" === $"db.doc_id")
+      .withColumn("i", SetFunctions.intersectCount($"da.harr", $"db.harr"))
+      .withColumn("jaccard", $"i".cast("double") / ($"da.n" + $"db.n" - $"i"))
       .filter($"jaccard" >= 0.7)
       .select($"a_id", $"b_id", $"jaccard")
       .orderBy($"a_id", $"b_id")
   }
 
-  val q31Sql: String =
-    s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
-       |grams AS (SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS grams FROM toks),
+  val q31Sql: String = {
+    val sigCols = (0 until nPerm).map(i => s"MIN(h1 + $i * h2) AS s$i").mkString(", ")
+    def xorKey(from: Int): String =
+      (from + 1 until from + bandRows).foldLeft(s"s$from")((acc, i) => s"xor($acc, s$i)")
+    s"""WITH $gramsDuckCte,
        |gx AS (SELECT doc_id, unnest(grams) AS g FROM grams),
-       |sig AS (SELECT doc_id, perm, MIN(${h60Sql("CAST(perm AS VARCHAR) || '|' || g")}) AS sig
-       |        FROM gx, range(16) p(perm) GROUP BY doc_id, perm),
-       |bands AS (SELECT doc_id, CAST(perm // 4 AS INT) AS band, CAST(SUM(sig) AS BIGINT) AS band_key
-       |          FROM sig GROUP BY 1, 2),
+       |hx AS (SELECT doc_id, ${h60DuckSql("'1|' || g")} AS h1,
+       |       ${h60DuckSql("'2|' || g")} % $h2Mod AS h2 FROM gx),
+       |sig AS (SELECT doc_id, $sigCols FROM hx GROUP BY doc_id),
+       |bands AS (SELECT doc_id, ${xorKey(0)} AS k0, ${xorKey(8)} AS k1 FROM sig),
        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-       |         FROM bands a JOIN bands b
-       |           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-       |sizes AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n FROM grams),
-       |inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS i
-       |          FROM cand c
-       |          JOIN gx ga ON ga.doc_id = c.a_id
-       |          JOIN gx gb ON gb.doc_id = c.b_id AND ga.g = gb.g
-       |          GROUP BY 1, 2)
-       |SELECT i.a_id, i.b_id, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
-       |FROM inter i
-       |JOIN sizes sa ON i.a_id = sa.doc_id
-       |JOIN sizes sb ON i.b_id = sb.doc_id
-       |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.7
+       |         FROM bands a JOIN bands b ON a.doc_id < b.doc_id AND (a.k0 = b.k0 OR a.k1 = b.k1)),
+       |ver AS (SELECT c.a_id, c.b_id,
+       |          CAST(len(list_intersect(ga.grams, gb.grams)) AS BIGINT) AS i,
+       |          CAST(len(ga.grams) AS BIGINT) AS na, CAST(len(gb.grams) AS BIGINT) AS nb
+       |        FROM cand c
+       |        JOIN grams ga ON ga.doc_id = c.a_id
+       |        JOIN grams gb ON gb.doc_id = c.b_id)
+       |SELECT a_id, b_id, CAST(i AS DOUBLE) / (na + nb - i) AS jaccard
+       |FROM ver
+       |WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.7
        |ORDER BY a_id, b_id""".stripMargin
+  }
 
-  /** SimHash: 60-bit signature (one bit per position b = sign of the sum of
-    * ±1 votes from each shingle's hash bit b), near-dup pairs = Hamming
-    * distance <= 10. Random pairs sit at ~30 of 60 bits; planted ~99%
-    * near-dups at ~0-4. Signature build is two hash aggregations; the pair
-    * scan compares 8-byte signatures only (at scale: block by signature
-    * prefix instead of the full self-join).
+  /** SimHash: 60-bit signature per doc from one aggregation pass (60
+    * conditional-sum columns), near-dup pairs = Hamming distance <= 10 on
+    * the packed signature. Random pairs sit at ~30/60 bits, planted
+    * near-dups at ~0-4. The pair scan compares 8-byte signatures under a
+    * broadcast join (at scale: block by signature prefix first).
     */
   def q32Simhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val gx = withGrams(spark, dir).select($"doc_id", explode($"grams").as("g"))
-      .withColumn("h", h60(col("g")))
-    val bits = spark.range(60).select($"id".cast("int").as("b"))
-    val sims = gx.crossJoin(broadcast(bits))
-      .withColumn("vote",
-        when(expr("shiftright(h, b)").bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      .groupBy($"doc_id", $"b")
-      .agg(sum($"vote").as("v"))
-      .withColumn("bit", when($"v" > 0, 1L).otherwise(0L))
-      .groupBy($"doc_id")
-      .agg(sum(expr("shiftleft(bit, b)")).as("simhash"))
-    sims.as("a").join(sims.as("b"), $"a.doc_id" < $"b.doc_id")
+    val hx = withGrams(spark, dir).select($"doc_id", explode($"grams").as("g"))
+      .select($"doc_id", expr(h60Expr("g")).as("h"))
+    val bitCols = (0 until 60).map(b => sum(expr(s"(h >> $b) & 1")).as(s"c$b"))
+    val counts = hx.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n"), bitCols: _*)
+    val packed = (0 until 60)
+      .map(b => s"(CASE WHEN 2 * c$b > n THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    val sims = counts.select($"doc_id", expr(packed).as("simhash"))
+    sims.as("a").join(broadcast(sims.as("b")), $"a.doc_id" < $"b.doc_id")
       .withColumn("hamming",
         bit_count($"a.simhash".bitwiseXOR($"b.simhash")).cast("long"))
       .filter($"hamming" <= 10)
@@ -164,26 +183,57 @@ object Dedup {
       .orderBy($"a_id", $"b_id")
   }
 
-  val q32Sql: String =
-    s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
-       |grams AS (SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS grams FROM toks),
+  val q32Sql: String = {
+    val bitCols = (0 until 60).map(b => s"SUM((h >> $b) & 1) AS c$b").mkString(", ")
+    val packed = (0 until 60)
+      .map(b => s"(CASE WHEN 2 * c$b > n THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH $gramsDuckCte,
        |gx AS (SELECT doc_id, unnest(grams) AS g FROM grams),
-       |hx AS (SELECT doc_id, ${h60Sql("g")} AS h FROM gx),
-       |votes AS (SELECT doc_id, b, SUM(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
-       |          FROM hx, range(60) r(b) GROUP BY doc_id, b),
-       |sims AS (SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
-       |         FROM votes GROUP BY doc_id)
+       |hx AS (SELECT doc_id, ${h60DuckSql("g")} AS h FROM gx),
+       |counts AS (SELECT doc_id, COUNT(*) AS n, $bitCols FROM hx GROUP BY doc_id),
+       |sims AS (SELECT doc_id, CAST($packed AS BIGINT) AS simhash FROM counts)
        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
        |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
        |ORDER BY a_id, b_id""".stripMargin
+  }
 
-  /** Direct n-gram Jaccard >= 0.5 via inverted-index self-join on shingles
-    * — exact pairwise similarity without materializing all pairs: only
-    * pairs sharing at least one shingle are generated.
+  /** Exact n-gram Jaccard >= 0.5 over all pairs: broadcast the (small)
+    * sorted-hash-array table and run the codegen'd merge-intersection
+    * kernel per pair — no shuffle, no per-pair allocation.
     */
   def q33NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = hashedDocs(spark, dir)
+    val a = docs.select($"doc_id".as("a_id"), $"harr".as("ha"), $"n".as("na"))
+    val b = docs.select($"doc_id".as("b_id"), $"harr".as("hb"), $"n".as("nb"))
+    a.join(broadcast(b), $"a_id" < $"b_id")
+      .withColumn("i", SetFunctions.intersectCount($"ha", $"hb"))
+      .withColumn("jaccard", $"i".cast("double") / ($"na" + $"nb" - $"i"))
+      .filter($"jaccard" >= 0.5)
+      .select($"a_id", $"b_id", $"jaccard")
+      .orderBy($"a_id", $"b_id")
+  }
+
+  val q33Sql: String =
+    s"""WITH $gramsDuckCte,
+       |ver AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |          CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS i,
+       |          CAST(len(a.grams) AS BIGINT) AS na, CAST(len(b.grams) AS BIGINT) AS nb
+       |        FROM grams a JOIN grams b ON a.doc_id < b.doc_id)
+       |SELECT a_id, b_id, CAST(i AS DOUBLE) / (na + nb - i) AS jaccard
+       |FROM ver
+       |WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.5
+       |ORDER BY a_id, b_id""".stripMargin
+
+  /** The inverted-index formulation of n-gram Jaccard (pairs generated by
+    * a self-join on shingles). The right algorithm when the shingle space
+    * is large/sparse — kept as the scale path; not benched on the
+    * dense-vocabulary fixture (see object doc).
+    */
+  def ngramJaccardInverted(spark: SparkSession, dir: String, minJaccard: Double = 0.5): DataFrame = {
     import spark.implicits._
     val grams = withGrams(spark, dir)
     val gx = grams.select($"doc_id", explode($"grams").as("g"))
@@ -196,25 +246,9 @@ object Dedup {
       .join(sizes.as("sa"), $"a_id" === $"sa.doc_id")
       .join(sizes.as("sb"), $"b_id" === $"sb.doc_id")
       .withColumn("jaccard", $"i".cast("double") / ($"sa.n" + $"sb.n" - $"i"))
-      .filter($"jaccard" >= 0.5)
+      .filter($"jaccard" >= minJaccard)
       .select($"a_id", $"b_id", $"jaccard")
-      .orderBy($"a_id", $"b_id")
   }
-
-  val q33Sql: String =
-    """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
-      |grams AS (SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS grams FROM toks),
-      |gx AS (SELECT doc_id, unnest(grams) AS g FROM grams),
-      |sizes AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n FROM grams),
-      |inter AS (SELECT ga.doc_id AS a_id, gb.doc_id AS b_id, COUNT(*) AS i
-      |          FROM gx ga JOIN gx gb ON ga.g = gb.g AND ga.doc_id < gb.doc_id
-      |          GROUP BY 1, 2)
-      |SELECT i.a_id, i.b_id, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
-      |FROM inter i
-      |JOIN sizes sa ON i.a_id = sa.doc_id
-      |JOIN sizes sb ON i.b_id = sb.doc_id
-      |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
-      |ORDER BY a_id, b_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_exact_dedup" -> (q30ExactDedup _),

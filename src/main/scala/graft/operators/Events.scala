@@ -27,6 +27,8 @@ object Events {
   def q20JsonExtract(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, dir)
+      // single-row-group input: parallelize the per-row JSON parse
+      .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("k", get_json_object($"props", "$.k").cast("long"))
       .groupBy($"event_type")
       .agg(

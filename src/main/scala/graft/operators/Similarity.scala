@@ -28,7 +28,11 @@ object Similarity {
   def q34CosineTopk(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-    val a = emb.select($"vec_id".as("a_id"), $"embedding".as("ea"))
+    // Single-row-group input: spread the probe side across cores so the
+    // O(n²·dim) codegen kernel parallelizes (explicit N defeats AQE
+    // coalescing); the build side is broadcast.
+    val a = emb.repartition(spark.sparkContext.defaultParallelism)
+      .select($"vec_id".as("a_id"), $"embedding".as("ea"))
     val b = emb.select($"vec_id".as("b_id"), $"embedding".as("eb"))
     val w = Window.partitionBy($"a_id").orderBy($"cs".desc, $"b_id")
     a.join(broadcast(b), $"a_id" =!= $"b_id")
@@ -64,6 +68,7 @@ object Similarity {
         (conv(substring(md5(concat($"h".cast("string"), lit("_"), $"d".cast("string"))), 1, 15), 16, 10)
           .cast("long") % 2001 - 1000).cast("long"))
     val vx = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
       .select($"vec_id", posexplode($"embedding").as(Seq("d", "v")))
     val buckets = vx.join(broadcast(planes), Seq("d"))
       .withColumn("prod", round($"v".cast("double") * $"w" * 1e6).cast("long"))
@@ -74,6 +79,7 @@ object Similarity {
       .agg(sum($"bit").as("bucket"))
     val emb = Tables.embeddings(spark, dir)
     val withVec = buckets.join(emb, Seq("vec_id"))
+      .repartition(spark.sparkContext.defaultParallelism)
     val a = withVec.select($"vec_id".as("a_id"), $"bucket", $"embedding".as("ea"))
     val b = withVec.select($"vec_id".as("b_id"), $"bucket", $"embedding".as("eb"))
     val w = Window.partitionBy($"a_id").orderBy($"cs".desc, $"b_id")

@@ -18,10 +18,17 @@ object TextAnalysis {
   /** Normalized token array: documents are single-space separated text. */
   private def toks: Column = split(trim(col("text")), " ")
 
+  /** Documents spread across all cores: the harness parquet is a single
+    * row group (one scan partition), so per-row regexp/split work would
+    * otherwise run single-threaded.
+    */
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).repartition(spark.sparkContext.defaultParallelism)
+
   /** Token counting (whitespace tokenizer + distinct vocabulary). */
   def q26TokenStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    docs(spark, dir)
       .withColumn("toks", toks)
       .select(
         $"doc_id",
@@ -48,7 +55,7 @@ object TextAnalysis {
     */
   def q27QualityScore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    docs(spark, dir)
       .withColumn("toks", toks)
       .withColumn("n_tokens", size($"toks").cast("long"))
       .withColumn("n_stop", expr(
@@ -92,7 +99,7 @@ object TextAnalysis {
     import spark.implicits._
     def score(words: Seq[String]): Column =
       expr(s"size(filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))").cast("long")
-    Tables.documents(spark, dir)
+    docs(spark, dir)
       .withColumn("toks", toks)
       .withColumn("s_en", score(Seq("the", "and", "of", "fast", "slow")))
       .withColumn("s_de", score(Seq("der", "die", "das", "und", "nicht")))
@@ -133,7 +140,7 @@ object TextAnalysis {
   def q29Fingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val byContent = Window.partitionBy($"content_fp")
-    Tables.documents(spark, dir)
+    docs(spark, dir)
       .withColumn("full_fp", md5(lower(trim(regexp_replace($"text", "\\s+", " ")))))
       .withColumn("content_fp", md5(concat_ws(" ", array_sort(array_distinct(toks)))))
       .withColumn("cluster_size", count(lit(1)).over(byContent))
