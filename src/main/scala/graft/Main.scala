@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.sources.{Ingest, Sinks}
+
+/** CLI entry matching the reference lifecycle (SURVEY.md §3.1):
+  * enumerate → fetch/extract → discover → scan → normalize → write.
+  *
+  * `graft.Main --staging <dir> [--zip <file>]... --out <dir>`
+  *
+  * Config precedence is CLI > env > default (the reference ignores its
+  * own env wiring and hardcodes localhost, `citibike_project/
+  * etl/ingest_data.py:52` vs `docker-compose.yaml:64` — §7.4 bug 5).
+  */
+object Main {
+
+  final case class Config(
+      staging: String = sys.env.getOrElse("GRAFT_STAGING", "/tmp/graft_staging"),
+      out: String = sys.env.getOrElse("GRAFT_OUT", "/tmp/graft_out"),
+      zips: Seq[String] = Seq.empty,
+      cores: Int = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+        .getOrElse(Runtime.getRuntime.availableProcessors()))
+
+  def parse(args: Array[String]): Config = {
+    @annotation.tailrec
+    def loop(rest: List[String], c: Config): Config = rest match {
+      case "--staging" :: v :: t => loop(t, c.copy(staging = v))
+      case "--out" :: v :: t => loop(t, c.copy(out = v))
+      case "--zip" :: v :: t => loop(t, c.copy(zips = c.zips :+ v))
+      case "--cores" :: v :: t => loop(t, c.copy(cores = v.toInt))
+      case Nil => c
+      case x :: _ => throw new IllegalArgumentException(s"unknown arg: $x")
+    }
+    loop(args.toList, Config())
+  }
+
+  def run(spark: SparkSession, cfg: Config): Long = {
+    val staging = Paths.get(cfg.staging)
+    Files.createDirectories(staging)
+    cfg.zips.foreach(z => Ingest.extractZip(Paths.get(z), staging))
+    val csvs = Ingest.discoverCsvs(staging)
+    if (csvs.isEmpty) return 0L
+    val trips = Ingest.scanTrips(spark, s"${cfg.staging}/*/*.csv")
+      .withColumn("month", date_format(col("started_at"), "yyyyMM"))
+    Sinks.writeLake(trips, cfg.out, partitionCols = Seq("month"))
+    spark.read.parquet(cfg.out).count()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cfg = parse(args)
+    val spark = graft.core.Sessions.local(cfg.cores)
+    spark.sparkContext.setLogLevel("WARN")
+    val n = run(spark, cfg)
+    println(s"[graft] wrote $n trip rows to ${cfg.out}")
+    spark.stop()
+  }
+}

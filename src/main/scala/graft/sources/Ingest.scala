@@ -1,0 +1,120 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, FileInputStream, FileOutputStream}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.zip.{GZIPOutputStream, ZipInputStream}
+import scala.util.matching.Regex
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.model.Schemas
+
+/** Reference-parity ingestion pipeline (SURVEY.md §2.1 S1-S5, S10), each
+  * stage a small pure function:
+  *
+  *   - Enumerate (S1): parse an S3-style XML bucket index into keys —
+  *     `citibike_project/etl/ingest_data.py:59-69` scrapes
+  *     `https://s3.amazonaws.com/tripdata/` the same way (GET + parse
+  *     `<Key>` elements + suffix filter). Zero-egress here: callers pass
+  *     the XML body; at scale this becomes an S3A `listStatus` glob or a
+  *     DataSource V2 TableProvider.
+  *   - Fetch/extract (S2): zip → staging dir via java.util.zip (zip is not
+  *     splittable, so extraction is a driver/executor-side step;
+  *     `.gz`/`.bz2` need no extraction — Spark reads those codecs natively).
+  *     Replaces `wget + zipfile.extractall` (`etl/ingest_data.py:72-119`).
+  *   - Discover (S3): recursive CSV glob — replaces the manual directory
+  *     walk (`etl/ingest_data.py:122-143`).
+  *   - Scan (S4): header CSV with the explicit Trip schema — replaces
+  *     pandas `read_csv(parse_dates=...)` (`etl/ingest_data.py:161-170`).
+  *     Chunked iteration (S5) disappears: partitioned scan IS the chunking.
+  *   - Compact (S10): gzip re-compression — replaces the manual
+  *     `gzip.open` loop (`etl/ingest_data.py:145-152`); parquet+zstd is
+  *     the real fix and also provided.
+  *
+  * Month extraction uses an explicit regex, NOT the reference's buggy
+  * `str.strip('JC-citibike-tripdata.zip.csv')` char-set strip
+  * (`etl/ingest_data.py:81`; SURVEY.md §7.4 bug 3).
+  */
+object Ingest {
+
+  /** S1: keys from an S3 ListBucket XML document, filtered by suffix. */
+  def enumerateKeys(listingXml: String, suffix: String = ".zip"): Seq[String] = {
+    val doc = scala.xml.XML.loadString(listingXml)
+    (doc \\ "Key").map(_.text).filter(_.endsWith(suffix)).toSeq
+  }
+
+  /** Month id (yyyyMM) from a citibike-style file name — regex, not
+    * char-set strip.
+    */
+  def monthOf(fileName: String): Option[String] =
+    new Regex("""(\d{6})""").findFirstIn(fileName)
+
+  /** S2: extract a zip archive into `stagingDir/<yyyyMM>/`, returning
+    * extracted file paths. Entries without a month go under "unknown".
+    */
+  def extractZip(zipPath: Path, stagingDir: Path): Seq[Path] = {
+    val out = scala.collection.mutable.ArrayBuffer[Path]()
+    val zis = new ZipInputStream(new BufferedInputStream(new FileInputStream(zipPath.toFile)))
+    try {
+      var entry = zis.getNextEntry
+      while (entry != null) {
+        if (!entry.isDirectory && !entry.getName.startsWith("__MACOSX")) {
+          val name = Paths.get(entry.getName).getFileName.toString
+          val month = monthOf(name).getOrElse("unknown")
+          val dest = stagingDir.resolve(month).resolve(name)
+          Files.createDirectories(dest.getParent)
+          Files.copy(zis, dest, StandardCopyOption.REPLACE_EXISTING)
+          out += dest
+        }
+        zis.closeEntry()
+        entry = zis.getNextEntry
+      }
+    } finally zis.close()
+    out.toSeq
+  }
+
+  /** S3: recursive CSV discovery under the staging dir. */
+  def discoverCsvs(stagingDir: Path): Seq[Path] = {
+    import scala.jdk.CollectionConverters._
+    if (!Files.exists(stagingDir)) Seq.empty
+    else Files.walk(stagingDir).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".csv"))
+      .toSeq.sortBy(_.toString)
+  }
+
+  /** S4: trip CSV scan with the authoritative schema. One reader over a
+    * glob replaces the reference's per-file, per-chunk loop; Spark
+    * partitions the input by `maxPartitionBytes`.
+    */
+  def scanTrips(spark: SparkSession, pathOrGlob: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSS]")
+      .schema(Schemas.trip)
+      .csv(pathOrGlob)
+
+  /** Ad-hoc CSV scan with inference — the fallback for unknown files. */
+  def scanInferred(spark: SparkSession, pathOrGlob: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(pathOrGlob)
+
+  /** S10 (as the reference does it): stream a file through gzip. */
+  def gzipFile(src: Path, deleteOriginal: Boolean = true): Path = {
+    val dst = Paths.get(src.toString + ".gz")
+    val in = new BufferedInputStream(new FileInputStream(src.toFile))
+    val out = new GZIPOutputStream(new FileOutputStream(dst.toFile))
+    try {
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
+    } finally { in.close(); out.close() }
+    if (deleteOriginal) Files.delete(src)
+    dst
+  }
+
+  /** S10 (the real fix): columnar compaction — partitioned parquet+zstd
+    * instead of gzipped CSV; one table partitioned by month replaces the
+    * reference's table-per-month naming (`etl/ingest_data.py:159`).
+    */
+  def compactToParquet(df: DataFrame, dest: String, partitionCols: Seq[String] = Seq.empty): Unit = {
+    val w = df.write.mode("overwrite").option("compression", "zstd")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(dest)
+  }
+}

@@ -1,0 +1,75 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Sinks (SURVEY.md §2.1 S6, S8, S9, S11): JDBC create-then-append
+  * protocol, lakehouse writes, catalog probes.
+  *
+  * The reference's load protocol is `df.head(0).to_sql(if_exists="replace")`
+  * followed by per-chunk appends (`citibike_project/etl/ingest_data.py:161-176`).
+  * In Spark the chunk loop disappears — executors write partitions in
+  * parallel with `batchsize`-bounded inserts — and "replace then append"
+  * collapses to a single atomic overwrite (also fixing the reference's
+  * page-overwrite bug, `etl/ingest_data.py:277-279`, SURVEY.md §7.4 bug 1).
+  */
+object Sinks {
+
+  final case class JdbcConfig(
+      url: String,
+      table: String,
+      user: String,
+      password: String,
+      driver: String = "org.postgresql.Driver",
+      batchSize: Int = 10000,
+      numPartitions: Option[Int] = None)
+
+  /** S6: full-table load. `overwrite + truncate` mimics the reference's
+    * replace-keeping-DDL; `Append` is the incremental path.
+    */
+  def writeJdbc(df: DataFrame, cfg: JdbcConfig, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode).format("jdbc")
+      .option("url", cfg.url)
+      .option("dbtable", cfg.table)
+      .option("user", cfg.user)
+      .option("password", cfg.password)
+      .option("driver", cfg.driver)
+      .option("batchsize", cfg.batchSize.toString)
+      .option("truncate", "true")
+    cfg.numPartitions.fold(w)(n => w.option("numPartitions", n.toString)).save()
+  }
+
+  /** S11: object-store/lake write — any Hadoop FS scheme (s3a://, gs://,
+    * file://). Parquet+zstd columnar at rest.
+    */
+  def writeLake(df: DataFrame, dest: String, partitionCols: Seq[String] = Seq.empty,
+      codec: String = "zstd"): Unit = {
+    val w = df.write.mode("overwrite").option("compression", codec)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(dest)
+  }
+
+  /** Gzip CSV write — the reference's compact step as a writer option
+    * (`citibike_project/etl/ingest_data.py:145-152`).
+    */
+  def writeCsvGzip(df: DataFrame, dest: String): Unit =
+    df.write.mode("overwrite").option("header", "true")
+      .option("compression", "gzip").csv(dest)
+
+  /** S8: catalog existence probe (`SELECT to_regclass(...)` equivalent,
+    * `citibike_project/etl/ingest_data.py:251-253`).
+    */
+  def tableExists(spark: SparkSession, name: String): Boolean =
+    spark.catalog.tableExists(name)
+
+  /** S9: CREATE DATABASE IF NOT EXISTS (`etl/ingest_data.py:216-222`). */
+  def createDatabaseIfNotExists(spark: SparkSession, name: String): Unit =
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $name")
+
+  /** Idempotent load: only rows whose keys are absent — the relational
+    * form of the reference's "skip if table exists" guard
+    * (`etl/ingest_data.py:259-262`), done per-row with an anti join
+    * instead of per-table.
+    */
+  def newRowsOnly(incoming: DataFrame, existing: DataFrame, keys: Seq[String]): DataFrame =
+    incoming.join(existing.select(keys.map(org.apache.spark.sql.functions.col): _*),
+      keys, "left_anti")
+}

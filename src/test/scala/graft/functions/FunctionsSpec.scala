@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class FunctionsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def cosRef(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    a.zip(b).foreach { case (x, y) =>
+      dot += x.toDouble * y.toDouble; na += x.toDouble * x.toDouble; nb += y.toDouble * y.toDouble
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("cosine_similarity matches sequential double reference") {
+    val a = Seq(0.1f, -0.2f, 0.3f, 0.05f)
+    val b = Seq(0.2f, 0.1f, -0.4f, 0.9f)
+    val got = Seq((a.toArray, b.toArray)).toDF("a", "b")
+      .select(VectorFunctions.cosineSim($"a", $"b")).as[Double].head()
+    assert(got == cosRef(a, b))
+  }
+
+  test("cosine_similarity of identical vectors is 1.0") {
+    val a = Seq(0.5f, 0.25f, -1.0f)
+    val got = Seq((a.toArray, a.toArray)).toDF("a", "b")
+      .select(VectorFunctions.cosineSim($"a", $"b")).as[Double].head()
+    assert(math.abs(got - 1.0) < 1e-15)
+  }
+
+  test("cosine_similarity null-safe") {
+    val got = Seq((Some(Array(1f, 2f)), Option.empty[Array[Float]]))
+      .toDF("a", "b")
+      .select(VectorFunctions.cosineSim($"a", $"b")).collect()
+    assert(got.head.isNullAt(0))
+  }
+
+  test("dot_product matches reference") {
+    val got = Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")
+      .select(VectorFunctions.dotProduct($"a", $"b")).as[Double].head()
+    assert(got == (4.0 + 10.0 + 18.0))
+  }
+
+  test("SQL registration works") {
+    VectorFunctions.register(spark)
+    val got = spark.sql("SELECT cosine_similarity(array(1.0F, 0.0F), array(1.0F, 0.0F)) c")
+      .as[Double].head()
+    assert(got == 1.0)
+  }
+
+  test("intersect_count on sorted arrays") {
+    val got = Seq((Array(1L, 3L, 5L, 9L), Array(2L, 3L, 5L, 10L))).toDF("a", "b")
+      .select(SetFunctions.intersectCount($"a", $"b")).as[Long].head()
+    assert(got == 2L)
+    val none = Seq((Array(1L, 2L), Array(3L, 4L))).toDF("a", "b")
+      .select(SetFunctions.intersectCount($"a", $"b")).as[Long].head()
+    assert(none == 0L)
+    val empty = Seq((Array.empty[Long], Array(3L, 4L))).toDF("a", "b")
+      .select(SetFunctions.intersectCount($"a", $"b")).as[Long].head()
+    assert(empty == 0L)
+  }
+
+  test("centroid aggregator") {
+    import org.apache.spark.sql.functions.udaf
+    val centroid = udaf(CentroidAggregator)
+    val df = Seq((0, Array(1f, 2f)), (0, Array(3f, 4f)), (1, Array(10f, 20f)))
+      .toDF("k", "v")
+    val got = df.groupBy($"k").agg(centroid($"v").as("c"))
+      .orderBy($"k").as[(Int, Array[Double])].collect()
+    assert(got(0)._2.toSeq == Seq(2.0, 3.0))
+    assert(got(1)._2.toSeq == Seq(10.0, 20.0))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** Semantics of the dedup operators on a planted corpus: exact duplicates,
+  * a near-duplicate pair (one word changed), and unrelated docs.
+  */
+class DedupSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft_dedup").toString
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val near = (1 to 40).map(i => if (i == 7) "changed" else s"word$i").mkString(" ")
+    val other = (1 to 40).map(i => s"zz${i * 3}").mkString(" ")
+    val docs = Seq(
+      (0L, base, "en", "src0", base.length.toLong),
+      (1L, base, "en", "src1", base.length.toLong), // exact dup of 0
+      (2L, near, "en", "src2", near.length.toLong), // near dup of 0
+      (3L, other, "en", "src3", other.length.toLong))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("exact dedup groups identical texts") {
+    val r = Dedup.q30ExactDedup(spark, dir).collect()
+    assert(r.length == 3) // 4 docs, one exact-dup pair
+    val dup = r.find(_.getAs[Long]("keep_id") == 0L).get
+    assert(dup.getAs[Long]("n_copies") == 2L)
+  }
+
+  test("minhash lsh finds exact and near pairs, not unrelated") {
+    val pairs = Dedup.q31MinhashLsh(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("simhash: identical docs at hamming 0, unrelated far") {
+    val r = Dedup.q32Simhash(spark, dir)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getLong(2))).toMap
+    assert(r((0L, 1L)) == 0L)
+    assert(!r.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("ngram jaccard exact values") {
+    val r = Dedup.q33NgramJaccard(spark, dir)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(2))).toMap
+    assert(r((0L, 1L)) == 1.0)
+    // near pair: 39 bigrams each, 2 changed by one word swap -> 37 shared
+    val j = r((0L, 2L))
+    assert(j > 0.85 && j < 1.0)
+    assert(!r.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("inverted-index variant agrees with kernel variant") {
+    val a = Dedup.q33NgramJaccard(spark, dir)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(2))).toMap
+    val b = Dedup.ngramJaccardInverted(spark, dir)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(2))).toMap
+    assert(a == b)
+  }
+}

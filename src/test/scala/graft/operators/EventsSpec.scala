@@ -1,0 +1,56 @@
+package graft.operators
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** Semantics of sessionization and the as-of join on a hand-built event
+  * log (ts stored as raw nanos, mirroring the harness parquet layout).
+  */
+class EventsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val H = 3600L * 1000000000L // one hour in ns
+  private val M = 60L * 1000000000L   // one minute in ns
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft_events").toString
+    val base = 1700000000L * 1000000000L
+    // user 1: events at t0, t0+10m, t0+50m (gap>30m -> new session), t0+55m
+    // user 2: purchase at t0+5m, clicks at t0 (before) and t0+20m (after)
+    val rows = Seq(
+      (0L, base, 1L, "view", 1.0, """{"k": 1}"""),
+      (1L, base + 10 * M, 1L, "view", 1.0, """{"k": 2}"""),
+      (2L, base + 50 * M, 1L, "view", 1.0, """{"k": 3}"""),
+      (3L, base + 55 * M, 1L, "view", 1.0, """{"k": 4}"""),
+      (4L, base, 2L, "click", 1.0, """{"k": 5}"""),
+      (5L, base + 5 * M, 2L, "purchase", 2.0, """{"k": 6}"""),
+      (6L, base + 20 * M, 2L, "click", 1.0, """{"k": 7}"""))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("sessionize splits on >30min gaps") {
+    val r = Events.q23Sessionize(spark, dir)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getAs[Long]("n_events"))).toMap
+    assert(r((1L, 1L)) == 2L) // t0, t0+10m
+    assert(r((1L, 2L)) == 2L) // t0+50m, t0+55m
+    assert(r((2L, 1L)) == 3L) // user 2: all within 30m gaps
+  }
+
+  test("asof join picks most recent purchase at or before click") {
+    val r = Events.q24AsofJoin(spark, dir).collect()
+      .map(x => x.getLong(0) -> Option(x.getTimestamp(3))).toMap
+    assert(r(4L).isEmpty)     // click before any purchase
+    assert(r(6L).isDefined)   // click after purchase at t0+5m
+  }
+
+  test("json extraction sums props.k") {
+    val r = Events.q20JsonExtract(spark, dir).collect()
+      .map(x => x.getString(0) -> x.getAs[Long]("sum_k")).toMap
+    assert(r("view") == 1L + 2 + 3 + 4)
+    assert(r("click") == 5L + 7)
+    assert(r("purchase") == 6L)
+  }
+}

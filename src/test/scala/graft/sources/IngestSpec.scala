@@ -1,0 +1,105 @@
+package graft.sources
+
+import java.io.{FileOutputStream}
+import java.nio.file.{Files, Path, Paths}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+class IngestSpec extends AnyFunSuite with SparkSpec {
+
+  private val tripCsv =
+    """ride_id,rideable_type,started_at,ended_at,start_station_name,start_station_id,end_station_name,end_station_id,start_lat,start_lng,end_lat,end_lng,member_casual
+      |AABD1C039D2D622D,electric_bike,2025-08-01 10:00:00.123,2025-08-01 10:15:30.456,Grove St,JC115,Newark Ave,JC116,40.7194,-74.0431,40.7215,-74.0465,member
+      |BBCD2C039D2D622E,classic_bike,2025-08-02 11:00:00.000,2025-08-02 11:05:00.000,Hamilton Park,HB105,Grove St,JC115,40.7270,-74.0440,40.7194,-74.0431,casual
+      |""".stripMargin
+
+  private def makeZip(dir: Path): Path = {
+    val zip = dir.resolve("JC-202508-citibike-tripdata.csv.zip")
+    val zos = new ZipOutputStream(new FileOutputStream(zip.toFile))
+    zos.putNextEntry(new ZipEntry("JC-202508-citibike-tripdata.csv"))
+    zos.write(tripCsv.getBytes("UTF-8"))
+    zos.closeEntry(); zos.close()
+    zip
+  }
+
+  test("enumerateKeys parses S3 listing XML and filters suffix") {
+    val xml =
+      """<?xml version="1.0"?>
+        |<ListBucketResult xmlns="http://s3.amazonaws.com/doc/2006-03-01/">
+        |  <Contents><Key>JC-202507-citibike-tripdata.csv.zip</Key></Contents>
+        |  <Contents><Key>JC-202508-citibike-tripdata.csv.zip</Key></Contents>
+        |  <Contents><Key>index.html</Key></Contents>
+        |</ListBucketResult>""".stripMargin
+    val keys = Ingest.enumerateKeys(xml)
+    assert(keys == Seq("JC-202507-citibike-tripdata.csv.zip", "JC-202508-citibike-tripdata.csv.zip"))
+  }
+
+  test("monthOf uses regex, not charset strip") {
+    assert(Ingest.monthOf("JC-202508-citibike-tripdata.csv.zip").contains("202508"))
+    assert(Ingest.monthOf("no-month-here.zip").isEmpty)
+  }
+
+  test("zip extract + discover + scan + compact round trip") {
+    val staging = Files.createTempDirectory("graft_ingest")
+    val zip = makeZip(Files.createTempDirectory("graft_zips"))
+    val extracted = Ingest.extractZip(zip, staging)
+    assert(extracted.length == 1)
+    assert(extracted.head.toString.contains("/202508/"))
+
+    val csvs = Ingest.discoverCsvs(staging)
+    assert(csvs.length == 1)
+
+    val trips = Ingest.scanTrips(spark, s"$staging/*/*.csv")
+    assert(trips.schema == graft.model.Schemas.trip)
+    assert(trips.count() == 2)
+    val first = trips.orderBy("ride_id").head()
+    assert(first.getAs[String]("ride_id") == "AABD1C039D2D622D")
+    assert(first.getAs[java.sql.Timestamp]("started_at").toString.startsWith("2025-08-01 10:00:00"))
+
+    val out = Files.createTempDirectory("graft_lake").toString + "/trips"
+    Ingest.compactToParquet(trips, out)
+    assert(spark.read.parquet(out).count() == 2)
+  }
+
+  test("gzipFile compresses and removes original") {
+    val d = Files.createTempDirectory("graft_gz")
+    val f = d.resolve("x.csv")
+    Files.writeString(f, tripCsv)
+    val gz = Ingest.gzipFile(f)
+    assert(Files.exists(gz) && !Files.exists(f))
+    // spark reads .gz csv natively
+    val df = spark.read.option("header", "true").csv(gz.toString)
+    assert(df.count() == 2)
+  }
+
+  test("Main.run end-to-end: zip -> staging -> partitioned parquet lake") {
+    val staging = Files.createTempDirectory("graft_main_staging")
+    val out = Files.createTempDirectory("graft_main_out").toString + "/lake"
+    val zip = makeZip(Files.createTempDirectory("graft_main_zip"))
+    val n = graft.Main.run(spark,
+      graft.Main.Config(staging = staging.toString, out = out, zips = Seq(zip.toString)))
+    assert(n == 2)
+    val lake = spark.read.parquet(out)
+    // partition-column type inference reads "202508" back as an int
+    assert(lake.select("month").distinct().collect().map(_.get(0).toString).toSet == Set("202508"))
+  }
+
+  test("newRowsOnly anti-join keeps only unseen keys") {
+    import spark.implicits._
+    val existing = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val incoming = Seq((2L, "b2"), (3L, "c")).toDF("id", "v")
+    val got = Sinks.newRowsOnly(incoming, existing, Seq("id")).collect()
+    assert(got.map(_.getLong(0)).toSet == Set(3L))
+  }
+
+  test("catalog ops: create database + tableExists") {
+    Sinks.createDatabaseIfNotExists(spark, "graft_test_db")
+    assert(spark.catalog.databaseExists("graft_test_db"))
+    import spark.implicits._
+    Seq((1, "x")).toDF("a", "b").write.mode("overwrite").saveAsTable("graft_test_db.t1")
+    assert(Sinks.tableExists(spark, "graft_test_db.t1"))
+    spark.sql("DROP TABLE graft_test_db.t1")
+    spark.sql("DROP DATABASE graft_test_db")
+  }
+}
