@@ -16,11 +16,17 @@ object Sessions {
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
     builder(s"local[$cores]", cores).getOrCreate()
 
-  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
-    SparkSession
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder = {
+    // Shuffle/spill to tmpfs when available: local-mode shuffle files on a
+    // throttled block device dominate small-stage runtimes and add noise.
+    val localDir =
+      if (new java.io.File("/dev/shm").canWrite) "/dev/shm/spark_local" else null
+    val b = SparkSession
       .builder()
       .master(master)
       .appName("graft")
+    if (localDir != null) b.config("spark.local.dir", localDir)
+    b
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -29,4 +35,5 @@ object Sessions {
       .config("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
       .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
       .config("spark.ui.enabled", "false")
+  }
 }

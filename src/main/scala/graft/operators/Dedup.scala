@@ -72,15 +72,36 @@ object Dedup {
     """toks AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
       |grams AS (SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS grams FROM toks)""".stripMargin
 
+  /** Distinct-shingle hash dictionary: md5 is ~100× more expensive than the
+    * joins that replace it, and shingles repeat heavily across documents
+    * (the corpus vocabulary is far smaller than the occurrence count), so
+    * hash each DISTINCT shingle once and join the dictionary back. The
+    * oracle hashes per occurrence — same values, so results are identical.
+    * At larger dictionary sizes Catalyst flips the broadcast to a shuffle
+    * join on the shingle; the dedup still pays off.
+    */
+  private def gramDict(spark: SparkSession, gx: DataFrame): DataFrame = {
+    import spark.implicits._
+    gx.select($"g").distinct().select(
+      $"g",
+      expr(h60Expr("concat('1|', g)")).as("h1"),
+      expr(s"${h60Expr("concat('2|', g)")} % $h2Mod").as("h2"),
+      expr(h60Expr("g")).as("h"))
+  }
+
   /** Docs as sorted shingle-hash arrays — the set representation the
-    * intersection kernel consumes.
+    * intersection kernel consumes. Hashes come from the dictionary.
     */
   private def hashedDocs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    withGrams(spark, dir).select(
-      $"doc_id",
-      expr(s"array_sort(transform(grams, g -> ${h60Expr("g")}))").as("harr"),
-      size($"grams").cast("long").as("n"))
+    val grams = withGrams(spark, dir)
+    val gx = grams.select($"doc_id", explode($"grams").as("g"))
+    gx.join(broadcast(gramDict(spark, gx)), Seq("g"))
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list($"h")).as("harr"), count(lit(1)).as("n"))
+      // the aggregation output is small so AQE would coalesce it to one
+      // partition — but the pair-compare kernel downstream needs all cores
+      .repartition(spark.sparkContext.defaultParallelism)
   }
 
   /** Exact dedup: normalize → md5 → keep the smallest doc_id per
@@ -110,10 +131,8 @@ object Dedup {
   def q31MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val gx = withGrams(spark, dir).select($"doc_id", explode($"grams").as("g"))
-    val hx = gx.select(
-      $"doc_id",
-      expr(h60Expr("concat('1|', g)")).as("h1"),
-      expr(s"${h60Expr("concat('2|', g)")} % $h2Mod").as("h2"))
+    val hx = gx.join(broadcast(gramDict(spark, gx)), Seq("g"))
+      .select($"doc_id", $"h1", $"h2")
     val sigCols = (0 until nPerm).map(i => min(expr(s"h1 + $i * h2")).as(s"s$i"))
     val sig = hx.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
     def xorKey(from: Int): Column =
@@ -166,8 +185,9 @@ object Dedup {
     */
   def q32Simhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val hx = withGrams(spark, dir).select($"doc_id", explode($"grams").as("g"))
-      .select($"doc_id", expr(h60Expr("g")).as("h"))
+    val gx = withGrams(spark, dir).select($"doc_id", explode($"grams").as("g"))
+    val hx = gx.join(broadcast(gramDict(spark, gx)), Seq("g"))
+      .select($"doc_id", $"h")
     val bitCols = (0 until 60).map(b => sum(expr(s"(h >> $b) & 1")).as(s"c$b"))
     val counts = hx.groupBy($"doc_id")
       .agg(count(lit(1)).as("n"), bitCols: _*)
