@@ -19,12 +19,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Events.queries ++ TextAnalysis.queries ++
-      Dedup.queries ++ Similarity.queries ++ Multimodal.queries
+      Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
+      Analytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ Events.oracleSql ++ TextAnalysis.oracleSql ++
-      Dedup.oracleSql ++ Similarity.oracleSql ++ Multimodal.oracleSql
+      Dedup.oracleSql ++ Similarity.oracleSql ++ Multimodal.oracleSql ++
+      Analytics.oracleSql
 }

@@ -1,0 +1,224 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import OpUtils.dec
+
+/** Analytic extensions beyond the core relational set: CUBE, GROUPING SETS
+  * (through the SQL surface), exact interpolated percentiles, correlated
+  * scalar subqueries, and sketch-based distinct counting.
+  */
+object Analytics {
+
+  /** CUBE over two dimensions with grouping flags (SURVEY.md §2.4). */
+  def q38Cube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec($"o_totalprice")).cast("double").as("total"),
+        grouping($"o_orderstatus").cast("int").as("g_status"),
+        grouping($"o_orderpriority").cast("int").as("g_prio"))
+      .orderBy($"g_status", $"g_prio", $"o_orderstatus", $"o_orderpriority")
+  }
+
+  val q38Sql: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+      |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin
+
+  /** GROUPING SETS through the SQL surface (`spark.sql` over registered
+    * views) — the engine's SQL entry point, same text DuckDB runs.
+    */
+  def q39GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  val q39Sql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+      |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin
+
+  /** Exact interpolated percentiles (quartiles of quantity per return
+    * flag). l_quantity is integer-valued, so the (a + f·(b-a))
+    * interpolation is engine-identical.
+    */
+  def q40Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q40Sql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.25) AS p25,
+      |  quantile_cont(l_quantity, 0.5) AS p50,
+      |  quantile_cont(l_quantity, 0.75) AS p75,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** Correlated scalar subquery through the SQL surface: orders above
+    * their customer's average (decimal cross-multiply, no float drift).
+    */
+  def q41CorrelatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE CAST(o_totalprice AS DECIMAL(18,4)) *
+        |      (SELECT COUNT(*) FROM orders i WHERE i.o_custkey = o.o_custkey) >
+        |      (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,4))) FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val q41Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders o
+      |WHERE CAST(o_totalprice AS DECIMAL(18,4)) *
+      |      (SELECT COUNT(*) FROM orders i WHERE i.o_custkey = o.o_custkey) >
+      |      (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,4))) FROM orders i WHERE i.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Sketch-based distinct counting (HLL++): the 100 TB path for
+    * distinct-heavy rollups — one pass, bounded memory, no exact-distinct
+    * shuffle expansion. HLL implementations differ across engines, so this
+    * is NOT oracle-matched (driver records a rows-only check); the exact
+    * counterpart q14 is the hash-matched one.
+    */
+  def q42ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_orderkey").as("approx_orders"),
+        approx_count_distinct($"l_partkey").as("approx_parts"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Range (theta) join: clicks within 30 minutes after a purchase by the
+    * same user. The time bound is integer microsecond arithmetic so both
+    * engines evaluate the identical predicate. Spark plans the non-equi
+    * part inside the user_id equi join (hash join + filter).
+    */
+  def q43RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id", $"ts".as("p_ts"))
+    val c = ev.filter($"event_type" === "click")
+      .select($"event_id".as("c_id"), $"user_id".as("c_user"), $"ts".as("c_ts"))
+    p.join(c, $"user_id" === $"c_user" &&
+        unix_micros($"c_ts") > unix_micros($"p_ts") &&
+        unix_micros($"c_ts") - unix_micros($"p_ts") <= 1800L * 1000000L)
+      .select($"p_id", $"c_id", $"user_id", $"p_ts", $"c_ts")
+      .orderBy($"p_id", $"c_id")
+  }
+
+  val q43Sql: String =
+    """SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id, p.ts AS p_ts, c.ts AS c_ts
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      | AND epoch_us(c.ts) > epoch_us(p.ts)
+      | AND epoch_us(c.ts) - epoch_us(p.ts) <= 1800000000
+      |ORDER BY p_id, c_id""".stripMargin
+
+  /** Full ranking-function family (SURVEY.md §2.5): rank/dense_rank/
+    * percent_rank/cume_dist over a tie-bearing order (o_orderdate), ntile
+    * over a total order (ties would make ntile nondeterministic).
+    */
+  def q44RankVariants(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val byDate = Window.partitionBy($"o_custkey").orderBy($"o_orderdate")
+    val total = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+        rank().over(byDate).cast("long").as("rk"),
+        dense_rank().over(byDate).cast("long").as("drk"),
+        percent_rank().over(byDate).as("prk"),
+        cume_dist().over(byDate).as("cd"),
+        ntile(4).over(total).cast("long").as("quartile"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  val q44Sql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(RANK() OVER w AS BIGINT) AS rk,
+      |  CAST(DENSE_RANK() OVER w AS BIGINT) AS drk,
+      |  PERCENT_RANK() OVER w AS prk,
+      |  CUME_DIST() OVER w AS cd,
+      |  CAST(NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS quartile
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** MapType surface (SURVEY.md §2.8 F9): JSON object → map → explode to
+    * (key, value) rows, aggregated per key.
+    */
+  def q45JsonMap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, MapType, StringType}
+    Tables.events(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(explode(from_json($"props", MapType(StringType, LongType))).as(Seq("k", "v")))
+      .groupBy($"k")
+      .agg(count(lit(1)).as("n"), sum($"v").as("sum_v"), max($"v").as("max_v"))
+      .orderBy($"k")
+  }
+
+  val q45Sql: String =
+    """SELECT k, COUNT(*) AS n,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS BIGINT) AS sum_v,
+      |  MAX(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS max_v
+      |FROM (SELECT props, unnest(json_keys(props)) AS k FROM events) t
+      |GROUP BY k
+      |ORDER BY k""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_cube" -> (q38Cube _),
+    "q39_grouping_sets" -> (q39GroupingSets _),
+    "q40_percentiles" -> (q40Percentiles _),
+    "q41_correlated_subquery" -> (q41CorrelatedSubquery _),
+    "q42_approx_distinct" -> (q42ApproxDistinct _),
+    "q43_range_join" -> (q43RangeJoin _),
+    "q44_rank_variants" -> (q44RankVariants _),
+    "q45_json_map" -> (q45JsonMap _))
+
+  /** q42 intentionally absent: approx sketches are not oracle-matchable. */
+  val oracleSql: Map[String, String] = Map(
+    "q38_cube" -> q38Sql,
+    "q39_grouping_sets" -> q39Sql,
+    "q40_percentiles" -> q40Sql,
+    "q41_correlated_subquery" -> q41Sql,
+    "q43_range_join" -> q43Sql,
+    "q44_rank_variants" -> q44Sql,
+    "q45_json_map" -> q45Sql)
+}
