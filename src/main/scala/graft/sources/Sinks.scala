@@ -64,6 +64,26 @@ object Sinks {
   def createDatabaseIfNotExists(spark: SparkSession, name: String): Unit =
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $name")
 
+  /** Header-only projection (SURVEY.md §2.2 P1): the reference's
+    * `df.head(n=0).to_sql(...)` DDL-emission trick
+    * (`citibike_project/etl/ingest_data.py:161-166`) — schema travels,
+    * zero rows move. `LimitPushDown` makes this a no-data scan.
+    */
+  def headerOnly(df: DataFrame): DataFrame = df.limit(0)
+
+  /** S12: bucket/prefix creation — driver-side `FileSystem.mkdirs` over
+    * any Hadoop FS scheme (s3a://, gs://, file://); the portable form of
+    * the reference's boto3 `create_bucket` (notebook cell `cededb10`).
+    * S13 (Iceberg catalog) is config-only: the reference's own
+    * `spark-defaults.conf:1-3` settings apply unchanged when the Iceberg
+    * runtime jar is on the classpath (not provisioned in this build).
+    */
+  def ensureDir(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p)
+  }
+
   /** Idempotent load: only rows whose keys are absent — the relational
     * form of the reference's "skip if table exists" guard
     * (`etl/ingest_data.py:259-262`), done per-row with an anti join

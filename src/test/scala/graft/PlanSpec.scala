@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Plan-shape regression tests: the properties that matter at 100 TB must
+  * stay in the physical plan — pushed filters, pruned scans, broadcast
+  * dimensions, top-k without a full sort, codegen'd kernels.
+  */
+class PlanSpec extends AnyFunSuite with SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution
+      .explainString(FormattedMode)
+
+  test("q1: shipdate filter pushed to parquet, columns pruned") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(!p.contains("l_orderkey"), "unused columns must not be read")
+  }
+
+  test("q2: all predicates pushed") {
+    val p = plan("q2_filter_project")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"))
+    assert(p.contains("GreaterThanOrEqual(l_quantity,45.0)"))
+    assert(p.contains("LessThan(l_discount,0.03)"))
+  }
+
+  test("q3: top-k plans as TakeOrderedAndProject, customer broadcast") {
+    val p = plan("q3_shipping_priority")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q5: star join broadcasts dimensions") {
+    val p = plan("q5_region_revenue")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q4: semi join stays a semi join") {
+    val p = plan("q4_semi_join_exists")
+    assert(p.contains("LeftSemi"))
+  }
+
+  test("q7: anti join stays an anti join") {
+    val p = plan("q7_customers_without_orders")
+    assert(p.contains("LeftAnti"))
+  }
+
+  test("q34: native cosine kernel in plan, rank filter becomes WindowGroupLimit") {
+    val p = plan("q34_cosine_topk")
+    assert(p.contains("cosinesimilarity"))
+    assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("custom expressions are codegen-capable (not CodegenFallback)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    val lit = Literal.create(Array(1f), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
+    assert(!graft.functions.CosineSimilarity(lit, lit).isInstanceOf[CodegenFallback])
+    val litL = Literal.create(Array(1L), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))
+    assert(!graft.functions.IntersectCountSortedLong(litL, litL).isInstanceOf[CodegenFallback])
+  }
+
+  test("aggregations use partial (map-side) aggregation") {
+    val p = plan("q1_pricing_summary")
+    // two HashAggregate nodes around one exchange = partial + final
+    assert("HashAggregate".r.findAllIn(p).length >= 2)
+  }
+}

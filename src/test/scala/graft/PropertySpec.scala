@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.apache.spark.sql.functions._
+
+/** Property-based laws (SURVEY.md §5.2 item 3): dedup idempotence,
+  * filter/union algebra, round trips. Uses ScalaCheck generators with a
+  * fixed-seed sampling loop (the scalatest+scalacheck bridge artifact is
+  * not provisioned, so sampling is driven manually).
+  */
+class PropertySpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val wordGen = Gen.oneOf("the", "fast", "key", "order", "sort", "scan", "merge")
+  private val docGen = Gen.listOfN(12, wordGen).map(_.mkString(" "))
+
+  private def samples[A](g: Gen[A], n: Int = 10): Seq[A] =
+    Iterator.continually(g.sample).flatten.take(n).toSeq
+
+  test("exact dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
+    samples(Gen.listOfN(20, docGen), 5).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val once = df.withColumn("fp", md5(lower(trim($"text"))))
+        .groupBy($"fp").agg(min($"doc_id").as("doc_id"))
+      val twice = once.withColumn("fp2", $"fp")
+        .groupBy($"fp2").agg(min($"doc_id").as("doc_id"))
+      assert(once.count() == twice.count())
+    }
+  }
+
+  test("filter split law: filter(a && b) == filter(a).filter(b)") {
+    samples(Gen.listOfN(30, Gen.chooseNum(-100, 100)), 5).foreach { xs =>
+      val df = xs.toDF("x")
+      val both = df.filter($"x" > 0 && $"x" % 2 === 0).count()
+      val chained = df.filter($"x" > 0).filter($"x" % 2 === 0).count()
+      assert(both == chained)
+    }
+  }
+
+  test("union count law: |a union all b| == |a| + |b|") {
+    samples(Gen.zip(Gen.listOf(Gen.chooseNum(0, 50)), Gen.listOf(Gen.chooseNum(0, 50))), 5)
+      .foreach { case (a, b) =>
+        assert(a.toDF("x").union(b.toDF("x")).count() == a.length + b.length)
+      }
+  }
+
+  test("parquet round trip preserves rows and schema") {
+    samples(Gen.listOfN(10, Gen.zip(Gen.posNum[Long], docGen)), 3).foreach { rows =>
+      val df = rows.toDF("id", "text")
+      val dir = java.nio.file.Files.createTempDirectory("graft_prop").toString + "/t"
+      df.write.mode("overwrite").parquet(dir)
+      val back = spark.read.parquet(dir)
+      // parquet round trip relaxes nullability; compare names + types
+      assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+      assert(back.count() == rows.length)
+    }
+  }
+
+  test("metrics listener records executions") {
+    val m = graft.core.Metrics.attach(spark)
+    Seq(1, 2, 3).toDF("x").count()
+    // listener delivery is async; poll briefly
+    val deadline = System.currentTimeMillis() + 5000
+    while (m.snapshot().isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(m.snapshot().nonEmpty)
+    assert(m.snapshot().forall(!_.failed))
+  }
+
+  test("headerOnly keeps schema, drops rows; ensureDir creates path") {
+    val df = Seq((1, "a")).toDF("x", "y")
+    val h = graft.sources.Sinks.headerOnly(df)
+    assert(h.schema == df.schema && h.count() == 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dir").toString + "/bucket/sub"
+    assert(graft.sources.Sinks.ensureDir(spark, s"file://$dir"))
+  }
+}
