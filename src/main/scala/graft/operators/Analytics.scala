@@ -26,7 +26,7 @@ object Analytics {
 
   val q38Sql: String =
     """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS total,
       |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
       |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio
       |FROM orders
@@ -40,7 +40,7 @@ object Analytics {
     Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
     spark.sql(
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_qty,
         |  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
         |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status
         |FROM lineitem
@@ -50,7 +50,7 @@ object Analytics {
 
   val q39Sql: String =
     """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_qty,
       |  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
       |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status
       |FROM lineitem

@@ -62,7 +62,7 @@ object Events {
 
   val q21Sql: String =
     """SELECT date_trunc('hour', ts) AS win_start, event_type,
-      |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |  COUNT(*) AS n, CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY win_start, event_type""".stripMargin
@@ -81,7 +81,7 @@ object Events {
   }
 
   val q22Sql: String =
-    """SELECT win_start, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    """SELECT win_start, COUNT(*) AS n, CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value
       |FROM (
       |  SELECT date_trunc('hour', ts) AS win_start, value FROM events
       |  UNION ALL
@@ -183,8 +183,8 @@ object Events {
   val q25Sql: String =
     """WITH s AS (
       |  SELECT event_type, COUNT(*) AS n,
-      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
-      |    CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_sq
+      |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value,
+      |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_sq
       |  FROM events GROUP BY event_type)
       |SELECT event_type, n, sum_value,
       |  sum_value / n AS avg_value,
