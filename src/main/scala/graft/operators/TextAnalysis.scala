@@ -35,6 +35,10 @@ object TextAnalysis {
         size($"toks").cast("long").as("n_tokens"),
         size(array_distinct($"toks")).cast("long").as("n_distinct_tokens"),
         length($"text").cast("long").as("n_chars_obs"),
+        // BPE-ish pre-tokenizer count: letter runs, single digits, single
+        // punctuation — the usual proxy for LLM token budgeting
+        size(regexp_extract_all($"text", lit("[a-z]+|[0-9]|[^a-z0-9 ]"), lit(0)))
+          .cast("long").as("n_bpe_tokens"),
         (length(regexp_replace($"text", " ", "")).cast("double") / size($"toks"))
           .as("avg_token_len"))
       .orderBy($"doc_id")
@@ -45,6 +49,7 @@ object TextAnalysis {
       |  len(string_split(trim(text), ' ')) AS n_tokens,
       |  len(list_distinct(string_split(trim(text), ' '))) AS n_distinct_tokens,
       |  CAST(LENGTH(text) AS BIGINT) AS n_chars_obs,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
       |  CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / len(string_split(trim(text), ' ')) AS avg_token_len
       |FROM documents
       |ORDER BY doc_id""".stripMargin
@@ -143,8 +148,16 @@ object TextAnalysis {
     docs(spark, dir)
       .withColumn("full_fp", md5(lower(trim(regexp_replace($"text", "\\s+", " ")))))
       .withColumn("content_fp", md5(concat_ws(" ", array_sort(array_distinct(toks)))))
+      // order-sensitive polynomial rolling hash over the token sequence
+      // (Rabin-Karp style): fold acc*31 + h(token) mod 1e9+7
+      .withColumn("toks", toks)
+      .withColumn("rolling_fp", expr(
+        """aggregate(
+          |  transform(toks, t -> CAST(conv(substr(md5(t), 1, 7), 16, 10) AS BIGINT) % 1000000007),
+          |  CAST(0 AS BIGINT),
+          |  (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin))
       .withColumn("cluster_size", count(lit(1)).over(byContent))
-      .select($"doc_id", $"full_fp", $"content_fp", $"cluster_size")
+      .select($"doc_id", $"full_fp", $"content_fp", $"rolling_fp", $"cluster_size")
       .orderBy($"doc_id")
   }
 
@@ -152,9 +165,14 @@ object TextAnalysis {
     """WITH f AS (
       |  SELECT doc_id,
       |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS full_fp,
-      |    md5(array_to_string(list_sort(list_distinct(string_split(trim(text), ' '))), ' ')) AS content_fp
+      |    md5(array_to_string(list_sort(list_distinct(string_split(trim(text), ' '))), ' ')) AS content_fp,
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(string_split(trim(text), ' '),
+      |          t -> CAST('0x' || substr(md5(t), 1, 7) AS BIGINT) % 1000000007)),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_fp
       |  FROM documents)
-      |SELECT doc_id, full_fp, content_fp,
+      |SELECT doc_id, full_fp, content_fp, CAST(rolling_fp AS BIGINT) AS rolling_fp,
       |  COUNT(*) OVER (PARTITION BY content_fp) AS cluster_size
       |FROM f
       |ORDER BY doc_id""".stripMargin
