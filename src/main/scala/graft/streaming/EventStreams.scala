@@ -21,11 +21,11 @@ object EventStreams {
     * for streaming reads; ts arrives as raw nanos (see Tables.events) and
     * is truncated to micros the same way.
     */
-  def fileStream(spark: SparkSession, dir: String): DataFrame = {
+  def fileStream(spark: SparkSession, dir: String, globFilter: Option[String] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(Schemas.eventsRaw)
-      .parquet(dir)
+    val r = spark.readStream.schema(Schemas.eventsRaw)
+    globFilter.foreach(g => r.option("pathGlobFilter", g))
+    r.parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 

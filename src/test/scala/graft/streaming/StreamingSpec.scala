@@ -52,6 +52,22 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("file stream over harness events agrees with batch hourly windows") {
+    val stream = EventStreams.fileStream(spark, sfDir, Some("events.parquet"))
+    val q = EventStreams.hourlyCounts(stream)
+      .writeStream.outputMode("complete").format("memory").queryName("filehourly").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("filehourly")
+        .select($"win_start", $"event_type", $"n")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      val batch = graft.operators.Events.q21HourlyWindows(spark, sfDir)
+        .select($"win_start", $"event_type", $"n")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark removes dup event ids") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
