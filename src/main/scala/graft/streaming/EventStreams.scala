@@ -66,4 +66,31 @@ object EventStreams {
     events
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom state machine via flatMapGroupsWithState (SURVEY.md §2.9): a
+    * per-user running profile (event count, value sum, purchase count)
+    * emitted on every update — state Spark's built-in windows can't
+    * express because it never closes. State is per-key and O(1); at scale
+    * the state store shards with the user_id shuffle.
+    */
+  final case class UserEvent(user_id: Long, event_type: String, value: Double)
+  final case class UserProfile(user_id: Long, n_events: Long, total_value: Double, n_purchases: Long)
+
+  def userProfiles(events: org.apache.spark.sql.Dataset[UserEvent])
+      : org.apache.spark.sql.Dataset[UserProfile] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[UserEvent], state: GroupState[UserProfile]) => {
+          val prev = state.getOption.getOrElse(UserProfile(uid, 0L, 0.0, 0L))
+          val next = rows.foldLeft(prev) { (p, e) =>
+            UserProfile(uid, p.n_events + 1, p.total_value + e.value,
+              p.n_purchases + (if (e.event_type == "purchase") 1L else 0L))
+          }
+          state.update(next)
+          Iterator.single(next)
+        })
+  }
 }

@@ -68,6 +68,26 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState accumulates per-user profiles across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.UserEvent]
+    val q = EventStreams.userProfiles(mem.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("profiles").start()
+    try {
+      mem.addData(EventStreams.UserEvent(1, "view", 2.0), EventStreams.UserEvent(1, "purchase", 10.0))
+      q.processAllAvailable()
+      mem.addData(EventStreams.UserEvent(1, "purchase", 5.0), EventStreams.UserEvent(2, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("profiles")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      // last emission for user 1 reflects state carried across micro-batches
+      val u1 = rows.filter(_._1 == 1L).maxBy(_._2)
+      assert(u1 == ((1L, 3L, 17.0, 2L)))
+      val u2 = rows.filter(_._1 == 2L).maxBy(_._2)
+      assert(u2 == ((2L, 1L, 1.0, 0L)))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark removes dup event ids") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
