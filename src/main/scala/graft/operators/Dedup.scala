@@ -89,13 +89,23 @@ object Dedup {
       expr(h60Expr("g")).as("h"))
   }
 
+  /** Exploded (doc_id, shingle) pairs, materialized once via
+    * localCheckpoint: the sketch queries branch over this relation many
+    * times (dictionary, signatures, verification sets) and lineage
+    * truncation collapses what would otherwise be 20+ re-scans of the
+    * documents table in one plan.
+    */
+  private def gxCheckpointed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withGrams(spark, dir).select($"doc_id", explode($"grams").as("g"))
+      .localCheckpoint()
+  }
+
   /** Docs as sorted shingle-hash arrays — the set representation the
     * intersection kernel consumes. Hashes come from the dictionary.
     */
-  private def hashedDocs(spark: SparkSession, dir: String): DataFrame = {
+  private def hashedDocsFrom(spark: SparkSession, gx: DataFrame): DataFrame = {
     import spark.implicits._
-    val grams = withGrams(spark, dir)
-    val gx = grams.select($"doc_id", explode($"grams").as("g"))
     gx.join(broadcast(gramDict(spark, gx)), Seq("g"))
       .groupBy($"doc_id")
       .agg(sort_array(collect_list($"h")).as("harr"), count(lit(1)).as("n"))
@@ -130,19 +140,21 @@ object Dedup {
     */
   def q31MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val gx = withGrams(spark, dir).select($"doc_id", explode($"grams").as("g"))
+    val gx = gxCheckpointed(spark, dir)
     val hx = gx.join(broadcast(gramDict(spark, gx)), Seq("g"))
       .select($"doc_id", $"h1", $"h2")
     val sigCols = (0 until nPerm).map(i => min(expr(s"h1 + $i * h2")).as(s"s$i"))
     val sig = hx.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
     def xorKey(from: Int): Column =
       (from + 1 until from + bandRows).foldLeft(col(s"s$from"))((acc, i) => acc.bitwiseXOR(col(s"s$i")))
+    // bands feeds four join branches; checkpoint so signatures build once
     val bands = sig.select($"doc_id", xorKey(0).as("k0"), xorKey(8).as("k1"))
+      .localCheckpoint()
     def candOn(k: String) = bands.as("a").join(bands.as("b"),
         col(s"a.$k") === col(s"b.$k") && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
     val cand = candOn("k0").union(candOn("k1")).distinct()
-    val docs = hashedDocs(spark, dir)
+    val docs = hashedDocsFrom(spark, gx).localCheckpoint()
     cand
       .join(docs.as("da"), $"a_id" === $"da.doc_id")
       .join(docs.as("db"), $"b_id" === $"db.doc_id")
@@ -185,7 +197,7 @@ object Dedup {
     */
   def q32Simhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val gx = withGrams(spark, dir).select($"doc_id", explode($"grams").as("g"))
+    val gx = gxCheckpointed(spark, dir)
     val hx = gx.join(broadcast(gramDict(spark, gx)), Seq("g"))
       .select($"doc_id", $"h")
     val bitCols = (0 until 60).map(b => sum(expr(s"(h >> $b) & 1")).as(s"c$b"))
@@ -194,7 +206,9 @@ object Dedup {
     val packed = (0 until 60)
       .map(b => s"(CASE WHEN 2 * c$b > n THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)")
       .mkString(" + ")
+    // both sides of the self-join read the checkpointed signatures
     val sims = counts.select($"doc_id", expr(packed).as("simhash"))
+      .localCheckpoint()
     sims.as("a").join(broadcast(sims.as("b")), $"a.doc_id" < $"b.doc_id")
       .withColumn("hamming",
         bit_count($"a.simhash".bitwiseXOR($"b.simhash")).cast("long"))
@@ -226,7 +240,7 @@ object Dedup {
     */
   def q33NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = hashedDocs(spark, dir)
+    val docs = hashedDocsFrom(spark, gxCheckpointed(spark, dir)).localCheckpoint()
     val a = docs.select($"doc_id".as("a_id"), $"harr".as("ha"), $"n".as("na"))
     val b = docs.select($"doc_id".as("b_id"), $"harr".as("hb"), $"n".as("nb"))
     a.join(broadcast(b), $"a_id" < $"b_id")

@@ -78,8 +78,11 @@ object Similarity {
       .groupBy($"vec_id")
       .agg(sum($"bit").as("bucket"))
     val emb = Tables.embeddings(spark, dir)
+    // both pair-join sides read this; checkpoint so the bucket pipeline
+    // (hash planes + dot products) runs once
     val withVec = buckets.join(emb, Seq("vec_id"))
       .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint()
     val a = withVec.select($"vec_id".as("a_id"), $"bucket", $"embedding".as("ea"))
     val b = withVec.select($"vec_id".as("b_id"), $"bucket", $"embedding".as("eb"))
     val w = Window.partitionBy($"a_id").orderBy($"cs".desc, $"b_id")
