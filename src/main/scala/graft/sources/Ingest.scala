@@ -95,6 +95,17 @@ object Ingest {
   def scanInferred(spark: SparkSession, pathOrGlob: String): DataFrame =
     spark.read.option("header", "true").option("inferSchema", "true").csv(pathOrGlob)
 
+  /** JSON-lines scan (schema declared when known — inference costs a scan). */
+  def scanJson(spark: SparkSession, pathOrGlob: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(s => r.schema(s)).json(pathOrGlob)
+  }
+
+  /** ORC scan — same columnar properties as parquet (pushdown, pruning). */
+  def scanOrc(spark: SparkSession, pathOrGlob: String): DataFrame =
+    spark.read.orc(pathOrGlob)
+
   /** S10 (as the reference does it): stream a file through gzip. */
   def gzipFile(src: Path, deleteOriginal: Boolean = true): Path = {
     val dst = Paths.get(src.toString + ".gz")

@@ -85,6 +85,22 @@ class IngestSpec extends AnyFunSuite with SparkSpec {
     assert(lake.select("month").distinct().collect().map(_.get(0).toString).toSet == Set("202508"))
   }
 
+  test("json and orc round trips") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "tag", "v")
+    val base = Files.createTempDirectory("graft_fmt").toString
+    df.write.mode("overwrite").json(s"$base/j")
+    val j = Ingest.scanJson(spark, s"$base/j", Some(df.schema))
+    // file readers force nullable; compare names + types
+    assert(j.count() == 2)
+    assert(j.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    df.write.mode("overwrite").orc(s"$base/o")
+    val o = Ingest.scanOrc(spark, s"$base/o")
+    assert(o.count() == 2)
+    assert(o.schema.fields.map(_.name).toSeq == Seq("id", "tag", "v"))
+  }
+
   test("newRowsOnly anti-join keeps only unseen keys") {
     import spark.implicits._
     val existing = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
