@@ -45,6 +45,12 @@ object Main {
     val trips = Ingest.scanTrips(spark, s"${cfg.staging}/*/*.csv")
       .withColumn("month", date_format(col("started_at"), "yyyyMM"))
     Sinks.writeLake(trips, cfg.out, partitionCols = Seq("month"))
+    // flagship mart (SURVEY.md §7.2): monthly member vs casual ride counts
+    val mart = spark.read.parquet(cfg.out)
+      .groupBy(col("month"), col("member_casual"))
+      .agg(count(lit(1)).as("n_rides"))
+      .orderBy(col("month"), col("member_casual"))
+    Sinks.writeLake(mart, cfg.out + "_mart")
     spark.read.parquet(cfg.out).count()
   }
 

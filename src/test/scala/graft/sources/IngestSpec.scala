@@ -83,6 +83,10 @@ class IngestSpec extends AnyFunSuite with SparkSpec {
     val lake = spark.read.parquet(out)
     // partition-column type inference reads "202508" back as an int
     assert(lake.select("month").distinct().collect().map(_.get(0).toString).toSet == Set("202508"))
+    // flagship mart: monthly member vs casual counts
+    val mart = spark.read.parquet(out + "_mart").collect()
+      .map(r => (r.get(0).toString, r.getString(1), r.getLong(2))).toSet
+    assert(mart == Set(("202508", "member", 1L), ("202508", "casual", 1L)))
   }
 
   test("json and orc round trips") {
