@@ -40,8 +40,12 @@ object Tables {
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 
   /** Register every table as a temp view so `spark.sql` text matches the
-    * oracle SQL verbatim where we want SQL-surface queries.
+    * oracle SQL verbatim where we want SQL-surface queries. `events` goes
+    * through its nanos-timestamp shim, not the raw reader.
     */
-  def registerAll(spark: SparkSession, sfDir: String): Unit =
-    all.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
+    all.filterNot(_ == "events")
+      .foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
+    events(spark, sfDir).createOrReplaceTempView("events")
+  }
 }
