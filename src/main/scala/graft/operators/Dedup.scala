@@ -10,10 +10,14 @@ import graft.functions.SetFunctions
   *
   *   - exact (hash-groupBy on a normalized fingerprint) — one shuffle on
   *     the 16-byte hash, the 100 TB workhorse;
-  *   - MinHash + LSH banding — 16 permutations derived Carter-Wegman style
-  *     (h1 + i·h2) from two md5 base hashes (2 md5s per shingle, not 16),
-  *     signatures built in ONE aggregation pass (16 MIN columns, no row
-  *     blowup), 2 bands × 8 rows, candidates from equi-joins on band keys,
+  *   - MinHash + LSH banding — 32 universal-family permutations
+  *     h_i(g) = (a_i·h(g) + b_i) mod p with DISTINCT md5-derived
+  *     multipliers a_i (a shared-slope family h1 + i·h2 leaves the
+  *     min-achieving shingle piecewise-constant in i, correlating band
+  *     rows and silently gutting recall — measured before switching);
+  *     one md5 per distinct shingle, signatures in ONE aggregation pass
+  *     (32 MIN columns, no row blowup), 8 bands × 4 rows
+  *     (P(miss | j=0.9) ≈ 1e-4), candidates from band-key equi-joins,
   *     exact-Jaccard verification only on candidates;
   *   - SimHash — 60-bit signature built as 60 conditional-SUM columns in
   *     one aggregation pass (no 60× bit explode); near-dup = Hamming
@@ -40,9 +44,26 @@ import graft.functions.SetFunctions
   */
 object Dedup {
 
-  private val nPerm = 16
-  private val bandRows = 8 // 2 bands × 8 rows
-  private val h2Mod = "100000000000000003" // bounds h1 + 15*h2 < 2^63
+  private val nPerm = 32
+  private val bandRows = 4 // 8 bands × 4 rows; false candidates are cheap
+  // since verification is a broadcast join through the codegen kernel
+
+  /** Universal-hash modulus; (p-1)² < 2^63 so a_i·h + b_i never overflows. */
+  private val P = 1000000007L
+
+  /** Per-permutation multipliers/offsets: md5-derived constants, inlined
+    * as literals into BOTH engines' SQL (computed once here, not per row).
+    */
+  private def h60Const(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+  private val permA: IndexedSeq[Long] =
+    (0 until nPerm).map(i => h60Const(s"a$i") % (P - 1) + 1) // 1..p-1
+  private val permB: IndexedSeq[Long] =
+    (0 until nPerm).map(i => h60Const(s"b$i") % P)
 
   /** Word-bigram shingle set as a column (distinct, order preserved). */
   private def gramsCol: Column = array_distinct(expr(
@@ -84,8 +105,7 @@ object Dedup {
     import spark.implicits._
     gx.select($"g").distinct().select(
       $"g",
-      expr(h60Expr("concat('1|', g)")).as("h1"),
-      expr(s"${h60Expr("concat('2|', g)")} % $h2Mod").as("h2"),
+      expr(s"${h60Expr("g")} % $P").as("hm"),
       expr(h60Expr("g")).as("h"))
   }
 
@@ -142,18 +162,22 @@ object Dedup {
     import spark.implicits._
     val gx = gxCheckpointed(spark, dir)
     val hx = gx.join(broadcast(gramDict(spark, gx)), Seq("g"))
-      .select($"doc_id", $"h1", $"h2")
-    val sigCols = (0 until nPerm).map(i => min(expr(s"h1 + $i * h2")).as(s"s$i"))
+      .select($"doc_id", $"hm")
+    val sigCols = (0 until nPerm).map(i =>
+      min(expr(s"(${permA(i)} * hm + ${permB(i)}) % $P")).as(s"s$i"))
     val sig = hx.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
     def xorKey(from: Int): Column =
       (from + 1 until from + bandRows).foldLeft(col(s"s$from"))((acc, i) => acc.bitwiseXOR(col(s"s$i")))
     // bands feeds four join branches; checkpoint so signatures build once
-    val bands = sig.select($"doc_id", xorKey(0).as("k0"), xorKey(8).as("k1"))
+    val nBands = nPerm / bandRows
+    val bandCols = (0 until nBands).map(b => xorKey(b * bandRows).as(s"k$b"))
+    val bands = sig.select(($"doc_id" +: bandCols): _*)
       .localCheckpoint()
     def candOn(k: String) = bands.as("a").join(bands.as("b"),
         col(s"a.$k") === col(s"b.$k") && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
-    val cand = candOn("k0").union(candOn("k1")).distinct()
+    val cand = (0 until nBands).map(b => candOn(s"k$b"))
+      .reduce(_ union _).distinct()
     val docs = hashedDocsFrom(spark, gx).localCheckpoint()
     cand
       .join(docs.as("da"), $"a_id" === $"da.doc_id")
@@ -166,17 +190,18 @@ object Dedup {
   }
 
   val q31Sql: String = {
-    val sigCols = (0 until nPerm).map(i => s"MIN(h1 + $i * h2) AS s$i").mkString(", ")
+    val sigCols = (0 until nPerm)
+      .map(i => s"MIN((${permA(i)} * hm + ${permB(i)}) % $P) AS s$i").mkString(", ")
     def xorKey(from: Int): String =
       (from + 1 until from + bandRows).foldLeft(s"s$from")((acc, i) => s"xor($acc, s$i)")
     s"""WITH $gramsDuckCte,
        |gx AS (SELECT doc_id, unnest(grams) AS g FROM grams),
-       |hx AS (SELECT doc_id, ${h60DuckSql("'1|' || g")} AS h1,
-       |       ${h60DuckSql("'2|' || g")} % $h2Mod AS h2 FROM gx),
+       |hx AS (SELECT doc_id, ${h60DuckSql("g")} % $P AS hm FROM gx),
        |sig AS (SELECT doc_id, $sigCols FROM hx GROUP BY doc_id),
-       |bands AS (SELECT doc_id, ${xorKey(0)} AS k0, ${xorKey(8)} AS k1 FROM sig),
+       |bands AS (SELECT doc_id, ${(0 until nPerm / bandRows).map(b => s"${xorKey(b * bandRows)} AS k$b").mkString(", ")} FROM sig),
        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-       |         FROM bands a JOIN bands b ON a.doc_id < b.doc_id AND (a.k0 = b.k0 OR a.k1 = b.k1)),
+       |         FROM bands a JOIN bands b ON a.doc_id < b.doc_id
+       |          AND (${(0 until nPerm / bandRows).map(b => s"a.k$b = b.k$b").mkString(" OR ")})),
        |ver AS (SELECT c.a_id, c.b_id,
        |          CAST(len(list_intersect(ga.grams, gb.grams)) AS BIGINT) AS i,
        |          CAST(len(ga.grams) AS BIGINT) AS na, CAST(len(gb.grams) AS BIGINT) AS nb

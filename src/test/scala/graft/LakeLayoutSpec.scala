@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Physical-layout behaviors that matter at 100 TB: partition pruning on
+  * partitioned lakes, and bucket-join shuffle elimination.
+  */
+class LakeLayoutSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("partitioned lake write prunes partitions on read") {
+    val dest = Files.createTempDirectory("graft_lake_part").toString + "/li"
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+      .withColumn("ship_year", year($"l_shipdate"))
+    graft.sources.Sinks.writeLake(li, dest, partitionCols = Seq("ship_year"))
+    val read = spark.read.parquet(dest).filter($"ship_year" === 1996)
+    val plan = read.queryExecution.explainString(FormattedMode)
+    assert(plan.contains("PartitionFilters"))
+    assert(plan.contains("ship_year"))
+    // only the 1996 directory is scanned
+    val scanned = read.queryExecution.executedPlan.collectLeaves()
+      .head.metrics.get("numFiles")
+    assert(read.count() > 0)
+  }
+
+  test("bucketed tables join without a shuffle") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_layout")
+    try {
+      graft.sources.Tables.orders(spark, sfDir)
+        .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("graft_layout.orders_b")
+      graft.sources.Tables.lineitem(spark, sfDir)
+        .select($"l_orderkey", $"l_quantity")
+        .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("graft_layout.lineitem_b")
+      val joined = spark.table("graft_layout.lineitem_b")
+        .join(spark.table("graft_layout.orders_b"),
+          $"l_orderkey" === $"o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      // co-located bucketed join: no Exchange feeding the join
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() == graft.sources.Tables.lineitem(spark, sfDir).count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_layout.orders_b")
+      spark.sql("DROP TABLE IF EXISTS graft_layout.lineitem_b")
+      spark.sql("DROP DATABASE IF EXISTS graft_layout")
+    }
+  }
+
+  test("minhash LSH recall: finds exactly the exact-Jaccard pairs at its threshold") {
+    val exact = graft.operators.Dedup.q33NgramJaccard(spark, sfDir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val lsh = graft.operators.Dedup.q31MinhashLsh(spark, sfDir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val exactAtThreshold = exact.filter(_._2 >= 0.7)
+    assert(lsh == exactAtThreshold,
+      s"LSH should recall all >=0.7 pairs here: lsh=${lsh.keySet} exact=${exactAtThreshold.keySet}")
+  }
+}
