@@ -51,6 +51,15 @@ class LakeLayoutSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("simhash captures the same near-dup set as exact Jaccard on this corpus") {
+    val exact = graft.operators.Dedup.q33NgramJaccard(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = graft.operators.Dedup.q32Simhash(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sim == exact,
+      s"hamming<=10 should equal jaccard>=0.5 here: sim-only=${sim -- exact} exact-only=${exact -- sim}")
+  }
+
   test("minhash LSH recall: finds exactly the exact-Jaccard pairs at its threshold") {
     val exact = graft.operators.Dedup.q33NgramJaccard(spark, sfDir)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
