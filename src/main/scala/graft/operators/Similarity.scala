@@ -141,13 +141,40 @@ object Similarity {
       |GROUP BY 1, 2
       |ORDER BY label, d""".stripMargin
 
+  /** Embedding near-duplicate pairs by cosine threshold — the
+    * embedding-space analogue of MinHash dedup: brute force with the
+    * codegen kernel here; at corpus scale the q35 bucketing prefilters
+    * and this becomes the verification stage.
+    */
+  def q46EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val a = emb.repartition(spark.sparkContext.defaultParallelism)
+      .select($"vec_id".as("a_id"), $"embedding".as("ea"))
+    val b = emb.select($"vec_id".as("b_id"), $"embedding".as("eb"))
+    a.join(broadcast(b), $"a_id" < $"b_id")
+      .withColumn("cs", VectorFunctions.cosineSim($"ea", $"eb"))
+      .filter($"cs" >= 0.45)
+      .select($"a_id", $"b_id", $"cs")
+      .orderBy($"a_id", $"b_id")
+  }
+
+  val q46Sql: String =
+    """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |  list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cs
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+      |ORDER BY a_id, b_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_cosine_topk" -> (q34CosineTopk _),
     "q35_ann_lsh" -> (q35AnnLsh _),
-    "q36_label_centroids" -> (q36LabelCentroids _))
+    "q36_label_centroids" -> (q36LabelCentroids _),
+    "q46_embedding_neardup" -> (q46EmbeddingNeardup _))
 
   val oracleSql: Map[String, String] = Map(
     "q34_cosine_topk" -> q34Sql,
     "q35_ann_lsh" -> q35Sql,
-    "q36_label_centroids" -> q36Sql)
+    "q36_label_centroids" -> q36Sql,
+    "q46_embedding_neardup" -> q46Sql)
 }

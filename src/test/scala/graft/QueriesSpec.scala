@@ -11,7 +11,7 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
   // Pair-finding queries can legitimately be empty on a tiny SF; everything
   // else must produce rows at sf0.001.
   private val mayBeEmpty = Set("q31_minhash_lsh", "q32_simhash", "q33_ngram_jaccard",
-    "q7_customers_without_orders")
+    "q7_customers_without_orders", "q46_embedding_neardup")
 
   test("entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
