@@ -155,8 +155,8 @@ object Dedup {
 
   /** MinHash + LSH near-dup pairs, verified with exact Jaccard >= 0.7.
     * See object doc for the construction. Shuffles: one groupBy(doc_id)
-    * for signatures, two equi-joins on 8-row band keys for candidates,
-    * then a broadcast verification join — never all-pairs.
+    * for signatures, one equi-join per band on 4-row band keys for
+    * candidates, then a broadcast verification join — never all-pairs.
     */
   def q31MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -26,6 +26,19 @@ class LakeLayoutSpec extends AnyFunSuite with SparkSpec {
     assert(read.count() > 0)
   }
 
+  test("multi-file parquet input scans in parallel with identical results") {
+    val dest = Files.createTempDirectory("graft_multifile").toString + "/li8"
+    graft.sources.Tables.lineitem(spark, sfDir)
+      .repartition(8).write.mode("overwrite").parquet(dest)
+    val multi = spark.read.parquet(dest)
+    assert(multi.rdd.getNumPartitions > 1, "8-file input should scan as multiple partitions")
+    val a = multi.groupBy($"l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = graft.sources.Tables.lineitem(spark, sfDir).groupBy($"l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
   test("bucketed tables join without a shuffle") {
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_layout")
     try {
