@@ -28,6 +28,18 @@ object Sessions {
     if (localDir != null) b.config("spark.local.dir", localDir)
     b
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // InferFiltersFromGenerate synthesizes `size(arr) > 0 AND isnotnull`
+      // from every explode(); predicate pushdown then drags that filter —
+      // with the FULL array-building expression inlined (and lambda-bound
+      // aliases like `toks` re-expanded per element, turning one split()
+      // per row into one per array element) — below the repartition
+      // exchange onto the single-task scan side. Measured on the shingle
+      // pipeline: ~5 s of single-threaded CPU per execution at sf0.1,
+      // recomputed on every run. The inferred filter only pre-drops rows
+      // explode would drop anyway; excluding the rule never changes
+      // results.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

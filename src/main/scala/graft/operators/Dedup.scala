@@ -21,7 +21,9 @@ import graft.functions.SetFunctions
   *     exact-Jaccard verification only on candidates;
   *   - SimHash — 60-bit signature built as 60 conditional-SUM columns in
   *     one aggregation pass (no 60× bit explode); near-dup = Hamming
-  *     distance on the packed signature;
+  *     distance <= 10, candidates from multi-index Hamming banding
+  *     (11 bands; pigeonhole guarantees one exact band) — equi-join,
+  *     never an all-pairs scan;
   *   - direct n-gram Jaccard — all-pairs with a codegen'd sorted-array
   *     merge-intersection kernel over broadcast shingle-hash arrays.
   *     (The textbook inverted-index self-join explodes here: the fixture's
@@ -65,9 +67,17 @@ object Dedup {
   private val permB: IndexedSeq[Long] =
     (0 until nPerm).map(i => h60Const(s"b$i") % P)
 
-  /** Word-bigram shingle set as a column (distinct, order preserved). */
+  /** Word-bigram shingle set as a column (distinct, order preserved).
+    * Degenerate docs (< 2 tokens) get an EMPTY set: without the guard,
+    * `sequence(0, size-2)` becomes `sequence(0, -1)` = [0, -1] (step -1)
+    * and produces null shingles — which happened to fall out of the
+    * downstream equi-joins but diverged structurally from the oracle's
+    * `range(1, len(toks))` (empty for len < 2).
+    */
   private def gramsCol: Column = array_distinct(expr(
-    "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))"))
+    """CASE WHEN size(toks) < 2 THEN CAST(array() AS ARRAY<STRING>)
+      |ELSE transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))
+      |END""".stripMargin))
 
   /** Documents spread across all cores: the harness tables are single
     * row-group parquet (one scan partition), so the md5/shingle compute
@@ -161,29 +171,50 @@ object Dedup {
   def q31MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val gx = gxCheckpointed(spark, dir)
+    // ONE dictionary join carries both hash forms: `hm` (mod-P input to
+    // the permutation family) for signatures and `h` (full 60-bit) for
+    // the verification sets. Checkpointed because the signature and
+    // verification paths branch here — without it each branch would
+    // re-run the explode + dictionary join.
     val hx = gx.join(broadcast(gramDict(spark, gx)), Seq("g"))
-      .select($"doc_id", $"hm")
+      .select($"doc_id", $"hm", $"h")
+      .localCheckpoint()
     val sigCols = (0 until nPerm).map(i =>
       min(expr(s"(${permA(i)} * hm + ${permB(i)}) % $P")).as(s"s$i"))
     val sig = hx.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
     def xorKey(from: Int): Column =
       (from + 1 until from + bandRows).foldLeft(col(s"s$from"))((acc, i) => acc.bitwiseXOR(col(s"s$i")))
-    // bands feeds four join branches; checkpoint so signatures build once
     val nBands = nPerm / bandRows
     val bandCols = (0 until nBands).map(b => xorKey(b * bandRows).as(s"k$b"))
+    // ONE candidate join instead of one per band: explode each doc's band
+    // keys to (doc_id, band_id, key) rows and self-equi-join on
+    // (band_id, key). A per-band join (8 branches + union + distinct)
+    // scans the signatures 16x and shuffles 8x; the exploded form is one
+    // scan, one join — the shape that survives 100 TB (Catalyst
+    // broadcasts the band relation below threshold, shuffles by band key
+    // beyond). Candidate SEMANTICS are identical: a pair is a candidate
+    // iff some band key matches.
     val bands = sig.select(($"doc_id" +: bandCols): _*)
       .localCheckpoint()
-    def candOn(k: String) = bands.as("a").join(bands.as("b"),
-        col(s"a.$k") === col(s"b.$k") && $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
-    val cand = (0 until nBands).map(b => candOn(s"k$b"))
-      .reduce(_ union _).distinct()
-    val docs = hashedDocsFrom(spark, gx).localCheckpoint()
+    val bandStructs = (0 until nBands).map(b =>
+      struct(lit(b).as("band_id"), col(s"k$b").as("key")))
+    val bx = bands
+      .select($"doc_id", explode(array(bandStructs: _*)).as("b"))
+      .select($"doc_id", $"b.band_id".as("band_id"), $"b.key".as("key"))
+    val cand = bx.as("x").join(bx.as("y"),
+        $"x.band_id" === $"y.band_id" && $"x.key" === $"y.key" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"))
+      .distinct()
+    val docs = hx.groupBy($"doc_id")
+      .agg(sort_array(collect_list($"h")).as("harr"), count(lit(1)).as("n"))
+    val da = docs.select($"doc_id".as("a_id"), $"harr".as("ha"), $"n".as("na"))
+    val db = docs.select($"doc_id".as("b_id"), $"harr".as("hb"), $"n".as("nb"))
     cand
-      .join(docs.as("da"), $"a_id" === $"da.doc_id")
-      .join(docs.as("db"), $"b_id" === $"db.doc_id")
-      .withColumn("i", SetFunctions.intersectCount($"da.harr", $"db.harr"))
-      .withColumn("jaccard", $"i".cast("double") / ($"da.n" + $"db.n" - $"i"))
+      .join(broadcast(da), Seq("a_id"))
+      .join(broadcast(db), Seq("b_id"))
+      .withColumn("i", SetFunctions.intersectCount($"ha", $"hb"))
+      .withColumn("jaccard", $"i".cast("double") / ($"na" + $"nb" - $"i"))
       .filter($"jaccard" >= 0.7)
       .select($"a_id", $"b_id", $"jaccard")
       .orderBy($"a_id", $"b_id")
@@ -214,11 +245,28 @@ object Dedup {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** 60-bit simhash split into 11 bands (5 x 6-bit + 6 x 5-bit).
+    * Multi-index pigeonhole: Hamming distance <= 10 flips bits in at most
+    * 10 of the 11 bands, so every qualifying pair is IDENTICAL in at least
+    * one band — candidate generation is a band-key equi-join, never an
+    * all-pairs scan. (band_id, bit offset, width.)
+    */
+  private val simBands: IndexedSeq[(Int, Int, Int)] = {
+    val widths = IndexedSeq(6, 6, 6, 6, 6, 5, 5, 5, 5, 5, 5)
+    val offs = widths.scanLeft(0)(_ + _)
+    widths.indices.map(i => (i, offs(i), widths(i)))
+  }
+
   /** SimHash: 60-bit signature per doc from one aggregation pass (60
     * conditional-sum columns), near-dup pairs = Hamming distance <= 10 on
     * the packed signature. Random pairs sit at ~30/60 bits, planted
-    * near-dups at ~0-4. The pair scan compares 8-byte signatures under a
-    * broadcast join (at scale: block by signature prefix first).
+    * near-dups at ~0-4. Pair generation is multi-index Hamming banding
+    * (see [[simBands]]): explode each signature to 11 (band_id, band_key)
+    * rows, self-equi-join on the band key, verify `bit_count(xor) <= 10`
+    * only on the candidates. At n docs with ~uniform signatures this
+    * materializes ~n^2 * (5/64 + 6/32) / 2 candidate rows instead of an
+    * n^2/2 nested-loop compare — and at 100 TB the equi-join shuffles by
+    * band key instead of broadcasting the world.
     */
   def q32Simhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -231,14 +279,31 @@ object Dedup {
     val packed = (0 until 60)
       .map(b => s"(CASE WHEN 2 * c$b > n THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)")
       .mkString(" + ")
-    // both sides of the self-join read the checkpointed signatures
+    // the band self-join reads the checkpointed signatures twice
     val sims = counts.select($"doc_id", expr(packed).as("simhash"))
       .localCheckpoint()
-    sims.as("a").join(broadcast(sims.as("b")), $"a.doc_id" < $"b.doc_id")
+    val bandStructs = simBands.map { case (i, off, w) =>
+      struct(lit(i).as("band_id"),
+        expr(s"(simhash >> $off) & ${(1L << w) - 1}").as("bkey"))
+    }
+    // Each band row CARRIES its signature, so Hamming verification runs
+    // inside the candidate join's codegen stage (xor + popcount per
+    // probed pair) and the ~n^2/4 candidate rows are never materialized
+    // or shuffled — only the ~11 surviving rows per true pair reach the
+    // final distinct. The band relation is n_docs x 11 small rows, so
+    // Catalyst broadcast-joins it below threshold and shuffle-joins by
+    // band key beyond — both are the scale-correct shapes.
+    val bands = sims
+      .select($"doc_id", $"simhash", explode(array(bandStructs: _*)).as("b"))
+      .select($"doc_id", $"simhash", $"b.band_id".as("band_id"), $"b.bkey".as("bkey"))
+    bands.as("x").join(bands.as("y"),
+        $"x.band_id" === $"y.band_id" && $"x.bkey" === $"y.bkey" &&
+          $"x.doc_id" < $"y.doc_id")
       .withColumn("hamming",
-        bit_count($"a.simhash".bitwiseXOR($"b.simhash")).cast("long"))
+        bit_count($"x.simhash".bitwiseXOR($"y.simhash")).cast("long"))
       .filter($"hamming" <= 10)
-      .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"), $"hamming")
+      .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"), $"hamming")
+      .distinct()
       .orderBy($"a_id", $"b_id")
   }
 
@@ -247,15 +312,25 @@ object Dedup {
     val packed = (0 until 60)
       .map(b => s"(CASE WHEN 2 * c$b > n THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)")
       .mkString(" + ")
+    val bandValues = simBands
+      .map { case (i, off, w) => s"($i, $off, ${(1L << w) - 1})" }.mkString(", ")
     s"""WITH $gramsDuckCte,
        |gx AS (SELECT doc_id, unnest(grams) AS g FROM grams),
        |hx AS (SELECT doc_id, ${h60DuckSql("g")} AS h FROM gx),
        |counts AS (SELECT doc_id, COUNT(*) AS n, $bitCols FROM hx GROUP BY doc_id),
-       |sims AS (SELECT doc_id, CAST($packed AS BIGINT) AS simhash FROM counts)
-       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-       |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+       |sims AS (SELECT doc_id, CAST($packed AS BIGINT) AS simhash FROM counts),
+       |bands AS (SELECT doc_id, band_id, (simhash >> off) & mask AS bkey
+       |          FROM sims, (VALUES $bandValues) AS bs(band_id, off, mask)),
+       |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       |         FROM bands x JOIN bands y
+       |           ON x.band_id = y.band_id AND x.bkey = y.bkey
+       |          AND x.doc_id < y.doc_id)
+       |SELECT c.a_id, c.b_id,
+       |  CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+       |FROM cand c
+       |JOIN sims sa ON c.a_id = sa.doc_id
+       |JOIN sims sb ON c.b_id = sb.doc_id
+       |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 10
        |ORDER BY a_id, b_id""".stripMargin
   }
 
