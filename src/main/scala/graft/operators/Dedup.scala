@@ -25,12 +25,13 @@ import graft.functions.SetFunctions
   *     (11 bands; pigeonhole guarantees one exact band) — equi-join,
   *     never an all-pairs scan;
   *   - direct n-gram Jaccard — all-pairs with a codegen'd sorted-array
-  *     merge-intersection kernel over broadcast shingle-hash arrays.
-  *     (The textbook inverted-index self-join explodes here: the fixture's
-  *     ~37-word vocabulary gives every bigram a document frequency of
-  *     ~7% of the corpus, so the index join materializes ~n²·overlap rows.
-  *     With a large real-world shingle space the inverted index + prefix
-  *     filtering wins; `ngramJaccardInverted` keeps that path.)
+  *     merge-intersection kernel over broadcast shingle-hash arrays: the
+  *     exactness baseline (q33);
+  *   - inverted-index n-gram Jaccard with document-frequency-ordered
+  *     prefix filtering (q47) — the 100 TB dedup path: candidates come
+  *     from an equi-join on each doc's RAREST shingles only, verified
+  *     with the same kernel; output is provably identical to q33's
+  *     all-pairs scan at the same threshold.
   *
   * Hashing discipline: every hash derives from md5 (engine-portable) —
   * `conv(substr(md5(x),1,15),16,10)` in Spark ≡
@@ -362,37 +363,85 @@ object Dedup {
        |WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.5
        |ORDER BY a_id, b_id""".stripMargin
 
-  /** The inverted-index formulation of n-gram Jaccard (pairs generated by
-    * a self-join on shingles). The right algorithm when the shingle space
-    * is large/sparse — kept as the scale path; not benched on the
-    * dense-vocabulary fixture (see object doc).
+  /** Inverted-index n-gram Jaccard with prefix filtering — the 100 TB
+    * dedup path. Under a GLOBAL canonical shingle order, two sets with
+    * J(A,B) >= t must share a shingle within the first
+    * |X| - floor(t*|X|) + 1 elements of each set (Chaudhuri et al.,
+    * SSJoin, ICDE'06; Bayardo et al., All-Pairs, WWW'07; the floor form
+    * is the conservative rounding of |X| - ceil(t*|X|) + 1, immune to
+    * FP-rounding of t*|X|). Ordering shingles by ASCENDING document
+    * frequency makes each prefix the doc's rarest shingles, so the
+    * candidate equi-join touches sum-over-rare-shingles(df^2) pairs
+    * instead of n^2 — on a real Zipf-shaped corpus the overwhelming win.
+    * Candidates are verified with the exact merge-intersection kernel, so
+    * the prefix filter is a pure optimization: output is IDENTICAL to the
+    * all-pairs scan (q33 cross-checks it at threshold 0.5 in tests).
     */
-  def ngramJaccardInverted(spark: SparkSession, dir: String, minJaccard: Double = 0.5): DataFrame = {
+  def ngramJaccardInverted(spark: SparkSession, dir: String,
+      minJaccard: Double): DataFrame = {
     import spark.implicits._
-    val grams = withGrams(spark, dir)
-    val gx = grams.select($"doc_id", explode($"grams").as("g"))
-    val sizes = grams.select($"doc_id", size($"grams").cast("long").as("n"))
-    val inter = gx.as("ga")
-      .join(gx.as("gb"), $"ga.g" === $"gb.g" && $"ga.doc_id" < $"gb.doc_id")
-      .groupBy($"ga.doc_id".as("a_id"), $"gb.doc_id".as("b_id"))
-      .agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.as("sa"), $"a_id" === $"sa.doc_id")
-      .join(sizes.as("sb"), $"b_id" === $"sb.doc_id")
-      .withColumn("jaccard", $"i".cast("double") / ($"sa.n" + $"sb.n" - $"i"))
+    val gx = gxCheckpointed(spark, dir)
+    // branch point: document frequencies, prefixes and verification sets
+    // all derive from the hashed (doc_id, h) relation
+    val hx = gx.join(broadcast(gramDict(spark, gx)), Seq("g"))
+      .select($"doc_id", $"h").localCheckpoint()
+    val dfreq = hx.groupBy($"h").agg(count(lit(1)).as("df"))
+    val docs = hx.join(broadcast(dfreq), Seq("h"))
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list($"h")).as("harr"),
+        count(lit(1)).as("n"),
+        array_sort(collect_list(struct($"df", $"h"))).as("by_rarity"))
+      .withColumn("plen",
+        ($"n" - floor(lit(minJaccard) * $"n") + 1).cast("int"))
+      .localCheckpoint()
+    val prefixes = docs
+      .select($"doc_id", explode(expr("slice(by_rarity, 1, plen)")).as("p"))
+      .select($"doc_id", $"p.h".as("ph"))
+    val cand = prefixes.as("x").join(prefixes.as("y"),
+        $"x.ph" === $"y.ph" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"))
+      .distinct()
+    val da = docs.select($"doc_id".as("a_id"), $"harr".as("ha"), $"n".as("na"))
+    val db = docs.select($"doc_id".as("b_id"), $"harr".as("hb"), $"n".as("nb"))
+    cand
+      .join(broadcast(da), Seq("a_id"))
+      .join(broadcast(db), Seq("b_id"))
+      .withColumn("i", SetFunctions.intersectCount($"ha", $"hb"))
+      .withColumn("jaccard", $"i".cast("double") / ($"na" + $"nb" - $"i"))
       .filter($"jaccard" >= minJaccard)
       .select($"a_id", $"b_id", $"jaccard")
+      .orderBy($"a_id", $"b_id")
   }
+
+  /** Declared inverted-index dedup at the near-dup threshold (0.7,
+    * matching q31's verification threshold). The oracle is the plain
+    * all-pairs SQL — the prefix filter is exact, so results agree.
+    */
+  def q47NgramJaccardInverted(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardInverted(spark, dir, 0.7)
+
+  val q47Sql: String =
+    s"""WITH $gramsDuckCte,
+       |ver AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |          CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS i,
+       |          CAST(len(a.grams) AS BIGINT) AS na, CAST(len(b.grams) AS BIGINT) AS nb
+       |        FROM grams a JOIN grams b ON a.doc_id < b.doc_id)
+       |SELECT a_id, b_id, CAST(i AS DOUBLE) / (na + nb - i) AS jaccard
+       |FROM ver
+       |WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.7
+       |ORDER BY a_id, b_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_exact_dedup" -> (q30ExactDedup _),
     "q31_minhash_lsh" -> (q31MinhashLsh _),
     "q32_simhash" -> (q32Simhash _),
-    "q33_ngram_jaccard" -> (q33NgramJaccard _))
+    "q33_ngram_jaccard" -> (q33NgramJaccard _),
+    "q47_ngram_jaccard_inverted" -> (q47NgramJaccardInverted _))
 
   val oracleSql: Map[String, String] = Map(
     "q30_exact_dedup" -> q30Sql,
     "q31_minhash_lsh" -> q31Sql,
     "q32_simhash" -> q32Sql,
-    "q33_ngram_jaccard" -> q33Sql)
+    "q33_ngram_jaccard" -> q33Sql,
+    "q47_ngram_jaccard_inverted" -> q47Sql)
 }

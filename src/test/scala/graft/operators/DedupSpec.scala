@@ -60,8 +60,20 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
   test("inverted-index variant agrees with kernel variant") {
     val a = Dedup.q33NgramJaccard(spark, dir)
       .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(2))).toMap
-    val b = Dedup.ngramJaccardInverted(spark, dir)
+    val b = Dedup.ngramJaccardInverted(spark, dir, 0.5)
       .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(2))).toMap
     assert(a == b)
+  }
+
+  test("prefix-filtered inverted index is exact on the fixture corpus") {
+    // q33 (all-pairs kernel) at threshold 0.5 vs the prefix-filtered
+    // inverted index at the same threshold: identical pair sets AND
+    // identical jaccard values — the prefix filter must be lossless.
+    val exact = Dedup.q33NgramJaccard(spark, sfDir)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(2))).toMap
+    val inv = Dedup.ngramJaccardInverted(spark, sfDir, 0.5)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(2))).toMap
+    assert(inv == exact,
+      s"missing=${exact.keySet -- inv.keySet} spurious=${inv.keySet -- exact.keySet}")
   }
 }
