@@ -238,17 +238,45 @@ object Similarity {
        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** Grouped centroids through the TYPED UDAF path
+    * (Dataset.groupByKey + Aggregator with map-side combine) — the
+    * Dataset-API twin of q36's column-form aggregation, sharing its
+    * scaled-integer exactness discipline so both the q36 cross-check
+    * (SimilaritySpec) and the DuckDB oracle match bit-for-bit.
+    */
+  def q50CentroidUdaf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ds = Tables.embeddings(spark, dir)
+      .select($"label".cast("long").as("label"), $"embedding")
+      .as[(Long, Array[Float])]
+    ds.groupByKey(_._1).mapValues(_._2)
+      .agg(graft.functions.ExactCentroidAggregator.toColumn.name("centroid"))
+      .toDF("label", "centroid")
+      .select($"label", posexplode($"centroid").as(Seq("d", "c")))
+      .select($"label", $"d".cast("long").as("d"), $"c".as("centroid"))
+      .orderBy($"label", $"d")
+  }
+
+  val q50Sql: String =
+    """SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS d,
+      |  CAST(SUM(CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000.0 / COUNT(*) AS centroid
+      |FROM embeddings, range(64) r(i)
+      |GROUP BY 1, 2
+      |ORDER BY label, d""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_cosine_topk" -> (q34CosineTopk _),
     "q35_ann_lsh" -> (q35AnnLsh _),
     "q36_label_centroids" -> (q36LabelCentroids _),
     "q46_embedding_neardup" -> (q46EmbeddingNeardup _),
-    "q48_ivf_neardup" -> (q48IvfNeardup _))
+    "q48_ivf_neardup" -> (q48IvfNeardup _),
+    "q50_centroid_udaf" -> (q50CentroidUdaf _))
 
   val oracleSql: Map[String, String] = Map(
     "q34_cosine_topk" -> q34Sql,
     "q35_ann_lsh" -> q35Sql,
     "q36_label_centroids" -> q36Sql,
     "q46_embedding_neardup" -> q46Sql,
-    "q48_ivf_neardup" -> q48Sql)
+    "q48_ivf_neardup" -> q48Sql,
+    "q50_centroid_udaf" -> q50Sql)
 }

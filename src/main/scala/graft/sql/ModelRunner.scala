@@ -22,18 +22,45 @@ object ModelRunner {
   final case class Model(name: String, sql: String, deps: Set[String])
 
   /** Load every `<name>.sql` in `dir`; deps = other model names that
-    * appear as identifiers in this model's SQL.
+    * appear as identifiers in this model's SQL (comments stripped first,
+    * so a model name mentioned in a `--` or block comment doesn't create
+    * a phantom dependency). Model names that collide with base table
+    * names are rejected — the model view would silently shadow the table.
     */
   def load(dir: Path): Seq[Model] = {
-    val files = Files.list(dir).iterator().asScala
-      .filter(_.toString.endsWith(".sql")).toSeq.sortBy(_.toString)
+    val stream = Files.list(dir)
+    val files =
+      try stream.iterator().asScala.filter(_.toString.endsWith(".sql")).toSeq.sortBy(_.toString)
+      finally stream.close()
     val names = files.map(f => f.getFileName.toString.stripSuffix(".sql")).toSet
+    val clash = names.intersect(Tables.all.toSet)
+    require(clash.isEmpty, s"model names shadow base tables: ${clash.mkString(", ")}")
     files.map { f =>
       val name = f.getFileName.toString.stripSuffix(".sql")
       val sql = Files.readString(f)
-      val ids = "[A-Za-z_][A-Za-z0-9_]*".r.findAllIn(sql).toSet
+      val noComments = sql
+        .replaceAll("(?s)/\\*.*?\\*/", " ")
+        .replaceAll("--[^\n]*", " ")
+      val ids = "[A-Za-z_][A-Za-z0-9_]*".r.findAllIn(noComments).toSet
       Model(name, sql, (names - name).intersect(ids))
     }
+  }
+
+  /** The model files packaged with the engine (src/main/resources), the
+    * 3-model staging -> mart DAG that q49 runs. Extracted to a temp dir
+    * so the Path-based loader works from any classpath form.
+    */
+  val packagedModelNames: Seq[String] =
+    Seq("stg_orders.sql", "stg_lineitem.sql", "mart_customer_revenue.sql")
+
+  def packagedModelsDir(): Path = {
+    val dir = Files.createTempDirectory("graft_models")
+    packagedModelNames.foreach { n =>
+      val in = getClass.getResourceAsStream(s"/graft/models/$n")
+      require(in != null, s"missing packaged model resource $n")
+      try Files.write(dir.resolve(n), in.readAllBytes()) finally in.close()
+    }
+    dir
   }
 
   /** Kahn topological order; cycles are an error. */
@@ -74,4 +101,37 @@ object ModelRunner {
     val picked = if (finals.nonEmpty) finals else all.keys.toSeq.sorted
     picked.foreach(n => all(n).write.mode("overwrite").parquet(s"$outDir/$n"))
   }
+
+  /** Declared query for the SQL-transform layer: run the packaged
+    * staging -> mart DAG end to end (extract models, topo-order, lazy
+    * views, materialize the mart to parquet) and read the mart back —
+    * the `dbt run && SELECT * FROM mart` round trip. Only the mart is
+    * materialized; the staging models stay lazy views, so the mart's
+    * column pruning reaches the base parquet scans.
+    */
+  def q49ModelMart(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_mart").toString
+    materialize(spark, packagedModelsDir(), sfDir, out,
+      finals = Seq("mart_customer_revenue"))
+    spark.read.parquet(s"$out/mart_customer_revenue")
+      .orderBy("c_custkey")
+  }
+
+  val q49Sql: String =
+    """SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+      |  CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+      |    * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))) AS STRING) AS DOUBLE) AS revenue,
+      |  COUNT(DISTINCT o.o_orderkey) AS n_orders
+      |FROM orders o
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON c.c_custkey = o.o_custkey
+      |JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |GROUP BY c.c_custkey, c.c_name, n.n_name
+      |ORDER BY c_custkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_model_mart" -> (q49ModelMart _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q49_model_mart" -> q49Sql)
 }

@@ -28,4 +28,15 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     val recall = ivf.size.toDouble / brute.size
     assert(recall >= 0.7, s"recall $recall (${ivf.size}/${brute.size})")
   }
+
+  test("q50 typed-UDAF centroids agree bit-for-bit with q36 column form") {
+    val q36 = Similarity.q36LabelCentroids(spark, sfDir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val q50 = Similarity.q50CentroidUdaf(spark, sfDir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(q50.keySet == q36.keySet)
+    q50.foreach { case (k, c) =>
+      assert(q36(k) == c, s"centroid mismatch at $k: ${q36(k)} vs $c")
+    }
+  }
 }
