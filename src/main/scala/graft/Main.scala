@@ -21,7 +21,8 @@ object Main {
       out: String = sys.env.getOrElse("GRAFT_OUT", "/tmp/graft_out"),
       zips: Seq[String] = Seq.empty,
       cores: Int = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
-        .getOrElse(Runtime.getRuntime.availableProcessors()))
+        .getOrElse(Runtime.getRuntime.availableProcessors()),
+      limitInputs: Option[Int] = None)
 
   def parse(args: Array[String]): Config = {
     @annotation.tailrec
@@ -30,6 +31,9 @@ object Main {
       case "--out" :: v :: t => loop(t, c.copy(out = v))
       case "--zip" :: v :: t => loop(t, c.copy(zips = c.zips :+ v))
       case "--cores" :: v :: t => loop(t, c.copy(cores = v.toInt))
+      // L3: dev guard — scan only the first N discovered CSVs (the
+      // reference's --limit-inputs, etl/ingest_data.py:158,313)
+      case "--limit-inputs" :: v :: t => loop(t, c.copy(limitInputs = Some(v.toInt)))
       case Nil => c
       case x :: _ => throw new IllegalArgumentException(s"unknown arg: $x")
     }
@@ -42,7 +46,13 @@ object Main {
     cfg.zips.foreach(z => Ingest.extractZip(Paths.get(z), staging))
     val csvs = Ingest.discoverCsvs(staging)
     if (csvs.isEmpty) return 0L
-    val trips = Ingest.scanTrips(spark, s"${cfg.staging}/*/*.csv")
+    // --limit-inputs: explicit truncated file list; otherwise one glob
+    // (globs let the reader plan the whole input in one listing)
+    val source = cfg.limitInputs match {
+      case Some(n) => Ingest.scanTripFiles(spark, csvs.take(n).map(_.toString))
+      case None => Ingest.scanTrips(spark, s"${cfg.staging}/*/*.csv")
+    }
+    val trips = source
       .withColumn("month", date_format(col("started_at"), "yyyyMM"))
     Sinks.writeLake(trips, cfg.out, partitionCols = Seq("month"))
     // flagship mart (SURVEY.md §7.2): monthly member vs casual ride counts

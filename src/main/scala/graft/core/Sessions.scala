@@ -44,6 +44,12 @@ object Sessions {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries TIMESTAMP(NANOS), which the vectorized
+      // reader rejects; read nanos as raw longs session-wide (the
+      // Tables.events loader does the integer-division truncation).
+      // Set here, not in the loader: a conf mutated inside a read is
+      // global and order-dependent for every other parquet read.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
       .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
       .config("spark.ui.enabled", "false")

@@ -19,6 +19,10 @@ object Joins {
     *
     * At equal timestamps the right row is considered visible to the left
     * row (<= semantics), implemented by sorting right-markers first.
+    * When multiple right rows share the same (key, ts), ties are broken
+    * by the greatest value tuple (the window also orders by the value
+    * columns) — a deterministic total order, so the result is identical
+    * under any partitioning or retry.
     */
   def asOf(left: DataFrame, right: DataFrame, key: String, tsCol: String,
       valueCols: Seq[String]): DataFrame = {
@@ -33,7 +37,9 @@ object Joins {
     val rAligned = leftCols.filterNot(c => c == key || c == tsCol)
       .foldLeft(r)((df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
       .select(lAligned.columns.map(col): _*)
-    val w = Window.partitionBy(col(key)).orderBy(col(tsCol), col("__kind"))
+    val w = Window.partitionBy(col(key))
+      .orderBy((Seq(col(tsCol), col("__kind")) ++
+        valueCols.map(c => col(s"__v_$c"))): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = valueCols.foldLeft(lAligned.unionByName(rAligned))((df, c) =>
       df.withColumn(s"asof_$c", last(col(s"__v_$c"), ignoreNulls = true).over(w)))
@@ -46,11 +52,25 @@ object Joins {
     * one executor no longer owns an entire hot key. AQE's skew-join split
     * handles moderate skew automatically; salting is the explicit fix when
     * a single key exceeds what one task should hold.
+    *
+    * The salt is a deterministic hash of the whole left row — NOT
+    * rand(seed), whose per-partition stream re-salts rows differently if
+    * AQE re-coalesces partitions between a task's attempts, corrupting
+    * the join under retry. Identical left rows share a salt (slightly
+    * uneven scatter), which is safe: correctness never depends on which
+    * salt a row gets.
+    *
+    * Right/full outer joins are rejected: the right side is replicated
+    * `saltFactor` ways, so an unmatched right row would surface once per
+    * replica.
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "cross", "left", "leftouter", "leftsemi", "leftanti").contains(jt),
+      s"saltedJoin replicates the right side; '$joinType' would duplicate unmatched right rows")
     val salted = left.withColumn("__salt",
-      (rand(42) * saltFactor).cast("int"))
+      pmod(xxhash64(left.columns.map(col): _*), lit(saltFactor)).cast("int"))
     val replicated = right
       .withColumn("__salt", explode(array((0 until saltFactor).map(lit): _*)))
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")

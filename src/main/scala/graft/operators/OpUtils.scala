@@ -14,4 +14,14 @@ object OpUtils {
 
   /** The matching SQL fragment for the oracle side. */
   def decSql(expr: String): String = s"CAST($expr AS DECIMAL(18,4))"
+
+  /** F8: exact-k seeded random sample — `orderBy(rand(seed)).limit(k)`,
+    * mirroring the reference's test pipeline
+    * (`citibike_project/tests/pipeline.py:1-10`). Deterministic for a
+    * fixed seed AND fixed partitioning; at scale prefer
+    * `df.sample(fraction, seed)` (no global sort) when approximate k is
+    * acceptable.
+    */
+  def seededSample(df: org.apache.spark.sql.DataFrame, k: Int, seed: Long): org.apache.spark.sql.DataFrame =
+    df.orderBy(org.apache.spark.sql.functions.rand(seed)).limit(k)
 }

@@ -47,6 +47,14 @@ object Ingest {
   def monthOf(fileName: String): Option[String] =
     new Regex("""(\d{6})""").findFirstIn(fileName)
 
+  /** F4: resolve a possibly-relative URL against a base (the reference's
+    * `urljoin(self.url, key)`, `etl/ingest_data.py:68`). RFC 3986
+    * resolution via java.net.URI — same semantics as Python's urljoin
+    * for the absolute-base + relative-key case used here.
+    */
+  def urljoin(base: String, url: String): String =
+    java.net.URI.create(base).resolve(url).toString
+
   /** S2: extract a zip archive into `stagingDir/<yyyyMM>/`, returning
     * extracted file paths. Entries without a month go under "unknown".
     */
@@ -90,6 +98,14 @@ object Ingest {
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSS]")
       .schema(Schemas.trip)
       .csv(pathOrGlob)
+
+  /** S4 over an explicit file list (the `--limit-inputs` dev-guard path). */
+  def scanTripFiles(spark: SparkSession, files: Seq[String]): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSS]")
+      .schema(Schemas.trip)
+      .csv(files: _*)
 
   /** Ad-hoc CSV scan with inference — the fallback for unknown files. */
   def scanInferred(spark: SparkSession, pathOrGlob: String): DataFrame =

@@ -24,18 +24,18 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "lineitem")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    * ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos via the legacy conf and
-    * truncate to microseconds with *integer* division (ns epoch values
-    * ~1.7e18 exceed double's 53-bit exact range, so `/ 1000.0` would corrupt
-    * microseconds) — matching DuckDB's own nanos→micros truncation so event
-    * queries stay oracle-comparable.
+    * ([PARQUET_TYPE_ILLEGAL]). The nanosAsLong legacy conf is set ONCE in
+    * `Sessions.builder` (a session-wide reader setting, not a loader side
+    * effect); this loader truncates the raw nanos to microseconds with
+    * *integer* division (ns epoch values ~1.7e18 exceed double's 53-bit
+    * exact range, so `/ 1000.0` would corrupt microseconds) — matching
+    * DuckDB's own nanos→micros truncation so event queries stay
+    * oracle-comparable.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, dir: String): DataFrame =
     apply(spark, dir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
-  }
   def documents(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 

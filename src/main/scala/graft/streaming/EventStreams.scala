@@ -18,11 +18,11 @@ import graft.model.Schemas
 object EventStreams {
 
   /** File-based stream over events-shaped parquet. Schema must be declared
-    * for streaming reads; ts arrives as raw nanos (see Tables.events) and
-    * is truncated to micros the same way.
+    * for streaming reads; ts arrives as raw nanos (nanosAsLong is set in
+    * Sessions.builder, session-wide) and is truncated to micros the same
+    * way as Tables.events.
     */
   def fileStream(spark: SparkSession, dir: String, globFilter: Option[String] = None): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val r = spark.readStream.schema(Schemas.eventsRaw)
     globFilter.foreach(g => r.option("pathGlobFilter", g))
     r.parquet(dir)

@@ -89,6 +89,42 @@ class IngestSpec extends AnyFunSuite with SparkSpec {
     assert(mart == Set(("202508", "member", 1L), ("202508", "casual", 1L)))
   }
 
+  test("--limit-inputs dev guard scans only the first N discovered CSVs") {
+    val staging = Files.createTempDirectory("graft_limit_staging")
+    // two months, one CSV each
+    Seq("202507", "202508").foreach { m =>
+      val d = staging.resolve(m)
+      Files.createDirectories(d)
+      Files.writeString(d.resolve(s"JC-$m-citibike-tripdata.csv"), tripCsv)
+    }
+    val out = Files.createTempDirectory("graft_limit_out").toString + "/lake"
+    val cfg = graft.Main.parse(Array(
+      "--staging", staging.toString, "--out", out, "--limit-inputs", "1"))
+    assert(cfg.limitInputs.contains(1))
+    val n = graft.Main.run(spark, cfg)
+    assert(n == 2, "one 2-row CSV, not both")
+  }
+
+  test("urljoin resolves relative keys against the bucket base") {
+    assert(Ingest.urljoin("https://s3.amazonaws.com/tripdata/",
+      "JC-202508-citibike-tripdata.csv.zip") ==
+      "https://s3.amazonaws.com/tripdata/JC-202508-citibike-tripdata.csv.zip")
+    // absolute url wins, as with Python's urljoin
+    assert(Ingest.urljoin("https://a.example/x/", "https://b.example/y") ==
+      "https://b.example/y")
+  }
+
+  test("seededSample is deterministic for a fixed seed and partitioning") {
+    import spark.implicits._
+    val df = spark.range(1, 101).toDF("n")
+    val a = graft.operators.OpUtils.seededSample(df, 5, seed = 42L)
+      .collect().map(_.getLong(0)).toSeq
+    val b = graft.operators.OpUtils.seededSample(df, 5, seed = 42L)
+      .collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+    assert(a.length == 5 && a.distinct.length == 5)
+  }
+
   test("json and orc round trips") {
     import spark.implicits._
     val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "tag", "v")
