@@ -26,7 +26,14 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Sketch queries localCheckpoint intermediates; without an explicit
+      // unpersist those blocks live until the DataFrame is GC'd, so a
+      // 50-query x 2-run suite accumulates hundreds of dead cached RDDs
+      // (block-manager bloat + GC pressure showed up as multi-second
+      // mid-suite outliers). Drop them between runs, outside the timing.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      dt
     }
 
     // Min of two runs: the first execution of each query pays one-time

@@ -20,6 +20,7 @@ object Main {
       staging: String = sys.env.getOrElse("GRAFT_STAGING", "/tmp/graft_staging"),
       out: String = sys.env.getOrElse("GRAFT_OUT", "/tmp/graft_out"),
       zips: Seq[String] = Seq.empty,
+      urls: Seq[String] = Seq.empty,
       cores: Int = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
         .getOrElse(Runtime.getRuntime.availableProcessors()),
       limitInputs: Option[Int] = None)
@@ -30,6 +31,7 @@ object Main {
       case "--staging" :: v :: t => loop(t, c.copy(staging = v))
       case "--out" :: v :: t => loop(t, c.copy(out = v))
       case "--zip" :: v :: t => loop(t, c.copy(zips = c.zips :+ v))
+      case "--url" :: v :: t => loop(t, c.copy(urls = c.urls :+ v))
       case "--cores" :: v :: t => loop(t, c.copy(cores = v.toInt))
       // L3: dev guard — scan only the first N discovered CSVs (the
       // reference's --limit-inputs, etl/ingest_data.py:158,313)
@@ -43,7 +45,9 @@ object Main {
   def run(spark: SparkSession, cfg: Config): Long = {
     val staging = Paths.get(cfg.staging)
     Files.createDirectories(staging)
-    cfg.zips.foreach(z => Ingest.extractZip(Paths.get(z), staging))
+    // fetch remote archives first (S2 first half), then extract all
+    val fetched = cfg.urls.map(u => Ingest.fetch(u, staging.resolve("_downloads")))
+    (cfg.zips.map(Paths.get(_)) ++ fetched).foreach(z => Ingest.extractZip(z, staging))
     val csvs = Ingest.discoverCsvs(staging)
     if (csvs.isEmpty) return 0L
     // --limit-inputs: explicit truncated file list; otherwise one glob

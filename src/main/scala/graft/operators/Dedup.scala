@@ -221,12 +221,16 @@ object Dedup {
       .orderBy($"a_id", $"b_id")
   }
 
-  val q31Sql: String = {
+  /** The q31 pipeline as a reusable CTE chain ending in `pairs`
+    * (verified near-dup pairs) — shared by the q31 oracle and the q51
+    * cluster oracle.
+    */
+  private val q31CoreCtes: String = {
     val sigCols = (0 until nPerm)
       .map(i => s"MIN((${permA(i)} * hm + ${permB(i)}) % $P) AS s$i").mkString(", ")
     def xorKey(from: Int): String =
       (from + 1 until from + bandRows).foldLeft(s"s$from")((acc, i) => s"xor($acc, s$i)")
-    s"""WITH $gramsDuckCte,
+    s"""$gramsDuckCte,
        |gx AS (SELECT doc_id, unnest(grams) AS g FROM grams),
        |hx AS (SELECT doc_id, ${h60DuckSql("g")} % $P AS hm FROM gx),
        |sig AS (SELECT doc_id, $sigCols FROM hx GROUP BY doc_id),
@@ -239,12 +243,16 @@ object Dedup {
        |          CAST(len(ga.grams) AS BIGINT) AS na, CAST(len(gb.grams) AS BIGINT) AS nb
        |        FROM cand c
        |        JOIN grams ga ON ga.doc_id = c.a_id
-       |        JOIN grams gb ON gb.doc_id = c.b_id)
-       |SELECT a_id, b_id, CAST(i AS DOUBLE) / (na + nb - i) AS jaccard
-       |FROM ver
-       |WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.7
-       |ORDER BY a_id, b_id""".stripMargin
+       |        JOIN grams gb ON gb.doc_id = c.b_id),
+       |pairs AS (SELECT a_id, b_id, CAST(i AS DOUBLE) / (na + nb - i) AS jaccard
+       |          FROM ver
+       |          WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.7)""".stripMargin
   }
+
+  val q31Sql: String =
+    s"""WITH $q31CoreCtes
+       |SELECT a_id, b_id, jaccard FROM pairs
+       |ORDER BY a_id, b_id""".stripMargin
 
   /** 60-bit simhash split into 11 bands (5 x 6-bit + 6 x 5-bit).
     * Multi-index pigeonhole: Hamming distance <= 10 flips bits in at most
@@ -431,17 +439,81 @@ object Dedup {
        |WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.7
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** Connected components over a near-dup pair list -> one row per
+    * clustered doc: (doc_id, cluster_rep, cluster_size) — the KEEP-LIST
+    * stage of corpus dedup (keep `cluster_rep`, drop the rest; near-dup
+    * similarity is not transitive, so clustering is the policy step that
+    * makes "dedup" well-defined). Min-label propagation to a fixpoint:
+    * each round every vertex takes the minimum label among itself and
+    * its neighbors — O(component diameter) rounds of one edge join +
+    * one aggregation each, all distributed; near-dup clusters are
+    * near-cliques so 1-2 rounds in practice. (For adversarial diameters
+    * at 100 TB the O(log n)-round large-star/small-star variant
+    * [Kiveris et al., "Connected Components in MapReduce", SoCC'14]
+    * replaces the per-round join; the fixpoint driver loop is the same.)
+    * Singleton docs (no near-dup) are not emitted, matching the oracle.
+    */
+  def dedupClusters(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.select($"a_id".as("s"), $"b_id".as("d"))
+      .union(pairs.select($"b_id".as("s"), $"a_id".as("d")))
+      .localCheckpoint()
+    var labels = edges.select($"s".as("v")).distinct()
+      .withColumn("lbl", $"v").localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges
+        .join(labels.select($"v".as("s"), $"lbl".as("slbl")), Seq("s"))
+        .groupBy($"d").agg(min($"slbl").as("nlbl"))
+      val next = labels
+        .join(nbrMin.select($"d".as("v"), $"nlbl"), Seq("v"), "left")
+        .select($"v", least($"lbl", coalesce($"nlbl", $"lbl")).as("lbl"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(labels.select($"v", $"lbl".as("old")), Seq("v"))
+        .filter($"lbl" < $"old").count()
+      labels = next
+    }
+    val sizes = labels.groupBy($"lbl").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("lbl"))
+      .select($"v".as("doc_id"), $"lbl".as("cluster_rep"), $"cluster_size")
+      .orderBy($"doc_id")
+  }
+
+  /** Declared cluster query over the q31 minhash near-dup pairs. */
+  def q51DedupClusters(spark: SparkSession, dir: String): DataFrame =
+    dedupClusters(q31MinhashLsh(spark, dir).select("a_id", "b_id"))
+
+  val q51Sql: String =
+    s"""WITH RECURSIVE $q31CoreCtes,
+       |verts AS (SELECT DISTINCT v FROM
+       |  (SELECT a_id AS v FROM pairs UNION ALL SELECT b_id FROM pairs)),
+       |edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+       |          UNION ALL SELECT b_id, a_id FROM pairs),
+       |reach AS (SELECT v, v AS u FROM verts
+       |          UNION
+       |          SELECT r.v, e.d FROM reach r JOIN edges e ON r.u = e.s),
+       |comp AS (SELECT v AS doc_id, MIN(u) AS cluster_rep FROM reach GROUP BY v)
+       |SELECT c.doc_id, c.cluster_rep, sz.n AS cluster_size
+       |FROM comp c
+       |JOIN (SELECT cluster_rep AS r, CAST(COUNT(*) AS BIGINT) AS n
+       |      FROM comp GROUP BY 1) sz ON sz.r = c.cluster_rep
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_exact_dedup" -> (q30ExactDedup _),
     "q31_minhash_lsh" -> (q31MinhashLsh _),
     "q32_simhash" -> (q32Simhash _),
     "q33_ngram_jaccard" -> (q33NgramJaccard _),
-    "q47_ngram_jaccard_inverted" -> (q47NgramJaccardInverted _))
+    "q47_ngram_jaccard_inverted" -> (q47NgramJaccardInverted _),
+    "q51_dedup_clusters" -> (q51DedupClusters _))
 
   val oracleSql: Map[String, String] = Map(
     "q30_exact_dedup" -> q30Sql,
     "q31_minhash_lsh" -> q31Sql,
     "q32_simhash" -> q32Sql,
     "q33_ngram_jaccard" -> q33Sql,
-    "q47_ngram_jaccard_inverted" -> q47Sql)
+    "q47_ngram_jaccard_inverted" -> q47Sql,
+    "q51_dedup_clusters" -> q51Sql)
 }

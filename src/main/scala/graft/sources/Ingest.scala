@@ -55,6 +55,30 @@ object Ingest {
   def urljoin(base: String, url: String): String =
     java.net.URI.create(base).resolve(url).toString
 
+  /** S2 first half: fetch a URL to a local file — the reference's
+    * `wget.download(url)` (`etl/ingest_data.py:86`) — via
+    * `java.net.http.HttpClient` (redirects followed, streamed to disk,
+    * never buffered in memory). Returns the downloaded path, which feeds
+    * [[extractZip]]. Unit-tested against an embedded localhost HTTP
+    * server (the sandbox has no external egress); at real scale this
+    * step runs once per archive on the driver or an executor-side task,
+    * exactly like the reference's wget.
+    */
+  def fetch(url: String, destDir: Path): Path = {
+    val uri = java.net.URI.create(url)
+    val name = Paths.get(uri.getPath).getFileName.toString
+    Files.createDirectories(destDir)
+    val dest = destDir.resolve(name)
+    val client = java.net.http.HttpClient.newBuilder()
+      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+      .build()
+    val resp = client.send(
+      java.net.http.HttpRequest.newBuilder(uri).GET().build(),
+      java.net.http.HttpResponse.BodyHandlers.ofFile(dest))
+    require(resp.statusCode() / 100 == 2, s"GET $url -> HTTP ${resp.statusCode()}")
+    dest
+  }
+
   /** S2: extract a zip archive into `stagingDir/<yyyyMM>/`, returning
     * extracted file paths. Entries without a month go under "unknown".
     */

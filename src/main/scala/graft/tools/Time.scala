@@ -17,6 +17,7 @@ object Time {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
       println(f"rep$i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     spark.stop()
   }

@@ -68,4 +68,34 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // two HashAggregate nodes around one exchange = partial + final
     assert("HashAggregate".r.findAllIn(p).length >= 2)
   }
+
+  test("q32: simhash candidates come from an equi-join, never a nested loop") {
+    val p = plan("q32_simhash")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "all-pairs scan crept back in")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q31: minhash candidate join is a single equi-join (no per-band branches)") {
+    val p = plan("q31_minhash_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    // one exploded band join, not 8 union'd branches
+    assert("Generate explode".r.findAllIn(p).length <= 2)
+  }
+
+  test("q47: prefix-filtered jaccard joins on shingles, verifies with the kernel") {
+    val p = plan("q47_ngram_jaccard_inverted")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("intersectcountsortedlong"),
+      "verification must use the codegen merge-intersection kernel")
+  }
+
+  test("q48: IVF candidates from pivot equi-join; only the verify stage uses the kernel") {
+    val p = plan("q48_ivf_neardup")
+    assert(!p.contains("CartesianProduct"))
+    // the n x C assignment cross join IS expected (C is a constant); the
+    // pair join must be an equi (hash) join on p_id
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+  }
 }

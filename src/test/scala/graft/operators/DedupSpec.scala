@@ -65,6 +65,25 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(a == b)
   }
 
+  test("dedupClusters: transitive closure with min rep and sizes") {
+    import spark.implicits._
+    // chain 0-1-2 (transitivity must merge), separate pair 5-6, singleton 9 absent
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("a_id", "b_id")
+    val got = Dedup.dedupClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (0L, 0L, 3L), (1L, 0L, 3L), (2L, 0L, 3L),
+      (5L, 5L, 2L), (6L, 5L, 2L)))
+  }
+
+  test("dedupClusters on the planted corpus groups the dup triple") {
+    // docs 0,1 exact dups and 2 near dup of both -> one cluster of 3
+    val pairs = Dedup.q31MinhashLsh(spark, dir).select("a_id", "b_id")
+    val got = Dedup.dedupClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((0L, 0L, 3L), (1L, 0L, 3L), (2L, 0L, 3L)))
+  }
+
   test("prefix-filtered inverted index is exact on the fixture corpus") {
     // q33 (all-pairs kernel) at threshold 0.5 vs the prefix-filtered
     // inverted index at the same threshold: identical pair sets AND

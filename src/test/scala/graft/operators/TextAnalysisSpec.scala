@@ -1,0 +1,45 @@
+package graft.operators
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** Language-ID semantics on PLANTED real-language sentences: the marker
+  * heuristic must genuinely discriminate when the text carries signal
+  * (the harness fixture's docs are language-tagged English salad with no
+  * signal — see TextAnalysis.langMarkers — so this is where the
+  * classifier's correctness is actually proven).
+  */
+class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("langId classifies planted multilingual sentences correctly") {
+    val docs = Seq(
+      (0L, "the cat and the dog of the house and the tree", "en"),
+      (1L, "der hund und die katze und das haus nicht der baum", "de"),
+      (2L, "el perro y la casa que para los gatos el sol", "es"),
+      (3L, "le chien est pour les maisons des chats le soleil", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.langId(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("labeled_lang"), r.getAs[String]("predicted_lang"))).toMap
+    got.foreach { case (id, (labeled, predicted)) =>
+      assert(predicted == labeled, s"doc $id: labeled $labeled, predicted $predicted")
+    }
+  }
+
+  test("langId tie-break is declaration-order deterministic") {
+    // no markers at all -> all scores 0 -> first declared language wins
+    val docs = Seq((0L, "xyzzy plugh", "zz")).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.langId(docs).collect().head
+    assert(got.getAs[String]("predicted_lang") == TextAnalysis.langMarkers.head._1)
+  }
+
+  test("fixture corpus exercises every classifier branch") {
+    val preds = TextAnalysis.q28LangId(spark, sfDir)
+      .groupBy("predicted_lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(preds.keySet == TextAnalysis.langMarkers.map(_._1).toSet,
+      s"expected all branches live, got $preds")
+  }
+}

@@ -89,6 +89,48 @@ class IngestSpec extends AnyFunSuite with SparkSpec {
     assert(mart == Set(("202508", "member", 1L), ("202508", "casual", 1L)))
   }
 
+  test("fetch downloads over HTTP and feeds the zip extractor (embedded server)") {
+    val zipDir = Files.createTempDirectory("graft_http_zip")
+    val zip = makeZip(zipDir)
+    val bytes = Files.readAllBytes(zip)
+    val server = com.sun.net.httpserver.HttpServer
+      .create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/tripdata/", { ex =>
+      ex.sendResponseHeaders(200, bytes.length.toLong)
+      try ex.getResponseBody.write(bytes) finally ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/tripdata/${zip.getFileName}"
+      val staging = Files.createTempDirectory("graft_http_staging")
+      val got = Ingest.fetch(url, staging.resolve("_downloads"))
+      assert(Files.readAllBytes(got).sameElements(bytes))
+      val extracted = Ingest.extractZip(got, staging)
+      assert(extracted.length == 1 && extracted.head.toString.contains("/202508/"))
+      // end-to-end through Main with --url
+      val out = Files.createTempDirectory("graft_http_out").toString + "/lake"
+      val cfg = graft.Main.parse(Array(
+        "--staging", Files.createTempDirectory("graft_http_staging2").toString,
+        "--out", out, "--url", url))
+      assert(graft.Main.run(spark, cfg) == 2)
+    } finally server.stop(0)
+  }
+
+  test("fetch surfaces non-2xx as an error") {
+    val server = com.sun.net.httpserver.HttpServer
+      .create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", { ex =>
+      ex.sendResponseHeaders(404, -1); ex.close()
+    })
+    server.start()
+    try {
+      intercept[IllegalArgumentException] {
+        Ingest.fetch(s"http://127.0.0.1:${server.getAddress.getPort}/missing.zip",
+          Files.createTempDirectory("graft_http_404"))
+      }
+    } finally server.stop(0)
+  }
+
   test("--limit-inputs dev guard scans only the first N discovered CSVs") {
     val staging = Files.createTempDirectory("graft_limit_staging")
     // two months, one CSV each
