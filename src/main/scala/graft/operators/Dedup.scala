@@ -235,9 +235,11 @@ object Dedup {
        |hx AS (SELECT doc_id, ${h60DuckSql("g")} % $P AS hm FROM gx),
        |sig AS (SELECT doc_id, $sigCols FROM hx GROUP BY doc_id),
        |bands AS (SELECT doc_id, ${(0 until nPerm / bandRows).map(b => s"${xorKey(b * bandRows)} AS k$b").mkString(", ")} FROM sig),
-       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-       |         FROM bands a JOIN bands b ON a.doc_id < b.doc_id
-       |          AND (${(0 until nPerm / bandRows).map(b => s"a.k$b = b.k$b").mkString(" OR ")})),
+       |bands_long AS (${(0 until nPerm / bandRows).map(b => s"SELECT doc_id, $b AS band_id, k$b AS key FROM bands").mkString(" UNION ALL ")}),
+       |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       |         FROM bands_long x JOIN bands_long y
+       |           ON x.band_id = y.band_id AND x.key = y.key
+       |          AND x.doc_id < y.doc_id),
        |ver AS (SELECT c.a_id, c.b_id,
        |          CAST(len(list_intersect(ga.grams, gb.grams)) AS BIGINT) AS i,
        |          CAST(len(ga.grams) AS BIGINT) AS na, CAST(len(gb.grams) AS BIGINT) AS nb
