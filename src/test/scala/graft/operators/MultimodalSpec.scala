@@ -25,4 +25,60 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(rec.width == 16 + (100 % 64))
     assert(rec.height == 16 + ((100 / 64) % 64))
   }
+
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def jpegBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("ImageDecoder: REAL decode of generated PNG and JPEG through the Spark stage") {
+    import spark.implicits._
+    val white = pngBytes(20, 10, 0xFFFFFF)   // luma 255
+    val black = pngBytes(5, 8, 0x000000)     // luma 0
+    val gray = jpegBytes(12, 12, 0x808080)   // luma ~128 (jpeg lossy)
+    val notImage = "just some text".getBytes("UTF-8")
+    val df = Seq((1L, white), (2L, black), (3L, gray), (4L, notImage))
+      .toDF("doc_id", "blob")
+    val got = Multimodal.decodeImages(df).collect().map(r => r.doc_id -> r).toMap
+
+    assert(got(1L).media_type == "image/png")
+    assert(got(1L).width == 20 && got(1L).height == 10)
+    assert(got(1L).mean_luma.exists(l => math.abs(l - 255.0) < 1e-6))
+    assert(got(1L).thumb_png.nonEmpty)
+    // the thumbnail itself decodes as an 8x8 PNG
+    val thumb = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(got(1L).thumb_png))
+    assert(thumb.getWidth == 8 && thumb.getHeight == 8)
+
+    assert(got(2L).media_type == "image/png")
+    assert(got(2L).mean_luma.exists(l => math.abs(l) < 1e-6))
+
+    assert(got(3L).media_type == "image/jpeg")
+    assert(got(3L).width == 12 && got(3L).height == 12)
+    assert(got(3L).mean_luma.exists(l => math.abs(l - 128.0) < 8.0), s"jpeg luma ${got(3L).mean_luma}")
+
+    // non-image routes to the stub branch: no luma, stub dims
+    assert(got(4L).media_type == "application/octet-stream")
+    assert(got(4L).mean_luma.isEmpty)
+    assert(got(4L).width == 16 + (notImage.length % 64))
+  }
+
+  test("content sniffing by magic bytes") {
+    assert(Multimodal.ImageDecoder.mediaTypeOf(pngBytes(2, 2, 0)) == "image/png")
+    assert(Multimodal.ImageDecoder.mediaTypeOf(jpegBytes(2, 2, 0)) == "image/jpeg")
+    assert(Multimodal.ImageDecoder.mediaTypeOf("BMxxxx".getBytes) == "image/bmp")
+    assert(Multimodal.ImageDecoder.mediaTypeOf("GIF89a".getBytes) == "image/gif")
+    assert(Multimodal.ImageDecoder.mediaTypeOf("hello".getBytes) == "application/octet-stream")
+  }
 }
