@@ -123,6 +123,85 @@ object Multimodal {
     }
   }
 
+  /** Decoded audio features: real sample-derived values for real audio
+    * (WAV/AIFF/AU — the formats the JDK parses natively), stub-null
+    * otherwise.
+    */
+  final case class AudioFeatures(
+      doc_id: Long,
+      media_type: String,
+      n_bytes: Long,
+      sample_rate: Option[Double],
+      channels: Option[Int],
+      n_frames: Option[Long],
+      duration_sec: Option[Double],
+      rms: Option[Double])
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (no external
+    * codecs): RIFF/WAVE sniffing, header parse, and RMS amplitude over
+    * the PCM16 samples — the feature-extract stage of an audio corpus
+    * pipeline. Compressed codecs (mp3/opus/aac) are not in the JDK; blobs
+    * that don't parse route to the null branch, exactly like images.
+    */
+  object AudioDecoder {
+    def mediaTypeOf(bytes: Array[Byte]): String =
+      if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I'
+        && bytes(2) == 'F' && bytes(3) == 'F'
+        && bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E')
+        "audio/wav"
+      else if (bytes.length >= 4 && bytes(0) == 'F' && bytes(1) == 'O'
+        && bytes(2) == 'R' && bytes(3) == 'M') "audio/aiff"
+      else if (bytes.length >= 4 && bytes(0) == '.' && bytes(1) == 's'
+        && bytes(2) == 'n' && bytes(3) == 'd') "audio/basic"
+      else "application/octet-stream"
+
+    def decode(id: Long, bytes: Array[Byte]): AudioFeatures = {
+      val mt = mediaTypeOf(bytes)
+      if (!mt.startsWith("audio/"))
+        return AudioFeatures(id, mt, bytes.length.toLong, None, None, None, None, None)
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = ais.getFormat
+          val frames = ais.getFrameLength
+          val dur = frames.toDouble / fmt.getFrameRate
+          // RMS over PCM16 samples (all channels interleaved)
+          val rms =
+            if (fmt.getSampleSizeInBits == 16) {
+              val data = ais.readAllBytes()
+              val order =
+                if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+                else java.nio.ByteOrder.LITTLE_ENDIAN
+              val sb = java.nio.ByteBuffer.wrap(data).order(order).asShortBuffer()
+              var sum = 0.0
+              var i = 0
+              val n = sb.remaining()
+              while (i < n) { val v = sb.get(i).toDouble; sum += v * v; i += 1 }
+              if (n == 0) None else Some(math.sqrt(sum / n))
+            } else None
+          AudioFeatures(id, mt, bytes.length.toLong, Some(fmt.getSampleRate.toDouble),
+            Some(fmt.getChannels), Some(frames), Some(dur), rms)
+        } finally ais.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException |
+             _: java.io.IOException =>
+          AudioFeatures(id, mt, bytes.length.toLong, None, None, None, None, None)
+      }
+    }
+  }
+
+  /** Audio-feature stage over any (doc_id, blob) relation — one
+    * per-partition pass, no shuffle.
+    */
+  def decodeAudio(df: DataFrame): Dataset[AudioFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => AudioDecoder.decode(id, bytes) })
+  }
+
   /** Image-feature stage over any (doc_id, blob) relation — one
     * per-partition pass, no shuffle.
     */

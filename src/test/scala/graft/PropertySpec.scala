@@ -75,4 +75,68 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_dir").toString + "/bucket/sub"
     assert(graft.sources.Sinks.ensureDir(spark, s"file://$dir"))
   }
+
+  test("dedupClusters matches brute-force connected components on random graphs") {
+    val edgeGen = Gen.listOfN(12,
+      Gen.zip(Gen.chooseNum(0L, 9L), Gen.chooseNum(0L, 9L)).suchThat(p => p._1 != p._2))
+    samples(edgeGen, 5).foreach { raw =>
+      val pairs = raw.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      if (pairs.nonEmpty) {
+        // brute union-find on the driver
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        pairs.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val verts = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        val expect = verts.map(v => v -> find(v)).toMap
+        val got = graft.operators.Dedup.dedupClusters(pairs.toDF("a_id", "b_id"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expect, s"edges $pairs")
+      }
+    }
+  }
+
+  test("prefix-filtered inverted-index jaccard is lossless on random corpora") {
+    val corpusGen = Gen.listOfN(12, docGen)
+    samples(corpusGen, 3).foreach { texts =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_prop_jac").toString
+      texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t, "en", "src", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val exact = graft.operators.Dedup.q33NgramJaccard(spark, dir)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      val inv = graft.operators.Dedup.ngramJaccardInverted(spark, dir, 0.5)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      assert(inv == exact,
+        s"missing=${exact.keySet -- inv.keySet} spurious=${inv.keySet -- exact.keySet}")
+    }
+  }
+
+  test("ExactCentroidAggregator is bitwise partition-order invariant") {
+    import org.apache.spark.sql.functions.posexplode
+    val vecGen = Gen.listOfN(40,
+      Gen.zip(Gen.chooseNum(0, 3), Gen.listOfN(8, Gen.chooseNum(-1000, 1000).map(_ / 997.0f))))
+    samples(vecGen, 3).foreach { rows =>
+      def centroids(nPart: Int): Map[(Long, Int), Double] = {
+        val ds = rows.toDF("label", "embedding")
+          .repartition(nPart)
+          .select($"label".cast("long").as("label"), $"embedding")
+          .as[(Long, Array[Float])]
+        ds.groupByKey(_._1).mapValues(_._2)
+          .agg(graft.functions.ExactCentroidAggregator.toColumn.name("centroid"))
+          .toDF("label", "centroid")
+          .select($"label", posexplode($"centroid").as(Seq("d", "c")))
+          .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      }
+      val one = centroids(1)
+      val many = centroids(7)
+      assert(one == many, "scaled-integer sums must be partition-order invariant")
+    }
+  }
 }

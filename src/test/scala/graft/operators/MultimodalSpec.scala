@@ -74,6 +74,44 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(got(4L).width == 16 + (notImage.length % 64))
   }
 
+  private def wavBytes(sampleRate: Float, amplitude: Short, nFrames: Int): Array[Byte] = {
+    // mono PCM16 sine wave at 440 Hz
+    val pcm = new Array[Byte](nFrames * 2)
+    val bb = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until nFrames).foreach { i =>
+      val v = (amplitude * math.sin(2 * math.Pi * 440.0 * i / sampleRate)).toShort
+      bb.putShort(i * 2, v)
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("AudioDecoder: REAL decode of a generated WAV through the Spark stage") {
+    import spark.implicits._
+    val wav = wavBytes(8000f, 10000, 8000) // 1 second, amp 10000
+    val df = Seq((1L, wav), (2L, "not audio".getBytes("UTF-8"))).toDF("doc_id", "blob")
+    val got = Multimodal.decodeAudio(df).collect().map(r => r.doc_id -> r).toMap
+
+    val a = got(1L)
+    assert(a.media_type == "audio/wav")
+    assert(a.sample_rate.contains(8000.0))
+    assert(a.channels.contains(1))
+    assert(a.n_frames.contains(8000L))
+    assert(a.duration_sec.exists(d => math.abs(d - 1.0) < 1e-9))
+    // RMS of a full-period sine with amplitude A is A/sqrt(2)
+    assert(a.rms.exists(r => math.abs(r - 10000.0 / math.sqrt(2)) < 100.0),
+      s"rms ${a.rms}")
+
+    val b = got(2L)
+    assert(b.media_type == "application/octet-stream")
+    assert(b.sample_rate.isEmpty && b.rms.isEmpty)
+  }
+
   test("content sniffing by magic bytes") {
     assert(Multimodal.ImageDecoder.mediaTypeOf(pngBytes(2, 2, 0)) == "image/png")
     assert(Multimodal.ImageDecoder.mediaTypeOf(jpegBytes(2, 2, 0)) == "image/jpeg")
