@@ -202,15 +202,54 @@ object TextAnalysis {
       |FROM f
       |ORDER BY doc_id""".stripMargin
 
+  /** Deterministic stratified sampling for training-mix construction:
+    * within each stratum (source), rank documents by an md5-derived
+    * pseudo-random key and keep the first floor(n/5) (a 1-in-5 rate,
+    * expressed as `rk * 5 <= n` in INTEGER arithmetic — a double `0.2 *
+    * n` would round differently from the oracle's decimal literal at
+    * exact-multiple boundaries). One shuffle on the stratum key; the
+    * per-stratum window is the same top-N shape Spark runs at any scale.
+    * Unlike `df.sample` (per-partition Bernoulli, partitioning-
+    * dependent), the hash order makes the sample a pure function of the
+    * data — re-runs, retries and repartitioning all pick the same docs.
+    */
+  def q53TrainingMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hk = expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+    val w = Window.partitionBy($"source").orderBy($"hk", $"doc_id")
+    val wn = Window.partitionBy($"source")
+    docs(spark, dir)
+      .select($"doc_id", $"source")
+      .withColumn("hk", hk)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n_source", count(lit(1)).over(wn))
+      .filter($"rk" * 5 <= $"n_source")
+      .select($"doc_id", $"source", $"rk", $"n_source")
+      .orderBy($"doc_id")
+  }
+
+  val q53Sql: String =
+    """WITH r AS (SELECT doc_id, source,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT), doc_id) AS BIGINT) AS rk,
+      |    COUNT(*) OVER (PARTITION BY source) AS n_source
+      |  FROM documents)
+      |SELECT doc_id, source, rk, n_source
+      |FROM r
+      |WHERE rk * 5 <= n_source
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_token_stats" -> (q26TokenStats _),
     "q27_quality_score" -> (q27QualityScore _),
     "q28_lang_id" -> (q28LangId _),
-    "q29_fingerprint" -> (q29Fingerprint _))
+    "q29_fingerprint" -> (q29Fingerprint _),
+    "q53_training_mix" -> (q53TrainingMix _))
 
   val oracleSql: Map[String, String] = Map(
     "q26_token_stats" -> q26Sql,
     "q27_quality_score" -> q27Sql,
     "q28_lang_id" -> q28Sql,
-    "q29_fingerprint" -> q29Sql)
+    "q29_fingerprint" -> q29Sql,
+    "q53_training_mix" -> q53Sql)
 }

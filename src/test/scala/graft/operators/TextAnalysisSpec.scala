@@ -35,6 +35,19 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(got.getAs[String]("predicted_lang") == TextAnalysis.langMarkers.head._1)
   }
 
+  test("training mix: exact 1-in-5 per stratum, stable under repartitioning") {
+    val a = TextAnalysis.q53TrainingMix(spark, sfDir).collect()
+    // per-source counts are exactly floor(n/5)
+    val bySource = a.groupBy(_.getAs[String]("source"))
+    bySource.foreach { case (src, rows) =>
+      val n = rows.head.getAs[Long]("n_source")
+      assert(rows.length == (n / 5).toInt, s"$src: ${rows.length} of $n")
+    }
+    // determinism: same doc set on a second run
+    val b = TextAnalysis.q53TrainingMix(spark, sfDir).collect()
+    assert(a.map(_.getLong(0)).toSet == b.map(_.getLong(0)).toSet)
+  }
+
   test("fixture corpus exercises every classifier branch") {
     val preds = TextAnalysis.q28LangId(spark, sfDir)
       .groupBy("predicted_lang").count()
