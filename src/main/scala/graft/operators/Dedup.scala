@@ -441,6 +441,59 @@ object Dedup {
        |WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.7
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** Benchmark decontamination — the train/eval overlap check every
+    * LLM-corpus pipeline runs before training (flag training documents
+    * that share n-grams with an evaluation/benchmark set). The eval set
+    * here is the deterministic fixture slice `doc_id % 20 == 0`; in a
+    * real deployment it is the benchmark corpus.
+    *
+    * Shape: inverted-index equi-join on the shingle — each (train, eval)
+    * doc pair is counted via the shingles it shares, NEVER an all-pairs
+    * scan. At 100 TB the eval index is tiny relative to the train corpus
+    * (benchmarks are MBs, corpora are TBs), so it is broadcast and the
+    * whole check is one map-side join + one aggregation by
+    * (train_id, eval_id); the train side streams. Reported pairs share
+    * >= 5 bigrams; `contaminated` flags overlap >= 50% of the train
+    * doc's shingle set (the fixture's true contamination sits at ~1.0,
+    * its noise floor at <= 0.45).
+    */
+  def q54Decontamination(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val gx = gxCheckpointed(spark, dir)
+    val train = gx.filter($"doc_id" % 20 =!= 0)
+    val ev = gx.filter($"doc_id" % 20 === 0)
+    val shared = train.as("t")
+      .join(broadcast(ev.as("e")), $"t.g" === $"e.g")
+      .groupBy($"t.doc_id".as("train_id"), $"e.doc_id".as("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= 5)
+    val sizes = gx.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+    shared
+      .join(broadcast(sizes.select($"doc_id".as("train_id"), $"n_grams")),
+        Seq("train_id"))
+      .withColumn("overlap_frac", $"n_shared".cast("double") / $"n_grams")
+      .withColumn("contaminated", $"overlap_frac" >= 0.5)
+      .select($"train_id", $"eval_id", $"n_shared", $"n_grams",
+        $"overlap_frac", $"contaminated")
+      .orderBy($"train_id", $"eval_id")
+  }
+
+  val q54Sql: String =
+    s"""WITH $gramsDuckCte,
+       |gx AS (SELECT doc_id, unnest(grams) AS g FROM grams),
+       |shared AS (SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+       |             CAST(COUNT(*) AS BIGINT) AS n_shared
+       |           FROM gx t JOIN gx e ON t.g = e.g
+       |            AND t.doc_id % 20 != 0 AND e.doc_id % 20 = 0
+       |           GROUP BY 1, 2
+       |           HAVING COUNT(*) >= 5),
+       |sizes AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams FROM grams)
+       |SELECT s.train_id, s.eval_id, s.n_shared, sz.n_grams,
+       |  CAST(s.n_shared AS DOUBLE) / sz.n_grams AS overlap_frac,
+       |  CAST(s.n_shared AS DOUBLE) / sz.n_grams >= 0.5 AS contaminated
+       |FROM shared s JOIN sizes sz ON sz.doc_id = s.train_id
+       |ORDER BY train_id, eval_id""".stripMargin
+
   /** Connected components over a near-dup pair list -> one row per
     * clustered doc: (doc_id, cluster_rep, cluster_size) — the KEEP-LIST
     * stage of corpus dedup (keep `cluster_rep`, drop the rest; near-dup
@@ -509,7 +562,8 @@ object Dedup {
     "q32_simhash" -> (q32Simhash _),
     "q33_ngram_jaccard" -> (q33NgramJaccard _),
     "q47_ngram_jaccard_inverted" -> (q47NgramJaccardInverted _),
-    "q51_dedup_clusters" -> (q51DedupClusters _))
+    "q51_dedup_clusters" -> (q51DedupClusters _),
+    "q54_decontamination" -> (q54Decontamination _))
 
   val oracleSql: Map[String, String] = Map(
     "q30_exact_dedup" -> q30Sql,
@@ -517,5 +571,6 @@ object Dedup {
     "q32_simhash" -> q32Sql,
     "q33_ngram_jaccard" -> q33Sql,
     "q47_ngram_jaccard_inverted" -> q47Sql,
-    "q51_dedup_clusters" -> q51Sql)
+    "q51_dedup_clusters" -> q51Sql,
+    "q54_decontamination" -> q54Sql)
 }

@@ -193,13 +193,62 @@ object Events {
       |FROM s
       |ORDER BY event_type""".stripMargin
 
+  /** Skew-salted join, declared and oracle-checked: events join a derived
+    * per-type dimension (count + exact decimal sum) through
+    * [[Joins.saltedJoin]] — 5 distinct event_type values over ~100k rows
+    * is exactly the "one hot key per executor" shape salting exists for.
+    * The salt is semantically invisible (the oracle is the plain join),
+    * which is the point: this query pins saltedJoin == join at the
+    * driver's hash gate, not just in a unit test.
+    *
+    * "Above average" is decided in exact decimal arithmetic
+    * (`value * n_type > sum_v` — no decimal division, whose precision
+    * rules differ between engines), and the reported sum routes through
+    * DECIMAL→STRING→DOUBLE per the oracle-parity discipline.
+    *
+    * Scale: the dim is tiny (one row per type) so Catalyst broadcasts
+    * the replicated side and the salt collapses to a broadcast-join
+    * no-op; when the right side exceeds the broadcast threshold the same
+    * plan becomes a shuffle join on (key, salt) with the hot key spread
+    * over saltFactor tasks — the behavior JoinsSpec pins.
+    */
+  def q57SaltedSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val dim = ev.groupBy($"event_type").agg(
+      count(lit(1)).as("n_type"),
+      sum(dec($"value")).as("sum_v"))
+    Joins.saltedJoin(ev, dim, "event_type", saltFactor = 8)
+      .filter(dec($"value") * $"n_type" > $"sum_v")
+      .groupBy($"event_type")
+      .agg(
+        first($"n_type").as("n_type"),
+        count(lit(1)).as("n_above"),
+        sum(dec($"value")).cast("string").cast("double").as("sum_above"))
+      .select($"event_type", $"n_type", $"n_above", $"sum_above")
+      .orderBy($"event_type")
+  }
+
+  val q57Sql: String =
+    """WITH d AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_type,
+      |    SUM(CAST(value AS DECIMAL(18,4))) AS sum_v
+      |  FROM events GROUP BY 1)
+      |SELECT e.event_type, d.n_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_above,
+      |  CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_above
+      |FROM events e JOIN d ON e.event_type = d.event_type
+      |WHERE CAST(e.value AS DECIMAL(18,4)) * d.n_type > d.sum_v
+      |GROUP BY 1, 2
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_json_extract" -> (q20JsonExtract _),
     "q21_hourly_windows" -> (q21HourlyWindows _),
     "q22_sliding_windows" -> (q22SlidingWindows _),
     "q23_sessionize" -> (q23Sessionize _),
     "q24_asof_join" -> (q24AsofJoin _),
-    "q25_event_stats" -> (q25EventStats _))
+    "q25_event_stats" -> (q25EventStats _),
+    "q57_salted_skew_join" -> (q57SaltedSkewJoin _))
 
   val oracleSql: Map[String, String] = Map(
     "q20_json_extract" -> q20Sql,
@@ -207,5 +256,6 @@ object Events {
     "q22_sliding_windows" -> q22Sql,
     "q23_sessionize" -> q23Sql,
     "q24_asof_join" -> q24Sql,
-    "q25_event_stats" -> q25Sql)
+    "q25_event_stats" -> q25Sql,
+    "q57_salted_skew_join" -> q57Sql)
 }

@@ -239,17 +239,110 @@ object TextAnalysis {
       |WHERE rk * 5 <= n_source
       |ORDER BY doc_id""".stripMargin
 
+  /** Sequence packing — assign documents to fixed-token-budget training
+    * sequences (context windows), the batching stage of an LLM data
+    * pipeline. Policy: within each stratum (source), documents are laid
+    * out in doc_id order and each doc joins the sequence its first token
+    * lands in (`seq_id = tokens_before DIV budget`) — the standard
+    * "pack contiguously, pad/truncate at sequence boundaries" layout,
+    * fully deterministic (a pure function of the data, stable under
+    * re-partitioning and retry).
+    *
+    * Shape: one window (running sum) per stratum — the shuffle is by
+    * the stratum key, and each stratum sorts independently, so at 100 TB
+    * parallelism is the number of strata (sources/languages/shards),
+    * exactly how packing shards in practice; there is no global sort.
+    * All arithmetic is integer (DIV/%), bit-identical across engines.
+    */
+  def q55SequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val budget = 512
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(spark, dir)
+      .select($"doc_id", $"source", size(toks).cast("long").as("n_tokens"))
+      .withColumn("cum_before", sum($"n_tokens").over(w) - $"n_tokens")
+      .withColumn("seq_id", expr(s"cum_before DIV $budget"))
+      .withColumn("seq_offset", $"cum_before" % budget)
+      .select($"doc_id", $"source", $"n_tokens", $"seq_id", $"seq_offset")
+      .orderBy($"doc_id")
+  }
+
+  val q55Sql: String =
+    """WITH t AS (SELECT doc_id, source,
+      |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (SELECT doc_id, source, n_tokens,
+      |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) - n_tokens AS BIGINT) AS cum_before
+      |  FROM t)
+      |SELECT doc_id, source, n_tokens,
+      |  cum_before // 512 AS seq_id,
+      |  cum_before % 512 AS seq_offset
+      |FROM c
+      |ORDER BY doc_id""".stripMargin
+
+  /** TF-IDF top terms per stratum — the corpus-profiling stage (which
+    * terms characterize each source/domain; the per-domain vocabulary
+    * report every corpus card carries). IDF is kept in INTEGER
+    * arithmetic (`tf * N * 1000 DIV df` — a scaled rational, monotone in
+    * tf/df exactly like tf*log(N/df) for ranking purposes) so ranking and
+    * hash comparison are bit-exact across engines; a float log-IDF would
+    * drift in the last ulp. (At extreme scale the product tf*N can
+    * approach 2^63 — swap in the double log form when tf*N*1000 may
+    * overflow; ranking tolerance is then the usual float caveat.)
+    *
+    * Shape: explode once, two partial-aggregated shuffles (term frequency
+    * by (source, token); document frequency by token), broadcast the
+    * (vocabulary-sized) df relation back, per-stratum top-k via
+    * WindowGroupLimit — no global sort, no all-pairs anything.
+    */
+  def q56TfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tx = docs(spark, dir)
+      .select($"doc_id", $"source", explode(toks).as("tok"))
+      .localCheckpoint() // tf, df and N all branch from the exploded relation
+    val tf = tx.groupBy($"source", $"tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tx.groupBy($"tok").agg(countDistinct($"doc_id").as("df"))
+    val n = tx.select($"doc_id").distinct().agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"source").orderBy($"score".desc, $"tok")
+    tf.join(broadcast(dfreq), Seq("tok"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", expr("(tf * n * 1000) DIV df"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 5)
+      .select($"source", $"tok", $"tf", $"df", $"score")
+      .orderBy($"source", $"score".desc, $"tok")
+  }
+
+  val q56Sql: String =
+    """WITH tx AS (SELECT doc_id, source, unnest(string_split(trim(text), ' ')) AS tok
+      |  FROM documents),
+      |tf AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tx GROUP BY 1, 2),
+      |df AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tx GROUP BY 1),
+      |n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM tx),
+      |s AS (SELECT tf.source, tf.tok, tf.tf, df.df, (tf.tf * n.n * 1000) // df.df AS score
+      |  FROM tf JOIN df USING (tok), n),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, tok) AS rk FROM s)
+      |SELECT source, tok, tf, df, score
+      |FROM r
+      |WHERE rk <= 5
+      |ORDER BY source, score DESC, tok""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_token_stats" -> (q26TokenStats _),
     "q27_quality_score" -> (q27QualityScore _),
     "q28_lang_id" -> (q28LangId _),
     "q29_fingerprint" -> (q29Fingerprint _),
-    "q53_training_mix" -> (q53TrainingMix _))
+    "q53_training_mix" -> (q53TrainingMix _),
+    "q55_sequence_packing" -> (q55SequencePacking _),
+    "q56_tfidf_top_terms" -> (q56TfidfTopTerms _))
 
   val oracleSql: Map[String, String] = Map(
     "q26_token_stats" -> q26Sql,
     "q27_quality_score" -> q27Sql,
     "q28_lang_id" -> q28Sql,
     "q29_fingerprint" -> q29Sql,
-    "q53_training_mix" -> q53Sql)
+    "q53_training_mix" -> q53Sql,
+    "q55_sequence_packing" -> q55Sql,
+    "q56_tfidf_top_terms" -> q56Sql)
 }

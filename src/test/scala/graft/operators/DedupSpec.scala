@@ -95,4 +95,16 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(inv == exact,
       s"missing=${exact.keySet -- inv.keySet} spurious=${inv.keySet -- exact.keySet}")
   }
+
+  test("decontamination flags train docs overlapping the eval slice") {
+    // eval slice = doc_id % 20 == 0, i.e. doc 0. Doc 1 is its exact copy
+    // (overlap 1.0), doc 2 a one-word edit (37/39 bigrams), doc 3 unrelated.
+    val r = Dedup.q54Decontamination(spark, dir).collect()
+    val byTrain = r.map(x => x.getAs[Long]("train_id") -> x).toMap
+    assert(byTrain(1L).getAs[Double]("overlap_frac") == 1.0)
+    assert(byTrain(1L).getAs[Boolean]("contaminated"))
+    assert(byTrain(2L).getAs[Boolean]("contaminated"))
+    assert(byTrain(2L).getAs[Long]("eval_id") == 0L)
+    assert(!byTrain.contains(3L), "unrelated doc shares no bigrams with eval")
+  }
 }

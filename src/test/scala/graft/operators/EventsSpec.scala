@@ -53,4 +53,23 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     assert(r("click") == 5L + 7)
     assert(r("purchase") == 6L)
   }
+
+  test("salted skew join equals the unsalted plan on real events") {
+    import org.apache.spark.sql.functions._
+    import OpUtils.dec
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val dim = ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_type"), sum(dec($"value")).as("sum_v"))
+    val plain = ev.join(dim, Seq("event_type"))
+      .filter(dec($"value") * $"n_type" > $"sum_v")
+      .groupBy($"event_type")
+      .agg(first($"n_type").as("n_type"), count(lit(1)).as("n_above"),
+        sum(dec($"value")).cast("string").cast("double").as("sum_above"))
+      .orderBy($"event_type")
+      .collect().map(_.toSeq).toSeq
+    val salted = Events.q57SaltedSkewJoin(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(salted.nonEmpty)
+    assert(salted == plain)
+  }
 }

@@ -55,4 +55,34 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(preds.keySet == TextAnalysis.langMarkers.map(_._1).toSet,
       s"expected all branches live, got $preds")
   }
+
+  test("sequence packing lays docs contiguously within per-source budgets") {
+    val rows = TextAnalysis.q55SequencePacking(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      // replay the layout serially: each doc starts where the previous
+      // one in doc_id order ended, sequences are cum/512
+      var cum = 0L
+      rs.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+        assert(r.getAs[Long]("seq_id") == cum / 512, s"$src seq_id")
+        assert(r.getAs[Long]("seq_offset") == cum % 512, s"$src seq_offset")
+        cum += r.getAs[Long]("n_tokens")
+      }
+    }
+  }
+
+  test("tfidf top terms: exactly 5 per stratum, scores consistent") {
+    val rows = TextAnalysis.q56TfidfTopTerms(spark, sfDir).collect()
+    val n = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      assert(rs.length == 5, s"$src: ${rs.length}")
+      // descending score within stratum (output is ordered source, score desc)
+      val scores = rs.map(_.getAs[Long]("score")).toSeq
+      assert(scores == scores.sorted.reverse, s"$src not rank-ordered")
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("score") ==
+        r.getAs[Long]("tf") * n * 1000L / r.getAs[Long]("df"))
+    }
+  }
 }
