@@ -139,10 +139,14 @@ object Dedup {
     import spark.implicits._
     gx.join(broadcast(gramDict(spark, gx)), Seq("g"))
       .groupBy($"doc_id")
-      .agg(sort_array(collect_list($"h")).as("harr"), count(lit(1)).as("n"))
-      // the aggregation output is small so AQE would coalesce it to one
-      // partition — but the pair-compare kernel downstream needs all cores
+      .agg(collect_list($"h").as("hl"), count(lit(1)).as("n"))
+      // repartition BEFORE the per-doc array_sort: the aggregation output
+      // is small so AQE coalesces it to a handful of tasks, and computing
+      // the sort inside the agg's result projection would serialize the
+      // heavy array work there; an explicit-N exchange first spreads it
+      // (and the downstream pair-compare kernel) across all cores
       .repartition(spark.sparkContext.defaultParallelism)
+      .select($"doc_id", array_sort($"hl").as("harr"), $"n")
   }
 
   /** Exact dedup: normalize → md5 → keep the smallest doc_id per
@@ -208,7 +212,10 @@ object Dedup {
       .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"))
       .distinct()
     val docs = hx.groupBy($"doc_id")
-      .agg(sort_array(collect_list($"h")).as("harr"), count(lit(1)).as("n"))
+      .agg(collect_list($"h").as("hl"), count(lit(1)).as("n"))
+      // spread the per-doc array_sort across cores (see hashedDocsFrom)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select($"doc_id", array_sort($"hl").as("harr"), $"n")
     val da = docs.select($"doc_id".as("a_id"), $"harr".as("ha"), $"n".as("na"))
     val db = docs.select($"doc_id".as("b_id"), $"harr".as("hb"), $"n".as("nb"))
     cand
@@ -398,17 +405,29 @@ object Dedup {
     val dfreq = hx.groupBy($"h").agg(count(lit(1)).as("df"))
     val docs = hx.join(broadcast(dfreq), Seq("h"))
       .groupBy($"doc_id")
-      .agg(sort_array(collect_list($"h")).as("harr"),
-        count(lit(1)).as("n"),
-        array_sort(collect_list(struct($"df", $"h"))).as("by_rarity"))
+      .agg(collect_list(struct($"df", $"h")).as("pairs"),
+        count(lit(1)).as("n"))
+      // spread the per-doc sorts across cores (see hashedDocsFrom)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select($"doc_id",
+        array_sort(expr("transform(pairs, p -> p.h)")).as("harr"),
+        $"n",
+        array_sort($"pairs").as("by_rarity"))
       .withColumn("plen",
         ($"n" - floor(lit(minJaccard) * $"n") + 1).cast("int"))
       .localCheckpoint()
     val prefixes = docs
-      .select($"doc_id", explode(expr("slice(by_rarity, 1, plen)")).as("p"))
-      .select($"doc_id", $"p.h".as("ph"))
+      .select($"doc_id", $"n", explode(expr("slice(by_rarity, 1, plen)")).as("p"))
+      .select($"doc_id", $"n", $"p.h".as("ph"))
+    // Length filter (SSJoin): J(A,B) >= t forces min(|A|,|B|) >= t*max —
+    // i <= min and i >= t(na+nb-i) give min(1+t) >= t(na+nb) >= t(min+max).
+    // The -1 slack makes the FP comparison conservative (lossless even if
+    // t*max rounds up an ulp); still prunes most size-mismatched pairs
+    // before the distinct.
     val cand = prefixes.as("x").join(prefixes.as("y"),
-        $"x.ph" === $"y.ph" && $"x.doc_id" < $"y.doc_id")
+        $"x.ph" === $"y.ph" && $"x.doc_id" < $"y.doc_id" &&
+          least($"x.n", $"y.n").cast("double") >=
+            lit(minJaccard) * greatest($"x.n", $"y.n").cast("double") - 1.0)
       .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"))
       .distinct()
     val da = docs.select($"doc_id".as("a_id"), $"harr".as("ha"), $"n".as("na"))
