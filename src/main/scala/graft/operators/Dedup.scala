@@ -513,6 +513,82 @@ object Dedup {
        |FROM shared s JOIN sizes sz ON sz.doc_id = s.train_id
        |ORDER BY train_id, eval_id""".stripMargin
 
+  /** Incremental corpus update — the idempotent-load shape the reference
+    * hand-rolls with table-exists probes
+    * (`citibike_project/etl/ingest_data.py:251-262`), done corpus-scale:
+    * a batch of incoming documents (fixture slice `doc_id % 10 == 0`) is
+    * admitted only if it is neither an EXACT duplicate nor a NEAR
+    * duplicate (bigram Jaccard >= 0.7) of the existing corpus (the other
+    * 90%).
+    *
+    * Exact stage: a Bloom filter built over the existing fingerprints
+    * (`DataFrameStatFunctions.bloomFilter` — the distributed
+    * BloomFilterAggregate under Spark's public API) is broadcast and
+    * probed map-side; incoming docs the filter rejects are DEFINITELY
+    * new (no false negatives) and skip the join entirely, while
+    * `mightContain` survivors are confirmed with an exact anti-join —
+    * lossless by construction, and at 100 TB the anti-join input shrinks
+    * from the whole batch to the tiny maybe set. The probe is the one
+    * justified UDF in this module: `might_contain` has no registered SQL
+    * surface in Spark 4.1 and its Catalyst form only accepts
+    * foldable/subquery bloom inputs. The filter here is deliberately
+    * undersized (2048 bits) so false positives actually occur at test
+    * scale and the confirm path stays exercised.
+    *
+    * Near-dup stage: the prefix-filtered inverted-index pair list (the
+    * q47 machinery, same threshold), restricted to cross-slice pairs —
+    * an incoming doc near-dup of another INCOMING doc is kept here
+    * (in-batch dedup is q51's clustering policy, a separate step).
+    */
+  def q59IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("fp", md5(lower(trim(regexp_replace($"text", "\\s+", " ")))))
+      .select($"doc_id", $"fp")
+      .localCheckpoint() // existing/incoming/bloom all branch here
+    val existing = base.filter($"doc_id" % 10 =!= 0)
+    val incoming = base.filter($"doc_id" % 10 === 0)
+    val bloom = existing.stat.bloomFilter("fp", 450L, 2048L)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val maybeContain = udf((fp: String) => bloomB.value.mightContainString(fp))
+    val flagged = incoming
+      .withColumn("maybe", maybeContain($"fp"))
+      .select($"doc_id", $"fp", $"maybe")
+    val definiteNew = flagged.filter(!$"maybe").select($"doc_id", $"fp")
+    val confirmedNew = flagged.filter($"maybe").select($"doc_id", $"fp")
+      .join(existing.select($"fp"), Seq("fp"), "left_anti")
+      .select($"doc_id", $"fp")
+    val exactNew = definiteNew.union(confirmedNew)
+    val dupIncoming = ngramJaccardInverted(spark, dir, 0.7)
+      .filter(($"a_id" % 10 === 0) =!= ($"b_id" % 10 === 0))
+      .select(when($"a_id" % 10 === 0, $"a_id").otherwise($"b_id").as("doc_id"))
+      .distinct()
+    exactNew.join(dupIncoming, Seq("doc_id"), "left_anti")
+      .orderBy($"doc_id")
+  }
+
+  val q59Sql: String =
+    s"""WITH $gramsDuckCte,
+       |fps AS (SELECT doc_id,
+       |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+       |  FROM documents),
+       |ver AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |          CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS i,
+       |          CAST(len(a.grams) AS BIGINT) AS na, CAST(len(b.grams) AS BIGINT) AS nb
+       |        FROM grams a JOIN grams b ON a.doc_id < b.doc_id),
+       |pairs AS (SELECT a_id, b_id FROM ver
+       |          WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.7),
+       |dup AS (SELECT DISTINCT CASE WHEN a_id % 10 = 0 THEN a_id ELSE b_id END AS doc_id
+       |        FROM pairs WHERE (a_id % 10 = 0) != (b_id % 10 = 0))
+       |SELECT i.doc_id, i.fp
+       |FROM fps i
+       |WHERE i.doc_id % 10 = 0
+       |  AND NOT EXISTS (SELECT 1 FROM fps e
+       |                  WHERE e.doc_id % 10 != 0 AND e.fp = i.fp)
+       |  AND NOT EXISTS (SELECT 1 FROM dup d WHERE d.doc_id = i.doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   /** Connected components over a near-dup pair list -> one row per
     * clustered doc: (doc_id, cluster_rep, cluster_size) — the KEEP-LIST
     * stage of corpus dedup (keep `cluster_rep`, drop the rest; near-dup
@@ -582,7 +658,8 @@ object Dedup {
     "q33_ngram_jaccard" -> (q33NgramJaccard _),
     "q47_ngram_jaccard_inverted" -> (q47NgramJaccardInverted _),
     "q51_dedup_clusters" -> (q51DedupClusters _),
-    "q54_decontamination" -> (q54Decontamination _))
+    "q54_decontamination" -> (q54Decontamination _),
+    "q59_incremental_dedup" -> (q59IncrementalDedup _))
 
   val oracleSql: Map[String, String] = Map(
     "q30_exact_dedup" -> q30Sql,
@@ -591,5 +668,6 @@ object Dedup {
     "q33_ngram_jaccard" -> q33Sql,
     "q47_ngram_jaccard_inverted" -> q47Sql,
     "q51_dedup_clusters" -> q51Sql,
-    "q54_decontamination" -> q54Sql)
+    "q54_decontamination" -> q54Sql,
+    "q59_incremental_dedup" -> q59Sql)
 }

@@ -241,7 +241,44 @@ object Events {
       |GROUP BY 1, 2
       |ORDER BY 1""".stripMargin
 
+  /** PII pseudonymization / redaction — the release-preparation pass a
+    * corpus pipeline runs before events data leaves the trust boundary:
+    * stable keyed pseudonyms for user identifiers (salted md5, so joins
+    * on `pseudo_uid` still work but the raw id is gone; the salt is a
+    * literal here, a secret in deployment), value generalization to
+    * decade buckets (k-anonymity-style coarsening), and digit-run
+    * redaction inside the free-form JSON props (with a count of redacted
+    * spans for audit). Pure map — codegen'd hash/regexp expressions, no
+    * UDFs, no shuffle at any scale except the declared output ordering.
+    */
+  def q60Pseudonymize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(
+        $"event_id",
+        substring(md5(concat(lit("uid:"), $"user_id".cast("string"))), 1, 16)
+          .as("pseudo_uid"),
+        $"event_type",
+        (floor($"value" / 10) * 10).cast("long").as("value_bucket"),
+        regexp_replace($"props", "[0-9]+", "#").as("props_redacted"),
+        size(regexp_extract_all($"props", lit("[0-9]+"), lit(0)))
+          .cast("long").as("n_redacted"))
+      .orderBy($"event_id")
+  }
+
+  val q60Sql: String =
+    """SELECT event_id,
+      |  substr(md5('uid:' || CAST(user_id AS VARCHAR)), 1, 16) AS pseudo_uid,
+      |  event_type,
+      |  CAST(floor(value / 10) * 10 AS BIGINT) AS value_bucket,
+      |  regexp_replace(props, '[0-9]+', '#', 'g') AS props_redacted,
+      |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_redacted
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_pseudonymize" -> (q60Pseudonymize _),
     "q20_json_extract" -> (q20JsonExtract _),
     "q21_hourly_windows" -> (q21HourlyWindows _),
     "q22_sliding_windows" -> (q22SlidingWindows _),
@@ -251,6 +288,7 @@ object Events {
     "q57_salted_skew_join" -> (q57SaltedSkewJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q60_pseudonymize" -> q60Sql,
     "q20_json_extract" -> q20Sql,
     "q21_hourly_windows" -> q21Sql,
     "q22_sliding_windows" -> q22Sql,

@@ -328,7 +328,155 @@ object TextAnalysis {
       |WHERE rk <= 5
       |ORDER BY source, score DESC, tok""".stripMargin
 
+  /** Within-document repetition metrics (Gopher-style quality rules:
+    * repetitious documents are low-quality training data). Three signals:
+    * most-frequent-token share, duplicate-trigram fraction, and the
+    * Simpson repetition index sum c·(c-1) / n·(n-1) — the probability two
+    * randomly drawn tokens are equal (integer-exact until the final
+    * division, so the hash gate is bit-stable).
+    *
+    * Shape: the token-frequency metrics are one explode + partial-
+    * aggregated shuffle by (doc_id, token) then by doc_id; the trigram
+    * metrics are pure map-side array expressions. At 100 TB the shuffle
+    * carries (doc_id, token, count) — vocabulary-sized per doc, the same
+    * workhorse shape as word count; no per-doc quadratic work.
+    */
+  def q58RepetitionMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val uni = docs(spark, dir)
+      .select($"doc_id", explode(toks).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_tokens"), max($"c").as("top_token_n"),
+        sum($"c" * ($"c" - 1)).as("coll"))
+    val tri = docs(spark, dir)
+      .withColumn("toks", toks)
+      .withColumn("tg", expr(
+        """CASE WHEN size(toks) < 3 THEN CAST(array() AS ARRAY<STRING>)
+          |ELSE transform(sequence(0, size(toks)-3),
+          |  i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) END""".stripMargin))
+      .select($"doc_id", size($"tg").cast("long").as("n_tri"),
+        size(array_distinct($"tg")).cast("long").as("n_tri_d"))
+    uni.join(tri, Seq("doc_id"))
+      .select(
+        $"doc_id", $"n_tokens", $"top_token_n",
+        ($"top_token_n".cast("double") / $"n_tokens").as("top_token_frac"),
+        when($"n_tri" > 0, lit(1.0) - $"n_tri_d".cast("double") / $"n_tri")
+          .otherwise(0.0).as("dup_trigram_frac"),
+        when($"n_tokens" > 1,
+          $"coll".cast("double") / ($"n_tokens" * ($"n_tokens" - 1)))
+          .otherwise(0.0).as("simpson_rep"))
+      .orderBy($"doc_id")
+  }
+
+  val q58Sql: String =
+    """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+      |u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+      |uc AS (SELECT doc_id, tok, COUNT(*) AS c FROM u GROUP BY 1, 2),
+      |uni AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |          CAST(MAX(c) AS BIGINT) AS top_token_n,
+      |          CAST(SUM(c*(c-1)) AS BIGINT) AS coll
+      |        FROM uc GROUP BY 1),
+      |tri AS (SELECT doc_id,
+      |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+      |    ELSE [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks)-1)]
+      |    END AS tg
+      |  FROM t),
+      |tr AS (SELECT doc_id, CAST(len(tg) AS BIGINT) AS n_tri,
+      |         CAST(len(list_distinct(tg)) AS BIGINT) AS n_tri_d FROM tri)
+      |SELECT u.doc_id, n_tokens, top_token_n,
+      |  CAST(top_token_n AS DOUBLE) / n_tokens AS top_token_frac,
+      |  CASE WHEN n_tri > 0 THEN 1.0 - CAST(n_tri_d AS DOUBLE) / n_tri
+      |       ELSE 0.0 END AS dup_trigram_frac,
+      |  CASE WHEN n_tokens > 1 THEN CAST(coll AS DOUBLE) / (n_tokens * (n_tokens - 1))
+      |       ELSE 0.0 END AS simpson_rep
+      |FROM uni u JOIN tr ON tr.doc_id = u.doc_id
+      |ORDER BY u.doc_id""".stripMargin
+
+  /** Quality-filter funnel — per-source retention through the cumulative
+    * cheap-filter cascade every pretraining corpus applies (length gate,
+    * then stopword-density gate, then short-token gate). One conditional
+    * aggregation pass: the per-doc metrics are map-side column
+    * expressions, the funnel is SUM(CASE) by source — one shuffle by the
+    * stratum key regardless of corpus size.
+    */
+  def q61QualityFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = docs(spark, dir)
+      .withColumn("toks", toks)
+      .withColumn("n_tokens", size($"toks").cast("long"))
+      .withColumn("stop_ratio", expr(
+        "size(filter(toks, t -> t IN ('the','a','of','to','in','and','is','on','for','with')))")
+        .cast("double") / $"n_tokens")
+      .withColumn("short_ratio",
+        expr("size(filter(toks, t -> length(t) < 4))").cast("double") / $"n_tokens")
+    val p1 = $"n_tokens" >= 30
+    val p2 = p1 && $"stop_ratio" <= 0.12
+    val p3 = p2 && $"short_ratio" <= 0.25
+    m.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(p1, 1L).otherwise(0L)).as("pass_len"),
+        sum(when(p2, 1L).otherwise(0L)).as("pass_stopword"),
+        sum(when(p3, 1L).otherwise(0L)).as("pass_shorttok"))
+      .withColumn("retention", $"pass_shorttok".cast("double") / $"n_docs")
+      .orderBy($"source")
+  }
+
+  val q61Sql: String =
+    """WITH t AS (SELECT doc_id, source, string_split(trim(text), ' ') AS toks FROM documents),
+      |m AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_filter(toks, t -> t IN ('the','a','of','to','in','and','is','on','for','with'))) AS DOUBLE) / len(toks) AS stop_ratio,
+      |    CAST(len(list_filter(toks, t -> length(t) < 4)) AS DOUBLE) / len(toks) AS short_ratio
+      |  FROM t)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN n_tokens >= 30 THEN 1 ELSE 0 END) AS BIGINT) AS pass_len,
+      |  CAST(SUM(CASE WHEN n_tokens >= 30 AND stop_ratio <= 0.12 THEN 1 ELSE 0 END) AS BIGINT) AS pass_stopword,
+      |  CAST(SUM(CASE WHEN n_tokens >= 30 AND stop_ratio <= 0.12 AND short_ratio <= 0.25 THEN 1 ELSE 0 END) AS BIGINT) AS pass_shorttok,
+      |  CAST(SUM(CASE WHEN n_tokens >= 30 AND stop_ratio <= 0.12 AND short_ratio <= 0.25 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS retention
+      |FROM m
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  /** Sliding-window document chunking — split each document into
+    * 128-token context windows with stride 64 (the RAG / long-context
+    * preprocessing step). Pure map + generate: starts are
+    * sequence(0, n-1, 64), each chunk carries its token span and an
+    * md5 chunk fingerprint; no shuffle at any scale except the final
+    * declared ordering.
+    */
+  def q62ChunkDocs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val chunkLen = 128
+    val stride = 64
+    docs(spark, dir)
+      .withColumn("toks", toks)
+      .withColumn("n_tokens", size($"toks").cast("long"))
+      .withColumn("start",
+        explode(expr(s"sequence(0, CAST(n_tokens - 1 AS INT), $stride)")))
+      .withColumn("chunk", expr(s"slice(toks, start + 1, $chunkLen)"))
+      .select($"doc_id",
+        ($"start" / stride).cast("long").as("chunk_id"),
+        $"start".cast("long").as("start"),
+        size($"chunk").cast("long").as("chunk_len"),
+        md5(concat_ws(" ", $"chunk")).as("chunk_fp"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  val q62Sql: String =
+    """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+      |s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 64)) AS start FROM t),
+      |c AS (SELECT doc_id, start, list_slice(toks, start + 1, start + 128) AS chunk FROM s)
+      |SELECT doc_id, CAST(start // 64 AS BIGINT) AS chunk_id,
+      |  CAST(start AS BIGINT) AS start,
+      |  CAST(len(chunk) AS BIGINT) AS chunk_len,
+      |  md5(array_to_string(chunk, ' ')) AS chunk_fp
+      |FROM c
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_repetition_metrics" -> (q58RepetitionMetrics _),
+    "q61_quality_funnel" -> (q61QualityFunnel _),
+    "q62_chunk_docs" -> (q62ChunkDocs _),
     "q26_token_stats" -> (q26TokenStats _),
     "q27_quality_score" -> (q27QualityScore _),
     "q28_lang_id" -> (q28LangId _),
@@ -338,6 +486,9 @@ object TextAnalysis {
     "q56_tfidf_top_terms" -> (q56TfidfTopTerms _))
 
   val oracleSql: Map[String, String] = Map(
+    "q58_repetition_metrics" -> q58Sql,
+    "q61_quality_funnel" -> q61Sql,
+    "q62_chunk_docs" -> q62Sql,
     "q26_token_stats" -> q26Sql,
     "q27_quality_score" -> q27Sql,
     "q28_lang_id" -> q28Sql,

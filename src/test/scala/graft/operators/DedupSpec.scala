@@ -65,6 +65,27 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(a == b)
   }
 
+  test("incremental dedup keeps only genuinely-new incoming docs") {
+    val d = Files.createTempDirectory("graft_incr").toString
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val near = (1 to 40).map(i => if (i == 7) "changed" else s"word$i").mkString(" ")
+    val novel = (1 to 40).map(i => s"new$i").mkString(" ")
+    val novel2 = (1 to 40).map(i => if (i == 3) "swap" else s"new$i").mkString(" ")
+    def row(id: Long, t: String) = (id, t, "en", s"src$id", t.length.toLong)
+    // existing (id % 10 != 0): 1=base, 2=unrelated; incoming (id % 10 == 0):
+    // 10=exact dup of 1, 20=near dup of 1, 30+40=novel near-dup PAIR (both
+    // kept: in-batch near-dups are q51's clustering concern, not q59's)
+    val docs = Seq(
+      row(1L, base),
+      row(2L, (1 to 40).map(i => s"zz${i * 3}").mkString(" ")),
+      row(10L, base), row(20L, near), row(30L, novel), row(40L, novel2))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val kept = Dedup.q59IncrementalDedup(spark, d)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(kept == Seq(30L, 40L))
+  }
+
   test("dedupClusters: transitive closure with min rep and sizes") {
     import spark.implicits._
     // chain 0-1-2 (transitivity must merge), separate pair 5-6, singleton 9 absent

@@ -54,6 +54,23 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     assert(r("purchase") == 6L)
   }
 
+  test("pseudonymize: stable keyed pseudonyms, digit redaction, decade buckets") {
+    val r = Events.q60Pseudonymize(spark, dir).collect()
+    val byId = r.map(x => x.getAs[Long]("event_id") -> x).toMap
+    // same user -> same pseudonym; different users -> different
+    val u1 = Seq(0L, 1L, 2L, 3L).map(byId(_).getAs[String]("pseudo_uid")).toSet
+    val u2 = Seq(4L, 5L, 6L).map(byId(_).getAs[String]("pseudo_uid")).toSet
+    assert(u1.size == 1 && u2.size == 1 && u1 != u2)
+    // raw user_id never appears; pseudonym is 16 hex chars
+    assert(u1.head.matches("[0-9a-f]{16}"))
+    // digit runs in props are redacted and counted
+    assert(byId(0L).getAs[String]("props_redacted") == """{"k": #}""")
+    assert(r.forall(_.getAs[Long]("n_redacted") == 1L))
+    // decade bucketing
+    assert(byId(0L).getAs[Long]("value_bucket") == 0L)  // 1.0 -> 0
+    assert(byId(5L).getAs[Long]("value_bucket") == 0L)  // 2.0 -> 0
+  }
+
   test("salted skew join equals the unsalted plan on real events") {
     import org.apache.spark.sql.functions._
     import OpUtils.dec

@@ -71,6 +71,63 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("repetition metrics: exact values on planted docs") {
+    val d = Files.createTempDirectory("graft_rep").toString
+    // doc 0: "a a a b" -> top_token 3/4, simpson (3*2)/(4*3)=0.5,
+    //   trigrams [a a a, a a b] distinct -> dup frac 0
+    // doc 1: "a a a a a" -> trigrams [aaa x3] -> dup frac 2/3, simpson 1
+    // doc 2: all distinct -> everything minimal
+    val docs = Seq(
+      (0L, "a a a b", "en", "s", 7L),
+      (1L, "a a a a a", "en", "s", 9L),
+      (2L, "u v w x y z", "en", "s", 11L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val r = TextAnalysis.q58RepetitionMetrics(spark, d)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(0L).getAs[Long]("top_token_n") == 3L)
+    assert(r(0L).getAs[Double]("top_token_frac") == 0.75)
+    assert(r(0L).getAs[Double]("simpson_rep") == 0.5)
+    assert(r(0L).getAs[Double]("dup_trigram_frac") == 0.0)
+    assert(r(1L).getAs[Double]("simpson_rep") == 1.0)
+    assert(math.abs(r(1L).getAs[Double]("dup_trigram_frac") - 2.0 / 3) < 1e-15)
+    assert(r(2L).getAs[Double]("top_token_frac") == 1.0 / 6)
+    assert(r(2L).getAs[Double]("simpson_rep") == 0.0)
+  }
+
+  test("quality funnel: stages are cumulative and retention consistent") {
+    val r = TextAnalysis.q61QualityFunnel(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      val (n, p1, p2, p3) = (x.getAs[Long]("n_docs"), x.getAs[Long]("pass_len"),
+        x.getAs[Long]("pass_stopword"), x.getAs[Long]("pass_shorttok"))
+      assert(n >= p1 && p1 >= p2 && p2 >= p3 && p3 >= 0)
+      assert(x.getAs[Double]("retention") == p3.toDouble / n)
+    }
+    // the cascade actually filters something at this SF
+    assert(r.map(_.getAs[Long]("n_docs")).sum >
+      r.map(_.getAs[Long]("pass_shorttok")).sum)
+  }
+
+  test("chunking: stride-64 windows of 128 tokens cover each doc exactly") {
+    val d = Files.createTempDirectory("graft_chunk").toString
+    val t200 = (1 to 200).map(i => s"t$i").mkString(" ")
+    val t5 = (1 to 5).map(i => s"s$i").mkString(" ")
+    Seq((0L, t200, "en", "s", 0L), (1L, t5, "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val r = TextAnalysis.q62ChunkDocs(spark, d).collect()
+    val c0 = r.filter(_.getAs[Long]("doc_id") == 0L)
+      .map(x => (x.getAs[Long]("chunk_id"), x.getAs[Long]("start"), x.getAs[Long]("chunk_len")))
+    // 200 tokens: starts 0,64,128,192 with lens 128,128,72,8
+    assert(c0.toSeq == Seq((0L, 0L, 128L), (1L, 64L, 128L), (2L, 128L, 72L), (3L, 192L, 8L)))
+    val c1 = r.filter(_.getAs[Long]("doc_id") == 1L)
+      .map(x => (x.getAs[Long]("chunk_id"), x.getAs[Long]("chunk_len")))
+    assert(c1.toSeq == Seq((0L, 5L)))
+    // every chunk fp is a real md5
+    assert(r.forall(_.getAs[String]("chunk_fp").matches("[0-9a-f]{32}")))
+  }
+
   test("tfidf top terms: exactly 5 per stratum, scores consistent") {
     val rows = TextAnalysis.q56TfidfTopTerms(spark, sfDir).collect()
     val n = spark.read.parquet(s"$sfDir/documents.parquet").count()
