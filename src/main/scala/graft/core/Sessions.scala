@@ -42,6 +42,13 @@ object Sessions {
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // AQE's coalesce target is max(bytes/parallelism, minPartitionSize);
+      // the 1 MB default floor collapses small-but-CPU-dense shuffles
+      // (decimal aggs, array kernels) to 3-5 tasks on this harness. A
+      // 64 KB floor lets parallelismFirst actually use the cores; at real
+      // scale partitions are orders of magnitude above either floor, so
+      // the setting only changes behavior where coalescing was hurting.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS), which the vectorized
