@@ -635,23 +635,97 @@ object Dedup {
   def q51DedupClusters(spark: SparkSession, dir: String): DataFrame =
     dedupClusters(q31MinhashLsh(spark, dir).select("a_id", "b_id"))
 
+  /** Connected-components CTE chain over `pairs` ending in `comp`
+    * (doc_id, cluster_rep) — shared by the q51 and q63 oracles.
+    */
+  private val clusterCtes: String =
+    """verts AS (SELECT DISTINCT v FROM
+      |  (SELECT a_id AS v FROM pairs UNION ALL SELECT b_id FROM pairs)),
+      |edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+      |          UNION ALL SELECT b_id, a_id FROM pairs),
+      |reach AS (SELECT v, v AS u FROM verts
+      |          UNION
+      |          SELECT r.v, e.d FROM reach r JOIN edges e ON r.u = e.s),
+      |comp AS (SELECT v AS doc_id, MIN(u) AS cluster_rep FROM reach GROUP BY v)""".stripMargin
+
   val q51Sql: String =
     s"""WITH RECURSIVE $q31CoreCtes,
-       |verts AS (SELECT DISTINCT v FROM
-       |  (SELECT a_id AS v FROM pairs UNION ALL SELECT b_id FROM pairs)),
-       |edges AS (SELECT a_id AS s, b_id AS d FROM pairs
-       |          UNION ALL SELECT b_id, a_id FROM pairs),
-       |reach AS (SELECT v, v AS u FROM verts
-       |          UNION
-       |          SELECT r.v, e.d FROM reach r JOIN edges e ON r.u = e.s),
-       |comp AS (SELECT v AS doc_id, MIN(u) AS cluster_rep FROM reach GROUP BY v)
+       |$clusterCtes
        |SELECT c.doc_id, c.cluster_rep, sz.n AS cluster_size
        |FROM comp c
        |JOIN (SELECT cluster_rep AS r, CAST(COUNT(*) AS BIGINT) AS n
        |      FROM comp GROUP BY 1) sz ON sz.r = c.cluster_rep
        |ORDER BY doc_id""".stripMargin
 
+  /** Training-corpus manifest — the end-to-end composition every other
+    * dedup/quality operator exists to serve: starting from the train
+    * slice (`doc_id % 20 != 0`; the eval slice is the benchmark set),
+    * drop near-duplicate non-representatives (q31 pairs -> q51 connected
+    * components, keep only each cluster's rep), drop contaminated docs
+    * (q54 semantics: >= 5 shared shingles AND >= 50% overlap with any
+    * eval doc), gate on length (>= 30 tokens), then lay the survivors
+    * into 512-token training sequences per source (q55 packing). The
+    * output is the manifest a trainer consumes: one row per admitted
+    * doc with its quality score and packed sequence id.
+    *
+    * Every stage reuses the declared operator's own plan (and the oracle
+    * reuses the same CTE chains), so the composition is exactly as
+    * scale-shaped as its parts: banded candidate joins, broadcast eval
+    * index, per-stratum windows — no new shuffle shapes are introduced.
+    */
+  def q63TrainingManifest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val clusters = dedupClusters(q31MinhashLsh(spark, dir).select("a_id", "b_id"))
+    val nearDrop = clusters.filter($"doc_id" =!= $"cluster_rep").select($"doc_id")
+    val cont = q54Decontamination(spark, dir)
+      .filter($"contaminated").select($"train_id".as("doc_id")).distinct()
+    val src = Tables.documents(spark, dir).select($"doc_id", $"source")
+    val kept = TextAnalysis.q27QualityScore(spark, dir)
+      .select($"doc_id", $"n_tokens", $"quality")
+      .join(src, Seq("doc_id"))
+      .filter($"doc_id" % 20 =!= 0 && $"n_tokens" >= 30)
+      .join(nearDrop, Seq("doc_id"), "left_anti")
+      .join(cont, Seq("doc_id"), "left_anti")
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    kept
+      .withColumn("cum_before", sum($"n_tokens").over(w) - $"n_tokens")
+      .withColumn("seq_id", expr("cum_before DIV 512"))
+      .select($"doc_id", $"source", $"n_tokens", $"quality", $"seq_id")
+      .orderBy($"doc_id")
+  }
+
+  val q63Sql: String =
+    s"""WITH RECURSIVE $q31CoreCtes,
+       |$clusterCtes,
+       |neardrop AS (SELECT doc_id FROM comp WHERE doc_id != cluster_rep),
+       |shared AS (SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+       |             CAST(COUNT(*) AS BIGINT) AS n_shared
+       |           FROM gx t JOIN gx e ON t.g = e.g
+       |            AND t.doc_id % 20 != 0 AND e.doc_id % 20 = 0
+       |           GROUP BY 1, 2
+       |           HAVING COUNT(*) >= 5),
+       |gsizes AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams FROM grams),
+       |cont AS (SELECT DISTINCT s.train_id AS doc_id
+       |         FROM shared s JOIN gsizes sz ON sz.doc_id = s.train_id
+       |         WHERE CAST(s.n_shared AS DOUBLE) / sz.n_grams >= 0.5),
+       |met AS (SELECT d.doc_id, d.source, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       |          1.0 - ((CAST(len(list_filter(t.toks, x -> length(x) < 4)) AS DOUBLE) / len(t.toks)) * 0.5
+       |               + (CAST(LENGTH(d.text) - LENGTH(regexp_replace(d.text, '[0-9]', '', 'g')) AS DOUBLE) / LENGTH(d.text)) * 0.3
+       |               + (CAST(len(list_filter(t.toks, x -> x IN ('the','a','of','to','in','and','is','on','for','with'))) AS DOUBLE) / len(t.toks)) * 0.2) AS quality
+       |        FROM documents d JOIN toks t ON t.doc_id = d.doc_id),
+       |kept AS (SELECT m.* FROM met m
+       |         WHERE m.doc_id % 20 != 0 AND m.n_tokens >= 30
+       |           AND NOT EXISTS (SELECT 1 FROM neardrop nd WHERE nd.doc_id = m.doc_id)
+       |           AND NOT EXISTS (SELECT 1 FROM cont c WHERE c.doc_id = m.doc_id))
+       |SELECT doc_id, source, n_tokens, quality,
+       |  CAST((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) - n_tokens) // 512 AS BIGINT) AS seq_id
+       |FROM kept
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_training_manifest" -> (q63TrainingManifest _),
     "q30_exact_dedup" -> (q30ExactDedup _),
     "q31_minhash_lsh" -> (q31MinhashLsh _),
     "q32_simhash" -> (q32Simhash _),
@@ -662,6 +736,7 @@ object Dedup {
     "q59_incremental_dedup" -> (q59IncrementalDedup _))
 
   val oracleSql: Map[String, String] = Map(
+    "q63_training_manifest" -> q63Sql,
     "q30_exact_dedup" -> q30Sql,
     "q31_minhash_lsh" -> q31Sql,
     "q32_simhash" -> q32Sql,

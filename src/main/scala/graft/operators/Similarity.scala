@@ -264,7 +264,59 @@ object Similarity {
       |GROUP BY 1, 2
       |ORDER BY label, d""".stripMargin
 
+  /** Int8 scalar quantization of the embedding column with per-label
+    * reconstruction-error accounting — the storage/serving compression
+    * step (fp32 -> int8 is the standard 4x shrink before ANN serving or
+    * checkpoint shipping). Symmetric fixed-scale quantization
+    * q = clamp(round(v * 127), -127, 127); the error statistics are kept
+    * in scaled-integer space (round(err * 1e6)) so sums are
+    * order-invariant and the oracle hash-matches: a float sum-of-squares
+    * would drift with Spark's partial-aggregation order. Pure map +
+    * one aggregation by label; at 100 TB the quantized vectors would be
+    * written back, and the error report is the quality gate.
+    */
+  def q64QuantizeEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select($"label", posexplode($"embedding").as(Seq("d", "v")))
+      .withColumn("vd", $"v".cast("double") * 127)
+      .withColumn("q", greatest(lit(-127L), least(lit(127L),
+        round($"vd").cast("long"))))
+      .withColumn("err_s", round(($"vd" - $"q") * 1e6).cast("long"))
+      .groupBy($"label")
+      .agg(
+        count(lit(1)).as("n_components"),
+        max(abs($"err_s")).as("max_err_s"),
+        sum($"err_s" * $"err_s").as("sse_s"))
+      .select(
+        $"label".cast("long").as("label"),
+        $"n_components",
+        ($"max_err_s".cast("double") / 1e6).as("max_abs_err"),
+        ($"sse_s".cast("double") / 1e12 / $"n_components").as("mse"))
+      .orderBy($"label")
+  }
+
+  val q64Sql: String =
+    """WITH x AS (
+      |  SELECT label, CAST(embedding[i+1] AS DOUBLE) * 127 AS vd
+      |  FROM embeddings, range(64) r(i)),
+      |qx AS (
+      |  SELECT label, vd,
+      |    greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT),
+      |      CAST(round(vd) AS BIGINT))) AS q
+      |  FROM x),
+      |e AS (SELECT label, CAST(round((vd - q) * 1000000.0) AS BIGINT) AS err_s FROM qx)
+      |SELECT CAST(label AS BIGINT) AS label,
+      |  CAST(COUNT(*) AS BIGINT) AS n_components,
+      |  CAST(MAX(abs(err_s)) AS DOUBLE) / 1000000.0 AS max_abs_err,
+      |  CAST(SUM(err_s * err_s) AS DOUBLE) / 1000000000000.0 / COUNT(*) AS mse
+      |FROM e
+      |GROUP BY 1
+      |ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_quantize_embeddings" -> (q64QuantizeEmbeddings _),
     "q34_cosine_topk" -> (q34CosineTopk _),
     "q35_ann_lsh" -> (q35AnnLsh _),
     "q36_label_centroids" -> (q36LabelCentroids _),
@@ -273,6 +325,7 @@ object Similarity {
     "q50_centroid_udaf" -> (q50CentroidUdaf _))
 
   val oracleSql: Map[String, String] = Map(
+    "q64_quantize_embeddings" -> q64Sql,
     "q34_cosine_topk" -> q34Sql,
     "q35_ann_lsh" -> q35Sql,
     "q36_label_centroids" -> q36Sql,

@@ -86,6 +86,34 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(kept == Seq(30L, 40L))
   }
 
+  test("training manifest composes its parts consistently") {
+    import org.apache.spark.sql.functions._
+    val m = Dedup.q63TrainingManifest(spark, sfDir).collect()
+    assert(m.nonEmpty)
+    val ids = m.map(_.getAs[Long]("doc_id")).toSet
+    // only train-slice docs, all length-gated
+    assert(ids.forall(_ % 20 != 0))
+    assert(m.forall(_.getAs[Long]("n_tokens") >= 30))
+    // no non-representative cluster member survives
+    val nonReps = Dedup.q51DedupClusters(spark, sfDir).collect()
+      .filter(r => r.getAs[Long]("doc_id") != r.getAs[Long]("cluster_rep"))
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(ids.intersect(nonReps).isEmpty)
+    // no contaminated train doc survives
+    val cont = Dedup.q54Decontamination(spark, sfDir).collect()
+      .filter(_.getAs[Boolean]("contaminated"))
+      .map(_.getAs[Long]("train_id")).toSet
+    assert(ids.intersect(cont).isEmpty)
+    // packing invariant: within a source, seq_id = cumulative-tokens DIV 512
+    m.groupBy(_.getAs[String]("source")).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+        assert(r.getAs[Long]("seq_id") == cum / 512)
+        cum += r.getAs[Long]("n_tokens")
+      }
+    }
+  }
+
   test("dedupClusters: transitive closure with min rep and sizes") {
     import spark.implicits._
     // chain 0-1-2 (transitivity must merge), separate pair 5-6, singleton 9 absent

@@ -39,4 +39,25 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       assert(q36(k) == c, s"centroid mismatch at $k: ${q36(k)} vs $c")
     }
   }
+
+  test("q64 int8 quantization: exact error accounting on planted vectors") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_quant").toString
+    // label 0: components 0.5/127 -> vd=0.5, q=1 (HALF_UP), err=-0.5
+    //          components 1.0     -> vd=127, q=127, err=0
+    // label 1: 2.0 -> vd=254 clamps to q=127, err=127 -> max_abs 127
+    val rows = Seq(
+      (0L, Array.fill(32)(0.5f / 127) ++ Array.fill(32)(1.0f), 0),
+      (1L, Array.fill(64)(2.0f), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val r = Similarity.q64QuantizeEmbeddings(spark, d)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(0L).getAs[Long]("n_components") == 64L)
+    // float 0.5f/127 widened to double * 127 is ~0.5 up to float rounding
+    assert(math.abs(r(0L).getAs[Double]("max_abs_err") - 0.5) < 1e-6)
+    // 32 components at err ~0.5 + 32 at 0 -> mse ~ 32*0.25/64 = 0.125
+    assert(math.abs(r(0L).getAs[Double]("mse") - 0.125) < 1e-6)
+    assert(r(1L).getAs[Double]("max_abs_err") == 127.0)
+  }
 }
