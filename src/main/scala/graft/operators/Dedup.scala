@@ -173,9 +173,11 @@ object Dedup {
     * for signatures, one equi-join per band on 4-row band keys for
     * candidates, then a broadcast verification join — never all-pairs.
     */
-  def q31MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def q31MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    q31PairsFrom(spark, gxCheckpointed(spark, dir))
+
+  private def q31PairsFrom(spark: SparkSession, gx: DataFrame): DataFrame = {
     import spark.implicits._
-    val gx = gxCheckpointed(spark, dir)
     // ONE dictionary join carries both hash forms: `hm` (mod-P input to
     // the permutation family) for signatures and `h` (full 60-bit) for
     // the verification sets. Checkpointed because the signature and
@@ -476,9 +478,11 @@ object Dedup {
     * doc's shingle set (the fixture's true contamination sits at ~1.0,
     * its noise floor at <= 0.45).
     */
-  def q54Decontamination(spark: SparkSession, dir: String): DataFrame = {
+  def q54Decontamination(spark: SparkSession, dir: String): DataFrame =
+    decontFrom(spark, gxCheckpointed(spark, dir))
+
+  private def decontFrom(spark: SparkSession, gx: DataFrame): DataFrame = {
     import spark.implicits._
-    val gx = gxCheckpointed(spark, dir)
     val train = gx.filter($"doc_id" % 20 =!= 0)
     val ev = gx.filter($"doc_id" % 20 === 0)
     val shared = train.as("t")
@@ -676,9 +680,13 @@ object Dedup {
   def q63TrainingManifest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val clusters = dedupClusters(q31MinhashLsh(spark, dir).select("a_id", "b_id"))
+    // one shingle materialization feeds both the near-dup and the
+    // decontamination stages (each declared query builds its own when
+    // run standalone)
+    val gx = gxCheckpointed(spark, dir)
+    val clusters = dedupClusters(q31PairsFrom(spark, gx).select("a_id", "b_id"))
     val nearDrop = clusters.filter($"doc_id" =!= $"cluster_rep").select($"doc_id")
-    val cont = q54Decontamination(spark, dir)
+    val cont = decontFrom(spark, gx)
       .filter($"contaminated").select($"train_id".as("doc_id")).distinct()
     val src = Tables.documents(spark, dir).select($"doc_id", $"source")
     val kept = TextAnalysis.q27QualityScore(spark, dir)
