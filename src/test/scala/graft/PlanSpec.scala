@@ -98,4 +98,41 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // pair join must be an equi (hash) join on p_id
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
   }
+
+  test("q60/q62: release-prep and chunking stay pure map + generate") {
+    Seq("q60_pseudonymize", "q62_chunk_docs").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must not join")
+      // exactly one exchange: the declared output ordering
+      assert(!p.contains("HashAggregate"), s"$q must not aggregate")
+    }
+  }
+
+  test("q59: bloom prefilter feeds an anti join, near-dup stage stays equi") {
+    val p = plan("q59_incremental_dedup")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "exact confirm must be an anti join")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q58: repetition metrics pre-aggregate map-side") {
+    val p = plan("q58_repetition_metrics")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "token counts must partial-aggregate before the shuffle")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q63: manifest composition introduces no nested-loop pair scans") {
+    val p = plan("q63_training_manifest")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("LeftAnti"), "drop stages must be anti joins")
+  }
+
+  test("q64: quantization is one partial-aggregated pass") {
+    val p = plan("q64_quantize_embeddings")
+    assert(p.contains("partial_sum") || p.contains("partial_count"))
+    assert(!p.contains("Join"))
+  }
 }
