@@ -620,14 +620,15 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select($"v".as("s"), $"lbl".as("slbl")), Seq("s"))
         .groupBy($"d").agg(min($"slbl").as("nlbl"))
+      // carry the previous label through the round so the convergence
+      // check is a filter on the materialized result, not a second join
       val next = labels
         .join(nbrMin.select($"d".as("v"), $"nlbl"), Seq("v"), "left")
-        .select($"v", least($"lbl", coalesce($"nlbl", $"lbl")).as("lbl"))
+        .select($"v", least($"lbl", coalesce($"nlbl", $"lbl")).as("lbl"),
+          $"lbl".as("prev"))
         .localCheckpoint()
-      changed = next.as("n")
-        .join(labels.select($"v", $"lbl".as("old")), Seq("v"))
-        .filter($"lbl" < $"old").count()
-      labels = next
+      changed = next.filter($"lbl" < $"prev").count()
+      labels = next.select($"v", $"lbl")
     }
     val sizes = labels.groupBy($"lbl").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("lbl"))
