@@ -139,4 +139,54 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       assert(one == many, "scaled-integer sums must be partition-order invariant")
     }
   }
+
+  test("chunking covers every token exactly once per 64-token stripe") {
+    val sizeGen = Gen.chooseNum(1, 400)
+    samples(Gen.listOfN(6, sizeGen), 3).foreach { sizes =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_prop_chunk").toString
+      sizes.zipWithIndex.map { case (n, i) =>
+        (i.toLong, (1 to n).map(k => s"w$k").mkString(" "), "en", "s", 0L)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val rows = graft.operators.TextAnalysis.q62ChunkDocs(spark, dir).collect()
+      sizes.zipWithIndex.foreach { case (n, i) =>
+        val cs = rows.filter(_.getAs[Long]("doc_id") == i.toLong)
+          .map(r => (r.getAs[Long]("start"), r.getAs[Long]("chunk_len")))
+          .sortBy(_._1)
+        // starts are exactly the multiples of 64 below n
+        assert(cs.map(_._1).toSeq == (0L until n.toLong by 64L).toSeq)
+        // chunks never exceed 128 tokens and never run past the doc
+        cs.foreach { case (s, len) =>
+          assert(len <= 128 && s + len <= n)
+          assert(len == math.min(128L, n - s))
+        }
+        // coverage: every token index falls in >= 1 chunk
+        assert(cs.map { case (s, len) => s + len }.max == n)
+      }
+    }
+  }
+
+  test("repetition metrics agree with a brute-force model on random docs") {
+    samples(Gen.listOfN(5, Gen.listOfN(15, wordGen)), 3).foreach { docs0 =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_prop_rep").toString
+      docs0.zipWithIndex.map { case (ws, i) =>
+        (i.toLong, ws.mkString(" "), "en", "s", 0L)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = graft.operators.TextAnalysis.q58RepetitionMetrics(spark, dir)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+      docs0.zipWithIndex.foreach { case (ws, i) =>
+        val counts = ws.groupBy(identity).view.mapValues(_.size).toMap
+        val n = ws.size
+        val tri = ws.sliding(3).map(_.mkString(" ")).toSeq
+        val r = got(i.toLong)
+        assert(r.getAs[Long]("n_tokens") == n.toLong)
+        assert(r.getAs[Long]("top_token_n") == counts.values.max.toLong)
+        assert(r.getAs[Double]("simpson_rep") ==
+          counts.values.map(c => c.toLong * (c - 1)).sum.toDouble / (n.toLong * (n - 1)))
+        assert(r.getAs[Double]("dup_trigram_frac") ==
+          1.0 - tri.distinct.size.toDouble / tri.size)
+      }
+    }
+  }
 }
