@@ -532,12 +532,14 @@ object Dedup {
     * new (no false negatives) and skip the join entirely, while
     * `mightContain` survivors are confirmed with an exact anti-join —
     * lossless by construction, and at 100 TB the anti-join input shrinks
-    * from the whole batch to the tiny maybe set. The probe is the one
-    * justified UDF in this module: `might_contain` has no registered SQL
-    * surface in Spark 4.1 and its Catalyst form only accepts
-    * foldable/subquery bloom inputs. The filter here is deliberately
-    * undersized (2048 bits) so false positives actually occur at test
-    * scale and the confirm path stays exercised.
+    * from the whole batch to the tiny maybe set. The probe is Spark's
+    * own codegen `BloomFilterMightContain` expression over the collected
+    * filter as a binary literal (the same expression Catalyst's runtime
+    * row-level filtering injects; it demands a foldable bloom input, so
+    * the filter is aggregated first and inlined). Items enter and are
+    * probed as xxhash64 longs so build and probe agree. The filter here
+    * is deliberately undersized (2048 bits) so false positives actually
+    * occur at test scale and the confirm path stays exercised.
     *
     * Near-dup stage: the prefix-filtered inverted-index pair list (the
     * q47 machinery, same threshold), restricted to cross-slice pairs —
@@ -553,11 +555,19 @@ object Dedup {
       .localCheckpoint() // existing/incoming/bloom all branch here
     val existing = base.filter($"doc_id" % 10 =!= 0)
     val incoming = base.filter($"doc_id" % 10 === 0)
-    val bloom = existing.stat.bloomFilter("fp", 450L, 2048L)
-    val bloomB = spark.sparkContext.broadcast(bloom)
-    val maybeContain = udf((fp: String) => bloomB.value.mightContainString(fp))
+    val bloom = existing.stat.bloomFilter(xxhash64($"fp"), 450L, 2048L)
+    val bloomBytes = {
+      val b = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(b)
+      b.toByteArray
+    }
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    val maybeContain = ColumnBridge.column(BloomFilterMightContain(
+      Literal(bloomBytes, org.apache.spark.sql.types.BinaryType),
+      XxHash64(Seq(ColumnBridge.expression($"fp")), 42L)))
     val flagged = incoming
-      .withColumn("maybe", maybeContain($"fp"))
+      .withColumn("maybe", maybeContain)
       .select($"doc_id", $"fp", $"maybe")
     val definiteNew = flagged.filter(!$"maybe").select($"doc_id", $"fp")
     val confirmedNew = flagged.filter($"maybe").select($"doc_id", $"fp")
