@@ -27,12 +27,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // 57 declared queries x whole-stage codegen generate enough JIT'd
+  // Preallocate the whole heap (same knob as -Xmx so SPARK_DRIVER_MEM=1g
+  // stays a valid configuration) — growth pauses showed up as multi-second
+  // mid-suite outliers.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 60+ declared queries x whole-stage codegen generate enough JIT'd
   // classes to overflow the default 240m code cache mid-suite; an
   // overflow silently disables the JIT compiler and the remaining
   // queries run interpreted (shows up as late-suite per-query blowups).
   "-XX:ReservedCodeCacheSize=512m",
-  "-Xms2g",
 )
 
 // Suites share one SparkSession; run them sequentially for determinism.

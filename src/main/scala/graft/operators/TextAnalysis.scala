@@ -335,29 +335,33 @@ object TextAnalysis {
     * randomly drawn tokens are equal (integer-exact until the final
     * division, so the hash gate is bit-stable).
     *
-    * Shape: the token-frequency metrics are one explode + partial-
-    * aggregated shuffle by (doc_id, token) then by doc_id; the trigram
-    * metrics are pure map-side array expressions. At 100 TB the shuffle
-    * carries (doc_id, token, count) — vocabulary-sized per doc, the same
-    * workhorse shape as word count; no per-doc quadratic work.
+    * Shape: ONE scan — the trigram metrics are computed map-side before
+    * the token explode and carried through both aggregation levels via
+    * first() — then one partial-aggregated shuffle by (doc_id, token)
+    * and one by doc_id. At 100 TB the shuffle carries (doc_id, token,
+    * count) — vocabulary-sized per doc, the same workhorse shape as word
+    * count; no per-doc quadratic work, no second scan, no join.
     */
   def q58RepetitionMetrics(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val uni = docs(spark, dir)
-      .select($"doc_id", explode(toks).as("tok"))
-      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
-      .groupBy($"doc_id")
-      .agg(sum($"c").as("n_tokens"), max($"c").as("top_token_n"),
-        sum($"c" * ($"c" - 1)).as("coll"))
-    val tri = docs(spark, dir)
+    val base = docs(spark, dir)
       .withColumn("toks", toks)
       .withColumn("tg", expr(
         """CASE WHEN size(toks) < 3 THEN CAST(array() AS ARRAY<STRING>)
           |ELSE transform(sequence(0, size(toks)-3),
           |  i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) END""".stripMargin))
-      .select($"doc_id", size($"tg").cast("long").as("n_tri"),
-        size(array_distinct($"tg")).cast("long").as("n_tri_d"))
-    uni.join(tri, Seq("doc_id"))
+      .select($"doc_id",
+        size($"tg").cast("long").as("n_tri"),
+        size(array_distinct($"tg")).cast("long").as("n_tri_d"),
+        explode($"toks").as("tok"))
+    base
+      .groupBy($"doc_id", $"tok")
+      .agg(count(lit(1)).as("c"),
+        first($"n_tri").as("n_tri"), first($"n_tri_d").as("n_tri_d"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_tokens"), max($"c").as("top_token_n"),
+        sum($"c" * ($"c" - 1)).as("coll"),
+        first($"n_tri").as("n_tri"), first($"n_tri_d").as("n_tri_d"))
       .select(
         $"doc_id", $"n_tokens", $"top_token_n",
         ($"top_token_n".cast("double") / $"n_tokens").as("top_token_frac"),

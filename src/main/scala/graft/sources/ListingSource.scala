@@ -37,6 +37,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * InputPartition, so the fetch+parse runs ON EXECUTORS in parallel, not
   * on the driver. `file://` URLs are supported for airgapped tests and
   * local mirrors; the row schema carries key/size/last_modified/url.
+  * The `urls` shard separator defaults to "," and is configurable via
+  * `option("separator", ...)` for URLs that legitimately contain commas
+  * (S3 prefixes, presigned query parameters) — whitespace is a safe
+  * choice there, since URLs never contain it unencoded.
   */
 class ListingSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "bucket-listing"
@@ -44,10 +48,17 @@ class ListingSource extends TableProvider with DataSourceRegister {
     ListingSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
-    val urls = Option(properties.get("urls")).map(_.split(",").toSeq.map(_.trim))
-      .orElse(Option(properties.get("url")).map(Seq(_)))
+    // DSv2 contract: reader options are case-insensitive
+    val opts = new CaseInsensitiveStringMap(properties)
+    // commas are legal inside URLs (S3 prefixes, presigned query params),
+    // so the shard separator is configurable; whitespace never is, making
+    // it a safe alternative for such URLs
+    val sep = Option(opts.get("separator")).getOrElse(",")
+    val urls = Option(opts.get("urls"))
+      .map(_.split(java.util.regex.Pattern.quote(sep)).toSeq.map(_.trim).filter(_.nonEmpty))
+      .orElse(Option(opts.get("url")).map(Seq(_)))
       .getOrElse(throw new IllegalArgumentException(
-        "bucket-listing requires option 'url' or comma-separated 'urls'"))
+        "bucket-listing requires option 'url' or separator-delimited 'urls'"))
     new ListingTable(urls)
   }
   override def supportsExternalMetadata(): Boolean = false

@@ -103,8 +103,11 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     Seq("q60_pseudonymize", "q62_chunk_docs").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Join"), s"$q must not join")
-      // exactly one exchange: the declared output ordering
       assert(!p.contains("HashAggregate"), s"$q must not aggregate")
+      // exactly two exchanges: the harness single-row-group repartition
+      // and the declared output ordering — nothing else may shuffle
+      val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+      assert(exchanges == 2, s"$q expected 2 exchanges, got $exchanges:\n$p")
     }
   }
 
@@ -116,11 +119,13 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("q58: repetition metrics pre-aggregate map-side") {
+  test("q58: repetition metrics pre-aggregate map-side, single scan, no join") {
     val p = plan("q58_repetition_metrics")
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       "token counts must partial-aggregate before the shuffle")
-    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Join"), "trigram metrics ride the token relation")
+    // count detail headers, not tree lines: each node prints twice
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1, "one documents scan only")
   }
 
   test("q63: manifest composition introduces no nested-loop pair scans") {
