@@ -477,7 +477,63 @@ object TextAnalysis {
       |FROM c
       |ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** Per-source corpus card — the summary table a dataset release ships
+    * (doc counts, token budget, length distribution, mean quality,
+    * length-gate pass share). One aggregation by the stratum key; the
+    * length percentiles use exact linear interpolation (Spark
+    * `percentile` ≡ DuckDB `quantile_cont`, parity proven by q40) and
+    * the mean quality is summed in scaled-integer space so aggregation
+    * order cannot drift the hash.
+    */
+  def q65CorpusCard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = docs(spark, dir)
+      .withColumn("toks", toks)
+      .withColumn("n_tokens", size($"toks").cast("long"))
+      .withColumn("n_stop", expr(
+        "size(filter(toks, t -> t IN ('the','a','of','to','in','and','is','on','for','with')))").cast("long"))
+      .withColumn("n_short", expr("size(filter(toks, t -> length(t) < 4))").cast("long"))
+      .withColumn("n_digit", (length($"text") - length(regexp_replace($"text", "[0-9]", ""))).cast("long"))
+      .withColumn("quality",
+        lit(1.0) - (($"n_short".cast("double") / $"n_tokens") * 0.5
+          + ($"n_digit".cast("double") / length($"text")) * 0.3
+          + ($"n_stop".cast("double") / $"n_tokens") * 0.2))
+    m.groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("total_tokens"),
+        expr("percentile(n_tokens, 0.25)").as("p25_tokens"),
+        expr("percentile(n_tokens, 0.5)").as("p50_tokens"),
+        expr("percentile(n_tokens, 0.9)").as("p90_tokens"),
+        sum(round($"quality" * 1e9).cast("long")).as("q_s"),
+        sum(when($"n_tokens" >= 30, 1L).otherwise(0L)).as("n_len_ok"))
+      .select($"source", $"n_docs", $"total_tokens",
+        $"p25_tokens", $"p50_tokens", $"p90_tokens",
+        ($"q_s".cast("double") / 1e9 / $"n_docs").as("avg_quality"),
+        ($"n_len_ok".cast("double") / $"n_docs").as("len_pass_share"))
+      .orderBy($"source")
+  }
+
+  val q65Sql: String =
+    """WITH t AS (SELECT doc_id, source, text, string_split(trim(text), ' ') AS toks FROM documents),
+      |m AS (SELECT source, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    1.0 - ((CAST(len(list_filter(toks, x -> length(x) < 4)) AS DOUBLE) / len(toks)) * 0.5
+      |         + (CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / LENGTH(text)) * 0.3
+      |         + (CAST(len(list_filter(toks, x -> x IN ('the','a','of','to','in','and','is','on','for','with'))) AS DOUBLE) / len(toks)) * 0.2) AS quality
+      |  FROM t)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |  quantile_cont(n_tokens, 0.25) AS p25_tokens,
+      |  quantile_cont(n_tokens, 0.5) AS p50_tokens,
+      |  quantile_cont(n_tokens, 0.9) AS p90_tokens,
+      |  CAST(SUM(CAST(round(quality * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000.0 / COUNT(*) AS avg_quality,
+      |  CAST(SUM(CASE WHEN n_tokens >= 30 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS len_pass_share
+      |FROM m
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_corpus_card" -> (q65CorpusCard _),
     "q58_repetition_metrics" -> (q58RepetitionMetrics _),
     "q61_quality_funnel" -> (q61QualityFunnel _),
     "q62_chunk_docs" -> (q62ChunkDocs _),
@@ -490,6 +546,7 @@ object TextAnalysis {
     "q56_tfidf_top_terms" -> (q56TfidfTopTerms _))
 
   val oracleSql: Map[String, String] = Map(
+    "q65_corpus_card" -> q65Sql,
     "q58_repetition_metrics" -> q58Sql,
     "q61_quality_funnel" -> q61Sql,
     "q62_chunk_docs" -> q62Sql,
