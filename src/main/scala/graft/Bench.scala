@@ -39,11 +39,21 @@ object Bench {
     // Min of two runs: the first execution of each query pays one-time
     // whole-stage-codegen compile + JIT, and this machine shows ±30%
     // run-to-run noise — the minimum is the stable, comparable figure.
+    // When the two runs disagree by more than 50% the box is mid-burst
+    // (co-tenant load spikes to 8+ with an idle process table); one
+    // adaptive third rep recovers the real figure without inflating the
+    // suite wall clock in the common case.
     def timed(name: String): Double = {
       val a = runOnce(name)
       if (a < 0) return a
       val b = runOnce(name)
-      if (b < 0) a else math.min(a, b)
+      if (b < 0) return a
+      val m = math.min(a, b)
+      if (math.max(a, b) <= m * 1.5) m
+      else {
+        val c = runOnce(name)
+        if (c < 0) m else math.min(m, c)
+      }
     }
 
     // Warmup: JIT + codegen + parquet footer caches on a cheap query.
