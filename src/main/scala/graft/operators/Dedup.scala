@@ -623,8 +623,13 @@ object Dedup {
     val edges = pairs.select($"a_id".as("s"), $"b_id".as("d"))
       .union(pairs.select($"b_id".as("s"), $"a_id".as("d")))
       .localCheckpoint()
-    var labels = edges.select($"s".as("v")).distinct()
-      .withColumn("lbl", $"v").localCheckpoint()
+    // round 0 folded into initialization: every vertex appears as an edge
+    // destination (edges are symmetrized), so min(v, min of 1-hop
+    // neighbors) comes out of one aggregation — no separate distinct +
+    // identity-label materialization
+    var labels = edges.groupBy($"d".as("v")).agg(min($"s").as("nmin"))
+      .select($"v", least($"v", $"nmin").as("lbl"))
+      .localCheckpoint()
     var changed = 1L
     while (changed > 0) {
       val nbrMin = edges
