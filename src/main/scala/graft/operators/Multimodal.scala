@@ -265,11 +265,62 @@ object Multimodal {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Frame sampling over opaque video-like payloads — the subsampling
+    * stage of a multimodal pipeline (take every k-th frame, hand the
+    * sampled windows to the codec). The container has no video codecs
+    * (like image/audio, decode is the external seam), but everything a
+    * frame-sampler does BEFORE the codec is engine-side and exact:
+    * frame-grid arithmetic over the byte stream (256-byte frames here,
+    * standing in for codec frame boundaries), stride-4 subsampling, and
+    * per-frame fingerprints from the byte windows. One generate per
+    * blob — a pure map at any scale, the same shape as q62's token
+    * chunking but over binary.
+    */
+  def q66FrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // frame grid in payload units (1 unit = 1 char = 1 byte on this
+    // ASCII fixture; DuckDB has no blob substring/md5, so both engines
+    // slice the same string form and hash its UTF-8 bytes — the q37
+    // precedent for binary-surface parity)
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select($"doc_id", $"text")
+      .withColumn("n_units", length($"text").cast("long"))
+      .withColumn("n_frames", expr("(n_units + 255) DIV 256"))
+      .withColumn("fi", explode(expr(
+        """CASE WHEN n_frames < 1 THEN CAST(array() AS ARRAY<INT>)
+          |ELSE sequence(0, CAST(n_frames - 1 AS INT), 4) END""".stripMargin)))
+      .select(
+        $"doc_id",
+        $"fi".cast("long").as("frame_idx"),
+        ($"fi".cast("long") * 256).as("frame_offset"),
+        length(expr("substring(text, fi * 256 + 1, 256)")).cast("long")
+          .as("frame_len"),
+        md5(expr("substring(text, fi * 256 + 1, 256)").cast("binary"))
+          .as("frame_fp"))
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
+  val q66Sql: String =
+    """WITH b AS (SELECT doc_id, text,
+      |    CAST(LENGTH(text) AS BIGINT) AS n_units
+      |  FROM documents),
+      |f AS (SELECT doc_id, text, unnest(range(0, (n_units + 255) // 256, 4)) AS fi FROM b)
+      |SELECT doc_id,
+      |  CAST(fi AS BIGINT) AS frame_idx,
+      |  CAST(fi * 256 AS BIGINT) AS frame_offset,
+      |  CAST(LENGTH(substring(text, CAST(fi * 256 + 1 AS INT), 256)) AS BIGINT) AS frame_len,
+      |  md5(substring(text, CAST(fi * 256 + 1 AS INT), 256)) AS frame_fp
+      |FROM f
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_binary_ops" -> (q37BinaryOps _),
-    "q52_media_features" -> (q52MediaFeatures _))
+    "q52_media_features" -> (q52MediaFeatures _),
+    "q66_frame_sample" -> (q66FrameSample _))
 
   val oracleSql: Map[String, String] = Map(
     "q37_binary_ops" -> q37Sql,
-    "q52_media_features" -> q52Sql)
+    "q52_media_features" -> q52Sql,
+    "q66_frame_sample" -> q66Sql)
 }

@@ -112,6 +112,25 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(b.sample_rate.isEmpty && b.rms.isEmpty)
   }
 
+  test("frame sampling: stride-4 grid over the payload, exact tail frame") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_frames").toString
+    // 1100 units -> 5 frames (ceil 1100/256), sampled idx {0, 4};
+    // frame 4 starts at 1024 and holds the 76-unit tail
+    val t = "x" * 1100
+    Seq((0L, t, "en", "s", t.length.toLong), (1L, "y" * 100, "en", "s", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val r = Multimodal.q66FrameSample(spark, d).collect()
+    val d0 = r.filter(_.getAs[Long]("doc_id") == 0L)
+      .map(x => (x.getAs[Long]("frame_idx"), x.getAs[Long]("frame_offset"), x.getAs[Long]("frame_len")))
+    assert(d0.toSeq == Seq((0L, 0L, 256L), (4L, 1024L, 76L)))
+    val d1 = r.filter(_.getAs[Long]("doc_id") == 1L)
+      .map(x => (x.getAs[Long]("frame_idx"), x.getAs[Long]("frame_len")))
+    assert(d1.toSeq == Seq((0L, 100L)))
+    assert(r.forall(_.getAs[String]("frame_fp").matches("[0-9a-f]{32}")))
+  }
+
   test("content sniffing by magic bytes") {
     assert(Multimodal.ImageDecoder.mediaTypeOf(pngBytes(2, 2, 0)) == "image/png")
     assert(Multimodal.ImageDecoder.mediaTypeOf(jpegBytes(2, 2, 0)) == "image/jpeg")
