@@ -277,7 +277,50 @@ object Events {
       |FROM events
       |ORDER BY event_id""".stripMargin
 
+  /** Outlier flagging — the pre-training outlier-removal pass (drop
+    * records beyond 2 sigma of their stratum before the data enters a
+    * training mix). Per-type moments come from exact decimal sums (q25's
+    * determinism discipline: identical IEEE trees on both engines, so
+    * even the boundary comparisons agree bit-for-bit); the tiny stats
+    * relation broadcasts back onto the fact stream and the flag test
+    * `(value - avg)^2 > 4·var` is a pure map — one aggregation + one
+    * broadcast join at any scale.
+    */
+  def q67OutlierFlags(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val stats = ev.groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec($"value")).cast("double").as("sum_value"),
+        sum(dec($"value") * dec($"value")).cast("double").as("sum_sq"))
+      .withColumn("avg_value", $"sum_value" / $"n")
+      .withColumn("var_value",
+        ($"sum_sq" - $"sum_value" * $"sum_value" / $"n") / ($"n" - 1))
+      .select($"event_type", $"avg_value", $"var_value")
+    ev.join(broadcast(stats), Seq("event_type"))
+      .filter(($"value" - $"avg_value") * ($"value" - $"avg_value") >
+        lit(4.0) * $"var_value")
+      .select($"event_id", $"event_type", $"value", $"avg_value", $"var_value")
+      .orderBy($"event_id")
+  }
+
+  val q67Sql: String =
+    """WITH s AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value,
+      |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_sq
+      |  FROM events GROUP BY event_type),
+      |st AS (SELECT event_type, sum_value / n AS avg_value,
+      |         (sum_sq - sum_value * sum_value / n) / (n - 1) AS var_value
+      |       FROM s)
+      |SELECT e.event_id, e.event_type, e.value, st.avg_value, st.var_value
+      |FROM events e JOIN st USING (event_type)
+      |WHERE (e.value - st.avg_value) * (e.value - st.avg_value) > 4.0 * st.var_value
+      |ORDER BY e.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_outlier_flags" -> (q67OutlierFlags _),
     "q60_pseudonymize" -> (q60Pseudonymize _),
     "q20_json_extract" -> (q20JsonExtract _),
     "q21_hourly_windows" -> (q21HourlyWindows _),
@@ -288,6 +331,7 @@ object Events {
     "q57_salted_skew_join" -> (q57SaltedSkewJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q67_outlier_flags" -> q67Sql,
     "q60_pseudonymize" -> q60Sql,
     "q20_json_extract" -> q20Sql,
     "q21_hourly_windows" -> q21Sql,

@@ -71,6 +71,19 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     assert(byId(5L).getAs[Long]("value_bucket") == 0L)  // 2.0 -> 0
   }
 
+  test("outlier flags: every flagged event deviates by more than 2 sigma") {
+    val r = Events.q67OutlierFlags(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      val (v, avg, varv) = (x.getAs[Double]("value"),
+        x.getAs[Double]("avg_value"), x.getAs[Double]("var_value"))
+      assert((v - avg) * (v - avg) > 4.0 * varv)
+    }
+    // flags are the tail, not the bulk
+    val total = graft.sources.Tables.events(spark, sfDir).count()
+    assert(r.length < total / 4)
+  }
+
   test("salted skew join equals the unsalted plan on real events") {
     import org.apache.spark.sql.functions._
     import OpUtils.dec
