@@ -120,6 +120,19 @@ object Dedup {
       expr(h60Expr("g")).as("h"))
   }
 
+  /** Dictionary with xxhash64 in place of the md5/conv portable hash —
+    * the Spark-only deployment form (codegen'd 64-bit mix vs an md5
+    * digest + BigInteger base conversion per distinct shingle). `pmod`
+    * because xxhash64 is signed.
+    */
+  private def gramDictFast(spark: SparkSession, gx: DataFrame): DataFrame = {
+    import spark.implicits._
+    gx.select($"g").distinct().select(
+      $"g",
+      expr(s"pmod(xxhash64(g), $P)").as("hm"),
+      expr("xxhash64(g)").as("h"))
+  }
+
   /** Exploded (doc_id, shingle) pairs, materialized once via
     * localCheckpoint: the sketch queries branch over this relation many
     * times (dictionary, signatures, verification sets) and lineage
@@ -397,12 +410,29 @@ object Dedup {
     * all-pairs scan (q33 cross-checks it at threshold 0.5 in tests).
     */
   def ngramJaccardInverted(spark: SparkSession, dir: String,
-      minJaccard: Double): DataFrame = {
+      minJaccard: Double): DataFrame =
+    ngramJaccardInvertedCore(spark, dir, minJaccard, gramDict)
+
+  /** Spark-only deployment variant: xxhash64 shingle naming instead of
+    * the engine-portable md5/conv form. The OUTPUT is identical — the
+    * hash only names shingles; jaccard is a set-intersection count, and
+    * the prefix filter is lossless under ANY global canonical order as
+    * long as both join sides share it (they do: one dictionary). Pinned
+    * equal to the md5 path in DedupSpec. Not a declared query: the
+    * driver's DuckDB gate needs the cross-engine md5 hash.
+    */
+  def ngramJaccardInvertedFast(spark: SparkSession, dir: String,
+      minJaccard: Double): DataFrame =
+    ngramJaccardInvertedCore(spark, dir, minJaccard, gramDictFast)
+
+  private def ngramJaccardInvertedCore(spark: SparkSession, dir: String,
+      minJaccard: Double,
+      dict: (SparkSession, DataFrame) => DataFrame): DataFrame = {
     import spark.implicits._
     val gx = gxCheckpointed(spark, dir)
     // branch point: document frequencies, prefixes and verification sets
     // all derive from the hashed (doc_id, h) relation
-    val hx = gx.join(broadcast(gramDict(spark, gx)), Seq("g"))
+    val hx = gx.join(broadcast(dict(spark, gx)), Seq("g"))
       .select($"doc_id", $"h").localCheckpoint()
     val dfreq = hx.groupBy($"h").agg(count(lit(1)).as("df"))
     val docs = hx.join(broadcast(dfreq), Seq("h"))

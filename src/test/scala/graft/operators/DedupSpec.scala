@@ -57,6 +57,14 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(!r.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("xxhash64 fast path emits identical pairs to the md5 path") {
+    val md5Pairs = Dedup.ngramJaccardInverted(spark, dir, 0.5)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(2))).toMap
+    val fastPairs = Dedup.ngramJaccardInvertedFast(spark, dir, 0.5)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(2))).toMap
+    assert(fastPairs == md5Pairs)
+  }
+
   test("inverted-index variant agrees with kernel variant") {
     val a = Dedup.q33NgramJaccard(spark, dir)
       .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(2))).toMap
