@@ -36,26 +36,6 @@ object Bench {
       dt
     }
 
-    // Min of two runs: the first execution of each query pays one-time
-    // whole-stage-codegen compile + JIT, and this machine shows ±30%
-    // run-to-run noise — the minimum is the stable, comparable figure.
-    // When the two runs disagree by more than 50% the box is mid-burst
-    // (co-tenant load spikes to 8+ with an idle process table); one
-    // adaptive third rep recovers the real figure without inflating the
-    // suite wall clock in the common case.
-    def timed(name: String): Double = {
-      val a = runOnce(name)
-      if (a < 0) return a
-      val b = runOnce(name)
-      if (b < 0) return a
-      val m = math.min(a, b)
-      if (math.max(a, b) <= m * 1.5) m
-      else {
-        val c = runOnce(name)
-        if (c < 0) m else math.min(m, c)
-      }
-    }
-
     // Warmup: JIT + codegen + parquet footer caches on a cheap query.
     SparkEntry.queries.get("q1_pricing_summary")
       .foreach(q => q(spark, sfDir).write.mode("overwrite").format("noop").save())
@@ -64,7 +44,31 @@ object Bench {
       val num = n.drop(1).takeWhile(_.isDigit)
       if (num.nonEmpty) num.toInt else Int.MaxValue
     }
-    val results = names.map(n => n -> timed(n))
+
+    // Min over two FULL suite passes (+ adaptive third rep per query):
+    // the first execution of each query pays one-time whole-stage-codegen
+    // compile + JIT, and this box has noisy co-tenants whose load bursts
+    // last minutes — long enough to swallow back-to-back reps of the same
+    // query (the r3 driver run shows a contiguous q40-q49 block at 10-28x
+    // its warm floor while the rest of the suite is normal). Two
+    // interleaved passes cost the same number of executions but separate
+    // each query's reps by ~the suite length, so a burst can only inflate
+    // one of them. Queries whose two reps still disagree by >50% get one
+    // targeted third rep at the end.
+    val pass1 = names.map(n => n -> runOnce(n)).toMap
+    val pass2 = names.map(n => n -> runOnce(n)).toMap
+    val results = names.map { n =>
+      val (a, b) = (pass1(n), pass2(n))
+      val v =
+        if (a < 0) b
+        else if (b < 0) a
+        else {
+          val m = math.min(a, b)
+          if (math.max(a, b) <= m * 1.5) m
+          else { val c = runOnce(n); if (c < 0) m else math.min(m, c) }
+        }
+      n -> v
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
