@@ -65,12 +65,16 @@ object Corpus {
       |ORDER BY rank""".stripMargin
 
   /** q69 — bigram collocation mining by lift. For adjacent token pairs
-    * (w1, w2): lift = P(w1 w2) / (P(w1)·P(w2)) computed entirely from
-    * exact integer counts — lift = (c_ab · N_uni²) / (N_bi · c_a · c_b) —
-    * with ONE final double division, so both engines produce the same
-    * IEEE value (PMI is log(lift); the log is left to the consumer since
-    * transcendental bit-parity across engines is not guaranteed).
-    * min-count gate >= 20 keeps the noise floor out.
+    * (w1, w2): lift = P(w1 w2) / (P(w1)·P(w2)) =
+    * (c_ab · N_uni²) / (N_bi · c_a · c_b), with every factor cast to
+    * double BEFORE the multiplies: at the 100 TB design point
+    * N_uni ≈ 10¹³, so N_uni² overflows Int64 (Spark would wrap silently,
+    * DuckDB would error) — integer products are not an option. Both
+    * engines evaluate the identical left-associated IEEE-double tree, so
+    * the values still hash-match bit-for-bit (PMI is log(lift); the log
+    * is left to the consumer since transcendental bit-parity across
+    * engines is not guaranteed). min-count gate >= 20 keeps the noise
+    * floor out.
     *
     * Scale shape: the bigram relation is a pure map (generate) off the
     * token array; two count aggregations (bigram key, unigram key) with
@@ -100,8 +104,8 @@ object Corpus {
       .join(broadcast(uni.select($"w".as("w2"), $"c".as("c_b"))), Seq("w2"))
       .crossJoin(broadcast(totals))
       .withColumn("lift",
-        ($"c_ab" * $"n_uni" * $"n_uni").cast("double") /
-          ($"n_bi" * $"c_a" * $"c_b").cast("double"))
+        ($"c_ab".cast("double") * $"n_uni".cast("double") * $"n_uni".cast("double")) /
+          ($"n_bi".cast("double") * $"c_a".cast("double") * $"c_b".cast("double")))
       .select($"w1", $"w2", $"c_ab", $"lift")
       .orderBy($"lift".desc, $"w1", $"w2")
   }
@@ -116,8 +120,8 @@ object Corpus {
       |bi AS (SELECT toks[i+1] AS w1, toks[i+2] AS w2 FROM pos),
       |bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab FROM bi GROUP BY 1, 2)
       |SELECT bc.w1, bc.w2, bc.c_ab,
-      |  CAST(bc.c_ab * n_uni.n * n_uni.n AS DOUBLE) /
-      |  CAST(n_bi.n * a.c * b.c AS DOUBLE) AS lift
+      |  (CAST(bc.c_ab AS DOUBLE) * CAST(n_uni.n AS DOUBLE) * CAST(n_uni.n AS DOUBLE)) /
+      |  (CAST(n_bi.n AS DOUBLE) * CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE)) AS lift
       |FROM bc
       |CROSS JOIN n_uni
       |CROSS JOIN n_bi
@@ -126,12 +130,29 @@ object Corpus {
       |WHERE bc.c_ab >= 20
       |ORDER BY lift DESC, w1, w2""".stripMargin
 
-  /** q70 — deterministic stratified train/val/test split. Assignment is
-    * content-free and stable under reshuffling/re-ingestion: the last hex
-    * digit of md5(doc_id) buckets 12/2/2 sixteenths into train/val/test
-    * (engine-portable — both engines produce the same lowercase hex md5).
-    * Output is the split audit a pipeline records: per (source, split)
-    * document and token counts plus the realized within-source share.
+  /** Deterministic train/val/test assignment, reusable across pipelines
+    * (q70's audit, q63's manifest): the last hex digit of md5(idCol)
+    * buckets 12/2/2 sixteenths into train/val/test. Content-free and
+    * stable under reshuffling/re-ingestion — the label depends only on
+    * the id, never on partition, row order, or session — and
+    * engine-portable (both engines produce the same lowercase hex md5;
+    * `splitSqlExpr` is the identical DuckDB expression). Pure map: no
+    * shuffle, no state, safe at any scale.
+    */
+  def splitColumn(idCol: Column): Column = {
+    val hx = substring(md5(idCol.cast("string")), 32, 1)
+    when(hx <= "b", "train").when(hx <= "d", "val").otherwise("test")
+  }
+
+  /** DuckDB-side equivalent of [[splitColumn]] for oracle SQL. */
+  def splitSqlExpr(idExpr: String): String =
+    s"""CASE WHEN substr(md5(CAST($idExpr AS VARCHAR)), 32, 1) <= 'b' THEN 'train'
+       |     WHEN substr(md5(CAST($idExpr AS VARCHAR)), 32, 1) <= 'd' THEN 'val'
+       |     ELSE 'test' END""".stripMargin
+
+  /** q70 — deterministic stratified train/val/test split audit over
+    * [[splitColumn]]'s assignment: per (source, split) document and token
+    * counts plus the realized within-source share.
     *
     * Scale shape: pure map to assign, one (source, split) aggregation,
     * and a window over the per-source partials (at most 3 rows per
@@ -139,11 +160,9 @@ object Corpus {
     */
   def q70StratifiedSplit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val hx = substring(md5($"doc_id".cast("string")), 32, 1)
     val ws = Window.partitionBy($"source")
     docs(spark, dir)
-      .withColumn("split",
-        when(hx <= "b", "train").when(hx <= "d", "val").otherwise("test"))
+      .withColumn("split", splitColumn($"doc_id"))
       .groupBy($"source", $"split")
       .agg(count(lit(1)).as("n_docs"), sum(size(toks)).cast("long").as("n_tokens"))
       .withColumn("share", $"n_docs".cast("double") / sum($"n_docs").over(ws))
@@ -152,11 +171,9 @@ object Corpus {
   }
 
   val q70Sql: String =
-    """WITH a AS (
+    s"""WITH a AS (
       |  SELECT source,
-      |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) <= 'b' THEN 'train'
-      |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) <= 'd' THEN 'val'
-      |         ELSE 'test' END AS split,
+      |    ${splitSqlExpr("doc_id")} AS split,
       |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_toks
       |  FROM documents),
       |g AS (SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -167,13 +184,180 @@ object Corpus {
       |FROM g
       |ORDER BY source, split""".stripMargin
 
+  /** q71 — exact-duplicate overlap matrix over source pairs, diagonal
+    * included: for (s_a, s_b) with s_a < s_b, how many distinct texts
+    * appear verbatim in both and how many cross-source doc pairs that
+    * induces (c_a·c_b per shared text); for the diagonal (s, s), how
+    * many texts are duplicated within the source and the induced
+    * within-source pairs (c·(c−1)/2, exact — the product is always
+    * even, integer DIV). This is the provenance audit run before mixing
+    * sources — two "independent" crawls sharing 30% of their content
+    * will over-weight that content in the training mix.
+    *
+    * Scale shape: one (md5(text), source) aggregation, then a self
+    * equi-join on the hash — per-hash fan-out is bounded by the number
+    * of SOURCES carrying that text (a handful), never by duplicate count,
+    * because duplicates are pre-collapsed to (hash, source, cnt) rows;
+    * the diagonal is a second aggregate of the same tiny table, no join.
+    * The final matrix is #sources² rows. n_pairs sums in BIGINT —
+    * bounded while per-source copies of one text stay < ~3·10⁹, i.e.
+    * anything short of a corpus that is one document repeated.
+    */
+  def q71SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val h = docs(spark, dir)
+      .select(md5($"text").as("h"), $"source")
+      .groupBy($"h", $"source").agg(count(lit(1)).as("c"))
+      // diagonal aggregate and both join sides branch from this table
+      .localCheckpoint()
+    // unconditional diagonal: a source with zero internal duplication
+    // still reports (n_shared=0, n_pairs=0) — the matrix always has its
+    // #sources diagonal rows
+    val diag = h.groupBy($"source")
+      .agg(sum(when($"c" >= 2, 1L).otherwise(0L)).cast("long").as("n_shared"),
+        sum(expr("c * (c - 1) DIV 2")).cast("long").as("n_pairs"))
+      .select($"source".as("source_a"), $"source".as("source_b"),
+        $"n_shared", $"n_pairs")
+    val off = h.as("a").join(h.as("b"), "h")
+      .filter($"a.source" < $"b.source")
+      .groupBy($"a.source".as("source_a"), $"b.source".as("source_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        sum($"a.c" * $"b.c").cast("long").as("n_pairs"))
+    diag.unionByName(off).orderBy($"source_a", $"source_b")
+  }
+
+  val q71Sql: String =
+    """WITH h AS (SELECT md5(text) AS h, source, CAST(COUNT(*) AS BIGINT) AS c
+      |           FROM documents GROUP BY 1, 2),
+      |diag AS (SELECT source AS source_a, source AS source_b,
+      |           CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+      |           CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS n_pairs
+      |         FROM h GROUP BY 1, 2),
+      |off AS (SELECT a.source AS source_a, b.source AS source_b,
+      |          CAST(COUNT(*) AS BIGINT) AS n_shared,
+      |          CAST(SUM(a.c * b.c) AS BIGINT) AS n_pairs
+      |        FROM h a JOIN h b ON a.h = b.h AND a.source < b.source
+      |        GROUP BY 1, 2)
+      |SELECT * FROM diag UNION ALL SELECT * FROM off
+      |ORDER BY source_a, source_b""".stripMargin
+
+  /** q72 — boilerplate detection by leading-prefix frequency: the top 5
+    * most common 8-token document prefixes per source, with their share
+    * of the source's documents. Crawled corpora carry injected headers
+    * ("Skip to main content …", cookie banners); a prefix covering a
+    * visible share of a source is boilerplate to strip before training.
+    *
+    * Scale shape: pure map to the prefix key, one (source, prefix)
+    * aggregation with map-side combine, then a per-source rank window
+    * over the AGGREGATED prefix table (bounded by distinct prefixes per
+    * source, vocabulary-like — never the corpus) and a broadcast-sized
+    * per-source totals join.
+    */
+  def q72BoilerplatePrefixes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"source").orderBy($"cnt".desc, $"prefix")
+    val g = docs(spark, dir)
+      .select($"source", concat_ws(" ", slice(toks, 1, 8)).as("prefix"))
+      .groupBy($"source", $"prefix").agg(count(lit(1)).as("cnt"))
+      // ranked rows and per-source totals both branch from this aggregate
+      .localCheckpoint()
+    val totals = g.groupBy($"source").agg(sum($"cnt").cast("long").as("n_docs"))
+    g.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5)
+      .join(broadcast(totals), Seq("source"))
+      .withColumn("share", $"cnt".cast("double") / $"n_docs")
+      .select($"source", $"rank", $"prefix", $"cnt", $"share")
+      .orderBy($"source", $"rank")
+  }
+
+  val q72Sql: String =
+    """WITH p AS (SELECT source,
+      |             array_to_string(string_split(trim(text), ' ')[1:8], ' ') AS prefix
+      |           FROM documents),
+      |g AS (SELECT source, prefix, CAST(COUNT(*) AS BIGINT) AS cnt
+      |      FROM p GROUP BY 1, 2),
+      |r AS (SELECT source, prefix, cnt,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY cnt DESC, prefix) AS BIGINT) AS rank,
+      |        CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS n_docs
+      |      FROM g)
+      |SELECT source, rank, prefix, cnt, CAST(cnt AS DOUBLE) / n_docs AS share
+      |FROM r WHERE rank <= 5
+      |ORDER BY source, rank""".stripMargin
+
+  /** q73 — source similarity by top-vocabulary Jaccard: each source's
+    * 1000 highest-frequency tokens form its signature set; every source
+    * pair gets |A∩B| / |A∪B|. The corpus-mix designer's view of which
+    * sources are redundant (high overlap) vs complementary.
+    *
+    * Scale shape: one (source, token) count aggregation, a per-source
+    * rank window over the aggregated per-source vocabulary (vocab-sized,
+    * never the corpus), a self equi-join on token over the ≤1000-row-per-
+    * source signature sets, and a #sources² cross of the (tiny) size
+    * table so zero-overlap pairs still appear. All counts exact integers;
+    * one final double division.
+    */
+  def q73SourceVocabJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"source").orderBy($"cnt".desc, $"token")
+    val sig = docs(spark, dir)
+      .select($"source", explode(toks).as("token"))
+      .groupBy($"source", $"token").agg(count(lit(1)).as("cnt"))
+      .withColumn("r", row_number().over(w))
+      .filter($"r" <= 1000)
+      .select($"source", $"token")
+      // sizes + both join sides branch from the signature sets
+      .localCheckpoint()
+    val sizes = sig.groupBy($"source").agg(count(lit(1)).as("n"))
+    val inter = sig.as("a").join(sig.as("b"), "token")
+      .filter($"a.source" < $"b.source")
+      .groupBy($"a.source".as("source_a"), $"b.source".as("source_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    sizes.as("x").join(sizes.as("y"), $"x.source" < $"y.source")
+      .select($"x.source".as("source_a"), $"y.source".as("source_b"),
+        $"x.n".as("n_a"), $"y.n".as("n_b"))
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .withColumn("n_inter", coalesce($"n_inter", lit(0L)))
+      .withColumn("jaccard",
+        $"n_inter".cast("double") / ($"n_a" + $"n_b" - $"n_inter"))
+      .select($"source_a", $"source_b", $"n_inter", $"jaccard")
+      .orderBy($"source_a", $"source_b")
+  }
+
+  val q73Sql: String =
+    """WITH tok AS (SELECT source, unnest(string_split(trim(text), ' ')) AS token
+      |            FROM documents),
+      |g AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS cnt
+      |      FROM tok GROUP BY 1, 2),
+      |sig AS (SELECT source, token FROM
+      |          (SELECT source, token,
+      |             ROW_NUMBER() OVER (PARTITION BY source ORDER BY cnt DESC, token) AS r
+      |           FROM g)
+      |        WHERE r <= 1000),
+      |sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sig GROUP BY 1),
+      |inter AS (SELECT a.source AS source_a, b.source AS source_b,
+      |            CAST(COUNT(*) AS BIGINT) AS n_inter
+      |          FROM sig a JOIN sig b ON a.token = b.token AND a.source < b.source
+      |          GROUP BY 1, 2)
+      |SELECT x.source AS source_a, y.source AS source_b,
+      |  CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+      |  CAST(COALESCE(i.n_inter, 0) AS DOUBLE) / (x.n + y.n - COALESCE(i.n_inter, 0)) AS jaccard
+      |FROM sizes x JOIN sizes y ON x.source < y.source
+      |LEFT JOIN inter i ON i.source_a = x.source AND i.source_b = y.source
+      |ORDER BY source_a, source_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_vocab_coverage" -> (q68VocabCoverage _),
     "q69_bigram_lift" -> (q69BigramLift _),
-    "q70_stratified_split" -> (q70StratifiedSplit _))
+    "q70_stratified_split" -> (q70StratifiedSplit _),
+    "q71_source_overlap" -> (q71SourceOverlap _),
+    "q72_boilerplate_prefixes" -> (q72BoilerplatePrefixes _),
+    "q73_source_vocab_jaccard" -> (q73SourceVocabJaccard _))
 
   val oracleSql: Map[String, String] = Map(
     "q68_vocab_coverage" -> q68Sql,
     "q69_bigram_lift" -> q69Sql,
-    "q70_stratified_split" -> q70Sql)
+    "q70_stratified_split" -> q70Sql,
+    "q71_source_overlap" -> q71Sql,
+    "q72_boilerplate_prefixes" -> q72Sql,
+    "q73_source_vocab_jaccard" -> q73Sql)
 }

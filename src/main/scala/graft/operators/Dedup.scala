@@ -716,7 +716,8 @@ object Dedup {
     * eval doc), gate on length (>= 30 tokens), then lay the survivors
     * into 512-token training sequences per source (q55 packing). The
     * output is the manifest a trainer consumes: one row per admitted
-    * doc with its quality score and packed sequence id.
+    * doc with its quality score, packed sequence id, and train/val/test
+    * label from the shared content-free assignment ([[Corpus.splitColumn]]).
     *
     * Every stage reuses the declared operator's own plan (and the oracle
     * reuses the same CTE chains), so the composition is exactly as
@@ -746,7 +747,11 @@ object Dedup {
     kept
       .withColumn("cum_before", sum($"n_tokens").over(w) - $"n_tokens")
       .withColumn("seq_id", expr("cum_before DIV 512"))
-      .select($"doc_id", $"source", $"n_tokens", $"quality", $"seq_id")
+      // train/val/test label from the shared content-free assignment
+      // (Corpus.splitColumn); the % 20 slice above is a different axis —
+      // it marks the decontamination BENCHMARK set, not this split.
+      .withColumn("split", Corpus.splitColumn($"doc_id"))
+      .select($"doc_id", $"source", $"n_tokens", $"quality", $"seq_id", $"split")
       .orderBy($"doc_id")
   }
 
@@ -774,7 +779,8 @@ object Dedup {
        |           AND NOT EXISTS (SELECT 1 FROM neardrop nd WHERE nd.doc_id = m.doc_id)
        |           AND NOT EXISTS (SELECT 1 FROM cont c WHERE c.doc_id = m.doc_id))
        |SELECT doc_id, source, n_tokens, quality,
-       |  CAST((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) - n_tokens) // 512 AS BIGINT) AS seq_id
+       |  CAST((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) - n_tokens) // 512 AS BIGINT) AS seq_id,
+       |  ${Corpus.splitSqlExpr("doc_id")} AS split
        |FROM kept
        |ORDER BY doc_id""".stripMargin
 

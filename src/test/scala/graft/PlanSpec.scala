@@ -54,6 +54,18 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("WindowGroupLimit"))
   }
 
+  test("q68: ranking window sits above the vocab aggregate, never over the corpus") {
+    val p = plan("q68_vocab_coverage")
+    // Formatted explain prints top-down: the single-partition ranking
+    // Window must be ABOVE the token-count HashAggregate (it ranks the
+    // vocabulary-sized aggregate output, Heaps'-law small). A Window
+    // printed below the aggregate would mean a global sort of the corpus.
+    val w = p.indexOf("Window")
+    val a = p.indexOf("HashAggregate")
+    assert(w >= 0 && a >= 0 && w < a,
+      "q68 ranking window must consume the aggregated vocabulary")
+  }
+
   test("custom expressions are codegen-capable (not CodegenFallback)") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback

@@ -21,6 +21,46 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("no dark modules: every operator object's queries map is registered") {
+    // Round-4 regression guard: Corpus.scala shipped a finished queries map
+    // that SparkEntry never unioned in, making three operators invisible to
+    // the driver. Scan the compiled classpath for every Scala object under
+    // the operator packages exposing a `queries: Map[...]` and assert each
+    // key is reachable from SparkEntry.queries.
+    import java.io.File
+    val packages = Seq("graft.operators", "graft.sql")
+    val cl = getClass.getClassLoader
+    val moduleClasses = packages.flatMap { pkg =>
+      val path = pkg.replace('.', '/')
+      import scala.jdk.CollectionConverters._
+      cl.getResources(path).asScala.toSeq.filter(_.getProtocol == "file").flatMap { url =>
+        val dir = new File(url.toURI)
+        Option(dir.listFiles()).toSeq.flatten
+          .map(_.getName)
+          .filter(n => n.endsWith("$.class") && !n.dropRight(7).contains("$"))
+          .map(n => pkg + "." + n.stripSuffix(".class"))
+      }
+    }
+    assert(moduleClasses.nonEmpty, "classpath scan found no operator objects — scan broken")
+    val declared = SparkEntry.queries.keySet
+    val dark = moduleClasses.flatMap { cn =>
+      val clazz = Class.forName(cn, false, cl)
+      val hasQueries = clazz.getMethods.exists(m =>
+        m.getName == "queries" && m.getParameterCount == 0 &&
+          classOf[Map[_, _]].isAssignableFrom(m.getReturnType))
+      if (!hasQueries) Nil
+      else {
+        val module = clazz.getField("MODULE$").get(null)
+        val keys = clazz.getMethod("queries").invoke(module)
+          .asInstanceOf[Map[String, _]].keySet
+        val missing = keys -- declared
+        if (missing.isEmpty) Nil else Seq(cn -> missing)
+      }
+    }
+    assert(dark.isEmpty,
+      s"operator modules with queries not registered in SparkEntry: $dark")
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name executes at sf0.001") {
       val df = fn(spark, sfDir)

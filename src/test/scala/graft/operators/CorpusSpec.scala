@@ -1,0 +1,162 @@
+package graft.operators
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** Corpus-prep operators on a planted corpus with exactly known token,
+  * bigram, and count structure, so ranks / lifts / shares can be brute
+  * recounted in plain Scala and compared.
+  *
+  * Planted layout: 4 "web" docs of "p q" repeated 25 times (50 tokens
+  * each) and 4 "books" docs of "r" repeated 6 times. Exact counts:
+  * unigrams p=100 q=100 r=24; bigrams (p,q)=100 (q,p)=96 (r,r)=20;
+  * n_uni=224, n_bi=216. Every token count >= 5 (q68 gate keeps the full
+  * vocabulary) and every bigram count >= 20 (q69 gate keeps all three).
+  */
+class CorpusSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft_corpus").toString
+    val web = Seq.fill(25)("p q").mkString(" ")
+    val books = Seq.fill(6)("r").mkString(" ")
+    val docs =
+      (0L to 3L).map(i => (i, web, "en", "web", web.length.toLong)) ++
+        (4L to 7L).map(i => (i, books, "en", "books", books.length.toLong))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("q68: ranks and cumulative shares match a brute recount") {
+    val rows = Corpus.q68VocabCoverage(spark, dir).collect()
+    val got = rows.map(r => (r.getAs[String]("token"),
+      r.getAs[Long]("cnt"), r.getAs[Long]("rank"), r.getAs[Double]("cum_share")))
+    // brute: counts p=100 q=100 r=24; rank by (cnt desc, token)
+    assert(got.toSeq == Seq(
+      ("p", 100L, 1L, 100.0 / 224),
+      ("q", 100L, 2L, 200.0 / 224),
+      ("r", 24L, 3L, 1.0)))
+    // cum_share monotone nondecreasing, 1.0 at max rank
+    assert(got.map(_._4).toSeq == got.map(_._4).sorted.toSeq)
+    assert(got.last._4 == 1.0)
+  }
+
+  test("q69: lift matches brute-force computation with identical IEEE tree") {
+    val got = Corpus.q69BigramLift(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    val nUni = 224L; val nBi = 216L
+    val uni = Map("p" -> 100L, "q" -> 100L, "r" -> 24L)
+    def lift(cab: Long, a: String, b: String): Double =
+      (cab.toDouble * nUni.toDouble * nUni.toDouble) /
+        (nBi.toDouble * uni(a).toDouble * uni(b).toDouble)
+    assert(got == Map(
+      ("p", "q") -> ((100L, lift(100L, "p", "q"))),
+      ("q", "p") -> ((96L, lift(96L, "q", "p"))),
+      ("r", "r") -> ((20L, lift(20L, "r", "r")))))
+  }
+
+  test("q69: lift expression survives corpus-scale counts (no Int64 overflow)") {
+    // n_uni ~ 1e13 (100 TB of text): n_uni^2 overflows Int64; the
+    // double-first expression must not wrap. Evaluate the exact column
+    // expression q69 uses over planted big counts.
+    val df = Seq((40L, 10000000000000L, 9000000000000L, 2000000L, 3000000L))
+      .toDF("c_ab", "n_uni", "n_bi", "c_a", "c_b")
+      .withColumn("lift",
+        ($"c_ab".cast("double") * $"n_uni".cast("double") * $"n_uni".cast("double")) /
+          ($"n_bi".cast("double") * $"c_a".cast("double") * $"c_b".cast("double")))
+    val v = df.collect()(0).getAs[Double]("lift")
+    val expect = (40L.toDouble * 1e13 * 1e13) / (9e12 * 2e6.toDouble * 3e6.toDouble)
+    assert(v == expect && v > 0 && !v.isInfinite)
+  }
+
+  test("q70: per-source shares sum to 1 and doc totals match the plant") {
+    val rows = Corpus.q70StratifiedSplit(spark, dir).collect()
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    assert(bySource.keySet == Set("web", "books"))
+    bySource.foreach { case (_, rs) =>
+      assert(math.abs(rs.map(_.getAs[Double]("share")).sum - 1.0) < 1e-12)
+    }
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == 8L)
+    // token totals: web docs 4*50, books docs 4*6
+    val tok = rows.groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.map(_.getAs[Long]("n_tokens")).sum).toMap
+    assert(tok == Map("web" -> 200L, "books" -> 24L))
+  }
+
+  test("splitColumn: stable under reshuffling, content-free, ~12/2/2") {
+    val ids = spark.range(0, 2000).toDF("id")
+    val a = ids.withColumn("split", Corpus.splitColumn($"id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // same ids through a different partitioning and row order
+    val b = ids.repartition(7).sortWithinPartitions($"id".desc)
+      .withColumn("split", Corpus.splitColumn($"id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / 2000.0).toMap
+    assert(math.abs(frac("train") - 12.0 / 16) < 0.05)
+    assert(math.abs(frac("val") - 2.0 / 16) < 0.03)
+    assert(math.abs(frac("test") - 2.0 / 16) < 0.03)
+  }
+
+  test("q71: cross-source duplicate matrix counts shared texts and induced pairs") {
+    // plant: web = 4 copies of one text, books = 4 copies of another.
+    // Add a third source sharing web's text twice -> (books,web) disjoint.
+    val d = Files.createTempDirectory("graft_q71").toString
+    val web = Seq.fill(25)("p q").mkString(" ")
+    val books = Seq.fill(6)("r").mkString(" ")
+    val rows =
+      (0L to 3L).map(i => (i, web, "en", "web", web.length.toLong)) ++
+        (4L to 7L).map(i => (i, books, "en", "books", books.length.toLong)) ++
+        (8L to 9L).map(i => (i, web, "en", "crawl", web.length.toLong))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Corpus.q71SourceOverlap(spark, d).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    // off-diagonal: web text in crawl(2) and web(4) -> 1 shared hash,
+    // 2*4=8 cross pairs. Diagonal: 4 copies -> C(4,2)=6; 2 copies -> 1.
+    assert(got == Map(
+      ("books", "books") -> ((1L, 6L)),
+      ("crawl", "crawl") -> ((1L, 1L)),
+      ("crawl", "web") -> ((1L, 8L)),
+      ("web", "web") -> ((1L, 6L))))
+  }
+
+  test("q72: boilerplate prefix ranks the dominant 8-token header with its share") {
+    val got = Corpus.q72BoilerplatePrefixes(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+    // every web doc opens "p q p q p q p q"; every books doc "r r r r r r"
+    assert(got.toSeq == Seq(
+      ("books", 1L, "r r r r r r", 4L, 1.0),
+      ("web", 1L, Seq.fill(4)("p q").mkString(" "), 4L, 1.0)))
+  }
+
+  test("q73: source vocab jaccard is exact on disjoint vocabularies") {
+    // web vocab {p,q}, books vocab {r}: intersection 0, union 3
+    val got = Corpus.q73SourceVocabJaccard(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(("books", "web") -> ((0L, 0.0))))
+  }
+
+  test("q73: overlapping vocabularies give |A∩B|/|A∪B| exactly") {
+    val d = Files.createTempDirectory("graft_q73").toString
+    // source s1 vocab {a,b,c}, s2 vocab {b,c,d}: inter 2, union 4 -> 0.5
+    val rows = Seq(
+      (0L, Seq.fill(5)("a b c").mkString(" "), "en", "s1"),
+      (1L, Seq.fill(5)("b c d").mkString(" "), "en", "s2"))
+      .map { case (i, t, l, s) => (i, t, l, s, t.length.toLong) }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Corpus.q73SourceVocabJaccard(spark, d).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(("s1", "s2") -> ((2L, 0.5))))
+  }
+
+  test("q63 manifest split column agrees with splitColumn on doc_id") {
+    val r = Dedup.q63TrainingManifest(spark, sfDir)
+      .withColumn("expect", Corpus.splitColumn($"doc_id"))
+      .filter($"split" =!= $"expect")
+    assert(r.count() == 0)
+  }
+}
