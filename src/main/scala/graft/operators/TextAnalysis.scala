@@ -448,10 +448,13 @@ object TextAnalysis {
     * md5 chunk fingerprint; no shuffle at any scale except the final
     * declared ordering.
     */
-  def q62ChunkDocs(spark: SparkSession, dir: String): DataFrame = {
+  /** The sliding/tiled chunk relation q62 (128/64) declares and q74
+    * (64/64) aggregates: (doc_id, chunk_id, start, chunk_len, chunk_fp),
+    * unordered.
+    */
+  private[operators] def chunkRelation(spark: SparkSession, dir: String,
+      chunkLen: Int, stride: Int): DataFrame = {
     import spark.implicits._
-    val chunkLen = 128
-    val stride = 64
     docs(spark, dir)
       .withColumn("toks", toks)
       .withColumn("n_tokens", size($"toks").cast("long"))
@@ -463,19 +466,71 @@ object TextAnalysis {
         $"start".cast("long").as("start"),
         size($"chunk").cast("long").as("chunk_len"),
         md5(concat_ws(" ", $"chunk")).as("chunk_fp"))
-      .orderBy($"doc_id", $"chunk_id")
   }
 
+  def q62ChunkDocs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    chunkRelation(spark, dir, 128, 64).orderBy($"doc_id", $"chunk_id")
+  }
+
+  /** q62/q74 shared chunk CTE chain (DuckDB side of [[chunkRelation]]). */
+  private def chunkCtes(chunkLen: Int, stride: Int): String =
+    s"""t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+      |s AS (SELECT doc_id, toks, unnest(range(0, len(toks), $stride)) AS start FROM t),
+      |c AS (SELECT doc_id, start, list_slice(toks, start + 1, start + $chunkLen) AS chunk FROM s),
+      |ch AS (SELECT doc_id, CAST(start // $stride AS BIGINT) AS chunk_id,
+      |         CAST(start AS BIGINT) AS start,
+      |         CAST(len(chunk) AS BIGINT) AS chunk_len,
+      |         md5(array_to_string(chunk, ' ')) AS chunk_fp
+      |       FROM c)""".stripMargin
+
   val q62Sql: String =
-    """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
-      |s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 64)) AS start FROM t),
-      |c AS (SELECT doc_id, start, list_slice(toks, start + 1, start + 128) AS chunk FROM s)
-      |SELECT doc_id, CAST(start // 64 AS BIGINT) AS chunk_id,
-      |  CAST(start AS BIGINT) AS start,
-      |  CAST(len(chunk) AS BIGINT) AS chunk_len,
-      |  md5(array_to_string(chunk, ' ')) AS chunk_fp
-      |FROM c
+    s"""WITH ${chunkCtes(128, 64)}
+      |SELECT doc_id, chunk_id, start, chunk_len, chunk_fp
+      |FROM ch
       |ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** q74 — cross-document repeated-span detection: fingerprints of
+    * 64-token ALIGNED non-overlapping spans (the same tiling
+    * [[chunkRelation]] q62 uses, at 64/64 instead of 128/64 — span
+    * dedup wants finer granularity than context chunking) that occur in
+    * two or more DISTINCT documents, with occurrence and document counts
+    * and the earliest carrying document. Whole-doc dedup (q30/q31/q47)
+    * misses copy-paste spans embedded in otherwise-distinct documents
+    * (license headers, syndicated paragraphs, quoted boilerplate); this
+    * is the span-level audit that catches them.
+    *
+    * Scale shape: the span relation is a pure map + generate; then ONE
+    * (chunk_fp) shuffle aggregation with map-side combine — the classic
+    * exact-dedup shape, just keyed on span fingerprints instead of
+    * whole-document hashes. The repeated-fp result is a tiny fraction of
+    * the span relation; nothing is ever joined pairwise.
+    */
+  def q74RepeatedChunks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    chunkRelation(spark, dir, 64, 64)
+      .groupBy($"chunk_fp")
+      .agg(
+        countDistinct($"doc_id").cast("long").as("n_docs"),
+        count(lit(1)).cast("long").as("n_occ"),
+        max($"chunk_len").cast("long").as("chunk_len"),
+        min($"doc_id").cast("long").as("first_doc"))
+      .filter($"n_docs" >= 2)
+      .select($"chunk_fp", $"n_docs", $"n_occ", $"chunk_len", $"first_doc")
+      .orderBy($"chunk_fp")
+  }
+
+  val q74Sql: String =
+    s"""WITH ${chunkCtes(64, 64)}
+      |SELECT chunk_fp,
+      |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(*) AS BIGINT) AS n_occ,
+      |  CAST(MAX(chunk_len) AS BIGINT) AS chunk_len,
+      |  CAST(MIN(doc_id) AS BIGINT) AS first_doc
+      |FROM ch
+      |GROUP BY chunk_fp
+      |HAVING COUNT(DISTINCT doc_id) >= 2
+      |ORDER BY chunk_fp""".stripMargin
 
   /** Per-source corpus card — the summary table a dataset release ships
     * (doc counts, token budget, length distribution, mean quality,
@@ -537,6 +592,7 @@ object TextAnalysis {
     "q58_repetition_metrics" -> (q58RepetitionMetrics _),
     "q61_quality_funnel" -> (q61QualityFunnel _),
     "q62_chunk_docs" -> (q62ChunkDocs _),
+    "q74_repeated_chunks" -> (q74RepeatedChunks _),
     "q26_token_stats" -> (q26TokenStats _),
     "q27_quality_score" -> (q27QualityScore _),
     "q28_lang_id" -> (q28LangId _),
@@ -550,6 +606,7 @@ object TextAnalysis {
     "q58_repetition_metrics" -> q58Sql,
     "q61_quality_funnel" -> q61Sql,
     "q62_chunk_docs" -> q62Sql,
+    "q74_repeated_chunks" -> q74Sql,
     "q26_token_stats" -> q26Sql,
     "q27_quality_score" -> q27Sql,
     "q28_lang_id" -> q28Sql,

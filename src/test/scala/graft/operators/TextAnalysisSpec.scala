@@ -128,6 +128,31 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(r.forall(_.getAs[String]("chunk_fp").matches("[0-9a-f]{32}")))
   }
 
+  test("repeated chunks: finds the shared span, ignores unique spans") {
+    val d = Files.createTempDirectory("graft_q74").toString
+    // 200-token docs; docs 0 and 1 share tokens 0..127 exactly — the
+    // 64/64 spans at start 0 and start 64 lie inside the shared region
+    // (two repeated fingerprints); spans from 128 on diverge; doc 2 is
+    // unrelated.
+    val shared = (0 until 128).map(i => s"s$i")
+    val tail0 = (128 until 200).map(i => s"a$i")
+    val tail1 = (128 until 200).map(i => s"b$i")
+    val other = (0 until 200).map(i => s"z$i")
+    val rows = Seq(
+      (0L, (shared ++ tail0).mkString(" "), "en", "s0"),
+      (1L, (shared ++ tail1).mkString(" "), "en", "s1"),
+      (2L, other.mkString(" "), "en", "s2"))
+      .map { case (i, t, l, s) => (i, t, l, s, t.length.toLong) }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = TextAnalysis.q74RepeatedChunks(spark, d).collect()
+    assert(got.length == 2)
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_docs") == 2L && r.getAs[Long]("n_occ") == 2L)
+      assert(r.getAs[Long]("chunk_len") == 64L && r.getAs[Long]("first_doc") == 0L)
+    }
+  }
+
   test("tfidf top terms: exactly 5 per stratum, scores consistent") {
     val rows = TextAnalysis.q56TfidfTopTerms(spark, sfDir).collect()
     val n = spark.read.parquet(s"$sfDir/documents.parquet").count()
