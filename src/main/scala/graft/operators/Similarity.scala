@@ -238,6 +238,66 @@ object Similarity {
        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** q75 — semantic-dedup verdicts (the SemDeDup recipe): within each
+    * label cluster, a vector is DROPPED when an earlier (lower vec_id)
+    * vector of the same cluster sits at or above the cosine threshold;
+    * kept otherwise. Unlike q46/q48 (pair lists), the output is the
+    * actionable keep-list — one verdict row per vector with the earliest
+    * same-cluster duplicate it collapses into and the strongest
+    * same-cluster similarity seen (sentinels -1 / 0.0 for kept vectors,
+    * so the relation is null-free and hash-stable).
+    *
+    * The label column plays the cluster-id role. At scale the cluster id
+    * comes from a trained coarse quantizer (graft.ml.Scoring's KMeans)
+    * with k grown ~ sqrt(n), which bounds per-cluster pair volume —
+    * exactly the SemDeDup design point; the algebra here is identical
+    * whatever produced the id.
+    *
+    * Scale shape: the pair comparison is an equi-join on the cluster id
+    * (all-pairs only WITHIN a cluster, never across), the verdict
+    * aggregation groups by the dropped side, and the final left join is
+    * broadcast (duplicates are a small fraction of the corpus). Greedy
+    * lowest-id-wins needs one pass — no fixpoint iteration.
+    */
+  def q75SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // both pair-join sides and the verdict join branch from the table
+    val emb = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint()
+    val a = emb.select($"vec_id".as("a_id"), $"label", $"embedding".as("ea"))
+    val b = emb.select($"vec_id".as("b_id"), $"label", $"embedding".as("eb"))
+    val drops = a.join(b, Seq("label"))
+      .filter($"a_id" < $"b_id")
+      .withColumn("cs", VectorFunctions.cosineSim($"ea", $"eb"))
+      .filter($"cs" >= 0.45)
+      .groupBy($"b_id".as("vec_id"))
+      .agg(min($"a_id").as("dup_of"), max($"cs").as("max_cs"))
+    emb.join(broadcast(drops), Seq("vec_id"), "left")
+      .select(
+        $"vec_id",
+        $"label".cast("long").as("label"),
+        $"dup_of".isNotNull.as("dropped"),
+        coalesce($"dup_of", lit(-1L)).as("dup_of"),
+        coalesce($"max_cs", lit(0.0)).as("max_cs"))
+      .orderBy($"vec_id")
+  }
+
+  val q75Sql: String =
+    """WITH drops AS (
+      |  SELECT b.vec_id AS vec_id, CAST(MIN(a.vec_id) AS BIGINT) AS dup_of,
+      |    MAX(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])) AS max_cs
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.label = b.label AND a.vec_id < b.vec_id
+      |  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+      |  GROUP BY 1)
+      |SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+      |  d.vec_id IS NOT NULL AS dropped,
+      |  CAST(COALESCE(d.dup_of, -1) AS BIGINT) AS dup_of,
+      |  CAST(COALESCE(d.max_cs, 0.0) AS DOUBLE) AS max_cs
+      |FROM embeddings e LEFT JOIN drops d ON e.vec_id = d.vec_id
+      |ORDER BY e.vec_id""".stripMargin
+
   /** Grouped centroids through the TYPED UDAF path
     * (Dataset.groupByKey + Aggregator with map-side combine) — the
     * Dataset-API twin of q36's column-form aggregation, sharing its
@@ -322,7 +382,8 @@ object Similarity {
     "q36_label_centroids" -> (q36LabelCentroids _),
     "q46_embedding_neardup" -> (q46EmbeddingNeardup _),
     "q48_ivf_neardup" -> (q48IvfNeardup _),
-    "q50_centroid_udaf" -> (q50CentroidUdaf _))
+    "q50_centroid_udaf" -> (q50CentroidUdaf _),
+    "q75_semantic_dedup" -> (q75SemanticDedup _))
 
   val oracleSql: Map[String, String] = Map(
     "q64_quantize_embeddings" -> q64Sql,
@@ -331,5 +392,6 @@ object Similarity {
     "q36_label_centroids" -> q36Sql,
     "q46_embedding_neardup" -> q46Sql,
     "q48_ivf_neardup" -> q48Sql,
-    "q50_centroid_udaf" -> q50Sql)
+    "q50_centroid_udaf" -> q50Sql,
+    "q75_semantic_dedup" -> q75Sql)
 }
