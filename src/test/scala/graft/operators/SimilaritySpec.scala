@@ -40,6 +40,48 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q75 semantic dedup: planted clusters give hand-computed verdicts") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_semdedup").toString
+    def v(xs: Double*): Array[Float] = (xs.map(_.toFloat) ++ Seq.fill(6)(0f)).toArray
+    // cluster 0: v1 duplicates v0 exactly (cs=1); v2 orthogonal (kept);
+    //   v3 at cs=0.8 to v0/v1 and 0.6 to v2 -> dropped, earliest dup v0,
+    //   strongest similarity 0.8. cluster 1: opposite vectors (cs=-1), both
+    //   kept — and never compared against cluster 0's identical v4 twin.
+    val rows = Seq(
+      (0L, v(1, 0), 0), (1L, v(1, 0), 0), (2L, v(0, 1), 0), (3L, v(0.8, 0.6), 0),
+      (4L, v(1, 0), 1), (5L, v(-1, 0), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val r = Similarity.q75SemanticDedup(spark, d).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r.size == 6)
+    val expected = Map( // vec_id -> (dropped, dup_of, max_cs)
+      0L -> (false, -1L, 0.0), 1L -> (true, 0L, 1.0), 2L -> (false, -1L, 0.0),
+      3L -> (true, 0L, 0.8), 4L -> (false, -1L, 0.0), 5L -> (false, -1L, 0.0))
+    expected.foreach { case (id, (dropped, dupOf, maxCs)) =>
+      val row = r(id)
+      assert(row.getAs[Boolean]("dropped") == dropped, s"dropped($id)")
+      assert(row.getAs[Long]("dup_of") == dupOf, s"dup_of($id)")
+      assert(math.abs(row.getAs[Double]("max_cs") - maxCs) < 1e-6, s"max_cs($id)")
+    }
+  }
+
+  test("q75 semantic dedup: verdict invariants on the fixture corpus") {
+    val rows = Similarity.q75SemanticDedup(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { row =>
+      val id = row.getAs[Long]("vec_id")
+      if (row.getAs[Boolean]("dropped")) {
+        assert(row.getAs[Long]("dup_of") >= 0 && row.getAs[Long]("dup_of") < id)
+        assert(row.getAs[Double]("max_cs") >= 0.45)
+      } else {
+        assert(row.getAs[Long]("dup_of") == -1L)
+        assert(row.getAs[Double]("max_cs") == 0.0)
+      }
+    }
+  }
+
   test("q64 int8 quantization: exact error accounting on planted vectors") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("graft_quant").toString
