@@ -345,8 +345,54 @@ object Corpus {
       |LEFT JOIN inter i ON i.source_a = x.source AND i.source_b = y.source
       |ORDER BY source_a, source_b""".stripMargin
 
+  /** q78 — temperature-resampled source weights: the multilingual/multi-
+    * source rebalancing step (α = 0.5): sampling weight w_s ∝ p_s^α where
+    * p_s is the source's natural token share, plus the implied up/down-
+    * sampling factor (boost = w_s / p_s) a sampler applies per source.
+    * α = 0.5 is deliberately √ rather than an arbitrary exponent: IEEE
+    * sqrt is correctly rounded, so — unlike pow/exp/ln — both engines
+    * produce bit-identical weights with no fixed-point guard needed. The
+    * normalizing denominator Σ√p is still an order-dependent float sum,
+    * so each √p is frozen to integer nano-units first (round(√p·10⁹))
+    * and the denominator is an exact BIGINT aggregate: ≤ 10⁹ per source,
+    * so overflow needs ~10¹⁰ sources.
+    *
+    * Scale shape: one (source) aggregation with map-side combine; every
+    * window/join after that is over the #sources-row table. Pure map +
+    * one shuffle, nothing corpus-sized survives the aggregate.
+    */
+  def q78TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = Window.partitionBy()
+    docs(spark, dir)
+      .groupBy($"source").agg(sum(size(toks)).cast("long").as("n_tokens"))
+      .withColumn("p", $"n_tokens".cast("double") / sum($"n_tokens").over(all))
+      .withColumn("sq", round(sqrt($"p") * lit(1000000000.0)).cast("long"))
+      .withColumn("weight", $"sq".cast("double") / sum($"sq").over(all))
+      .withColumn("boost", $"weight" / $"p")
+      .select($"source", $"n_tokens", $"p", $"weight", $"boost")
+      .orderBy($"source")
+  }
+
+  val q78Sql: String =
+    """WITH s AS (SELECT source,
+      |             CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens
+      |           FROM documents GROUP BY 1),
+      |t AS (SELECT source, n_tokens,
+      |        CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER () AS p
+      |      FROM s),
+      |q AS (SELECT source, n_tokens, p,
+      |        CAST(round(sqrt(p) * 1000000000.0) AS BIGINT) AS sq
+      |      FROM t)
+      |SELECT source, n_tokens, p,
+      |  CAST(sq AS DOUBLE) / SUM(sq) OVER () AS weight,
+      |  CAST(sq AS DOUBLE) / SUM(sq) OVER () / p AS boost
+      |FROM q
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_vocab_coverage" -> (q68VocabCoverage _),
+    "q78_temperature_mix" -> (q78TemperatureMix _),
     "q69_bigram_lift" -> (q69BigramLift _),
     "q70_stratified_split" -> (q70StratifiedSplit _),
     "q71_source_overlap" -> (q71SourceOverlap _),
@@ -355,6 +401,7 @@ object Corpus {
 
   val oracleSql: Map[String, String] = Map(
     "q68_vocab_coverage" -> q68Sql,
+    "q78_temperature_mix" -> q78Sql,
     "q69_bigram_lift" -> q69Sql,
     "q70_stratified_split" -> q70Sql,
     "q71_source_overlap" -> q71Sql,

@@ -547,6 +547,54 @@ object Dedup {
        |FROM shared s JOIN sizes sz ON sz.doc_id = s.train_id
        |ORDER BY train_id, eval_id""".stripMargin
 
+  /** q79 — split-leakage audit (the train/test-overlap report LLM papers
+    * publish alongside benchmark scores): for every val/test document of
+    * the [[Corpus.splitColumn]] assignment, the fraction of its distinct
+    * bigram shingles that also occur anywhere in the train split. q54
+    * answers "which train docs must be dropped for THIS benchmark"; q79
+    * answers the split-level audit question — "how much of the held-out
+    * set is memorizable from train at all" — which gates whether the
+    * held-out loss is trustworthy. Docs with < 2 tokens carry no shingles
+    * and drop out (matching the oracle's unnest semantics).
+    *
+    * Scale shape: the train shingle SET is one distinct-aggregation on
+    * the shingle key; the audit is an equi-join of held-out shingles
+    * against it plus one (doc) aggregation — the q54 shape with the roles
+    * flipped (train side is the index now, so at 100 TB the join is a
+    * shuffle join on the shingle rather than a broadcast; both sides
+    * stream). Counts stay integer; one final IEEE division.
+    */
+  def q79SplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // train index and held-out probes branch from one shingle explode
+    val gx = gxCheckpointed(spark, dir)
+      .withColumn("split", Corpus.splitColumn($"doc_id"))
+    val trainG = gx.filter($"split" === "train").select($"g").distinct()
+    gx.filter($"split" =!= "train")
+      .join(trainG.withColumn("seen", lit(1L)), Seq("g"), "left")
+      .groupBy($"doc_id", $"split")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce($"seen", lit(0L))).cast("long").as("n_seen"))
+      .withColumn("leak_frac", $"n_seen".cast("double") / $"n_grams")
+      .select($"doc_id", $"split", $"n_grams", $"n_seen", $"leak_frac")
+      .orderBy($"doc_id")
+  }
+
+  val q79Sql: String =
+    s"""WITH $gramsDuckCte,
+       |gx AS (SELECT doc_id, ${Corpus.splitSqlExpr("doc_id")} AS split,
+       |         unnest(grams) AS g
+       |       FROM grams),
+       |tr AS (SELECT DISTINCT g FROM gx WHERE split = 'train')
+       |SELECT e.doc_id, e.split,
+       |  CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |  CAST(SUM(CASE WHEN tr.g IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_seen,
+       |  CAST(SUM(CASE WHEN tr.g IS NULL THEN 0 ELSE 1 END) AS DOUBLE) / COUNT(*) AS leak_frac
+       |FROM gx e LEFT JOIN tr ON e.g = tr.g
+       |WHERE e.split <> 'train'
+       |GROUP BY 1, 2
+       |ORDER BY doc_id""".stripMargin
+
   /** Incremental corpus update — the idempotent-load shape the reference
     * hand-rolls with table-exists probes
     * (`citibike_project/etl/ingest_data.py:251-262`), done corpus-scale:
@@ -688,7 +736,7 @@ object Dedup {
   /** Connected-components CTE chain over `pairs` ending in `comp`
     * (doc_id, cluster_rep) — shared by the q51 and q63 oracles.
     */
-  private val clusterCtes: String =
+  private[operators] val clusterCtes: String =
     """verts AS (SELECT DISTINCT v FROM
       |  (SELECT a_id AS v FROM pairs UNION ALL SELECT b_id FROM pairs)),
       |edges AS (SELECT a_id AS s, b_id AS d FROM pairs
@@ -793,7 +841,8 @@ object Dedup {
     "q47_ngram_jaccard_inverted" -> (q47NgramJaccardInverted _),
     "q51_dedup_clusters" -> (q51DedupClusters _),
     "q54_decontamination" -> (q54Decontamination _),
-    "q59_incremental_dedup" -> (q59IncrementalDedup _))
+    "q59_incremental_dedup" -> (q59IncrementalDedup _),
+    "q79_split_leakage" -> (q79SplitLeakage _))
 
   val oracleSql: Map[String, String] = Map(
     "q63_training_manifest" -> q63Sql,
@@ -804,5 +853,6 @@ object Dedup {
     "q47_ngram_jaccard_inverted" -> q47Sql,
     "q51_dedup_clusters" -> q51Sql,
     "q54_decontamination" -> q54Sql,
-    "q59_incremental_dedup" -> q59Sql)
+    "q59_incremental_dedup" -> q59Sql,
+    "q79_split_leakage" -> q79Sql)
 }

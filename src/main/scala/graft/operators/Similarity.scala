@@ -221,8 +221,12 @@ object Similarity {
       .orderBy($"a_id", $"b_id")
   }
 
-  val q48Sql: String =
-    s"""WITH piv AS (SELECT vec_id AS p_id, embedding AS pe
+  /** q48's candidate+verify chain ending in `pairs` (a_id, b_id, cs) —
+    * shared by the q48 and q77 oracles (the latter prepends it to the
+    * connected-components CTEs exactly like q51 does with q31's chain).
+    */
+  private val q48CoreCtes: String =
+    s"""piv AS (SELECT vec_id AS p_id, embedding AS pe
        |            FROM embeddings ORDER BY vec_id LIMIT $ivfPivots),
        |scored AS (SELECT e.vec_id, p.p_id,
        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -230,13 +234,44 @@ object Similarity {
        |  FROM embeddings e CROSS JOIN piv p),
        |assign AS (SELECT vec_id, p_id FROM scored WHERE rk <= $ivfProbe),
        |cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
-       |         FROM assign x JOIN assign y ON x.p_id = y.p_id AND x.vec_id < y.vec_id)
-       |SELECT c.a_id, c.b_id,
-       |  list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cs
-       |FROM cand c JOIN embeddings a ON c.a_id = a.vec_id
-       |            JOIN embeddings b ON c.b_id = b.vec_id
-       |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+       |         FROM assign x JOIN assign y ON x.p_id = y.p_id AND x.vec_id < y.vec_id),
+       |pairs AS (SELECT c.a_id, c.b_id,
+       |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cs
+       |  FROM cand c JOIN embeddings a ON c.a_id = a.vec_id
+       |              JOIN embeddings b ON c.b_id = b.vec_id
+       |  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45)""".stripMargin
+
+  val q48Sql: String =
+    s"""WITH $q48CoreCtes
+       |SELECT a_id, b_id, cs FROM pairs
        |ORDER BY a_id, b_id""".stripMargin
+
+  /** q77 — semantic dedup clusters: connected components over the q48
+    * IVF near-dup pair graph, one row per clustered vector with its
+    * cluster representative and size. The embedding-space twin of q51
+    * (which clusters the q31 text near-dup graph): q75 answers "which
+    * vector does each duplicate collapse into" greedily within a coarse
+    * cluster; q77 answers the global, policy-grade version — transitive
+    * closure over verified near-dup edges, so a near-dup CHAIN collapses
+    * to one representative even when its ends are not directly similar.
+    *
+    * Scale shape: inherits q48's bucketed candidate generation plus
+    * [[Dedup.dedupClusters]]'s O(component diameter) rounds of
+    * join+aggregate (large-star/small-star cited there for adversarial
+    * diameters). No new shuffle shapes.
+    */
+  def q77SemanticClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupClusters(q48IvfNeardup(spark, dir).select("a_id", "b_id"))
+      .withColumnRenamed("doc_id", "vec_id")
+
+  val q77Sql: String =
+    s"""WITH RECURSIVE $q48CoreCtes,
+       |${Dedup.clusterCtes}
+       |SELECT c.doc_id AS vec_id, c.cluster_rep, sz.n AS cluster_size
+       |FROM comp c
+       |JOIN (SELECT cluster_rep AS r, CAST(COUNT(*) AS BIGINT) AS n
+       |      FROM comp GROUP BY 1) sz ON sz.r = c.cluster_rep
+       |ORDER BY vec_id""".stripMargin
 
   /** q75 — semantic-dedup verdicts (the SemDeDup recipe): within each
     * label cluster, a vector is DROPPED when an earlier (lower vec_id)
@@ -383,7 +418,8 @@ object Similarity {
     "q46_embedding_neardup" -> (q46EmbeddingNeardup _),
     "q48_ivf_neardup" -> (q48IvfNeardup _),
     "q50_centroid_udaf" -> (q50CentroidUdaf _),
-    "q75_semantic_dedup" -> (q75SemanticDedup _))
+    "q75_semantic_dedup" -> (q75SemanticDedup _),
+    "q77_semantic_clusters" -> (q77SemanticClusters _))
 
   val oracleSql: Map[String, String] = Map(
     "q64_quantize_embeddings" -> q64Sql,
@@ -393,5 +429,6 @@ object Similarity {
     "q46_embedding_neardup" -> q46Sql,
     "q48_ivf_neardup" -> q48Sql,
     "q50_centroid_udaf" -> q50Sql,
-    "q75_semantic_dedup" -> q75Sql)
+    "q75_semantic_dedup" -> q75Sql,
+    "q77_semantic_clusters" -> q77Sql)
 }

@@ -587,8 +587,74 @@ object TextAnalysis {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** q76 — unigram-LM negative log-likelihood per document, the classic
+    * perplexity-proxy quality filter (docs whose tokens are improbable
+    * under the corpus's own unigram distribution are boilerplate/noise
+    * candidates; the model-based variant swaps the type table for real LM
+    * scores). MLE model over the whole corpus: p(t) = c_t / N, per-doc
+    * score = sum over tokens of -ln p(t), reported as total and per-token
+    * nats.
+    *
+    * Cross-engine exactness: a float SUM of ln() terms is
+    * aggregation-order-dependent, so the per-TYPE surprisal is frozen to
+    * integer micro-nats first — round(ln(N/c_t)*1e6) — and the per-doc
+    * sum is a pure BIGINT aggregate (order-invariant in both engines).
+    * ln() itself may differ by ~1 ulp between libm and the JVM;
+    * TextAnalysisSpec asserts every type's value sits far from a rounding
+    * boundary at every shipped SF, so the frozen table is provably
+    * identical. Overflow audit (the q69 lesson): s_micro <= ln(N)*1e6
+    * ~ 3e7 at N=1e13, times a 1e9-token pathological doc is ~3e16 < 2^63.
+    *
+    * Scale shape: one explode + (doc_id, tok) aggregation (map-side
+    * combine), the type table derived from THAT (vocab-sized, not
+    * corpus-sized), then a broadcast join back — Zipf keeps vocab <<
+    * corpus; if a real tokenizer ever blows the broadcast threshold the
+    * same plan degrades to a shuffle join on tok, nothing else changes.
+    */
+  def q76UnigramNll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // doc-term counts feed both the type table and the scoring join
+    val dt = docs(spark, dir)
+      .select($"doc_id", explode(toks).as("tok"))
+      .groupBy($"doc_id", $"tok")
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val types = dt.groupBy($"tok").agg(sum($"cnt").as("c"))
+    val total = types.agg(sum($"c").as("n"))
+    val scored = types.crossJoin(broadcast(total))
+      .select($"tok",
+        round(log($"n".cast("double") / $"c") * lit(1000000.0))
+          .cast("long").as("s_micro"))
+    dt.join(broadcast(scored), Seq("tok"))
+      .groupBy($"doc_id")
+      .agg(
+        sum($"cnt").cast("long").as("n_tokens"),
+        sum($"cnt" * $"s_micro").cast("long").as("nll_micro"))
+      .select($"doc_id", $"n_tokens", $"nll_micro",
+        ($"nll_micro".cast("double") / lit(1000000.0) / $"n_tokens").as("avg_nll"))
+      .orderBy($"doc_id")
+  }
+
+  val q76Sql: String =
+    """WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+      |           FROM documents),
+      |dt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      |       FROM t GROUP BY 1, 2),
+      |ty AS (SELECT tok, CAST(SUM(cnt) AS BIGINT) AS c FROM dt GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM ty),
+      |s AS (SELECT tok, CAST(round(ln(CAST(n AS DOUBLE) / c) * 1000000.0) AS BIGINT) AS s_micro
+      |      FROM ty CROSS JOIN tot)
+      |SELECT dt.doc_id,
+      |  CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(cnt * s_micro) AS BIGINT) AS nll_micro,
+      |  CAST(SUM(cnt * s_micro) AS DOUBLE) / 1000000.0 / SUM(cnt) AS avg_nll
+      |FROM dt JOIN s USING (tok)
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_corpus_card" -> (q65CorpusCard _),
+    "q76_unigram_nll" -> (q76UnigramNll _),
     "q58_repetition_metrics" -> (q58RepetitionMetrics _),
     "q61_quality_funnel" -> (q61QualityFunnel _),
     "q62_chunk_docs" -> (q62ChunkDocs _),
@@ -603,6 +669,7 @@ object TextAnalysis {
 
   val oracleSql: Map[String, String] = Map(
     "q65_corpus_card" -> q65Sql,
+    "q76_unigram_nll" -> q76Sql,
     "q58_repetition_metrics" -> q58Sql,
     "q61_quality_funnel" -> q61Sql,
     "q62_chunk_docs" -> q62Sql,

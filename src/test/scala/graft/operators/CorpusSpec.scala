@@ -153,6 +153,37 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
     assert(got == Map(("s1", "s2") -> ((2L, 0.5))))
   }
 
+  test("q78: sqrt-temperature weights are exact on a 900/100 token split") {
+    val d = Files.createTempDirectory("graft_q78").toString
+    // p = 0.9 / 0.1; nano-frozen sqrts are 948683298 / 316227766 — exactly
+    // 3:1, so the normalized weights are exactly 0.75 / 0.25
+    val rows = Seq(
+      (0L, Seq.fill(900)("x").mkString(" "), "en", "big"),
+      (1L, Seq.fill(100)("x").mkString(" "), "en", "small"))
+      .map { case (i, t, l, s) => (i, t, l, s, t.length.toLong) }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Corpus.q78TemperatureMix(spark, d).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val (nBig, pBig, wBig, boostBig) = got("big")
+    val (nSmall, pSmall, wSmall, boostSmall) = got("small")
+    assert(nBig == 900L && nSmall == 100L)
+    assert(pBig == 0.9 && pSmall == 0.1)
+    assert(wBig == 0.75 && wSmall == 0.25)
+    assert(math.abs(boostBig - 0.75 / 0.9) < 1e-15)
+    assert(boostSmall == 2.5)
+  }
+
+  test("q78: weights sum to 1 and boost is monotone against natural share") {
+    val rows = Corpus.q78TemperatureMix(spark, sfDir).collect()
+      .map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-9)
+    // temperature flattening: rarer sources get the larger boost
+    val byShare = rows.sortBy(_._1)
+    assert(byShare.map(_._3).reverse.sameElements(byShare.map(_._3).sorted))
+  }
+
   test("q63 manifest split column agrees with splitColumn on doc_id") {
     val r = Dedup.q63TrainingManifest(spark, sfDir)
       .withColumn("expect", Corpus.splitColumn($"doc_id"))

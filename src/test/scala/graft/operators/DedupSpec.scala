@@ -153,6 +153,30 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       s"missing=${exact.keySet -- inv.keySet} spurious=${inv.keySet -- exact.keySet}")
   }
 
+  test("q79 split leakage matches a brute-force recount at sfDir") {
+    import org.apache.spark.sql.functions._
+    // independent reference: brute bigram sets + the same md5 split rule,
+    // evaluated per doc via Corpus.splitColumn outside the query under test
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text", Corpus.splitColumn($"doc_id").as("split"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"), r.getAs[String]("split")))
+    def grams(t: String): Set[String] =
+      t.trim.split(" ").toSeq.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSet
+    val trainSet = docs.filter(_._3 == "train").flatMap(d => grams(d._2)).toSet
+    val heldOut = docs.filter(_._3 != "train")
+    assert(trainSet.nonEmpty && heldOut.nonEmpty, "fixture must populate both sides")
+    val expected = heldOut.flatMap { case (id, text, split) =>
+      val g = grams(text)
+      if (g.isEmpty) None
+      else Some(id -> ((split, g.size.toLong, g.count(trainSet).toLong)))
+    }.toMap
+    val got = Dedup.q79SplitLeakage(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("split"), r.getAs[Long]("n_grams"), r.getAs[Long]("n_seen")))).toMap
+    assert(got == expected)
+  }
+
   test("decontamination flags train docs overlapping the eval slice") {
     // eval slice = doc_id % 20 == 0, i.e. doc 0. Doc 1 is its exact copy
     // (overlap 1.0), doc 2 a one-word edit (37/39 bigrams), doc 3 unrelated.

@@ -82,6 +82,30 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q77 semantic clusters: exact match against union-find over q48 pairs") {
+    val pairs = Similarity.q48IvfNeardup(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // reference components via driver-side union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = parent.keys.toSeq.groupBy(find)
+    val expected = members.flatMap { case (_, vs) =>
+      val rep = vs.min
+      vs.map(v => v -> (rep, vs.size.toLong))
+    }
+    val got = Similarity.q77SemanticClusters(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected, s"clusters differ: got $got expected $expected")
+  }
+
   test("q64 int8 quantization: exact error accounting on planted vectors") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("graft_quant").toString

@@ -1,6 +1,7 @@
 package graft.operators
 
 import java.nio.file.Files
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkSpec
 
@@ -33,6 +34,43 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     val docs = Seq((0L, "xyzzy plugh", "zz")).toDF("doc_id", "text", "lang")
     val got = TextAnalysis.langId(docs).collect().head
     assert(got.getAs[String]("predicted_lang") == TextAnalysis.langMarkers.head._1)
+  }
+
+  test("q76 unigram NLL: hand-computed micro-nat scores on a planted corpus") {
+    val d = Files.createTempDirectory("graft_nll").toString
+    // corpus: doc 0 = "a a b", doc 1 = "b c" -> N=5, c_a=2, c_b=2, c_c=1
+    // s(a) = s(b) = round(ln(5/2)*1e6) = 916291, s(c) = round(ln(5)*1e6) = 1609438
+    Seq((0L, "a a b", "en", "src0", 5L), (1L, "b c", "en", "src0", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val r = TextAnalysis.q76UnigramNll(spark, d).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(0L).getAs[Long]("n_tokens") == 3L)
+    assert(r(0L).getAs[Long]("nll_micro") == 3L * 916291)
+    assert(math.abs(r(0L).getAs[Double]("avg_nll") - 0.916291) < 1e-12)
+    assert(r(1L).getAs[Long]("n_tokens") == 2L)
+    assert(r(1L).getAs[Long]("nll_micro") == 916291L + 1609438L)
+    assert(math.abs(r(1L).getAs[Double]("avg_nll") - 1.2628645) < 1e-12)
+  }
+
+  test("q76 unigram NLL: fixed-point table sits far from rounding boundaries") {
+    // The frozen per-type surprisal round(ln(N/c)*1e6) is the only place a
+    // cross-engine libm ulp (~1e-9 in micro-nat units) could diverge. Prove
+    // it can't for every corpus the driver gates on: each type's value must
+    // sit > 1e-3 from the nearest .5 boundary (measured floor ~2e-2).
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val dir = s"/root/testdata/$sf"
+      val types = graft.sources.Tables.documents(spark, dir)
+        .select(explode(split(trim($"text"), " ")).as("tok"))
+        .groupBy($"tok").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getAs[Long]("c"))
+      val n = types.sum
+      types.foreach { c =>
+        val x = math.log(n.toDouble / c) * 1e6
+        val dist = math.abs(x - math.floor(x) - 0.5)
+        assert(dist > 1e-3, s"$sf: type count $c at $dist from a rounding boundary")
+      }
+    }
   }
 
   test("training mix: exact 1-in-5 per stratum, stable under repartitioning") {
