@@ -66,6 +66,38 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "q68 ranking window must consume the aggregated vocabulary")
   }
 
+  test("q75: pair comparison is a label equi-join, verdict join broadcasts") {
+    val p = plan("q75_semantic_dedup")
+    // all-pairs only WITHIN a cluster: the pair stage must hash-join on
+    // the label key, never cross the whole table
+    assert(!p.contains("CartesianProduct"), "pair stage must not be all-pairs")
+    assert(p.contains("cosinesimilarity"), "native codegen kernel in plan")
+    assert(p.contains("BroadcastHashJoin"), "verdict left join must broadcast drops")
+  }
+
+  test("q76: type-scoring join broadcasts the vocab table") {
+    val p = plan("q76_unigram_nll")
+    // the frozen surprisal table is vocabulary-sized (Heaps'-law small);
+    // it must be the broadcast build side, with the doc-term counts
+    // streaming through — never a shuffle of the corpus against it
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q78: windows consume the per-source aggregate, never the corpus") {
+    val p = plan("q78_temperature_mix")
+    val w = p.indexOf("Window")
+    val a = p.indexOf("HashAggregate")
+    assert(w >= 0 && a >= 0 && w < a,
+      "q78 normalizing windows must sit above the source aggregate")
+  }
+
+  test("q79: leakage probe joins on the shingle key") {
+    val p = plan("q79_split_leakage")
+    assert(!p.contains("CartesianProduct"))
+    // two-level aggregate with map-side combine for the per-doc counts
+    assert(p.contains("partial_count") || p.contains("HashAggregate"))
+  }
+
   test("custom expressions are codegen-capable (not CodegenFallback)") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
