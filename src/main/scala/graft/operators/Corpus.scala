@@ -361,14 +361,23 @@ object Corpus {
     * window/join after that is over the #sources-row table. Pure map +
     * one shuffle, nothing corpus-sized survives the aggregate.
     */
-  def q78TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-source α=0.5 mix weights plus corpus totals — shared by q78 (the
+    * audit view) and q81 (the subsampler that applies them).
+    */
+  private def sourceWeights(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val all = Window.partitionBy()
     docs(spark, dir)
       .groupBy($"source").agg(sum(size(toks)).cast("long").as("n_tokens"))
-      .withColumn("p", $"n_tokens".cast("double") / sum($"n_tokens").over(all))
+      .withColumn("total", sum($"n_tokens").over(all).cast("long"))
+      .withColumn("p", $"n_tokens".cast("double") / $"total")
       .withColumn("sq", round(sqrt($"p") * lit(1000000000.0)).cast("long"))
       .withColumn("weight", $"sq".cast("double") / sum($"sq").over(all))
+  }
+
+  def q78TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sourceWeights(spark, dir)
       .withColumn("boost", $"weight" / $"p")
       .select($"source", $"n_tokens", $"p", $"weight", $"boost")
       .orderBy($"source")
@@ -390,9 +399,117 @@ object Corpus {
       |FROM q
       |ORDER BY source""".stripMargin
 
+  /** Engine-portable 60-bit content-free hash of the doc id (the md5
+    * prefix trick Dedup uses for shingles): uniform, deterministic, and
+    * identical in DuckDB via `hashSqlExpr`.
+    */
+  private def hashColumn(idCol: Column): Column =
+    conv(substring(md5(idCol.cast("string")), 1, 15), 16, 10).cast("long")
+
+  private def hashSqlExpr(idExpr: String): String =
+    s"CAST('0x' || substr(md5(CAST($idExpr AS VARCHAR)), 1, 15) AS BIGINT)"
+
+  private val nShards = 64
+
+  /** q80 — training shard layout: the final "global shuffle" every
+    * trainer needs, WITHOUT a global sort. Each doc gets a deterministic
+    * pseudo-random 60-bit hash of its id; the hash's low bits pick one of
+    * 64 shards and each shard orders its docs by the full hash. Reading
+    * shards 0..63 in order then yields a reproducible global permutation,
+    * but the engine only ever runs 64 independent shard-local sorts — the
+    * 100 TB version raises the shard count (100k+) so each sort stays
+    * executor-sized; no stage ever totally orders the corpus. Content-
+    * free: the permutation survives re-ingestion and text edits.
+    */
+  def q80ShardLayout(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"shard").orderBy($"h", $"doc_id")
+    docs(spark, dir)
+      .select($"doc_id", size(toks).cast("long").as("n_tokens"))
+      .withColumn("h", hashColumn($"doc_id"))
+      .withColumn("shard", ($"h" % nShards).cast("long"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select($"doc_id", $"shard", $"pos", $"n_tokens")
+      .orderBy($"shard", $"pos")
+  }
+
+  val q80Sql: String =
+    s"""WITH h AS (SELECT doc_id,
+       |             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+       |             ${hashSqlExpr("doc_id")} AS h
+       |           FROM documents)
+       |SELECT doc_id, CAST(h % $nShards AS BIGINT) AS shard,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY h % $nShards ORDER BY h, doc_id) AS BIGINT) AS pos,
+       |  n_tokens
+       |FROM h
+       |ORDER BY shard, pos""".stripMargin
+
+  /** q81 — temperature-quota subsample: applies q78's α=0.5 weights to
+    * actually SELECT documents. Each source gets a token budget
+    * b_s = round(weight_s · 20% of corpus tokens); its docs are laid out
+    * in content-free hash order (same family as [[splitColumn]] — stable
+    * under re-ingestion) and admitted while the cumulative token count
+    * before the doc is under budget — so rare sources are upsampled
+    * toward √-flattened shares exactly as the mix design prescribes, and
+    * the selection is a deterministic function of (id, source sizes)
+    * only. The budget arithmetic mirrors q78's cross-engine-exact
+    * discipline: integer token counts, one correctly-rounded double
+    * product frozen back to BIGINT.
+    *
+    * Scale shape: the q78 aggregate (tiny) broadcast back onto the
+    * corpus, plus the per-source hash-ordered cumulative window — the
+    * q53/q55 stratified shape: sorts are per-source partitions, never
+    * global.
+    */
+  def q81MixSubsample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val budgets = sourceWeights(spark, dir)
+      .select($"source",
+        round($"weight" * ($"total".cast("double") * lit(0.2))).cast("long").as("b_tokens"))
+    val w = Window.partitionBy($"source").orderBy($"h", $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(spark, dir)
+      .select($"doc_id", $"source", size(toks).cast("long").as("n_tokens"))
+      .withColumn("h", hashColumn($"doc_id"))
+      .withColumn("cum_before", sum($"n_tokens").over(w) - $"n_tokens")
+      .join(broadcast(budgets), Seq("source"))
+      .filter($"cum_before" < $"b_tokens")
+      .select($"doc_id", $"source", $"n_tokens", $"cum_before", $"b_tokens")
+      .orderBy($"doc_id")
+  }
+
+  val q81Sql: String =
+    s"""WITH s AS (SELECT source,
+       |             CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens
+       |           FROM documents GROUP BY 1),
+       |t AS (SELECT source, n_tokens,
+       |        CAST(SUM(n_tokens) OVER () AS BIGINT) AS total,
+       |        CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS BIGINT) AS p
+       |      FROM s),
+       |q AS (SELECT source, total, p,
+       |        CAST(round(sqrt(p) * 1000000000.0) AS BIGINT) AS sq
+       |      FROM t),
+       |b AS (SELECT source,
+       |        CAST(round(CAST(sq AS DOUBLE) / SUM(sq) OVER () * (CAST(total AS DOUBLE) * 0.2)) AS BIGINT) AS b_tokens
+       |      FROM q),
+       |d AS (SELECT doc_id, source,
+       |        CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+       |        ${hashSqlExpr("doc_id")} AS h
+       |      FROM documents),
+       |c AS (SELECT doc_id, source, n_tokens,
+       |        CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+       |          ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS cum_before
+       |      FROM d)
+       |SELECT c.doc_id, c.source, c.n_tokens, c.cum_before, b.b_tokens
+       |FROM c JOIN b USING (source)
+       |WHERE c.cum_before < b.b_tokens
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_vocab_coverage" -> (q68VocabCoverage _),
     "q78_temperature_mix" -> (q78TemperatureMix _),
+    "q80_shard_layout" -> (q80ShardLayout _),
+    "q81_mix_subsample" -> (q81MixSubsample _),
     "q69_bigram_lift" -> (q69BigramLift _),
     "q70_stratified_split" -> (q70StratifiedSplit _),
     "q71_source_overlap" -> (q71SourceOverlap _),
@@ -406,5 +523,7 @@ object Corpus {
     "q70_stratified_split" -> q70Sql,
     "q71_source_overlap" -> q71Sql,
     "q72_boilerplate_prefixes" -> q72Sql,
-    "q73_source_vocab_jaccard" -> q73Sql)
+    "q73_source_vocab_jaccard" -> q73Sql,
+    "q80_shard_layout" -> q80Sql,
+    "q81_mix_subsample" -> q81Sql)
 }

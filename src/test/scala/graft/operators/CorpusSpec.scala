@@ -184,6 +184,48 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
     assert(byShare.map(_._3).reverse.sameElements(byShare.map(_._3).sorted))
   }
 
+  test("q80: shard layout is the md5-hash permutation, computed independently") {
+    def h60(id: Long): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 15), 16)
+    val rows = Corpus.q80ShardLayout(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val allIds = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_._1).toSet == allIds, "every doc appears exactly once")
+    rows.groupBy(_._2).foreach { case (shard, members) =>
+      assert(0 <= shard && shard < 64)
+      // pos must be 1..n and agree with the independent hash ordering
+      val byPos = members.sortBy(_._3)
+      assert(byPos.map(_._3).toSeq == (1L to members.length).toSeq)
+      val expectedOrder = members.map(_._1).sortBy(id => (h60(id), id)).toSeq
+      assert(byPos.map(_._1).toSeq == expectedOrder, s"shard $shard order")
+      members.foreach { case (id, s, _) => assert(h60(id) % 64 == s) }
+    }
+  }
+
+  test("q81: per-source budgets and prefix selection on a planted 900/100 corpus") {
+    val d = Files.createTempDirectory("graft_q81").toString
+    // big: 9 docs x 100 tokens, small: 4 docs x 25 tokens -> total 1000,
+    // 20% budget 200, weights 0.75/0.25 (exact, see q78 spec) ->
+    // b_big = 150, b_small = 50 -> hash-order prefix of 2 docs each
+    // (cum_before 0,100 < 150; 0,25 < 50)
+    val rows =
+      (0L until 9L).map(i => (i, Seq.fill(100)("x").mkString(" "), "en", "big")) ++
+        (9L until 13L).map(i => (i, Seq.fill(25)("x").mkString(" "), "en", "small"))
+    rows.map { case (i, t, l, s) => (i, t, l, s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Corpus.q81MixSubsample(spark, d).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val bySource = got.groupBy(_._1)
+    assert(bySource("big").length == 2 && bySource("big").forall(_._4 == 150L))
+    assert(bySource("small").length == 2 && bySource("small").forall(_._4 == 50L))
+    got.foreach { case (_, _, cumBefore, b) => assert(cumBefore < b) }
+  }
+
   test("q63 manifest split column agrees with splitColumn on doc_id") {
     val r = Dedup.q63TrainingManifest(spark, sfDir)
       .withColumn("expect", Corpus.splitColumn($"doc_id"))
