@@ -419,7 +419,11 @@ object Corpus {
     * but the engine only ever runs 64 independent shard-local sorts — the
     * 100 TB version raises the shard count (100k+) so each sort stays
     * executor-sized; no stage ever totally orders the corpus. Content-
-    * free: the permutation survives re-ingestion and text edits.
+    * free: the permutation survives re-ingestion and text edits. (The
+    * trailing orderBy is the repo's driver-compare presentation
+    * convention, not part of the layout — a deployment writes
+    * partitionBy(shard)/sortWithinPartitions(h), which is exactly the
+    * shard-local-sort plan above it.)
     */
   def q80ShardLayout(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
