@@ -333,6 +333,80 @@ object Similarity {
       |FROM embeddings e LEFT JOIN drops d ON e.vec_id = d.vec_id
       |ORDER BY e.vec_id""".stripMargin
 
+  /** q82 — nearest-centroid assignment: every vector is scored against
+    * each label's exact centroid (the q36 scaled-integer algebra) by
+    * cosine and assigned the argmax — the batch classification/cluster-
+    * assignment step (IVF coarse quantization, weak-label propagation,
+    * drift monitoring all reduce to it). Output carries the true label,
+    * the predicted label, the winning score, and the agreement flag —
+    * collected, that is the confusion matrix.
+    *
+    * Cross-engine exactness without a boundary guard: unlike q76's ln,
+    * every operation here is IEEE-deterministic — float→double widening,
+    * correctly-rounded products, half-away-from-zero round (identical in
+    * both engines even exactly ON a boundary, since both see the same
+    * double), and integer sums. Per-component dot/norm terms are frozen
+    * to nano-units and summed as BIGINTs (order-invariant); the final
+    * score is one division by one sqrt of a double product (cast double
+    * BEFORE multiplying — the q69 overflow lesson: nano-norm products
+    * reach ~4e21 > 2^63 as integers).
+    *
+    * Scale shape: the centroid table is #labels × dims (KBs) — built by
+    * one aggregation and broadcast; scoring is a pure map over vectors
+    * (codegen'd higher-order array folds, k rows per vector); the argmax
+    * is one window keyed by vec_id (a single corpus-sized exchange, the
+    * same class as any per-key aggregation). Never pairwise in the
+    * corpus.
+    */
+  def q82CentroidAssign(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cent = q36LabelCentroids(spark, dir)
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"d", $"centroid"))).as("cs"))
+      .select($"label".as("c_label"), expr("transform(cs, s -> s.centroid)").as("c"))
+    val nano = "1000000000.0"
+    val w = Window.partitionBy($"vec_id").orderBy($"score".desc, $"c_label")
+    Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .crossJoin(broadcast(cent))
+      .withColumn("dot_u", expr(
+        s"aggregate(zip_with(embedding, c, (x, y) -> CAST(round(CAST(x AS DOUBLE) * y * $nano) AS BIGINT)), CAST(0 AS BIGINT), (acc, t) -> acc + t)"))
+      .withColumn("nx_u", expr(
+        s"aggregate(transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * $nano) AS BIGINT)), CAST(0 AS BIGINT), (acc, t) -> acc + t)"))
+      .withColumn("nc_u", expr(
+        s"aggregate(transform(c, y -> CAST(round(y * y * $nano) AS BIGINT)), CAST(0 AS BIGINT), (acc, t) -> acc + t)"))
+      .withColumn("score",
+        $"dot_u".cast("double") / sqrt($"nx_u".cast("double") * $"nc_u".cast("double")))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .select($"vec_id", $"label".cast("long").as("label"),
+        $"c_label".as("predicted"), $"score",
+        ($"label".cast("long") === $"c_label").as("correct"))
+      .orderBy($"vec_id")
+  }
+
+  val q82Sql: String =
+    """WITH cent AS (
+      |  SELECT CAST(label AS BIGINT) AS c_label, CAST(i AS BIGINT) AS d,
+      |    CAST(SUM(CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000.0 / COUNT(*) AS c
+      |  FROM embeddings, range(64) r(i) GROUP BY 1, 2),
+      |parts AS (
+      |  SELECT e.vec_id, CAST(e.label AS BIGINT) AS label, ct.c_label,
+      |    SUM(CAST(round(CAST(e.embedding[ct.d + 1] AS DOUBLE) * ct.c * 1000000000.0) AS BIGINT)) AS dot_u,
+      |    SUM(CAST(round(CAST(e.embedding[ct.d + 1] AS DOUBLE) * CAST(e.embedding[ct.d + 1] AS DOUBLE) * 1000000000.0) AS BIGINT)) AS nx_u,
+      |    SUM(CAST(round(ct.c * ct.c * 1000000000.0) AS BIGINT)) AS nc_u
+      |  FROM embeddings e CROSS JOIN cent ct
+      |  GROUP BY 1, 2, 3),
+      |scored AS (
+      |  SELECT vec_id, label, c_label,
+      |    CAST(dot_u AS DOUBLE) / sqrt(CAST(nx_u AS DOUBLE) * CAST(nc_u AS DOUBLE)) AS score,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id
+      |      ORDER BY CAST(dot_u AS DOUBLE) / sqrt(CAST(nx_u AS DOUBLE) * CAST(nc_u AS DOUBLE)) DESC, c_label) AS rk
+      |  FROM parts)
+      |SELECT vec_id, label, c_label AS predicted, score, label = c_label AS correct
+      |FROM scored WHERE rk = 1
+      |ORDER BY vec_id""".stripMargin
+
   /** Grouped centroids through the TYPED UDAF path
     * (Dataset.groupByKey + Aggregator with map-side combine) — the
     * Dataset-API twin of q36's column-form aggregation, sharing its
@@ -419,7 +493,8 @@ object Similarity {
     "q48_ivf_neardup" -> (q48IvfNeardup _),
     "q50_centroid_udaf" -> (q50CentroidUdaf _),
     "q75_semantic_dedup" -> (q75SemanticDedup _),
-    "q77_semantic_clusters" -> (q77SemanticClusters _))
+    "q77_semantic_clusters" -> (q77SemanticClusters _),
+    "q82_centroid_assign" -> (q82CentroidAssign _))
 
   val oracleSql: Map[String, String] = Map(
     "q64_quantize_embeddings" -> q64Sql,
@@ -430,5 +505,6 @@ object Similarity {
     "q48_ivf_neardup" -> q48Sql,
     "q50_centroid_udaf" -> q50Sql,
     "q75_semantic_dedup" -> q75Sql,
-    "q77_semantic_clusters" -> q77Sql)
+    "q77_semantic_clusters" -> q77Sql,
+    "q82_centroid_assign" -> q82Sql)
 }

@@ -106,6 +106,44 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(got == expected, s"clusters differ: got $got expected $expected")
   }
 
+  test("q82 centroid assignment: planted clusters classify to the nearest axis") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_assign").toString
+    def v(xs: Double*): Array[Float] = (xs.map(_.toFloat) ++ Seq.fill(6)(0f)).toArray
+    // label 0 centroid = (1, 1/3) (v0/v1 straddle e1, mislabeled v5 drags
+    // it up); label 1 centroid = (1/3, 2/3) (v2/v3 straddle e2, mislabeled
+    // v4 drags it right). Both mislabeled vectors land nearer the OTHER
+    // label's centroid (18.4 deg vs 26.6+ deg), so the assignment flags
+    // exactly them.
+    val rows = Seq(
+      (0L, v(1, 0.1), 0), (1L, v(1, -0.1), 0),
+      (2L, v(0.1, 1), 1), (3L, v(-0.1, 1), 1),
+      (4L, v(1, 0), 1),
+      (5L, v(1, 1), 0))
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val r = Similarity.q82CentroidAssign(spark, d).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getBoolean(4)))).toMap
+    assert(r.size == 6)
+    // centroids: label0 = mean{(1,.1),(1,-.1),(1,1)} = (1, 1/3); label1 =
+    // mean{(.1,1),(-.1,1),(1,0)} = (1/3, 2/3). v0/v1 -> 0, v2/v3 -> 1.
+    assert(r(0L) == ((0L, 0L, true)) && r(1L) == ((0L, 0L, true)))
+    assert(r(2L) == ((1L, 1L, true)) && r(3L) == ((1L, 1L, true)))
+    // both mislabeled vectors are caught by the assignment
+    assert(r(4L)._2 == 0L && !r(4L)._3, "v4 must be predicted into cluster 0")
+    assert(r(5L)._2 == 1L && !r(5L)._3, "v5 must be predicted into cluster 1")
+  }
+
+  test("q82 centroid assignment: one verdict per vector, scores in [-1, 1]") {
+    val rows = Similarity.q82CentroidAssign(spark, sfDir).collect()
+    val n = graft.sources.Tables.embeddings(spark, sfDir).count()
+    assert(rows.length == n)
+    rows.foreach { r =>
+      val s = r.getAs[Double]("score")
+      assert(s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9)
+    }
+  }
+
   test("q64 int8 quantization: exact error accounting on planted vectors") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("graft_quant").toString
