@@ -733,6 +733,72 @@ object Dedup {
   def q51DedupClusters(spark: SparkSession, dir: String): DataFrame =
     dedupClusters(q31MinhashLsh(spark, dir).select("a_id", "b_id"))
 
+  /** The O(log n)-round connected-components variant [[dedupClusters]]'s
+    * scaladoc cites for adversarial diameters — alternating large-star /
+    * small-star rounds (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14): large-star hangs every neighbor
+    * LARGER than a node off that node's minimum neighbor (halving long
+    * paths), small-star re-hangs the smaller neighbors; the edge set
+    * converges to stars (node → component min) in O(log n) rounds
+    * regardless of diameter, vs O(diameter) for min-label propagation.
+    * Near-dup graphs are near-cliques, so q51 keeps propagation (1-2
+    * rounds, fewer shuffles/round); this is the drop-in for edge lists
+    * with long chains (e.g. span-level links from q74). Identical output
+    * contract to [[dedupClusters]] — DedupStarSpec pins equality on
+    * random graphs and an adversarial 400-hop chain.
+    *
+    * Each round is two join+aggregate shuffles over the (shrinking) edge
+    * list; the convergence probe is one order-invariant count+hash
+    * aggregate, so the driver loop holds two longs per round.
+    */
+  def dedupClustersStar(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    // canonical orientation: (larger, smaller), self-loops dropped
+    def canon(df: DataFrame): DataFrame = df.filter($"s" =!= $"d")
+      .select(greatest($"s", $"d").as("s"), least($"s", $"d").as("d"))
+      .distinct()
+    var edges = canon(pairs.select($"a_id".as("s"), $"b_id".as("d")))
+      .localCheckpoint()
+    // order-invariant set fingerprint: count + XOR of per-edge hashes
+    // (edges are distinct post-canon, so XOR is collision-safe here;
+    // a SUM would overflow Int64 under ANSI mode)
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), bit_xor(xxhash64($"s", $"d"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var prev = (-1L, -1L)
+    var cur = fingerprint(edges)
+    while (cur != prev) {
+      // large-star: over the symmetric view, attach each neighbor v > u
+      // to m(u) = min(Γ(u) ∪ {u})
+      val sym = edges.select($"s".as("u"), $"d".as("v"))
+        .union(edges.select($"d".as("u"), $"s".as("v")))
+      val mL = sym.groupBy($"u").agg(min($"v").as("nmin"))
+        .select($"u", least($"u", $"nmin").as("m"))
+      val afterLarge = canon(
+        sym.join(mL, Seq("u")).filter($"v" > $"u")
+          .select($"v".as("s"), $"m".as("d")))
+      // small-star: key each (larger, smaller) edge by its larger end,
+      // re-hang the smaller neighbors (and the node itself) off the min
+      val mS = afterLarge.groupBy($"s").agg(min($"d").as("m"))
+      val ss = afterLarge.join(mS, Seq("s"))
+        .filter($"d" =!= $"m").select($"d".as("s"), $"m".as("d"))
+        .union(mS.select($"s", $"m".as("d")))
+      edges = canon(ss).localCheckpoint()
+      prev = cur
+      cur = fingerprint(edges)
+    }
+    // converged: stars (node → component min); roots label themselves
+    val labels = edges.select($"s".as("v"), $"d".as("lbl"))
+      .union(edges.select($"d".as("v"), $"d".as("lbl")))
+      .distinct()
+    val sizes = labels.groupBy($"lbl").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("lbl"))
+      .select($"v".as("doc_id"), $"lbl".as("cluster_rep"), $"cluster_size")
+      .orderBy($"doc_id")
+  }
+
   /** Connected-components CTE chain over `pairs` ending in `comp`
     * (doc_id, cluster_rep) — shared by the q51 and q63 oracles.
     */
