@@ -532,6 +532,55 @@ object TextAnalysis {
       |HAVING COUNT(DISTINCT doc_id) >= 2
       |ORDER BY chunk_fp""".stripMargin
 
+  /** q83 — syndication families: connected components over the q74
+    * shared-span graph (docs linked when they carry the same 64-token
+    * aligned span), one row per clustered doc with its family
+    * representative and size. This is where the provenance of syndicated
+    * content (license headers, wire-service articles, mirrored pages)
+    * becomes actionable: q74 lists the spans, q83 groups the documents,
+    * and a mix designer down-weights whole families instead of
+    * independent-looking members. Span-sharing graphs are exactly where
+    * component DIAMETERS get long (A shares a span with B, B a different
+    * span with C, ...), so the declared path is
+    * [[Dedup.dedupClustersStar]] — the O(log n)-round large-star/
+    * small-star algorithm — not min-label propagation.
+    *
+    * Scale shape: edges are built per shared fingerprint as a STAR to
+    * the fingerprint's minimum doc (O(docs-per-span) edges, never the
+    * quadratic doc-pair fan-out — same components, linear edge volume),
+    * then the star rounds' join+aggregate shuffles over the shrinking
+    * edge list.
+    */
+  def q83SpanFamilies(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ch = chunkRelation(spark, dir, 64, 64)
+      .select($"doc_id", $"chunk_fp").distinct()
+      // edge build branches twice off the doc-span relation
+      .localCheckpoint()
+    val rep = ch.groupBy($"chunk_fp").agg(min($"doc_id").as("rep"))
+    val edges = ch.join(rep, Seq("chunk_fp"))
+      .filter($"doc_id" =!= $"rep")
+      .select($"rep".as("a_id"), $"doc_id".as("b_id"))
+      .distinct()
+    Dedup.dedupClustersStar(edges)
+      .withColumnRenamed("cluster_rep", "family_rep")
+      .withColumnRenamed("cluster_size", "family_size")
+  }
+
+  val q83Sql: String =
+    s"""WITH RECURSIVE ${chunkCtes(64, 64)},
+      |dch AS (SELECT DISTINCT doc_id, chunk_fp FROM ch),
+      |rep AS (SELECT chunk_fp, MIN(doc_id) AS rep FROM dch GROUP BY 1),
+      |pairs AS (SELECT DISTINCT r.rep AS a_id, d.doc_id AS b_id
+      |          FROM dch d JOIN rep r USING (chunk_fp)
+      |          WHERE d.doc_id <> r.rep),
+      |${Dedup.clusterCtes}
+      |SELECT c.doc_id, c.cluster_rep AS family_rep, sz.n AS family_size
+      |FROM comp c
+      |JOIN (SELECT cluster_rep AS r, CAST(COUNT(*) AS BIGINT) AS n
+      |      FROM comp GROUP BY 1) sz ON sz.r = c.cluster_rep
+      |ORDER BY doc_id""".stripMargin
+
   /** Per-source corpus card — the summary table a dataset release ships
     * (doc counts, token budget, length distribution, mean quality,
     * length-gate pass share). One aggregation by the stratum key; the
@@ -659,6 +708,7 @@ object TextAnalysis {
     "q61_quality_funnel" -> (q61QualityFunnel _),
     "q62_chunk_docs" -> (q62ChunkDocs _),
     "q74_repeated_chunks" -> (q74RepeatedChunks _),
+    "q83_span_families" -> (q83SpanFamilies _),
     "q26_token_stats" -> (q26TokenStats _),
     "q27_quality_score" -> (q27QualityScore _),
     "q28_lang_id" -> (q28LangId _),
@@ -674,6 +724,7 @@ object TextAnalysis {
     "q61_quality_funnel" -> q61Sql,
     "q62_chunk_docs" -> q62Sql,
     "q74_repeated_chunks" -> q74Sql,
+    "q83_span_families" -> q83Sql,
     "q26_token_stats" -> q26Sql,
     "q27_quality_score" -> q27Sql,
     "q28_lang_id" -> q28Sql,

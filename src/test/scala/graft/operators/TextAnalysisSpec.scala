@@ -73,6 +73,37 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q83 span families match brute-force components over shared 64-token spans") {
+    // independent reference: tile every doc into aligned 64-token chunks in
+    // Scala, link docs sharing a chunk, union-find the families
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val byChunk = docs.flatMap { case (id, text) =>
+      text.trim.split(" ").grouped(64).map(c => c.mkString(" ") -> id)
+    }.groupBy(_._1).values.map(_.map(_._2).distinct.sorted).filter(_.length >= 2)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    byChunk.foreach { ids =>
+      ids.tail.foreach { v =>
+        val (ra, rb) = (find(ids.head), find(v))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    val members = parent.keys.toSeq.groupBy(find)
+    val expected = members.flatMap { case (_, vs) =>
+      val rep = vs.min
+      vs.map(v => v -> ((rep, vs.size.toLong)))
+    }.toMap
+    val got = TextAnalysis.q83SpanFamilies(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.nonEmpty, "fixture corpus must contain shared spans")
+    assert(got == expected)
+  }
+
   test("training mix: exact 1-in-5 per stratum, stable under repartitioning") {
     val a = TextAnalysis.q53TrainingMix(spark, sfDir).collect()
     // per-source counts are exactly floor(n/5)
