@@ -47,6 +47,21 @@ object Sinks {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(dest)
   }
 
+  /** Deployment form of the q80 shard layout (graft.operators.Corpus):
+    * one directory per shard, rows laid down in permutation order within
+    * it — `repartition(shard)` + `sortWithinPartitions` keeps every sort
+    * shard-local (the whole point of the layout: no stage totally orders
+    * the corpus), and readers stream shard directories in order to
+    * reproduce the global permutation.
+    */
+  def writeShardedCorpus(docsWithLayout: DataFrame, dest: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    docsWithLayout
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(dest)
+  }
+
   /** Gzip CSV write — the reference's compact step as a writer option
     * (`citibike_project/etl/ingest_data.py:145-152`).
     */

@@ -64,6 +64,25 @@ class LakeLayoutSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("sharded corpus write: shard dirs round-trip the q80 permutation in order") {
+    val dest = Files.createTempDirectory("graft_shards").toString + "/corpus"
+    val layout = graft.operators.Corpus.q80ShardLayout(spark, sfDir)
+    graft.sources.Sinks.writeShardedCorpus(layout, dest)
+    val shards = new java.io.File(dest).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName)
+    assert(shards.length > 1, "layout must fan out to multiple shard dirs")
+    // within a shard directory, parquet row order IS the permutation order
+    for (s <- shards.take(4)) {
+      val pos = spark.read.parquet(s"$dest/$s").select("pos")
+        .collect().map(_.getLong(0))
+      assert(pos.sameElements(pos.sorted), s"$s must be laid down in pos order")
+      assert(pos.head == 1L)
+    }
+    // nothing lost: reading the full tree returns every doc exactly once
+    val n = spark.read.parquet(dest).select("doc_id").distinct().count()
+    assert(n == layout.count())
+  }
+
   test("simhash captures the same near-dup set as exact Jaccard on this corpus") {
     val exact = graft.operators.Dedup.q33NgramJaccard(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
