@@ -404,7 +404,7 @@ object Corpus {
     * identical in DuckDB via `hashSqlExpr`.
     */
   private def hashColumn(idCol: Column): Column =
-    conv(substring(md5(idCol.cast("string")), 1, 15), 16, 10).cast("long")
+    graft.functions.Md5Prefix60(idCol.cast("string"))
 
   private def hashSqlExpr(idExpr: String): String =
     s"CAST('0x' || substr(md5(CAST($idExpr AS VARCHAR)), 1, 15) AS BIGINT)"

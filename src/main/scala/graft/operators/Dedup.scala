@@ -114,10 +114,13 @@ object Dedup {
     */
   private def gramDict(spark: SparkSession, gx: DataFrame): DataFrame = {
     import spark.implicits._
+    // native codegen form of h60Expr — identical values (pinned by
+    // HashFunctionsSpec), no hex-string/Conv machinery per shingle
+    val h60 = graft.functions.Md5Prefix60($"g")
     gx.select($"g").distinct().select(
       $"g",
-      expr(s"${h60Expr("g")} % $P").as("hm"),
-      expr(h60Expr("g")).as("h"))
+      (h60 % P).as("hm"),
+      h60.as("h"))
   }
 
   /** Dictionary with xxhash64 in place of the md5/conv portable hash —

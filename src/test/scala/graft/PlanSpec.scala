@@ -105,6 +105,8 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!graft.functions.CosineSimilarity(lit, lit).isInstanceOf[CodegenFallback])
     val litL = Literal.create(Array(1L), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))
     assert(!graft.functions.IntersectCountSortedLong(litL, litL).isInstanceOf[CodegenFallback])
+    val litS = Literal.create("x", org.apache.spark.sql.types.StringType)
+    assert(!graft.functions.Md5Prefix60(litS).isInstanceOf[CodegenFallback])
   }
 
   test("aggregations use partial (map-side) aggregation") {
