@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, DotProduct, IntersectCountSortedLong}
+import graft.functions.{CosineSimilarity, DotProduct, IntersectCountSortedLong, Md5Prefix60}
 
 /** SparkSessionExtensions entry point: installs graft's native expressions
   * into the session function registry so they are first-class SQL
@@ -34,5 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("intersect_count"),
       info("intersect_count", "intersect_count(a, b) - intersection size of two sorted bigint arrays"),
       (exprs: Seq[Expression]) => IntersectCountSortedLong(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("md5_prefix60"),
+      info("md5_prefix60", "md5_prefix60(s) - first 60 bits of md5(s) as a non-negative bigint (engine-portable hash)"),
+      (exprs: Seq[Expression]) => Md5Prefix60(exprs(0))))
   }
 }

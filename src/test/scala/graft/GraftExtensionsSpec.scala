@@ -33,6 +33,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val dp = s.sql("SELECT dot_product(array(1.0F, 2.0F), array(3.0F, 4.0F)) c")
         .collect().head.getDouble(0)
       assert(dp == 11.0)
+      val h = s.sql("SELECT md5_prefix60('alpha beta') h, CAST(conv(substr(md5('alpha beta'), 1, 15), 16, 10) AS BIGINT) c")
+        .collect().head
+      assert(h.getLong(0) == h.getLong(1))
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
