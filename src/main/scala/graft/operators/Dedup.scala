@@ -93,10 +93,10 @@ object Dedup {
       .select($"doc_id", gramsCol.as("grams"))
   }
 
-  /** Engine-portable 60-bit hash, as a SQL expression over `e`. */
-  private def h60Expr(e: String): String =
-    s"CAST(conv(substr(md5($e), 1, 15), 16, 10) AS BIGINT)"
-
+  /** Engine-portable 60-bit hash, DuckDB side. The Spark side is the
+    * native [[graft.functions.Md5Prefix60]] expression (value-equality
+    * with this form pinned by HashFunctionsSpec).
+    */
   private def h60DuckSql(e: String): String =
     s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
 
@@ -114,8 +114,8 @@ object Dedup {
     */
   private def gramDict(spark: SparkSession, gx: DataFrame): DataFrame = {
     import spark.implicits._
-    // native codegen form of h60Expr — identical values (pinned by
-    // HashFunctionsSpec), no hex-string/Conv machinery per shingle
+    // native codegen form of the portable hash (h60DuckSql's value) —
+    // equality pinned by HashFunctionsSpec; no hex-string/Conv machinery
     val h60 = graft.functions.Md5Prefix60($"g")
     gx.select($"g").distinct().select(
       $"g",
@@ -757,15 +757,21 @@ object Dedup {
   def dedupClustersStar(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    // canonical orientation: (larger, smaller), self-loops dropped
+    val input = pairs.select($"a_id".as("s"), $"b_id".as("d")).localCheckpoint()
+    // canonical orientation: (larger, smaller), self-loops dropped from
+    // the ITERATION (they carry no connectivity) but their vertices are
+    // re-added as singletons at the end — dedupClusters emits a vertex
+    // that appears only in self-pairs as its own 1-cluster, and the two
+    // variants must keep an identical output contract
     def canon(df: DataFrame): DataFrame = df.filter($"s" =!= $"d")
       .select(greatest($"s", $"d").as("s"), least($"s", $"d").as("d"))
       .distinct()
-    var edges = canon(pairs.select($"a_id".as("s"), $"b_id".as("d")))
-      .localCheckpoint()
-    // order-invariant set fingerprint: count + XOR of per-edge hashes
-    // (edges are distinct post-canon, so XOR is collision-safe here;
-    // a SUM would overflow Int64 under ANSI mode)
+    var edges = canon(input).localCheckpoint()
+    // order-invariant set fingerprint: count + XOR of per-edge hashes.
+    // Distinctness rules out XOR self-cancellation; cross-set collisions
+    // remain possible at ~2^-64 per round — an accepted risk (a collision
+    // would end the loop one round early), same class as any hash-based
+    // convergence probe
     def fingerprint(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(lit(1)), bit_xor(xxhash64($"s", $"d"))).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
@@ -792,9 +798,17 @@ object Dedup {
       prev = cur
       cur = fingerprint(edges)
     }
-    // converged: stars (node → component min); roots label themselves
+    // converged: stars (node → component min); roots label themselves.
+    // Vertices that appeared ONLY in self-pairs never entered the
+    // iteration — re-add them as their own singletons (propagation
+    // parity; see canon note above)
+    val selfOnly = input.filter($"s" === $"d").select($"s".as("v"))
+      .distinct()
+      .join(canon(input).select(explode(array($"s", $"d")).as("v")).distinct(),
+        Seq("v"), "left_anti")
     val labels = edges.select($"s".as("v"), $"d".as("lbl"))
       .union(edges.select($"d".as("v"), $"d".as("lbl")))
+      .union(selfOnly.select($"v", $"v".as("lbl")))
       .distinct()
     val sizes = labels.groupBy($"lbl").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("lbl"))

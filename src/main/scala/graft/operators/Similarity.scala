@@ -360,11 +360,17 @@ object Similarity {
     */
   def q82CentroidAssign(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val nano = "1000000000.0"
     val cent = q36LabelCentroids(spark, dir)
       .groupBy($"label")
       .agg(array_sort(collect_list(struct($"d", $"centroid"))).as("cs"))
       .select($"label".as("c_label"), expr("transform(cs, s -> s.centroid)").as("c"))
-    val nano = "1000000000.0"
+      // per-centroid norm depends only on the centroid: freeze it ONCE in
+      // this #labels-row table instead of re-folding 64 rounds per
+      // (vector x centroid) row — bit-identical BIGINT sum, half the
+      // per-row array work
+      .withColumn("nc_u", expr(
+        s"aggregate(transform(c, y -> CAST(round(y * y * $nano) AS BIGINT)), CAST(0 AS BIGINT), (acc, t) -> acc + t)"))
     val w = Window.partitionBy($"vec_id").orderBy($"score".desc, $"c_label")
     Tables.embeddings(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
@@ -373,8 +379,6 @@ object Similarity {
         s"aggregate(zip_with(embedding, c, (x, y) -> CAST(round(CAST(x AS DOUBLE) * y * $nano) AS BIGINT)), CAST(0 AS BIGINT), (acc, t) -> acc + t)"))
       .withColumn("nx_u", expr(
         s"aggregate(transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * $nano) AS BIGINT)), CAST(0 AS BIGINT), (acc, t) -> acc + t)"))
-      .withColumn("nc_u", expr(
-        s"aggregate(transform(c, y -> CAST(round(y * y * $nano) AS BIGINT)), CAST(0 AS BIGINT), (acc, t) -> acc + t)"))
       .withColumn("score",
         $"dot_u".cast("double") / sqrt($"nx_u".cast("double") * $"nc_u".cast("double")))
       .withColumn("rk", row_number().over(w))

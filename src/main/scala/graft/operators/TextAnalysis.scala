@@ -553,7 +553,11 @@ object TextAnalysis {
     */
   def q83SpanFamilies(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // full 64-token spans only: the tiling's trailing remainder chunk can
+    // be a 1-2 token fragment, and linking on those would fuse unrelated
+    // docs that merely end in the same common words
     val ch = chunkRelation(spark, dir, 64, 64)
+      .filter($"chunk_len" === 64)
       .select($"doc_id", $"chunk_fp").distinct()
       // edge build branches twice off the doc-span relation
       .localCheckpoint()
@@ -569,7 +573,7 @@ object TextAnalysis {
 
   val q83Sql: String =
     s"""WITH RECURSIVE ${chunkCtes(64, 64)},
-      |dch AS (SELECT DISTINCT doc_id, chunk_fp FROM ch),
+      |dch AS (SELECT DISTINCT doc_id, chunk_fp FROM ch WHERE chunk_len = 64),
       |rep AS (SELECT chunk_fp, MIN(doc_id) AS rep FROM dch GROUP BY 1),
       |pairs AS (SELECT DISTINCT r.rep AS a_id, d.doc_id AS b_id
       |          FROM dch d JOIN rep r USING (chunk_fp)

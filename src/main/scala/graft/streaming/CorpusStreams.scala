@@ -32,17 +32,26 @@ object CorpusStreams {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  /** File-based stream over documents-shaped parquet. */
+  /** File-based stream over the documents table. The source needs a
+    * directory base path, so the fixture dir is narrowed to the table's
+    * own file(s) with a glob — without it the stream would list and
+    * decode every sibling table through this schema on each batch.
+    */
   def fileStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(documentsSchema).parquet(dir)
+    spark.readStream.schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
 
   /** Admission pipeline: fingerprint, token-gate (>= minTokens), and
     * cross-batch exact dedup by fingerprint — first occurrence wins,
     * every later exact copy (same batch or any later one) is dropped.
+    * The fingerprint is q30's normalized form (whitespace-collapsed,
+    * trimmed, lowercased) so the stream admits exactly what the nightly
+    * batch dedup would keep — not a stricter byte-identical variant.
     */
   def intake(docs: DataFrame, minTokens: Int = 5): DataFrame =
     docs
-      .withColumn("fp", md5(col("text")))
+      .withColumn("fp", md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
       .withColumn("n_tokens", size(split(trim(col("text")), " ")).cast("long"))
       .filter(col("n_tokens") >= minTokens)
       .dropDuplicates("fp")

@@ -37,6 +37,15 @@ class DedupStarSpec extends AnyFunSuite with SparkSpec {
     assert(got.map(_._1) == (0L to 400L).toSet)
   }
 
+  test("star components emit self-pair-only vertices as singletons, like propagation") {
+    // vertex 7 appears only as (7,7); vertex 1 has a real edge AND a
+    // self-pair; both variants must agree on the full output
+    val pairs = Seq((7L, 7L), (1L, 1L), (1L, 2L))
+    val star = run(pairs, star = true)
+    assert(star == run(pairs, star = false))
+    assert(star == Set((7L, 7L, 1L), (1L, 1L, 2L), (2L, 1L, 2L)))
+  }
+
   test("star components match propagation on the q31 near-dup pairs") {
     val pairs = Dedup.q31MinhashLsh(spark, sfDir)
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq

@@ -80,7 +80,9 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1))
     val byChunk = docs.flatMap { case (id, text) =>
-      text.trim.split(" ").grouped(64).map(c => c.mkString(" ") -> id)
+      // full spans only, mirroring the operator's chunk_len = 64 gate
+      text.trim.split(" ").grouped(64).filter(_.length == 64)
+        .map(c => c.mkString(" ") -> id)
     }.groupBy(_._1).values.map(_.map(_._2).distinct.sorted).filter(_.length >= 2)
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = {

@@ -28,11 +28,13 @@ class CorpusStreamsSpec extends AnyFunSuite with SparkSpec {
       val after1 = spark.table("intake").collect()
       assert(after1.length == 1, "one admission for two copies, short doc gated")
       assert(after1.head.getAs[Long]("n_tokens") == 6L)
-      // batch 2: textA again (cross-batch dup) + a genuinely new text
-      mem.addData(doc(3, textA), doc(4, textB))
+      // batch 2: textA again (cross-batch dup), a case/whitespace variant
+      // of it (q30 normalization must catch it), and a genuinely new text
+      mem.addData(doc(3, textA), doc(4, "Alpha  BETA gamma delta epsilon zeta"),
+        doc(5, textB))
       q.processAllAvailable()
       val after2 = spark.table("intake").collect()
-      assert(after2.length == 2, "cross-batch duplicate must not re-admit")
+      assert(after2.length == 2, "cross-batch and normalized duplicates must not re-admit")
       assert(after2.map(_.getAs[String]("fp")).distinct.length == 2)
     } finally q.stop()
   }
@@ -47,7 +49,7 @@ class CorpusStreamsSpec extends AnyFunSuite with SparkSpec {
       assert(admitted.length == admitted.distinct.length, "no fingerprint admitted twice")
       val expected = graft.sources.Tables.documents(spark, sfDir)
         .filter(size(split(trim($"text"), " ")) >= 5)
-        .select(md5($"text").as("fp")).distinct()
+        .select(md5(lower(trim(regexp_replace($"text", "\\s+", " ")))).as("fp")).distinct()
         .collect().map(_.getString(0)).toSet
       assert(admitted.toSet == expected, "streaming admission set == batch distinct set")
     } finally q.stop()
