@@ -20,7 +20,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Events.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
-      Analytics.queries ++ Corpus.queries ++ graft.sql.ModelRunner.queries
+      Analytics.queries ++ Corpus.queries ++ Selection.queries ++
+      graft.sql.ModelRunner.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -28,5 +29,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ Events.oracleSql ++ TextAnalysis.oracleSql ++
       Dedup.oracleSql ++ Similarity.oracleSql ++ Multimodal.oracleSql ++
-      Analytics.oracleSql ++ Corpus.oracleSql ++ graft.sql.ModelRunner.oracleSql
+      Analytics.oracleSql ++ Corpus.oracleSql ++ Selection.oracleSql ++
+      graft.sql.ModelRunner.oracleSql
 }

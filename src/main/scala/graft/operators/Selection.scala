@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.sources.Tables
+
+/** Data-selection operators: the distribution-level audits and
+  * importance-weight machinery a mix designer runs to decide WHAT to
+  * train on (the DoReMi / DSIR recipes), complementing the dedup and
+  * quality gates that decide what to throw away.
+  *
+  * Reference tie-in: the reference's analytics layer (dbt service +
+  * notebook aggregation, citibike_project/docker-compose.yaml:115-126)
+  * stops at descriptive per-source counts; these are the prescriptive
+  * corpus-analytics a training pipeline layers on top (SURVEY.md §2,
+  * LLM-pipeline extensions).
+  *
+  * Cross-engine discipline (the q76 pattern): every transcendental is
+  * frozen to integer micro-nats per TYPE — round(ln(ratio of exact
+  * integers) * 1e6) — so corpus-sized aggregation is exact integer
+  * arithmetic, and the only doubles the driver compares come from
+  * identical IEEE expression trees in both engines. Every ln argument
+  * is assembled with each factor cast to double BEFORE multiplying
+  * (the q69 overflow class: products of corpus-scale BIGINTs wrap
+  * Int64 silently). SelectionSpec proves every frozen value sits far
+  * from its rounding boundary at every shipped SF.
+  */
+object Selection {
+
+  private def toks: Column = split(trim(col("text")), " ")
+
+  /** (source, tok) term counts — the shared scaffolding: one explode +
+    * one aggregation with map-side combine, checkpointed because both
+    * queries fan it into several derived aggregates.
+    */
+  private def sourceTerms(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"source", explode(toks).as("tok"))
+      .groupBy($"source", $"tok")
+      .agg(count(lit(1)).as("c_st"))
+      .localCheckpoint()
+  }
+
+  /** q84 — per-source KL divergence to the corpus unigram distribution:
+    * KL(p_source || p_corpus) in nats, the mix-audit number that says
+    * which sources are linguistically unusual relative to the corpus
+    * they sit in (the DoReMi-style domain-weighting signal; a source
+    * with high KL dominates its own token neighborhoods and gets
+    * re-weighted). Terms with c_st = 0 contribute 0 (standard 0·ln0
+    * convention), so the sum runs over each source's own support and
+    * KL >= 0 always — SelectionSpec asserts it.
+    *
+    * Exactness: per-(source, type) divergence frozen to micro-nats
+    * d_micro = round(ln((c_st·N) / (n_s·c_t)) · 1e6); the per-source
+    * sum Σ c_st·d_micro runs in DECIMAL(38,0) — NOT BIGINT, because at
+    * the 100 TB design point a 1e13-token source times a 3e7 micro-nat
+    * bound is ~3e20 > 2^63 (the q69 overflow class, this time in the
+    * aggregate; DuckDB side uses HUGEINT). Only the final
+    * CAST(sum AS DOUBLE)/1e6/n_s is floating point — both engines
+    * correctly round the same exact integer, then run the same
+    * division tree.
+    *
+    * Scale shape: one (source, tok) shuffle agg; the per-source totals
+    * (#sources rows) and the type table (vocab-sized, Zipf keeps vocab
+    * << corpus) broadcast onto it; one #sources-row result. If a real
+    * tokenizer blew the broadcast threshold the type join degrades to
+    * a shuffle join on tok, nothing else changes.
+    */
+  def q84SourceKl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val st = sourceTerms(spark, dir)
+    val srcTot = st.groupBy($"source").agg(sum($"c_st").as("n_s"))
+    val types = st.groupBy($"tok").agg(sum($"c_st").as("c_t"))
+    val total = types.agg(sum($"c_t").as("n"))
+    st.join(broadcast(srcTot), Seq("source"))
+      .join(broadcast(types), Seq("tok"))
+      .crossJoin(broadcast(total))
+      .withColumn("d_micro",
+        round(log(($"c_st".cast("double") * $"n".cast("double")) /
+          ($"n_s".cast("double") * $"c_t".cast("double"))) * lit(1000000.0))
+          .cast("long"))
+      .groupBy($"source")
+      .agg(
+        sum($"c_st").cast("long").as("n_tokens"),
+        sum($"c_st".cast(DecimalType(38, 0)) * $"d_micro").as("kl_sum"))
+      .select($"source", $"n_tokens",
+        ($"kl_sum".cast("double") / lit(1000000.0) / $"n_tokens").as("kl_nats"))
+      .orderBy($"source")
+  }
+
+  val q84Sql: String =
+    """WITH t AS (SELECT source, unnest(string_split(trim(text), ' ')) AS tok
+      |           FROM documents),
+      |st AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c_st
+      |       FROM t GROUP BY 1, 2),
+      |stot AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s FROM st GROUP BY 1),
+      |ty AS (SELECT tok, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n FROM ty),
+      |d AS (SELECT st.source, st.c_st,
+      |        CAST(round(ln(CAST(c_st AS DOUBLE) * CAST(n AS DOUBLE) /
+      |          (CAST(n_s AS DOUBLE) * CAST(c_t AS DOUBLE))) * 1000000.0) AS BIGINT) AS d_micro
+      |      FROM st JOIN stot USING (source) JOIN ty USING (tok) CROSS JOIN tot)
+      |SELECT source,
+      |  CAST(SUM(c_st) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CAST(c_st AS HUGEINT) * d_micro) AS DOUBLE) / 1000000.0 / SUM(c_st) AS kl_nats
+      |FROM d
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  /** q85 — DSIR-style importance weights + top-k selection: score every
+    * document by the log-likelihood ratio between a TARGET domain's
+    * unigram LM and the background (whole-corpus) LM, then keep the 50
+    * highest-scoring docs per token — the importance-resampling recipe
+    * for "give me more data that looks like my target domain" (Xie et
+    * al., Data Selection for Language Models via Importance Resampling;
+    * hashed-ngram features there, unigram LM here — same plan shape).
+    * The target is the alphabetically-first source — deterministic and
+    * expressible identically in both engines; a deployment passes its
+    * real target slice.
+    *
+    * Both LMs are add-one smoothed over the CORPUS vocabulary V, so
+    * out-of-target types get a finite negative weight instead of -inf:
+    * w(t) = ln( ((c_tgt+1)·(n_bg+V)) / ((n_tgt+V)·(c_bg+1)) ), frozen
+    * to micro-nats per type. Per-doc sums stay BIGINT — a pathological
+    * 1e9-token doc times the 3e7 micro-nat bound is ~3e16 < 2^63 (the
+    * per-SOURCE aggregate in q84 is where BIGINT breaks; per-doc is
+    * safe — audited, not assumed).
+    *
+    * Scale shape: (doc, tok) shuffle agg; vocab-sized weight table
+    * broadcast back onto it; top-50 plans as TakeOrderedAndProject
+    * (map-side partial top-k, never a global sort of the corpus) —
+    * PlanSpec pins it. Rank ties at the cut are broken by doc_id, so
+    * the selected set is deterministic in both engines (avg_llr is
+    * bit-identical by the frozen-table construction).
+    */
+  def q85ImportanceWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dt = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", explode(toks).as("tok"))
+      .groupBy($"doc_id", $"source", $"tok")
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val types = dt.groupBy($"tok").agg(sum($"cnt").as("c_bg"))
+    val tgt = Tables.documents(spark, dir).agg(min($"source").as("tgt_source"))
+    val tgtTypes = dt.join(broadcast(tgt), $"source" === $"tgt_source")
+      .groupBy($"tok").agg(sum($"cnt").as("c_tgt"))
+    val consts = types.agg(sum($"c_bg").as("n_bg"), count(lit(1)).as("v"))
+    val tgtTot = tgtTypes.agg(coalesce(sum($"c_tgt"), lit(0L)).as("n_tgt"))
+    val w = types
+      .join(broadcast(tgtTypes), Seq("tok"), "left")
+      .crossJoin(broadcast(consts))
+      .crossJoin(broadcast(tgtTot))
+      .select($"tok",
+        round(log(
+          ((coalesce($"c_tgt", lit(0L)) + lit(1L)).cast("double") *
+            ($"n_bg" + $"v").cast("double")) /
+            (($"n_tgt" + $"v").cast("double") * ($"c_bg" + lit(1L)).cast("double"))
+        ) * lit(1000000.0)).cast("long").as("w_micro"))
+    dt.join(broadcast(w), Seq("tok"))
+      .groupBy($"doc_id", $"source")
+      .agg(
+        sum($"cnt").cast("long").as("n_tokens"),
+        sum($"cnt" * $"w_micro").cast("long").as("llr_micro"))
+      .select($"doc_id", $"source", $"n_tokens", $"llr_micro",
+        ($"llr_micro".cast("double") / lit(1000000.0) / $"n_tokens").as("avg_llr"))
+      .orderBy($"avg_llr".desc, $"doc_id")
+      .limit(50)
+  }
+
+  val q85Sql: String =
+    """WITH t AS (SELECT doc_id, source, unnest(string_split(trim(text), ' ')) AS tok
+      |           FROM documents),
+      |dt AS (SELECT doc_id, source, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      |       FROM t GROUP BY 1, 2, 3),
+      |ty AS (SELECT tok, CAST(SUM(cnt) AS BIGINT) AS c_bg FROM dt GROUP BY 1),
+      |tgt AS (SELECT MIN(source) AS tgt_source FROM documents),
+      |tt AS (SELECT tok, CAST(SUM(cnt) AS BIGINT) AS c_tgt
+      |       FROM dt CROSS JOIN tgt WHERE dt.source = tgt.tgt_source GROUP BY 1),
+      |consts AS (SELECT CAST(SUM(c_bg) AS BIGINT) AS n_bg,
+      |                  CAST(COUNT(*) AS BIGINT) AS v FROM ty),
+      |ttot AS (SELECT CAST(COALESCE(SUM(c_tgt), 0) AS BIGINT) AS n_tgt FROM tt),
+      |w AS (SELECT ty.tok,
+      |        CAST(round(ln(CAST(COALESCE(tt.c_tgt, 0) + 1 AS DOUBLE) * CAST(n_bg + v AS DOUBLE) /
+      |          (CAST(n_tgt + v AS DOUBLE) * CAST(ty.c_bg + 1 AS DOUBLE))) * 1000000.0) AS BIGINT) AS w_micro
+      |      FROM ty LEFT JOIN tt ON ty.tok = tt.tok CROSS JOIN consts CROSS JOIN ttot)
+      |SELECT dt.doc_id, dt.source,
+      |  CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(cnt * w_micro) AS BIGINT) AS llr_micro,
+      |  CAST(SUM(cnt * w_micro) AS DOUBLE) / 1000000.0 / SUM(cnt) AS avg_llr
+      |FROM dt JOIN w USING (tok)
+      |GROUP BY 1, 2
+      |ORDER BY avg_llr DESC, doc_id
+      |LIMIT 50""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_source_kl" -> (q84SourceKl _),
+    "q85_importance_weights" -> (q85ImportanceWeights _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q84_source_kl" -> q84Sql,
+    "q85_importance_weights" -> q85Sql)
+}

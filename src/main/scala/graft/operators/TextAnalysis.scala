@@ -585,6 +585,59 @@ object TextAnalysis {
       |      FROM comp GROUP BY 1) sz ON sz.r = c.cluster_rep
       |ORDER BY doc_id""".stripMargin
 
+  /** q86 — per-document novelty score, the memorization-risk audit: for
+    * each document, how much of it is made of 64-token aligned spans
+    * that also occur in OTHER documents (q74 lists the repeated spans,
+    * q83 groups the documents, q86 scores each document by how much of
+    * its own body is repeated elsewhere — the per-doc number a curation
+    * policy thresholds on, e.g. "drop docs that are >50% syndicated
+    * boilerplate"). Full 64-token spans only (same rationale as q83:
+    * trailing 1-2 token fragments would count common sentence endings
+    * as "shared"); docs shorter than one full span have no measurable
+    * span body and are excluded. A span repeated only WITHIN one doc is
+    * not shared — that's q58's repetition signal, not cross-doc reuse.
+    *
+    * Scale shape: the span relation is a pure map + generate; one
+    * (doc_id, chunk_fp) agg, one fp-level agg of THAT, and one join
+    * back on chunk_fp — a shuffle join at 100 TB since both sides are
+    * corpus-sized (unlike q76's vocab table, span fingerprints don't
+    * Zipf-collapse), then the final doc agg. Nothing pairwise.
+    */
+  def q86DocNovelty(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perDoc = chunkRelation(spark, dir, 64, 64)
+      .filter($"chunk_len" === 64)
+      .groupBy($"doc_id", $"chunk_fp")
+      .agg(count(lit(1)).as("cnt"))
+      // feeds both the fp-level doc-count agg and the scoring join
+      .localCheckpoint()
+    val fpDocs = perDoc.groupBy($"chunk_fp").agg(count(lit(1)).as("n_docs"))
+    perDoc.join(fpDocs, Seq("chunk_fp"))
+      .groupBy($"doc_id")
+      .agg(
+        sum($"cnt").cast("long").as("n_spans"),
+        count(lit(1)).cast("long").as("n_span_types"),
+        sum(when($"n_docs" >= 2, $"cnt").otherwise(lit(0L))).cast("long")
+          .as("n_shared_spans"))
+      .select($"doc_id", $"n_spans", $"n_span_types", $"n_shared_spans",
+        ($"n_shared_spans".cast("double") / $"n_spans").as("shared_share"))
+      .orderBy($"doc_id")
+  }
+
+  val q86Sql: String =
+    s"""WITH ${chunkCtes(64, 64)},
+      |pd AS (SELECT doc_id, chunk_fp, CAST(COUNT(*) AS BIGINT) AS cnt
+      |       FROM ch WHERE chunk_len = 64 GROUP BY 1, 2),
+      |fd AS (SELECT chunk_fp, CAST(COUNT(*) AS BIGINT) AS n_docs FROM pd GROUP BY 1)
+      |SELECT pd.doc_id,
+      |  CAST(SUM(cnt) AS BIGINT) AS n_spans,
+      |  CAST(COUNT(*) AS BIGINT) AS n_span_types,
+      |  CAST(SUM(CASE WHEN n_docs >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS n_shared_spans,
+      |  CAST(SUM(CASE WHEN n_docs >= 2 THEN cnt ELSE 0 END) AS DOUBLE) / SUM(cnt) AS shared_share
+      |FROM pd JOIN fd USING (chunk_fp)
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   /** Per-source corpus card — the summary table a dataset release ships
     * (doc counts, token budget, length distribution, mean quality,
     * length-gate pass share). One aggregation by the stratum key; the
@@ -713,6 +766,7 @@ object TextAnalysis {
     "q62_chunk_docs" -> (q62ChunkDocs _),
     "q74_repeated_chunks" -> (q74RepeatedChunks _),
     "q83_span_families" -> (q83SpanFamilies _),
+    "q86_doc_novelty" -> (q86DocNovelty _),
     "q26_token_stats" -> (q26TokenStats _),
     "q27_quality_score" -> (q27QualityScore _),
     "q28_lang_id" -> (q28LangId _),
@@ -729,6 +783,7 @@ object TextAnalysis {
     "q62_chunk_docs" -> q62Sql,
     "q74_repeated_chunks" -> q74Sql,
     "q83_span_families" -> q83Sql,
+    "q86_doc_novelty" -> q86Sql,
     "q26_token_stats" -> q26Sql,
     "q27_quality_score" -> q27Sql,
     "q28_lang_id" -> q28Sql,

@@ -98,6 +98,27 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("partial_count") || p.contains("HashAggregate"))
   }
 
+  test("q84: per-source totals and type table broadcast onto the term counts") {
+    val p = plan("q84_source_kl")
+    // the corpus-sized (source, tok) relation must stream; the #sources
+    // and vocab-sized tables are the broadcast build sides
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q85: top-50 selection plans as TakeOrderedAndProject, vocab broadcast") {
+    val p = plan("q85_importance_weights")
+    // never a global sort of the corpus for a top-k selection
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q86: span-novelty join is keyed, never all-pairs") {
+    val p = plan("q86_doc_novelty")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("HashAggregate"))
+  }
+
   test("custom expressions are codegen-capable (not CodegenFallback)") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback

@@ -1,0 +1,139 @@
+package graft.operators
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Data-selection operators on the CorpusSpec planted corpus, where every
+  * count is exactly known so KL divergences and DSIR weights can be brute
+  * recomputed in plain Scala; plus the rounding-boundary guards that make
+  * the frozen micro-nat tables provably cross-engine identical (the q76
+  * argument, extended to both new frozen tables).
+  *
+  * Plant: 4 "web" docs of "p q" x25 (50 tokens each), 4 "books" docs of
+  * "r" x6. Unigrams p=100 q=100 (web only), r=24 (books only); N=224;
+  * n_web=200, n_books=24; vocabulary V=3; min(source)="books".
+  */
+class SelectionSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft_sel").toString
+    val web = Seq.fill(25)("p q").mkString(" ")
+    val books = Seq.fill(6)("r").mkString(" ")
+    val docs =
+      (0L to 3L).map(i => (i, web, "en", "web", web.length.toLong)) ++
+        (4L to 7L).map(i => (i, books, "en", "books", books.length.toLong))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  // the operator's frozen micro-nat step, replicated exactly: positive and
+  // negative arguments both round half away from zero (Spark HALF_UP ==
+  // DuckDB round); planted values sit far from .5 so the direction choice
+  // never actually fires
+  private def microNats(x: Double): Long =
+    math.round(math.log(x) * 1e6) // Math.round = floor(x+0.5): equals
+                                  // HALF_UP for values not at a boundary
+
+  test("q84: KL divergences match a brute recount on the planted corpus") {
+    val got = Selection.q84SourceKl(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("kl_nats")))).toMap
+    // web: tokens p,q each c_st=100, n_s=200, c_t=100, N=224
+    val dWeb = microNats(100.0 * 224 / (200.0 * 100))
+    val klWeb = (100L * dWeb + 100L * dWeb).toDouble / 1e6 / 200
+    // books: token r c_st=24, n_s=24, c_t=24
+    val dBooks = microNats(24.0 * 224 / (24.0 * 24))
+    val klBooks = (24L * dBooks).toDouble / 1e6 / 24
+    assert(got == Map("web" -> ((200L, klWeb)), "books" -> ((24L, klBooks))))
+    assert(klWeb > 0 && klBooks > 0)
+  }
+
+  test("q84: KL is nonnegative for every source on real data") {
+    Selection.q84SourceKl(spark, sfDir).collect().foreach { r =>
+      // frozen rounding can push a tiny true KL at most 0.5 micro-nat
+      // per type below zero; the corpus sources sit well above that
+      assert(r.getAs[Double]("kl_nats") > -1e-6,
+        s"KL(${r.getAs[String]("source")} || corpus) negative")
+    }
+  }
+
+  test("q85: DSIR weights and selection order match a brute recount") {
+    val rows = Selection.q85ImportanceWeights(spark, dir).collect()
+    // target = min(source) = books; V=3, n_bg=224, n_tgt=24; add-one
+    val wP = microNats((0 + 1.0) * (224 + 3) / ((24 + 3.0) * (100 + 1)))
+    val wR = microNats((24 + 1.0) * (224 + 3) / ((24 + 3.0) * (24 + 1)))
+    // books docs: 24 r-tokens... per doc 6 tokens of r
+    val avgBooks = (6L * wR).toDouble / 1e6 / 6
+    val avgWeb = (25L * wP + 25L * wP).toDouble / 1e6 / 50
+    assert(avgBooks > 0 && avgWeb < 0, "target docs score positive, off-target negative")
+    val got = rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("avg_llr")))
+    // ranking: books docs (4-7) first in doc_id order, then web (0-3)
+    assert(got.toSeq == Seq(4L, 5L, 6L, 7L).map(_ -> avgBooks) ++
+      Seq(0L, 1L, 2L, 3L).map(_ -> avgWeb))
+  }
+
+  test("q85: avg_llr is non-increasing down the selection on real data") {
+    val avgs = Selection.q85ImportanceWeights(spark, sfDir).collect()
+      .map(_.getAs[Double]("avg_llr"))
+    assert(avgs.nonEmpty)
+    avgs.sliding(2).foreach { case Array(a, b) => assert(a >= b); case _ => }
+  }
+
+  test("frozen tables sit far from rounding boundaries at every shipped SF") {
+    // The only cross-engine risk is a libm-vs-JVM ln ulp (~1e-8 in
+    // micro-nat units: 2 ulps of a ~30-nat value) flipping a round();
+    // prove every frozen value in BOTH new tables sits > 1e-6 from the
+    // nearest .5 boundary for every corpus the driver gates on. The
+    // measured floor across all three SFs and both tables is 9.1e-5
+    // (sf0.001, q84 src16/"value") — 10^4 above the ulp, and the guard
+    // threshold sits 100x above the ulp with 90x headroom to the floor.
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val d = s"/root/testdata/$sf"
+      val st = graft.sources.Tables.documents(spark, d)
+        .select($"source", explode(split(trim($"text"), " ")).as("tok"))
+        .groupBy($"source", $"tok").agg(count(lit(1)).as("c_st"))
+        .collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[String]("tok"), r.getAs[Long]("c_st")))
+      val types = st.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+      val srcTot = st.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      val n = types.values.sum
+      val v = types.size.toLong
+      def guard(x: Double, what: String): Unit = {
+        val m = x * 1e6
+        val dist = math.abs(m - math.floor(m) - 0.5)
+        assert(dist > 1e-6, s"$sf $what at $dist from a rounding boundary")
+      }
+      // q84 per-(source, type) divergence arguments
+      st.foreach { case (s, t, c) =>
+        guard(math.log(c.toDouble * n / (srcTot(s).toDouble * types(t))), s"q84 $s/$t")
+      }
+      // q85 per-type weight arguments (target = alphabetically-first source)
+      val tgtSource = srcTot.keys.min
+      val tgtCounts = st.filter(_._1 == tgtSource).map(x => x._2 -> x._3).toMap
+      val nTgt = srcTot(tgtSource)
+      types.foreach { case (t, cBg) =>
+        val cTgt = tgtCounts.getOrElse(t, 0L)
+        guard(math.log((cTgt + 1.0) * (n + v) / ((nTgt + v).toDouble * (cBg + 1))),
+          s"q85 $t")
+      }
+    }
+  }
+
+  test("q84: the DECIMAL(38,0) KL aggregate survives corpus-scale counts") {
+    // the q69 overflow class, this time in the SUM: a 1e13-token source
+    // times a 3e7 micro-nat bound is ~3e20 > 2^63. The operator's exact
+    // aggregate tree must not wrap where a BIGINT sum would.
+    val big = Seq((10000000000000L, 30000000L), (10000000000000L, -30000000L),
+      (10000000000000L, 30000000L))
+      .toDF("c_st", "d_micro")
+    val s = big.agg(
+      sum($"c_st".cast(org.apache.spark.sql.types.DecimalType(38, 0)) * $"d_micro")
+        .as("kl_sum"))
+      .select($"kl_sum".cast("double")).collect()(0).getDouble(0)
+    assert(s == 3e20, "exact decimal aggregate, no Int64 wrap")
+  }
+}

@@ -73,6 +73,31 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q86 doc novelty: planted spans give exactly known shares") {
+    val d = Files.createTempDirectory("graft_novelty").toString
+    // four distinct 64-token spans built from disjoint vocabularies
+    def span(p: String): String = (0 until 64).map(i => s"$p$i").mkString(" ")
+    val (a, b, c2, sD, sE) = (span("a"), span("b"), span("c"), span("d"), span("e"))
+    val docs = Seq(
+      (0L, s"$a $b"),   // spans A,B — A shared with doc 1
+      (1L, s"$a $c2"),  // spans A,C
+      (2L, sD),         // lone span
+      (3L, s"$sE $sE"), // same span twice WITHIN one doc: not shared
+      (4L, "short doc under one span")) // no full span: excluded
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = TextAnalysis.q86DocNovelty(spark, d).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("n_span_types"),
+          r.getAs[Long]("n_shared_spans"), r.getAs[Double]("shared_share")))).toMap
+    assert(got == Map(
+      0L -> ((2L, 2L, 1L, 0.5)),
+      1L -> ((2L, 2L, 1L, 0.5)),
+      2L -> ((1L, 1L, 0L, 0.0)),
+      3L -> ((2L, 1L, 0L, 0.0))))
+  }
+
   test("q83 span families match brute-force components over shared 64-token spans") {
     // independent reference: tile every doc into aligned 64-token chunks in
     // Scala, link docs sharing a chunk, union-find the families
