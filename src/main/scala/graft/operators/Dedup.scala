@@ -915,8 +915,110 @@ object Dedup {
        |FROM kept
        |ORDER BY doc_id""".stripMargin
 
+  /** q87 — near-duplicate cross-source matrix: verified q31 near-dup
+    * pairs rolled up by (source, source), the near-dup sibling of q71's
+    * exact-duplicate overlap matrix — where q71 says "these sources
+    * literally mirror each other", q87 says "these sources carry edited/
+    * templated variants of the same documents" (the syndication signal
+    * exact hashing misses). Pair counts plus min/max verified Jaccard;
+    * min/max are the order-invariant double aggregates (an AVG of
+    * doubles is aggregation-order-dependent and would break the
+    * cross-engine hash — the mean lives in the exact n_pairs count a
+    * report derives ratios from).
+    *
+    * Scale shape: inherits q31's bucketed candidate generation; the
+    * doc→source attachment is two joins on doc_id (near-dup pairs are a
+    * vanishing fraction of the corpus, so the pair side is tiny relative
+    * to the documents side — at 100 TB Catalyst shuffles on doc_id, at
+    * fixture SF it broadcasts), then a #source²-bounded aggregate.
+    */
+  def q87NearDupSourceMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val srcs = Tables.documents(spark, dir).select($"doc_id", $"source")
+    q31MinhashLsh(spark, dir)
+      .join(srcs.select($"doc_id".as("a_id"), $"source".as("src_a")), Seq("a_id"))
+      .join(srcs.select($"doc_id".as("b_id"), $"source".as("src_b")), Seq("b_id"))
+      .select(least($"src_a", $"src_b").as("src_lo"),
+        greatest($"src_a", $"src_b").as("src_hi"), $"jaccard")
+      .groupBy($"src_lo", $"src_hi")
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        min($"jaccard").as("min_jaccard"),
+        max($"jaccard").as("max_jaccard"))
+      .orderBy($"src_lo", $"src_hi")
+  }
+
+  val q87Sql: String =
+    s"""WITH $q31CoreCtes,
+       |sp AS (SELECT least(da.source, db.source) AS src_lo,
+       |              greatest(da.source, db.source) AS src_hi,
+       |              p.jaccard
+       |       FROM pairs p
+       |       JOIN documents da ON da.doc_id = p.a_id
+       |       JOIN documents db ON db.doc_id = p.b_id)
+       |SELECT src_lo, src_hi,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  MIN(jaccard) AS min_jaccard,
+       |  MAX(jaccard) AS max_jaccard
+       |FROM sp
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
+  /** q88 — duplicate-cluster size histogram, the headline table of a
+    * dedup report: how many near-dup families exist at each size, how
+    * many documents they absorb, and what share of the corpus that is —
+    * including the size-1 row for documents in no family (unconditional,
+    * so the histogram always accounts for every document; removing
+    * cluster reps' survivors from the corpus is q63's job, counting them
+    * is q88's). Sizes come from q51's connected components over the q31
+    * verified pairs.
+    *
+    * Scale shape: inherits q51's component rounds; the histogram itself
+    * is a #distinct-sizes-row aggregate of the vertex→component table,
+    * and the singleton row is two 1-row count aggregates crossed — no
+    * new corpus-sized shuffle. The corpus total rides a broadcast onto
+    * the (tiny) histogram for the share column.
+    */
+  def q88ClusterSizeHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val clusters = q51DedupClusters(spark, dir).localCheckpoint()
+    val hist = clusters.groupBy($"cluster_size")
+      .agg(countDistinct($"cluster_rep").cast("long").as("n_clusters"),
+        count(lit(1)).cast("long").as("n_docs"))
+    val nTotal = Tables.documents(spark, dir).agg(count(lit(1)).as("n_total"))
+    val nClustered = clusters.agg(count(lit(1)).as("n_clustered"))
+    val singletons = nTotal.crossJoin(nClustered)
+      .select(lit(1L).as("cluster_size"),
+        ($"n_total" - $"n_clustered").as("n_clusters"),
+        ($"n_total" - $"n_clustered").as("n_docs"))
+    hist.unionByName(singletons)
+      .crossJoin(broadcast(nTotal))
+      .select($"cluster_size", $"n_clusters", $"n_docs",
+        ($"n_docs".cast("double") / $"n_total").as("doc_share"))
+      .orderBy($"cluster_size")
+  }
+
+  val q88Sql: String =
+    s"""WITH RECURSIVE $q31CoreCtes,
+       |$clusterCtes,
+       |cs AS (SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS sz FROM comp GROUP BY 1),
+       |hist AS (SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       |           CAST(SUM(sz) AS BIGINT) AS n_docs
+       |         FROM cs GROUP BY 1),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM documents),
+       |clustered AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_clustered FROM comp),
+       |fh AS (SELECT * FROM hist
+       |       UNION ALL
+       |       SELECT 1, n_total - n_clustered, n_total - n_clustered
+       |       FROM tot CROSS JOIN clustered)
+       |SELECT cluster_size, n_clusters, n_docs,
+       |  CAST(n_docs AS DOUBLE) / n_total AS doc_share
+       |FROM fh CROSS JOIN tot
+       |ORDER BY cluster_size""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_training_manifest" -> (q63TrainingManifest _),
+    "q87_neardup_source_matrix" -> (q87NearDupSourceMatrix _),
+    "q88_cluster_size_histogram" -> (q88ClusterSizeHistogram _),
     "q30_exact_dedup" -> (q30ExactDedup _),
     "q31_minhash_lsh" -> (q31MinhashLsh _),
     "q32_simhash" -> (q32Simhash _),
@@ -929,6 +1031,8 @@ object Dedup {
 
   val oracleSql: Map[String, String] = Map(
     "q63_training_manifest" -> q63Sql,
+    "q87_neardup_source_matrix" -> q87Sql,
+    "q88_cluster_size_histogram" -> q88Sql,
     "q30_exact_dedup" -> q30Sql,
     "q31_minhash_lsh" -> q31Sql,
     "q32_simhash" -> q32Sql,

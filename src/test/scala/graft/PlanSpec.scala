@@ -119,6 +119,11 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("HashAggregate"))
   }
 
+  test("q87: source attachment joins on doc_id, never all-pairs") {
+    val p = plan("q87_neardup_source_matrix")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("custom expressions are codegen-capable (not CodegenFallback)") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback

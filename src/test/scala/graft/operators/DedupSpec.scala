@@ -177,6 +177,54 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(got == expected)
   }
 
+  test("q87 near-dup source matrix matches composing q31 pairs with doc sources") {
+    import org.apache.spark.sql.functions._
+    // independent composition: collect the verified pairs and the
+    // doc→source map separately, roll the matrix up in plain Scala
+    val pairs = Dedup.q31MinhashLsh(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"), r.getAs[Double]("jaccard")))
+    val src = graft.sources.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = pairs
+      .map { case (a, b, j) =>
+        val (sa, sb) = (src(a), src(b))
+        val (lo, hi) = if (sa <= sb) (sa, sb) else (sb, sa)
+        ((lo, hi), j)
+      }
+      .groupBy(_._1).view.mapValues { js =>
+        val v = js.map(_._2); (v.length.toLong, v.min, v.max)
+      }.toMap
+    val got = Dedup.q87NearDupSourceMatrix(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("src_lo"), r.getAs[String]("src_hi")) ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Double]("min_jaccard"),
+          r.getAs[Double]("max_jaccard")))).toMap
+    assert(expected.nonEmpty, "fixture must produce near-dup pairs")
+    assert(got == expected)
+    got.keys.foreach { case (lo, hi) => assert(lo <= hi, "matrix must be upper-triangular") }
+  }
+
+  test("q88 histogram accounts for every document exactly once") {
+    import org.apache.spark.sql.functions._
+    val clusters = Dedup.q51DedupClusters(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_rep"), r.getAs[Long]("cluster_size")))
+    val nTotal = graft.sources.Tables.documents(spark, sfDir).count()
+    val bySize = clusters.groupBy(_._3).view.mapValues { cs =>
+      (cs.map(_._2).distinct.length.toLong, cs.length.toLong)
+    }.toMap
+    val singletons = nTotal - clusters.length
+    val expected = (bySize + (1L -> ((singletons, singletons))))
+      .map { case (sz, (nc, nd)) => sz -> ((nc, nd, nd.toDouble / nTotal)) }
+    val got = Dedup.q88ClusterSizeHistogram(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("cluster_size") ->
+        ((r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs"),
+          r.getAs[Double]("doc_share")))).toMap
+    assert(got == expected)
+    // complete accounting: doc shares sum to 1, sizes>=2 rows have sz*nc docs
+    assert(math.abs(got.values.map(_._3).sum - 1.0) < 1e-12)
+    got.filter(_._1 >= 2).foreach { case (sz, (nc, nd, _)) => assert(nd == sz * nc) }
+  }
+
   test("decontamination flags train docs overlapping the eval slice") {
     // eval slice = doc_id % 20 == 0, i.e. doc 0. Doc 1 is its exact copy
     // (overlap 1.0), doc 2 a one-word edit (37/39 bigrams), doc 3 unrelated.
