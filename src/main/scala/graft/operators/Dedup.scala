@@ -428,11 +428,63 @@ object Dedup {
       minJaccard: Double): DataFrame =
     ngramJaccardInvertedCore(spark, dir, minJaccard, gramDictFast)
 
+  /** Batch-vs-corpus near-dup probe: the doc_ids of `batch` rows whose
+    * bigram Jaccard against ANY `corpus` row reaches `minJaccard` — the
+    * cross-set slice of the inverted-index pipeline, and the seam the
+    * streaming near-dup intake ([[graft.streaming.CorpusStreams]]) runs
+    * per micro-batch. Both inputs are (doc_id, text)-shaped; doc_ids
+    * must be disjoint across the two sides (documents carry globally
+    * unique ids — asserted by the caller's contract, not re-checked with
+    * a corpus-sized scan here). Batch-vs-batch pairs are NOT dropped
+    * (q59's policy: in-batch near-dup handling is q51 clustering, a
+    * separate step). Uses the xxhash64 dictionary — this is Spark-only
+    * deployment machinery (no DuckDB oracle constrains it), pinned
+    * lossless vs the md5 path by DedupSpec.
+    *
+    * Scale shape: identical to q47 — the candidate join touches only
+    * rare-shingle prefixes; the batch side is micro-batch-sized, so its
+    * shingles probe the corpus-side index without ever materializing a
+    * pair explosion.
+    */
+  def crossNearDupIds(corpus: DataFrame, batch: DataFrame,
+      minJaccard: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def gxOf(df: DataFrame): DataFrame = df
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("toks", split(trim($"text"), " "))
+      .select($"doc_id", gramsCol.as("grams"))
+      .select($"doc_id", explode($"grams").as("g"))
+    val gx = gxOf(corpus.select($"doc_id", $"text"))
+      .union(gxOf(batch.select($"doc_id", $"text")))
+      .localCheckpoint()
+    val batchIds = batch.select($"doc_id")
+    val pairs = ngramJaccardInvertedFromGx(spark, gx, minJaccard, gramDictFast)
+    // keep batch ids whose partner is on the corpus side: exactly one
+    // side of a cross pair is a batch id (ids are disjoint by contract)
+    pairs
+      .join(batchIds.select($"doc_id".as("a_id")).withColumn("a_in", lit(true)),
+        Seq("a_id"), "left")
+      .join(batchIds.select($"doc_id".as("b_id")).withColumn("b_in", lit(true)),
+        Seq("b_id"), "left")
+      .filter(coalesce($"a_in", lit(false)) =!= coalesce($"b_in", lit(false)))
+      .select(when($"a_in", $"a_id").otherwise($"b_id").as("doc_id"))
+      .distinct()
+  }
+
   private def ngramJaccardInvertedCore(spark: SparkSession, dir: String,
+      minJaccard: Double,
+      dict: (SparkSession, DataFrame) => DataFrame): DataFrame =
+    ngramJaccardInvertedFromGx(spark, gxCheckpointed(spark, dir), minJaccard, dict)
+
+  /** The inverted-index pipeline over a prebuilt exploded (doc_id, g)
+    * shingle relation — the seam [[crossNearDupIds]] (and through it the
+    * streaming intake) shares with the fixture-table queries.
+    */
+  private def ngramJaccardInvertedFromGx(spark: SparkSession, gx: DataFrame,
       minJaccard: Double,
       dict: (SparkSession, DataFrame) => DataFrame): DataFrame = {
     import spark.implicits._
-    val gx = gxCheckpointed(spark, dir)
     // branch point: document frequencies, prefixes and verification sets
     // all derive from the hashed (doc_id, h) relation
     val hx = gx.join(broadcast(dict(spark, gx)), Seq("g"))

@@ -13,6 +13,11 @@ class CorpusStreamsSpec extends AnyFunSuite with SparkSpec {
 
   private case class Doc(doc_id: Long, text: String, lang: String, source: String, n_chars: Long)
   private def doc(id: Long, text: String) = Doc(id, text, "en", "src0", text.length.toLong)
+  // toDF-safe form (inner case classes can't be re-instantiated by the
+  // encoder outside their defining scope; MemoryStream is fine, toDF isn't)
+  private def docsDf(ds: (Long, String)*) =
+    ds.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
 
   test("intake admits each distinct text once across micro-batches, gates short docs") {
     implicit val sqlCtx = spark.sqlContext
@@ -37,6 +42,53 @@ class CorpusStreamsSpec extends AnyFunSuite with SparkSpec {
       assert(after2.length == 2, "cross-batch and normalized duplicates must not re-admit")
       assert(after2.map(_.getAs[String]("fp")).distinct.length == 2)
     } finally q.stop()
+  }
+
+  test("near-dup intake: evolving-corpus admission across file micro-batches") {
+    val base = java.nio.file.Files.createTempDirectory("graft_nd_intake")
+    val src = base.resolve("src").toString
+    val corpus = base.resolve("corpus").toString
+    val ckpt = base.resolve("ckpt").toString
+    def toks(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val t1 = toks("a", 40)
+    val tB = toks("b", 40)
+    // one-token edit: 38 of 40 distinct union bigrams shared -> J = 0.95
+    val t1Near = toks("a", 39) + " zz"
+    val tC = toks("c", 40)
+    val tCNear = toks("c", 39) + " qq"
+    docsDf(1L -> t1, 2L -> tB).coalesce(1).write.parquet(src)
+    val q = CorpusStreams.nearDupIntake(spark, src, corpus, ckpt, glob = "*.parquet")
+    try {
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(corpus)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(after1 == Set(1L, 2L))
+      // batch 2: exact dup (normalized), near-dup of corpus, fresh doc,
+      // token-gated doc, and an IN-batch near-dup of the fresh doc
+      docsDf(11L -> t1.toUpperCase, 12L -> t1Near, 13L -> tC,
+        14L -> "x y z", 15L -> tCNear)
+        .coalesce(1).write.mode("append").parquet(src)
+      q.processAllAvailable()
+      val after2 = spark.read.parquet(corpus)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      // 11 exact-dropped, 12 near-dup-dropped, 14 gated; 13 admitted and
+      // 15 admitted WITH it (in-batch near-dup pairs are q51's job)
+      assert(after2 == Set(1L, 2L, 13L, 15L))
+    } finally q.stop()
+  }
+
+  test("near-dup admission is replay-idempotent") {
+    val base = java.nio.file.Files.createTempDirectory("graft_nd_replay")
+    val corpus = base.resolve("corpus").toString
+    def toks(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val b = docsDf(1L -> toks("a", 40), 2L -> toks("b", 40))
+    CorpusStreams.admitNearDupBatch(b, corpus)
+    val once = spark.read.parquet(corpus).collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(once.sameElements(Array(1L, 2L)))
+    // a re-delivered batch appends nothing: its docs are exact dups now
+    CorpusStreams.admitNearDupBatch(b, corpus)
+    val twice = spark.read.parquet(corpus).collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(twice.sameElements(once))
   }
 
   test("file-stream intake over harness documents matches batch admission") {
