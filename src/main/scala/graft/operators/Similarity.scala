@@ -141,6 +141,69 @@ object Similarity {
       |GROUP BY 1, 2
       |ORDER BY label, d""".stripMargin
 
+  /** q89 — per-dimension embedding-health audit: mean, variance, and
+    * range for every embedding dimension over the whole table, with a
+    * collapsed-dimension flag (variance < 1e-3) — the first thing to
+    * check when an embedding model regresses (dead dimensions, scale
+    * drift, a dimension stuck at a constant). Per-value nano-freezing
+    * (q36's pattern) makes the sums order-invariant; both SUMs run in
+    * DECIMAL(38,0)/HUGEINT because at the 100 TB design point 1e11
+    * vectors x 1e9 nano-units overflows BIGINT (the q84 aggregate
+    * lesson; xn2 <= 1e11 per value is long-safe, its SUM is not). The
+    * variance tree m2 - mean*mean is pure arithmetic on doubles both
+    * engines compute bit-identically — no transcendental, so unlike
+    * q76/q84 no rounding-boundary guard is needed.
+    *
+    * Scale shape: one explode + one 64-group aggregation with map-side
+    * combine — the ideal shape; nothing joins, nothing is pairwise.
+    */
+  def q89EmbeddingHealth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    Tables.embeddings(spark, dir)
+      .select(posexplode($"embedding").as(Seq("d", "v")))
+      .select($"d",
+        round($"v".cast("double") * 1e9).cast("long").as("xn"),
+        round($"v".cast("double") * $"v".cast("double") * 1e9).cast("long").as("xn2"))
+      .groupBy($"d")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"xn".cast(DecimalType(38, 0))).as("s1"),
+        sum($"xn2".cast(DecimalType(38, 0))).as("s2"),
+        min($"xn").as("mn"), max($"xn").as("mx"))
+      .select($"d".cast("long").as("d"), $"n",
+        ($"s1".cast("double") / 1e9 / $"n").as("mean"),
+        ($"s2".cast("double") / 1e9 / $"n").as("m2"),
+        ($"mn".cast("double") / 1e9).as("min_v"),
+        ($"mx".cast("double") / 1e9).as("max_v"))
+      .select($"d", $"n", $"mean",
+        ($"m2" - $"mean" * $"mean").as("variance"),
+        $"min_v", $"max_v",
+        (($"m2" - $"mean" * $"mean") < 0.001).as("collapsed"))
+      .orderBy($"d")
+  }
+
+  val q89Sql: String =
+    """WITH x AS (SELECT i AS d,
+      |    CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1000000000.0) AS BIGINT) AS xn,
+      |    CAST(round(CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE) * 1000000000.0) AS BIGINT) AS xn2
+      |  FROM embeddings, range(64) r(i)),
+      |a AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(xn AS HUGEINT)) AS s1, SUM(CAST(xn2 AS HUGEINT)) AS s2,
+      |    MIN(xn) AS mn, MAX(xn) AS mx
+      |  FROM x GROUP BY 1),
+      |m AS (SELECT d, n,
+      |    CAST(s1 AS DOUBLE) / 1000000000.0 / n AS mean,
+      |    CAST(s2 AS DOUBLE) / 1000000000.0 / n AS m2,
+      |    CAST(mn AS DOUBLE) / 1000000000.0 AS min_v,
+      |    CAST(mx AS DOUBLE) / 1000000000.0 AS max_v
+      |  FROM a)
+      |SELECT CAST(d AS BIGINT) AS d, n, mean,
+      |  m2 - mean * mean AS variance, min_v, max_v,
+      |  (m2 - mean * mean) < 0.001 AS collapsed
+      |FROM m
+      |ORDER BY d""".stripMargin
+
   /** Embedding near-duplicate pairs by cosine threshold — the
     * embedding-space analogue of MinHash dedup: the brute-force
     * exactness baseline with the codegen kernel. q48 is the declared
@@ -498,7 +561,8 @@ object Similarity {
     "q50_centroid_udaf" -> (q50CentroidUdaf _),
     "q75_semantic_dedup" -> (q75SemanticDedup _),
     "q77_semantic_clusters" -> (q77SemanticClusters _),
-    "q82_centroid_assign" -> (q82CentroidAssign _))
+    "q82_centroid_assign" -> (q82CentroidAssign _),
+    "q89_embedding_health" -> (q89EmbeddingHealth _))
 
   val oracleSql: Map[String, String] = Map(
     "q64_quantize_embeddings" -> q64Sql,
@@ -510,5 +574,6 @@ object Similarity {
     "q50_centroid_udaf" -> q50Sql,
     "q75_semantic_dedup" -> q75Sql,
     "q77_semantic_clusters" -> q77Sql,
-    "q82_centroid_assign" -> q82Sql)
+    "q82_centroid_assign" -> q82Sql,
+    "q89_embedding_health" -> q89Sql)
 }

@@ -106,6 +106,42 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(got == expected, s"clusters differ: got $got expected $expected")
   }
 
+  test("q89 embedding health: hand-computed moments and collapsed flag on planted vectors") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_health").toString
+    // dim 0: values 1,3 -> mean 2, var 1, range [1,3]
+    // dim 1: constant 0 -> collapsed (var 0)
+    // dim 2: values 2,4 -> mean 3, var 1, range [2,4]
+    val rows = Seq(
+      (0L, Array(1f, 0f, 2f), 0),
+      (1L, Array(3f, 0f, 4f), 0))
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val r = Similarity.q89EmbeddingHealth(spark, d).collect()
+      .map(x => x.getAs[Long]("d") ->
+        ((x.getAs[Long]("n"), x.getAs[Double]("mean"), x.getAs[Double]("variance"),
+          x.getAs[Double]("min_v"), x.getAs[Double]("max_v"),
+          x.getAs[Boolean]("collapsed")))).toMap
+    assert(r == Map(
+      0L -> ((2L, 2.0, 1.0, 1.0, 3.0, false)),
+      1L -> ((2L, 0.0, 0.0, 0.0, 0.0, true)),
+      2L -> ((2L, 3.0, 1.0, 2.0, 4.0, false))))
+  }
+
+  test("q89 embedding health: every dimension accounts for every vector at sfDir") {
+    val rows = Similarity.q89EmbeddingHealth(spark, sfDir).collect()
+    val nVecs = graft.sources.Tables.embeddings(spark, sfDir).count()
+    assert(rows.length == 64)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") == nVecs)
+      // fixed-point variance can round microscopically below zero only if
+      // a dimension is constant; real data sits clearly positive
+      assert(r.getAs[Double]("variance") > 0)
+      assert(r.getAs[Double]("min_v") <= r.getAs[Double]("mean"))
+      assert(r.getAs[Double]("mean") <= r.getAs[Double]("max_v"))
+    }
+  }
+
   test("q82 centroid assignment: planted clusters classify to the nearest axis") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("graft_assign").toString
