@@ -194,11 +194,144 @@ object Selection {
       |ORDER BY avg_llr DESC, doc_id
       |LIMIT 50""".stripMargin
 
+  /** q90 — length-distribution drift between corpus snapshots, reported
+    * as the Population Stability Index: PSI = Σ_buckets (p_b - q_b) ·
+    * ln(p_b / q_b) over token-length buckets (20-token steps, capped at
+    * bucket 9), base snapshot vs incoming batch under q59's convention
+    * (doc_id % 10 — the existing/incoming split the incremental-dedup
+    * operator already defines). PSI is the standard ingest-monitoring
+    * alarm (< 0.1 stable, > 0.25 investigate): a crawler change that
+    * shifts document lengths moves it before any quality gate notices.
+    * Add-one smoothing on both sides keeps every observed bucket's ln
+    * finite.
+    *
+    * Exactness: the per-bucket TERM (p-q)·ln(p/q)·1e6 is frozen to a
+    * micro-nat BIGINT — p, q and the ln argument are built from exact
+    * counts with identical IEEE trees, so the only cross-engine risk is
+    * the ln ulp, guarded in SelectionSpec like q84/q85. The PSI total is
+    * then an exact BIGINT window sum over the <= 10 bucket rows (an
+    * unpartitioned window over a bucket-count-sized relation — the q68
+    * "small relation" pattern, never the corpus).
+    *
+    * Scale shape: one map + one 10-group aggregate with map-side
+    * combine; everything after operates on <= 10 rows.
+    */
+  def q90LengthDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.documents(spark, dir)
+      .select($"doc_id", size(toks).cast("long").as("n_tokens"))
+      .select($"doc_id", least(expr("n_tokens div 20"), lit(9L)).as("bucket"))
+      .groupBy($"bucket")
+      .agg(count(when($"doc_id" % 10 =!= 0, 1)).as("c_base"),
+        count(when($"doc_id" % 10 === 0, 1)).as("c_in"))
+      .localCheckpoint()
+    val totals = counts.agg(sum($"c_base").as("n_base"), sum($"c_in").as("n_in"),
+      count(lit(1)).as("k"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    counts.crossJoin(broadcast(totals))
+      .withColumn("p_base",
+        ($"c_base" + lit(1L)).cast("double") / ($"n_base" + $"k").cast("double"))
+      .withColumn("p_in",
+        ($"c_in" + lit(1L)).cast("double") / ($"n_in" + $"k").cast("double"))
+      .withColumn("term_micro",
+        round(($"p_base" - $"p_in") * log(
+          ($"c_base" + lit(1L)).cast("double") * ($"n_in" + $"k").cast("double") /
+            (($"n_base" + $"k").cast("double") * ($"c_in" + lit(1L)).cast("double"))
+        ) * lit(1000000.0)).cast("long"))
+      .select($"bucket", $"c_base", $"c_in", $"p_base", $"p_in",
+        ($"term_micro".cast("double") / lit(1000000.0)).as("term_nats"),
+        (sum($"term_micro").over(w).cast("double") / lit(1000000.0)).as("psi_nats"))
+      .orderBy($"bucket")
+  }
+
+  val q90Sql: String =
+    """WITH t AS (SELECT doc_id,
+      |    least(len(string_split(trim(text), ' ')) // 20, 9) AS bucket
+      |  FROM documents),
+      |c AS (SELECT bucket,
+      |    CAST(COUNT(*) FILTER (doc_id % 10 != 0) AS BIGINT) AS c_base,
+      |    CAST(COUNT(*) FILTER (doc_id % 10 = 0) AS BIGINT) AS c_in
+      |  FROM t GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(c_base) AS BIGINT) AS n_base,
+      |    CAST(SUM(c_in) AS BIGINT) AS n_in,
+      |    CAST(COUNT(*) AS BIGINT) AS k FROM c),
+      |p0 AS (SELECT bucket, c_base, c_in, n_base, n_in, k,
+      |    CAST(c_base + 1 AS DOUBLE) / CAST(n_base + k AS DOUBLE) AS p_base,
+      |    CAST(c_in + 1 AS DOUBLE) / CAST(n_in + k AS DOUBLE) AS p_in
+      |  FROM c CROSS JOIN tot),
+      |p AS (SELECT bucket, c_base, c_in, p_base, p_in,
+      |    CAST(round((p_base - p_in) * ln(CAST(c_base + 1 AS DOUBLE) * CAST(n_in + k AS DOUBLE) /
+      |      (CAST(n_base + k AS DOUBLE) * CAST(c_in + 1 AS DOUBLE))) * 1000000.0) AS BIGINT) AS term_micro
+      |  FROM p0)
+      |SELECT CAST(bucket AS BIGINT) AS bucket, c_base, c_in, p_base, p_in,
+      |  CAST(term_micro AS DOUBLE) / 1000000.0 AS term_nats,
+      |  CAST(SUM(term_micro) OVER () AS DOUBLE) / 1000000.0 AS psi_nats
+      |FROM p
+      |ORDER BY bucket""".stripMargin
+
+  /** q91 — vocabulary drift audit between the same two snapshots: every
+    * token with its base/incoming counts, a new/vanished/shared status,
+    * and a smoothed log-frequency-ratio in micro-nats (positive = token
+    * is gaining frequency in the incoming batch; the q85 weight with the
+    * target/background roles played by incoming/base). This is the
+    * token-level view behind q90's scalar alarm — PSI says THAT the
+    * distribution moved, this says WHICH tokens moved it (a template
+    * flood shows up as a handful of "new" tokens with large positive
+    * drift).
+    *
+    * drift_micro stays a BIGINT end to end — no double column derived
+    * from it, so q91 adds only the ln-ulp risk already guarded for the
+    * weight-table shape. Scale: one (tok) aggregate (vocab-sized out),
+    * totals broadcast back — the q84 shape without the per-source axis.
+    */
+  def q91VocabDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.documents(spark, dir)
+      .select($"doc_id", explode(toks).as("tok"))
+      .groupBy($"tok")
+      .agg(count(when($"doc_id" % 10 =!= 0, 1)).as("c_base"),
+        count(when($"doc_id" % 10 === 0, 1)).as("c_in"))
+      .localCheckpoint()
+    val totals = counts.agg(sum($"c_base").as("n_base"), sum($"c_in").as("n_in"),
+      count(lit(1)).as("v"))
+    counts.crossJoin(broadcast(totals))
+      .select($"tok", $"c_base", $"c_in",
+        when($"c_base" === 0, "new").when($"c_in" === 0, "vanished")
+          .otherwise("shared").as("status"),
+        round(log(
+          ($"c_in" + lit(1L)).cast("double") * ($"n_base" + $"v").cast("double") /
+            (($"n_in" + $"v").cast("double") * ($"c_base" + lit(1L)).cast("double"))
+        ) * lit(1000000.0)).cast("long").as("drift_micro"))
+      .orderBy($"tok")
+  }
+
+  val q91Sql: String =
+    """WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+      |           FROM documents),
+      |c AS (SELECT tok,
+      |    CAST(COUNT(*) FILTER (doc_id % 10 != 0) AS BIGINT) AS c_base,
+      |    CAST(COUNT(*) FILTER (doc_id % 10 = 0) AS BIGINT) AS c_in
+      |  FROM t GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(c_base) AS BIGINT) AS n_base,
+      |    CAST(SUM(c_in) AS BIGINT) AS n_in,
+      |    CAST(COUNT(*) AS BIGINT) AS v FROM c)
+      |SELECT tok, c_base, c_in,
+      |  CASE WHEN c_base = 0 THEN 'new' WHEN c_in = 0 THEN 'vanished'
+      |       ELSE 'shared' END AS status,
+      |  CAST(round(ln(CAST(c_in + 1 AS DOUBLE) * CAST(n_base + v AS DOUBLE) /
+      |    (CAST(n_in + v AS DOUBLE) * CAST(c_base + 1 AS DOUBLE))) * 1000000.0) AS BIGINT) AS drift_micro
+      |FROM c CROSS JOIN tot
+      |ORDER BY tok""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q84_source_kl" -> (q84SourceKl _),
-    "q85_importance_weights" -> (q85ImportanceWeights _))
+    "q85_importance_weights" -> (q85ImportanceWeights _),
+    "q90_length_drift" -> (q90LengthDrift _),
+    "q91_vocab_drift" -> (q91VocabDrift _))
 
   val oracleSql: Map[String, String] = Map(
     "q84_source_kl" -> q84Sql,
-    "q85_importance_weights" -> q85Sql)
+    "q85_importance_weights" -> q85Sql,
+    "q90_length_drift" -> q90Sql,
+    "q91_vocab_drift" -> q91Sql)
 }

@@ -119,6 +119,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("HashAggregate"))
   }
 
+  test("q90: PSI window consumes the bucket aggregate, never the corpus") {
+    val p = plan("q90_length_drift")
+    val w = p.indexOf("Window")
+    val a = p.indexOf("HashAggregate")
+    assert(w >= 0 && a >= 0 && w < a,
+      "the unpartitioned PSI-total window must sit above the <=10-row bucket aggregate")
+  }
+
   test("q87: source attachment joins on doc_id, never all-pairs") {
     val p = plan("q87_neardup_source_matrix")
     assert(!p.contains("CartesianProduct"))

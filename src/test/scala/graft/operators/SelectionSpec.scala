@@ -83,14 +83,59 @@ class SelectionSpec extends AnyFunSuite with SparkSpec {
     avgs.sliding(2).foreach { case Array(a, b) => assert(a >= b); case _ => }
   }
 
+  test("q90: PSI terms and total match a brute recount on the planted corpus") {
+    val rows = Selection.q90LengthDrift(spark, dir).collect()
+    // snapshot split doc_id % 10: incoming = {0} (web, 50 tokens, bucket
+    // 2), base = {1..7} (3 web bucket 2, 4 books bucket 0); k = 2
+    val (nb, ni, k) = (7L, 1L, 2L)
+    def term(cb: Long, ci: Long): (Double, Double, Long) = {
+      val p = (cb + 1).toDouble / (nb + k)
+      val q = (ci + 1).toDouble / (ni + k)
+      val t = math.round((p - q) * math.log(
+        (cb + 1).toDouble * (ni + k).toDouble / ((nb + k).toDouble * (ci + 1).toDouble)) * 1e6)
+      (p, q, t)
+    }
+    val (p0, q0, t0) = term(4L, 0L)
+    val (p2, q2, t2) = term(3L, 1L)
+    val psi = (t0 + t2).toDouble / 1e6
+    val got = rows.map(r => r.getAs[Long]("bucket") ->
+      ((r.getAs[Long]("c_base"), r.getAs[Long]("c_in"), r.getAs[Double]("p_base"),
+        r.getAs[Double]("p_in"), r.getAs[Double]("term_nats"),
+        r.getAs[Double]("psi_nats")))).toMap
+    assert(got == Map(
+      0L -> ((4L, 0L, p0, q0, t0.toDouble / 1e6, psi)),
+      2L -> ((3L, 1L, p2, q2, t2.toDouble / 1e6, psi))))
+    assert(psi > 0, "diverged snapshots must alarm")
+  }
+
+  test("q91: vocab drift statuses and ratios match a brute recount") {
+    val got = Selection.q91VocabDrift(spark, dir).collect()
+      .map(r => r.getAs[String]("tok") ->
+        ((r.getAs[Long]("c_base"), r.getAs[Long]("c_in"), r.getAs[String]("status"),
+          r.getAs[Long]("drift_micro")))).toMap
+    // base = docs 1..7: p=75 q=75 (web docs 1-3), r=24 (books 4-7);
+    // incoming = doc 0: p=25 q=25. n_base=174, n_in=50, V=3
+    val (nb, ni, v) = (174L, 50L, 3L)
+    def drift(cb: Long, ci: Long): Long =
+      math.round(math.log((ci + 1).toDouble * (nb + v).toDouble /
+        ((ni + v).toDouble * (cb + 1).toDouble)) * 1e6)
+    assert(got == Map(
+      "p" -> ((75L, 25L, "shared", drift(75L, 25L))),
+      "q" -> ((75L, 25L, "shared", drift(75L, 25L))),
+      "r" -> ((24L, 0L, "vanished", drift(24L, 0L)))))
+    assert(got("r")._4 < 0, "vanished tokens must drift negative")
+  }
+
   test("frozen tables sit far from rounding boundaries at every shipped SF") {
     // The only cross-engine risk is a libm-vs-JVM ln ulp (~1e-8 in
     // micro-nat units: 2 ulps of a ~30-nat value) flipping a round();
-    // prove every frozen value in BOTH new tables sits > 1e-6 from the
+    // prove every frozen value in ALL FOUR tables (q84 divergences, q85
+    // weights, q90 PSI terms, q91 drift ratios) sits > 1e-6 from the
     // nearest .5 boundary for every corpus the driver gates on. The
-    // measured floor across all three SFs and both tables is 9.1e-5
-    // (sf0.001, q84 src16/"value") — 10^4 above the ulp, and the guard
-    // threshold sits 100x above the ulp with 90x headroom to the floor.
+    // measured floor across all three SFs is 9.1e-5 (sf0.001, q84
+    // src16/"value"; q90/q91's own floor is 1.5e-2) — 10^4 above the
+    // ulp, and the guard threshold sits 100x above the ulp with 90x
+    // headroom to the floor.
     for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
       val d = s"/root/testdata/$sf"
       val st = graft.sources.Tables.documents(spark, d)
@@ -119,6 +164,34 @@ class SelectionSpec extends AnyFunSuite with SparkSpec {
         val cTgt = tgtCounts.getOrElse(t, 0L)
         guard(math.log((cTgt + 1.0) * (n + v) / ((nTgt + v).toDouble * (cBg + 1))),
           s"q85 $t")
+      }
+      // q90 per-bucket PSI terms (snapshot split doc_id % 10)
+      val buckets = graft.sources.Tables.documents(spark, d)
+        .select($"doc_id",
+          least(expr("CAST(size(split(trim(text), ' ')) AS BIGINT) div 20"), lit(9L)).as("b"))
+        .collect().map(r => (r.getAs[Long]("b"), r.getAs[Long]("doc_id") % 10 != 0))
+      val byB = buckets.groupBy(_._1).view
+        .mapValues(xs => (xs.count(_._2).toLong, xs.count(!_._2).toLong)).toMap
+      val (nb, ni, k) = (byB.values.map(_._1).sum, byB.values.map(_._2).sum, byB.size.toLong)
+      byB.foreach { case (b, (cb, ci)) =>
+        val p = (cb + 1).toDouble / (nb + k)
+        val q = (ci + 1).toDouble / (ni + k)
+        guard((p - q) * math.log(
+          (cb + 1).toDouble * (ni + k).toDouble / ((nb + k).toDouble * (ci + 1).toDouble)),
+          s"q90 bucket $b")
+      }
+      // q91 per-token drift ratios over the same split
+      val splitCounts = graft.sources.Tables.documents(spark, d)
+        .select($"doc_id", explode(split(trim($"text"), " ")).as("tok"))
+        .groupBy($"tok")
+        .agg(count(when($"doc_id" % 10 =!= 0, 1)).as("cb"),
+          count(when($"doc_id" % 10 === 0, 1)).as("ci"))
+        .collect().map(r => (r.getAs[String]("tok"), r.getAs[Long]("cb"), r.getAs[Long]("ci")))
+      val (nb2, ni2, v2) =
+        (splitCounts.map(_._2).sum, splitCounts.map(_._3).sum, splitCounts.length.toLong)
+      splitCounts.foreach { case (t, cb, ci) =>
+        guard(math.log((ci + 1).toDouble * (nb2 + v2).toDouble /
+          ((ni2 + v2).toDouble * (cb + 1).toDouble)), s"q91 $t")
       }
     }
   }
