@@ -281,6 +281,91 @@ object Dedup {
        |SELECT a_id, b_id, jaccard FROM pairs
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** q92 — MinHash sketch calibration: for EVERY LSH candidate pair (no
+    * verification threshold), the signature-estimated similarity
+    * (matching minhash coordinates / 32) next to the exact Jaccard and
+    * the absolute error — the report that justifies the sketch the whole
+    * LSH family rests on (is 32 permutations enough? where does the
+    * estimator bias sit at this shingle size?). The expected |error| is
+    * ~sqrt(j(1-j)/32); a drifting corpus shows up here before recall
+    * quietly degrades in q31.
+    *
+    * Exactness: est_sim = m/32 with m an exact integer (m/32 is exactly
+    * representable), jaccard an exact-rational double, abs_err a single
+    * IEEE subtraction of two identically-computed doubles — no
+    * transcendentals, no frozen tables, no boundary guards needed.
+    *
+    * Scale shape: q31's candidate generation (band equi-join, never
+    * all-pairs); the signature table rides broadcast at fixture SF and
+    * degrades to a doc_id shuffle join at 100 TB (signatures are
+    * corpus-sized), same as the verification-array joins.
+    */
+  def q92MinhashCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val gx = gxCheckpointed(spark, dir)
+    val hx = gx.join(broadcast(gramDict(spark, gx)), Seq("g"))
+      .select($"doc_id", $"hm", $"h")
+      .localCheckpoint()
+    val sigCols = (0 until nPerm).map(i =>
+      min(expr(s"(${permA(i)} * hm + ${permB(i)}) % $P")).as(s"s$i"))
+    val sig = hx.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
+      .localCheckpoint() // feeds banding AND both sides of the match count
+    def xorKey(from: Int): Column =
+      (from + 1 until from + bandRows).foldLeft(col(s"s$from"))((acc, i) => acc.bitwiseXOR(col(s"s$i")))
+    val nBands = nPerm / bandRows
+    val bandStructs = (0 until nBands).map(b =>
+      struct(lit(b).as("band_id"), xorKey(b * bandRows).as("key")))
+    val bx = sig
+      .select($"doc_id", explode(array(bandStructs: _*)).as("b"))
+      .select($"doc_id", $"b.band_id".as("band_id"), $"b.key".as("key"))
+    val cand = bx.as("x").join(bx.as("y"),
+        $"x.band_id" === $"y.band_id" && $"x.key" === $"y.key" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"))
+      .distinct()
+    val sa = sig.toDF("a_id" +: (0 until nPerm).map(i => s"a_s$i"): _*)
+    val sb = sig.toDF("b_id" +: (0 until nPerm).map(i => s"b_s$i"): _*)
+    val m = (0 until nPerm)
+      .map(i => when(col(s"a_s$i") === col(s"b_s$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val docs = hx.groupBy($"doc_id")
+      .agg(collect_list($"h").as("hl"), count(lit(1)).as("n"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select($"doc_id", array_sort($"hl").as("harr"), $"n")
+    val da = docs.select($"doc_id".as("a_id"), $"harr".as("ha"), $"n".as("na"))
+    val db = docs.select($"doc_id".as("b_id"), $"harr".as("hb"), $"n".as("nb"))
+    cand
+      .join(broadcast(sa), Seq("a_id"))
+      .join(broadcast(sb), Seq("b_id"))
+      .withColumn("m", m)
+      .select($"a_id", $"b_id", $"m")
+      .join(broadcast(da), Seq("a_id"))
+      .join(broadcast(db), Seq("b_id"))
+      .withColumn("i", SetFunctions.intersectCount($"ha", $"hb"))
+      .withColumn("est_sim", $"m".cast("double") / 32.0)
+      .withColumn("jaccard", $"i".cast("double") / ($"na" + $"nb" - $"i"))
+      .select($"a_id", $"b_id", $"est_sim", $"jaccard",
+        abs($"est_sim" - $"jaccard").as("abs_err"))
+      .orderBy($"a_id", $"b_id")
+  }
+
+  val q92Sql: String = {
+    val matchSum = (0 until nPerm)
+      .map(i => s"CASE WHEN x.s$i = y.s$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $q31CoreCtes,
+       |mm AS (SELECT c.a_id, c.b_id, CAST($matchSum AS BIGINT) AS m
+       |       FROM cand c
+       |       JOIN sig x ON x.doc_id = c.a_id
+       |       JOIN sig y ON y.doc_id = c.b_id),
+       |e AS (SELECT v.a_id, v.b_id,
+       |        CAST(m AS DOUBLE) / 32.0 AS est_sim,
+       |        CAST(i AS DOUBLE) / (na + nb - i) AS jaccard
+       |      FROM ver v JOIN mm ON mm.a_id = v.a_id AND mm.b_id = v.b_id)
+       |SELECT a_id, b_id, est_sim, jaccard, abs(est_sim - jaccard) AS abs_err
+       |FROM e
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   /** 60-bit simhash split into 11 bands (5 x 6-bit + 6 x 5-bit).
     * Multi-index pigeonhole: Hamming distance <= 10 flips bits in at most
     * 10 of the 11 bands, so every qualifying pair is IDENTICAL in at least
@@ -1071,6 +1156,7 @@ object Dedup {
     "q63_training_manifest" -> (q63TrainingManifest _),
     "q87_neardup_source_matrix" -> (q87NearDupSourceMatrix _),
     "q88_cluster_size_histogram" -> (q88ClusterSizeHistogram _),
+    "q92_minhash_calibration" -> (q92MinhashCalibration _),
     "q30_exact_dedup" -> (q30ExactDedup _),
     "q31_minhash_lsh" -> (q31MinhashLsh _),
     "q32_simhash" -> (q32Simhash _),
@@ -1085,6 +1171,7 @@ object Dedup {
     "q63_training_manifest" -> q63Sql,
     "q87_neardup_source_matrix" -> q87Sql,
     "q88_cluster_size_histogram" -> q88Sql,
+    "q92_minhash_calibration" -> q92Sql,
     "q30_exact_dedup" -> q30Sql,
     "q31_minhash_lsh" -> q31Sql,
     "q32_simhash" -> q32Sql,

@@ -204,6 +204,30 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     got.keys.foreach { case (lo, hi) => assert(lo <= hi, "matrix must be upper-triangular") }
   }
 
+  test("q92 calibration agrees with q31 above the threshold and is well-formed") {
+    val cal = Dedup.q92MinhashCalibration(spark, sfDir).collect()
+      .map(r => ((r.getAs[Long]("a_id"), r.getAs[Long]("b_id")),
+        (r.getAs[Double]("est_sim"), r.getAs[Double]("jaccard"),
+          r.getAs[Double]("abs_err")))).toMap
+    assert(cal.nonEmpty, "fixture must generate LSH candidates")
+    // the >=0.7 slice of the calibration report IS q31's output
+    val q31 = Dedup.q31MinhashLsh(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(cal.filter(_._2._2 >= 0.7).view.mapValues(_._2).toMap == q31)
+    cal.foreach { case ((a, b), (est, j, err)) =>
+      assert(a < b, "pairs must be canonical")
+      assert(est >= 0 && est <= 1 && (est * 32).isWhole,
+        "estimate must be a 32-permutation fraction")
+      assert(j >= 0 && j <= 1)
+      assert(err == math.abs(est - j), "abs_err must be the plain IEEE difference")
+    }
+    // the estimator actually discriminates on this corpus: near-dups
+    // (j >= 0.7) estimate high, accidental band collisions estimate low
+    val (hi, lo) = cal.values.partition(_._2 >= 0.7)
+    if (hi.nonEmpty && lo.nonEmpty)
+      assert(hi.map(_._1).min > lo.map(_._1).max)
+  }
+
   test("q88 histogram accounts for every document exactly once") {
     import org.apache.spark.sql.functions._
     val clusters = Dedup.q51DedupClusters(spark, sfDir).collect()
