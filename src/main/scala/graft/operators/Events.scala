@@ -319,7 +319,58 @@ object Events {
       |WHERE (e.value - st.avg_value) * (e.value - st.avg_value) > 4.0 * st.var_value
       |ORDER BY e.event_id""".stripMargin
 
+  /** q93 — weekly cohort retention, the classic product-analytics table:
+    * users grouped by first-seen week (ISO Monday truncation, identical
+    * in both engines), each cohort's active-user count at every later
+    * week offset, and the retention fraction. The week offset is exact
+    * BIGINT arithmetic on microsecond epochs of the two truncated weeks
+    * (`unix_micros` div the week's microsecond length — never a double
+    * datediff); retention is one double division of two exact counts.
+    *
+    * Scale shape: first-seen is one (user_id) aggregate; the activity
+    * relation joins it back on user_id (broadcast at fixture SF, shuffle
+    * join at 100 TB — users are corpus-sized); then a (cohort, offset)
+    * aggregate whose output is weeks² — tiny. The per-user distinct is
+    * map-side-combinable. Mirrors the reference's notebook aggregation
+    * layer (monthly ridership rollups) at the user grain.
+    */
+  def q93CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ew = Tables.events(spark, dir)
+      .select($"user_id", date_trunc("week", $"ts").as("w"))
+    val firsts = ew.groupBy($"user_id").agg(min($"w").as("cw"))
+      .localCheckpoint() // feeds the offset join and the cohort sizes
+    val active = ew.distinct()
+    val counts = active.join(firsts, Seq("user_id"))
+      .select($"cw",
+        expr("(unix_micros(w) - unix_micros(cw)) div 604800000000").as("week_offset"))
+      .groupBy($"cw", $"week_offset")
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = firsts.groupBy($"cw").agg(count(lit(1)).as("cohort_size"))
+    counts.join(broadcast(sizes), Seq("cw"))
+      .select($"cw".as("cohort_week"), $"week_offset", $"n_active", $"cohort_size",
+        ($"n_active".cast("double") / $"cohort_size").as("retention"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
+  val q93Sql: String =
+    """WITH ew AS (SELECT user_id, date_trunc('week', ts) AS w FROM events),
+      |f AS (SELECT user_id, MIN(w) AS cw FROM ew GROUP BY 1),
+      |a AS (SELECT DISTINCT user_id, w FROM ew),
+      |j AS (SELECT f.cw,
+      |        (epoch_us(a.w) - epoch_us(f.cw)) // 604800000000 AS week_offset
+      |      FROM a JOIN f USING (user_id)),
+      |c AS (SELECT cw, week_offset, CAST(COUNT(*) AS BIGINT) AS n_active
+      |      FROM j GROUP BY 1, 2),
+      |s AS (SELECT cw, CAST(COUNT(*) AS BIGINT) AS cohort_size FROM f GROUP BY 1)
+      |SELECT c.cw AS cohort_week, CAST(c.week_offset AS BIGINT) AS week_offset,
+      |  n_active, cohort_size,
+      |  CAST(n_active AS DOUBLE) / cohort_size AS retention
+      |FROM c JOIN s USING (cw)
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_cohort_retention" -> (q93CohortRetention _),
     "q67_outlier_flags" -> (q67OutlierFlags _),
     "q60_pseudonymize" -> (q60Pseudonymize _),
     "q20_json_extract" -> (q20JsonExtract _),
@@ -331,6 +382,7 @@ object Events {
     "q57_salted_skew_join" -> (q57SaltedSkewJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q93_cohort_retention" -> q93Sql,
     "q67_outlier_flags" -> q67Sql,
     "q60_pseudonymize" -> q60Sql,
     "q20_json_extract" -> q20Sql,

@@ -13,6 +13,32 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
   private val H = 3600L * 1000000000L // one hour in ns
   private val M = 60L * 1000000000L   // one minute in ns
 
+  test("q93 cohort retention matches a brute recount at sfDir") {
+    import org.apache.spark.sql.functions._
+    // independent composition: take only the week truncation from Spark
+    // (its Monday semantics are oracle-pinned), rebuild cohorts, offsets,
+    // counts and retention in plain Scala
+    val pairs = graft.sources.Tables.events(spark, sfDir)
+      .select($"user_id", date_trunc("week", $"ts").as("w")).distinct()
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime))
+    val first = pairs.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val weekMs = 7L * 24 * 3600 * 1000
+    val counts = pairs
+      .groupBy { case (u, w) => (first(u), (w - first(u)) / weekMs) }
+      .view.mapValues(_.length.toLong).toMap
+    val sizes = first.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Events.q93CohortRetention(spark, sfDir).collect().map { r =>
+      ((r.getTimestamp(0).getTime, r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))
+    }.toMap
+    val expected = counts.map { case ((cw, off), n) =>
+      ((cw, off), (n, sizes(cw), n.toDouble / sizes(cw)))
+    }
+    assert(got == expected)
+    // every user is active in their own first week
+    got.filter(_._1._2 == 0L).values.foreach(v => assert(v._3 == 1.0))
+  }
+
   private lazy val dir: String = {
     val d = Files.createTempDirectory("graft_events").toString
     val base = 1700000000L * 1000000000L
