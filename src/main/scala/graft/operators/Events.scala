@@ -369,8 +369,66 @@ object Events {
       |FROM c JOIN s USING (cw)
       |ORDER BY cohort_week, week_offset""".stripMargin
 
+  /** q94 — signup→purchase conversion funnel: for every signup event,
+    * did the same user purchase within 7 days, rolled up by signup week.
+    * The "first purchase at-or-after each signup" comes from the q24
+    * union+window pattern, not an interval join: one shuffle by user,
+    * one descending sort, a running MIN of purchase epochs over the
+    * [unbounded-preceding, current] frame — each signup row then carries
+    * its next purchase timestamp and the horizon check is a BIGINT
+    * comparison. Tie convention at identical timestamps follows the
+    * (ts, event_id) descending order, mirrored exactly in the oracle.
+    *
+    * Scale shape: the window is the only shuffle (by user_id); the
+    * result aggregate is weeks-sized. An interval join would touch
+    * signups x purchases per user; the running-min frame is linear in
+    * the user's event count.
+    */
+  def q94ConversionFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_type", $"event_id")
+      .filter($"event_type".isin("signup", "purchase"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("next_purchase_us",
+        min(when($"event_type" === "purchase", expr("unix_micros(ts)"))).over(w))
+      .filter($"event_type" === "signup")
+      .select(date_trunc("week", $"ts").as("signup_week"),
+        ($"next_purchase_us".isNotNull &&
+          $"next_purchase_us" - expr("unix_micros(ts)") <= lit(604800000000L))
+          .as("converted"))
+      .groupBy($"signup_week")
+      .agg(count(lit(1)).as("n_signups"),
+        sum(when($"converted", 1L).otherwise(0L)).as("n_converted"))
+      .select($"signup_week", $"n_signups", $"n_converted",
+        ($"n_converted".cast("double") / $"n_signups").as("conversion"))
+      .orderBy($"signup_week")
+  }
+
+  val q94Sql: String =
+    """WITH ev AS (SELECT user_id, ts, event_type, event_id FROM events
+      |            WHERE event_type IN ('signup', 'purchase')),
+      |n AS (SELECT user_id, ts, event_type,
+      |        MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+      |          OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS next_purchase_us
+      |      FROM ev),
+      |s AS (SELECT date_trunc('week', ts) AS signup_week,
+      |        (next_purchase_us IS NOT NULL
+      |          AND next_purchase_us - epoch_us(ts) <= 604800000000) AS converted
+      |      FROM n WHERE event_type = 'signup')
+      |SELECT signup_week, CAST(COUNT(*) AS BIGINT) AS n_signups,
+      |  CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+      |  CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS conversion
+      |FROM s
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q93_cohort_retention" -> (q93CohortRetention _),
+    "q94_conversion_funnel" -> (q94ConversionFunnel _),
     "q67_outlier_flags" -> (q67OutlierFlags _),
     "q60_pseudonymize" -> (q60Pseudonymize _),
     "q20_json_extract" -> (q20JsonExtract _),
@@ -383,6 +441,7 @@ object Events {
 
   val oracleSql: Map[String, String] = Map(
     "q93_cohort_retention" -> q93Sql,
+    "q94_conversion_funnel" -> q94Sql,
     "q67_outlier_flags" -> q67Sql,
     "q60_pseudonymize" -> q60Sql,
     "q20_json_extract" -> q20Sql,

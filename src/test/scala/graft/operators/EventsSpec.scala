@@ -57,6 +57,48 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     d
   }
 
+  test("q94 funnel: planted signups convert exactly within the 7-day horizon") {
+    val d = Files.createTempDirectory("graft_funnel").toString
+    val D = 24L * H
+    val base = 1700000000L * 1000000000L
+    // user 1: signup then purchase 1 day later -> converted
+    // user 2: signup, purchase 8 days later -> NOT converted
+    // user 3: signup, no purchase -> NOT converted
+    // user 4: purchase BEFORE its signup only -> NOT converted
+    // user 5: two signups; purchase sits within 7d of the second only
+    val rows = Seq(
+      (0L, base, 1L, "signup", 1.0, "{}"),
+      (1L, base + D, 1L, "purchase", 2.0, "{}"),
+      (2L, base, 2L, "signup", 1.0, "{}"),
+      (3L, base + 8 * D, 2L, "purchase", 2.0, "{}"),
+      (4L, base, 3L, "signup", 1.0, "{}"),
+      (5L, base, 4L, "purchase", 2.0, "{}"),
+      (6L, base + D, 4L, "signup", 1.0, "{}"),
+      (7L, base, 5L, "signup", 1.0, "{}"),
+      (8L, base + 9 * D, 5L, "signup", 1.0, "{}"),
+      (9L, base + 10 * D, 5L, "purchase", 2.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val r = Events.q94ConversionFunnel(spark, d).collect()
+    // signups: 5 in week(base) + 1 (user 5's second) in week(base+9d);
+    // converted: user 1 (week 1) and user 5's second signup (week 2)
+    assert(r.map(_.getAs[Long]("n_signups")).sum == 6L)
+    val byWeek = r.map(x => (x.getAs[Long]("n_signups"), x.getAs[Long]("n_converted"),
+      x.getAs[Double]("conversion"))).toSeq
+    assert(byWeek == Seq((5L, 1L, 0.2), (1L, 1L, 1.0)))
+  }
+
+  test("q94 funnel: conversion bounded and consistent at sfDir") {
+    val rows = Events.q94ConversionFunnel(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, c, f) = (r.getAs[Long]("n_signups"), r.getAs[Long]("n_converted"),
+        r.getAs[Double]("conversion"))
+      assert(c >= 0 && c <= n)
+      assert(f == c.toDouble / n)
+    }
+  }
+
   test("sessionize splits on >30min gaps") {
     val r = Events.q23Sessionize(spark, dir)
       .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getAs[Long]("n_events"))).toMap
