@@ -62,6 +62,23 @@ object Sinks {
       .write.mode("overwrite").partitionBy("shard").parquet(dest)
   }
 
+  /** Bucketed catalog-table write — the co-located-join layout: both
+    * sides of a recurring equi-join written with the same bucket count
+    * and key join WITHOUT an exchange (Catalyst reads the bucketing from
+    * the catalog and drops both shuffles — LakeLayoutSpec pins the
+    * no-Exchange plan). At 100 TB this converts the nightly fact-to-fact
+    * join from two full shuffles into a local zip of pre-sorted buckets;
+    * the price is paid once at write time. Bucketing requires
+    * `saveAsTable` (file-based `parquet(path)` writes can't carry bucket
+    * metadata — a real deployment uses the metastore, the fixture uses
+    * the session catalog + warehouse dir).
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      nBuckets: Int = 8): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, key).sortBy(key)
+      .saveAsTable(table)
+
   /** Gzip CSV write — the reference's compact step as a writer option
     * (`citibike_project/etl/ingest_data.py:145-152`).
     */

@@ -42,13 +42,13 @@ class LakeLayoutSpec extends AnyFunSuite with SparkSpec {
   test("bucketed tables join without a shuffle") {
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_layout")
     try {
-      graft.sources.Tables.orders(spark, sfDir)
-        .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable("graft_layout.orders_b")
-      graft.sources.Tables.lineitem(spark, sfDir)
-        .select($"l_orderkey", $"l_quantity")
-        .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable("graft_layout.lineitem_b")
+      graft.sources.Sinks.writeBucketed(
+        graft.sources.Tables.orders(spark, sfDir),
+        "graft_layout.orders_b", "o_orderkey")
+      graft.sources.Sinks.writeBucketed(
+        graft.sources.Tables.lineitem(spark, sfDir)
+          .select($"l_orderkey", $"l_quantity"),
+        "graft_layout.lineitem_b", "l_orderkey")
       val joined = spark.table("graft_layout.lineitem_b")
         .join(spark.table("graft_layout.orders_b"),
           $"l_orderkey" === $"o_orderkey")
