@@ -126,6 +126,23 @@ class SelectionSpec extends AnyFunSuite with SparkSpec {
     assert(got("r")._4 < 0, "vanished tokens must drift negative")
   }
 
+  test("q84/q85 identity: a single-source corpus has zero divergence and zero weights") {
+    // when the source IS the corpus, every ln argument is exactly 1 and
+    // every frozen value exactly 0 — the fixed point both operators must
+    // hit with no rounding slack at all
+    val d = Files.createTempDirectory("graft_sel_id").toString
+    val docs = (0L to 4L).map(i => (i, "x y z w", "en", "only", 7L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val kl = Selection.q84SourceKl(spark, d).collect()
+    assert(kl.length == 1 && kl.head.getAs[Double]("kl_nats") == 0.0)
+    // target = the only source = background: smoothed LLR is exactly 0
+    // for every type, so every doc scores 0 and ordering falls to doc_id
+    val sel = Selection.q85ImportanceWeights(spark, d).collect()
+    assert(sel.map(_.getAs[Double]("avg_llr")).forall(_ == 0.0))
+    assert(sel.map(_.getAs[Long]("doc_id")).toSeq == (0L to 4L))
+  }
+
   test("frozen tables sit far from rounding boundaries at every shipped SF") {
     // The only cross-engine risk is a libm-vs-JVM ln ulp (~1e-8 in
     // micro-nat units: 2 ulps of a ~30-nat value) flipping a round();
