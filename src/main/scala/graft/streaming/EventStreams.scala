@@ -29,6 +29,28 @@ object EventStreams {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Continuous warehouse load — the reference's CSV→postgres ETL
+    * (`citibike_project/etl/ingest_data.py:161-176`) run as a stream
+    * instead of a nightly batch: each micro-batch appends to the JDBC
+    * table through the S6 sink (foreachBatch, because the jdbc format
+    * has no native streaming sink). Every row carries its micro-batch id
+    * so the load is REPLAY-AUDITABLE: plain JDBC appends are not
+    * transactional across batch replays, and the standard remedies —
+    * `DELETE WHERE batch_id = ?` before insert, or an idempotent MERGE —
+    * both key on exactly this column. The fixture spec pins the batch_id
+    * mechanism and append accumulation on an embedded Derby.
+    */
+  def streamToJdbc(events: DataFrame, cfg: graft.sources.Sinks.JdbcConfig,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.sources.Sinks.writeJdbc(
+          batch.withColumn("batch_id", lit(batchId)), cfg,
+          org.apache.spark.sql.SaveMode.Append)
+      }
+      .start()
+
   /** Tumbling 1-hour windowed counts/sums with a 2-hour watermark —
     * the streaming form of q21HourlyWindows.
     */

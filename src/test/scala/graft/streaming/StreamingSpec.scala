@@ -37,6 +37,31 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming JDBC load appends each micro-batch with its batch id") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_jdbc")
+    val url = s"jdbc:derby:${dir.resolve("db")};create=true"
+    val driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    val cfg = graft.sources.Sinks.JdbcConfig(
+      url = url, table = "events_wh", user = "", password = "",
+      driver = driver, batchSize = 100)
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.streamToJdbc(mem.toDF(), cfg, dir.resolve("ckpt").toString)
+    try {
+      mem.addData(Ev(t(0), "a", 1.0, 0, 1), Ev(t(1), "b", 2.0, 1, 2))
+      q.processAllAvailable()
+      mem.addData(Ev(t(2), "c", 3.0, 2, 3))
+      q.processAllAvailable()
+      val back = spark.read.format("jdbc")
+        .option("url", url).option("dbtable", "events_wh").option("driver", driver)
+        .load().collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("batch_id")).toMap
+      // all rows landed, each stamped with the micro-batch that wrote it —
+      // the replay-dedup key a production MERGE would filter on
+      assert(back == Map(0L -> 0L, 1L -> 0L, 2L -> 1L))
+    } finally q.stop()
+  }
+
   test("session windows split on inactivity gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
