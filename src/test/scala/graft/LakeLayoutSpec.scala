@@ -64,6 +64,24 @@ class LakeLayoutSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("schema-evolved lake reads merge old and new file schemas") {
+    // a 100 TB lake always contains files written under older schemas;
+    // mergeSchema reads must surface the union with nulls for columns
+    // absent in old files, and pruning must still reach both file groups
+    val dest = Files.createTempDirectory("graft_evolve").toString + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.mode("overwrite").parquet(dest)
+    Seq((3L, "c", 9.5)).toDF("id", "name", "score")
+      .write.mode("append").parquet(dest)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dest)
+    assert(merged.columns.sorted.sameElements(Array("id", "name", "score")))
+    val rows = merged.collect()
+      .map(r => r.getAs[Long]("id") -> Option(r.getAs[Any]("score"))).toMap
+    assert(rows == Map(1L -> None, 2L -> None, 3L -> Some(9.5)))
+    // filters on the NEW column still prune correctly over old files
+    assert(merged.filter($"score" > 5).count() == 1)
+  }
+
   test("sharded corpus write: shard dirs round-trip the q80 permutation in order") {
     val dest = Files.createTempDirectory("graft_shards").toString + "/corpus"
     val layout = graft.operators.Corpus.q80ShardLayout(spark, sfDir)
