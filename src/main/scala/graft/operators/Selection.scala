@@ -323,15 +323,140 @@ object Selection {
       |FROM c CROSS JOIN tot
       |ORDER BY tok""".stripMargin
 
+  /** q95 — quality-filter agreement audit: per-source Pearson
+    * correlation between the two document scores every curation pipeline
+    * runs — the heuristic quality score (q27's ratio formula) and the
+    * unigram-LM NLL perplexity proxy (q76) — answering "do my cheap
+    * filter and my LM filter agree, and does the agreement differ by
+    * source?" (a source where they anti-correlate is where one of the
+    * filters is lying). Expect negative correlation: high NLL
+    * (improbable tokens) should mean low heuristic quality.
+    *
+    * Exactness: both per-doc scores are already cross-engine
+    * bit-identical doubles (exact-count ratios; q76's frozen surprisal
+    * table, boundary-guarded in TextAnalysisSpec); each is then frozen
+    * to nano-units (round of identical doubles — no transcendental, no
+    * guard needed) and the five correlation sums run in DECIMAL(38,0)/
+    * HUGEINT: x_nano ≤ 3e10, so x² ≤ 1e21 overflows BIGINT per the q84
+    * lesson. The one-pass differences n·Σxy − Σx·Σy and n·Σx² − (Σx)²
+    * are ALSO computed in exact integer arithmetic — not doubles —
+    * because DuckDB contracts the double form a·b − c·d into an FMA
+    * (measured: a ~1e-12 corr divergence at sf0.001/0.01 whose Python
+    * re-computation matched Spark, isolating the fusion to DuckDB's
+    * final expression). After the exact differences, the only floating
+    * ops left are one multiply, one sqrt, one divide — each an isolated
+    * correctly-rounded operation no compiler can fuse. Headroom audit:
+    * n·Σx² at nano precision fits DECIMAL(38)/HUGEINT up to ~1e10 docs
+    * per source; beyond that, drop the freeze to micro units (the same
+    * expression tree, 10^6 scale) before the 38-digit cap binds.
+    *
+    * Scale shape: the q76 aggregates + one doc_id join between the two
+    * score relations (shuffle at 100 TB) + one #sources-row aggregate.
+    */
+  def q95QualityNllCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dt = Tables.documents(spark, dir)
+      .select($"doc_id", explode(toks).as("tok"))
+      .groupBy($"doc_id", $"tok")
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val types = dt.groupBy($"tok").agg(sum($"cnt").as("c"))
+    val total = types.agg(sum($"c").as("n"))
+    val scored = types.crossJoin(broadcast(total))
+      .select($"tok",
+        round(log($"n".cast("double") / $"c") * lit(1000000.0))
+          .cast("long").as("s_micro"))
+    val nll = dt.join(broadcast(scored), Seq("tok"))
+      .groupBy($"doc_id")
+      .agg(sum($"cnt" * $"s_micro").cast("long").as("nll_micro"),
+        sum($"cnt").cast("long").as("n_tokens"))
+      .select($"doc_id",
+        ($"nll_micro".cast("double") / lit(1000000.0) / $"n_tokens").as("avg_nll"))
+    val qm = Tables.documents(spark, dir)
+      .withColumn("toks", toks)
+      .select($"doc_id", $"source",
+        (lit(1.0) -
+          ((expr("size(filter(toks, t -> length(t) < 4))").cast("double") / size($"toks")) * 0.5 +
+            ((length($"text") - length(regexp_replace($"text", "[0-9]", ""))).cast("double") / length($"text")) * 0.3 +
+            (expr("size(filter(toks, t -> t IN ('the','a','of','to','in','and','is','on','for','with')))").cast("double") / size($"toks")) * 0.2))
+          .as("quality"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    qm.join(nll, Seq("doc_id"))
+      .select($"source",
+        round($"avg_nll" * lit(1000000000.0)).cast("long").as("x"),
+        round($"quality" * lit(1000000000.0)).cast("long").as("y"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n"),
+        sum($"x".cast(dec)).as("sx"), sum($"y".cast(dec)).as("sy"),
+        sum($"x".cast(dec) * $"y").as("sxy"),
+        sum($"x".cast(dec) * $"x").as("sxx"),
+        sum($"y".cast(dec) * $"y").as("syy"))
+      .select($"source", $"n",
+        ($"n".cast(dec) * $"sxy" - $"sx" * $"sy").as("num"),
+        ($"n".cast(dec) * $"sxx" - $"sx" * $"sx").as("d1"),
+        ($"n".cast(dec) * $"syy" - $"sy" * $"sy").as("d2"))
+      .select($"source", $"n",
+        // decimal → STRING → double (the q67 house pattern): DuckDB's
+        // direct HUGEINT→DOUBLE cast is not correctly rounded (upper·2^64
+        // + lower, two roundings — measured 1-ulp corr divergence), while
+        // both engines' string→double parse rounds correctly
+        ($"num".cast("string").cast("double") /
+          sqrt($"d1".cast("string").cast("double") *
+            $"d2".cast("string").cast("double"))).as("corr"))
+      .orderBy($"source")
+  }
+
+  val q95Sql: String =
+    """WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+      |           FROM documents),
+      |dt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      |       FROM t GROUP BY 1, 2),
+      |ty AS (SELECT tok, CAST(SUM(cnt) AS BIGINT) AS c FROM dt GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM ty),
+      |s AS (SELECT tok, CAST(round(ln(CAST(n AS DOUBLE) / c) * 1000000.0) AS BIGINT) AS s_micro
+      |      FROM ty CROSS JOIN tot),
+      |nll AS (SELECT dt.doc_id,
+      |          CAST(SUM(cnt * s_micro) AS DOUBLE) / 1000000.0 / SUM(cnt) AS avg_nll
+      |        FROM dt JOIN s USING (tok) GROUP BY 1),
+      |tk AS (SELECT doc_id, source, text, string_split(trim(text), ' ') AS toks
+      |       FROM documents),
+      |qm AS (SELECT doc_id, source,
+      |         1.0 - ((CAST(len(list_filter(toks, t -> length(t) < 4)) AS DOUBLE) / len(toks)) * 0.5
+      |              + (CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / LENGTH(text)) * 0.3
+      |              + (CAST(len(list_filter(toks, t -> t IN ('the','a','of','to','in','and','is','on','for','with'))) AS DOUBLE) / len(toks)) * 0.2) AS quality
+      |       FROM tk),
+      |xy AS (SELECT qm.source,
+      |         CAST(round(avg_nll * 1000000000.0) AS BIGINT) AS x,
+      |         CAST(round(quality * 1000000000.0) AS BIGINT) AS y
+      |       FROM qm JOIN nll USING (doc_id)),
+      |a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+      |        SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+      |        SUM(CAST(x AS HUGEINT) * y) AS sxy,
+      |        SUM(CAST(x AS HUGEINT) * x) AS sxx,
+      |        SUM(CAST(y AS HUGEINT) * y) AS syy
+      |      FROM xy GROUP BY 1),
+      |b AS (SELECT source, n,
+      |        CAST(n AS HUGEINT) * sxy - sx * sy AS num,
+      |        CAST(n AS HUGEINT) * sxx - sx * sx AS d1,
+      |        CAST(n AS HUGEINT) * syy - sy * sy AS d2
+      |      FROM a)
+      |SELECT source, n,
+      |  CAST(CAST(num AS VARCHAR) AS DOUBLE) /
+      |    sqrt(CAST(CAST(d1 AS VARCHAR) AS DOUBLE) * CAST(CAST(d2 AS VARCHAR) AS DOUBLE)) AS corr
+      |FROM b
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q84_source_kl" -> (q84SourceKl _),
     "q85_importance_weights" -> (q85ImportanceWeights _),
     "q90_length_drift" -> (q90LengthDrift _),
-    "q91_vocab_drift" -> (q91VocabDrift _))
+    "q91_vocab_drift" -> (q91VocabDrift _),
+    "q95_quality_nll_correlation" -> (q95QualityNllCorrelation _))
 
   val oracleSql: Map[String, String] = Map(
     "q84_source_kl" -> q84Sql,
     "q85_importance_weights" -> q85Sql,
     "q90_length_drift" -> q90Sql,
-    "q91_vocab_drift" -> q91Sql)
+    "q91_vocab_drift" -> q91Sql,
+    "q95_quality_nll_correlation" -> q95Sql)
 }

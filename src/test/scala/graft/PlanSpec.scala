@@ -127,6 +127,12 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "the unpartitioned PSI-total window must sit above the <=10-row bucket aggregate")
   }
 
+  test("q95: correlation scoring broadcasts the vocab table, no all-pairs") {
+    val p = plan("q95_quality_nll_correlation")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q87: source attachment joins on doc_id, never all-pairs") {
     val p = plan("q87_neardup_source_matrix")
     assert(!p.contains("CartesianProduct"))

@@ -143,6 +143,35 @@ class SelectionSpec extends AnyFunSuite with SparkSpec {
     assert(sel.map(_.getAs[Long]("doc_id")).toSeq == (0L to 4L))
   }
 
+  test("q95: correlation matches an exact BigInt recount composed from q27 and q76") {
+    // independent composition: take the two per-doc scores from their own
+    // declared queries, freeze and correlate in arbitrary-precision Scala
+    val nll = TextAnalysis.q76UnigramNll(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_nll")).toMap
+    val qual = TextAnalysis.q27QualityScore(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
+    val src = graft.sources.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = src.keys.groupBy(src).view.mapValues { ids =>
+      val xs = ids.toSeq.map(id => (BigInt(math.round(nll(id) * 1e9)),
+        BigInt(math.round(qual(id) * 1e9))))
+      val n = BigInt(xs.size)
+      val sx = xs.map(_._1).sum; val sy = xs.map(_._2).sum
+      val sxy = xs.map(p => p._1 * p._2).sum
+      val sxx = xs.map(p => p._1 * p._1).sum
+      val syy = xs.map(p => p._2 * p._2).sum
+      val (num, d1, d2) = (n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy)
+      (xs.size.toLong,
+        num.toDouble / math.sqrt(d1.toDouble * d2.toDouble))
+    }.toMap
+    val got = Selection.q95QualityNllCorrelation(spark, sfDir).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("corr")))).toMap
+    assert(got == expected)
+    got.values.foreach { case (_, c) => assert(c >= -1.0 && c <= 1.0) }
+  }
+
   test("frozen tables sit far from rounding boundaries at every shipped SF") {
     // The only cross-engine risk is a libm-vs-JVM ln ulp (~1e-8 in
     // micro-nat units: 2 ulps of a ~30-nat value) flipping a round();
