@@ -860,6 +860,10 @@ object Dedup {
         .select($"v", least($"lbl", coalesce($"nlbl", $"lbl")).as("lbl"),
           $"lbl".as("prev"))
         .localCheckpoint()
+      // round N is materialized (localCheckpoint is eager): free round
+      // N-1's blocks now instead of holding O(rounds) generations in the
+      // block manager for the life of the job
+      org.apache.spark.sql.graft.CheckpointUtils.free(labels)
       changed = next.filter($"lbl" < $"prev").count()
       labels = next.select($"v", $"lbl")
     }
@@ -931,7 +935,12 @@ object Dedup {
       val ss = afterLarge.join(mS, Seq("s"))
         .filter($"d" =!= $"m").select($"d".as("s"), $"m".as("d"))
         .union(mS.select($"s", $"m".as("d")))
-      edges = canon(ss).localCheckpoint()
+      val nextEdges = canon(ss).localCheckpoint()
+      // free round N-1's edge blocks once round N is materialized (the
+      // O(rounds)-generations leak; `input` stays alive for the
+      // singleton re-add below)
+      org.apache.spark.sql.graft.CheckpointUtils.free(edges)
+      edges = nextEdges
       prev = cur
       cur = fingerprint(edges)
     }

@@ -103,6 +103,58 @@ object Ingest {
     out.toSeq
   }
 
+  /** S2: extract a tar archive (`.tar`, `.tar.gz`, `.tgz`, `.tar.bz2`)
+    * into `stagingDir/<yyyyMM>/` like [[extractZip]] — the reference
+    * dispatches tar suffixes to `tarfile.open('r:*').extractall`
+    * (`citibike_project/etl/ingest_data.py:105-113`); here the compression
+    * layer is commons-compress (already on Spark's classpath for its own
+    * codec support), auto-detected from the file name.
+    */
+  def extractTar(tarPath: Path, stagingDir: Path): Seq[Path] = {
+    import org.apache.commons.compress.archivers.tar.TarArchiveInputStream
+    import org.apache.commons.compress.compressors.bzip2.BZip2CompressorInputStream
+    import org.apache.commons.compress.compressors.gzip.GzipCompressorInputStream
+    val raw = new BufferedInputStream(new FileInputStream(tarPath.toFile))
+    val name = tarPath.getFileName.toString.toLowerCase
+    val decompressed =
+      if (name.endsWith(".tar.gz") || name.endsWith(".tgz")) new GzipCompressorInputStream(raw)
+      else if (name.endsWith(".tar.bz2")) new BZip2CompressorInputStream(raw)
+      else raw
+    val tis = new TarArchiveInputStream(decompressed)
+    val out = scala.collection.mutable.ArrayBuffer[Path]()
+    try {
+      var entry = tis.getNextEntry
+      while (entry != null) {
+        if (!entry.isDirectory) {
+          val entryName = Paths.get(entry.getName).getFileName.toString
+          val month = monthOf(entryName).getOrElse("unknown")
+          val dest = stagingDir.resolve(month).resolve(entryName)
+          // refuse path traversal (a hostile archive with ../ segments)
+          require(dest.normalize.startsWith(stagingDir.normalize),
+            s"tar entry escapes staging dir: ${entry.getName}")
+          Files.createDirectories(dest.getParent)
+          Files.copy(tis, dest, StandardCopyOption.REPLACE_EXISTING)
+          out += dest
+        }
+        entry = tis.getNextEntry
+      }
+    } finally tis.close()
+    out.toSeq
+  }
+
+  /** S2 suffix dispatch, mirroring the reference's
+    * (`etl/ingest_data.py:95-116`): zip and tar families extract;
+    * plain `.gz`/`.bz2`/`.csv` need no staging step (Spark reads the
+    * codecs natively) and pass through unchanged.
+    */
+  def extractArchive(path: Path, stagingDir: Path): Seq[Path] = {
+    val n = path.getFileName.toString.toLowerCase
+    if (n.endsWith(".zip")) extractZip(path, stagingDir)
+    else if (n.endsWith(".tar") || n.endsWith(".tar.gz") || n.endsWith(".tgz") ||
+      n.endsWith(".tar.bz2")) extractTar(path, stagingDir)
+    else Seq(path)
+  }
+
   /** S3: recursive CSV discovery under the staging dir. */
   def discoverCsvs(stagingDir: Path): Seq[Path] = {
     import scala.jdk.CollectionConverters._

@@ -38,6 +38,37 @@ object Sinks {
     cfg.numPartitions.fold(w)(n => w.option("numPartitions", n.toString)).save()
   }
 
+  /** Row deletion through a plain JDBC statement — the half of the
+    * exactly-once replay protocol Spark's jdbc writer doesn't cover
+    * (DELETE-then-append keyed on the micro-batch id; see
+    * [[graft.streaming.EventStreams.streamToJdbc]]). A missing table is
+    * the first-batch case and deletes nothing; any other SQL failure
+    * propagates.
+    */
+  def deleteWhere(cfg: JdbcConfig, predicate: String): Int = {
+    Class.forName(cfg.driver)
+    val conn = java.sql.DriverManager.getConnection(cfg.url, cfg.user, cfg.password)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(s"DELETE FROM ${cfg.table} WHERE $predicate")
+      catch {
+        case e: java.sql.SQLException =>
+          if (jdbcTableExists(conn, cfg.table)) throw e else 0
+      } finally st.close()
+    } finally conn.close()
+  }
+
+  private def jdbcTableExists(conn: java.sql.Connection, table: String): Boolean = {
+    val md = conn.getMetaData
+    def probe(n: String): Boolean = {
+      val rs = md.getTables(null, null, n, null)
+      try rs.next() finally rs.close()
+    }
+    // identifier-folding differs per engine (Derby/Oracle fold up,
+    // Postgres folds down) — probe all three forms
+    probe(table) || probe(table.toUpperCase) || probe(table.toLowerCase)
+  }
+
   /** S11: object-store/lake write — any Hadoop FS scheme (s3a://, gs://,
     * file://). Parquet+zstd columnar at rest.
     */

@@ -31,25 +31,40 @@ object EventStreams {
 
   /** Continuous warehouse load — the reference's CSV→postgres ETL
     * (`citibike_project/etl/ingest_data.py:161-176`) run as a stream
-    * instead of a nightly batch: each micro-batch appends to the JDBC
+    * instead of a nightly batch: each micro-batch lands in the JDBC
     * table through the S6 sink (foreachBatch, because the jdbc format
-    * has no native streaming sink). Every row carries its micro-batch id
-    * so the load is REPLAY-AUDITABLE: plain JDBC appends are not
-    * transactional across batch replays, and the standard remedies —
-    * `DELETE WHERE batch_id = ?` before insert, or an idempotent MERGE —
-    * both key on exactly this column. The fixture spec pins the batch_id
-    * mechanism and append accumulation on an embedded Derby.
+    * has no native streaming sink), EXACTLY-ONCE under replay: every row
+    * carries its micro-batch id, and the writer first deletes any rows
+    * already stamped with that id (a partial write from a crashed
+    * attempt, or a full write whose checkpoint commit was lost) before
+    * appending — the standard DELETE-then-insert idempotent protocol,
+    * and the principled form of the reference's replace-vs-append
+    * hacks (`etl/ingest_data.py:166,277-279`). The fixture spec pins
+    * both accumulation across batches and replay invariance on an
+    * embedded Derby.
     */
   def streamToJdbc(events: DataFrame, cfg: graft.sources.Sinks.JdbcConfig,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        graft.sources.Sinks.writeJdbc(
-          batch.withColumn("batch_id", lit(batchId)), cfg,
-          org.apache.spark.sql.SaveMode.Append)
-      }
+      .foreachBatch(jdbcBatchWriter(cfg))
       .start()
+
+  /** The idempotent per-batch writer [[streamToJdbc]] runs — exposed so
+    * tests (and any non-streaming replayer) can drive the exact code
+    * path with a chosen batch id.
+    */
+  def jdbcBatchWriter(cfg: graft.sources.Sinks.JdbcConfig)
+      : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => {
+      // quoted identifier: Spark's JDBC writer creates columns as quoted
+      // lower-case, so an unquoted name would fold (to upper on Derby,
+      // lower on Postgres) and miss
+      graft.sources.Sinks.deleteWhere(cfg, s""""batch_id" = $batchId""")
+      graft.sources.Sinks.writeJdbc(
+        batch.withColumn("batch_id", lit(batchId)), cfg,
+        org.apache.spark.sql.SaveMode.Append)
+    }
 
   /** Tumbling 1-hour windowed counts/sums with a 2-hour watermark —
     * the streaming form of q21HourlyWindows.

@@ -62,6 +62,56 @@ class IngestSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(out).count() == 2)
   }
 
+  test("tar extract round trip: .tar, .tgz, .tar.gz dispatch through extractArchive") {
+    import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+    import org.apache.commons.compress.compressors.gzip.GzipCompressorOutputStream
+    def makeTar(dir: Path, name: String, gzip: Boolean): Path = {
+      val tar = dir.resolve(name)
+      val raw = new FileOutputStream(tar.toFile)
+      val tos = new TarArchiveOutputStream(
+        if (gzip) new GzipCompressorOutputStream(raw) else raw)
+      val bytes = tripCsv.getBytes("UTF-8")
+      val e = new TarArchiveEntry("JC-202509-citibike-tripdata.csv")
+      e.setSize(bytes.length.toLong)
+      tos.putArchiveEntry(e)
+      tos.write(bytes)
+      tos.closeArchiveEntry(); tos.close()
+      tar
+    }
+    for (name <- Seq("a.tar", "b.tgz", "c.tar.gz")) {
+      val staging = Files.createTempDirectory("graft_tar_staging")
+      val tar = makeTar(Files.createTempDirectory("graft_tars"), name, gzip = !name.endsWith(".tar"))
+      val extracted = Ingest.extractArchive(tar, staging)
+      assert(extracted.length == 1, s"$name should yield one file")
+      assert(extracted.head.toString.contains("/202509/"), s"$name month routing")
+      val trips = Ingest.scanTrips(spark, extracted.head.toString)
+      assert(trips.count() == 2)
+    }
+    // non-archive passthrough
+    val d = Files.createTempDirectory("graft_plain")
+    val f = d.resolve("plain.csv")
+    Files.writeString(f, tripCsv)
+    assert(Ingest.extractArchive(f, d) == Seq(f))
+  }
+
+  test("extractTar refuses path traversal entries") {
+    import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+    val dir = Files.createTempDirectory("graft_evil")
+    val tar = dir.resolve("evil.tar")
+    val tos = new TarArchiveOutputStream(new FileOutputStream(tar.toFile))
+    val bytes = "x".getBytes("UTF-8")
+    val e = new TarArchiveEntry("../../escape-202501.csv")
+    e.setSize(bytes.length.toLong)
+    tos.putArchiveEntry(e); tos.write(bytes); tos.closeArchiveEntry(); tos.close()
+    val staging = Files.createTempDirectory("graft_evil_staging")
+    // getFileName flattening already strips directories; the guard is
+    // defense in depth — either way nothing may land outside staging
+    Ingest.extractTar(tar, staging)
+    import scala.jdk.CollectionConverters._
+    val landed = Files.walk(staging).iterator().asScala.filter(Files.isRegularFile(_)).toSeq
+    assert(landed.forall(_.normalize.startsWith(staging.normalize)))
+  }
+
   test("gzipFile compresses and removes original") {
     val d = Files.createTempDirectory("graft_gz")
     val f = d.resolve("x.csv")

@@ -52,13 +52,23 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       q.processAllAvailable()
       mem.addData(Ev(t(2), "c", 3.0, 2, 3))
       q.processAllAvailable()
-      val back = spark.read.format("jdbc")
+      def readBack(): Map[Long, Long] = spark.read.format("jdbc")
         .option("url", url).option("dbtable", "events_wh").option("driver", driver)
         .load().collect()
         .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("batch_id")).toMap
-      // all rows landed, each stamped with the micro-batch that wrote it —
-      // the replay-dedup key a production MERGE would filter on
-      assert(back == Map(0L -> 0L, 1L -> 0L, 2L -> 1L))
+      // all rows landed, each stamped with the micro-batch that wrote it
+      assert(readBack() == Map(0L -> 0L, 1L -> 0L, 2L -> 1L))
+      // replay batch 1 through the exact writer the stream runs (the
+      // crashed-before-checkpoint-commit scenario): DELETE-then-append
+      // keyed on batch_id leaves the table unchanged — exactly-once
+      val replay = Seq((t(2), "c", 3.0, 2L, 3L))
+        .toDF("ts", "event_type", "value", "event_id", "user_id")
+      EventStreams.jdbcBatchWriter(cfg)(replay, 1L)
+      assert(readBack() == Map(0L -> 0L, 1L -> 0L, 2L -> 1L))
+      // and a PARTIAL failed write (row landed, checkpoint lost) is
+      // healed, not doubled
+      EventStreams.jdbcBatchWriter(cfg)(replay, 1L)
+      assert(readBack() == Map(0L -> 0L, 1L -> 0L, 2L -> 1L))
     } finally q.stop()
   }
 
