@@ -24,9 +24,11 @@ import graft.functions.SetFunctions
   *     distance <= 10, candidates from multi-index Hamming banding
   *     (11 bands; pigeonhole guarantees one exact band) — equi-join,
   *     never an all-pairs scan;
-  *   - direct n-gram Jaccard — all-pairs with a codegen'd sorted-array
-  *     merge-intersection kernel over broadcast shingle-hash arrays: the
-  *     exactness baseline (q33);
+  *   - direct n-gram Jaccard (q33) — all-pairs with a codegen'd
+  *     sorted-array merge-intersection kernel, DECLARED over a bounded
+  *     md5-ordered audit panel (constant-sized at any corpus scale — the
+  *     threshold-calibration report); the full-corpus all-pairs form is
+  *     the spec-only exactness baseline [[ngramJaccardAllPairs]];
   *   - inverted-index n-gram Jaccard with document-frequency-ordered
   *     prefix filtering (q47) — the 100 TB dedup path: candidates come
   *     from an equi-join on each doc's RAREST shingles only, verified
@@ -47,7 +49,7 @@ import graft.functions.SetFunctions
   */
 object Dedup {
 
-  private val nPerm = 32
+  private[operators] val nPerm = 32
   private val bandRows = 4 // 8 bands × 4 rows; false candidates are cheap
   // since verification is a broadcast join through the codegen kernel
 
@@ -85,9 +87,12 @@ object Dedup {
     * after the scan would otherwise run single-threaded. The explicit-N
     * repartition survives AQE coalescing.
     */
-  private def withGrams(spark: SparkSession, dir: String): DataFrame = {
+  private def withGrams(spark: SparkSession, dir: String): DataFrame =
+    withGramsOf(spark, Tables.documents(spark, dir))
+
+  private def withGramsOf(spark: SparkSession, docsDf: DataFrame): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    docsDf
       .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("toks", split(trim($"text"), " "))
       .select($"doc_id", gramsCol.as("grams"))
@@ -100,9 +105,11 @@ object Dedup {
   private def h60DuckSql(e: String): String =
     s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
 
-  private val gramsDuckCte: String =
-    """toks AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
-      |grams AS (SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS grams FROM toks)""".stripMargin
+  private def gramsDuckCteFor(table: String): String =
+    s"""toks AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM $table),
+       |grams AS (SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS grams FROM toks)""".stripMargin
+
+  private val gramsDuckCte: String = gramsDuckCteFor("documents")
 
   /** Distinct-shingle hash dictionary: md5 is ~100× more expensive than the
     * joins that replace it, and shingles repeat heavily across documents
@@ -342,7 +349,9 @@ object Dedup {
       .join(broadcast(da), Seq("a_id"))
       .join(broadcast(db), Seq("b_id"))
       .withColumn("i", SetFunctions.intersectCount($"ha", $"hb"))
-      .withColumn("est_sim", $"m".cast("double") / 32.0)
+      // divisor derived from nPerm so a sketch-width change cannot
+      // silently miscalibrate est_sim against a stale constant
+      .withColumn("est_sim", $"m".cast("double") / nPerm.toDouble)
       .withColumn("jaccard", $"i".cast("double") / ($"na" + $"nb" - $"i"))
       .select($"a_id", $"b_id", $"est_sim", $"jaccard",
         abs($"est_sim" - $"jaccard").as("abs_err"))
@@ -358,7 +367,7 @@ object Dedup {
        |       JOIN sig x ON x.doc_id = c.a_id
        |       JOIN sig y ON y.doc_id = c.b_id),
        |e AS (SELECT v.a_id, v.b_id,
-       |        CAST(m AS DOUBLE) / 32.0 AS est_sim,
+       |        CAST(m AS DOUBLE) / $nPerm.0 AS est_sim,
        |        CAST(i AS DOUBLE) / (na + nb - i) AS jaccard
        |      FROM ver v JOIN mm ON mm.a_id = v.a_id AND mm.b_id = v.b_id)
        |SELECT a_id, b_id, est_sim, jaccard, abs(est_sim - jaccard) AS abs_err
@@ -455,25 +464,65 @@ object Dedup {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
-  /** Exact n-gram Jaccard >= 0.5 over all pairs: broadcast the (small)
-    * sorted-hash-array table and run the codegen'd merge-intersection
-    * kernel per pair — no shuffle, no per-pair allocation.
+  private val jaccardAuditK = 512
+
+  /** All-pairs exact Jaccard over a prebuilt exploded shingle relation —
+    * shared by the declared bounded audit (q33) and the spec-only
+    * full-corpus baseline ([[ngramJaccardAllPairs]]).
     */
-  def q33NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  private def allPairsJaccardFromGx(spark: SparkSession, gx: DataFrame,
+      minJaccard: Double): DataFrame = {
     import spark.implicits._
-    val docs = hashedDocsFrom(spark, gxCheckpointed(spark, dir)).localCheckpoint()
+    val docs = hashedDocsFrom(spark, gx).localCheckpoint()
     val a = docs.select($"doc_id".as("a_id"), $"harr".as("ha"), $"n".as("na"))
     val b = docs.select($"doc_id".as("b_id"), $"harr".as("hb"), $"n".as("nb"))
     a.join(broadcast(b), $"a_id" < $"b_id")
       .withColumn("i", SetFunctions.intersectCount($"ha", $"hb"))
       .withColumn("jaccard", $"i".cast("double") / ($"na" + $"nb" - $"i"))
-      .filter($"jaccard" >= 0.5)
+      .filter($"jaccard" >= minJaccard)
       .select($"a_id", $"b_id", $"jaccard")
       .orderBy($"a_id", $"b_id")
   }
 
+  /** Exact n-gram Jaccard >= 0.5, all pairs WITHIN a bounded audit panel
+    * (the [[jaccardAuditK]] documents whose md5(doc_id) sorts first — a
+    * content-free uniform sample, identical in both engines). This is
+    * the calibration report that justifies the sketch thresholds (q31's
+    * 0.7 verification cut, q47's prefix filter): measure the exact
+    * similarity background on a fixed-size panel, with the codegen'd
+    * merge-intersection kernel per pair. The panel is CONSTANT-sized at
+    * any corpus scale — the all-pairs quadratic stays ~131k kernel calls
+    * and the broadcast 512 rows, so this is the plan you'd run at
+    * 100 TB; ORDER BY md5 + LIMIT plans as a bounded top-K selection
+    * (one streaming pass, no global sort). Full-corpus all-pairs
+    * survives spec-only as [[ngramJaccardAllPairs]], the exactness
+    * baseline the prefix-filtered q47 is pinned lossless against.
+    */
+  def q33NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val panel = Tables.documents(spark, dir)
+      .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+      .limit(jaccardAuditK)
+    val gx = withGramsOf(spark, panel)
+      .select($"doc_id", explode($"grams").as("g"))
+      .localCheckpoint()
+    allPairsJaccardFromGx(spark, gx, 0.5)
+  }
+
+  /** Spec-only exactness baseline (NOT declared): all-pairs exact
+    * Jaccard over the FULL corpus — broadcast of the whole shingle-set
+    * table, O(n²) pairs. DedupSpec/PropertySpec/LakeLayoutSpec pin the
+    * scale-safe paths (q47 inverted index, q31 LSH, q32 simhash)
+    * lossless/equal against it; unusable at 100 TB by construction,
+    * which is why the declared q33 is the bounded-panel audit above.
+    */
+  def ngramJaccardAllPairs(spark: SparkSession, dir: String): DataFrame =
+    allPairsJaccardFromGx(spark, gxCheckpointed(spark, dir), 0.5)
+
   val q33Sql: String =
-    s"""WITH $gramsDuckCte,
+    s"""WITH s AS (SELECT * FROM documents
+       |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT $jaccardAuditK),
+       |${gramsDuckCteFor("s")},
        |ver AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
        |          CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS i,
        |          CAST(len(a.grams) AS BIGINT) AS na, CAST(len(b.grams) AS BIGINT) AS nb
@@ -1047,9 +1096,7 @@ object Dedup {
        |         FROM shared s JOIN gsizes sz ON sz.doc_id = s.train_id
        |         WHERE CAST(s.n_shared AS DOUBLE) / sz.n_grams >= 0.5),
        |met AS (SELECT d.doc_id, d.source, CAST(len(t.toks) AS BIGINT) AS n_tokens,
-       |          1.0 - ((CAST(len(list_filter(t.toks, x -> length(x) < 4)) AS DOUBLE) / len(t.toks)) * 0.5
-       |               + (CAST(LENGTH(d.text) - LENGTH(regexp_replace(d.text, '[0-9]', '', 'g')) AS DOUBLE) / LENGTH(d.text)) * 0.3
-       |               + (CAST(len(list_filter(t.toks, x -> x IN ('the','a','of','to','in','and','is','on','for','with'))) AS DOUBLE) / len(t.toks)) * 0.2) AS quality
+       |          ${TextAnalysis.qualitySqlExpr("d.text", "t.toks")} AS quality
        |        FROM documents d JOIN toks t ON t.doc_id = d.doc_id),
        |kept AS (SELECT m.* FROM met m
        |         WHERE m.doc_id % 20 != 0 AND m.n_tokens >= 30

@@ -64,9 +64,10 @@ object Selection {
     *
     * Scale shape: one (source, tok) shuffle agg; the per-source totals
     * (#sources rows) and the type table (vocab-sized, Zipf keeps vocab
-    * << corpus) broadcast onto it; one #sources-row result. If a real
-    * tokenizer blew the broadcast threshold the type join degrades to
-    * a shuffle join on tok, nothing else changes.
+    * << corpus) join onto it; one #sources-row result. The type join is
+    * deliberately UNHINTED: AQE broadcasts it at runtime while it fits
+    * and genuinely degrades to a shuffle join on tok when a real
+    * tokenizer's vocab blows the threshold — nothing else changes.
     */
   def q84SourceKl(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -75,7 +76,13 @@ object Selection {
     val types = st.groupBy($"tok").agg(sum($"c_st").as("c_t"))
     val total = types.agg(sum($"c_t").as("n"))
     st.join(broadcast(srcTot), Seq("source"))
-      .join(broadcast(types), Seq("tok"))
+      // the type table is vocab-sized (scale-DEPENDENT): no broadcast
+      // hint — AQE broadcasts it at runtime while it fits under the
+      // threshold and falls back to a shuffle join on tok beyond (a hint
+      // would force the broadcast regardless and OOM at the 100 TB
+      // design point); srcTot (#sources) and total (1 row) are bounded,
+      // so their hints are safe
+      .join(types, Seq("tok"))
       .crossJoin(broadcast(total))
       .withColumn("d_micro",
         round(log(($"c_st".cast("double") * $"n".cast("double")) /
@@ -86,7 +93,12 @@ object Selection {
         sum($"c_st").cast("long").as("n_tokens"),
         sum($"c_st".cast(DecimalType(38, 0)) * $"d_micro").as("kl_sum"))
       .select($"source", $"n_tokens",
-        ($"kl_sum".cast("double") / lit(1000000.0) / $"n_tokens").as("kl_nats"))
+        // decimal → STRING → double (the q67/q95 house pattern): DuckDB's
+        // direct HUGEINT→DOUBLE cast is not correctly rounded, so both
+        // engines parse the same exact decimal string instead — exact at
+        // shipped SFs either way, but this form stays exact past 2^53
+        ($"kl_sum".cast("string").cast("double") / lit(1000000.0) / $"n_tokens")
+          .as("kl_nats"))
       .orderBy($"source")
   }
 
@@ -104,7 +116,7 @@ object Selection {
       |      FROM st JOIN stot USING (source) JOIN ty USING (tok) CROSS JOIN tot)
       |SELECT source,
       |  CAST(SUM(c_st) AS BIGINT) AS n_tokens,
-      |  CAST(SUM(CAST(c_st AS HUGEINT) * d_micro) AS DOUBLE) / 1000000.0 / SUM(c_st) AS kl_nats
+      |  CAST(CAST(SUM(CAST(c_st AS HUGEINT) * d_micro) AS VARCHAR) AS DOUBLE) / 1000000.0 / SUM(c_st) AS kl_nats
       |FROM d
       |GROUP BY source
       |ORDER BY source""".stripMargin
@@ -129,7 +141,8 @@ object Selection {
     * safe — audited, not assumed).
     *
     * Scale shape: (doc, tok) shuffle agg; vocab-sized weight table
-    * broadcast back onto it; top-50 plans as TakeOrderedAndProject
+    * joined back onto it (unhinted — AQE broadcasts while it fits,
+    * shuffle join on tok beyond); top-50 plans as TakeOrderedAndProject
     * (map-side partial top-k, never a global sort of the corpus) —
     * PlanSpec pins it. Rank ties at the cut are broken by doc_id, so
     * the selected set is deterministic in both engines (avg_llr is
@@ -148,8 +161,10 @@ object Selection {
       .groupBy($"tok").agg(sum($"cnt").as("c_tgt"))
     val consts = types.agg(sum($"c_bg").as("n_bg"), count(lit(1)).as("v"))
     val tgtTot = tgtTypes.agg(coalesce(sum($"c_tgt"), lit(0L)).as("n_tgt"))
+    // vocab-sized relations (types, tgtTypes, w) carry no broadcast
+    // hint — see q84's note; the 1-row consts/tgtTot/tgt stay hinted
     val w = types
-      .join(broadcast(tgtTypes), Seq("tok"), "left")
+      .join(tgtTypes, Seq("tok"), "left")
       .crossJoin(broadcast(consts))
       .crossJoin(broadcast(tgtTot))
       .select($"tok",
@@ -158,7 +173,7 @@ object Selection {
             ($"n_bg" + $"v").cast("double")) /
             (($"n_tgt" + $"v").cast("double") * ($"c_bg" + lit(1L)).cast("double"))
         ) * lit(1000000.0)).cast("long").as("w_micro"))
-    dt.join(broadcast(w), Seq("tok"))
+    dt.join(w, Seq("tok"))
       .groupBy($"doc_id", $"source")
       .agg(
         sum($"cnt").cast("long").as("n_tokens"),
@@ -366,20 +381,19 @@ object Selection {
       .select($"tok",
         round(log($"n".cast("double") / $"c") * lit(1000000.0))
           .cast("long").as("s_micro"))
-    val nll = dt.join(broadcast(scored), Seq("tok"))
+    // unhinted vocab join — see q84's note
+    val nll = dt.join(scored, Seq("tok"))
       .groupBy($"doc_id")
       .agg(sum($"cnt" * $"s_micro").cast("long").as("nll_micro"),
         sum($"cnt").cast("long").as("n_tokens"))
       .select($"doc_id",
         ($"nll_micro".cast("double") / lit(1000000.0) / $"n_tokens").as("avg_nll"))
+    // the shared q27 quality definition — NOT a re-inlined copy, so a
+    // change to the heuristic propagates into this correlation audit
     val qm = Tables.documents(spark, dir)
       .withColumn("toks", toks)
       .select($"doc_id", $"source",
-        (lit(1.0) -
-          ((expr("size(filter(toks, t -> length(t) < 4))").cast("double") / size($"toks")) * 0.5 +
-            ((length($"text") - length(regexp_replace($"text", "[0-9]", ""))).cast("double") / length($"text")) * 0.3 +
-            (expr("size(filter(toks, t -> t IN ('the','a','of','to','in','and','is','on','for','with')))").cast("double") / size($"toks")) * 0.2))
-          .as("quality"))
+        TextAnalysis.qualityScoreCol($"text", $"toks").as("quality"))
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     qm.join(nll, Seq("doc_id"))
       .select($"source",
@@ -407,7 +421,7 @@ object Selection {
   }
 
   val q95Sql: String =
-    """WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
       |           FROM documents),
       |dt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt
       |       FROM t GROUP BY 1, 2),
@@ -421,9 +435,7 @@ object Selection {
       |tk AS (SELECT doc_id, source, text, string_split(trim(text), ' ') AS toks
       |       FROM documents),
       |qm AS (SELECT doc_id, source,
-      |         1.0 - ((CAST(len(list_filter(toks, t -> length(t) < 4)) AS DOUBLE) / len(toks)) * 0.5
-      |              + (CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / LENGTH(text)) * 0.3
-      |              + (CAST(len(list_filter(toks, t -> t IN ('the','a','of','to','in','and','is','on','for','with'))) AS DOUBLE) / len(toks)) * 0.2) AS quality
+      |         ${graft.operators.TextAnalysis.qualitySqlExpr("text", "toks")} AS quality
       |       FROM tk),
       |xy AS (SELECT qm.source,
       |         CAST(round(avg_nll * 1000000000.0) AS BIGINT) AS x,

@@ -18,6 +18,42 @@ object TextAnalysis {
   /** Normalized token array: documents are single-space separated text. */
   private def toks: Column = split(trim(col("text")), " ")
 
+  /** The house stopword list for the cheap quality heuristics. */
+  private[operators] val stopwords: Seq[String] =
+    Seq("the", "a", "of", "to", "in", "and", "is", "on", "for", "with")
+
+  /** The q27 composite quality score as one shared column expression over
+    * (text, toks) — the SINGLE definition every consumer reuses (q27
+    * itself, the q65 corpus card, q63's manifest via q27, Selection's q95
+    * correlation), so a weight or stopword change propagates everywhere
+    * instead of silently desynchronizing re-inlined copies. The
+    * arithmetic tree (each ratio a double division of exact counts, then
+    * ·0.5/·0.3/·0.2 and two adds) is IEEE-deterministic and mirrored
+    * verbatim by [[qualitySqlExpr]] on the oracle side.
+    */
+  private[operators] def qualityScoreCol(text: Column, toksCol: Column): Column = {
+    val nTokens = size(toksCol)
+    val shortRatio =
+      size(filter(toksCol, t => length(t) < 4)).cast("double") / nTokens
+    val digitRatio =
+      (length(text) - length(regexp_replace(text, "[0-9]", ""))).cast("double") / length(text)
+    val stopRatio =
+      size(filter(toksCol, t => t.isin(stopwords: _*))).cast("double") / nTokens
+    lit(1.0) - (shortRatio * 0.5 + digitRatio * 0.3 + stopRatio * 0.2)
+  }
+
+  /** DuckDB mirror of [[qualityScoreCol]], parameterized on the text and
+    * token-list column names — used by every oracle that inlines the
+    * quality formula (q63/q65/q95), so the SQL side has one definition
+    * too.
+    */
+  private[operators] def qualitySqlExpr(text: String, toksC: String): String = {
+    val stopSql = stopwords.map(s => s"'$s'").mkString(",")
+    s"""1.0 - ((CAST(len(list_filter($toksC, x -> length(x) < 4)) AS DOUBLE) / len($toksC)) * 0.5
+       |         + (CAST(LENGTH($text) - LENGTH(regexp_replace($text, '[0-9]', '', 'g')) AS DOUBLE) / LENGTH($text)) * 0.3
+       |         + (CAST(len(list_filter($toksC, x -> x IN ($stopSql))) AS DOUBLE) / len($toksC)) * 0.2)""".stripMargin
+  }
+
   /** Documents spread across all cores: the harness parquet is a single
     * row group (one scan partition), so per-row regexp/split work would
     * otherwise run single-threaded.
@@ -70,8 +106,7 @@ object TextAnalysis {
       .withColumn("stop_ratio", $"n_stop".cast("double") / $"n_tokens")
       .withColumn("short_ratio", $"n_short".cast("double") / $"n_tokens")
       .withColumn("digit_ratio", $"n_digit".cast("double") / length($"text"))
-      .withColumn("quality",
-        lit(1.0) - ($"short_ratio" * 0.5 + $"digit_ratio" * 0.3 + $"stop_ratio" * 0.2))
+      .withColumn("quality", qualityScoreCol($"text", $"toks"))
       .select($"doc_id", $"n_tokens", $"n_stop", $"n_short", $"n_digit",
         $"stop_ratio", $"short_ratio", $"digit_ratio", $"quality")
       .orderBy($"doc_id")
@@ -655,10 +690,7 @@ object TextAnalysis {
         "size(filter(toks, t -> t IN ('the','a','of','to','in','and','is','on','for','with')))").cast("long"))
       .withColumn("n_short", expr("size(filter(toks, t -> length(t) < 4))").cast("long"))
       .withColumn("n_digit", (length($"text") - length(regexp_replace($"text", "[0-9]", ""))).cast("long"))
-      .withColumn("quality",
-        lit(1.0) - (($"n_short".cast("double") / $"n_tokens") * 0.5
-          + ($"n_digit".cast("double") / length($"text")) * 0.3
-          + ($"n_stop".cast("double") / $"n_tokens") * 0.2))
+      .withColumn("quality", qualityScoreCol($"text", $"toks"))
     m.groupBy($"source")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -676,11 +708,9 @@ object TextAnalysis {
   }
 
   val q65Sql: String =
-    """WITH t AS (SELECT doc_id, source, text, string_split(trim(text), ' ') AS toks FROM documents),
+    s"""WITH t AS (SELECT doc_id, source, text, string_split(trim(text), ' ') AS toks FROM documents),
       |m AS (SELECT source, CAST(len(toks) AS BIGINT) AS n_tokens,
-      |    1.0 - ((CAST(len(list_filter(toks, x -> length(x) < 4)) AS DOUBLE) / len(toks)) * 0.5
-      |         + (CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / LENGTH(text)) * 0.3
-      |         + (CAST(len(list_filter(toks, x -> x IN ('the','a','of','to','in','and','is','on','for','with'))) AS DOUBLE) / len(toks)) * 0.2) AS quality
+      |    ${qualitySqlExpr("text", "toks")} AS quality
       |  FROM t)
       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,

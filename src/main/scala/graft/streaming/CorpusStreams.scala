@@ -78,16 +78,32 @@ object CorpusStreams {
     * what parquet readers list — acceptable for the fixture, documented
     * for the real thing).
     */
+  /** Schema of the admitted-corpus store [[admitNearDupBatch]] appends
+    * to. Declared so reads of an existing-but-EMPTY directory (crash
+    * between mkdir and the first append) don't throw schema inference
+    * errors, and so the empty-corpus bootstrap frame matches exactly.
+    */
+  val corpusStoreSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("source", StringType),
+    StructField("fp", StringType),
+    StructField("n_tokens", LongType),
+    StructField("text", StringType)))
+
   def admitNearDupBatch(batch: DataFrame, corpusDir: String,
       minTokens: Int = 5, minJaccard: Double = 0.7): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
+    // existence via the Hadoop FileSystem API, not java.io.File — the
+    // corpus dir is any FS scheme in deployment (hdfs://, s3a://), and
+    // the declared schema covers the existing-but-empty-directory case
+    val corpusPath = new org.apache.hadoop.fs.Path(corpusDir)
+    val fs = corpusPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val existing: DataFrame =
-      if (new java.io.File(corpusDir).exists) spark.read.parquet(corpusDir)
-      else spark.emptyDataFrame
-        .select(lit(0L).as("doc_id"), lit("").as("source"), lit("").as("fp"),
-          lit(0L).as("n_tokens"), lit("").as("text"))
-        .limit(0)
+      if (fs.exists(corpusPath))
+        spark.read.schema(corpusStoreSchema).parquet(corpusDir)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], corpusStoreSchema)
     val gated = batch
       .withColumn("fp", md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
       .withColumn("n_tokens", size(split(trim(col("text")), " ")).cast("long"))

@@ -102,7 +102,7 @@ class LakeLayoutSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("simhash captures the same near-dup set as exact Jaccard on this corpus") {
-    val exact = graft.operators.Dedup.q33NgramJaccard(spark, sfDir)
+    val exact = graft.operators.Dedup.ngramJaccardAllPairs(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val sim = graft.operators.Dedup.q32Simhash(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -111,7 +111,7 @@ class LakeLayoutSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("minhash LSH recall: finds exactly the exact-Jaccard pairs at its threshold") {
-    val exact = graft.operators.Dedup.q33NgramJaccard(spark, sfDir)
+    val exact = graft.operators.Dedup.ngramJaccardAllPairs(spark, sfDir)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     val lsh = graft.operators.Dedup.q31MinhashLsh(spark, sfDir)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap

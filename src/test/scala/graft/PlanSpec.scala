@@ -13,6 +13,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     SparkEntry.queries(name)(spark, sfDir).queryExecution
       .explainString(FormattedMode)
 
+  /** Post-execution plan: runs the query so AQE finalizes its runtime
+    * join/coalesce decisions, then explains the adaptive result.
+    */
+  private def runtimePlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.count()
+    df.queryExecution.explainString(FormattedMode)
+  }
+
   test("q1: shipdate filter pushed to parquet, columns pruned") {
     val p = plan("q1_pricing_summary")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
@@ -48,10 +57,21 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("LeftAnti"))
   }
 
-  test("q34: native cosine kernel in plan, rank filter becomes WindowGroupLimit") {
+  test("q34: native cosine kernel, bounded-state top-k agg, no corpus window sort") {
     val p = plan("q34_cosine_topk")
     assert(p.contains("cosinesimilarity"))
-    assert(p.contains("WindowGroupLimit"))
+    // per-query top-5 runs through the TopKByScore aggregator with a
+    // partial (map-side) phase — the shuffle carries <=5 rows per query
+    // per partition, never the scored corpus
+    assert(p.contains("partial_topkbyscore"),
+      "map-side partial top-k aggregation must be in the plan")
+    // the old shape — shuffle all scored rows to a per-query partition
+    // and window-sort there — must be gone
+    assert(!p.contains("WindowGroupLimit") && !p.contains("RunningWindowFunction"),
+      "q34 must not window-sort the scored corpus")
+    // the query panel is a bounded TakeOrdered selection, not a sort
+    assert(p.contains("TakeOrderedAndProject"),
+      "panel selection must plan as bounded top-K")
   }
 
   test("q68: ranking window sits above the vocab aggregate, never over the corpus") {
@@ -98,15 +118,21 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("partial_count") || p.contains("HashAggregate"))
   }
 
-  test("q84: per-source totals and type table broadcast onto the term counts") {
+  test("q84: bounded tables broadcast; the vocab join is unhinted (AQE decides)") {
     val p = plan("q84_source_kl")
     // the corpus-sized (source, tok) relation must stream; the #sources
-    // and vocab-sized tables are the broadcast build sides
+    // table is a hinted broadcast build side
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("CartesianProduct"))
+    // the vocab-sized type join must NOT be a forced broadcast: at the
+    // 100 TB design point a hint would OOM instead of degrading to a
+    // shuffle join; AQE converts it to broadcast at runtime while small
+    val r = runtimePlan("q84_source_kl")
+    assert(r.contains("AQEShuffleRead") || r.contains("BroadcastHashJoin"),
+      "AQE should pick the join strategy for the vocab table at runtime")
   }
 
-  test("q85: top-50 selection plans as TakeOrderedAndProject, vocab broadcast") {
+  test("q85: top-50 selection plans as TakeOrderedAndProject, vocab unhinted") {
     val p = plan("q85_importance_weights")
     // never a global sort of the corpus for a top-k selection
     assert(p.contains("TakeOrderedAndProject"))
@@ -127,10 +153,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "the unpartitioned PSI-total window must sit above the <=10-row bucket aggregate")
   }
 
-  test("q95: correlation scoring broadcasts the vocab table, no all-pairs") {
+  test("q95: correlation scoring joins are keyed, vocab join unhinted") {
     val p = plan("q95_quality_nll_correlation")
-    assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("CartesianProduct"))
+    // scoring join is unhinted: AQE broadcasts the vocab table at this
+    // size (runtime plan), and would shuffle-join past the threshold
+    val r = runtimePlan("q95_quality_nll_correlation")
+    assert(r.contains("BroadcastHashJoin"),
+      "AQE should broadcast the small vocab table at fixture SF")
   }
 
   test("q87: source attachment joins on doc_id, never all-pairs") {

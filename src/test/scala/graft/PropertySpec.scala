@@ -109,7 +109,7 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
         .map { case (t, i) => (i.toLong, t, "en", "src", t.length.toLong) }
         .toDF("doc_id", "text", "lang", "source", "n_chars")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
-      val exact = graft.operators.Dedup.q33NgramJaccard(spark, dir)
+      val exact = graft.operators.Dedup.ngramJaccardAllPairs(spark, dir)
         .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
       val inv = graft.operators.Dedup.ngramJaccardInverted(spark, dir, 0.5)
         .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap

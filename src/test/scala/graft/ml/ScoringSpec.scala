@@ -38,7 +38,7 @@ class ScoringSpec extends AnyFunSuite with SparkSpec {
     // scores are true cosines: spot-check one against brute force
     val q = byQuery.keys.head
     val top = byQuery(q).minBy(_.getInt(1))
-    val brute = graft.operators.Similarity.q34CosineTopk(spark, sfDir)
+    val brute = graft.operators.Similarity.cosineTopkAllPairs(spark, sfDir)
       .filter(s"a_id = $q").collect()
     assert(brute.exists(r => r.getLong(2) == top.getLong(2) &&
       r.getDouble(3) == top.getDouble(4)) ||

@@ -48,7 +48,7 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("ngram jaccard exact values") {
-    val r = Dedup.q33NgramJaccard(spark, dir)
+    val r = Dedup.ngramJaccardAllPairs(spark, dir)
       .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(2))).toMap
     assert(r((0L, 1L)) == 1.0)
     // near pair: 39 bigrams each, 2 changed by one word swap -> 37 shared
@@ -66,7 +66,7 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("inverted-index variant agrees with kernel variant") {
-    val a = Dedup.q33NgramJaccard(spark, dir)
+    val a = Dedup.ngramJaccardAllPairs(spark, dir)
       .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(2))).toMap
     val b = Dedup.ngramJaccardInverted(spark, dir, 0.5)
       .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(2))).toMap
@@ -145,7 +145,7 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     // q33 (all-pairs kernel) at threshold 0.5 vs the prefix-filtered
     // inverted index at the same threshold: identical pair sets AND
     // identical jaccard values — the prefix filter must be lossless.
-    val exact = Dedup.q33NgramJaccard(spark, sfDir)
+    val exact = Dedup.ngramJaccardAllPairs(spark, sfDir)
       .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(2))).toMap
     val inv = Dedup.ngramJaccardInverted(spark, sfDir, 0.5)
       .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(2))).toMap
@@ -216,8 +216,8 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(cal.filter(_._2._2 >= 0.7).view.mapValues(_._2).toMap == q31)
     cal.foreach { case ((a, b), (est, j, err)) =>
       assert(a < b, "pairs must be canonical")
-      assert(est >= 0 && est <= 1 && (est * 32).isWhole,
-        "estimate must be a 32-permutation fraction")
+      assert(est >= 0 && est <= 1 && (est * Dedup.nPerm).isWhole,
+        s"estimate must be a ${Dedup.nPerm}-permutation fraction")
       assert(j >= 0 && j <= 1)
       assert(err == math.abs(est - j), "abs_err must be the plain IEEE difference")
     }

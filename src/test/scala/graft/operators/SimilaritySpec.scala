@@ -12,7 +12,7 @@ import graft.SparkSpec
 class SimilaritySpec extends AnyFunSuite with SparkSpec {
 
   test("q48 IVF near-dup: precision 1.0 against brute q46, recall pinned") {
-    val brute = Similarity.q46EmbeddingNeardup(spark, sfDir)
+    val brute = Similarity.embeddingNeardupAllPairs(spark, sfDir)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     val ivf = Similarity.q48IvfNeardup(spark, sfDir)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap

@@ -91,6 +91,21 @@ class CorpusStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(twice.sameElements(once))
   }
 
+  test("near-dup admission survives an existing-but-empty corpus directory") {
+    // crash-between-mkdir-and-first-append scenario: the dir exists with
+    // no parquet files; the declared store schema must make the read an
+    // empty corpus, not a schema-inference error
+    val base = java.nio.file.Files.createTempDirectory("graft_nd_empty")
+    val corpus = base.resolve("corpus")
+    java.nio.file.Files.createDirectories(corpus)
+    def toks(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val b = docsDf(1L -> toks("a", 40), 2L -> toks("b", 40))
+    CorpusStreams.admitNearDupBatch(b, corpus.toString)
+    val got = spark.read.parquet(corpus.toString).collect()
+      .map(_.getAs[Long]("doc_id")).sorted
+    assert(got.sameElements(Array(1L, 2L)))
+  }
+
   test("file-stream intake over harness documents matches batch admission") {
     val q = CorpusStreams.intake(CorpusStreams.fileStream(spark, sfDir))
       .writeStream.outputMode("append").format("memory").queryName("intake_file").start()
