@@ -31,8 +31,11 @@ object Bench {
       // unpersist those blocks live until the DataFrame is GC'd, so a
       // 50-query x 2-run suite accumulates hundreds of dead cached RDDs
       // (block-manager bloat + GC pressure showed up as multi-second
-      // mid-suite outliers). Drop them between runs, outside the timing.
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // mid-suite outliers). Drop them between runs, outside the timing —
+      // EXCEPT the session-pinned memo tables (shared dedup pair-table
+      // family): those are materialized once per session by design, and
+      // sweeping a localCheckpoint makes its consumers fail, not recompute.
+      org.apache.spark.sql.graft.CheckpointUtils.sweepUnpinned(spark.sparkContext)
       dt
     }
 

@@ -20,8 +20,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // drop localCheckpoint blocks left by sketch queries (see Bench)
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // drop localCheckpoint blocks left by sketch queries, keeping the
+      // session-pinned memo tables (see Bench)
+      org.apache.spark.sql.graft.CheckpointUtils.sweepUnpinned(spark.sparkContext)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

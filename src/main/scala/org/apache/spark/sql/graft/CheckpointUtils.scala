@@ -28,4 +28,29 @@ object CheckpointUtils {
       case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** Registry of checkpoint RDDs pinned for the life of the session —
+    * session-scoped memo tables (the shared dedup pair table family)
+    * that the harness mains' between-query block sweeps must NOT drop:
+    * a localCheckpoint has truncated lineage, so unpersisting it makes
+    * every memoized consumer fail instead of recompute.
+    */
+  @volatile private var pinned = Set.empty[Int]
+
+  /** Pin the checkpoint blocks behind `df` against [[sweepUnpinned]]. */
+  def pin(df: Dataset[_]): Unit = {
+    val ids = df.queryExecution.analyzed.collect {
+      case lr: LogicalRDD => lr.rdd.id
+    }
+    synchronized { pinned ++= ids }
+  }
+
+  /** Drop every persisted RDD except the pinned memo tables — the
+    * between-query sweep Bench/Verify run so per-query scratch
+    * checkpoints don't accumulate across a 95-query suite.
+    */
+  def sweepUnpinned(sc: org.apache.spark.SparkContext): Unit =
+    sc.getPersistentRDDs.values
+      .filterNot(r => pinned.contains(r.id))
+      .foreach(_.unpersist(blocking = false))
 }
