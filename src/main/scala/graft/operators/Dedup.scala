@@ -244,6 +244,21 @@ object Dedup {
       q31PairsFromHx(spark, hxOf(spark, dir)).localCheckpoint()
     }
 
+  /** Unmemoized pipeline views for plan-shape tests: the memoized heads
+    * present as a checkpoint leaf (`Scan ExistingRDD`), which would make
+    * PlanSpec's shape pins vacuous — these rebuild the live plan above
+    * the memoized hx leaf.
+    */
+  private[graft] def q31PairsPipeline(spark: SparkSession, dir: String): DataFrame =
+    q31PairsFromHx(spark, hxOf(spark, dir))
+
+  private[graft] def invertedPairsPipeline(spark: SparkSession, dir: String,
+      minJaccard: Double): DataFrame = {
+    import spark.implicits._
+    ngramJaccardInvertedFromHx(spark, hxOf(spark, dir).select($"doc_id", $"h"),
+      minJaccard)
+  }
+
   /** The q31 pipeline over the memoized hashed-shingle relation. `hx`
     * carries both hash forms from ONE dictionary join: `hm` (mod-P input
     * to the permutation family) for signatures and `h` (full 60-bit) for
@@ -584,13 +599,16 @@ object Dedup {
     * all-pairs scan (q33 cross-checks it at threshold 0.5 in tests).
     */
   def ngramJaccardInverted(spark: SparkSession, dir: String,
-      minJaccard: Double): DataFrame = {
-    import spark.implicits._
-    // rides the memoized md5 hashed-shingle relation (projected to the
-    // (doc_id, h) shape this family consumes)
-    ngramJaccardInvertedFromHx(spark, hxOf(spark, dir).select($"doc_id", $"h"),
-      minJaccard)
-  }
+      minJaccard: Double): DataFrame =
+    // memoized per threshold: q47 (declared) and q59's near-dup stage run
+    // the identical 0.7 pipeline; rides the memoized md5 hashed-shingle
+    // relation (projected to the (doc_id, h) shape this family consumes)
+    memoized(spark, dir, s"inv_pairs_$minJaccard") {
+      import spark.implicits._
+      ngramJaccardInvertedFromHx(spark,
+        hxOf(spark, dir).select($"doc_id", $"h"), minJaccard)
+        .localCheckpoint()
+    }
 
   /** Spark-only deployment variant: xxhash64 shingle naming instead of
     * the engine-portable md5/conv form. The OUTPUT is identical — the
@@ -933,9 +951,16 @@ object Dedup {
     * replaces the per-round join; the fixpoint driver loop is the same.)
     * Singleton docs (no near-dup) are not emitted, matching the oracle.
     */
+  /** Rounds the most recent component run took — diagnostic for the
+    * stress tool (graft.tools.ComponentStress); not part of the query
+    * contract.
+    */
+  private[graft] val lastRounds = new java.util.concurrent.atomic.AtomicInteger(0)
+
   def dedupClusters(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
+    lastRounds.set(0)
     val edges = pairs.select($"a_id".as("s"), $"b_id".as("d"))
       .union(pairs.select($"b_id".as("s"), $"a_id".as("d")))
       .localCheckpoint()
@@ -964,6 +989,7 @@ object Dedup {
       org.apache.spark.sql.graft.CheckpointUtils.free(labels)
       changed = next.filter($"lbl" < $"prev").count()
       labels = next.select($"v", $"lbl")
+      lastRounds.incrementAndGet()
     }
     val sizes = labels.groupBy($"lbl").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("lbl"))
@@ -1002,6 +1028,7 @@ object Dedup {
   def dedupClustersStar(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
+    lastRounds.set(0)
     val input = pairs.select($"a_id".as("s"), $"b_id".as("d")).localCheckpoint()
     // canonical orientation: (larger, smaller), self-loops dropped from
     // the ITERATION (they carry no connectivity) but their vertices are
@@ -1047,6 +1074,7 @@ object Dedup {
       edges = nextEdges
       prev = cur
       cur = fingerprint(edges)
+      lastRounds.incrementAndGet()
     }
     // converged: stars (node → component min); roots label themselves.
     // Vertices that appeared ONLY in self-pairs never entered the

@@ -134,12 +134,65 @@ object Sinks {
     */
   def headerOnly(df: DataFrame): DataFrame = df.limit(0)
 
+  /** S13: Iceberg lakehouse surface, capability-probed. The reference
+    * configures an Iceberg catalog over its object store
+    * (`citibike_project/spark/spark-defaults.conf:1-3`; runtime jar via
+    * `spark/Dockerfile:32-33`). This build ships no Iceberg jar and has
+    * no egress to fetch one (probed round 2), so the write path is
+    * CODE-READY and probe-gated rather than exercised: the probe
+    * reflects the classpath, [[icebergCatalogConf]] maps the reference's
+    * defaults, and [[writeIceberg]]/[[mergeIceberg]] go through Spark's
+    * stable V2 `writeTo`/SQL-MERGE surfaces — no Iceberg import anywhere,
+    * so the code compiles here and lights up unchanged once a runtime
+    * jar lands on the classpath (the probe-gated spec then runs the
+    * round trip).
+    */
+  def icebergAvailable: Boolean =
+    try { Class.forName("org.apache.iceberg.spark.SparkCatalog"); true }
+    catch { case _: ClassNotFoundException => false }
+
+  /** The reference's `spark-defaults.conf:1-3` catalog settings as a
+    * session conf map (hadoop-type catalog over any warehouse scheme —
+    * s3a:// in the reference, file:// in a local run).
+    */
+  def icebergCatalogConf(catalogName: String, warehouse: String): Map[String, String] = Map(
+    s"spark.sql.catalog.$catalogName" -> "org.apache.iceberg.spark.SparkCatalog",
+    s"spark.sql.catalog.$catalogName.type" -> "hadoop",
+    s"spark.sql.catalog.$catalogName.warehouse" -> warehouse)
+
+  /** Iceberg table write via the V2 writer: create-or-replace for the
+    * full-load path, append for the incremental one. Fails fast when the
+    * runtime is absent rather than producing a half-configured table.
+    */
+  def writeIceberg(df: DataFrame, table: String, replace: Boolean = true): Unit = {
+    require(icebergAvailable, "Iceberg runtime jar not on the classpath")
+    if (replace) df.writeTo(table).using("iceberg").createOrReplace()
+    else df.writeTo(table).append()
+  }
+
+  /** Exactly-once upsert into an Iceberg table: MERGE keyed on `keys` —
+    * the transactional form of [[newRowsOnly]]'s anti-join and the
+    * replay-idempotent alternative to the JDBC DELETE-then-append
+    * protocol ([[graft.streaming.EventStreams.streamToJdbc]]).
+    */
+  def mergeIceberg(incoming: DataFrame, table: String, keys: Seq[String]): Unit = {
+    require(icebergAvailable, "Iceberg runtime jar not on the classpath")
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val spark = incoming.sparkSession
+    val view = "graft_merge_incoming"
+    incoming.createOrReplaceTempView(view)
+    try {
+      val on = keys.map(k => s"t.$k = s.$k").mkString(" AND ")
+      spark.sql(
+        s"""MERGE INTO $table t USING $view s ON $on
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    } finally spark.catalog.dropTempView(view)
+  }
+
   /** S12: bucket/prefix creation — driver-side `FileSystem.mkdirs` over
     * any Hadoop FS scheme (s3a://, gs://, file://); the portable form of
     * the reference's boto3 `create_bucket` (notebook cell `cededb10`).
-    * S13 (Iceberg catalog) is config-only: the reference's own
-    * `spark-defaults.conf:1-3` settings apply unchanged when the Iceberg
-    * runtime jar is on the classpath (not provisioned in this build).
     */
   def ensureDir(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)

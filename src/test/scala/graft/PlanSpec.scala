@@ -191,8 +191,12 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  // q31/q47 are memoized heads (their declared plan is a checkpoint
+  // leaf after first touch), so the shape pins target the unmemoized
+  // pipeline views — the live plan above the shared hx leaf.
   test("q31: minhash candidate join is a single equi-join (no per-band branches)") {
-    val p = plan("q31_minhash_lsh")
+    val p = graft.operators.Dedup.q31PairsPipeline(spark, sfDir)
+      .queryExecution.explainString(FormattedMode)
     assert(!p.contains("BroadcastNestedLoopJoin"))
     assert(!p.contains("CartesianProduct"))
     // one exploded band join, not 8 union'd branches
@@ -200,7 +204,8 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("q47: prefix-filtered jaccard joins on shingles, verifies with the kernel") {
-    val p = plan("q47_ngram_jaccard_inverted")
+    val p = graft.operators.Dedup.invertedPairsPipeline(spark, sfDir, 0.7)
+      .queryExecution.explainString(FormattedMode)
     assert(!p.contains("BroadcastNestedLoopJoin"))
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("intersectcountsortedlong"),
