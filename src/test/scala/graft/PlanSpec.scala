@@ -213,7 +213,9 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("q48: IVF candidates from pivot equi-join; only the verify stage uses the kernel") {
-    val p = plan("q48_ivf_neardup")
+    // memoized head presents as a checkpoint leaf — pin the pipeline view
+    val p = graft.operators.Similarity.q48Pipeline(spark, sfDir)
+      .queryExecution.explainString(FormattedMode)
     assert(!p.contains("CartesianProduct"))
     // the n x C assignment cross join IS expected (C is a constant); the
     // pair join must be an equi (hash) join on p_id
