@@ -260,4 +260,36 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(byTrain(2L).getAs[Long]("eval_id") == 0L)
     assert(!byTrain.contains(3L), "unrelated doc shares no bigrams with eval")
   }
+
+  test("session memo is keyed by fixture dir — no cross-contamination") {
+    // a second fixture with a DIFFERENT near-dup structure must not see
+    // the first fixture's memoized pair table
+    val d2 = Files.createTempDirectory("graft_dedup2").toString
+    val a = (1 to 40).map(i => s"alt$i").mkString(" ")
+    val b = (1 to 40).map(i => if (i == 3) "edited" else s"alt$i").mkString(" ")
+    Seq(
+      (10L, a, "en", "s", a.length.toLong),
+      (11L, b, "en", "s", b.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    val p1 = Dedup.q31MinhashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p2 = Dedup.q31MinhashLsh(spark, d2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p1.contains((0L, 1L)) && !p1.exists(_._1 >= 10L))
+    assert(p2 == Set((10L, 11L)))
+  }
+
+  test("memoized tables survive the harness block sweep (pin registry)") {
+    // Bench/Verify sweep all persistent RDDs between queries; pinned
+    // memo tables must survive — a swept localCheckpoint cannot
+    // recompute (this exact failure mode crashed an unpinned input in
+    // the stress tool). Touch the memo, sweep, then consume it again.
+    val before = Dedup.q51DedupClusters(spark, dir).collect().toSeq
+    org.apache.spark.sql.graft.CheckpointUtils.sweepUnpinned(spark.sparkContext)
+    val after = Dedup.q51DedupClusters(spark, dir).collect().toSeq
+    assert(after == before, "memoized cluster table must survive the sweep")
+    // and the underlying pair table too
+    assert(Dedup.q31MinhashLsh(spark, dir).count() > 0)
+  }
 }
