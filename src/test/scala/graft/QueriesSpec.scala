@@ -17,8 +17,13 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("queries and oracleSql keys line up") {
+  test("queries and oracleSql keys line up — wall-to-wall, no rows-only queries") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    // since round 6 EVERY declared query carries an oracle (q42 was the
+    // last rows-only entry; it now validates its sketch against exact
+    // counts). A new query without an oracle is a regression.
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unoracled.isEmpty, s"declared queries without an oracle: $unoracled")
   }
 
   test("no dark modules: every operator object's queries map is registered") {
