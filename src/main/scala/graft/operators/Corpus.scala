@@ -100,8 +100,10 @@ object Corpus {
       .select($"b.w1".as("w1"), $"b.w2".as("w2"))
     bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("c_ab"))
       .filter($"c_ab" >= 20)
-      .join(broadcast(uni.select($"w".as("w1"), $"c".as("c_a"))), Seq("w1"))
-      .join(broadcast(uni.select($"w".as("w2"), $"c".as("c_b"))), Seq("w2"))
+      // unigram table unhinted (vocab-sized, scale-dependent — the
+      // Selection policy); the 1-row totals stay hinted
+      .join(uni.select($"w".as("w1"), $"c".as("c_a")), Seq("w1"))
+      .join(uni.select($"w".as("w2"), $"c".as("c_b")), Seq("w2"))
       .crossJoin(broadcast(totals))
       .withColumn("lift",
         ($"c_ab".cast("double") * $"n_uni".cast("double") * $"n_uni".cast("double")) /

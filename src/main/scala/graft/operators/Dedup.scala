@@ -193,7 +193,12 @@ object Dedup {
     memoized(spark, dir, "hx") {
       import spark.implicits._
       val gx = gxCheckpointed(spark, dir)
-      gx.join(broadcast(gramDict(spark, gx)), Seq("g"))
+      // dictionary join UNHINTED: the distinct-shingle dictionary is
+      // corpus-scale-dependent — AQE broadcasts it while it fits and
+      // genuinely flips to a shuffle join on the shingle at web scale
+      // (a forced hint would OOM instead); same policy as the
+      // Selection vocab joins
+      gx.join(gramDict(spark, gx), Seq("g"))
         .select($"doc_id", $"hm", $"h")
         .localCheckpoint()
     }
@@ -301,8 +306,12 @@ object Dedup {
     val da = docs.select($"doc_id".as("a_id"), $"harr".as("ha"), $"n".as("na"))
     val db = docs.select($"doc_id".as("b_id"), $"harr".as("hb"), $"n".as("nb"))
     cand
-      .join(broadcast(da), Seq("a_id"))
-      .join(broadcast(db), Seq("b_id"))
+      // verification-array joins UNHINTED: da/db are corpus-sized (one
+      // sorted hash array per doc) — AQE broadcasts at fixture SF,
+      // shuffle-joins on doc_id at scale (the shape the scaladoc
+      // documents; a forced hint would pin the OOM form)
+      .join(da, Seq("a_id"))
+      .join(db, Seq("b_id"))
       .withColumn("i", SetFunctions.intersectCount($"ha", $"hb"))
       .withColumn("jaccard", $"i".cast("double") / ($"na" + $"nb" - $"i"))
       .filter($"jaccard" >= 0.7)
@@ -396,12 +405,15 @@ object Dedup {
     val da = docs.select($"doc_id".as("a_id"), $"harr".as("ha"), $"n".as("na"))
     val db = docs.select($"doc_id".as("b_id"), $"harr".as("hb"), $"n".as("nb"))
     cand
-      .join(broadcast(sa), Seq("a_id"))
-      .join(broadcast(sb), Seq("b_id"))
+      // signature and verification joins UNHINTED — corpus-sized build
+      // sides (see q31's note): AQE broadcasts while small, doc_id
+      // shuffle join at 100 TB exactly as documented above
+      .join(sa, Seq("a_id"))
+      .join(sb, Seq("b_id"))
       .withColumn("m", m)
       .select($"a_id", $"b_id", $"m")
-      .join(broadcast(da), Seq("a_id"))
-      .join(broadcast(db), Seq("b_id"))
+      .join(da, Seq("a_id"))
+      .join(db, Seq("b_id"))
       .withColumn("i", SetFunctions.intersectCount($"ha", $"hb"))
       // divisor derived from nPerm so a sketch-width change cannot
       // silently miscalibrate est_sim against a stale constant
@@ -679,7 +691,7 @@ object Dedup {
       minJaccard: Double,
       dict: (SparkSession, DataFrame) => DataFrame): DataFrame =
     ngramJaccardInvertedFromHx(spark,
-      gx.join(broadcast(dict(spark, gx)), Seq("g"))
+      gx.join(dict(spark, gx), Seq("g")) // dictionary unhinted (see hxOf)
         .select(col("doc_id"), col("h")).localCheckpoint(),
       minJaccard)
 
@@ -691,7 +703,9 @@ object Dedup {
       minJaccard: Double): DataFrame = {
     import spark.implicits._
     val dfreq = hx.groupBy($"h").agg(count(lit(1)).as("df"))
-    val docs = hx.join(broadcast(dfreq), Seq("h"))
+    // document-frequency table unhinted (shingle-vocab-sized, scale-
+    // dependent — see hxOf's note)
+    val docs = hx.join(dfreq, Seq("h"))
       .groupBy($"doc_id")
       .agg(collect_list(struct($"df", $"h")).as("pairs"),
         count(lit(1)).as("n"))
@@ -721,8 +735,9 @@ object Dedup {
     val da = docs.select($"doc_id".as("a_id"), $"harr".as("ha"), $"n".as("na"))
     val db = docs.select($"doc_id".as("b_id"), $"harr".as("hb"), $"n".as("nb"))
     cand
-      .join(broadcast(da), Seq("a_id"))
-      .join(broadcast(db), Seq("b_id"))
+      // verification joins unhinted — corpus-sized sides (see q31's note)
+      .join(da, Seq("a_id"))
+      .join(db, Seq("b_id"))
       .withColumn("i", SetFunctions.intersectCount($"ha", $"hb"))
       .withColumn("jaccard", $"i".cast("double") / ($"na" + $"nb" - $"i"))
       .filter($"jaccard" >= minJaccard)
@@ -778,7 +793,10 @@ object Dedup {
       .filter($"n_shared" >= 5)
     val sizes = gx.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
     shared
-      .join(broadcast(sizes.select($"doc_id".as("train_id"), $"n_grams")),
+      // per-doc size table unhinted: it is corpus-sized while `shared`
+      // (the contaminated-pair list) is the small side — AQE picks the
+      // right build side at runtime
+      .join(sizes.select($"doc_id".as("train_id"), $"n_grams"),
         Seq("train_id"))
       .withColumn("overlap_frac", $"n_shared".cast("double") / $"n_grams")
       .withColumn("contaminated", $"overlap_frac" >= 0.5)

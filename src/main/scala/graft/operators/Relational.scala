@@ -98,7 +98,10 @@ object Relational {
     val ord = Tables.orders(spark, dir).filter($"o_orderdate" < cutoff)
     val li = Tables.lineitem(spark, dir).filter($"l_shipdate" > cutoff)
     li.join(ord, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      // customer scales with SF (unlike fixed-size nation/region): no
+      // broadcast hint — Catalyst/AQE broadcasts it from its parquet
+      // size stats while small and shuffle-joins past the threshold
+      .join(cust, $"o_custkey" === $"c_custkey")
       .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
       .agg(sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 4)) - dec($"l_discount")))
         .cast("double").as("revenue"))
@@ -156,8 +159,11 @@ object Relational {
         $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
     Tables.lineitem(spark, dir)
       .join(ord, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
-      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      // customer/supplier scale with SF — unhinted (see q3's note);
+      // nation (25 rows) and region (5) are FIXED size, so their hints
+      // are safe at any scale
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(supp, $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
       .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
       .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
       .groupBy($"n_name")
@@ -360,7 +366,7 @@ object Relational {
   def q13PivotStatus(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.orders(spark, dir)
-      .join(broadcast(Tables.customer(spark, dir)), $"o_custkey" === $"c_custkey")
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey") // unhinted: scales with SF
       .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
       .groupBy($"n_name")
       .pivot("o_orderstatus", Seq("F", "O", "P"))
@@ -391,7 +397,7 @@ object Relational {
   def q14DistinctCounts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.orders(spark, dir)
-      .join(broadcast(Tables.customer(spark, dir)), $"o_custkey" === $"c_custkey")
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey") // unhinted: scales with SF
       .groupBy($"c_mktsegment")
       .agg(
         countDistinct($"o_custkey").as("n_active_customers"),

@@ -377,8 +377,11 @@ object Similarity {
     val va = emb.select($"vec_id".as("a_id"), $"embedding".as("ea"))
     val vb = emb.select($"vec_id".as("b_id"), $"embedding".as("eb"))
     cand
-      .join(broadcast(va), Seq("a_id"))
-      .join(broadcast(vb), Seq("b_id"))
+      // verification joins UNHINTED: va/vb are corpus-sized embedding
+      // tables — AQE broadcasts at fixture SF, vec_id shuffle join at
+      // scale (a forced hint would pin the OOM form)
+      .join(va, Seq("a_id"))
+      .join(vb, Seq("b_id"))
       .withColumn("cs", VectorFunctions.cosineSim($"ea", $"eb"))
       .filter($"cs" >= 0.45)
       .select($"a_id", $"b_id", $"cs")
@@ -455,8 +458,10 @@ object Similarity {
     * Scale shape: the pair comparison is an equi-join on the cluster id
     * (all-pairs only WITHIN a cluster, never across), the verdict
     * aggregation groups by the dropped side, and the final left join is
-    * broadcast (duplicates are a small fraction of the corpus). Greedy
-    * lowest-id-wins needs one pass — no fixpoint iteration.
+    * unhinted — AQE broadcasts the drop set while duplicates are a
+    * small fraction of the corpus, shuffle-joins if a pathological
+    * corpus makes them large. Greedy lowest-id-wins needs one pass — no
+    * fixpoint iteration.
     */
   def q75SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -472,7 +477,9 @@ object Similarity {
       .filter($"cs" >= 0.45)
       .groupBy($"b_id".as("vec_id"))
       .agg(min($"a_id").as("dup_of"), max($"cs").as("max_cs"))
-    emb.join(broadcast(drops), Seq("vec_id"), "left")
+    // verdict join unhinted: the drop set is usually small but scales
+    // with the duplicate rate — AQE broadcasts while it fits
+    emb.join(drops, Seq("vec_id"), "left")
       .select(
         $"vec_id",
         $"label".cast("long").as("label"),

@@ -327,9 +327,10 @@ object TextAnalysis {
     * overflow; ranking tolerance is then the usual float caveat.)
     *
     * Shape: explode once, two partial-aggregated shuffles (term frequency
-    * by (source, token); document frequency by token), broadcast the
-    * (vocabulary-sized) df relation back, per-stratum top-k via
-    * WindowGroupLimit — no global sort, no all-pairs anything.
+    * by (source, token); document frequency by token), the
+    * (vocabulary-sized) df relation joined back unhinted (AQE broadcasts
+    * while it fits), per-stratum top-k via WindowGroupLimit — no global
+    * sort, no all-pairs anything.
     */
   def q56TfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -340,7 +341,9 @@ object TextAnalysis {
     val dfreq = tx.groupBy($"tok").agg(countDistinct($"doc_id").as("df"))
     val n = tx.select($"doc_id").distinct().agg(count(lit(1)).as("n"))
     val w = Window.partitionBy($"source").orderBy($"score".desc, $"tok")
-    tf.join(broadcast(dfreq), Seq("tok"))
+    // df table unhinted (vocab-sized, scale-dependent — the Selection
+    // policy): AQE broadcasts while it fits; the 1-row N stays hinted
+    tf.join(dfreq, Seq("tok"))
       .crossJoin(broadcast(n))
       .withColumn("score", expr("(tf * n * 1000) DIV df"))
       .withColumn("rk", row_number().over(w))
@@ -743,9 +746,10 @@ object TextAnalysis {
     *
     * Scale shape: one explode + (doc_id, tok) aggregation (map-side
     * combine), the type table derived from THAT (vocab-sized, not
-    * corpus-sized), then a broadcast join back — Zipf keeps vocab <<
-    * corpus; if a real tokenizer ever blows the broadcast threshold the
-    * same plan degrades to a shuffle join on tok, nothing else changes.
+    * corpus-sized), then an UNHINTED join back — AQE broadcasts while
+    * Zipf keeps vocab << corpus, and if a real tokenizer ever blows the
+    * threshold the same plan genuinely degrades to a shuffle join on
+    * tok, nothing else changes.
     */
   def q76UnigramNll(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -761,7 +765,8 @@ object TextAnalysis {
       .select($"tok",
         round(log($"n".cast("double") / $"c") * lit(1000000.0))
           .cast("long").as("s_micro"))
-    dt.join(broadcast(scored), Seq("tok"))
+    // surprisal table unhinted (vocab-sized, scale-dependent)
+    dt.join(scored, Seq("tok"))
       .groupBy($"doc_id")
       .agg(
         sum($"cnt").cast("long").as("n_tokens"),
