@@ -74,8 +74,18 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Session-memo first-touch builds (the shared dedup/similarity pair
+    // tables) are paid ONCE, inside whichever pass-1 query touched first;
+    // min-of-two-passes therefore reports every memoized query at its
+    // steady state and the build shows up in NO per-query figure. Emit
+    // the builds as explicit line items so per-query + memo_build sums
+    // to what a one-shot suite actually costs, and cross-round per-query
+    // comparisons of the memoized heads stay meaningful.
+    val builds = graft.operators.OpUtils.SessionMemo.buildSeconds.toSeq.sortBy(_._1)
+    val mb = builds.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum + builds.map(_._2).sum
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"memo_build":$mb,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -26,8 +26,14 @@ final case class ScoredNeighbor(cs: Double, b_id: Long)
 final class TopKByScore(k: Int)
     extends Aggregator[ScoredNeighbor, List[ScoredNeighbor], Seq[ScoredNeighbor]] {
 
-  private def better(x: ScoredNeighbor, y: ScoredNeighbor): Boolean =
-    x.cs > y.cs || (x.cs == y.cs && x.b_id < y.b_id)
+  private def better(x: ScoredNeighbor, y: ScoredNeighbor): Boolean = {
+    // total order via Double.compare — `>`/`==` return false in BOTH
+    // directions for NaN (a zero-norm embedding's cosine), which would
+    // make the buffer position arrival-order-dependent; Double.compare
+    // sorts NaN above every real so the result stays deterministic
+    val c = java.lang.Double.compare(x.cs, y.cs)
+    c > 0 || (c == 0 && x.b_id < y.b_id)
+  }
 
   /** Insert keeping the buffer sorted best-first and bounded at k. */
   private def insert(buf: List[ScoredNeighbor], a: ScoredNeighbor): List[ScoredNeighbor] =

@@ -158,17 +158,20 @@ object Dedup {
     * ([[org.apache.spark.sql.graft.CheckpointUtils.sweepUnpinned]]) —
     * a swept localCheckpoint cannot recompute.
     */
-  private val memo =
-    scala.collection.mutable.Map[(SparkSession, String, String), DataFrame]()
+  private val memo = new OpUtils.SessionMemo("dedup")
 
   private def memoized(spark: SparkSession, dir: String, key: String)(
-      build: => DataFrame): DataFrame = memo.synchronized {
-    memo.getOrElseUpdate((spark, dir, key), {
-      val df = build
-      org.apache.spark.sql.graft.CheckpointUtils.pin(df)
-      df
-    })
-  }
+      build: => DataFrame): DataFrame = memo(spark, dir, key)(build)
+
+  /** Evict every memoized table of (session, dir) — across the whole
+    * memo family (dedup AND similarity instances): unpins and frees the
+    * checkpoint blocks and drops the entries, so a long-lived session
+    * that moves between corpora doesn't accumulate corpus-sized pinned
+    * blocks forever. The next touch rebuilds (or, with
+    * `spark.graft.artifactDir` set, reloads the persisted artifact).
+    */
+  def release(spark: SparkSession, dir: String): Unit =
+    OpUtils.SessionMemo.releaseAll(spark, dir)
 
   /** Exploded (doc_id, shingle) pairs, materialized once via
     * localCheckpoint: the sketch queries branch over this relation many

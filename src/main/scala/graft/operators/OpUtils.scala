@@ -32,20 +32,144 @@ object OpUtils {
     * ([[org.apache.spark.sql.graft.CheckpointUtils.sweepUnpinned]]) —
     * a swept localCheckpoint cannot recompute. Declared queries stay
     * standalone: first touch builds.
+    *
+    * Three-tier lifecycle:
+    *  - '''hot''': the in-session map — localCheckpoint blocks, pinned.
+    *  - '''warm''' (opt-in via `spark.graft.artifactDir`): every build is
+    *    also materialized to parquet under a deterministic per-corpus
+    *    path, and a FRESH session (driver restart — the production case)
+    *    loads the artifact instead of rebuilding. The corpus fingerprint
+    *    covers (name, length, mtime) of the fixture's files, so a
+    *    changed corpus orphans old artifacts rather than wrongly reusing
+    *    them. Unset (the default, and the driver's configuration) this
+    *    tier is fully inert.
+    *  - '''release''': [[SessionMemo.releaseAll]] / `Dedup.release` drop
+    *    a (session, dir)'s entries, unpin and free their blocks; the
+    *    next touch rebuilds (or reloads the artifact) correctly.
+    *
+    * Locking is per-(session,dir,key) cell so first-touch builds of
+    * unrelated fixtures/keys don't serialize; the global map itself is a
+    * ConcurrentHashMap. Build and artifact-load wall seconds land in a
+    * process-wide ledger ([[SessionMemo.buildSeconds]]) keyed
+    * `<memoName>.<key>` so Bench can report memo builds as explicit line
+    * items instead of hiding them inside whichever query touched first.
     */
-  final class SessionMemo {
-    private val m = scala.collection.mutable.Map[
-      (org.apache.spark.sql.SparkSession, String, String),
-      org.apache.spark.sql.DataFrame]()
+  final class SessionMemo(val name: String) {
+    import org.apache.spark.sql.{DataFrame, SparkSession}
+    SessionMemo.register(this)
 
-    def apply(spark: org.apache.spark.sql.SparkSession, dir: String, key: String)(
-        build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-      m.synchronized {
-        m.getOrElseUpdate((spark, dir, key), {
-          val df = build
-          org.apache.spark.sql.graft.CheckpointUtils.pin(df)
-          df
-        })
+    private final class Cell {
+      @volatile private var df: DataFrame = _
+      def get(mk: => DataFrame): DataFrame = {
+        val v = df
+        if (v != null) v
+        else synchronized { if (df == null) df = mk; df }
       }
+      def peek: Option[DataFrame] = Option(df)
+    }
+
+    private val cells =
+      new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), Cell]()
+
+    def apply(spark: SparkSession, dir: String, key: String)(
+        build: => DataFrame): DataFrame =
+      cells.computeIfAbsent((spark, dir, key), _ => new Cell).get {
+        SessionMemo.artifactPath(spark, dir, s"$name.$key") match {
+          case Some(p) if SessionMemo.artifactExists(spark, p) =>
+            val t0 = System.nanoTime()
+            val df = spark.read.parquet(p)
+            SessionMemo.record(s"$name.$key", loaded = true, (System.nanoTime() - t0) / 1e9)
+            df
+          case art =>
+            val t0 = System.nanoTime()
+            val df = build
+            org.apache.spark.sql.graft.CheckpointUtils.pin(df)
+            // warm tier: persist the built table for the NEXT session;
+            // this session keeps serving the (already paid-for) hot copy
+            art.foreach(p => df.write.mode("overwrite").parquet(p))
+            SessionMemo.record(s"$name.$key", loaded = false, (System.nanoTime() - t0) / 1e9)
+            df
+        }
+      }
+
+    /** Evict every entry of (session, dir): unpin + free the checkpoint
+      * blocks (no-op for artifact-loaded parquet entries) and drop the
+      * cells so the next touch rebuilds/reloads.
+      */
+    private[operators] def release(spark: SparkSession, dir: String): Unit = {
+      val it = cells.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey._1 == spark && e.getKey._2 == dir) {
+          e.getValue.peek.foreach { df =>
+            org.apache.spark.sql.graft.CheckpointUtils.unpin(df)
+            org.apache.spark.sql.graft.CheckpointUtils.free(df)
+          }
+          it.remove()
+        }
+      }
+    }
+  }
+
+  object SessionMemo {
+    private val instances = new java.util.concurrent.CopyOnWriteArrayList[SessionMemo]()
+    private def register(m: SessionMemo): Unit = instances.add(m)
+
+    /** Release all memo instances' entries for (session, dir). */
+    def releaseAll(spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
+      instances.forEach(_.release(spark, dir))
+
+    // ---- build/load ledger (process-wide, for Bench accounting) ----
+    private val ledger =
+      new java.util.concurrent.ConcurrentHashMap[String, (Boolean, Double)]()
+    private def record(key: String, loaded: Boolean, sec: Double): Unit =
+      ledger.put(key, (loaded, sec))
+
+    /** Wall seconds of first-touch BUILDS since process start, keyed
+      * `<memoName>.<key>` (artifact loads excluded — see [[loadSeconds]]).
+      */
+    def buildSeconds: Map[String, Double] = {
+      import scala.jdk.CollectionConverters._
+      ledger.asScala.collect { case (k, (false, s)) => k -> s }.toMap
+    }
+
+    /** Wall seconds of artifact loads (schema/footer read — lazy). */
+    def loadSeconds: Map[String, Double] = {
+      import scala.jdk.CollectionConverters._
+      ledger.asScala.collect { case (k, (true, s)) => k -> s }.toMap
+    }
+
+    // ---- warm tier: deterministic per-corpus artifact paths ----
+
+    /** Root under which pair-table artifacts persist across sessions;
+      * unset (the default) disables the warm tier entirely.
+      */
+    def artifactRoot(spark: org.apache.spark.sql.SparkSession): Option[String] =
+      spark.conf.getOption("spark.graft.artifactDir").filter(_.nonEmpty)
+
+    private def artifactPath(spark: org.apache.spark.sql.SparkSession, dir: String,
+        fullKey: String): Option[String] =
+      artifactRoot(spark).map(root =>
+        s"$root/${corpusFingerprint(spark, dir)}/$fullKey.parquet")
+
+    private def artifactExists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+
+    /** Content fingerprint of a corpus directory: md5 over the sorted
+      * (name, length, mtime) of its files — metadata-only (one FS
+      * listing, no data read), and any re-ingest/regeneration of the
+      * corpus changes it, so a stale artifact is orphaned, never reused.
+      */
+    def corpusFingerprint(spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val entries = fs.listStatus(p).map(s =>
+        s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}").sorted
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(entries.mkString("\n").getBytes("UTF-8"))
+      digest.map("%02x".format(_)).mkString.take(16)
+    }
   }
 }

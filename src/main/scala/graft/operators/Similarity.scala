@@ -341,7 +341,7 @@ object Similarity {
     * [[embeddingNeardupAllPairs]]; the declared q46 is the bounded
     * threshold-calibration audit.
     */
-  private val memo = new OpUtils.SessionMemo
+  private val memo = new OpUtils.SessionMemo("sim")
 
   /** Declared head — memoized per (session, dir): q77's clustering
     * consumes the same verified pair table.

@@ -42,8 +42,12 @@ object Sinks {
     * exactly-once replay protocol Spark's jdbc writer doesn't cover
     * (DELETE-then-append keyed on the micro-batch id; see
     * [[graft.streaming.EventStreams.streamToJdbc]]). A missing table is
-    * the first-batch case and deletes nothing; any other SQL failure
-    * propagates.
+    * the first-batch case and deletes nothing; any OTHER SQL failure
+    * (lock timeout, connection blip) propagates — swallowing it would
+    * let the subsequent append double-write under replay, defeating the
+    * exactly-once protocol. "Missing table" is decided by the engine's
+    * own SQLState, not a metadata re-probe (which itself can fail
+    * transiently and mis-handles schema-qualified names).
     */
   def deleteWhere(cfg: JdbcConfig, predicate: String): Int = {
     Class.forName(cfg.driver)
@@ -52,21 +56,19 @@ object Sinks {
       val st = conn.createStatement()
       try st.executeUpdate(s"DELETE FROM ${cfg.table} WHERE $predicate")
       catch {
-        case e: java.sql.SQLException =>
-          if (jdbcTableExists(conn, cfg.table)) throw e else 0
+        case e: java.sql.SQLException if tableMissing(e) => 0
       } finally st.close()
     } finally conn.close()
   }
 
-  private def jdbcTableExists(conn: java.sql.Connection, table: String): Boolean = {
-    val md = conn.getMetaData
-    def probe(n: String): Boolean = {
-      val rs = md.getTables(null, null, n, null)
-      try rs.next() finally rs.close()
-    }
-    // identifier-folding differs per engine (Derby/Oracle fold up,
-    // Postgres folds down) — probe all three forms
-    probe(table) || probe(table.toUpperCase) || probe(table.toLowerCase)
+  /** The table-does-not-exist SQLStates of the engines this sink targets:
+    * Derby 42X05 (table/view not found) and 42Y55, Postgres 42P01
+    * (undefined_table), and the ODBC-derived 42S02 family (MySQL,
+    * SQLServer). Everything else is NOT the first-batch case.
+    */
+  private def tableMissing(e: java.sql.SQLException): Boolean = {
+    val s = Option(e.getSQLState).getOrElse("")
+    s == "42X05" || s == "42Y55" || s == "42P01" || s == "42S02"
   }
 
   /** S11: object-store/lake write — any Hadoop FS scheme (s3a://, gs://,
@@ -179,16 +181,23 @@ object Sinks {
     require(icebergAvailable, "Iceberg runtime jar not on the classpath")
     require(keys.nonEmpty, "merge needs at least one key column")
     val spark = incoming.sparkSession
-    val view = "graft_merge_incoming"
+    // per-invocation view name (deterministic counter, no UUID): two
+    // concurrent merges in one session must not clobber each other's
+    // source view
+    val view = s"graft_merge_incoming_${mergeViewSeq.incrementAndGet()}"
     incoming.createOrReplaceTempView(view)
     try {
-      val on = keys.map(k => s"t.$k = s.$k").mkString(" AND ")
+      // backtick-quoted key identifiers so non-trivial column names
+      // (reserved words, dots, spaces) survive the generated SQL
+      val on = keys.map(k => s"t.`$k` = s.`$k`").mkString(" AND ")
       spark.sql(
         s"""MERGE INTO $table t USING $view s ON $on
            |WHEN MATCHED THEN UPDATE SET *
            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     } finally spark.catalog.dropTempView(view)
   }
+
+  private val mergeViewSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** S12: bucket/prefix creation — driver-side `FileSystem.mkdirs` over
     * any Hadoop FS scheme (s3a://, gs://, file://); the portable form of

@@ -34,23 +34,45 @@ object CheckpointUtils {
     * that the harness mains' between-query block sweeps must NOT drop:
     * a localCheckpoint has truncated lineage, so unpersisting it makes
     * every memoized consumer fail instead of recompute.
+    *
+    * Keyed by (applicationId, rddId), not the raw rddId: RDD ids restart
+    * from 0 in a new SparkContext, so a raw-id pin from a stopped context
+    * would shield an unrelated scratch RDD in its successor from the
+    * sweep (blocks would then accumulate exactly as before the pin
+    * mechanism existed).
     */
-  @volatile private var pinned = Set.empty[Int]
+  @volatile private var pinned = Set.empty[(String, Int)]
+
+  private def pinKeys(df: Dataset[_]): Seq[(String, Int)] =
+    df.queryExecution.analyzed.collect {
+      case lr: LogicalRDD => (lr.rdd.context.applicationId, lr.rdd.id)
+    }
 
   /** Pin the checkpoint blocks behind `df` against [[sweepUnpinned]]. */
   def pin(df: Dataset[_]): Unit = {
-    val ids = df.queryExecution.analyzed.collect {
-      case lr: LogicalRDD => lr.rdd.id
-    }
+    val ids = pinKeys(df)
     synchronized { pinned ++= ids }
+  }
+
+  /** Remove `df`'s pins (the memo-release lifecycle; the blocks are then
+    * fair game for the next sweep and can be [[free]]d immediately).
+    */
+  def unpin(df: Dataset[_]): Unit = {
+    val ids = pinKeys(df)
+    synchronized { pinned --= ids }
   }
 
   /** Drop every persisted RDD except the pinned memo tables — the
     * between-query sweep Bench/Verify run so per-query scratch
-    * checkpoints don't accumulate across a 95-query suite.
+    * checkpoints don't accumulate across a 95-query suite. Also prunes
+    * pin entries from dead applications (a long-lived JVM restarting
+    * SparkContexts would otherwise grow the registry unboundedly).
     */
-  def sweepUnpinned(sc: org.apache.spark.SparkContext): Unit =
+  def sweepUnpinned(sc: org.apache.spark.SparkContext): Unit = {
+    val app = sc.applicationId
+    synchronized { pinned = pinned.filter(_._1 == app) }
     sc.getPersistentRDDs.values
-      .filterNot(r => pinned.contains(r.id))
+      .filterNot(r => pinned.contains((app, r.id)))
       .foreach(_.unpersist(blocking = false))
+  }
 }

@@ -72,4 +72,25 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(got(0)._2.toSeq == Seq(2.0, 3.0))
     assert(got(1)._2.toSeq == Seq(10.0, 20.0))
   }
+
+  test("TopKByScore is deterministic under NaN scores and any merge order") {
+    // a NaN cosine (zero-norm embedding) must land at a fixed buffer
+    // position regardless of arrival/merge order: Double.compare total
+    // order puts NaN above every real, ties broken by id
+    val agg = new TopKByScore(3)
+    val items = Seq(
+      ScoredNeighbor(0.9, 1L), ScoredNeighbor(Double.NaN, 2L),
+      ScoredNeighbor(0.7, 3L), ScoredNeighbor(Double.NaN, 4L),
+      ScoredNeighbor(0.8, 5L))
+    val results = items.permutations.take(24).map { perm =>
+      val (l, r) = perm.splitAt(2)
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      agg.finish(merged).map(s =>
+        (java.lang.Double.doubleToLongBits(s.cs), s.b_id))
+    }.toSet
+    assert(results.size == 1, s"order-dependent top-k: $results")
+    val ids = results.head.map(_._2)
+    assert(ids == Seq(2L, 4L, 1L), s"NaN must sort above reals, ties by id: $ids")
+  }
 }

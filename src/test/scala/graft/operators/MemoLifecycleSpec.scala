@@ -1,0 +1,106 @@
+package graft.operators
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import graft.SparkSpec
+
+/** Lifecycle of the shared pair-table memo (OpUtils.SessionMemo): the
+  * persistent parquet artifact tier (a FRESH session — the driver-restart
+  * production case — reuses the table instead of rebuilding), corpus
+  * fingerprinting (a changed corpus orphans artifacts), and release
+  * (eviction returns the pinned blocks and the next touch rebuilds).
+  */
+class MemoLifecycleSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def writeCorpus(d: String, seed: String, n: Int = 4): Unit = {
+    val mk = (tag: String) => (1 to 40).map(i => s"$tag$i").mkString(" ")
+    val base = mk(seed)
+    val near = (1 to 40).map(i => if (i == 7) "changed" else s"$seed$i").mkString(" ")
+    val docs = Seq(
+      (0L, base, "en", "src0", base.length.toLong),
+      (1L, base, "en", "src1", base.length.toLong),
+      (2L, near, "en", "src2", near.length.toLong),
+      (3L, mk(s"zz$seed"), "en", "src3", 1L)).take(n)
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+  }
+
+  private def pairsOf(s: org.apache.spark.sql.SparkSession, d: String): Set[(Long, Long)] =
+    Dedup.q31MinhashLsh(s, d).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("fresh session reuses the persisted artifact instead of rebuilding") {
+    val dir = Files.createTempDirectory("graft_memo_art").toString
+    val artRoot = Files.createTempDirectory("graft_artifacts").toString
+    writeCorpus(dir, "word")
+    spark.conf.set("spark.graft.artifactDir", artRoot)
+    try {
+      Dedup.release(spark, dir)
+      val built = pairsOf(spark, dir)
+      assert(built.contains((0L, 1L)))
+      // the build persisted an artifact under the fingerprinted path
+      val fp = OpUtils.SessionMemo.corpusFingerprint(spark, dir)
+      val art = new java.io.File(s"$artRoot/$fp/dedup.q31_pairs.parquet/_SUCCESS")
+      assert(art.exists(), s"expected artifact at $art")
+
+      // a FRESH session (driver restart analog: isolated session state,
+      // so the in-memory memo misses) must LOAD, not rebuild
+      val s2 = spark.newSession()
+      s2.conf.set("spark.graft.artifactDir", artRoot)
+      val df2 = Dedup.q31MinhashLsh(s2, dir)
+      val leaves = df2.queryExecution.analyzed.collect {
+        case _: LogicalRDD => "rdd"
+        case _: LogicalRelation => "file"
+      }
+      assert(leaves == Seq("file"),
+        s"fresh-session memo head must be a parquet artifact scan, got $leaves")
+      assert(df2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == built)
+      assert(OpUtils.SessionMemo.loadSeconds.contains("dedup.q31_pairs"))
+      Dedup.release(s2, dir)
+    } finally {
+      spark.conf.unset("spark.graft.artifactDir")
+      Dedup.release(spark, dir)
+    }
+  }
+
+  test("a changed corpus orphans the artifact (fingerprint moves)") {
+    val dir = Files.createTempDirectory("graft_memo_fp").toString
+    writeCorpus(dir, "alpha")
+    val fp1 = OpUtils.SessionMemo.corpusFingerprint(spark, dir)
+    // re-ingest with different content (different lengths => different
+    // fingerprint even at equal mtime granularity)
+    writeCorpus(dir, "betaextra")
+    val fp2 = OpUtils.SessionMemo.corpusFingerprint(spark, dir)
+    assert(fp1 != fp2, "corpus fingerprint must change when the corpus does")
+  }
+
+  test("release evicts pinned blocks and the next touch rebuilds correctly") {
+    val dir = Files.createTempDirectory("graft_memo_rel").toString
+    writeCorpus(dir, "relw")
+    val sc = spark.sparkContext
+    Dedup.release(spark, dir)
+    org.apache.spark.sql.graft.CheckpointUtils.sweepUnpinned(sc)
+    val first = pairsOf(spark, dir)
+    val withMemo = sc.getPersistentRDDs.size
+    assert(withMemo > 0, "memo build must leave pinned checkpoint blocks")
+    // sweeping with the memo live must keep the pinned blocks...
+    org.apache.spark.sql.graft.CheckpointUtils.sweepUnpinned(sc)
+    assert(pairsOf(spark, dir) == first)
+    // ...but after release they are unpinned: the sweep drops them
+    Dedup.release(spark, dir)
+    org.apache.spark.sql.graft.CheckpointUtils.sweepUnpinned(sc)
+    val deadline = System.currentTimeMillis() + 10000
+    def persistedForApp = sc.getPersistentRDDs.size
+    var now = persistedForApp
+    while (now >= withMemo && System.currentTimeMillis() < deadline) {
+      Thread.sleep(100); now = persistedForApp
+    }
+    assert(now < withMemo,
+      s"released memo blocks must leave the block manager ($now vs $withMemo)")
+    // and a post-release touch rebuilds the same answer
+    assert(pairsOf(spark, dir) == first)
+    Dedup.release(spark, dir)
+  }
+}

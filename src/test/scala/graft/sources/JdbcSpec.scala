@@ -35,6 +35,21 @@ class JdbcSpec extends AnyFunSuite with SparkSpec {
     assert(back.count() == 101)
   }
 
+  test("deleteWhere: missing table is the no-op first-batch case, other SQL errors propagate") {
+    // missing table: Derby raises SQLState 42X05 — swallowed, 0 rows
+    assert(Sinks.deleteWhere(cfg("never_created"), "1 = 1") == 0)
+    // existing table, bad predicate (unknown column, SQLState 42X04):
+    // NOT the first-batch case — swallowing it would let a replayed
+    // batch double-append, so it must propagate
+    val df = Seq((1L, "a")).toDF("id", "name")
+    Sinks.writeJdbc(df, cfg("del_probe"), SaveMode.Overwrite)
+    intercept[java.sql.SQLException] {
+      Sinks.deleteWhere(cfg("del_probe"), "\"no_such_col\" = 1")
+    }
+    // and a well-formed delete still works against the live table
+    assert(Sinks.deleteWhere(cfg("del_probe"), "\"id\" = 1") == 1)
+  }
+
   test("partitioned JDBC extract parallelizes range scans") {
     val df = (1 to 1000).map(i => (i.toLong, s"u$i")).toDF("id", "payload")
     Sinks.writeJdbc(df, cfg("big"), SaveMode.Overwrite)
