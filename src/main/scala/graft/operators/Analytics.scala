@@ -159,6 +159,57 @@ object Analytics {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** q96 — the PRODUCTION distinct-count rollup: sketch-only, no exact
+    * distinct anywhere. q42 is the calibration audit — its exact
+    * `COUNT(DISTINCT)` validation columns are what bought the oracle, but
+    * at 100 TB the exact half dominates the cost (a full Expand +
+    * per-value hash aggregation), so the cheap path a pipeline actually
+    * runs must itself be a declared, benched query.
+    *
+    * Checkability without exact counts: each key carries TWO independent
+    * HLL++ sketches per column (rsd 0.05 and 0.01). Both estimate the
+    * same truth D, so at 4 standard errors |est5 − est1|/est1 ≤
+    * (4·0.05 + 4·0.01)/(1 − 4·0.01) = 0.25, and est1 ≤ D·1.04 ≤ n·1.04.
+    * The emitted columns are the group keys, the exact row count, and
+    * these consistency booleans — all engine-portable (DuckDB emits TRUE
+    * literals), so the driver's hash gate stays fully active: a broken
+    * sketch (wrong rsd plumbing, bad merge) flips a boolean. Weaker than
+    * q42's truth-check by construction — q42 remains the periodic
+    * calibration run on a slice; this is the every-night shape.
+    *
+    * Scale: ONE pass, one hash aggregation, fixed-width sketch buffers,
+    * and — unlike q42 — no Expand doubling of the input (PlanSpec pins
+    * the Expand-free plan).
+    */
+  def q96DistinctSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        approx_count_distinct($"l_orderkey", hllRsd).as("o5"),
+        approx_count_distinct($"l_orderkey", 0.01).as("o1"),
+        approx_count_distinct($"l_partkey", hllRsd).as("p5"),
+        approx_count_distinct($"l_partkey", 0.01).as("p1"))
+      .select($"l_returnflag", $"n",
+        (abs($"o5" - $"o1").cast("double") / $"o1" <= lit(0.25)).as("orders_sketches_agree"),
+        ($"o1".cast("double") <= $"n".cast("double") * 1.04).as("orders_est_bounded"),
+        (abs($"p5" - $"p1").cast("double") / $"p1" <= lit(0.25)).as("parts_sketches_agree"),
+        ($"p1".cast("double") <= $"n".cast("double") * 1.04).as("parts_est_bounded"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q96Sql: String =
+    """SELECT l_returnflag,
+      |  COUNT(*) AS n,
+      |  TRUE AS orders_sketches_agree,
+      |  TRUE AS orders_est_bounded,
+      |  TRUE AS parts_sketches_agree,
+      |  TRUE AS parts_est_bounded
+      |FROM lineitem
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   /** Range (theta) join: clicks within 30 minutes after a purchase by the
     * same user. The time bound is integer microsecond arithmetic so both
     * engines evaluate the identical predicate. Spark plans the non-equi
@@ -247,7 +298,8 @@ object Analytics {
     "q42_approx_distinct" -> (q42ApproxDistinct _),
     "q43_range_join" -> (q43RangeJoin _),
     "q44_rank_variants" -> (q44RankVariants _),
-    "q45_json_map" -> (q45JsonMap _))
+    "q45_json_map" -> (q45JsonMap _),
+    "q96_distinct_sketch" -> (q96DistinctSketch _))
 
   val oracleSql: Map[String, String] = Map(
     "q42_approx_distinct" -> q42Sql,
@@ -257,5 +309,6 @@ object Analytics {
     "q41_correlated_subquery" -> q41Sql,
     "q43_range_join" -> q43Sql,
     "q44_rank_variants" -> q44Sql,
-    "q45_json_map" -> q45Sql)
+    "q45_json_map" -> q45Sql,
+    "q96_distinct_sketch" -> q96Sql)
 }

@@ -30,21 +30,48 @@ object Corpus {
     * census (vocab truncation point = where cum_share crosses the target).
     *
     * Scale shape: one (token) shuffle with map-side partial counts — the
-    * token relation is corpus-sized but the aggregated vocabulary is tiny
-    * relative to the corpus (Heaps' law: ~1M types for 100 TB of text), so
-    * the single-partition ranking window over the VOCABULARY is safe; the
-    * corpus itself is never globally sorted.
+    * token relation is corpus-sized, the aggregated vocabulary sublinear
+    * (Heaps' law: ~1M types for 100 TB of text). The global rank +
+    * prefix-sum over the vocabulary is TWO-STAGE rather than a
+    * single-partition window: range-partition by the rank order, rank and
+    * prefix-sum within each partition, then shift each partition by the
+    * (row count, token sum) of the partitions before it — a
+    * #partitions-row relation, configuration-sized, not data-sized. No
+    * data-dependent relation ever funnels through one task (PlanSpec pins
+    * the shape); the checkpoint freezes the range partitioning so the
+    * ranked rows and the offset table see identical partition boundaries.
     */
   def q68VocabCoverage(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.orderBy($"cnt".desc, $"token")
-    docs(spark, dir)
+    val nParts = spark.sparkContext.defaultParallelism
+    val parts = docs(spark, dir)
       .select(explode(toks).as("token"))
       .groupBy($"token")
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .withColumn("cum_cnt", sum($"cnt").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("total", sum($"cnt").over(Window.partitionBy()))
+      .repartitionByRange(nParts, $"cnt".desc, $"token")
+      .withColumn("pid", spark_partition_id().cast("long"))
+      // branch point (ranked rows + offsets) — and the range sampler must
+      // run ONCE: two evaluations could draw different boundaries and
+      // disagree on pid between the branches
+      .localCheckpoint()
+    val wl = Window.partitionBy($"pid").orderBy($"cnt".desc, $"token")
+    val ranked = parts
+      .withColumn("lrank", row_number().over(wl).cast("long"))
+      .withColumn("lcum",
+        sum($"cnt").over(wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wp = Window.orderBy($"pid")
+    val offsets = parts.groupBy($"pid")
+      .agg(count(lit(1)).as("pn"), sum($"cnt").as("psum"))
+      .withColumn("rank_off",
+        coalesce(sum($"pn").over(wp.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("cum_off",
+        coalesce(sum($"psum").over(wp.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("total",
+        sum($"psum").over(wp.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select($"pid", $"rank_off", $"cum_off", $"total")
+    ranked.join(broadcast(offsets), Seq("pid"))
+      .withColumn("rank", $"lrank" + $"rank_off")
+      .withColumn("cum_cnt", $"lcum" + $"cum_off")
       .withColumn("cum_share", $"cum_cnt".cast("double") / $"total")
       .filter($"cnt" >= 5)
       .select($"token", $"cnt", $"rank", $"cum_share")

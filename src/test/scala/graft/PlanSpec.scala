@@ -74,16 +74,41 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "panel selection must plan as bounded top-K")
   }
 
-  test("q68: ranking window sits above the vocab aggregate, never over the corpus") {
-    val p = plan("q68_vocab_coverage")
-    // Formatted explain prints top-down: the single-partition ranking
-    // Window must be ABOVE the token-count HashAggregate (it ranks the
-    // vocabulary-sized aggregate output, Heaps'-law small). A Window
-    // printed below the aggregate would mean a global sort of the corpus.
-    val w = p.indexOf("Window")
-    val a = p.indexOf("HashAggregate")
-    assert(w >= 0 && a >= 0 && w < a,
-      "q68 ranking window must consume the aggregated vocabulary")
+  test("q68: vocabulary rank is two-stage — no partition-less window over a data-sized relation") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    // The global rank/prefix-sum must range-partition the vocabulary and
+    // rank per-partition; the ONLY partition-less windows allowed are the
+    // offset merges over the per-partition-id aggregate, whose row count
+    // is the partition count (configuration-sized, not data-sized).
+    val df = SparkEntry.queries("q68_vocab_coverage")(spark, sfDir)
+    val offenders = df.queryExecution.analyzed.collect {
+      case w: LWindow if w.partitionSpec.isEmpty &&
+          !w.child.exists {
+            case a: Aggregate =>
+              a.groupingExpressions.exists(_.references.exists(_.name == "pid"))
+            case _ => false
+          } => w
+    }
+    assert(offenders.isEmpty,
+      s"data-sized relation funnels through a single-partition window:\n$offenders")
+    // and a per-partition ranking window IS present
+    val partitioned = df.queryExecution.analyzed.collect {
+      case w: LWindow if w.partitionSpec.nonEmpty => w
+    }
+    assert(partitioned.nonEmpty, "expected the pid-partitioned local rank window")
+  }
+
+  test("q96: sketch-only distinct rollup plans without an Expand") {
+    // q42 (the calibration form) pays an Expand to compute two exact
+    // COUNT(DISTINCT)s — the cost that dominates at 100 TB. The
+    // production q96 must stay one pass over fixed-width HLL buffers.
+    val p96 = plan("q96_distinct_sketch")
+    assert(!p96.contains("Expand"),
+      "sketch-only rollup must not expand the input for exact distincts")
+    val p42 = plan("q42_approx_distinct")
+    assert(p42.contains("Expand"),
+      "calibration form is EXPECTED to pay the exact-distinct expand " +
+        "(if this stops holding, re-check q96's cost rationale)")
   }
 
   test("q75: pair comparison is a label equi-join, verdict join broadcasts") {

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** Value-level checks for the sketch and vocabulary-census queries beyond
+  * the driver's oracle gate: the HLL production rollup must actually land
+  * inside its error envelope against exact truth, and the two-stage global
+  * rank must equal a driver-side reference computation.
+  */
+class AnalyticsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("q96 sketch-only rollup: booleans true AND estimates near exact truth") {
+    val rows = Analytics.q96DistinctSketch(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("orders_sketches_agree"), r.toString)
+      assert(r.getAs[Boolean]("orders_est_bounded"), r.toString)
+      assert(r.getAs[Boolean]("parts_sketches_agree"), r.toString)
+      assert(r.getAs[Boolean]("parts_est_bounded"), r.toString)
+    }
+    // the cross-sketch gate is weaker than truth by construction — also
+    // assert, test-side, that the rsd=0.01 sketch is within 4 standard
+    // errors of the EXACT distinct count (what q42 checks in-query)
+    val exact = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(org.apache.spark.sql.functions.countDistinct($"l_orderkey").as("d"),
+        org.apache.spark.sql.functions.approx_count_distinct($"l_orderkey", 0.01).as("e"))
+      .collect()
+    exact.foreach { r =>
+      val (d, e) = (r.getAs[Long]("d"), r.getAs[Long]("e"))
+      assert(math.abs(e - d).toDouble / d <= 0.04, s"est $e vs exact $d")
+    }
+  }
+
+  test("q68 two-stage global rank equals a driver-side reference") {
+    val got = Corpus.q68VocabCoverage(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("cnt"),
+        r.getAs[Long]("rank"), r.getAs[Double]("cum_share")))
+    // independent reference: collect raw token counts, sort, prefix-sum
+    val counts = Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.trim($"text"), " ")).as("t"))
+      .groupBy($"t").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val ordered = counts.sortBy { case (t, c) => (-c, t) }
+    val total = ordered.map(_._2).sum
+    var cum = 0L
+    val expected = ordered.zipWithIndex.flatMap { case ((t, c), i) =>
+      cum += c
+      if (c >= 5) Some((t, c, (i + 1).toLong, cum.toDouble / total)) else None
+    }
+    assert(got.toSeq == expected.toSeq)
+  }
+}
