@@ -72,6 +72,60 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming JDBC sink: kill mid-stream, lose the commit, restart exactly-once") {
+    // The FULL crash contract, not just the writer function: a running
+    // query is stopped, the newest checkpoint commit marker is deleted
+    // (the crash window — the JDBC write landed but the commit that
+    // acknowledges it was lost), new data arrives while the query is
+    // down, and a restart from the same checkpoint dir must replay the
+    // uncommitted batch WITHOUT double-writing it and then process the
+    // new data. The table must equal the exactly-once expectation.
+    val base = java.nio.file.Files.createTempDirectory("graft_jdbc_crash")
+    val srcDir = s"$base/src"
+    val ckpt = s"$base/ckpt"
+    val url = s"jdbc:derby:${base.resolve("db")};create=true"
+    val driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    val cfg = graft.sources.Sinks.JdbcConfig(
+      url = url, table = "events_cr", user = "", password = "",
+      driver = driver, batchSize = 100)
+    def srcDf(ids: Range) =
+      ids.map(i => (t(i), "a", 1.0, i.toLong, i.toLong))
+        .toDF("ts", "event_type", "value", "event_id", "user_id")
+    def writeSrc(ids: Range): Unit =
+      srcDf(ids).coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = srcDf(0 until 0).schema
+    def start() = EventStreams.streamToJdbc(
+      spark.readStream.schema(schema).parquet(srcDir), cfg, ckpt)
+
+    writeSrc(0 until 10)
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop() // the kill
+    q1.awaitTermination() // fully down before the checkpoint is reused
+    // crash window: drop the most recent commit marker so the restart
+    // believes the last batch never completed and replays it
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit))
+    assert(commits.nonEmpty, "expected at least one committed batch")
+    val latest = commits.maxBy(_.getName.toLong)
+    assert(latest.delete(), s"could not delete $latest")
+    // ...and its checksum sidecar (Hadoop LocalFileSystem / Spark 4's
+    // checksum manager), or the rewrite is refused as a concurrent use
+    new java.io.File(latest.getParentFile, s".${latest.getName}.crc").delete()
+    new java.io.File(latest.getParentFile, s"${latest.getName}.crc").delete()
+
+    writeSrc(10 until 15) // arrives while the query is down
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "events_cr").option("driver", driver)
+      .load().select("event_id").collect().map(_.getLong(0)).sorted
+    assert(back.toSeq == (0L until 15L),
+      s"exactly-once violated after crash-replay restart: ${back.toSeq}")
+  }
+
   test("session windows split on inactivity gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
