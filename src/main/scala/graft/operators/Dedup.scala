@@ -700,15 +700,26 @@ object Dedup {
 
   /** The prefix-filter pipeline over a prebuilt hashed (doc_id, h)
     * relation — the branch point: document frequencies, prefixes and
-    * verification sets all derive from it.
+    * verification sets all derive from it. Split into three
+    * `private[graft]` stages so the off-fixture stress tool
+    * (graft.tools.SSJoinStress) can count candidate pairs separately
+    * from verified output.
     */
   private def ngramJaccardInvertedFromHx(spark: SparkSession, hx: DataFrame,
+      minJaccard: Double): DataFrame = {
+    val docs = invertedDocsFromHx(spark, hx, minJaccard)
+    invertedVerifyFromDocs(docs,
+      invertedCandidatesFromDocs(docs, minJaccard), minJaccard)
+  }
+
+  /** Stage 1: per-doc sorted hash arrays + rarity-ordered prefix length. */
+  private[graft] def invertedDocsFromHx(spark: SparkSession, hx: DataFrame,
       minJaccard: Double): DataFrame = {
     import spark.implicits._
     val dfreq = hx.groupBy($"h").agg(count(lit(1)).as("df"))
     // document-frequency table unhinted (shingle-vocab-sized, scale-
     // dependent — see hxOf's note)
-    val docs = hx.join(dfreq, Seq("h"))
+    hx.join(dfreq, Seq("h"))
       .groupBy($"doc_id")
       .agg(collect_list(struct($"df", $"h")).as("pairs"),
         count(lit(1)).as("n"))
@@ -721,6 +732,12 @@ object Dedup {
       .withColumn("plen",
         ($"n" - floor(lit(minJaccard) * $"n") + 1).cast("int"))
       .localCheckpoint()
+  }
+
+  /** Stage 2: candidate pairs from the rare-shingle prefix equi-join. */
+  private[graft] def invertedCandidatesFromDocs(docs: DataFrame,
+      minJaccard: Double): DataFrame = {
+    import docs.sparkSession.implicits._
     val prefixes = docs
       .select($"doc_id", $"n", explode(expr("slice(by_rarity, 1, plen)")).as("p"))
       .select($"doc_id", $"n", $"p.h".as("ph"))
@@ -729,12 +746,18 @@ object Dedup {
     // The -1 slack makes the FP comparison conservative (lossless even if
     // t*max rounds up an ulp); still prunes most size-mismatched pairs
     // before the distinct.
-    val cand = prefixes.as("x").join(prefixes.as("y"),
+    prefixes.as("x").join(prefixes.as("y"),
         $"x.ph" === $"y.ph" && $"x.doc_id" < $"y.doc_id" &&
           least($"x.n", $"y.n").cast("double") >=
             lit(minJaccard) * greatest($"x.n", $"y.n").cast("double") - 1.0)
       .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"))
       .distinct()
+  }
+
+  /** Stage 3: exact merge-intersection verification of the candidates. */
+  private[graft] def invertedVerifyFromDocs(docs: DataFrame, cand: DataFrame,
+      minJaccard: Double): DataFrame = {
+    import docs.sparkSession.implicits._
     val da = docs.select($"doc_id".as("a_id"), $"harr".as("ha"), $"n".as("na"))
     val db = docs.select($"doc_id".as("b_id"), $"harr".as("hb"), $"n".as("nb"))
     cand
@@ -746,6 +769,17 @@ object Dedup {
       .filter($"jaccard" >= minJaccard)
       .select($"a_id", $"b_id", $"jaccard")
       .orderBy($"a_id", $"b_id")
+  }
+
+  /** Evidence seam for the stress tool: the hashed (doc_id, h) relation
+    * over the FAST (xxhash64) dictionary — Spark-only deployment naming,
+    * no cross-engine md5 needed off-fixture.
+    */
+  private[graft] def invertedHxFast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val gx = gxCheckpointed(spark, dir)
+    gx.join(gramDictFast(spark, gx), Seq("g"))
+      .select($"doc_id", $"h").localCheckpoint()
   }
 
   /** Declared inverted-index dedup at the near-dup threshold (0.7,

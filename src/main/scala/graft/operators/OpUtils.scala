@@ -71,8 +71,19 @@ object OpUtils {
     private val cells =
       new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), Cell]()
 
+    /** Drop entries whose SparkContext has stopped — their blocks are
+      * gone with the context, and without this a long-lived JVM cycling
+      * contexts would grow the map unboundedly (the pin registry prunes
+      * dead applications on sweep; this is the map-side half).
+      */
+    private def pruneStopped(): Unit = {
+      val it = cells.keySet().iterator()
+      while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+    }
+
     def apply(spark: SparkSession, dir: String, key: String)(
-        build: => DataFrame): DataFrame =
+        build: => DataFrame): DataFrame = {
+      pruneStopped()
       cells.computeIfAbsent((spark, dir, key), _ => new Cell).get {
         SessionMemo.artifactPath(spark, dir, s"$name.$key") match {
           case Some(p) if SessionMemo.artifactExists(spark, p) =>
@@ -91,6 +102,7 @@ object OpUtils {
             df
         }
       }
+    }
 
     /** Evict every entry of (session, dir): unpin + free the checkpoint
       * blocks (no-op for artifact-loaded parquet entries) and drop the

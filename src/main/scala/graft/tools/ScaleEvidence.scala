@@ -1,0 +1,192 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Joins}
+
+/** Off-fixture at-scale evidence (round-notes material, not a spec):
+  *
+  *  - `ssjoin [nDocs]` — synthetic Zipf corpus (default 50k docs, 10x the
+  *    sf0.1 fixture) through the prefix-filtered inverted-index dedup
+  *    path, recording candidate pairs vs n(n-1)/2 and shuffle bytes: the
+  *    empirical form of the sum-over-rare-shingles(df^2) claim the
+  *    100 TB story rests on.
+  *  - `skew [nRows]` — a deliberately skewed join (one key = 50% of
+  *    rows) with broadcast disabled, showing AQE's skew-split activating
+  *    in the post-execution plan vs the manual salted-join path.
+  *  - `probe` — Iceberg / S3A classpath probes (S13/S11 env gates).
+  *
+  * `tools/run.sh graft.tools.ScaleEvidence ssjoin|skew|probe [n]`
+  */
+object ScaleEvidence {
+
+  def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("probe")
+    val spark = graft.core.Sessions.local(
+      sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+        .getOrElse(Runtime.getRuntime.availableProcessors()))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val shufWrite = new AtomicLong(0L)
+    val shufRead = new AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        shufWrite.addAndGet(e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        shufRead.addAndGet(e.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead)
+      }
+    })
+    def resetShuffle(): Unit = { shufWrite.set(0); shufRead.set(0) }
+    def shuffleMB: (Double, Double) = {
+      Thread.sleep(500) // listener bus drain
+      (shufWrite.get() / 1e6, shufRead.get() / 1e6)
+    }
+
+    mode match {
+      case "ssjoin" => ssjoin(spark, args.lift(1).map(_.toInt).getOrElse(50000),
+        resetShuffle _, () => shuffleMB)
+      case "skew" => skew(spark, args.lift(1).map(_.toLong).getOrElse(10000000L),
+        resetShuffle _, () => shuffleMB)
+      case "probe" => probe()
+      case other => sys.error(s"unknown mode $other (ssjoin|skew|probe)")
+    }
+    spark.stop()
+  }
+
+  /** Zipf corpus at the natural-text exponent: P(rank = k) ~ 1/k (Zipf's
+    * law), sampled by the inverse-CDF rank = V^u — a heavy head ("the",
+    * "of") AND a long rare tail, the regime the rarest-prefix filter
+    * exploits; every 100th doc is cloned with its last token changed,
+    * planting ~nDocs/100 true near-dup pairs at bigram Jaccard well
+    * above 0.7.
+    */
+  private def ssjoin(spark: org.apache.spark.sql.SparkSession, nDocs: Int,
+      reset: () => Unit, shuffle: () => (Double, Double)): Unit = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssjoin").toString
+    val vocab = 100000L
+    val m = 1000000L
+    // clones draw content from the PREVIOUS doc id (same length, same
+    // tokens) and mutate the final position
+    val srcId = when($"doc_id" % 100 === 1, $"doc_id" - 1).otherwise($"doc_id")
+    val docLen = (pmod(xxhash64(srcId), lit(41L)) + 40L).cast("int")
+    val u = (pmod(xxhash64(srcId, $"pos"), lit(m)).cast("double") + 1.0) / m.toDouble
+    val rank = least(lit(vocab), floor(pow(lit(vocab.toDouble), u))).cast("long")
+    val tok = when($"doc_id" % 100 === 1 && $"pos" === docLen - 1,
+      concat(lit("x"), $"doc_id")).otherwise(concat(lit("t"), rank))
+    spark.range(nDocs.toLong).select($"id".as("doc_id"))
+      .select($"doc_id", explode(sequence(lit(0), docLen - 1)).as("pos"))
+      .select($"doc_id", $"pos", tok.as("tok"))
+      .groupBy($"doc_id")
+      .agg(array_join(expr("transform(array_sort(collect_list(struct(pos, tok))), p -> p.tok)"), " ").as("text"))
+      .select($"doc_id", $"text", lit("en").as("lang"),
+        lit("zipf").as("source"), length($"text").cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    println(s"== SSJoin stress: $nDocs Zipf docs at $dir ==")
+
+    val t0 = System.nanoTime()
+    reset()
+    val hx = Dedup.invertedHxFast(spark, dir)
+    val docs = Dedup.invertedDocsFromHx(spark, hx, 0.7)
+    val nShingleRows = hx.count()
+    val tDocs = (System.nanoTime() - t0) / 1e9
+
+    reset()
+    val t1 = System.nanoTime()
+    val cand = Dedup.invertedCandidatesFromDocs(docs, 0.7).localCheckpoint()
+    val nCand = cand.count()
+    val tCand = (System.nanoTime() - t1) / 1e9
+    val (cw, cr) = shuffle()
+
+    reset()
+    val t2 = System.nanoTime()
+    val pairs = Dedup.invertedVerifyFromDocs(docs, cand, 0.7)
+    val nPairs = pairs.count()
+    val tVer = (System.nanoTime() - t2) / 1e9
+    val (vw, vr) = shuffle()
+
+    val allPairs = nDocs.toDouble * (nDocs - 1) / 2
+    println(f"shingle rows          : $nShingleRows%12d  (index build ${tDocs}%6.1f s)")
+    println(f"candidate pairs       : $nCand%12d  in ${tCand}%6.1f s  shufW=$cw%9.1fMB shufR=$cr%9.1fMB")
+    println(f"all-pairs n(n-1)/2    : ${allPairs}%12.0f")
+    println(f"candidate fraction    : ${nCand / allPairs}%12.2e")
+    println(f"verified pairs >= 0.7 : $nPairs%12d  in ${tVer}%6.1f s  shufW=$vw%9.1fMB shufR=$vr%9.1fMB")
+    println(f"planted clone pairs   : ${nDocs / 100}%12d")
+    assert(nPairs >= nDocs / 100,
+      "every planted clone pair must survive verification")
+  }
+
+  /** Skewed join: 50% of the fact rows share one key; the dimension is
+    * forced past the broadcast path so the shuffled-join skew machinery
+    * is actually on trial. Runs AQE's automatic skew split and the
+    * manual salted path over identical inputs.
+    */
+  private def skew(spark: org.apache.spark.sql.SparkSession, nRows: Long,
+      reset: () => Unit, shuffle: () => (Double, Double)): Unit = {
+    import spark.implicits._
+    val nKeys = 1000000L
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    // AQE flags a partition as skewed only above 5x median AND an
+    // absolute floor of 256 MB — sized for cluster-scale partitions. The
+    // harness fixture's skewed partition is ~80 MB, so scale the floor
+    // down with the data (at 100 TB the DEFAULT floor triggers on the
+    // same 50%-one-key shape; this is a proxy, not a tuning claim).
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8MB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4MB")
+    try {
+      val fact = spark.range(nRows).select(
+        when(pmod(xxhash64($"id"), lit(2L)) === 0, 0L)
+          .otherwise(pmod(xxhash64($"id", lit(1)), lit(nKeys))).as("k"),
+        ($"id" % 997).as("v")).localCheckpoint()
+      org.apache.spark.sql.graft.CheckpointUtils.pin(fact)
+      val dim = spark.range(nKeys).select($"id".as("k"),
+        pmod(xxhash64($"id"), lit(1000L)).as("w")).localCheckpoint()
+      org.apache.spark.sql.graft.CheckpointUtils.pin(dim)
+      println(s"== skew stress: $nRows fact rows (50% on one key) vs $nKeys-key dim, broadcast off ==")
+
+      reset()
+      val t0 = System.nanoTime()
+      val aqe = fact.join(dim, "k").agg(count(lit(1)).as("n"), sum($"v" + $"w").as("s"))
+      // collect(), not head(): head() executes a DERIVED limit plan and
+      // would leave this queryExecution un-run (isFinalPlan=false)
+      val aqeRow = aqe.collect().head
+      val tAqe = (System.nanoTime() - t0) / 1e9
+      val (aw, ar) = shuffle()
+      val plan = aqe.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val skewLines = plan.linesIterator
+        .filter(l => l.contains("skew") || l.contains("AQEShuffleRead")).take(6).toSeq
+      println(f"AQE skew join         : ${tAqe}%6.1f s  shufW=$aw%9.1fMB shufR=$ar%9.1fMB  n=${aqeRow.getLong(0)}")
+      println(if (skewLines.nonEmpty) skewLines.map("  plan> " + _.trim).mkString("\n")
+        else "  plan> NO skew-split marker found")
+
+      reset()
+      val t1 = System.nanoTime()
+      val salted = Joins.saltedJoin(fact, dim, "k", 16)
+        .agg(count(lit(1)).as("n"), sum($"v" + $"w").as("s"))
+      val saltRow = salted.collect().head
+      val tSalt = (System.nanoTime() - t1) / 1e9
+      val (sw, sr) = shuffle()
+      println(f"manual salted join(16): ${tSalt}%6.1f s  shufW=$sw%9.1fMB shufR=$sr%9.1fMB  n=${saltRow.getLong(0)}")
+      assert(aqeRow.getLong(0) == saltRow.getLong(0) &&
+        aqeRow.getLong(1) == saltRow.getLong(1),
+        "AQE and salted paths must agree bit-for-bit")
+      assert(skewLines.nonEmpty, "expected AQE to mark skewed partitions in the final plan")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+      spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    }
+  }
+
+  private def probe(): Unit = {
+    def has(cn: String): String =
+      try { Class.forName(cn); "PRESENT" } catch { case _: ClassNotFoundException => "absent" }
+    println(s"iceberg runtime (org.apache.iceberg.spark.SparkCatalog): ${has("org.apache.iceberg.spark.SparkCatalog")}")
+    println(s"icebergAvailable probe gate                            : ${graft.sources.Sinks.icebergAvailable}")
+    println(s"hadoop-aws S3A (org.apache.hadoop.fs.s3a.S3AFileSystem): ${has("org.apache.hadoop.fs.s3a.S3AFileSystem")}")
+  }
+}

@@ -40,6 +40,8 @@ class MemoLifecycleSpec extends AnyFunSuite with SparkSpec {
       Dedup.release(spark, dir)
       val built = pairsOf(spark, dir)
       assert(built.contains((0L, 1L)))
+      // the first-touch build landed in the ledger Bench reports from
+      assert(OpUtils.SessionMemo.buildSeconds.contains("dedup.q31_pairs"))
       // the build persisted an artifact under the fingerprinted path
       val fp = OpUtils.SessionMemo.corpusFingerprint(spark, dir)
       val art = new java.io.File(s"$artRoot/$fp/dedup.q31_pairs.parquet/_SUCCESS")
