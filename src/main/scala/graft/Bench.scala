@@ -9,6 +9,12 @@ import org.apache.spark.sql.SparkSession
   * execution including final projections/sorts, zero sink I/O — instead of
   * `count()`, which would let Catalyst prune aggregate/sort work and
   * under-measure.
+  *
+  * `total` = sum of per-query minima PLUS the `memo_build` entries (the
+  * session-memo first-touch builds, reported separately since r7) — the
+  * cost of a one-shot suite run. Rounds ≤ 6 reported per-query sums only,
+  * so cross-round total comparisons should add ~nothing for r ≤ 5 (no
+  * memo) and the r6 NOTES' ~4-5 s estimate for r6.
   */
 object Bench {
   def main(args: Array[String]): Unit = {

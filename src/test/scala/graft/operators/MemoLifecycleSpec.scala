@@ -61,6 +61,15 @@ class MemoLifecycleSpec extends AnyFunSuite with SparkSpec {
       assert(df2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == built)
       assert(OpUtils.SessionMemo.loadSeconds.contains("dedup.q31_pairs"))
       Dedup.release(s2, dir)
+
+      // releasing the hot tier must fall back to the warm artifact, not
+      // a rebuild: the re-touched head is again a parquet scan
+      Dedup.release(spark, dir)
+      val df3 = Dedup.q31MinhashLsh(spark, dir)
+      assert(df3.queryExecution.analyzed.collect {
+        case _: LogicalRelation => "file" }.nonEmpty,
+        "post-release touch with an artifact present must reload, not rebuild")
+      assert(df3.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == built)
     } finally {
       spark.conf.unset("spark.graft.artifactDir")
       Dedup.release(spark, dir)
