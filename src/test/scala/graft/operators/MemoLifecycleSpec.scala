@@ -76,6 +76,32 @@ class MemoLifecycleSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q63 manifest is restart-incremental under the artifact tier") {
+    // the query a trainer actually consumes: a FRESH session must
+    // compose the manifest from the persisted gx / cluster artifacts
+    // instead of re-running the sketch pipeline
+    val dir = Files.createTempDirectory("graft_memo_q63").toString
+    val artRoot = Files.createTempDirectory("graft_artifacts_q63").toString
+    writeCorpus(dir, "mani")
+    spark.conf.set("spark.graft.artifactDir", artRoot)
+    try {
+      Dedup.release(spark, dir)
+      val r1 = Dedup.q63TrainingManifest(spark, dir).collect().toSeq
+      assert(r1.nonEmpty)
+      val s2 = spark.newSession()
+      s2.conf.set("spark.graft.artifactDir", artRoot)
+      val r2 = Dedup.q63TrainingManifest(s2, dir).collect().toSeq
+      assert(r2 == r1, "fresh-session manifest must equal the original")
+      val loads = OpUtils.SessionMemo.loadSeconds.keySet
+      assert(loads.contains("dedup.gx") && loads.contains("dedup.q51_clusters"),
+        s"manifest feeds must come from artifacts, loaded: $loads")
+      Dedup.release(s2, dir)
+    } finally {
+      spark.conf.unset("spark.graft.artifactDir")
+      Dedup.release(spark, dir)
+    }
+  }
+
   test("a changed corpus orphans the artifact (fingerprint moves)") {
     val dir = Files.createTempDirectory("graft_memo_fp").toString
     writeCorpus(dir, "alpha")
