@@ -73,8 +73,16 @@ object ScaleEvidence {
     val docLen = (pmod(xxhash64(srcId), lit(41L)) + 40L).cast("int")
     val u = (pmod(xxhash64(srcId, $"pos"), lit(m)).cast("double") + 1.0) / m.toDouble
     val rank = least(lit(vocab), floor(pow(lit(vocab.toDouble), u))).cast("long")
+    // adversarial boilerplate: 30% of docs open with an IDENTICAL
+    // 10-token crawl header ("skip to main content..." analog) — shared
+    // shingles at df ~ 0.3n, the shape that breaks naive shingle-join
+    // candidate generation; the ascending-df prefix order must keep
+    // them out of every prefix
+    val boiler = pmod(xxhash64(srcId, lit(99)), lit(10L)) < 3 && $"pos" < 10
     val tok = when($"doc_id" % 100 === 1 && $"pos" === docLen - 1,
-      concat(lit("x"), $"doc_id")).otherwise(concat(lit("t"), rank))
+      concat(lit("x"), $"doc_id"))
+      .when(boiler, concat(lit("hdr"), $"pos"))
+      .otherwise(concat(lit("t"), rank))
     spark.range(nDocs.toLong).select($"id".as("doc_id"))
       .select($"doc_id", explode(sequence(lit(0), docLen - 1)).as("pos"))
       .select($"doc_id", $"pos", tok.as("tok"))
