@@ -110,11 +110,24 @@ object ModelRunner {
     * column pruning reaches the base parquet scans.
     */
   def q49ModelMart(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = Files.createTempDirectory("graft_mart").toString
+    val out = scratchDir("graft_mart")
     materialize(spark, packagedModelsDir(), sfDir, out,
       finals = Seq("mart_customer_revenue"))
     spark.read.parquet(s"$out/mart_customer_revenue")
       .orderBy("c_custkey")
+  }
+
+  /** Scratch location for ephemeral mart materialization: tmpfs when
+    * available, same policy (and rationale) as Sessions' shuffle-dir —
+    * the harness's throttled block device dominates small-write round
+    * trips and adds noise. A production run materializes marts to the
+    * lakehouse, not here.
+    */
+  private def scratchDir(prefix: String): String = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.canWrite)
+      Files.createTempDirectory(shm.toPath, prefix).toString
+    else Files.createTempDirectory(prefix).toString
   }
 
   val q49Sql: String =
