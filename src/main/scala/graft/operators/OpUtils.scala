@@ -170,17 +170,25 @@ object OpUtils {
     }
 
     /** Content fingerprint of a corpus directory: md5 over the sorted
-      * (name, length, mtime) of its files — metadata-only (one FS
-      * listing, no data read), and any re-ingest/regeneration of the
-      * corpus changes it, so a stale artifact is orphaned, never reused.
+      * (relative path, length, mtime) of every file under it — RECURSIVE
+      * (corpora written as parquet directories change their part files,
+      * not the top-level listing), metadata-only (FS listings, no data
+      * read). Any re-ingest/regeneration of the corpus changes it, so a
+      * stale artifact is orphaned, never reused.
       */
     def corpusFingerprint(spark: org.apache.spark.sql.SparkSession, dir: String): String = {
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val entries = fs.listStatus(p).map(s =>
-        s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}").sorted
+      val base = p.toUri.getPath
+      val entries = scala.collection.mutable.ArrayBuffer[String]()
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val s = it.next()
+        val rel = s.getPath.toUri.getPath.stripPrefix(base)
+        entries += s"$rel:${s.getLen}:${s.getModificationTime}"
+      }
       val digest = java.security.MessageDigest.getInstance("MD5")
-        .digest(entries.mkString("\n").getBytes("UTF-8"))
+        .digest(entries.sorted.mkString("\n").getBytes("UTF-8"))
       digest.map("%02x".format(_)).mkString.take(16)
     }
   }
