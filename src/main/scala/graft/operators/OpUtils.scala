@@ -97,7 +97,10 @@ object OpUtils {
             org.apache.spark.sql.graft.CheckpointUtils.pin(df)
             // warm tier: persist the built table for the NEXT session;
             // this session keeps serving the (already paid-for) hot copy
-            art.foreach(p => df.write.mode("overwrite").parquet(p))
+            art.foreach { p =>
+              df.write.mode("overwrite").parquet(p)
+              SessionMemo.writeSourceMarker(spark, p, dir)
+            }
             SessionMemo.record(s"$name.$key", loaded = false, (System.nanoTime() - t0) / 1e9)
             df
         }
@@ -168,6 +171,45 @@ object OpUtils {
       val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     }
+
+    /** Each fingerprint dir records which corpus produced it, so
+      * [[gcArtifacts]] can recompute that corpus's CURRENT fingerprint
+      * and reap superseded generations.
+      */
+    private def writeSourceMarker(spark: org.apache.spark.sql.SparkSession,
+        artifactPath: String, srcDir: String): Unit = {
+      val marker = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(artifactPath).getParent, "_source")
+      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(marker, true)
+      try out.write(srcDir.getBytes("UTF-8")) finally out.close()
+    }
+
+    /** Reap artifact generations whose corpus no longer fingerprints to
+      * them (re-ingested/regenerated corpora orphan their old artifacts;
+      * without GC a long-lived artifact root grows one generation per
+      * re-ingest). A fingerprint dir is deleted when its recorded source
+      * corpus is gone, or its CURRENT fingerprint differs from the dir
+      * name. Returns the number of generations removed. Dirs without a
+      * `_source` marker (foreign content) are left alone.
+      */
+    def gcArtifacts(spark: org.apache.spark.sql.SparkSession): Int =
+      artifactRoot(spark).fold(0) { root =>
+        val rp = new org.apache.hadoop.fs.Path(root)
+        val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(rp)) 0
+        else fs.listStatus(rp).filter(_.isDirectory).count { gen =>
+          val marker = new org.apache.hadoop.fs.Path(gen.getPath, "_source")
+          val stale = fs.exists(marker) && {
+            val in = fs.open(marker)
+            val src = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+            val srcPath = new org.apache.hadoop.fs.Path(src)
+            !fs.exists(srcPath) ||
+              corpusFingerprint(spark, src) != gen.getPath.getName
+          }
+          if (stale) fs.delete(gen.getPath, true) else false
+        }
+      }
 
     /** Content fingerprint of a corpus directory: md5 over the sorted
       * (relative path, length, mtime) of every file under it — RECURSIVE

@@ -113,6 +113,35 @@ class MemoLifecycleSpec extends AnyFunSuite with SparkSpec {
     assert(fp1 != fp2, "corpus fingerprint must change when the corpus does")
   }
 
+  test("gcArtifacts reaps superseded generations, keeps the live one") {
+    val dir = Files.createTempDirectory("graft_memo_gc").toString
+    val artRoot = Files.createTempDirectory("graft_artifacts_gc").toString
+    spark.conf.set("spark.graft.artifactDir", artRoot)
+    try {
+      writeCorpus(dir, "genone")
+      Dedup.release(spark, dir)
+      val r1 = pairsOf(spark, dir)
+      assert(r1.nonEmpty)
+      // re-ingest: fingerprint moves, old generation is orphaned
+      writeCorpus(dir, "gentwolonger")
+      Dedup.release(spark, dir)
+      val r2 = pairsOf(spark, dir)
+      val gens = new java.io.File(artRoot).listFiles().count(_.isDirectory)
+      assert(gens == 2, s"expected two generations before gc, got $gens")
+      assert(OpUtils.SessionMemo.gcArtifacts(spark) == 1)
+      assert(new java.io.File(artRoot).listFiles().count(_.isDirectory) == 1)
+      // the surviving generation still serves a fresh session
+      val s2 = spark.newSession()
+      s2.conf.set("spark.graft.artifactDir", artRoot)
+      assert(pairsOf(s2, dir) == r2)
+      assert(OpUtils.SessionMemo.gcArtifacts(spark) == 0, "live generation must survive gc")
+      Dedup.release(s2, dir)
+    } finally {
+      spark.conf.unset("spark.graft.artifactDir")
+      Dedup.release(spark, dir)
+    }
+  }
+
   test("release evicts pinned blocks and the next touch rebuilds correctly") {
     val dir = Files.createTempDirectory("graft_memo_rel").toString
     writeCorpus(dir, "relw")
