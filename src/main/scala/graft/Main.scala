@@ -23,7 +23,12 @@ object Main {
       urls: Seq[String] = Seq.empty,
       cores: Int = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
         .getOrElse(Runtime.getRuntime.availableProcessors()),
-      limitInputs: Option[Int] = None)
+      limitInputs: Option[Int] = None,
+      gcArtifacts: Option[String] = None,
+      releases: Seq[String] = Seq.empty) {
+    /** Warm-tier maintenance flags short-circuit the ingest pipeline. */
+    def isMaintenance: Boolean = gcArtifacts.nonEmpty || releases.nonEmpty
+  }
 
   def parse(args: Array[String]): Config = {
     @annotation.tailrec
@@ -36,10 +41,36 @@ object Main {
       // L3: dev guard — scan only the first N discovered CSVs (the
       // reference's --limit-inputs, etl/ingest_data.py:158,313)
       case "--limit-inputs" :: v :: t => loop(t, c.copy(limitInputs = Some(v.toInt)))
+      // warm-tier lifecycle (OpUtils.SessionMemo): reap superseded
+      // artifact generations under <root> / drop this process's memo
+      // entries for <dir> without writing Scala
+      case "--gc-artifacts" :: v :: t => loop(t, c.copy(gcArtifacts = Some(v)))
+      case "--release" :: v :: t => loop(t, c.copy(releases = c.releases :+ v))
       case Nil => c
       case x :: _ => throw new IllegalArgumentException(s"unknown arg: $x")
     }
     loop(args.toList, Config())
+  }
+
+  /** Warm-tier maintenance entry: `--release <dir>` drops memo entries
+    * (unpins + frees checkpoint blocks, invalidates the fingerprint
+    * cache) for each dir; `--gc-artifacts <root>` then reaps superseded
+    * artifact generations under root. Run from its own fresh session
+    * (this main), no other session can hold artifact-backed memos over
+    * the reaped files — the safety precondition gcArtifacts documents.
+    * Returns the number of generations reaped.
+    */
+  def runMaintenance(spark: SparkSession, cfg: Config): Int = {
+    cfg.releases.foreach { d =>
+      graft.operators.OpUtils.SessionMemo.releaseAll(spark, d)
+      println(s"[graft] released memo entries for $d")
+    }
+    cfg.gcArtifacts.fold(0) { root =>
+      spark.conf.set("spark.graft.artifactDir", root)
+      val n = graft.operators.OpUtils.SessionMemo.gcArtifacts(spark)
+      println(s"[graft] gc-artifacts: reaped $n superseded generation(s) under $root")
+      n
+    }
   }
 
   def run(spark: SparkSession, cfg: Config): Long = {
@@ -72,8 +103,11 @@ object Main {
     val cfg = parse(args)
     val spark = graft.core.Sessions.local(cfg.cores)
     spark.sparkContext.setLogLevel("WARN")
-    val n = run(spark, cfg)
-    println(s"[graft] wrote $n trip rows to ${cfg.out}")
+    if (cfg.isMaintenance) runMaintenance(spark, cfg)
+    else {
+      val n = run(spark, cfg)
+      println(s"[graft] wrote $n trip rows to ${cfg.out}")
+    }
     spark.stop()
   }
 }

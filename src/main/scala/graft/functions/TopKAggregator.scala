@@ -18,21 +18,32 @@ final case class ScoredNeighbor(cs: Double, b_id: Long)
   * shuffle — the shuffle carries #partitions × k rows per query, never
   * the corpus.
   *
-  * Determinism: (cs, b_id) is a strict total order (ties broken by id),
-  * so the top-k SET is unique regardless of reduce/merge order — the
-  * result is partition-order invariant and oracle-checkable against a
-  * `ROW_NUMBER() OVER (ORDER BY cs DESC, b_id)` SQL window.
+  * Determinism: (cs, b_id) is a strict total order (ties broken by id,
+  * NaN below every real so a garbage score never evicts a genuine
+  * neighbor), so the top-k SET is unique regardless of reduce/merge
+  * order — the result is partition-order invariant and oracle-checkable
+  * against a `ROW_NUMBER() OVER (ORDER BY cs DESC, b_id)` SQL window on
+  * NaN-free scores (SQL engines rank NaN ABOVE reals in DESC order;
+  * filter NaN upstream when comparing, as q34 does).
   */
 final class TopKByScore(k: Int)
     extends Aggregator[ScoredNeighbor, List[ScoredNeighbor], Seq[ScoredNeighbor]] {
 
   private def better(x: ScoredNeighbor, y: ScoredNeighbor): Boolean = {
-    // total order via Double.compare — `>`/`==` return false in BOTH
-    // directions for NaN (a zero-norm embedding's cosine), which would
-    // make the buffer position arrival-order-dependent; Double.compare
-    // sorts NaN above every real so the result stays deterministic
-    val c = java.lang.Double.compare(x.cs, y.cs)
-    c > 0 || (c == 0 && x.b_id < y.b_id)
+    // total order with NaN ranked BELOW every real score: a NaN cosine
+    // (zero-norm embedding) is a garbage similarity and must never evict
+    // a genuine neighbor from the buffer. `>`/`==` return false in BOTH
+    // directions for NaN, which would make the buffer position
+    // arrival-order-dependent; the explicit NaN branch plus
+    // Double.compare keeps the order total and deterministic (two NaNs
+    // still tie-break by id).
+    val xn = java.lang.Double.isNaN(x.cs)
+    val yn = java.lang.Double.isNaN(y.cs)
+    if (xn != yn) yn
+    else {
+      val c = java.lang.Double.compare(x.cs, y.cs)
+      c > 0 || (c == 0 && x.b_id < y.b_id)
+    }
   }
 
   /** Insert keeping the buffer sorted best-first and bounded at k. */

@@ -51,8 +51,10 @@ object OpUtils {
     * unrelated fixtures/keys don't serialize; the global map itself is a
     * ConcurrentHashMap. Build and artifact-load wall seconds land in a
     * process-wide ledger ([[SessionMemo.buildSeconds]]) keyed
-    * `<memoName>.<key>` so Bench can report memo builds as explicit line
-    * items instead of hiding them inside whichever query touched first.
+    * `<memoName>.<key>` per corpus dir (a `@<dir>` suffix appears only
+    * when one key touched several corpora) so Bench can report memo
+    * builds as explicit line items instead of hiding them inside
+    * whichever query touched first.
     */
   final class SessionMemo(val name: String) {
     import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -89,7 +91,7 @@ object OpUtils {
           case Some(p) if SessionMemo.artifactExists(spark, p) =>
             val t0 = System.nanoTime()
             val df = spark.read.parquet(p)
-            SessionMemo.record(s"$name.$key", loaded = true, (System.nanoTime() - t0) / 1e9)
+            SessionMemo.record(s"$name.$key", dir, loaded = true, (System.nanoTime() - t0) / 1e9)
             df
           case art =>
             val t0 = System.nanoTime()
@@ -97,11 +99,8 @@ object OpUtils {
             org.apache.spark.sql.graft.CheckpointUtils.pin(df)
             // warm tier: persist the built table for the NEXT session;
             // this session keeps serving the (already paid-for) hot copy
-            art.foreach { p =>
-              df.write.mode("overwrite").parquet(p)
-              SessionMemo.writeSourceMarker(spark, p, dir)
-            }
-            SessionMemo.record(s"$name.$key", loaded = false, (System.nanoTime() - t0) / 1e9)
+            art.foreach(p => SessionMemo.commitArtifact(spark, p, dir, df))
+            SessionMemo.record(s"$name.$key", dir, loaded = false, (System.nanoTime() - t0) / 1e9)
             df
         }
       }
@@ -130,29 +129,50 @@ object OpUtils {
     private val instances = new java.util.concurrent.CopyOnWriteArrayList[SessionMemo]()
     private def register(m: SessionMemo): Unit = instances.add(m)
 
-    /** Release all memo instances' entries for (session, dir). */
-    def releaseAll(spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    /** Release all memo instances' entries for (session, dir); also
+      * invalidates the cached corpus fingerprint so a re-ingested corpus
+      * re-lists on the next touch.
+      */
+    def releaseAll(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
       instances.forEach(_.release(spark, dir))
+      fpCache.remove((spark, dir))
+    }
 
     // ---- build/load ledger (process-wide, for Bench accounting) ----
+    // Keyed (fullKey, dir, loaded) so a later load or rebuild of the same
+    // key against a DIFFERENT corpus can't overwrite an earlier build
+    // entry; repeat builds of the same cell (release → re-touch)
+    // accumulate, so the ledger totals what the process actually paid.
     private val ledger =
-      new java.util.concurrent.ConcurrentHashMap[String, (Boolean, Double)]()
-    private def record(key: String, loaded: Boolean, sec: Double): Unit =
-      ledger.put(key, (loaded, sec))
+      new java.util.concurrent.ConcurrentHashMap[(String, String, Boolean), Double]()
+    private def record(key: String, dir: String, loaded: Boolean, sec: Double): Unit =
+      ledger.merge((key, dir, loaded), sec, (a, b) => a + b)
 
-    /** Wall seconds of first-touch BUILDS since process start, keyed
-      * `<memoName>.<key>` (artifact loads excluded — see [[loadSeconds]]).
+    /** Ledger entries for one side (builds or loads), labeled
+      * `<memoName>.<key>` when that key only ever touched one corpus dir
+      * (the Bench case — stable cross-round names), and
+      * `<memoName>.<key>@<dirBasename>` when the process touched the same
+      * key on several corpora (the test-suite case) so nothing
+      * misattributes.
       */
-    def buildSeconds: Map[String, Double] = {
+    private def labeled(loaded: Boolean): Map[String, Double] = {
       import scala.jdk.CollectionConverters._
-      ledger.asScala.collect { case (k, (false, s)) => k -> s }.toMap
+      val entries = ledger.asScala.collect {
+        case ((k, d, l), s) if l == loaded => (k, d, s) }.toSeq
+      val multiDir = entries.groupBy(_._1).collect {
+        case (k, es) if es.map(_._2).distinct.size > 1 => k }.toSet
+      entries.groupMapReduce { case (k, d, _) =>
+        if (multiDir(k)) s"$k@${new java.io.File(d).getName}" else k
+      }(_._3)(_ + _)
     }
+
+    /** Wall seconds of first-touch BUILDS since process start
+      * (artifact loads excluded — see [[loadSeconds]]).
+      */
+    def buildSeconds: Map[String, Double] = labeled(loaded = false)
 
     /** Wall seconds of artifact loads (schema/footer read — lazy). */
-    def loadSeconds: Map[String, Double] = {
-      import scala.jdk.CollectionConverters._
-      ledger.asScala.collect { case (k, (true, s)) => k -> s }.toMap
-    }
+    def loadSeconds: Map[String, Double] = labeled(loaded = true)
 
     // ---- warm tier: deterministic per-corpus artifact paths ----
 
@@ -165,7 +185,7 @@ object OpUtils {
     private def artifactPath(spark: org.apache.spark.sql.SparkSession, dir: String,
         fullKey: String): Option[String] =
       artifactRoot(spark).map(root =>
-        s"$root/${corpusFingerprint(spark, dir)}/$fullKey.parquet")
+        s"$root/${cachedFingerprint(spark, dir)}/$fullKey.parquet")
 
     private def artifactExists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
       val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
@@ -174,24 +194,80 @@ object OpUtils {
 
     /** Each fingerprint dir records which corpus produced it, so
       * [[gcArtifacts]] can recompute that corpus's CURRENT fingerprint
-      * and reap superseded generations.
+      * and reap superseded generations. Written BEFORE any artifact data
+      * lands in the generation dir: a crash at any point leaves either a
+      * marker-only dir (GC evaluates it like any generation) or nothing —
+      * never data that GC must skip forever.
       */
     private def writeSourceMarker(spark: org.apache.spark.sql.SparkSession,
         artifactPath: String, srcDir: String): Unit = {
       val marker = new org.apache.hadoop.fs.Path(
         new org.apache.hadoop.fs.Path(artifactPath).getParent, "_source")
       val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val out = fs.create(marker, true)
-      try out.write(srcDir.getBytes("UTF-8")) finally out.close()
+      if (!fs.exists(marker)) {
+        val out = fs.create(marker, true)
+        try out.write(srcDir.getBytes("UTF-8")) finally out.close()
+      }
     }
+
+    /** Crash-safe, race-safe artifact commit:
+      *  1. `_source` marker first — the generation dir is attributable
+      *     from its first byte, so no crash leaves an unreapable orphan;
+      *  2. parquet lands in a session-unique `<final>.tmp-<token>` dir —
+      *     a crash mid-write orphans only the tmp dir, which
+      *     [[gcArtifacts]] reaps after a grace period;
+      *  3. publish is a single FS rename onto the final path, guarded by
+      *     an existence check — two sessions first-touching the same
+      *     (corpus, key) concurrently can't interleave partial writes:
+      *     the loser's rename fails against the winner's committed dir
+      *     (rename is atomic on posix/local and a fail-if-exists
+      *     operation on object-store committers) and its tmp is dropped.
+      *     Either way both sessions keep serving their own already-built
+      *     hot copy.
+      */
+    private def commitArtifact(spark: org.apache.spark.sql.SparkSession,
+        finalPath: String, srcDir: String,
+        df: org.apache.spark.sql.DataFrame): Unit = {
+      writeSourceMarker(spark, finalPath, srcDir)
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      val tmpPath = s"$finalPath$TmpSuffix$token"
+      df.write.mode("overwrite").parquet(tmpPath)
+      val fs = new org.apache.hadoop.fs.Path(finalPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val dst = new org.apache.hadoop.fs.Path(finalPath)
+      val committed = !fs.exists(dst) && fs.rename(new org.apache.hadoop.fs.Path(tmpPath), dst)
+      if (!committed) fs.delete(new org.apache.hadoop.fs.Path(tmpPath), true)
+    }
+
+    /** Suffix marking an uncommitted artifact write (`<key>.parquet.tmp-<token>`). */
+    private[operators] val TmpSuffix = ".tmp-"
+
+    /** Grace before an orphaned tmp dir (crash mid-write) is reaped, so a
+      * concurrent in-flight build's tmp is never deleted under it.
+      */
+    private def tmpGraceMs(spark: org.apache.spark.sql.SparkSession): Long =
+      spark.conf.getOption("spark.graft.artifactTmpGraceMs").map(_.toLong)
+        .getOrElse(60L * 60 * 1000)
 
     /** Reap artifact generations whose corpus no longer fingerprints to
       * them (re-ingested/regenerated corpora orphan their old artifacts;
       * without GC a long-lived artifact root grows one generation per
       * re-ingest). A fingerprint dir is deleted when its recorded source
-      * corpus is gone, or its CURRENT fingerprint differs from the dir
-      * name. Returns the number of generations removed. Dirs without a
-      * `_source` marker (foreign content) are left alone.
+      * corpus is gone, or its CURRENT fingerprint (recomputed, never the
+      * session cache) differs from the dir name. Also reaps uncommitted
+      * `*.tmp-*` write dirs (a crash mid-[[commitArtifact]]) older than
+      * `spark.graft.artifactTmpGraceMs` (default 1h — the grace keeps a
+      * concurrent in-flight build's tmp safe). Returns the number of
+      * generations removed. Dirs without a `_source` marker (foreign
+      * content; [[commitArtifact]] writes the marker first, so none of
+      * ours) are left alone.
+      *
+      * NOT safe to run while a live session still serves artifact-backed
+      * memo DataFrames over a generation this would reap: parquet scans
+      * re-read files per action, so that session's next action fails with
+      * FileNotFoundException rather than rebuilding. Release (or stop)
+      * such sessions first; the `Main --gc-artifacts` entry runs in its
+      * own fresh session, which trivially satisfies this.
       */
     def gcArtifacts(spark: org.apache.spark.sql.SparkSession): Int =
       artifactRoot(spark).fold(0) { root =>
@@ -207,9 +283,41 @@ object OpUtils {
             !fs.exists(srcPath) ||
               corpusFingerprint(spark, src) != gen.getPath.getName
           }
-          if (stale) fs.delete(gen.getPath, true) else false
+          if (stale) fs.delete(gen.getPath, true)
+          else {
+            // live generation: reap only crash-orphaned tmp write dirs
+            val cutoff = System.currentTimeMillis() - tmpGraceMs(spark)
+            fs.listStatus(gen.getPath)
+              .filter(c => c.getPath.getName.contains(TmpSuffix) &&
+                c.getModificationTime < cutoff)
+              .foreach(c => fs.delete(c.getPath, true))
+            false
+          }
         }
       }
+
+    // ---- corpus fingerprint: one recursive listing per (session, dir) ----
+
+    /** Session cache in front of [[corpusFingerprint]]: `artifactPath` is
+      * hit once per memo key on first touch, and a 100 TB corpus is
+      * millions of part-files — six memo families must not pay six full
+      * recursive listings. Invalidated by [[releaseAll]] (so a
+      * re-ingested corpus re-lists) and pruned with dead sessions.
+      */
+    private val fpCache =
+      new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), String]()
+
+    /** Number of recursive corpus listings actually performed — the
+      * observable for the fingerprint-cache spec.
+      */
+    private[graft] val fingerprintListings = new java.util.concurrent.atomic.AtomicLong(0)
+
+    private def cachedFingerprint(spark: org.apache.spark.sql.SparkSession,
+        dir: String): String = {
+      val it = fpCache.keySet().iterator()
+      while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+      fpCache.computeIfAbsent((spark, dir), _ => corpusFingerprint(spark, dir))
+    }
 
     /** Content fingerprint of a corpus directory: md5 over the sorted
       * (relative path, length, mtime) of every file under it — RECURSIVE
@@ -217,8 +325,19 @@ object OpUtils {
       * not the top-level listing), metadata-only (FS listings, no data
       * read). Any re-ingest/regeneration of the corpus changes it, so a
       * stale artifact is orphaned, never reused.
+      *
+      * Metadata-only is a documented limitation: a corpus regenerated
+      * with byte-identical file sizes INSIDE the filesystem's mtime
+      * granularity, or copied with mtimes preserved (`cp -p`,
+      * object-store copies that carry timestamps), fingerprints
+      * identically and would silently reuse the prior generation's
+      * artifacts. Re-ingest pipelines that rewrite in place should touch
+      * the corpus dir (or run with the warm tier off) if they can produce
+      * that case; reading data bytes here would turn a metadata probe
+      * into a full corpus scan.
       */
     def corpusFingerprint(spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+      fingerprintListings.incrementAndGet()
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val base = p.toUri.getPath

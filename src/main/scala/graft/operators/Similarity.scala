@@ -68,6 +68,10 @@ object Similarity {
     val top5 = graft.functions.TopKByScore(5)
     corpus.join(broadcast(panel), $"a_id" =!= $"b_id")
       .withColumn("cs", VectorFunctions.cosineSim($"ea", $"eb"))
+      // a zero-norm embedding's cosine is NaN — garbage, not a neighbor;
+      // drop it BEFORE ranking so Spark (aggregator ranks NaN last) and
+      // the SQL oracle (window ranks NaN first in DESC) can't diverge
+      .filter(!isnan($"cs"))
       .groupBy($"a_id")
       .agg(top5($"cs", $"b_id").as("top"))
       .select($"a_id", posexplode($"top").as(Seq("pos", "t")))
@@ -79,12 +83,15 @@ object Similarity {
   val q34Sql: String =
     s"""WITH q AS (SELECT vec_id, embedding FROM embeddings
        |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $topkPanelK)
-       |SELECT a_id, rk, b_id, cs FROM (
+       |, scored AS (
        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-       |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cs,
-       |    CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
-       |      ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC, b.vec_id) AS BIGINT) AS rk
-       |  FROM q a JOIN embeddings b ON a.vec_id <> b.vec_id) t
+       |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cs
+       |  FROM q a JOIN embeddings b ON a.vec_id <> b.vec_id)
+       |SELECT a_id, rk, b_id, cs FROM (
+       |  SELECT a_id, b_id, cs,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY a_id
+       |      ORDER BY cs DESC, b_id) AS BIGINT) AS rk
+       |  FROM scored WHERE NOT isnan(cs)) t
        |WHERE rk <= 5
        |ORDER BY a_id, rk""".stripMargin
 

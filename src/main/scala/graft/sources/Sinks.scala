@@ -56,7 +56,7 @@ object Sinks {
       val st = conn.createStatement()
       try st.executeUpdate(s"DELETE FROM ${cfg.table} WHERE $predicate")
       catch {
-        case e: java.sql.SQLException if tableMissing(e) => 0
+        case e: java.sql.SQLException if tableMissing(e, conn, cfg.table) => 0
       } finally st.close()
     } finally conn.close()
   }
@@ -64,11 +64,36 @@ object Sinks {
   /** The table-does-not-exist SQLStates of the engines this sink targets:
     * Derby 42X05 (table/view not found) and 42Y55, Postgres 42P01
     * (undefined_table), and the ODBC-derived 42S02 family (MySQL,
-    * SQLServer). Everything else is NOT the first-batch case.
+    * SQLServer). Engines whose SQLState is generic or absent (Oracle
+    * reports 42000 for ORA-00942; some drivers return null) fall back to
+    * a DatabaseMetaData existence probe on the SAME connection: if the
+    * table is verifiably absent, this is still the first-batch case; if
+    * the probe finds the table (or itself fails), the original error is
+    * NOT "missing table" and must propagate — swallowing it would let
+    * the subsequent append double-write under replay.
     */
-  private def tableMissing(e: java.sql.SQLException): Boolean = {
+  private def tableMissing(e: java.sql.SQLException, conn: java.sql.Connection,
+      table: String): Boolean = {
     val s = Option(e.getSQLState).getOrElse("")
-    s == "42X05" || s == "42Y55" || s == "42P01" || s == "42S02"
+    s == "42X05" || s == "42Y55" || s == "42P01" || s == "42S02" || {
+      // unrecognized state: probe metadata; only a probe that RAN and
+      // found nothing downgrades the error
+      try {
+        val (schema, name) = table.lastIndexOf('.') match {
+          case -1 => (null, table)
+          case i => (table.substring(0, i), table.substring(i + 1))
+        }
+        def exists(sch: String, tbl: String): Boolean = {
+          val rs = conn.getMetaData.getTables(null, sch, tbl, null)
+          try rs.next() finally rs.close()
+        }
+        // identifier case folding differs per engine (Derby/Oracle upper,
+        // Postgres lower): absent means NO casing matches
+        !(exists(schema, name) ||
+          exists(if (schema == null) null else schema.toUpperCase, name.toUpperCase) ||
+          exists(if (schema == null) null else schema.toLowerCase, name.toLowerCase))
+      } catch { case _: java.sql.SQLException => false }
+    }
   }
 
   /** S11: object-store/lake write — any Hadoop FS scheme (s3a://, gs://,

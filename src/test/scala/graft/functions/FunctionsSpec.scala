@@ -74,9 +74,10 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("TopKByScore is deterministic under NaN scores and any merge order") {
-    // a NaN cosine (zero-norm embedding) must land at a fixed buffer
-    // position regardless of arrival/merge order: Double.compare total
-    // order puts NaN above every real, ties broken by id
+    // a NaN cosine (zero-norm embedding) is garbage similarity: it must
+    // sort BELOW every real score (never evicting a genuine neighbor)
+    // and land at a fixed buffer position regardless of arrival/merge
+    // order — two NaNs tie-break by id
     val agg = new TopKByScore(3)
     val items = Seq(
       ScoredNeighbor(0.9, 1L), ScoredNeighbor(Double.NaN, 2L),
@@ -91,6 +92,18 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     }.toSet
     assert(results.size == 1, s"order-dependent top-k: $results")
     val ids = results.head.map(_._2)
-    assert(ids == Seq(2L, 4L, 1L), s"NaN must sort above reals, ties by id: $ids")
+    assert(ids == Seq(1L, 5L, 3L), s"reals must outrank NaN, best-first: $ids")
+  }
+
+  test("TopKByScore never fills real slots with NaN when reals exist") {
+    // k=3 over 2 reals + 3 NaNs: both reals must survive; NaN only pads
+    // the remainder (deterministically, lowest id first)
+    val agg = new TopKByScore(3)
+    val items = Seq(
+      ScoredNeighbor(Double.NaN, 10L), ScoredNeighbor(0.2, 1L),
+      ScoredNeighbor(Double.NaN, 11L), ScoredNeighbor(0.1, 2L),
+      ScoredNeighbor(Double.NaN, 12L))
+    val ids = agg.finish(items.foldLeft(agg.zero)(agg.reduce)).map(_.b_id)
+    assert(ids == Seq(1L, 2L, 10L), s"NaN must pad only after all reals: $ids")
   }
 }

@@ -41,7 +41,9 @@ class MemoLifecycleSpec extends AnyFunSuite with SparkSpec {
       val built = pairsOf(spark, dir)
       assert(built.contains((0L, 1L)))
       // the first-touch build landed in the ledger Bench reports from
-      assert(OpUtils.SessionMemo.buildSeconds.contains("dedup.q31_pairs"))
+      // (the suite touches many temp corpora, so the label may carry a
+      // disambiguating @dir suffix)
+      assert(OpUtils.SessionMemo.buildSeconds.keySet.exists(_.startsWith("dedup.q31_pairs")))
       // the build persisted an artifact under the fingerprinted path
       val fp = OpUtils.SessionMemo.corpusFingerprint(spark, dir)
       val art = new java.io.File(s"$artRoot/$fp/dedup.q31_pairs.parquet/_SUCCESS")
@@ -59,7 +61,7 @@ class MemoLifecycleSpec extends AnyFunSuite with SparkSpec {
       assert(leaves == Seq("file"),
         s"fresh-session memo head must be a parquet artifact scan, got $leaves")
       assert(df2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == built)
-      assert(OpUtils.SessionMemo.loadSeconds.contains("dedup.q31_pairs"))
+      assert(OpUtils.SessionMemo.loadSeconds.keySet.exists(_.startsWith("dedup.q31_pairs")))
       Dedup.release(s2, dir)
 
       // releasing the hot tier must fall back to the warm artifact, not
@@ -93,7 +95,8 @@ class MemoLifecycleSpec extends AnyFunSuite with SparkSpec {
       val r2 = Dedup.q63TrainingManifest(s2, dir).collect().toSeq
       assert(r2 == r1, "fresh-session manifest must equal the original")
       val loads = OpUtils.SessionMemo.loadSeconds.keySet
-      assert(loads.contains("dedup.gx") && loads.contains("dedup.q51_clusters"),
+      assert(loads.exists(_.startsWith("dedup.gx")) &&
+        loads.exists(_.startsWith("dedup.q51_clusters")),
         s"manifest feeds must come from artifacts, loaded: $loads")
       Dedup.release(s2, dir)
     } finally {
@@ -136,6 +139,156 @@ class MemoLifecycleSpec extends AnyFunSuite with SparkSpec {
       assert(pairsOf(s2, dir) == r2)
       assert(OpUtils.SessionMemo.gcArtifacts(spark) == 0, "live generation must survive gc")
       Dedup.release(s2, dir)
+    } finally {
+      spark.conf.unset("spark.graft.artifactDir")
+      Dedup.release(spark, dir)
+    }
+  }
+
+  test("a crash between marker and artifact leaves a REAPABLE generation") {
+    // commitArtifact writes _source FIRST; simulate dying right after:
+    // a generation dir holding only the marker. GC must treat it like
+    // any generation — here its source corpus is gone, so it is reaped,
+    // never an immortal orphan.
+    val artRoot = Files.createTempDirectory("graft_art_crash").toString
+    val deadCorpus = Files.createTempDirectory("graft_corpus_dead")
+    val gen = new java.io.File(artRoot, "deadbeef00000000")
+    assert(gen.mkdirs())
+    java.nio.file.Files.write(gen.toPath.resolve("_source"),
+      deadCorpus.toString.getBytes("UTF-8"))
+    // corpus deleted => marker resolves to nothing => stale
+    Files.delete(deadCorpus)
+    spark.conf.set("spark.graft.artifactDir", artRoot)
+    try {
+      assert(OpUtils.SessionMemo.gcArtifacts(spark) == 1,
+        "marker-only generation with a dead source must be reaped")
+      assert(!gen.exists())
+    } finally spark.conf.unset("spark.graft.artifactDir")
+  }
+
+  test("gc reaps crash-orphaned tmp write dirs after the grace period") {
+    val dir = Files.createTempDirectory("graft_memo_tmpgc").toString
+    val artRoot = Files.createTempDirectory("graft_art_tmpgc").toString
+    writeCorpus(dir, "tmpgc")
+    spark.conf.set("spark.graft.artifactDir", artRoot)
+    try {
+      Dedup.release(spark, dir)
+      val built = pairsOf(spark, dir)
+      val fp = OpUtils.SessionMemo.corpusFingerprint(spark, dir)
+      val gen = new java.io.File(artRoot, fp)
+      // a crashed write: tmp dir with data, never renamed
+      val orphan = new java.io.File(gen, s"dedup.q31_pairs.parquet${OpUtils.SessionMemo.TmpSuffix}dead1234")
+      assert(orphan.mkdirs())
+      java.nio.file.Files.write(orphan.toPath.resolve("part-junk"), Array[Byte](1, 2))
+
+      // inside the grace window the tmp survives (could be in-flight)
+      spark.conf.set("spark.graft.artifactTmpGraceMs", "3600000")
+      assert(OpUtils.SessionMemo.gcArtifacts(spark) == 0)
+      assert(orphan.exists(), "in-grace tmp dir must not be reaped")
+
+      // past the grace it is reaped; the committed artifact survives
+      spark.conf.set("spark.graft.artifactTmpGraceMs", "0")
+      assert(OpUtils.SessionMemo.gcArtifacts(spark) == 0, "generation itself is live")
+      assert(!orphan.exists(), "post-grace orphan tmp must be reaped")
+      assert(new java.io.File(gen, "dedup.q31_pairs.parquet/_SUCCESS").exists())
+      // and the artifact still serves a fresh session
+      val s2 = spark.newSession()
+      s2.conf.set("spark.graft.artifactDir", artRoot)
+      assert(pairsOf(s2, dir) == built)
+      Dedup.release(s2, dir)
+    } finally {
+      spark.conf.unset("spark.graft.artifactTmpGraceMs")
+      spark.conf.unset("spark.graft.artifactDir")
+      Dedup.release(spark, dir)
+    }
+  }
+
+  test("concurrent first-touch builds from two sessions commit exactly one artifact") {
+    val dir = Files.createTempDirectory("graft_memo_race").toString
+    val artRoot = Files.createTempDirectory("graft_art_race").toString
+    writeCorpus(dir, "racer")
+    val (sa, sb) = (spark.newSession(), spark.newSession())
+    sa.conf.set("spark.graft.artifactDir", artRoot)
+    sb.conf.set("spark.graft.artifactDir", artRoot)
+    try {
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      def race(s: org.apache.spark.sql.SparkSession) = Future {
+        gate.await(); pairsOf(s, dir)
+      }
+      val (fa, fb) = (race(sa), race(sb))
+      gate.countDown()
+      val ra = Await.result(fa, scala.concurrent.duration.Duration(120, "s"))
+      val rb = Await.result(fb, scala.concurrent.duration.Duration(120, "s"))
+      assert(ra == rb && ra.contains((0L, 1L)))
+      val fp = OpUtils.SessionMemo.corpusFingerprint(spark, dir)
+      val gen = new java.io.File(artRoot, fp)
+      // the loser's tmp was dropped, the winner's rename committed
+      val children = gen.listFiles().map(_.getName).toSeq
+      assert(!children.exists(_.contains(OpUtils.SessionMemo.TmpSuffix)),
+        s"no tmp leftovers after the race, got $children")
+      assert(new java.io.File(gen, "dedup.q31_pairs.parquet/_SUCCESS").exists())
+      // and the committed artifact is loadable + correct in a 3rd session
+      val s3 = spark.newSession()
+      s3.conf.set("spark.graft.artifactDir", artRoot)
+      assert(pairsOf(s3, dir) == ra)
+      Dedup.release(s3, dir)
+    } finally {
+      Dedup.release(sa, dir); Dedup.release(sb, dir)
+    }
+  }
+
+  test("corpus fingerprint lists once per (session, dir) across memo families") {
+    val dir = Files.createTempDirectory("graft_memo_fpcache").toString
+    val artRoot = Files.createTempDirectory("graft_art_fpcache").toString
+    writeCorpus(dir, "fpcache")
+    spark.conf.set("spark.graft.artifactDir", artRoot)
+    try {
+      Dedup.release(spark, dir) // invalidate any cached fingerprint
+      val before = OpUtils.SessionMemo.fingerprintListings.get()
+      // two memo keys of the pair-table family: without the cache each
+      // first touch pays its own full recursive corpus listing
+      Dedup.q31MinhashLsh(spark, dir).count()
+      Dedup.q47NgramJaccardInverted(spark, dir).count()
+      val delta = OpUtils.SessionMemo.fingerprintListings.get() - before
+      assert(delta == 1, s"expected ONE corpus listing for two memo touches, got $delta")
+      // release invalidates: the next touch must re-list (a re-ingested
+      // corpus would otherwise serve a stale generation forever)
+      Dedup.release(spark, dir)
+      Dedup.q31MinhashLsh(spark, dir).count()
+      val delta2 = OpUtils.SessionMemo.fingerprintListings.get() - before
+      assert(delta2 == 2, s"release must invalidate the fingerprint cache, got $delta2")
+    } finally {
+      spark.conf.unset("spark.graft.artifactDir")
+      Dedup.release(spark, dir)
+    }
+  }
+
+  test("Main --release/--gc-artifacts operate the warm tier from the CLI") {
+    val dir = Files.createTempDirectory("graft_memo_cli").toString
+    val artRoot = Files.createTempDirectory("graft_art_cli").toString
+    spark.conf.set("spark.graft.artifactDir", artRoot)
+    try {
+      writeCorpus(dir, "cligen1")
+      Dedup.release(spark, dir)
+      assert(pairsOf(spark, dir).nonEmpty)
+      // re-ingest: the old generation is superseded
+      writeCorpus(dir, "cligen2longer")
+      Dedup.release(spark, dir)
+      assert(pairsOf(spark, dir).nonEmpty)
+      assert(new java.io.File(artRoot).listFiles().count(_.isDirectory) == 2)
+
+      val cfg = graft.Main.parse(Array("--release", dir, "--gc-artifacts", artRoot))
+      assert(cfg.isMaintenance)
+      assert(cfg.releases == Seq(dir) && cfg.gcArtifacts.contains(artRoot))
+      // release drops this process's memo entries (safety precondition),
+      // gc then reaps exactly the superseded generation
+      assert(graft.Main.runMaintenance(spark, cfg) == 1)
+      assert(new java.io.File(artRoot).listFiles().count(_.isDirectory) == 1)
+      // the ingest pipeline is short-circuited for maintenance configs;
+      // a plain config still is not
+      assert(!graft.Main.parse(Array("--staging", "/tmp/x")).isMaintenance)
     } finally {
       spark.conf.unset("spark.graft.artifactDir")
       Dedup.release(spark, dir)
