@@ -123,8 +123,25 @@ object Analytics {
     * The exact columns make this the CALIBRATION form (the q33/q46
     * pattern): a production distinct-heavy rollup keeps only the
     * estimate columns — one pass, bounded memory, no exact-distinct
-    * expand — and runs this form periodically on a slice to re-validate
-    * the sketch.
+    * expand (that is q96, the every-night shape) — and re-validates the
+    * sketch with this form on a CADENCE, never the full corpus:
+    *
+    *  - '''partition-subset''': run q42's exact+sketch comparison over a
+    *    bounded slice of ingest partitions (e.g. one day out of each
+    *    week's arrivals, or `tablesample (1 percent)` stratified by the
+    *    group key). The exact half's Expand + per-value aggregation then
+    *    costs O(slice), not O(corpus), while the sketch half of the SAME
+    *    slice gives the error measurement the 4σ gate needs — HLL error
+    *    is cardinality-relative, so a slice with ≥10⁵ distincts per
+    *    group exercises the identical register math as the full table.
+    *  - '''weekly full-stratum''': for one rotating group-key stratum
+    *    (here: one `l_returnflag` value, pushed down as a partition
+    *    filter), pay the exact distinct on that stratum only. Rotating
+    *    covers every stratum on a bounded budget.
+    *
+    *  At 100 TB nothing runs THIS form unsliced: q96 carries the nightly
+    *  load with bounded sketch state; a q42 slice caps calibration cost
+    *  at whatever the slice is sized to.
     */
   def q42ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -659,14 +659,7 @@ object Dedup {
       minJaccard: Double): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    def gxOf(df: DataFrame): DataFrame = df
-      .repartition(spark.sparkContext.defaultParallelism)
-      .withColumn("toks", split(trim($"text"), " "))
-      .select($"doc_id", gramsCol.as("grams"))
-      .select($"doc_id", explode($"grams").as("g"))
-    val gx = gxOf(corpus.select($"doc_id", $"text"))
-      .union(gxOf(batch.select($"doc_id", $"text")))
-      .localCheckpoint()
+    val gx = crossGx(corpus, batch)
     val batchIds = batch.select($"doc_id")
     val pairs = ngramJaccardInvertedFromGx(spark, gx, minJaccard, gramDictFast)
     // keep batch ids whose partner is on the corpus side: exactly one
@@ -679,6 +672,58 @@ object Dedup {
       .filter(coalesce($"a_in", lit(false)) =!= coalesce($"b_in", lit(false)))
       .select(when($"a_in", $"a_id").otherwise($"b_id").as("doc_id"))
       .distinct()
+  }
+
+  /** Hashed distinct bigram shingles of a (doc_id, text) frame under the
+    * STATELESS fast dictionary (h = xxhash64(gram) — no corpus-wide
+    * dictionary build): (doc_id, h) rows computable for any batch in
+    * isolation, which is what lets the indexed streaming intake
+    * ([[graft.streaming.NearDupIndex]]) maintain a persisted corpus
+    * index incrementally instead of re-shingling the corpus per
+    * micro-batch. Values are bit-identical to [[invertedHxFast]] /
+    * [[crossNearDupIds]]'s hashes.
+    */
+  private[graft] def hxOfDocs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select($"doc_id", $"text")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("toks", split(trim($"text"), " "))
+      .select($"doc_id", gramsCol.as("grams"))
+      .select($"doc_id", explode($"grams").as("g"))
+      .select($"doc_id", expr("xxhash64(g)").as("h"))
+  }
+
+  /** Shared exploded-shingle relation of a corpus + batch union — the
+    * head of the cross-set near-dup pipeline.
+    */
+  private def crossGx(corpus: DataFrame, batch: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def gxOf(df: DataFrame): DataFrame = df
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("toks", split(trim($"text"), " "))
+      .select($"doc_id", gramsCol.as("grams"))
+      .select($"doc_id", explode($"grams").as("g"))
+    gxOf(corpus.select($"doc_id", $"text"))
+      .union(gxOf(batch.select($"doc_id", $"text")))
+      .localCheckpoint()
+  }
+
+  /** Diagnostic stage view of [[crossNearDupIds]]: the candidate-pair
+    * relation the cross probe would verify — lets the off-fixture
+    * streaming stress tool (graft.tools.ScaleEvidence `stream`) count
+    * candidate volume per micro-batch without touching the declared path.
+    */
+  private[graft] def crossCandidates(corpus: DataFrame, batch: DataFrame,
+      minJaccard: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val gx = crossGx(corpus, batch)
+    val hx = gx.join(gramDictFast(spark, gx), Seq("g"))
+      .select($"doc_id", $"h").localCheckpoint()
+    val docs = invertedDocsFromHx(spark, hx, minJaccard)
+    invertedCandidatesFromDocs(docs, minJaccard)
   }
 
   private def ngramJaccardInvertedCore(spark: SparkSession, dir: String,

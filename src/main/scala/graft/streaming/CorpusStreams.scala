@@ -129,9 +129,16 @@ object CorpusStreams {
     * operator: the state is the admitted TEXT index, which
     * mapGroupsWithState would have to shard by shingle while admission
     * decisions are per-doc). State size note as for [[intake]]: the
-    * corpus directory grows with deduped-corpus cardinality, and the
-    * per-batch probe cost is the q47 shape with a micro-batch-sized probe
-    * side.
+    * corpus directory grows with deduped-corpus cardinality.
+    *
+    * COST note (measured, ScaleEvidence `stream`): this form re-shingles
+    * the whole admitted corpus every micro-batch — per-batch shuffle
+    * grows linearly with the corpus (6→66 MB per 1k-doc batch while the
+    * corpus grows 1k→20k docs). Correct and fine for small/medium
+    * corpora; at scale use [[NearDupIndex.nearDupIntakeIndexed]], which
+    * maintains the prefix-filter index incrementally (identical
+    * admission decisions — pinned by CorpusStreamsSpec — with per-batch
+    * cost bounded by batch + candidates, not corpus).
     */
   def nearDupIntake(spark: SparkSession, srcDir: String, corpusDir: String,
       checkpointDir: String, minTokens: Int = 5, minJaccard: Double = 0.7,

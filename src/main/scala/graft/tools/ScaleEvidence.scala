@@ -48,10 +48,121 @@ object ScaleEvidence {
         resetShuffle _, () => shuffleMB)
       case "skew" => skew(spark, args.lift(1).map(_.toLong).getOrElse(10000000L),
         resetShuffle _, () => shuffleMB)
+      // 21 waves, not 20: wave = doc_id % nWaves, and clones sit at
+      // ids ≡ 1 (mod 100) — a wave count dividing 100 would funnel every
+      // clone into one wave instead of spreading rejections across the run
+      case "stream" => stream(spark, args.lift(1).map(_.toInt).getOrElse(20000),
+        args.lift(2).map(_.toInt).getOrElse(21), resetShuffle _, () => shuffleMB,
+        indexed = args.lift(3).contains("indexed"))
       case "probe" => probe()
-      case other => sys.error(s"unknown mode $other (ssjoin|skew|probe)")
+      case other => sys.error(s"unknown mode $other (ssjoin|skew|stream|probe)")
     }
     spark.stop()
+  }
+
+  /** The ssjoin Zipf document frame (see [[ssjoin]] doc for the
+    * construction: Zipf tokens, planted near-dup clones every 100th doc,
+    * 30% boilerplate headers) — shared by the batch and streaming
+    * stress modes.
+    */
+  private def zipfDocs(spark: org.apache.spark.sql.SparkSession, nDocs: Int): DataFrame = {
+    import spark.implicits._
+    val vocab = 100000L
+    val m = 1000000L
+    val srcId = when($"doc_id" % 100 === 1, $"doc_id" - 1).otherwise($"doc_id")
+    val docLen = (pmod(xxhash64(srcId), lit(41L)) + 40L).cast("int")
+    val u = (pmod(xxhash64(srcId, $"pos"), lit(m)).cast("double") + 1.0) / m.toDouble
+    val rank = least(lit(vocab), floor(pow(lit(vocab.toDouble), u))).cast("long")
+    val boiler = pmod(xxhash64(srcId, lit(99)), lit(10L)) < 3 && $"pos" < 10
+    val tok = when($"doc_id" % 100 === 1 && $"pos" === docLen - 1,
+      concat(lit("x"), $"doc_id"))
+      .when(boiler, concat(lit("hdr"), $"pos"))
+      .otherwise(concat(lit("t"), rank))
+    spark.range(nDocs.toLong).select($"id".as("doc_id"))
+      .select($"doc_id", explode(sequence(lit(0), docLen - 1)).as("pos"))
+      .select($"doc_id", $"pos", tok.as("tok"))
+      .groupBy($"doc_id")
+      .agg(array_join(expr("transform(array_sort(collect_list(struct(pos, tok))), p -> p.tok)"), " ").as("text"))
+      .select($"doc_id", $"text", lit("en").as("lang"),
+        lit("zipf").as("source"), length($"text").cast("long").as("n_chars"))
+  }
+
+  /** Streaming near-dup intake at stress scale: the Zipf corpus arrives
+    * as `nWaves` micro-batches through
+    * [[graft.streaming.CorpusStreams.nearDupIntake]]; per wave we record
+    * wall seconds, shuffle volume, cross candidate-pair count (via the
+    * staged kernel on identical inputs) and cumulative admitted corpus —
+    * the streaming sibling of the ssjoin table. Waves are `doc_id %
+    * nWaves`, so every planted clone (id ≡ 1 mod 100) lands one wave
+    * AFTER its source (id−1): all clone rejections exercise the
+    * CROSS-batch probe against the grown corpus, the path whose cost
+    * stability is on trial.
+    */
+  private def stream(spark: org.apache.spark.sql.SparkSession, nDocs: Int,
+      nWaves: Int, reset: () => Unit, shuffle: () => (Double, Double),
+      indexed: Boolean): Unit = {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_stress")
+    val srcDir = root.resolve("src"); java.nio.file.Files.createDirectories(srcDir)
+    val corpusDir = root.resolve("corpus").toString
+    val ckpt = root.resolve("ckpt").toString
+    val staged = root.resolve("waves")
+    val label = if (indexed) "INDEXED (NearDupIndex)" else "naive (re-shingle per batch)"
+    println(s"== Streaming near-dup intake stress [$label]: $nDocs Zipf docs in $nWaves waves ==")
+    val docs = zipfDocs(spark, nDocs).localCheckpoint()
+    (0 until nWaves).foreach { w =>
+      docs.filter($"doc_id" % nWaves === w)
+        .coalesce(1).write.parquet(staged.resolve(s"w$w").toString)
+    }
+    val q =
+      if (indexed) graft.streaming.NearDupIndex.nearDupIntakeIndexed(
+        spark, srcDir.toString, corpusDir, root.resolve("index").toString, ckpt,
+        glob = "*.parquet")
+      else graft.streaming.CorpusStreams.nearDupIntake(
+        spark, srcDir.toString, corpusDir, ckpt, glob = "*.parquet")
+    var prevAdmitted = 0L
+    val walls = scala.collection.mutable.ArrayBuffer[Double]()
+    (0 until nWaves).foreach { w =>
+      val part = java.nio.file.Files.list(staged.resolve(s"w$w")).iterator()
+      var src: java.nio.file.Path = null
+      while (part.hasNext) { val p = part.next(); if (p.toString.endsWith(".parquet")) src = p }
+      // candidate volume of the probe this wave will run, measured
+      // OUTSIDE the streaming timing: the staged naive kernel over
+      // identical inputs, or (indexed) the same probe the batch will pay
+      // against the persisted index under the current frozen order
+      val corpusNow =
+        if (prevAdmitted == 0) spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          graft.streaming.CorpusStreams.corpusStoreSchema)
+        else spark.read.schema(graft.streaming.CorpusStreams.corpusStoreSchema).parquet(corpusDir)
+      val nCand =
+        if (indexed) graft.streaming.NearDupIndex.candidateCount(
+          spark, root.resolve("index").toString,
+          spark.read.parquet(src.toString).select($"doc_id", $"text"), 0.7)
+        else graft.operators.Dedup.crossCandidates(
+          corpusNow.select($"doc_id", $"text"),
+          spark.read.parquet(src.toString).select($"doc_id", $"text"), 0.7).count()
+      reset()
+      java.nio.file.Files.move(src, srcDir.resolve(s"w$w.parquet"))
+      val t0 = System.nanoTime()
+      q.processAllAvailable()
+      val wall = (System.nanoTime() - t0) / 1e9
+      walls += wall
+      val (sw, sr) = shuffle()
+      val admitted = spark.read.parquet(corpusDir).count()
+      println(f"wave $w%3d: wall=$wall%6.2f s  cand=$nCand%8d  admitted=+${admitted - prevAdmitted}%5d (cum $admitted%7d)  shufW=$sw%8.1fMB shufR=$sr%8.1fMB")
+      prevAdmitted = admitted
+      org.apache.spark.sql.graft.CheckpointUtils.sweepUnpinned(spark.sparkContext)
+    }
+    q.stop()
+    val firstAvg = walls.take(3).sum / 3
+    val lastAvg = walls.takeRight(3).sum / 3
+    println(f"per-batch wall first-3 avg ${firstAvg}%.2f s, last-3 avg ${lastAvg}%.2f s, ratio ${lastAvg / firstAvg}%.2f")
+    val expectedClones = nDocs / 100
+    val rejected = nDocs - prevAdmitted
+    println(s"admitted $prevAdmitted of $nDocs (rejected $rejected; planted clones $expectedClones)")
+    assert(rejected >= expectedClones * 9 / 10,
+      "nearly all planted clones must be rejected by the cross-batch probe")
   }
 
   /** Zipf corpus at the natural-text exponent: P(rank = k) ~ 1/k (Zipf's

@@ -106,6 +106,104 @@ class CorpusStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(got.sameElements(Array(1L, 2L)))
   }
 
+  // ---- indexed near-dup intake (NearDupIndex) ----
+
+  /** 120 docs in 6 waves of 20: every (id % 10 == 1) doc is a one-token
+    * edit of doc id-1 (a planted cross/in-wave near-dup), every third doc
+    * opens with a shared 8-token boilerplate header, and ids ≡ 5 mod 40
+    * re-issue the 40-token body of doc id-40 under their own header (a
+    * later-wave high-Jaccard dup).
+    */
+  private def waveDocs(wave: Int): org.apache.spark.sql.DataFrame = {
+    def toks(seed: Long, n: Int) =
+      (1 to n).map(i => s"w${(seed * 31 + i * 7) % 997}").mkString(" ")
+    val rows = (wave * 20 until (wave + 1) * 20).map { id =>
+      val src = if (id % 10 == 1) id - 1 else id
+      val boiler = if (src % 3 == 0) "skip to main content about press subscribe " else ""
+      val body =
+        if (id % 40 == 5 && id >= 40) boiler + toks(id - 40L, 40)
+        else boiler + toks(src.toLong, 40)
+      val text = if (id % 10 == 1) body.dropRight(4) + " zzz9" else body
+      (id.toLong, text)
+    }
+    docsDf(rows: _*)
+  }
+
+  test("indexed admission decisions equal the naive path wave by wave") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ndidx_equiv")
+    val naiveCorpus = base.resolve("naive").toString
+    val idxCorpus = base.resolve("indexed").toString
+    val indexDir = base.resolve("index").toString
+    (0 until 6).foreach { w =>
+      val batch = waveDocs(w)
+      CorpusStreams.admitNearDupBatch(batch, naiveCorpus)
+      NearDupIndex.admitBatch(batch, idxCorpus, indexDir)
+      val a = spark.read.parquet(naiveCorpus).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      val b = spark.read.parquet(idxCorpus).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(a == b, s"wave $w: naive admitted ${a.diff(b)} extra, indexed ${b.diff(a)} extra")
+    }
+    // the run crossed several doubling rebuilds (20 -> ~120 docs), so
+    // frozen-order refreshes happened and decisions still agreed; the
+    // planted near-dups were actually rejected (not a trivial pass)
+    val admitted = spark.read.parquet(idxCorpus).count()
+    assert(admitted < 120, "some planted dups must have been rejected")
+  }
+
+  test("indexed intake streaming query: evolving-corpus admission semantics") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ndidx_intake")
+    val src = base.resolve("src").toString
+    val corpus = base.resolve("corpus").toString
+    val indexDir = base.resolve("index").toString
+    val ckpt = base.resolve("ckpt").toString
+    def toks(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val t1 = toks("a", 40)
+    val tB = toks("b", 40)
+    val t1Near = toks("a", 39) + " zz"
+    val tC = toks("c", 40)
+    val tCNear = toks("c", 39) + " qq"
+    docsDf(1L -> t1, 2L -> tB).coalesce(1).write.parquet(src)
+    val q = NearDupIndex.nearDupIntakeIndexed(
+      spark, src, corpus, indexDir, ckpt, glob = "*.parquet")
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(corpus).select("doc_id")
+        .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+      // same batch-2 scenario as the naive intake test: exact dup,
+      // cross-batch near-dup, fresh, gated, in-batch near-dup of fresh
+      docsDf(11L -> t1.toUpperCase, 12L -> t1Near, 13L -> tC,
+        14L -> "x y z", 15L -> tCNear)
+        .coalesce(1).write.mode("append").parquet(src)
+      q.processAllAvailable()
+      assert(spark.read.parquet(corpus).select("doc_id")
+        .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 13L, 15L))
+    } finally q.stop()
+  }
+
+  test("index rebuild from the corpus restores admission behavior") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ndidx_rebuild")
+    val corpus = base.resolve("corpus").toString
+    val indexDir = base.resolve("index").toString
+    def toks(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    NearDupIndex.admitBatch(
+      docsDf(1L -> toks("a", 40), 2L -> toks("b", 40)), corpus, indexDir)
+    // index lost (crash / deleted): corpus is the source of truth
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).forEach(rm(_))
+      java.nio.file.Files.delete(p)
+    }
+    rm(java.nio.file.Paths.get(indexDir))
+    assert(NearDupIndex.rebuild(spark, corpus, indexDir) == 2L)
+    // a near-dup of doc 1 is still rejected, a fresh doc admitted
+    NearDupIndex.admitBatch(
+      docsDf(10L -> (toks("a", 39) + " zz"), 11L -> toks("c", 40)),
+      corpus, indexDir)
+    assert(spark.read.parquet(corpus).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 11L))
+  }
+
   test("file-stream intake over harness documents matches batch admission") {
     val q = CorpusStreams.intake(CorpusStreams.fileStream(spark, sfDir))
       .writeStream.outputMode("append").format("memory").queryName("intake_file").start()
