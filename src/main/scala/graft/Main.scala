@@ -25,9 +25,11 @@ object Main {
         .getOrElse(Runtime.getRuntime.availableProcessors()),
       limitInputs: Option[Int] = None,
       gcArtifacts: Option[String] = None,
-      releases: Seq[String] = Seq.empty) {
+      releases: Seq[String] = Seq.empty,
+      rebuildIndex: Option[(String, String)] = None) {
     /** Warm-tier maintenance flags short-circuit the ingest pipeline. */
-    def isMaintenance: Boolean = gcArtifacts.nonEmpty || releases.nonEmpty
+    def isMaintenance: Boolean =
+      gcArtifacts.nonEmpty || releases.nonEmpty || rebuildIndex.nonEmpty
   }
 
   def parse(args: Array[String]): Config = {
@@ -46,24 +48,36 @@ object Main {
       // entries for <dir> without writing Scala
       case "--gc-artifacts" :: v :: t => loop(t, c.copy(gcArtifacts = Some(v)))
       case "--release" :: v :: t => loop(t, c.copy(releases = c.releases :+ v))
+      // streaming near-dup index bootstrap/recovery: derive the
+      // NearDupIndex stores from an admitted corpus (migration from the
+      // naive intake, or a lost/stale index — the corpus is the source
+      // of truth)
+      case "--rebuild-index" :: corpus :: index :: t =>
+        loop(t, c.copy(rebuildIndex = Some((corpus, index))))
       case Nil => c
       case x :: _ => throw new IllegalArgumentException(s"unknown arg: $x")
     }
     loop(args.toList, Config())
   }
 
-  /** Warm-tier maintenance entry: `--release <dir>` drops memo entries
-    * (unpins + frees checkpoint blocks, invalidates the fingerprint
-    * cache) for each dir; `--gc-artifacts <root>` then reaps superseded
-    * artifact generations under root. Run from its own fresh session
-    * (this main), no other session can hold artifact-backed memos over
-    * the reaped files — the safety precondition gcArtifacts documents.
-    * Returns the number of generations reaped.
+  /** Maintenance entry: `--release <dir>` drops memo entries (unpins +
+    * frees checkpoint blocks, invalidates the fingerprint cache) for
+    * each dir; `--rebuild-index <corpus> <index>` derives the streaming
+    * near-dup index stores from an admitted corpus;
+    * `--gc-artifacts <root>` reaps superseded artifact generations under
+    * root. Run from its own fresh session (this main), no other session
+    * can hold artifact-backed memos over the reaped files — the safety
+    * precondition gcArtifacts documents. Returns the number of
+    * generations reaped.
     */
   def runMaintenance(spark: SparkSession, cfg: Config): Int = {
     cfg.releases.foreach { d =>
       graft.operators.OpUtils.SessionMemo.releaseAll(spark, d)
       println(s"[graft] released memo entries for $d")
+    }
+    cfg.rebuildIndex.foreach { case (corpus, index) =>
+      val n = graft.streaming.NearDupIndex.rebuild(spark, corpus, index)
+      println(s"[graft] rebuild-index: indexed $n docs from $corpus into $index")
     }
     cfg.gcArtifacts.fold(0) { root =>
       spark.conf.set("spark.graft.artifactDir", root)

@@ -134,6 +134,7 @@ object Analytics {
     *    slice gives the error measurement the 4σ gate needs — HLL error
     *    is cardinality-relative, so a slice with ≥10⁵ distincts per
     *    group exercises the identical register math as the full table.
+    *    Declared (and oracled) as [[q97DistinctCalibrationSlice]].
     *  - '''weekly full-stratum''': for one rotating group-key stratum
     *    (here: one `l_returnflag` value, pushed down as a partition
     *    filter), pay the exact distinct on that stratum only. Rotating
@@ -227,6 +228,48 @@ object Analytics {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** q97 — q42's calibration CADENCE as a declared query: the
+    * exact-vs-sketch 4σ audit over a DETERMINISTIC ~1/4 slice of the
+    * fact table instead of the whole of it. The slice predicate is
+    * `substr(md5(orderkey), 1, 1) IN ('0'..'3')` — engine-portable
+    * (both engines md5 the same decimal string, the q34 panel trick),
+    * scan-parallel (no sample() nondeterminism, no global sort), and
+    * hash-uniform so every group keeps ~¼ of its orders — thousands of
+    * distincts per group at sf0.01+, enough to exercise the identical
+    * HLL register math (error is cardinality-relative). This is the
+    * partition-subset calibration the q42 scaladoc prescribes: at
+    * 100 TB the exact half costs O(slice), the 4σ gate still
+    * hash-fails on a broken sketch, and q96 keeps carrying the
+    * unsliced nightly load. Slicing on the DISTINCT-count key itself
+    * (orderkey) keeps sliced-exact vs sliced-estimate comparable —
+    * both sides see the same ~D/4 population.
+    */
+  def q97DistinctCalibrationSlice(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter(substring(md5($"l_orderkey".cast("string")), 1, 1)
+        .isin("0", "1", "2", "3"))
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_orderkey", hllRsd).as("est_orders"),
+        countDistinct($"l_orderkey").as("exact_orders"),
+        count(lit(1)).as("n"))
+      .select($"l_returnflag", $"exact_orders", $"n",
+        (abs($"est_orders" - $"exact_orders").cast("double") / $"exact_orders"
+          <= lit(4 * hllRsd)).as("orders_in_bounds"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q97Sql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+      |  COUNT(*) AS n,
+      |  TRUE AS orders_in_bounds
+      |FROM lineitem
+      |WHERE substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   /** Range (theta) join: clicks within 30 minutes after a purchase by the
     * same user. The time bound is integer microsecond arithmetic so both
     * engines evaluate the identical predicate. Spark plans the non-equi
@@ -316,10 +359,12 @@ object Analytics {
     "q43_range_join" -> (q43RangeJoin _),
     "q44_rank_variants" -> (q44RankVariants _),
     "q45_json_map" -> (q45JsonMap _),
-    "q96_distinct_sketch" -> (q96DistinctSketch _))
+    "q96_distinct_sketch" -> (q96DistinctSketch _),
+    "q97_distinct_calibration_slice" -> (q97DistinctCalibrationSlice _))
 
   val oracleSql: Map[String, String] = Map(
     "q42_approx_distinct" -> q42Sql,
+    "q97_distinct_calibration_slice" -> q97Sql,
     "q38_cube" -> q38Sql,
     "q39_grouping_sets" -> q39Sql,
     "q40_percentiles" -> q40Sql,

@@ -195,7 +195,11 @@ class CorpusStreamsSpec extends AnyFunSuite with SparkSpec {
       java.nio.file.Files.delete(p)
     }
     rm(java.nio.file.Paths.get(indexDir))
-    assert(NearDupIndex.rebuild(spark, corpus, indexDir) == 2L)
+    // recovery runs through the CLI maintenance surface
+    val cfg = graft.Main.parse(Array("--rebuild-index", corpus, indexDir))
+    assert(cfg.isMaintenance && cfg.rebuildIndex.contains((corpus, indexDir)))
+    graft.Main.runMaintenance(spark, cfg)
+    assert(spark.read.parquet(s"$indexDir/docs").count() == 2L)
     // a near-dup of doc 1 is still rejected, a fresh doc admitted
     NearDupIndex.admitBatch(
       docsDf(10L -> (toks("a", 39) + " zz"), 11L -> toks("c", 40)),
