@@ -81,7 +81,13 @@ object NearDupIndex {
     val p = new org.apache.hadoop.fs.Path(s"$indexDir/meta")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) 0L
-    else spark.read.parquet(s"$indexDir/meta").head().getLong(0)
+    else try spark.read.parquet(s"$indexDir/meta").head().getLong(0)
+    catch {
+      // crash mid-meta-write (empty/partial dir): treat as unknown —
+      // the doubling check then triggers a rebuild, which self-heals
+      // every store from the corpus
+      case _: Exception => 0L
+    }
   }
 
   private def writeMeta(spark: SparkSession, indexDir: String, n: Long): Unit = {
@@ -164,6 +170,17 @@ object NearDupIndex {
       indexRows(graft.operators.Dedup.hxOfDocs(batch),
         readOrEmpty(spark, s"$indexDir/rank", rankSchema), minJaccard),
       minJaccard).count()
+
+  /** Plan view for PlanSpec: the full per-batch rejection pipeline
+    * (index → candidates → verify) over the current stores, no writes —
+    * pins the no-corpus-shuffle property structurally.
+    */
+  private[graft] def batchProbePlan(spark: SparkSession, indexDir: String,
+      batch: DataFrame, minJaccard: Double = 0.7): DataFrame =
+    nearDupBatchIds(spark, indexDir,
+      indexRows(graft.operators.Dedup.hxOfDocs(batch),
+        readOrEmpty(spark, s"$indexDir/rank", rankSchema), minJaccard),
+      minJaccard)
 
   private def nearDupBatchIds(spark: SparkSession, indexDir: String,
       batchIdx: DataFrame, minJaccard: Double): DataFrame = {

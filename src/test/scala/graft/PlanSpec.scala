@@ -193,6 +193,33 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("indexed near-dup probe: stores only scanned, batch broadcast, no corpus-shuffle join") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_ndidx_plan")
+    val corpus = base.resolve("corpus").toString
+    val indexDir = base.resolve("index").toString
+    def toks(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    def docs(ds: (Long, String)*) =
+      ds.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    graft.streaming.NearDupIndex.admitBatch(
+      docs(1L -> toks("a", 40), 2L -> toks("b", 40)), corpus, indexDir)
+    val p = graft.streaming.NearDupIndex.batchProbePlan(
+      spark, indexDir, docs(3L -> (toks("a", 39) + " zz")))
+      .queryExecution.explainString(FormattedMode)
+    // every corpus-sided join must broadcast the batch-derived side: the
+    // persisted px/docs stores are SCANNED, never shuffled — the
+    // property that bounds per-batch cost by batch + candidates
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      "a sort-merge join would shuffle the corpus-sized index store per batch")
+    assert(!p.contains("ShuffledHashJoin"),
+      "a shuffled hash join would shuffle the corpus-sized index store per batch")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("intersectcountsortedlong"),
+      "verification must use the codegen merge-intersection kernel")
+  }
+
   test("custom expressions are codegen-capable (not CodegenFallback)") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
