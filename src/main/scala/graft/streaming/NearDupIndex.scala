@@ -77,22 +77,41 @@ object NearDupIndex {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
-  private def metaCount(spark: SparkSession, indexDir: String): Long = {
+  private def metaRow(spark: SparkSession, indexDir: String): Option[(Long, Double)] = {
     val p = new org.apache.hadoop.fs.Path(s"$indexDir/meta")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) 0L
-    else try spark.read.parquet(s"$indexDir/meta").head().getLong(0)
-    catch {
+    if (!fs.exists(p)) None
+    else try {
+      val r = spark.read.parquet(s"$indexDir/meta").head()
+      Some((r.getLong(0), r.getDouble(1)))
+    } catch {
       // crash mid-meta-write (empty/partial dir): treat as unknown —
       // the doubling check then triggers a rebuild, which self-heals
       // every store from the corpus
-      case _: Exception => 0L
+      case _: Exception => None
     }
   }
 
-  private def writeMeta(spark: SparkSession, indexDir: String, n: Long): Unit = {
+  private def metaCount(spark: SparkSession, indexDir: String): Long =
+    metaRow(spark, indexDir).map(_._1).getOrElse(0L)
+
+  /** Prefix lengths in `px/`/`docs/` are derived FROM the build-time
+    * threshold: probing an index built at t=0.8 with t=0.7 would
+    * silently lose recall (prefixes too short for the looser bound).
+    * The threshold is recorded in meta and enforced on every batch.
+    */
+  private def checkThreshold(spark: SparkSession, indexDir: String,
+      minJaccard: Double): Unit =
+    metaRow(spark, indexDir).foreach { case (_, t) =>
+      require(t == minJaccard,
+        s"index at $indexDir was built for minJaccard=$t, probed with " +
+          s"$minJaccard — prefix lengths would be wrong; rebuild() at the new threshold")
+    }
+
+  private def writeMeta(spark: SparkSession, indexDir: String, n: Long,
+      minJaccard: Double): Unit = {
     import spark.implicits._
-    Seq(n).toDF("n_docs").coalesce(1)
+    Seq((n, minJaccard)).toDF("n_docs", "min_jaccard").coalesce(1)
       .write.mode("overwrite").parquet(s"$indexDir/meta")
   }
 
@@ -227,7 +246,7 @@ object NearDupIndex {
     idx.select(explode($"prefix").as("ph"), $"doc_id", $"n")
       .write.mode("overwrite").parquet(s"$indexDir/px")
     val n = idx.count()
-    writeMeta(spark, indexDir, n)
+    writeMeta(spark, indexDir, n, minJaccard)
     org.apache.spark.sql.graft.CheckpointUtils.sweepUnpinned(spark.sparkContext)
     n
   }
@@ -246,6 +265,10 @@ object NearDupIndex {
       minTokens: Int = 5, minJaccard: Double = 0.7): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
+    checkThreshold(spark, indexDir, minJaccard)
+    // stamp the threshold from the FIRST touch (rebuild refreshes the
+    // count later; a young index must already refuse mismatched probes)
+    if (metaRow(spark, indexDir).isEmpty) writeMeta(spark, indexDir, 0L, minJaccard)
     val corpusPath = new org.apache.hadoop.fs.Path(corpusDir)
     val fs = corpusPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val existingFp: DataFrame =

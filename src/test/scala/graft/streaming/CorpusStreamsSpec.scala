@@ -208,6 +208,29 @@ class CorpusStreamsSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 11L))
   }
 
+  test("index refuses a probe at a different threshold than it was built for") {
+    // prefix lengths derive from the build threshold: probing a t=0.8
+    // index at t=0.7 would silently lose recall, so it must fail fast
+    val base = java.nio.file.Files.createTempDirectory("graft_ndidx_thresh")
+    val corpus = base.resolve("corpus").toString
+    val indexDir = base.resolve("index").toString
+    def toks(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    NearDupIndex.admitBatch(
+      docsDf(1L -> toks("a", 40)), corpus, indexDir, minJaccard = 0.8)
+    val e = intercept[IllegalArgumentException] {
+      NearDupIndex.admitBatch(
+        docsDf(2L -> toks("b", 40)), corpus, indexDir, minJaccard = 0.7)
+    }
+    assert(e.getMessage.contains("0.8") && e.getMessage.contains("0.7"))
+    // same threshold still admits; rebuild() re-bases to a new one
+    NearDupIndex.admitBatch(
+      docsDf(2L -> toks("b", 40)), corpus, indexDir, minJaccard = 0.8)
+    NearDupIndex.rebuild(spark, corpus, indexDir, minJaccard = 0.7)
+    NearDupIndex.admitBatch(
+      docsDf(3L -> toks("c", 40)), corpus, indexDir, minJaccard = 0.7)
+    assert(spark.read.parquet(corpus).count() == 3L)
+  }
+
   test("file-stream intake over harness documents matches batch admission") {
     val q = CorpusStreams.intake(CorpusStreams.fileStream(spark, sfDir))
       .writeStream.outputMode("append").format("memory").queryName("intake_file").start()
