@@ -45,6 +45,11 @@ import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
   * missed pairs; the ScaleEvidence `stream indexed` run measures that
   * drift staying flat at 20× growth.
   *
+  * '''Single writer.''' One intake query per (corpus, index) pair — the
+  * standard streaming-sink contract (the checkpoint serializes batches
+  * within a query; two concurrent queries appending to one corpus would
+  * race the naive path identically).
+  *
   * '''Crash story.''' The index is DERIVED state — the admitted corpus
   * parquet remains the single source of truth. The three stores are
   * appended after the corpus append; a crash between the two leaves the
