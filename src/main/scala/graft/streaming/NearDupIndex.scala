@@ -246,11 +246,16 @@ object NearDupIndex {
     val idx = prefixRowsOf(
       hx.join(spark.read.schema(rankSchema).parquet(s"$indexDir/rank"), Seq("h")),
       minJaccard).localCheckpoint()
-    idx.select($"doc_id", $"harr", $"n")
-      .write.mode("overwrite").parquet(s"$indexDir/docs")
-    idx.select(explode($"prefix").as("ph"), $"doc_id", $"n")
-      .write.mode("overwrite").parquet(s"$indexDir/px")
     val n = idx.count()
+    // compact output: ~100k docs per file up to the core count — rebuild
+    // doubles as store compaction (see the small-files guard in
+    // admitBatch), so its own file count must stay well under the cap
+    val nf = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, n / 100000L)).toInt
+    idx.select($"doc_id", $"harr", $"n")
+      .coalesce(nf).write.mode("overwrite").parquet(s"$indexDir/docs")
+    idx.select(explode($"prefix").as("ph"), $"doc_id", $"n")
+      .coalesce(nf).write.mode("overwrite").parquet(s"$indexDir/px")
     writeMeta(spark, indexDir, n, minJaccard)
     org.apache.spark.sql.graft.CheckpointUtils.sweepUnpinned(spark.sparkContext)
     n
@@ -312,18 +317,45 @@ object NearDupIndex {
     val admittedIdx = batchIdx
       .join(broadcast(admitted.select($"doc_id")), Seq("doc_id"))
       .localCheckpoint()
+    // single-file batch appends: a micro-batch is small by definition,
+    // and one file per batch per store keeps the store file count equal
+    // to the batch count since the last rebuild (not batches × shuffle
+    // partitions) — the small-files guard below then bounds it
     admittedIdx.select($"doc_id", $"harr", $"n")
-      .write.mode("append").parquet(s"$indexDir/docs")
+      .coalesce(1).write.mode("append").parquet(s"$indexDir/docs")
     admittedIdx.select(explode($"prefix").as("ph"), $"doc_id", $"n")
-      .write.mode("append").parquet(s"$indexDir/px")
+      .coalesce(1).write.mode("append").parquet(s"$indexDir/px")
 
-    // doubling refresh: the docs store count now INCLUDES this batch's
-    // append; rebuild when it has reached 2x the last-snapshot size
+    // Rebuild triggers, in priority order:
+    //  - doubling: the docs store count (now INCLUDING this batch's
+    //    append) reached 2x the last-snapshot size — refresh the frozen
+    //    rarity order (amortized O(1)/doc);
+    //  - small-files: a MATURE corpus stops doubling, so append-mode
+    //    stores would otherwise accumulate one file per batch forever
+    //    and per-batch scan cost would become listing/footer-bound.
+    //    Rebuild rewrites every store compactly, so capping the file
+    //    count folds compaction into the existing lifecycle.
     val total = indexedDocCount(spark, indexDir)
-    if (total >= 2 * math.max(1L, metaCount(spark, indexDir)))
+    if (total >= 2 * math.max(1L, metaCount(spark, indexDir)) ||
+        storeFileCount(spark, s"$indexDir/px") > maxStoreFiles(spark))
       rebuild(spark, corpusDir, indexDir, minJaccard)
     org.apache.spark.sql.graft.CheckpointUtils.sweepUnpinned(spark.sparkContext)
   }
+
+  private def storeFileCount(spark: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).count(s => s.isFile && s.getPath.getName.endsWith(".parquet")).toLong
+  }
+
+  /** Max parquet files per store before a compaction rebuild
+    * (`spark.graft.nearDupIndex.maxStoreFiles`, default 512 — at one
+    * file per micro-batch that is 512 batches past the last doubling).
+    */
+  private def maxStoreFiles(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.nearDupIndex.maxStoreFiles")
+      .map(_.toLong).getOrElse(512L)
 
   private def indexedDocCount(spark: SparkSession, indexDir: String): Long = {
     val p = new org.apache.hadoop.fs.Path(s"$indexDir/docs")

@@ -231,6 +231,34 @@ class CorpusStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(corpus).count() == 3L)
   }
 
+  test("mature-corpus small-files guard: file cap triggers a compacting rebuild") {
+    // once doubling stops, append-mode stores would grow one file per
+    // batch forever; the cap folds compaction into the rebuild lifecycle
+    val base = java.nio.file.Files.createTempDirectory("graft_ndidx_files")
+    val corpus = base.resolve("corpus").toString
+    val indexDir = base.resolve("index").toString
+    def toks(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    def pxFiles = new java.io.File(s"$indexDir/px").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    spark.conf.set("spark.graft.nearDupIndex.maxStoreFiles", "3")
+    try {
+      // 20-doc bootstrap: the doubling rebuild compacts px to one file,
+      // and 20 -> 2x=40 is far enough that single-doc batches never double
+      NearDupIndex.admitBatch(
+        docsDf((1L to 20L).map(i => i -> toks(s"p$i", 40)): _*), corpus, indexDir)
+      (21L to 28L).foreach { i =>
+        NearDupIndex.admitBatch(docsDf(i -> toks(s"p$i", 40)), corpus, indexDir)
+        assert(pxFiles <= 4, s"file cap must bound the px store, got $pxFiles")
+      }
+      // the guard rebuilt at least once past the cap, and admissions
+      // still behave: a near-dup of a compacted-in doc is rejected
+      NearDupIndex.admitBatch(
+        docsDf(99L -> (toks("p21", 39) + " qq")), corpus, indexDir)
+      assert(spark.read.parquet(corpus).count() == 28L,
+        "near-dup of an indexed doc must be rejected after compaction")
+    } finally spark.conf.unset("spark.graft.nearDupIndex.maxStoreFiles")
+  }
+
   test("file-stream intake over harness documents matches batch admission") {
     val q = CorpusStreams.intake(CorpusStreams.fileStream(spark, sfDir))
       .writeStream.outputMode("append").format("memory").queryName("intake_file").start()
