@@ -231,6 +231,27 @@ class CorpusStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(corpus).count() == 3L)
   }
 
+  test("indexed near-dup admission is replay-idempotent") {
+    // re-delivered micro-batch (sink-commit lost, foreachBatch replays):
+    // every doc is now an exact dup, so neither the corpus nor the index
+    // stores gain rows
+    val base = java.nio.file.Files.createTempDirectory("graft_ndidx_replay")
+    val corpus = base.resolve("corpus").toString
+    val indexDir = base.resolve("index").toString
+    def toks(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val b = docsDf(1L -> toks("a", 40), 2L -> toks("b", 40))
+    NearDupIndex.admitBatch(b, corpus, indexDir)
+    val once = spark.read.parquet(corpus).collect()
+      .map(_.getAs[Long]("doc_id")).sorted
+    assert(once.sameElements(Array(1L, 2L)))
+    NearDupIndex.admitBatch(b, corpus, indexDir)
+    val twice = spark.read.parquet(corpus).collect()
+      .map(_.getAs[Long]("doc_id")).sorted
+    assert(twice.sameElements(once))
+    assert(spark.read.parquet(s"$indexDir/docs").count() == 2L,
+      "replay must not duplicate index rows")
+  }
+
   test("mature-corpus small-files guard: file cap triggers a compacting rebuild") {
     // once doubling stops, append-mode stores would grow one file per
     // batch forever; the cap folds compaction into the rebuild lifecycle
