@@ -200,17 +200,33 @@ object NearDupIndex {
     * pins the no-corpus-shuffle property structurally.
     */
   private[graft] def batchProbePlan(spark: SparkSession, indexDir: String,
-      batch: DataFrame, minJaccard: Double = 0.7): DataFrame =
-    nearDupBatchIds(spark, indexDir,
-      indexRows(graft.operators.Dedup.hxOfDocs(batch),
-        readOrEmpty(spark, s"$indexDir/rank", rankSchema), minJaccard),
-      minJaccard)
+      batch: DataFrame, minJaccard: Double = 0.7): DataFrame = {
+    // fully symbolic composition (no checkpoint) so the candidate-stage
+    // joins stay visible in the explained plan
+    val bi = indexRows(graft.operators.Dedup.hxOfDocs(batch),
+      readOrEmpty(spark, s"$indexDir/rank", rankSchema), minJaccard)
+    verifyStage(spark, indexDir, bi,
+      candidatePairs(spark, indexDir, bi, minJaccard), minJaccard)
+  }
 
+  /** Near-dup batch ids plus the candidate count the probe generated
+    * (the drift observable the storm guard in [[admitBatch]] acts on).
+    * The candidate relation is checkpointed so counting it and feeding
+    * the verify join are one probe execution, not two.
+    */
   private def nearDupBatchIds(spark: SparkSession, indexDir: String,
-      batchIdx: DataFrame, minJaccard: Double): DataFrame = {
+      batchIdx: DataFrame, minJaccard: Double): (DataFrame, Long) = {
+    val cand = candidatePairs(spark, indexDir, batchIdx, minJaccard).localCheckpoint()
+    (verifyStage(spark, indexDir, batchIdx, cand, minJaccard), cand.count())
+  }
+
+  /** Verify stage: fetch arrays for candidate partners only, exact
+    * merge-intersection Jaccard, emit rejected batch ids.
+    */
+  private def verifyStage(spark: SparkSession, indexDir: String,
+      batchIdx: DataFrame, cand: DataFrame, minJaccard: Double): DataFrame = {
     import spark.implicits._
     val docsStore = readOrEmpty(spark, s"$indexDir/docs", docsSchema)
-    val cand = candidatePairs(spark, indexDir, batchIdx, minJaccard)
     val ca = docsStore.join(broadcast(cand.select($"a_id").distinct()),
         docsStore("doc_id") === $"a_id")
       .select($"a_id", $"harr".as("ha"), $"n".as("na"))
@@ -309,7 +325,7 @@ object NearDupIndex {
       graft.operators.Dedup.hxOfDocs(gated),
       readOrEmpty(spark, s"$indexDir/rank", rankSchema),
       minJaccard).localCheckpoint()
-    val nearDups = nearDupBatchIds(spark, indexDir, batchIdx, minJaccard)
+    val (nearDups, nCand) = nearDupBatchIds(spark, indexDir, batchIdx, minJaccard)
     val admitted = gated.join(broadcast(nearDups), Seq("doc_id"), "left_anti")
       .localCheckpoint()
     admitted.select($"doc_id", $"source", $"fp", $"n_tokens", $"text")
@@ -334,13 +350,32 @@ object NearDupIndex {
     //    stores would otherwise accumulate one file per batch forever
     //    and per-batch scan cost would become listing/footer-bound.
     //    Rebuild rewrites every store compactly, so capping the file
-    //    count folds compaction into the existing lifecycle.
+    //    count folds compaction into the existing lifecycle;
+    //  - storm: candidate volume way out of proportion to the batch
+    //    (measured: a fresh site-wide boilerplate header post-snapshot
+    //    has df 0 = "rarest", floods every prefix, and candidates jump
+    //    3-4 orders). Bounded by batch-pair count so it completes
+    //    regardless, but on a MATURE corpus nothing else would refresh
+    //    the snapshot — rebuilding now makes the next batch clean
+    //    instead of waiting out the file cap.
     val total = indexedDocCount(spark, indexDir)
+    val batchRows = batchIdx.count()
     if (total >= 2 * math.max(1L, metaCount(spark, indexDir)) ||
-        storeFileCount(spark, s"$indexDir/px") > maxStoreFiles(spark))
+        storeFileCount(spark, s"$indexDir/px") > maxStoreFiles(spark) ||
+        nCand > stormFactor(spark) * math.max(1L, batchRows))
       rebuild(spark, corpusDir, indexDir, minJaccard)
     org.apache.spark.sql.graft.CheckpointUtils.sweepUnpinned(spark.sparkContext)
   }
+
+  /** Candidates-per-batch-row ratio above which the frozen snapshot is
+    * considered drift-poisoned and refreshed
+    * (`spark.graft.nearDupIndex.stormCandidateFactor`, default 32 — the
+    * measured healthy drift ceiling is ~1.5 candidates/row; a
+    * boilerplate storm measures in the hundreds).
+    */
+  private def stormFactor(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.nearDupIndex.stormCandidateFactor")
+      .map(_.toLong).getOrElse(32L)
 
   private def storeFileCount(spark: SparkSession, dir: String): Long = {
     val p = new org.apache.hadoop.fs.Path(dir)

@@ -53,7 +53,8 @@ object ScaleEvidence {
       // clone into one wave instead of spreading rejections across the run
       case "stream" => stream(spark, args.lift(1).map(_.toInt).getOrElse(20000),
         args.lift(2).map(_.toInt).getOrElse(21), resetShuffle _, () => shuffleMB,
-        indexed = args.lift(3).contains("indexed"))
+        indexed = args.drop(3).contains("indexed"),
+        storm = args.drop(3).contains("storm"))
       case "probe" => probe()
       case other => sys.error(s"unknown mode $other (ssjoin|skew|stream|probe)")
     }
@@ -63,9 +64,15 @@ object ScaleEvidence {
   /** The ssjoin Zipf document frame (see [[ssjoin]] doc for the
     * construction: Zipf tokens, planted near-dup clones every 100th doc,
     * 30% boilerplate headers) — shared by the batch and streaming
-    * stress modes.
+    * stress modes. With `stormWave >= 0` (streaming mode), every doc in
+    * wave `doc_id % nWaves >= stormWave` opens with a NEW 10-token
+    * header no earlier doc carries — a site-redesign boilerplate storm,
+    * the adversarial case for a FROZEN rarity snapshot (the fresh
+    * header's shingles have df 0 in the snapshot, so they flood
+    * prefixes until the next rebuild demotes them).
     */
-  private def zipfDocs(spark: org.apache.spark.sql.SparkSession, nDocs: Int): DataFrame = {
+  private def zipfDocs(spark: org.apache.spark.sql.SparkSession, nDocs: Int,
+      stormWave: Int = -1, nWaves: Int = 1): DataFrame = {
     import spark.implicits._
     val vocab = 100000L
     val m = 1000000L
@@ -74,8 +81,10 @@ object ScaleEvidence {
     val u = (pmod(xxhash64(srcId, $"pos"), lit(m)).cast("double") + 1.0) / m.toDouble
     val rank = least(lit(vocab), floor(pow(lit(vocab.toDouble), u))).cast("long")
     val boiler = pmod(xxhash64(srcId, lit(99)), lit(10L)) < 3 && $"pos" < 10
+    val storm = lit(stormWave >= 0) && $"doc_id" % nWaves >= stormWave && $"pos" < 10
     val tok = when($"doc_id" % 100 === 1 && $"pos" === docLen - 1,
       concat(lit("x"), $"doc_id"))
+      .when(storm, concat(lit("strm"), $"pos"))
       .when(boiler, concat(lit("hdr"), $"pos"))
       .otherwise(concat(lit("t"), rank))
     spark.range(nDocs.toLong).select($"id".as("doc_id"))
@@ -100,16 +109,18 @@ object ScaleEvidence {
     */
   private def stream(spark: org.apache.spark.sql.SparkSession, nDocs: Int,
       nWaves: Int, reset: () => Unit, shuffle: () => (Double, Double),
-      indexed: Boolean): Unit = {
+      indexed: Boolean, storm: Boolean = false): Unit = {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_stream_stress")
     val srcDir = root.resolve("src"); java.nio.file.Files.createDirectories(srcDir)
     val corpusDir = root.resolve("corpus").toString
     val ckpt = root.resolve("ckpt").toString
     val staged = root.resolve("waves")
-    val label = if (indexed) "INDEXED (NearDupIndex)" else "naive (re-shingle per batch)"
+    val stormWave = if (storm) nWaves / 2 else -1
+    val label = (if (indexed) "INDEXED (NearDupIndex)" else "naive (re-shingle per batch)") +
+      (if (storm) s", boilerplate STORM from wave $stormWave" else "")
     println(s"== Streaming near-dup intake stress [$label]: $nDocs Zipf docs in $nWaves waves ==")
-    val docs = zipfDocs(spark, nDocs).localCheckpoint()
+    val docs = zipfDocs(spark, nDocs, stormWave, nWaves).localCheckpoint()
     (0 until nWaves).foreach { w =>
       docs.filter($"doc_id" % nWaves === w)
         .coalesce(1).write.parquet(staged.resolve(s"w$w").toString)
