@@ -16,9 +16,14 @@ import graft.operators.{Dedup, Joins}
   *  - `skew [nRows]` — a deliberately skewed join (one key = 50% of
   *    rows) with broadcast disabled, showing AQE's skew-split activating
   *    in the post-execution plan vs the manual salted-join path.
+  *  - `stream [nDocs] [nWaves] [indexed] [storm]` — the Zipf corpus
+  *    arriving as micro-batches through the streaming near-dup intake
+  *    (naive or NearDupIndex-indexed), recording per-batch wall, shuffle
+  *    and candidate volume; `storm` plants a fresh boilerplate header
+  *    from the midpoint wave (the frozen-snapshot adversarial case).
   *  - `probe` — Iceberg / S3A classpath probes (S13/S11 env gates).
   *
-  * `tools/run.sh graft.tools.ScaleEvidence ssjoin|skew|probe [n]`
+  * `tools/run.sh graft.tools.ScaleEvidence ssjoin|skew|stream|probe [args]`
   */
 object ScaleEvidence {
 
