@@ -53,9 +53,12 @@ import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
   * '''Crash story.''' The index is DERIVED state — the admitted corpus
   * parquet remains the single source of truth. The three stores are
   * appended after the corpus append; a crash between the two leaves the
-  * index missing at most one batch's rows, which [[rebuild]] (or
-  * deleting `indexDir`) restores from the corpus. Exactly-once admission
-  * itself rides the streaming checkpoint, as in the naive path.
+  * index missing at most one batch's rows, which the NEXT batch detects
+  * (corpus row count ≠ index row count — both parquet-footer metadata
+  * reads) and self-heals with an in-line [[rebuild]]; the same check
+  * auto-bootstraps an intake pointed at a pre-existing (naive-path)
+  * corpus. Exactly-once admission itself rides the streaming
+  * checkpoint, as in the naive path.
   */
 object NearDupIndex {
 
@@ -283,9 +286,11 @@ object NearDupIndex {
     * indexed corpus, append survivors to the corpus AND the index, and
     * refresh the frozen rank snapshot when the corpus has doubled.
     *
-    * The index must correspond to the corpus: over a PRE-EXISTING corpus
-    * (migration from the naive path, a deleted index), call [[rebuild]]
-    * once to bootstrap — an empty index sees no near-dup partners.
+    * Over a PRE-EXISTING corpus (migration from the naive path, a
+    * deleted index) the first batch's divergence check rebuilds the
+    * index automatically — though THAT batch's near-dup probe ran
+    * against the not-yet-built index, so call [[rebuild]] up front when
+    * the first batch must already reject against old content.
     */
   def admitBatch(batch: DataFrame, corpusDir: String, indexDir: String,
       minTokens: Int = 5, minJaccard: Double = 0.7): Unit = {
@@ -357,10 +362,21 @@ object NearDupIndex {
     //    3-4 orders). Bounded by batch-pair count so it completes
     //    regardless, but on a MATURE corpus nothing else would refresh
     //    the snapshot — rebuilding now makes the next batch clean
-    //    instead of waiting out the file cap.
+    //    instead of waiting out the file cap;
+    //  - divergence: the corpus and the index disagree on row count — a
+    //    crash between the corpus append and the index append (the
+    //    replayed batch is exact-dup-gated out, so the appends never
+    //    re-run), or an intake pointed at a pre-existing/naive-path
+    //    corpus without a bootstrap rebuild(). Either way docs exist
+    //    that the index cannot see — a silent recall gap — so rebuild
+    //    NOW from the source of truth rather than waiting out the file
+    //    cap. Both counts are parquet-footer metadata reads.
     val total = indexedDocCount(spark, indexDir)
+    val corpusTotal =
+      spark.read.schema(CorpusStreams.corpusStoreSchema).parquet(corpusDir).count()
     val batchRows = batchIdx.count()
     if (total >= 2 * math.max(1L, metaCount(spark, indexDir)) ||
+        corpusTotal != total ||
         storeFileCount(spark, s"$indexDir/px") > maxStoreFiles(spark) ||
         nCand > stormFactor(spark) * math.max(1L, batchRows))
       rebuild(spark, corpusDir, indexDir, minJaccard)

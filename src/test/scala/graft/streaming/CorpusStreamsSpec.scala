@@ -252,6 +252,32 @@ class CorpusStreamsSpec extends AnyFunSuite with SparkSpec {
       "replay must not duplicate index rows")
   }
 
+  test("corpus/index divergence self-heals on the next batch") {
+    // crash between corpus append and index append: the replayed batch
+    // is exact-dup-gated out, so without the divergence check those docs
+    // would stay invisible to the near-dup probe (a silent recall gap)
+    val base = java.nio.file.Files.createTempDirectory("graft_ndidx_diverge")
+    val corpus = base.resolve("corpus").toString
+    val indexDir = base.resolve("index").toString
+    def toks(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    NearDupIndex.admitBatch(docsDf(1L -> toks("a", 40)), corpus, indexDir)
+    // simulate the crash: doc 2 lands in the corpus with NO index rows
+    // (same columns admitBatch writes)
+    val t2 = toks("b", 40)
+    Seq((2L, "src0", "fp-crash", 40L, t2))
+      .toDF("doc_id", "source", "fp", "n_tokens", "text")
+      .coalesce(1).write.mode("append").parquet(corpus)
+    // next batch: divergence detected -> in-line rebuild indexes doc 2...
+    NearDupIndex.admitBatch(docsDf(3L -> toks("c", 40)), corpus, indexDir)
+    assert(spark.read.parquet(s"$indexDir/docs").count() == 3L,
+      "divergence must trigger a rebuild that indexes the orphaned doc")
+    // ...so a near-dup of the once-orphaned doc 2 is rejected again
+    NearDupIndex.admitBatch(
+      docsDf(9L -> (toks("b", 39) + " qq")), corpus, indexDir)
+    assert(spark.read.parquet(corpus).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+  }
+
   test("mature-corpus small-files guard: file cap triggers a compacting rebuild") {
     // once doubling stops, append-mode stores would grow one file per
     // batch forever; the cap folds compaction into the rebuild lifecycle
