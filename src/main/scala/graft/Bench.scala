@@ -145,7 +145,15 @@ object Bench {
     // sit at the END, after the bulky per-rep detail. The FULL line is
     // also mirrored to a repo-local file so every field (reps, loads,
     // GC) stays adjudicable regardless of the tail window.
-    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","reps":$repsJson,$suite,"queries":$qs,"memo_build":$mb,"sf":"$sfDir"}"""
+    // Loud-failure + toolchain canary (both deliberately near the END of
+    // the line so they survive the driver's tail window): a query that
+    // threw in every rep is named in "failed" — a sentinel-only -1 hiding
+    // mid-line is how round 8 lost 14 queries without one red flag — and
+    // "spark_version" stamps which runtime produced these numbers, so a
+    // silent toolchain swap is visible in the artifact diff.
+    val failed = results.collect { case (n, v) if v < 0 => "\"" + n + "\"" }
+      .mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","reps":$repsJson,$suite,"queries":$qs,"memo_build":$mb,"sf":"$sfDir","spark_version":"${spark.version}","failed":$failed}"""
     println(line)
     val mirror = sys.env.getOrElse("SPARK_GRAFT_BENCH_COPY", "/root/repo/BENCH_LOCAL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(mirror),

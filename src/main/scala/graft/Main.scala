@@ -26,7 +26,8 @@ object Main {
       limitInputs: Option[Int] = None,
       gcArtifacts: Option[String] = None,
       releases: Seq[String] = Seq.empty,
-      rebuildIndex: Option[(String, String)] = None) {
+      rebuildIndex: Option[(String, String)] = None,
+      smoke: Option[String] = None) {
     /** Warm-tier maintenance flags short-circuit the ingest pipeline. */
     def isMaintenance: Boolean =
       gcArtifacts.nonEmpty || releases.nonEmpty || rebuildIndex.nonEmpty
@@ -54,6 +55,11 @@ object Main {
       // of truth)
       case "--rebuild-index" :: corpus :: index :: t =>
         loop(t, c.copy(rebuildIndex = Some((corpus, index))))
+      // 10-second pre-flight: flagship query + one events-table query
+      // against <sfDir>; exit non-zero on any failure — the check that
+      // would have caught round 8's silent toolchain swap before a full
+      // bench ran
+      case "--smoke" :: v :: t => loop(t, c.copy(smoke = Some(v)))
       case Nil => c
       case x :: _ => throw new IllegalArgumentException(s"unknown arg: $x")
     }
@@ -113,15 +119,41 @@ object Main {
     spark.read.parquet(cfg.out).count()
   }
 
+  /** Pre-flight: the flagship query plus one events-table query (the
+    * type-sensitive load round 8's toolchain swap broke) must both
+    * produce rows. Returns the failures as name → message; empty = go.
+    */
+  def runSmoke(spark: SparkSession, sfDir: String): Seq[(String, String)] = {
+    val probes: Seq[(String, () => Long)] = Seq(
+      "entry" -> (() => SparkEntry.entry(spark).count()),
+      "q20_json_extract" -> (() => SparkEntry.queries("q20_json_extract")(spark, sfDir).count()))
+    probes.flatMap { case (name, go) =>
+      try { if (go() > 0) None else Some(name -> "returned 0 rows") }
+      catch { case e: Throwable =>
+        Some(name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val cfg = parse(args)
     val spark = graft.core.Sessions.local(cfg.cores)
     spark.sparkContext.setLogLevel("WARN")
-    if (cfg.isMaintenance) runMaintenance(spark, cfg)
-    else {
-      val n = run(spark, cfg)
-      println(s"[graft] wrote $n trip rows to ${cfg.out}")
+    cfg.smoke match {
+      case Some(sfDir) =>
+        val failures = runSmoke(spark, sfDir)
+        println(s"[graft] smoke on Spark ${spark.version} at $sfDir: " +
+          (if (failures.isEmpty) "OK" else s"FAILED ${failures.map(_._1).mkString(",")}"))
+        failures.foreach { case (n, m) => System.err.println(s"[graft] smoke $n: $m") }
+        spark.stop()
+        if (failures.nonEmpty) sys.exit(1)
+      case None =>
+        if (cfg.isMaintenance) runMaintenance(spark, cfg)
+        else {
+          val n = run(spark, cfg)
+          println(s"[graft] wrote $n trip rows to ${cfg.out}")
+        }
+        spark.stop()
     }
-    spark.stop()
   }
 }

@@ -14,11 +14,18 @@ object Verify {
     val spark = graft.core.Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // name → exception message for every declared query that throws.
+    // Round 8 lost 14 queries because errors only went to stderr while
+    // the process exited 0 — the driver's correctness file then OMITTED
+    // them (silently green-looking) instead of recording failures. Now
+    // any error lands in verify_errors.json AND flips the exit code.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
       }
       // drop localCheckpoint blocks left by sketch queries, keeping the
       // session-pinned memo tables (see Bench)
@@ -39,6 +46,19 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Toolchain canary + loud failures: which Spark produced this dump,
+    // and every query that threw (empty map on a clean run). Written as
+    // a SEPARATE file so the driver's strict name→sql parse of
+    // oracle_sql.json is untouched.
+    val ran = SparkEntry.queries.count(kv => keep(kv._1))
+    val errJson = s"""{"spark_version": ${q(spark.version)}, "declared": ${SparkEntry.queries.size}, "ran": $ran, "dumped": ${ran - errors.size}, "errors": ${
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    }}"""
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"[verify] ${errors.size} quer${if (errors.size == 1) "y" else "ies"} FAILED: ${errors.keys.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -51,12 +51,15 @@ object Sessions {
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries TIMESTAMP(NANOS), which the vectorized
-      // reader rejects; read nanos as raw longs session-wide (the
-      // Tables.events loader does the integer-division truncation).
-      // Set here, not in the loader: a conf mutated inside a read is
-      // global and order-dependent for every other parquet read.
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Spark-3-era `spark.sql.legacy.parquet.nanosAsLong` is no longer
+      // set: the harness now ships events.ts as TIMESTAMP(MICROS,
+      // isAdjustedToUTC=false) — which that conf never touched — and
+      // `Tables.normalizeEventTs` adapts to whichever type the scan
+      // yields (raw long nanos, TIMESTAMP_NTZ, or TIMESTAMP), so no
+      // reader conf is needed on any toolchain generation.
+      // The rebase confs below still exist on 4.1.2 (verified against
+      // the installed jar); CORRECTED skips the per-file legacy-hybrid
+      // calendar check on write, and all harness data is post-1900.
       .config("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
       .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
       .config("spark.ui.enabled", "false")

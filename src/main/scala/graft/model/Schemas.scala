@@ -65,10 +65,25 @@ object Schemas {
     StructField("birth_year", IntegerType),
     StructField("gender", StringType)))
 
-  /** events table (driver harness), read-side schema with raw nano ts. */
+  /** events table (driver harness), read-side schema with raw nano ts —
+    * matches parquet TIMESTAMP(NANOS) files under Spark 3's nanosAsLong.
+    */
   val eventsRaw: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType), // TIMESTAMP(NANOS) read as raw nanos
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** events table, read-side schema for parquet TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) files, which Spark 4 surfaces as
+    * TIMESTAMP_NTZ. `Tables.normalizeEventTs` canonicalizes either
+    * variant to session-UTC TIMESTAMP.
+    */
+  val eventsNtz: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),

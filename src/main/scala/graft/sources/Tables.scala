@@ -23,19 +23,45 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = apply(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    * ([PARQUET_TYPE_ILLEGAL]). The nanosAsLong legacy conf is set ONCE in
-    * `Sessions.builder` (a session-wide reader setting, not a loader side
-    * effect); this loader truncates the raw nanos to microseconds with
-    * *integer* division (ns epoch values ~1.7e18 exceed double's 53-bit
-    * exact range, so `/ 1000.0` would corrupt microseconds) — matching
-    * DuckDB's own nanos→micros truncation so event queries stay
-    * oracle-comparable.
+  /** `events.ts` has shipped in two parquet encodings across harness
+    * generations, so the loader adapts to whatever type the scan yields
+    * instead of assuming one toolchain:
+    *
+    *  - TIMESTAMP(NANOS): Spark 3's reader rejected it unless
+    *    `spark.sql.legacy.parquet.nanosAsLong` surfaced it as raw longs —
+    *    that path truncates nanos→micros with *integer* division (ns epoch
+    *    values ~1.7e18 exceed double's 53-bit exact range, so `/ 1000.0`
+    *    would corrupt microseconds), matching DuckDB's own truncation.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 reads it as
+    *    TIMESTAMP_NTZ; the session is pinned UTC, so the cast to the
+    *    session timestamp type is micros-identical to DuckDB's naive
+    *    TIMESTAMP read.
+    *
+    * Either way downstream queries see one canonical `ts: TIMESTAMP`
+    * (session-UTC), and the oracle comparison stays hash-exact.
     */
   def events(spark: SparkSession, dir: String): DataFrame =
-    apply(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeEventTs(apply(spark, dir, "events"))
+
+  /** Canonicalize an events-shaped frame's `ts` to session-UTC TIMESTAMP,
+    * whatever on-disk encoding the scan surfaced (see [[events]]). Shared
+    * with the streaming reader so batch and stream agree byte-for-byte.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType => // raw nanos (Spark 3 nanosAsLong era)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => // Spark 4 NTZ read of naive micros
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df // already session-tz micros
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts arrived as unsupported type $other; expected " +
+          "LongType (nanosAsLong), TIMESTAMP_NTZ, or TIMESTAMP")
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 

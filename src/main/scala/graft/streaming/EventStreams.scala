@@ -17,16 +17,30 @@ import graft.model.Schemas
   */
 object EventStreams {
 
-  /** File-based stream over events-shaped parquet. Schema must be declared
-    * for streaming reads; ts arrives as raw nanos (nanosAsLong is set in
-    * Sessions.builder, session-wide) and is truncated to micros the same
-    * way as Tables.events.
+  /** File-based stream over events-shaped parquet. Streaming reads require
+    * a declared schema, but the on-disk `ts` encoding differs by harness
+    * generation (raw nanos-as-long under Spark 3's legacy conf vs
+    * TIMESTAMP_NTZ micros under Spark 4 — see `Tables.events`). A one-time
+    * batch probe of the same path (footer read only, no data scan) picks
+    * the matching read schema; an empty/not-yet-populated source dir falls
+    * back to the current-toolchain NTZ shape. Either way
+    * `Tables.normalizeEventTs` canonicalizes to session-UTC TIMESTAMP so
+    * stream and batch semantics agree byte-for-byte.
     */
   def fileStream(spark: SparkSession, dir: String, globFilter: Option[String] = None): DataFrame = {
-    val r = spark.readStream.schema(Schemas.eventsRaw)
+    val probed: Option[org.apache.spark.sql.types.DataType] =
+      scala.util.Try {
+        val b = spark.read
+        globFilter.foreach(g => b.option("pathGlobFilter", g))
+        b.parquet(dir).schema("ts").dataType
+      }.toOption
+    val schema = probed match {
+      case Some(org.apache.spark.sql.types.LongType) => Schemas.eventsRaw
+      case _                                         => Schemas.eventsNtz
+    }
+    val r = spark.readStream.schema(schema)
     globFilter.foreach(g => r.option("pathGlobFilter", g))
-    r.parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.sources.Tables.normalizeEventTs(r.parquet(dir))
   }
 
   /** Continuous warehouse load — the reference's CSV→postgres ETL
