@@ -48,6 +48,49 @@ object Events {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Variant-native JSON path (Spark 4 `VariantType`): `parse_json` decodes
+    * `props` ONCE into Spark's binary semi-structured encoding, then every
+    * downstream access (`variant_get` / `try_variant_get`, here three typed
+    * extractions) is an O(field-seek) binary read — no re-parse per access,
+    * unlike the string path in [[q20JsonExtract]] where each
+    * `get_json_object` call re-tokenizes the JSON text. At 100 TB the
+    * production form of this is parse-at-ingest: materialize the variant
+    * column to parquet (Spark 4 writes/reads VariantType natively — pinned
+    * by EventsSpec's round-trip test) so the corpus never stores or
+    * re-parses JSON text again; this query is that read-side shape.
+    * `try_variant_get` on a missing path shows the total (non-throwing)
+    * access form used for schema-drifting inputs. Oracle: DuckDB's json
+    * functions over the same strings produce identical scalars.
+    */
+  def q98VariantProps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      // single-row-group input: parallelize the per-row parse
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("v", parse_json($"props"))
+      .withColumn("k_long", variant_get($"v", "$.k", "long"))
+      .withColumn("k_str", variant_get($"v", "$.k", "string"))
+      .withColumn("k_absent", try_variant_get($"v", "$.absent", "long"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        count($"k_long").as("n_k"),
+        sum($"k_long").as("sum_k"),
+        max($"k_str").as("max_k_str"),
+        count($"k_absent").as("n_absent"))
+      .orderBy($"event_type")
+  }
+
+  val q98Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  MAX(json_extract_string(props, '$.k')) AS max_k_str,
+      |  COUNT(CAST(json_extract_string(props, '$.absent') AS BIGINT)) AS n_absent
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** Tumbling one-hour windows (batch form of
     * `groupBy(window($"ts","1 hour"))`): bucket = date_trunc so the oracle
     * can express the identical grid.
@@ -432,6 +475,7 @@ object Events {
     "q67_outlier_flags" -> (q67OutlierFlags _),
     "q60_pseudonymize" -> (q60Pseudonymize _),
     "q20_json_extract" -> (q20JsonExtract _),
+    "q98_variant_props" -> (q98VariantProps _),
     "q21_hourly_windows" -> (q21HourlyWindows _),
     "q22_sliding_windows" -> (q22SlidingWindows _),
     "q23_sessionize" -> (q23Sessionize _),
@@ -445,6 +489,7 @@ object Events {
     "q67_outlier_flags" -> q67Sql,
     "q60_pseudonymize" -> q60Sql,
     "q20_json_extract" -> q20Sql,
+    "q98_variant_props" -> q98Sql,
     "q21_hourly_windows" -> q21Sql,
     "q22_sliding_windows" -> q22Sql,
     "q23_sessionize" -> q23Sql,

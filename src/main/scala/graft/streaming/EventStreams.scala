@@ -144,4 +144,82 @@ object EventStreams {
           Iterator.single(next)
         })
   }
+
+  /** Spark 4's arbitrary-state v2 (`transformWithState` +
+    * [[org.apache.spark.sql.streaming.StatefulProcessor]]): inactivity-gap
+    * sessionization with an EXPLICIT event-time timer per user. The
+    * built-in `session_window` (see [[sessionCounts]]) fixes the payload
+    * and the close policy; a StatefulProcessor owns both — typed
+    * `ValueState` merged per micro-batch, a timer re-armed to
+    * `last event + gap` on every arrival, and the session record emitted
+    * from `handleExpiredTimer` when the WATERMARK (not wall clock) passes
+    * that deadline. State is per-key, O(1) per user, sharded with the
+    * user_id shuffle, and deleted on emit, so the state store holds only
+    * OPEN sessions at any scale. Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`), which is also the
+    * right provider at 100 TB: changelog-checkpointed, spills off-heap.
+    * (For state that should instead expire silently, the v2 API's
+    * per-state `TTLConfig` does it without timer code — not needed here
+    * because emit-then-clear IS this operator's lifecycle.)
+    */
+  final case class SessionEvent(ts: java.sql.Timestamp, user_id: Long, value: Double)
+  final case class OpenSession(n_events: Long, sum_value: Double, first_ms: Long, last_ms: Long)
+  final case class SessionRecord(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+
+  final class InactivitySessionizer(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SessionEvent, SessionRecord] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, ExpiredTimerInfo, TTLConfig, ValueState}
+    @transient private var open: ValueState[OpenSession] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[OpenSession]("open",
+        org.apache.spark.sql.Encoders.product[OpenSession], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[SessionEvent],
+        timers: TimerValues): Iterator[SessionRecord] = {
+      var s = if (open.exists()) open.get() else OpenSession(0L, 0.0, Long.MaxValue, Long.MinValue)
+      rows.foreach { e =>
+        val ms = e.ts.getTime
+        s = OpenSession(s.n_events + 1, s.sum_value + e.value,
+          math.min(s.first_ms, ms), math.max(s.last_ms, ms))
+      }
+      open.update(s)
+      // one armed timer per user: re-arm to the new inactivity deadline
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(s.last_ms + gapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(user: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[SessionRecord] = {
+      val out =
+        if (!open.exists()) Iterator.empty
+        else {
+          val s = open.get()
+          Iterator.single(SessionRecord(user,
+            new java.sql.Timestamp(s.first_ms), new java.sql.Timestamp(s.last_ms),
+            s.n_events, s.sum_value))
+        }
+      open.clear()
+      out
+    }
+  }
+
+  /** Sessionize a typed event stream with [[InactivitySessionizer]]:
+    * watermark-driven, append-mode, 30-minute default gap (the q23 /
+    * `sessionCounts` gap, so all three sessionization forms agree on
+    * boundaries).
+    */
+  def sessionizeWithState(events: org.apache.spark.sql.Dataset[SessionEvent],
+      gapMs: Long = 30L * 60 * 1000, watermarkDelay: String = "2 hours")
+      : org.apache.spark.sql.Dataset[SessionRecord] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(new InactivitySessionizer(gapMs),
+        TimeMode.EventTime, OutputMode.Append)
+  }
 }

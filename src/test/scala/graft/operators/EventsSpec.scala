@@ -170,4 +170,43 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     assert(salted.nonEmpty)
     assert(salted == plain)
   }
+
+  test("q98 variant path agrees with the q20 string path on shared aggregates") {
+    import org.apache.spark.sql.functions._
+    val v = Events.q98VariantProps(spark, sfDir)
+      .select($"event_type", $"n", $"sum_k").collect().map(_.toSeq).toSeq
+    val s = Events.q20JsonExtract(spark, sfDir)
+      .select($"event_type", $"n", $"sum_k").collect().map(_.toSeq).toSeq
+    assert(v.nonEmpty && v == s)
+  }
+
+  test("schema_of_variant_agg gives the corpus-wide props schema (drift census)") {
+    // the schema-drift detector for semi-structured columns: one
+    // aggregate over the variant column yields the merged observed schema
+    import org.apache.spark.sql.functions._
+    val schema = graft.sources.Tables.events(spark, sfDir)
+      .select(schema_of_variant_agg(parse_json($"props")).as("s"))
+      .head().getString(0)
+    assert(schema == "OBJECT<k: BIGINT>" || schema == "STRUCT<k: BIGINT>", schema)
+  }
+
+  test("VariantType round-trips through parquet (parse-at-ingest shape)") {
+    // the 100 TB form of q98: parse JSON once at ingest, store the variant
+    // column in parquet, extract on read without ever re-parsing text
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("variant_rt").toString
+    val src = Seq((1L, """{"k": 7, "tag": "a"}"""), (2L, """{"k": 35}"""))
+      .toDF("id", "props")
+    src.select($"id", parse_json($"props").as("v"))
+      .write.mode("overwrite").parquet(s"$dir/variant")
+    val back = spark.read.parquet(s"$dir/variant")
+    assert(back.schema("v").dataType ===
+      org.apache.spark.sql.types.VariantType)
+    val got = back
+      .select($"id",
+        variant_get($"v", "$.k", "long").as("k"),
+        try_variant_get($"v", "$.tag", "string").as("tag"))
+      .orderBy($"id").collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2))))
+    assert(got.toSeq === Seq((1L, 7L, Some("a")), (2L, 35L, None)))
+  }
 }

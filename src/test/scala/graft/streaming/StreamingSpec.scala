@@ -177,6 +177,47 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState sessionizer emits on watermark-passed inactivity gaps") {
+    // Spark 4 arbitrary-state v2: sessions close when the WATERMARK passes
+    // last-event + gap (event-time timers), not when new data for the user
+    // arrives. RocksDB provider is required by transformWithState; restore
+    // the default after so other suites keep the HDFS-backed store.
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[EventStreams.SessionEvent]
+    val q = EventStreams.sessionizeWithState(mem.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("tws_sessions").start()
+    try {
+      // user 1: two events 10 min apart; user 2: one event — all open
+      mem.addData(EventStreams.SessionEvent(t(0), 1, 2.0),
+        EventStreams.SessionEvent(t(10), 1, 3.0),
+        EventStreams.SessionEvent(t(5), 2, 7.0))
+      q.processAllAvailable()
+      assert(spark.table("tws_sessions").isEmpty) // watermark hasn't moved yet
+      // an event far in the future advances the watermark (2h delay) past
+      // every open deadline (last + 30 min) -> both sessions emit
+      mem.addData(EventStreams.SessionEvent(t(300), 3, 1.0))
+      q.processAllAvailable()
+      // timers fire on the batch AFTER the watermark update is committed
+      mem.addData(EventStreams.SessionEvent(t(301), 3, 1.0))
+      q.processAllAvailable()
+      val got = spark.table("tws_sessions")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3), r.getDouble(4))).sortBy(_._1)
+      assert(got.length == 2)
+      assert(got(0) == ((1L, t(0), t(10), 2L, 5.0)))
+      assert(got(1) == ((2L, t(5), t(5), 1L, 7.0)))
+      // user 3's session is still open (watermark hasn't passed its gap)
+      assert(!got.exists(_._1 == 3L))
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
+    }
+  }
+
   test("checkpointed file-sink query resumes exactly-once after restart") {
     import java.nio.file.Files
     val base = Files.createTempDirectory("graft_ckpt").toString
@@ -202,6 +243,42 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val out = spark.read.parquet(outDir)
     assert(out.count() == 15)
     assert(out.select("user_id").distinct().count() == 15) // no reprocessing
+  }
+
+  test("transformWithState sessionizer recovers state and timers across restart") {
+    // RocksDB state (open sessions + armed timers) must survive a
+    // stop/restart from the checkpoint: sessions opened before the
+    // restart emit exactly once after it, from the recovered state.
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_tws_ckpt").toString
+    val (srcDir, outDir, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+    val prevProvider = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def writeBatch(evs: Seq[EventStreams.SessionEvent]): Unit =
+        evs.toDF().coalesce(1).write.mode("append").parquet(srcDir)
+      val schema = Seq(EventStreams.SessionEvent(t(0), 0L, 0.0)).toDF().schema
+      def start() = EventStreams.sessionizeWithState(
+          spark.readStream.schema(schema).parquet(srcDir).as[EventStreams.SessionEvent])
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt).start()
+      writeBatch(Seq(EventStreams.SessionEvent(t(0), 1, 2.0),
+        EventStreams.SessionEvent(t(10), 1, 3.0)))
+      val q1 = start()
+      q1.processAllAvailable(); q1.stop() // session open, timer armed, nothing emitted
+      // while the query is down, watermark-advancing data lands
+      writeBatch(Seq(EventStreams.SessionEvent(t(300), 2, 1.0)))
+      writeBatch(Seq(EventStreams.SessionEvent(t(301), 2, 1.0)))
+      val q2 = start()
+      q2.processAllAvailable(); q2.stop()
+      val out = spark.read.parquet(outDir)
+        .collect().map(r => (r.getLong(0), r.getLong(3), r.getDouble(4)))
+      // user 1's pre-restart session emitted exactly once, from recovered state
+      assert(out.toSeq == Seq((1L, 2L, 5.0)))
+    } finally
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
   }
 
   test("dropDuplicatesWithinWatermark removes dup event ids") {
