@@ -5,7 +5,10 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkSpec
 
 /** Semantics of sessionization and the as-of join on a hand-built event
-  * log (ts stored as raw nanos, mirroring the harness parquet layout).
+  * log. `ts` is written as raw nanos longs — the ORIGINAL harness parquet
+  * layout — so these fixtures permanently exercise the LongType branch of
+  * `Tables.normalizeEventTs` while the regenerated harness data (naive
+  * micros → TIMESTAMP_NTZ on Spark 4) exercises the NTZ branch.
   */
 class EventsSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
