@@ -87,6 +87,20 @@ object ModelRunner {
     */
   def run(spark: SparkSession, modelsDir: Path, sfDir: String): Map[String, DataFrame] = {
     Tables.registerAll(spark, sfDir)
+    // The harness fact files are single-row-group parquet, so their scans
+    // plan ONE task and the whole mart pipeline below the first exchange
+    // (decimal measure, broadcast joins, count-distinct Expand partials)
+    // runs single-threaded — measured 1.8 s of the 3.7 s q49 wall at
+    // sf0.1. Spread a fact scan across the cores ONLY when its planned
+    // parallelism is far below the session's (a ~10 MB shuffle here); at
+    // production file sizes the scan already has >= cores partitions and
+    // this is a no-op — no forced fact-table shuffle at scale.
+    val cores = spark.sparkContext.defaultParallelism
+    Seq("lineitem", "orders").foreach { t =>
+      val df = spark.table(t)
+      if (df.rdd.getNumPartitions < math.max(2, cores / 2))
+        df.repartition(cores).createOrReplaceTempView(t)
+    }
     topoSort(load(modelsDir)).map { m =>
       val df = spark.sql(m.sql)
       df.createOrReplaceTempView(m.name)

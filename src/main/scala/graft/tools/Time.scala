@@ -17,7 +17,10 @@ object Time {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
       println(f"rep$i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // sweep ONLY unpinned checkpoint blocks (same policy as Bench):
+      // unpersisting a session-pinned memo's localCheckpoint makes its
+      // consumers fail on the next rep rather than recompute
+      org.apache.spark.sql.graft.CheckpointUtils.sweepUnpinned(spark.sparkContext)
     }
     spark.stop()
   }
