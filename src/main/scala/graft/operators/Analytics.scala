@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import OpUtils.dec
@@ -60,6 +60,13 @@ object Analytics {
   /** Exact interpolated percentiles (quartiles of quantity per return
     * flag). l_quantity is integer-valued, so the (a + f·(b-a))
     * interpolation is engine-identical.
+    *
+    * This is the EXACTNESS BASELINE, not the production form: Spark's
+    * exact `percentile` buffers every value of the group in executor
+    * memory. The 100 TB rollup is [[q99PercentileSketch]] (GK sketch,
+    * bounded memory); [[q100PercentileCalibrationSlice]] audits the sketch
+    * against this exact form on a deterministic ¼ slice — the same
+    * production/calibration/baseline triad as q96/q97/q42 for distincts.
     */
   def q40Percentiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -270,6 +277,134 @@ object Analytics {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** GK-sketch relative rank error of the production percentile rollup
+    * (`approx_percentile` accuracy 10000 ⇒ ε = 1e-4) — shared by q99's
+    * self-check and its scaladoc math.
+    */
+  private val pctlEps = 1e-4
+
+  /** q99 — the PRODUCTION percentile rollup: `approx_percentile`
+    * (Greenwald–Khanna sketch, bounded memory per group) instead of q40's
+    * exact `percentile`, whose imperative aggregate buffers EVERY value of
+    * the group in executor memory — fine at 600k rows / 3 groups, OOM at a
+    * 100×-scale group. This is the q96 pattern applied to quantiles: q40
+    * stays as the exactness baseline, q100 is the sliced calibration
+    * cadence, and THIS is the every-night shape.
+    *
+    * Checkability without exact order statistics: a GK sketch at accuracy
+    * 1/ε guarantees the returned value's exact rank lies within ε·n of the
+    * target quantile. Ranks ARE exactly countable in one aggregation pass:
+    * for returned value v and target q, `count(x < v) ≤ (q+ε)n` and
+    * `count(x ≤ v) ≥ (q−ε)n` must both hold (the rank interval
+    * [count(<v), count(≤v)] of v must intersect [q−ε, q+ε]·n; ±2 rows of
+    * absolute slack absorbs rank-convention off-by-ones). The emitted
+    * columns are the group key, exact n, and these booleans — engine-
+    * portable (DuckDB emits TRUE literals), so the driver's hash gate stays
+    * fully active: a broken sketch (bad merge, wrong accuracy plumbing)
+    * flips a boolean. The sketch VALUES themselves are never emitted — GK
+    * results are merge-order-dependent, so they can never hash-match an
+    * oracle.
+    *
+    * Scale shape: two passes, each ONE hash aggregation with map-side
+    * partials — pass 1 builds fixed-width GK sketches per group, pass 2
+    * counts ranks against the broadcast groups-sized estimate relation.
+    * No per-group value buffer anywhere (PlanSpec pins the exact
+    * `Percentile` aggregate OUT of this plan and the bounded
+    * `ApproximatePercentile` IN).
+    */
+  def q99PercentileSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val est = li
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        percentile_approx($"l_quantity",
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("ps"))
+      .select($"l_returnflag", $"n",
+        $"ps".getItem(0).as("e25"), $"ps".getItem(1).as("e50"), $"ps".getItem(2).as("e75"))
+    def rankOk(lt: Column, le: Column, q: Double, n: Column): Column =
+      (lt.cast("double") <= (lit(q) + lit(pctlEps)) * n + 2.0) &&
+        (le.cast("double") >= (lit(q) - lit(pctlEps)) * n - 2.0)
+    li.join(broadcast(est), Seq("l_returnflag"))
+      .groupBy($"l_returnflag")
+      .agg(
+        first($"n").as("n"),
+        sum(when($"l_quantity" < $"e25", 1L).otherwise(0L)).as("lt25"),
+        sum(when($"l_quantity" <= $"e25", 1L).otherwise(0L)).as("le25"),
+        sum(when($"l_quantity" < $"e50", 1L).otherwise(0L)).as("lt50"),
+        sum(when($"l_quantity" <= $"e50", 1L).otherwise(0L)).as("le50"),
+        sum(when($"l_quantity" < $"e75", 1L).otherwise(0L)).as("lt75"),
+        sum(when($"l_quantity" <= $"e75", 1L).otherwise(0L)).as("le75"))
+      .select($"l_returnflag", $"n",
+        rankOk($"lt25", $"le25", 0.25, $"n").as("p25_rank_ok"),
+        rankOk($"lt50", $"le50", 0.5, $"n").as("p50_rank_ok"),
+        rankOk($"lt75", $"le75", 0.75, $"n").as("p75_rank_ok"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q99Sql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  TRUE AS p25_rank_ok, TRUE AS p50_rank_ok, TRUE AS p75_rank_ok
+      |FROM lineitem
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  /** q100 — q40's calibration CADENCE as a declared query (the q97 move
+    * applied to percentiles): the exact-vs-sketch audit over the same
+    * deterministic `substr(md5(orderkey),1,1) IN ('0'..'3')` ~¼ slice —
+    * engine-portable, scan-parallel, hash-uniform, and sliced on the
+    * orderkey so every group keeps a representative quantity distribution.
+    * The exact `percentile` half then buffers O(slice) per group instead of
+    * O(corpus) — the bounded calibration cost — while the sketch half runs
+    * the identical GK register math it runs in q99 (rank error is
+    * rank-relative, so a ¼ slice exercises it fully).
+    *
+    * Emits the exact interpolated quartiles (oracle: `quantile_cont`, the
+    * q40 parity precedent) plus audit booleans asserting each sketch value
+    * lies within the exact quantile envelope [Q(q−0.01), Q(q+0.01)] — a
+    * ±1%-rank gate, ~100× the sketch's ε guarantee, mirroring q42's 4σ
+    * philosophy: generous against boundary noise, instantly failed by a
+    * genuinely broken sketch. DuckDB emits the same exact quantiles and
+    * TRUE literals, so the driver's hash gate checks both halves.
+    */
+  def q100PercentileCalibrationSlice(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter(substring(md5($"l_orderkey".cast("string")), 1, 1)
+        .isin("0", "1", "2", "3"))
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"),
+        expr("percentile(l_quantity, 0.24)").as("lo25"),
+        expr("percentile(l_quantity, 0.26)").as("hi25"),
+        expr("percentile(l_quantity, 0.49)").as("lo50"),
+        expr("percentile(l_quantity, 0.51)").as("hi50"),
+        expr("percentile(l_quantity, 0.74)").as("lo75"),
+        expr("percentile(l_quantity, 0.76)").as("hi75"),
+        percentile_approx($"l_quantity",
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("ps"))
+      .select($"l_returnflag", $"n", $"p25", $"p50", $"p75",
+        ($"ps".getItem(0) >= $"lo25" && $"ps".getItem(0) <= $"hi25").as("a25_ok"),
+        ($"ps".getItem(1) >= $"lo50" && $"ps".getItem(1) <= $"hi50").as("a50_ok"),
+        ($"ps".getItem(2) >= $"lo75" && $"ps".getItem(2) <= $"hi75").as("a75_ok"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q100Sql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  quantile_cont(l_quantity, 0.25) AS p25,
+      |  quantile_cont(l_quantity, 0.5) AS p50,
+      |  quantile_cont(l_quantity, 0.75) AS p75,
+      |  TRUE AS a25_ok, TRUE AS a50_ok, TRUE AS a75_ok
+      |FROM lineitem
+      |WHERE substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   /** Range (theta) join: clicks within 30 minutes after a purchase by the
     * same user. The time bound is integer microsecond arithmetic so both
     * engines evaluate the identical predicate. Spark plans the non-equi
@@ -360,7 +495,9 @@ object Analytics {
     "q44_rank_variants" -> (q44RankVariants _),
     "q45_json_map" -> (q45JsonMap _),
     "q96_distinct_sketch" -> (q96DistinctSketch _),
-    "q97_distinct_calibration_slice" -> (q97DistinctCalibrationSlice _))
+    "q97_distinct_calibration_slice" -> (q97DistinctCalibrationSlice _),
+    "q99_percentile_sketch" -> (q99PercentileSketch _),
+    "q100_percentile_calibration_slice" -> (q100PercentileCalibrationSlice _))
 
   val oracleSql: Map[String, String] = Map(
     "q42_approx_distinct" -> q42Sql,
@@ -372,5 +509,7 @@ object Analytics {
     "q43_range_join" -> q43Sql,
     "q44_rank_variants" -> q44Sql,
     "q45_json_map" -> q45Sql,
-    "q96_distinct_sketch" -> q96Sql)
+    "q96_distinct_sketch" -> q96Sql,
+    "q99_percentile_sketch" -> q99Sql,
+    "q100_percentile_calibration_slice" -> q100Sql)
 }

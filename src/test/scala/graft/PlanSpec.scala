@@ -111,6 +111,30 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
         "(if this stops holding, re-check q96's cost rationale)")
   }
 
+  test("q99: production percentile rollup plans sketch-only — no full-group value buffer") {
+    // q40's exact Percentile aggregate buffers every group value in
+    // executor memory (the one aggregation shape that cannot survive a
+    // 100x group). The production q99 must carry ONLY the bounded-memory
+    // GK sketch (ApproximatePercentile) plus plain count/sum aggregates.
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{ApproximatePercentile, Percentile}
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    def aggExprs(name: String) =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.optimizedPlan.collect {
+        case a: Aggregate => a.aggregateExpressions.flatMap(_.collect {
+          case p: Percentile => p
+          case ap: ApproximatePercentile => ap
+        })
+      }.flatten
+    val q99 = aggExprs("q99_percentile_sketch")
+    assert(q99.exists(_.isInstanceOf[ApproximatePercentile]),
+      "q99 must aggregate through the bounded-memory GK sketch")
+    assert(!q99.exists(_.isInstanceOf[Percentile]),
+      "q99 must not plan the full-group-buffer exact Percentile")
+    // and the baseline is EXPECTED to keep the exact form (if this stops
+    // holding, re-check q99's cost rationale)
+    assert(aggExprs("q40_percentiles").exists(_.isInstanceOf[Percentile]))
+  }
+
   test("q75: pair comparison is a label equi-join, verdict join broadcasts") {
     val p = plan("q75_semantic_dedup")
     // all-pairs only WITHIN a cluster: the pair stage must hash-join on
