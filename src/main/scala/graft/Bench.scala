@@ -153,7 +153,27 @@ object Bench {
     // silent toolchain swap is visible in the artifact diff.
     val failed = results.collect { case (n, v) if v < 0 => "\"" + n + "\"" }
       .mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","reps":$repsJson,$suite,"queries":$qs,"memo_build":$mb,"sf":"$sfDir","spark_version":"${spark.version}","failed":$failed}"""
+    // Memo builds are single-shot (no second pass to adjudicate against),
+    // so each carries its own load stamps: [sec, load_before, load_after].
+    // A build whose recorded loads dwarf load_start is a co-tenant burst,
+    // not a regression — the same per-rep adjudication queries get.
+    val mbReps = graft.operators.OpUtils.SessionMemo.buildTelemetry.toSeq.sortBy(_._1)
+      .map { case (k, es) =>
+        "\"" + k + "\":" + es.map { case (s, l0, l1) =>
+          f"[$s%.3f,$l0%.2f,$l1%.2f]" }.mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+    // A query that failed one whole pass but recovered in the other still
+    // reports a valid min — name it here so a flaky failure (intermittent
+    // OOM) survives the driver's tail window instead of hiding as a -1
+    // buried in the per-rep detail.
+    val partialFailures = results.collect {
+      case (n, v) if v >= 0 && reps.getOrElse(n, Nil).exists(_.sec < 0) => "\"" + n + "\""
+    }.mkString("[", ",", "]")
+    val nValid = results.count(_._2 >= 0)
+    // "total"/"n_valid" repeat the headline at the very END of the line:
+    // the driver retains a bounded tail, and BENCH_r09's tail lost
+    // q1-q36 of the queries map — the headline must be the last thing cut.
+    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","reps":$repsJson,$suite,"queries":$qs,"memo_build":$mb,"memo_build_reps":$mbReps,"sf":"$sfDir","spark_version":"${spark.version}","failed":$failed,"partial_failures":$partialFailures,"total":${f"$total%.3f"},"n_valid":$nValid}"""
     println(line)
     val mirror = sys.env.getOrElse("SPARK_GRAFT_BENCH_COPY", "/root/repo/BENCH_LOCAL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(mirror),

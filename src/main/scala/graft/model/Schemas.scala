@@ -88,4 +88,16 @@ object Schemas {
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** events table, read-side schema for parquet TIMESTAMP(MICROS,
+    * isAdjustedToUTC=true) files — already session-instant micros, which
+    * `Tables.normalizeEventTs` passes through unchanged.
+    */
+  val eventsTz: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
 }

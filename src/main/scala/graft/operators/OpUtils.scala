@@ -91,16 +91,19 @@ object OpUtils {
           case Some(p) if SessionMemo.artifactExists(spark, p) =>
             val t0 = System.nanoTime()
             val df = spark.read.parquet(p)
-            SessionMemo.record(s"$name.$key", dir, loaded = true, (System.nanoTime() - t0) / 1e9)
+            SessionMemo.record(s"$name.$key", dir, loaded = true,
+              (System.nanoTime() - t0) / 1e9, Double.NaN, Double.NaN)
             df
           case art =>
             val t0 = System.nanoTime()
+            val l0 = SessionMemo.loadAvg
             val df = build
             org.apache.spark.sql.graft.CheckpointUtils.pin(df)
             // warm tier: persist the built table for the NEXT session;
             // this session keeps serving the (already paid-for) hot copy
             art.foreach(p => SessionMemo.commitArtifact(spark, p, dir, df))
-            SessionMemo.record(s"$name.$key", dir, loaded = false, (System.nanoTime() - t0) / 1e9)
+            SessionMemo.record(s"$name.$key", dir, loaded = false,
+              (System.nanoTime() - t0) / 1e9, l0, SessionMemo.loadAvg)
             df
         }
       }
@@ -145,8 +148,36 @@ object OpUtils {
     // accumulate, so the ledger totals what the process actually paid.
     private val ledger =
       new java.util.concurrent.ConcurrentHashMap[(String, String, Boolean), Double]()
-    private def record(key: String, dir: String, loaded: Boolean, sec: Double): Unit =
+    // Raw per-event telemetry alongside the summed ledger: (sec, 1-min
+    // system load before, load after) per build/load, in arrival order —
+    // memo builds are single-shot in a bench run, so without a load stamp
+    // a co-tenant burst landing on one is indistinguishable from a
+    // regression in the driver artifact (r9: q31_pairs 27.5 s under load
+    // vs 3.2 s quiet). Loads (artifact reads) record NaN stamps — they
+    // are lazy footer reads, not adjudicable work.
+    private val eventLog = new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, String, Boolean, Double, Double, Double)]()
+    private[operators] def loadAvg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    private def record(key: String, dir: String, loaded: Boolean, sec: Double,
+        load0: Double, load1: Double): Unit = {
       ledger.merge((key, dir, loaded), sec, (a, b) => a + b)
+      eventLog.add((key, dir, loaded, sec, load0, load1))
+    }
+
+    /** Per-build telemetry [(sec, load_before, load_after)], labeled like
+      * [[buildSeconds]] (artifact loads excluded).
+      */
+    def buildTelemetry: Map[String, Seq[(Double, Double, Double)]] = {
+      import scala.jdk.CollectionConverters._
+      val events = eventLog.asScala.toSeq.collect {
+        case (k, d, false, s, l0, l1) => (k, d, s, l0, l1) }
+      val multiDir = events.groupBy(_._1).collect {
+        case (k, es) if es.map(_._2).distinct.size > 1 => k }.toSet
+      events.groupBy { case (k, d, _, _, _) =>
+        if (multiDir(k)) s"$k@${new java.io.File(d).getName}" else k
+      }.view.mapValues(_.map(e => (e._3, e._4, e._5))).toMap
+    }
 
     /** Ledger entries for one side (builds or loads), labeled
       * `<memoName>.<key>` when that key only ever touched one corpus dir

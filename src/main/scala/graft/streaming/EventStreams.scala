@@ -22,12 +22,16 @@ object EventStreams {
     * generation (raw nanos-as-long under Spark 3's legacy conf vs
     * TIMESTAMP_NTZ micros under Spark 4 — see `Tables.events`). A one-time
     * batch probe of the same path (footer read only, no data scan) picks
-    * the matching read schema; an empty/not-yet-populated source dir falls
-    * back to the current-toolchain NTZ shape. Either way
+    * the matching read schema (raw-long nanos, NTZ micros, or
+    * adjusted-to-UTC TIMESTAMP micros); any OTHER probed type fails here
+    * at stream construction — a silently mismatched declared schema would
+    * fail or misread batches later. An empty/not-yet-populated source dir
+    * falls back to the current-toolchain NTZ shape. Either way
     * `Tables.normalizeEventTs` canonicalizes to session-UTC TIMESTAMP so
     * stream and batch semantics agree byte-for-byte.
     */
   def fileStream(spark: SparkSession, dir: String, globFilter: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val probed: Option[org.apache.spark.sql.types.DataType] =
       scala.util.Try {
         val b = spark.read
@@ -35,8 +39,16 @@ object EventStreams {
         b.parquet(dir).schema("ts").dataType
       }.toOption
     val schema = probed match {
-      case Some(org.apache.spark.sql.types.LongType) => Schemas.eventsRaw
-      case _                                         => Schemas.eventsNtz
+      case Some(LongType)         => Schemas.eventsRaw
+      case Some(TimestampNTZType) => Schemas.eventsNtz
+      case Some(TimestampType)    => Schemas.eventsTz // adjusted-to-UTC micros
+      case Some(other) =>
+        // a declared-schema mismatch would fail (or silently misread) at
+        // runtime, possibly batches later — fail at stream construction
+        throw new IllegalStateException(
+          s"events stream at $dir probed ts: $other; expected LongType " +
+            "(nanosAsLong), TIMESTAMP_NTZ, or TIMESTAMP")
+      case None => Schemas.eventsNtz // empty/not-yet-populated dir: current toolchain
     }
     val r = spark.readStream.schema(schema)
     globFilter.foreach(g => r.option("pathGlobFilter", g))
@@ -153,7 +165,11 @@ object EventStreams {
     * `ValueState` merged per micro-batch, a timer re-armed to
     * `last event + gap` on every arrival, and the session record emitted
     * from `handleExpiredTimer` when the WATERMARK (not wall clock) passes
-    * that deadline. State is per-key, O(1) per user, sharded with the
+    * that deadline. Within a micro-batch, rows are processed in event-time
+    * order and a >gap stretch closes the session immediately (emitted from
+    * `handleInputRows` — append mode permits it), so boundaries match
+    * q23Sessionize / `session_window` even when a backlog replay lands a
+    * user's whole history in one trigger. State is per-key, O(1) per user, sharded with the
     * user_id shuffle, and deleted on emit, so the state store holds only
     * OPEN sessions at any scale. Requires the RocksDB state store provider
     * (`spark.sql.streaming.stateStore.providerClass`), which is also the
@@ -178,17 +194,44 @@ object EventStreams {
 
     override def handleInputRows(user: Long, rows: Iterator[SessionEvent],
         timers: TimerValues): Iterator[SessionRecord] = {
-      var s = if (open.exists()) open.get() else OpenSession(0L, 0.0, Long.MaxValue, Long.MinValue)
-      rows.foreach { e =>
+      // Sort the batch's rows by event time: iterator order is
+      // partition-arbitrary, and a backlog replay (a file stream drains
+      // ALL pending files in one trigger by default) can land a user's
+      // whole history in one micro-batch. Splitting on the inactivity gap
+      // HERE — closed sessions emit directly from handleInputRows, legal
+      // in append mode — keeps session boundaries identical to
+      // q23Sessionize / session_window regardless of micro-batch sizing;
+      // folding the batch into one min/max merge would weld >gap-apart
+      // events into a single session. A user's per-batch rows are one
+      // task's group iterator — batch-bounded, safe to buffer.
+      val sorted = rows.toArray.sortBy(_.ts.getTime)
+      val closed = scala.collection.mutable.ArrayBuffer[SessionRecord]()
+      var s: OpenSession = if (open.exists()) open.get() else null
+      sorted.foreach { e =>
         val ms = e.ts.getTime
-        s = OpenSession(s.n_events + 1, s.sum_value + e.value,
-          math.min(s.first_ms, ms), math.max(s.last_ms, ms))
+        if (s == null) s = OpenSession(1L, e.value, ms, ms)
+        else if (ms > s.last_ms + gapMs) {
+          // gap exceeded inside the batch (or vs the carried-over open
+          // session, incl. one whose deadline the watermark already
+          // passed this batch): close it NOW — its timer would otherwise
+          // wrongly merge these arrivals into it
+          closed += SessionRecord(user, new java.sql.Timestamp(s.first_ms),
+            new java.sql.Timestamp(s.last_ms), s.n_events, s.sum_value)
+          s = OpenSession(1L, e.value, ms, ms)
+        } else {
+          // within the gap: merge (min/max absorbs late events that
+          // arrive within the watermark delay out of order)
+          s = OpenSession(s.n_events + 1, s.sum_value + e.value,
+            math.min(s.first_ms, ms), math.max(s.last_ms, ms))
+        }
       }
-      open.update(s)
-      // one armed timer per user: re-arm to the new inactivity deadline
-      getHandle.listTimers().foreach(getHandle.deleteTimer)
-      getHandle.registerTimer(s.last_ms + gapMs)
-      Iterator.empty
+      if (s != null) {
+        open.update(s)
+        // one armed timer per user: re-arm to the new inactivity deadline
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(s.last_ms + gapMs)
+      }
+      closed.iterator
     }
 
     override def handleExpiredTimer(user: Long, timers: TimerValues,

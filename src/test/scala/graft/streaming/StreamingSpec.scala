@@ -157,6 +157,32 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("fileStream probe: TIMESTAMP-typed source declared as-is, alien ts type fails loudly") {
+    import org.apache.spark.sql.types.TimestampType
+    // adjusted-to-UTC micros parquet (plain TimestampType write) must be
+    // declared TIMESTAMP, not silently defaulted to NTZ (which would fail
+    // or misread at runtime batches later)
+    val tzDir = java.nio.file.Files.createTempDirectory("graft_tz_events").toString
+    graft.sources.Tables.events(spark, sfDir).limit(10)
+      .write.mode("overwrite").parquet(tzDir)
+    val stream = EventStreams.fileStream(spark, tzDir)
+    assert(stream.schema("ts").dataType == TimestampType)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("tzprobe").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tzprobe").count() == 10)
+    } finally q.stop()
+    // a ts type outside the three supported encodings fails at stream
+    // CONSTRUCTION, not downstream
+    val badDir = java.nio.file.Files.createTempDirectory("graft_bad_events").toString
+    spark.range(3).selectExpr("id AS event_id", "CAST(id AS STRING) AS ts",
+      "id AS user_id", "'x' AS event_type", "0.0 AS value", "'{}' AS props")
+      .write.mode("overwrite").parquet(badDir)
+    val e = intercept[IllegalStateException](EventStreams.fileStream(spark, badDir))
+    assert(e.getMessage.contains("probed ts"))
+  }
+
   test("flatMapGroupsWithState accumulates per-user profiles across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStreams.UserEvent]
@@ -243,6 +269,54 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val out = spark.read.parquet(outDir)
     assert(out.count() == 15)
     assert(out.select("user_id").distinct().count() == 15) // no reprocessing
+  }
+
+  test("transformWithState sessionizer splits >gap spans within ONE micro-batch") {
+    // Backlog replay: a file stream drains all pending files in one
+    // trigger, so events more than the gap apart land in one micro-batch.
+    // The processor must emit one session per inactivity gap — identical
+    // boundaries to q23Sessionize — not one min/max-merged blob, and the
+    // intra-batch closes emit immediately (no watermark wait: their
+    // sessions are closed by DATA, not by timer).
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[EventStreams.SessionEvent]
+    val q = EventStreams.sessionizeWithState(mem.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("tws_split").start()
+    try {
+      // one batch, one user, three sessions' worth of history (gaps of
+      // 40 and 120 min >> the 30-min gap), deliberately added unsorted
+      mem.addData(
+        EventStreams.SessionEvent(t(50), 1, 4.0),  // session B start
+        EventStreams.SessionEvent(t(0), 1, 1.0),   // session A start
+        EventStreams.SessionEvent(t(180), 1, 8.0), // session C (stays open)
+        EventStreams.SessionEvent(t(10), 1, 2.0),  // session A
+        EventStreams.SessionEvent(t(55), 1, 3.0))  // session B
+      q.processAllAvailable()
+      val immediate = spark.table("tws_split")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3), r.getDouble(4))).sortBy(_._2.getTime)
+      // A and B closed by intra-batch gaps and emitted in the SAME batch
+      assert(immediate.toSeq == Seq(
+        (1L, t(0), t(10), 2L, 3.0),
+        (1L, t(50), t(55), 2L, 7.0)))
+      // C is still open; it closes through the normal watermark-timer path
+      mem.addData(EventStreams.SessionEvent(t(600), 2, 1.0))
+      q.processAllAvailable()
+      mem.addData(EventStreams.SessionEvent(t(601), 2, 1.0))
+      q.processAllAvailable()
+      val all = spark.table("tws_split")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3), r.getDouble(4))).sortBy(_._2.getTime)
+      assert(all.length == 3)
+      assert(all(2) == ((1L, t(180), t(180), 1L, 8.0)))
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
+    }
   }
 
   test("transformWithState sessionizer recovers state and timers across restart") {
