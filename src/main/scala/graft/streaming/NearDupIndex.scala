@@ -338,14 +338,19 @@ object NearDupIndex {
     val admittedIdx = batchIdx
       .join(broadcast(admitted.select($"doc_id")), Seq("doc_id"))
       .localCheckpoint()
-    // single-file batch appends: a micro-batch is small by definition,
-    // and one file per batch per store keeps the store file count equal
-    // to the batch count since the last rebuild (not batches × shuffle
-    // partitions) — the small-files guard below then bounds it
+    // Hash-bucketed parallel batch appends: writer count scales with the
+    // batch (ceil(rows / rowsPerAppendFile), capped at core count) so a
+    // fixture-sized batch still writes one file while a production batch
+    // spreads across tasks — the previous coalesce(1) serialized the
+    // whole batch's index write through one task. File count per store
+    // stays ≤ writers × batches since the last rebuild; the small-files
+    // guard below still bounds it and rebuild still compacts.
+    val nAdmitted = admittedIdx.count()
+    val nw = appendWriters(spark, nAdmitted)
     admittedIdx.select($"doc_id", $"harr", $"n")
-      .coalesce(1).write.mode("append").parquet(s"$indexDir/docs")
+      .repartition(nw, $"doc_id").write.mode("append").parquet(s"$indexDir/docs")
     admittedIdx.select(explode($"prefix").as("ph"), $"doc_id", $"n")
-      .coalesce(1).write.mode("append").parquet(s"$indexDir/px")
+      .repartition(nw, $"ph").write.mode("append").parquet(s"$indexDir/px")
 
     // Rebuild triggers, in priority order:
     //  - doubling: the docs store count (now INCLUDING this batch's
@@ -392,6 +397,19 @@ object NearDupIndex {
   private def stormFactor(spark: SparkSession): Long =
     spark.conf.getOption("spark.graft.nearDupIndex.stormCandidateFactor")
       .map(_.toLong).getOrElse(32L)
+
+  /** Parallel writers for a batch append: one per
+    * `spark.graft.nearDupIndex.rowsPerAppendFile` admitted rows (default
+    * 100k — the rebuild's docs-per-file target), capped at the session's
+    * parallelism. Hash distribution (doc_id / ph) spreads the write; the
+    * floor of 1 keeps tiny batches at one file per store.
+    */
+  private def appendWriters(spark: SparkSession, rows: Long): Int = {
+    val target = spark.conf.getOption("spark.graft.nearDupIndex.rowsPerAppendFile")
+      .map(_.toLong).getOrElse(100000L)
+    math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
+      (rows + target - 1) / math.max(1L, target))).toInt
+  }
 
   private def storeFileCount(spark: SparkSession, dir: String): Long = {
     val p = new org.apache.hadoop.fs.Path(dir)

@@ -151,6 +151,49 @@ class CorpusStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(admitted < 120, "some planted dups must have been rejected")
   }
 
+  test("multi-writer batch appends: >1 file per store, admission equivalence intact") {
+    // The store append must parallelize with batch size (the old
+    // coalesce(1) serialized every batch's index write through one
+    // task). Force multi-writer at fixture scale via the rows-per-file
+    // conf, drive the SAME wave protocol as the equivalence test, and
+    // assert (a) a batch append actually produced multiple store files —
+    // i.e. >1 writer task ran — and (b) decisions still equal the naive
+    // path across doubling rebuilds.
+    val base = java.nio.file.Files.createTempDirectory("graft_ndidx_multiw")
+    val naiveCorpus = base.resolve("naive").toString
+    val idxCorpus = base.resolve("indexed").toString
+    val indexDir = base.resolve("index").toString
+    def parquetFiles(dir: String): Set[String] = {
+      val d = new java.io.File(dir)
+      if (!d.exists) Set.empty
+      else d.listFiles.filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(_.getName).toSet
+    }
+    spark.conf.set("spark.graft.nearDupIndex.rowsPerAppendFile", "5")
+    try {
+      var sawMultiWriterAppend = false
+      (0 until 6).foreach { w =>
+        val batch = waveDocs(w)
+        val before = (parquetFiles(s"$indexDir/docs"), parquetFiles(s"$indexDir/px"))
+        CorpusStreams.admitNearDupBatch(batch, naiveCorpus)
+        NearDupIndex.admitBatch(batch, idxCorpus, indexDir)
+        // a rebuild rewrites the stores, so only credit appends where the
+        // prior files survived (pure-append batch)
+        val after = (parquetFiles(s"$indexDir/docs"), parquetFiles(s"$indexDir/px"))
+        if (before._1.subsetOf(after._1) && before._2.subsetOf(after._2) &&
+            (after._1 -- before._1).size > 1 && (after._2 -- before._2).size > 1)
+          sawMultiWriterAppend = true
+        val a = spark.read.parquet(naiveCorpus).select("doc_id")
+          .collect().map(_.getLong(0)).toSet
+        val b = spark.read.parquet(idxCorpus).select("doc_id")
+          .collect().map(_.getLong(0)).toSet
+        assert(a == b, s"wave $w: naive admitted ${a.diff(b)} extra, indexed ${b.diff(a)} extra")
+      }
+      assert(sawMultiWriterAppend,
+        "no batch append wrote >1 file per store — writes still single-task")
+    } finally spark.conf.unset("spark.graft.nearDupIndex.rowsPerAppendFile")
+  }
+
   test("indexed intake streaming query: evolving-corpus admission semantics") {
     val base = java.nio.file.Files.createTempDirectory("graft_ndidx_intake")
     val src = base.resolve("src").toString
