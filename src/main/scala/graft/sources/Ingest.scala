@@ -220,4 +220,21 @@ object Ingest {
     val w = df.write.mode("overwrite").option("compression", "zstd")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(dest)
   }
+
+  /** S10's semi-structured sibling — parse-at-ingest: compact an
+    * events-shaped frame with the free-form JSON `props` column decoded
+    * ONCE into Spark 4's binary VariantType (stored natively in parquet),
+    * so no consumer ever re-tokenizes JSON text. At 100 TB this is where
+    * the parse belongs: q98 measures one `parse_json` already at parity
+    * with one string-path access and winning linearly with access count —
+    * ingest pays it once, every downstream `variant_get` is an
+    * O(field-seek) binary read. [[graft.operators.Events.q101VariantIngest]]
+    * is the declared consumer of this seam.
+    */
+  def compactEventsVariant(df: DataFrame, dest: String): Unit = {
+    import org.apache.spark.sql.functions.{col, parse_json}
+    df.withColumn("props_v", parse_json(col("props")))
+      .drop("props")
+      .write.mode("overwrite").option("compression", "zstd").parquet(dest)
+  }
 }

@@ -193,6 +193,27 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     assert(schema == "OBJECT<k: BIGINT>" || schema == "STRUCT<k: BIGINT>", schema)
   }
 
+  test("q101 consumer reads stored variant without re-parsing; agrees with q98") {
+    import org.apache.spark.sql.execution.FormattedMode
+    val df = Events.q101VariantIngest(spark, sfDir)
+    // the consumer plan extracts from the STORED binary variant — no
+    // parse_json anywhere after ingest. In fact Spark 4 goes one better:
+    // variant SHREDDING rewrites the typed variant_get accesses into
+    // struct subcolumns of the parquet ReadSchema, so the scan reads the
+    // shredded fields directly and no variant decode runs at all. Accept
+    // either form (explicit variant_get, or the fully-pushed shred).
+    val plan = df.queryExecution.explainString(FormattedMode)
+    assert(plan.contains("variant_get") || plan.contains("props_v"),
+      "consumer must extract from the stored variant column:\n" + plan)
+    assert(!plan.toLowerCase.contains("parse_json") &&
+      !plan.contains("JsonToVariant"),
+      "consumer plan must not re-parse JSON text:\n" + plan)
+    // end-to-end values equal the parse-per-query path
+    val a = df.collect().map(_.toSeq).toSeq
+    val b = Events.q98VariantProps(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
   test("VariantType round-trips through parquet (parse-at-ingest shape)") {
     // the 100 TB form of q98: parse JSON once at ingest, store the variant
     // column in parquet, extract on read without ever re-parsing text
