@@ -265,4 +265,109 @@ object EventStreams {
       .transformWithState(new InactivitySessionizer(gapMs),
         TimeMode.EventTime, OutputMode.Append)
   }
+
+  // ---- arbitrary-state v2, remaining state shapes ----
+  // The sessionizer covers ValueState + event-time timers; these two cover
+  // the OTHER typed state primitives the v2 API offers — ListState
+  // (bounded per-key collections) and MapState with native TTL (per-entry
+  // expiry without timer code).
+
+  final case class UserValueEvent(user_id: Long, event_id: Long, value: Double)
+  final case class RankedEvent(user_id: Long, rank: Int, event_id: Long, value: Double)
+  final case class Scored(value: Double, event_id: Long)
+
+  /** Per-user running top-k by value via typed `ListState` — the
+    * leaderboard/`ORDER BY value LIMIT k` shape kept incrementally per
+    * key, which no built-in streaming aggregate expresses (a windowed agg
+    * closes; this never does, yet must stay bounded). State is EXACTLY
+    * the current top-k list (`put` replaces wholesale, ≤ k elements per
+    * user — bounded by construction, never by the corpus), so the store
+    * holds users × k rows at any scale, sharded with the user_id shuffle.
+    * Emission is an append-mode changelog: a batch emits the user's full
+    * re-ranked top-k iff the set changed (ties break on event_id for
+    * determinism; replayed duplicates dedup via `distinct`, keeping the
+    * emission idempotent under micro-batch replay).
+    */
+  final class TopKPerUser(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserValueEvent, RankedEvent] {
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode, TimerValues, TTLConfig}
+    @transient private var topk: ListState[Scored] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      topk = getHandle.getListState[Scored]("topk",
+        org.apache.spark.sql.Encoders.product[Scored], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[UserValueEvent],
+        timers: TimerValues): Iterator[RankedEvent] = {
+      val cur = topk.get().toSeq
+      val merged = (cur ++ rows.map(e => Scored(e.value, e.event_id)))
+        .distinct
+        .sortBy(s => (-s.value, s.event_id))
+        .take(k)
+      if (merged == cur) Iterator.empty
+      else {
+        topk.put(merged.toArray)
+        merged.iterator.zipWithIndex.map { case (s, i) =>
+          RankedEvent(user, i + 1, s.event_id, s.value) }
+      }
+    }
+  }
+
+  /** Per-user top-k leaderboard stream (no timers: `TimeMode.None`). */
+  def topKPerUser(events: org.apache.spark.sql.Dataset[UserValueEvent], k: Int = 3)
+      : org.apache.spark.sql.Dataset[RankedEvent] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TopKPerUser(k), TimeMode.None, OutputMode.Append)
+  }
+
+  /** TTL'd per-user dedup via typed `MapState` — the idempotent-intake
+    * guard with WALL-CLOCK expiry instead of a watermark bound
+    * (cf. [[dedupedStream]]): each user's seen event_ids live in a
+    * MapState whose per-entry `TTLConfig` silently expires them after
+    * `ttl`, so state is bounded by the TTL window's distinct ids, not the
+    * stream's history, with zero timer code (TTL is the v2 API's native
+    * mechanism for state that should fade rather than close — exactly
+    * this operator's lifecycle; requires `TimeMode.ProcessingTime`).
+    * A re-arrival after expiry re-emits — the standard documented
+    * tradeoff of any bounded-memory dedup (dropDuplicatesWithinWatermark
+    * has the same contract in event time). MapState, not ValueState:
+    * many event_ids per user key, point-probed per arrival; the map
+    * shards with the user_id shuffle.
+    */
+  final class PerUserTtlDedup(ttlMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserValueEvent, UserValueEvent] {
+    import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode, TimerValues, TTLConfig}
+    @transient private var seen: MapState[Long, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getMapState[Long, Long]("seen",
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong,
+        TTLConfig(java.time.Duration.ofMillis(ttlMs)))
+
+    override def handleInputRows(user: Long, rows: Iterator[UserValueEvent],
+        timers: TimerValues): Iterator[UserValueEvent] =
+      rows.filter { e =>
+        val fresh = !seen.containsKey(e.event_id)
+        if (fresh) seen.updateValue(e.event_id, 1L)
+        fresh
+      }
+  }
+
+  /** First occurrence of each (user, event_id) within a rolling TTL.
+    *
+    * Run this under a PACED trigger (e.g. `Trigger.ProcessingTime`):
+    * processing-time state makes the engine schedule no-data micro-batches
+    * to advance wall-clock state, and an unpaced (ASAP) trigger turns that
+    * into a busy loop of empty batches.
+    */
+  def dedupWithTtl(events: org.apache.spark.sql.Dataset[UserValueEvent],
+      ttl: java.time.Duration): org.apache.spark.sql.Dataset[UserValueEvent] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new PerUserTtlDedup(ttl.toMillis),
+        TimeMode.ProcessingTime, OutputMode.Append)
+  }
 }

@@ -355,6 +355,118 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       spark.conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
   }
 
+  test("transformWithState ListState top-k: changelog emission, state bounded at k") {
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def U(u: Long, id: Long, v: Double) = EventStreams.UserValueEvent(u, id, v)
+    val mem = MemoryStream[EventStreams.UserValueEvent]
+    val q = EventStreams.topKPerUser(mem.toDS(), k = 2)
+      .writeStream.outputMode("append").format("memory").queryName("topk").start()
+    def rows() = spark.table("topk")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    def stateRows() = q.recentProgress.filter(_.stateOperators.nonEmpty)
+      .last.stateOperators.head.numRowsTotal
+    try {
+      mem.addData(U(1, 10, 5.0), U(1, 11, 1.0), U(1, 12, 3.0))
+      q.processAllAvailable()
+      assert(rows().toSet == Set((1L, 1, 10L, 5.0), (1L, 2, 12L, 3.0)))
+      // displacing value re-emits the full re-ranked list
+      mem.addData(U(1, 13, 4.0))
+      q.processAllAvailable()
+      assert(rows().size == 4 &&
+        rows().toSet.contains((1L, 2, 13L, 4.0)))
+      val stateAfterChange = stateRows()
+      // below-the-cut arrivals change nothing: no emission, state FLAT
+      mem.addData(U(1, 14, 0.5), U(1, 15, 0.1), U(1, 16, 2.9))
+      q.processAllAvailable()
+      assert(rows().size == 4, "below-min arrivals must not emit")
+      assert(stateRows() == stateAfterChange,
+        "state must stay bounded at k per user, not grow with input")
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
+    }
+  }
+
+  test("transformWithState ListState top-k recovers across restart") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_topk_ckpt").toString
+    val (srcDir, outDir, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+    val prevProvider = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def writeBatch(evs: Seq[EventStreams.UserValueEvent]): Unit =
+        evs.toDF().coalesce(1).write.mode("append").parquet(srcDir)
+      val schema = Seq(EventStreams.UserValueEvent(0, 0, 0.0)).toDF().schema
+      def start() = EventStreams.topKPerUser(
+          spark.readStream.schema(schema).parquet(srcDir)
+            .as[EventStreams.UserValueEvent], k = 2)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt).start()
+      writeBatch(Seq(EventStreams.UserValueEvent(1, 10, 5.0),
+        EventStreams.UserValueEvent(1, 12, 3.0)))
+      val q1 = start()
+      q1.processAllAvailable(); q1.stop()
+      // post-restart arrival must rank against the RECOVERED list: 4.0
+      // displaces 3.0 but not 5.0 — only provable if state survived
+      writeBatch(Seq(EventStreams.UserValueEvent(1, 13, 4.0)))
+      val q2 = start()
+      q2.processAllAvailable(); q2.stop()
+      val emitted = spark.read.parquet(outDir)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(emitted == Set(
+        (1L, 1, 10L, 5.0), (1L, 2, 12L, 3.0),  // pre-restart ranking
+        (1L, 1, 10L, 5.0), (1L, 2, 13L, 4.0))) // post-restart re-rank from recovered state
+    } finally
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
+  }
+
+  test("transformWithState MapState TTL dedup: suppresses within TTL, re-admits after") {
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def U(u: Long, id: Long) = EventStreams.UserValueEvent(u, id, 1.0)
+    val mem = MemoryStream[EventStreams.UserValueEvent]
+    // ProcessingTime state (TTL) makes the engine schedule no-data
+    // batches to advance wall-clock state; an unpaced (ASAP) trigger
+    // turns that into a busy loop of empty micro-batches — pace it, as
+    // any production processing-time query must. Those same forced
+    // batches keep processAllAvailable from ever latching quiescence, so
+    // the test observes the memory sink by deadline-polling instead.
+    val q = EventStreams.dedupWithTtl(mem.toDS(), java.time.Duration.ofSeconds(4))
+      .writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+      .format("memory").queryName("ttldedup").start()
+    def waitCount(n: Long): Unit = {
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.table("ttldedup").count() < n &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+    }
+    try {
+      mem.addData(U(1, 100), U(1, 100), U(2, 200))
+      waitCount(2)
+      assert(spark.table("ttldedup").count() == 2) // intra-batch dup suppressed
+      mem.addData(U(1, 100))
+      Thread.sleep(1500) // several paced triggers, well inside the 4 s TTL
+      assert(spark.table("ttldedup").count() == 2) // cross-batch dup within TTL
+      Thread.sleep(6000) // let the TTL lapse in processing time
+      mem.addData(U(1, 100))
+      waitCount(3)
+      // expired entry re-admits — the documented bounded-memory tradeoff
+      assert(spark.table("ttldedup").count() == 3)
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
+    }
+  }
+
   test("dropDuplicatesWithinWatermark removes dup event ids") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
