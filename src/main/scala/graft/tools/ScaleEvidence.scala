@@ -61,7 +61,10 @@ object ScaleEvidence {
         indexed = args.drop(3).contains("indexed"),
         storm = args.drop(3).contains("storm"))
       case "probe" => probe()
-      case other => sys.error(s"unknown mode $other (ssjoin|skew|stream|probe)")
+      case "memoscale" => memoScale(spark,
+        if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+        else Seq(5000, 10000, 20000, 50000))
+      case other => sys.error(s"unknown mode $other (ssjoin|skew|stream|probe|memoscale)")
     }
     spark.stop()
   }
@@ -314,6 +317,43 @@ object ScaleEvidence {
       spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
       spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
       spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    }
+  }
+
+  /** Memo-build cost model: wall seconds of the two expensive session-memo
+    * builds (the q31 MinHash+LSH pair table, first touch — includes its
+    * gx/hx feeder builds — and the inv_pairs_0.7 SSJoin pair table, which
+    * rides the then-memoized hx) across a geometric ladder of Zipf corpus
+    * sizes, with the empirical growth exponent between consecutive rungs
+    * (α in t ∝ n^α). Both pipelines are banded/bucketed equi-joins, so the
+    * claim on trial is α ≈ 1 (linear in the corpus, modulo the Zipf df
+    * tail) — NOT the α ≈ 2 an all-pairs stage would show. Each rung's memo
+    * state is released before the next so rungs are independent
+    * first-touch builds.
+    */
+  private def memoScale(spark: org.apache.spark.sql.SparkSession,
+      sizes: Seq[Int]): Unit = {
+    println(s"== memo-build scaling: q31_pairs + inv_pairs_0.7 over Zipf corpora $sizes ==")
+    case class Rung(n: Int, t31: Double, tInv: Double, p31: Long, pInv: Long)
+    val rungs = sizes.map { n =>
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_memoscale_$n").toString
+      zipfDocs(spark, n).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val t0 = System.nanoTime()
+      val p31 = Dedup.q31MinhashLsh(spark, dir).count()
+      val t31 = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val pInv = Dedup.ngramJaccardInverted(spark, dir, 0.7).count()
+      val tInv = (System.nanoTime() - t1) / 1e9
+      println(f"n=$n%7d  q31 build+count=$t31%7.2f s ($p31%7d pairs)  inv build+count=$tInv%7.2f s ($pInv%7d pairs)")
+      graft.operators.OpUtils.SessionMemo.releaseAll(spark, dir)
+      org.apache.spark.sql.graft.CheckpointUtils.sweepUnpinned(spark.sparkContext)
+      Rung(n, t31, tInv, p31, pInv)
+    }
+    rungs.sliding(2).foreach {
+      case Seq(a, b) =>
+        val r = math.log(b.n.toDouble / a.n) // rung ratio
+        println(f"${a.n}%7d -> ${b.n}%7d: alpha_q31=${math.log(b.t31 / a.t31) / r}%5.2f  alpha_inv=${math.log(b.tInv / a.tInv) / r}%5.2f")
+      case _ =>
     }
   }
 
