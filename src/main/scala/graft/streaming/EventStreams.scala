@@ -130,6 +130,42 @@ object EventStreams {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Watermarked STREAM-STREAM join — q43RangeJoin's attribution
+    * semantics (clicks within 30 minutes after a same-user purchase) as a
+    * continuous query. Both sides carry watermarks and the join condition
+    * bounds c_ts relative to p_ts, so the state store buffers each side
+    * only within its watermark horizon: a purchase row can be dropped
+    * once the click watermark passes p_ts + 30 min, a click once the
+    * purchase watermark passes c_ts — bounded state at any scale, sharded
+    * on user_id. (Without the time bound Spark rejects the inner
+    * stream-stream join outright in append mode — the bound IS the state
+    * contract.) Batch q43 defines the semantics; the spec runs both over
+    * the same harness events and asserts set equality.
+    */
+  def attributedClicks(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") > col("p_ts") &&
+        col("c_ts") <= col("p_ts") + expr("interval 30 minutes"))
+      .select(col("p_id"), col("c_id"), col("user_id"), col("p_ts"), col("c_ts"))
+  }
+
+  /** STREAM-STATIC enrichment join: each micro-batch joins against a
+    * static dimension snapshot — the per-batch planner broadcasts the
+    * small side, so this is a stateless map-side enrichment (no streaming
+    * state at all, unlike the stream-stream form above). The standard
+    * shape for attaching reference data (type metadata, mix weights,
+    * routing tables) to an event stream.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("event_type"), "left_outer")
+
   /** Custom state machine via flatMapGroupsWithState (SURVEY.md §2.9): a
     * per-user running profile (event count, value sum, purchase count)
     * emitted on every update — state Spark's built-in windows can't

@@ -467,6 +467,46 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("stream-stream attribution join equals batch q43 over harness events") {
+    // the watermarked stream-stream range join must reproduce the batch
+    // range-join semantics exactly: two independent file streams over the
+    // same events table, joined within the 30-min window, compared
+    // set-for-set against q43RangeJoin
+    val p = EventStreams.fileStream(spark, sfDir, Some("events.parquet"))
+    val c = EventStreams.fileStream(spark, sfDir, Some("events.parquet"))
+    val q = EventStreams.attributedClicks(p, c)
+      .writeStream.outputMode("append").format("memory").queryName("attrib").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("attrib")
+        .select($"p_id", $"c_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = graft.operators.Analytics.q43RangeJoin(spark, sfDir)
+        .select($"p_id", $"c_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("stream-static enrichment broadcasts the dim, no streaming state") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("a", 10L), ("b", 20L)).toDF("event_type", "weight")
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.enrichWithDim(mem.toDF(), dim)
+      .writeStream.outputMode("append").format("memory").queryName("enrich").start()
+    try {
+      mem.addData(Ev(t(0), "a", 1.0, 0, 1), Ev(t(1), "c", 2.0, 1, 2))
+      q.processAllAvailable()
+      val got = spark.table("enrich")
+        .select($"event_id", $"weight").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(got == Set((0L, 10L), (1L, -1L))) // matched + left-outer miss
+      // stateless: no state store operator in the progress
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark removes dup event ids") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
