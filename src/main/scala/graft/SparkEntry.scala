@@ -21,7 +21,7 @@ object SparkEntry {
     Relational.queries ++ Events.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
       Analytics.queries ++ Corpus.queries ++ Selection.queries ++
-      graft.sql.ModelRunner.queries
+      Contracts.queries ++ graft.sql.ModelRunner.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -30,5 +30,5 @@ object SparkEntry {
     Relational.oracleSql ++ Events.oracleSql ++ TextAnalysis.oracleSql ++
       Dedup.oracleSql ++ Similarity.oracleSql ++ Multimodal.oracleSql ++
       Analytics.oracleSql ++ Corpus.oracleSql ++ Selection.oracleSql ++
-      graft.sql.ModelRunner.oracleSql
+      Contracts.oracleSql ++ graft.sql.ModelRunner.oracleSql
 }

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Data-contract validation — the nightly schema/constraint audit a
+  * production pipeline runs before data is allowed downstream (the
+  * principled form of the reference's ad-hoc `to_regclass`/row-count
+  * probes, `citibike_project/etl/ingest_data.py:251-262`): primary-key
+  * uniqueness, referential integrity, null and domain checks, each
+  * emitted as one (check, n_checked, n_violations) row so the gate is a
+  * single `max(n_violations) == 0` read.
+  *
+  * Scale shape: every check is ONE aggregation or ONE anti-join on its
+  * natural key — PK checks are map-side-combinable count-per-key
+  * aggregates that only retain groups with n > 1; FK checks are
+  * anti-joins that broadcast the dimension while it fits and degrade to
+  * shuffle joins at corpus scale; null/domain checks are pure map-side
+  * conditional counts folded into a single pass over each fact. The
+  * per-check results are one-row relations; the union is free.
+  */
+object Contracts {
+
+  /** q102 — the contract audit over the orders/lineitem/customer star:
+    * 2 PK checks, 2 FK checks, 1 null check, 3 domain checks. Fixture
+    * data is clean, so every n_violations is 0 — which is exactly what
+    * the DuckDB oracle asserts value-for-value (a violated contract or a
+    * broken check flips a count and fails the driver's hash gate).
+    */
+  def q102DataContract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+    val customer = Tables.customer(spark, dir)
+
+    def check(name: String, checked: DataFrame, violations: DataFrame): DataFrame =
+      checked.agg(count(lit(1)).as("n_checked")).crossJoin(
+          violations.agg(count(lit(1)).as("n_violations")))
+        .select(lit(name).as("check"), $"n_checked", $"n_violations")
+
+    val pkOrders = check("pk_orders_unique", orders,
+      orders.groupBy($"o_orderkey").agg(count(lit(1)).as("n")).filter($"n" > 1))
+    val pkLineitem = check("pk_lineitem_unique", lineitem,
+      lineitem.groupBy($"l_orderkey", $"l_linenumber")
+        .agg(count(lit(1)).as("n")).filter($"n" > 1))
+    val fkLineOrders = check("fk_lineitem_orders", lineitem,
+      lineitem.select($"l_orderkey")
+        .join(orders.select($"o_orderkey"),
+          $"l_orderkey" === $"o_orderkey", "left_anti"))
+    val fkOrdersCust = check("fk_orders_customer", orders,
+      orders.select($"o_custkey")
+        .join(customer.select($"c_custkey"),
+          $"o_custkey" === $"c_custkey", "left_anti"))
+    val nnOrderdate = check("nn_orders_orderdate", orders,
+      orders.filter($"o_orderdate".isNull))
+    // domain checks fold into one conditional-count pass over lineitem
+    val domains = lineitem.agg(
+      count(lit(1)).as("n_checked"),
+      sum(when($"l_quantity" < 1 || $"l_quantity" > 50, 1L).otherwise(0L)).as("v_qty"),
+      sum(when($"l_discount" < 0 || $"l_discount" > 0.1, 1L).otherwise(0L)).as("v_disc"),
+      sum(when(!$"l_returnflag".isin("A", "N", "R"), 1L).otherwise(0L)).as("v_flag"))
+    val domQty = domains.select(lit("dom_lineitem_quantity").as("check"),
+      $"n_checked", $"v_qty".as("n_violations"))
+    val domDisc = domains.select(lit("dom_lineitem_discount").as("check"),
+      $"n_checked", $"v_disc".as("n_violations"))
+    val domFlag = domains.select(lit("dom_lineitem_returnflag").as("check"),
+      $"n_checked", $"v_flag".as("n_violations"))
+
+    pkOrders.union(pkLineitem).union(fkLineOrders).union(fkOrdersCust)
+      .union(nnOrderdate).union(domQty).union(domDisc).union(domFlag)
+      .orderBy($"check")
+  }
+
+  val q102Sql: String =
+    """SELECT * FROM (
+      |  SELECT 'pk_orders_unique' AS "check",
+      |    (SELECT COUNT(*) FROM orders) AS n_checked,
+      |    (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1)) AS n_violations
+      |  UNION ALL
+      |  SELECT 'pk_lineitem_unique',
+      |    (SELECT COUNT(*) FROM lineitem),
+      |    (SELECT COUNT(*) FROM (SELECT l_orderkey, l_linenumber FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) > 1))
+      |  UNION ALL
+      |  SELECT 'fk_lineitem_orders',
+      |    (SELECT COUNT(*) FROM lineitem),
+      |    (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+      |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+      |  UNION ALL
+      |  SELECT 'fk_orders_customer',
+      |    (SELECT COUNT(*) FROM orders),
+      |    (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+      |      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+      |  UNION ALL
+      |  SELECT 'nn_orders_orderdate',
+      |    (SELECT COUNT(*) FROM orders),
+      |    (SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL)
+      |  UNION ALL
+      |  SELECT 'dom_lineitem_quantity',
+      |    (SELECT COUNT(*) FROM lineitem),
+      |    (SELECT COUNT(*) FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50)
+      |  UNION ALL
+      |  SELECT 'dom_lineitem_discount',
+      |    (SELECT COUNT(*) FROM lineitem),
+      |    (SELECT COUNT(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 0.1)
+      |  UNION ALL
+      |  SELECT 'dom_lineitem_returnflag',
+      |    (SELECT COUNT(*) FROM lineitem),
+      |    (SELECT COUNT(*) FROM lineitem WHERE l_returnflag NOT IN ('A', 'N', 'R'))
+      |) t
+      |ORDER BY "check"""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q102_data_contract" -> (q102DataContract _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q102_data_contract" -> q102Sql)
+}
