@@ -51,7 +51,8 @@ object ModelRunner {
     * so the Path-based loader works from any classpath form.
     */
   val packagedModelNames: Seq[String] =
-    Seq("stg_orders.sql", "stg_lineitem.sql", "mart_customer_revenue.sql")
+    Seq("stg_orders.sql", "stg_lineitem.sql", "mart_customer_revenue.sql",
+      "mart_daily_events.sql")
 
   def packagedModelsDir(): Path = {
     val dir = Files.createTempDirectory("graft_models")
@@ -85,8 +86,12 @@ object ModelRunner {
   /** Register base tables + all models as views (dependency order),
     * returning the model DataFrames by name.
     */
-  def run(spark: SparkSession, modelsDir: Path, sfDir: String): Map[String, DataFrame] = {
+  def run(spark: SparkSession, modelsDir: Path, sfDir: String,
+      overrides: Map[String, DataFrame] = Map.empty): Map[String, DataFrame] = {
     Tables.registerAll(spark, sfDir)
+    // source overrides (e.g. "only the data that has arrived so far" in
+    // an incremental backfill scenario) replace the base views
+    overrides.foreach { case (n, df) => df.createOrReplaceTempView(n) }
     // The harness fact files are single-row-group parquet, so their scans
     // plan ONE task and the whole mart pipeline below the first exchange
     // (decimal measure, broadcast joins, count-distinct Expand partials)
@@ -116,6 +121,65 @@ object ModelRunner {
     picked.foreach(n => all(n).write.mode("overwrite").parquet(s"$outDir/$n"))
   }
 
+  /** Incremental-materialization config, declared in the model file's
+    * header comment: `-- graft: incremental partition=<col>`.
+    */
+  final case class Incremental(partition: String)
+
+  def incrementalConfig(m: Model): Option[Incremental] =
+    "--\\s*graft:\\s*incremental\\s+partition=([A-Za-z_][A-Za-z0-9_]*)".r
+      .findFirstMatchIn(m.sql).map(g => Incremental(g.group(1)))
+
+  /** dbt-style INCREMENTAL `dbt run`: models tagged
+    * `-- graft: incremental partition=<col>` re-materialize, on re-runs,
+    * ONLY the newest already-materialized partition and anything later —
+    * older partitions are immutable by contract (the standard
+    * append-mostly warehouse assumption; late data lands in the newest
+    * open partition, which IS recomputed). The mechanics are
+    * Spark-native: the partition bound filters the model's LAZY view (so
+    * Catalyst pushes it into the upstream plan and the recompute reads
+    * the source tail, not the source), and the write uses DYNAMIC
+    * partition overwrite, which replaces exactly the partitions present
+    * in the recomputed frame and leaves every older partition's files
+    * untouched (spec-pinned by listing). Untagged models fall back to
+    * full refresh. Returns the mode each final ran in
+    * (`full` / `first_full` / `incremental`).
+    */
+  def materializeIncremental(spark: SparkSession, modelsDir: Path, sfDir: String,
+      outDir: String, finals: Seq[String] = Seq.empty,
+      overrides: Map[String, DataFrame] = Map.empty): Map[String, String] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val byName = load(modelsDir).map(m => m.name -> m).toMap
+    val all = run(spark, modelsDir, sfDir, overrides)
+    val picked = if (finals.nonEmpty) finals else all.keys.toSeq.sorted
+    picked.map { n =>
+      val df = all(n)
+      val out = s"$outDir/$n"
+      val mode = incrementalConfig(byName(n)) match {
+        case None =>
+          df.write.mode("overwrite").parquet(out); "full"
+        case Some(Incremental(p)) =>
+          val path = new org.apache.hadoop.fs.Path(out)
+          val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val pmax =
+            if (!fs.exists(path)) null
+            else spark.read.parquet(out)
+              .agg(org.apache.spark.sql.functions.max(col(p))).head().get(0)
+          if (pmax == null) {
+            df.write.mode("overwrite").partitionBy(p).parquet(out); "first_full"
+          } else {
+            val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try df.filter(col(p) >= lit(pmax))
+              .write.mode("overwrite").partitionBy(p).parquet(out)
+            finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            "incremental"
+          }
+      }
+      n -> mode
+    }.toMap
+  }
+
   /** Declared query for the SQL-transform layer: run the packaged
     * staging -> mart DAG end to end (extract models, topo-order, lazy
     * views, materialize the mart to parquet) and read the mart back —
@@ -130,6 +194,43 @@ object ModelRunner {
     spark.read.parquet(s"$out/mart_customer_revenue")
       .orderBy("c_custkey")
   }
+
+  /** q103 — the incremental-materialization lifecycle as a declared,
+    * oracle-checked query: run 1 materializes the daily-events mart from
+    * only the EARLY half of the source (an `events` view override
+    * simulating "what had arrived by the cut"); run 2 sees the full
+    * source and re-materializes ONLY the newest existing day-partition
+    * and later (dynamic partition overwrite). The read-back must equal a
+    * full-refresh aggregation of the whole source — which is exactly what
+    * the DuckDB oracle computes, so the driver's hash gate verifies
+    * incremental == full refresh end to end (a missed partition, a
+    * double-write, or a wrong bound changes a count and fails the hash).
+    */
+  def q103IncrementalMart(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = scratchDir("graft_incmart")
+    val modelsDir = packagedModelsDir()
+    val ev = Tables.events(spark, sfDir)
+    val mm = ev.agg(min(unix_micros($"ts")).as("a"), max(unix_micros($"ts")).as("b")).head()
+    val cutUs = (mm.getLong(0) + mm.getLong(1)) / 2 // deterministic mid-span cut
+    materializeIncremental(spark, modelsDir, sfDir, out,
+      finals = Seq("mart_daily_events"),
+      overrides = Map("events" -> ev.filter(unix_micros($"ts") < cutUs)))
+    materializeIncremental(spark, modelsDir, sfDir, out,
+      finals = Seq("mart_daily_events"))
+    spark.read.parquet(s"$out/mart_daily_events")
+      .select($"event_date", $"event_type", $"n", $"sum_value")
+      .orderBy($"event_date", $"event_type")
+  }
+
+  val q103Sql: String =
+    """SELECT CAST(date_trunc('day', ts) AS DATE) AS event_date, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
 
   /** Scratch location for ephemeral mart materialization: tmpfs when
     * available, same policy (and rationale) as Sessions' shuffle-dir —
@@ -157,8 +258,10 @@ object ModelRunner {
       |ORDER BY c_custkey""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q49_model_mart" -> (q49ModelMart _))
+    "q49_model_mart" -> (q49ModelMart _),
+    "q103_incremental_mart" -> (q103IncrementalMart _))
 
   val oracleSql: Map[String, String] = Map(
-    "q49_model_mart" -> q49Sql)
+    "q49_model_mart" -> q49Sql,
+    "q103_incremental_mart" -> q103Sql)
 }

@@ -43,6 +43,46 @@ class ModelRunnerSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(s"$dest/mart_yearly").count() > 0)
   }
 
+  test("incremental materialization rewrites only the tail partitions") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_inc").toString
+    val modelsDir = ModelRunner.packagedModelsDir()
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val mm = ev.agg(min(unix_micros($"ts")).as("a"), max(unix_micros($"ts")).as("b")).head()
+    val cutUs = (mm.getLong(0) + mm.getLong(1)) / 2
+    // run 1: early half only
+    val m1 = ModelRunner.materializeIncremental(spark, modelsDir, sfDir, out,
+      finals = Seq("mart_daily_events"),
+      overrides = Map("events" -> ev.filter(unix_micros($"ts") < cutUs)))
+    assert(m1 == Map("mart_daily_events" -> "first_full"))
+    val martDir = new java.io.File(s"$out/mart_daily_events")
+    def partFiles(): Map[String, Set[String]] =
+      martDir.listFiles.filter(d => d.isDirectory && d.getName.startsWith("event_date="))
+        .map(d => d.getName -> d.listFiles.map(_.getName).toSet).toMap
+    val before = partFiles()
+    val pmax = before.keys.max // lexicographic == chronological for ISO dates
+    // run 2: full source; only pmax-and-later partitions may be rewritten
+    val m2 = ModelRunner.materializeIncremental(spark, modelsDir, sfDir, out,
+      finals = Seq("mart_daily_events"))
+    assert(m2 == Map("mart_daily_events" -> "incremental"))
+    val after = partFiles()
+    before.filter(_._1 < pmax).foreach { case (p, files) =>
+      assert(after(p) == files, s"immutable partition $p was rewritten")
+    }
+    assert(after.keys.max > pmax, "new partitions must have appeared")
+    // and the incremental result equals a full refresh of the whole source
+    val got = spark.read.parquet(s"$out/mart_daily_events")
+      .select($"event_date".cast("string"), $"event_type", $"n", $"sum_value")
+      .collect().map(_.toSeq).toSet
+    val full = ev.groupBy(date_trunc("day", $"ts").cast("date").as("event_date"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,4)")).cast("string").cast("double").as("sum_value"))
+      .select($"event_date".cast("string"), $"event_type", $"n", $"sum_value")
+      .collect().map(_.toSeq).toSet
+    assert(got == full)
+  }
+
   test("cycles are rejected") {
     val d = Files.createTempDirectory("graft_cycle")
     Files.writeString(d.resolve("a.sql"), "SELECT * FROM b")
