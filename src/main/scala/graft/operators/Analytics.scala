@@ -405,6 +405,92 @@ object Analytics {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** q104 — RECURSIVE CTE (Spark 4's `WITH RECURSIVE` / UnionLoop): a
+    * month spine generated by recursion from the orders date span,
+    * LEFT-joined back so empty months appear with zero counts — the
+    * classic reason a spine exists, inexpressible with a plain GROUP BY
+    * (which drops absent groups). The span bounds are read once
+    * (two scalars) and inlined, keeping the recursive step free of
+    * scalar subqueries; ~80 iterations at the fixture span, under
+    * Spark's default recursion limit. Each step is the previous row plus
+    * one month, so the loop materializes spine-sized state (rows =
+    * months), never data-sized — the recursion is over the CALENDAR, not
+    * the corpus; the corpus-sized work stays one hash aggregation under
+    * the join. DuckDB runs the same WITH RECURSIVE shape computing its
+    * own bounds.
+    */
+  def q104RecursiveSpine(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    val mm = spark.sql(
+      """SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS a,
+        |       CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS b
+        |FROM orders""".stripMargin).head()
+    val (lo, hi) = (mm.getDate(0), mm.getDate(1))
+    spark.sql(
+      s"""WITH RECURSIVE spine AS (
+         |  SELECT DATE '$lo' AS m
+         |  UNION ALL
+         |  SELECT CAST(m + INTERVAL '1 month' AS DATE) FROM spine
+         |  WHERE m < DATE '$hi'
+         |)
+         |SELECT spine.m AS month,
+         |  CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+         |  CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS total
+         |FROM spine
+         |LEFT JOIN orders o
+         |  ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = spine.m
+         |GROUP BY spine.m
+         |ORDER BY month""".stripMargin)
+  }
+
+  val q104Sql: String =
+    """WITH RECURSIVE spine AS (
+      |  SELECT (SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) FROM orders) AS m
+      |  UNION ALL
+      |  SELECT CAST(m + INTERVAL '1 month' AS DATE) FROM spine
+      |  WHERE m < (SELECT CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) FROM orders)
+      |)
+      |SELECT spine.m AS month,
+      |  CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+      |  CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS total
+      |FROM spine
+      |LEFT JOIN orders o
+      |  ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = spine.m
+      |GROUP BY spine.m
+      |ORDER BY month""".stripMargin
+
+  /** q105 — heavy hitters via `approx_top_k` (Spark 4's space-saving /
+    * Misra–Gries sketch aggregate): top event types by frequency in ONE
+    * pass with a fixed-size sketch, exploded to (rank, item, est_count)
+    * rows. Oracle-exactness by the space-saving guarantee: with
+    * maxItemsTracked ≥ the column's distinct count the sketch counts are
+    * EXACT (no evictions ever happen), so the fixture regime IS the
+    * calibration run — DuckDB's exact ROW_NUMBER-over-counts top-3 must
+    * match value-for-value (the q42 philosophy: the sketch's exactness
+    * regime is oracle-checkable; a broken merge changes a count and
+    * fails the hash gate). The production regime tracks k' ≪ D with the
+    * published n/k' count-error bound — same plan shape, same fixed
+    * memory, just a smaller capacity than cardinality.
+    */
+  def q105HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .agg(expr("approx_top_k(event_type, 3, 100)").as("tk"))
+      .select(posexplode($"tk").as(Seq("pos", "s")))
+      .select(($"pos" + 1).cast("long").as("rank"),
+        $"s.item".as("item"), $"s.count".cast("long").as("est_count"))
+      .orderBy($"rank")
+  }
+
+  val q105Sql: String =
+    """SELECT CAST(rn AS BIGINT) AS rank, event_type AS item, n AS est_count
+      |FROM (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, event_type) AS rn
+      |  FROM events GROUP BY 1) t
+      |WHERE rn <= 3
+      |ORDER BY rank""".stripMargin
+
   /** Range (theta) join: clicks within 30 minutes after a purchase by the
     * same user. The time bound is integer microsecond arithmetic so both
     * engines evaluate the identical predicate. Spark plans the non-equi
@@ -497,7 +583,9 @@ object Analytics {
     "q96_distinct_sketch" -> (q96DistinctSketch _),
     "q97_distinct_calibration_slice" -> (q97DistinctCalibrationSlice _),
     "q99_percentile_sketch" -> (q99PercentileSketch _),
-    "q100_percentile_calibration_slice" -> (q100PercentileCalibrationSlice _))
+    "q100_percentile_calibration_slice" -> (q100PercentileCalibrationSlice _),
+    "q104_recursive_spine" -> (q104RecursiveSpine _),
+    "q105_heavy_hitters" -> (q105HeavyHitters _))
 
   val oracleSql: Map[String, String] = Map(
     "q42_approx_distinct" -> q42Sql,
@@ -511,5 +599,7 @@ object Analytics {
     "q45_json_map" -> q45Sql,
     "q96_distinct_sketch" -> q96Sql,
     "q99_percentile_sketch" -> q99Sql,
-    "q100_percentile_calibration_slice" -> q100Sql)
+    "q100_percentile_calibration_slice" -> q100Sql,
+    "q104_recursive_spine" -> q104Sql,
+    "q105_heavy_hitters" -> q105Sql)
 }
