@@ -491,6 +491,119 @@ object Analytics {
       |WHERE rn <= 3
       |ORDER BY rank""".stripMargin
 
+  /** q106 — PERSISTED, MERGEABLE distinct-count sketches (Apache
+    * DataSketches HLL via Spark 4's `hll_sketch_agg` family): the
+    * sketch-rollup-table pattern a 100 TB warehouse actually runs.
+    * `approx_count_distinct` (q42/q96) computes an estimate and throws
+    * the sketch away; here stage 1 builds PARTIAL sketches per
+    * (group, ingest-shard), materializes the binary sketch column to
+    * parquet — the nightly rollup table — and stage 2 answers the
+    * distinct question by `hll_union_agg` over the STORED sketches, no
+    * re-scan of the fact data. At scale the rollup table is
+    * groups × shards rows regardless of corpus size, merges associatively
+    * across days/partitions, and is exchangeable with any DataSketches
+    * implementation (the wire format is cross-system — the reason to
+    * prefer it over Spark's private HLL++ buffers when sketches outlive
+    * one query). Checkability: the merged estimate is gated within the
+    * published HLL error envelope of the live exact count (lgK=12 ⇒
+    * rsd ≈ 0.8%, gated at ±5% ≫ 6σ); DuckDB emits the exact counts and
+    * TRUE literals, so a broken merge or serialization flips the boolean
+    * and fails the hash gate.
+    */
+  def q106SketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_hll_rollup").toString
+    val li = Tables.lineitem(spark, dir)
+    // stage 1: per-(group, shard) partial sketches -> the rollup table
+    li.groupBy($"l_returnflag", pmod(xxhash64($"l_orderkey"), lit(16L)).as("shard"))
+      .agg(expr("hll_sketch_agg(l_orderkey, 12)").as("sk"),
+        count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(out)
+    // stage 2: merge STORED sketches; never re-touches lineitem rows
+    val merged = spark.read.parquet(out)
+      .groupBy($"l_returnflag")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"),
+        sum($"n").as("n"))
+    val exact = li.groupBy($"l_returnflag")
+      .agg(countDistinct($"l_orderkey").as("exact_orders"))
+    merged.join(exact, Seq("l_returnflag"))
+      .select($"l_returnflag", $"exact_orders", $"n",
+        (abs($"est" - $"exact_orders").cast("double") / $"exact_orders" <= 0.05)
+          .as("est_in_bounds"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q106Sql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+      |  COUNT(*) AS n,
+      |  TRUE AS est_in_bounds
+      |FROM lineitem
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  /** q107 — UNPIVOT/melt (wide → long): the three lineitem measures fold
+    * into (measure, value) rows, then aggregate per (flag, measure).
+    * Spark's `unpivot` plans as an Expand (3 output rows per input row,
+    * no shuffle until the aggregation), the exact dual of q13's pivot;
+    * the long form is what generic per-metric pipelines (drift monitors,
+    * metric stores) consume. Decimal-exact sums per the oracle-parity
+    * discipline.
+    */
+  def q107Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select($"l_returnflag", $"l_quantity", $"l_extendedprice", $"l_discount")
+      .unpivot(Array($"l_returnflag"),
+        Array($"l_quantity", $"l_extendedprice", $"l_discount"),
+        "measure", "value")
+      .groupBy($"l_returnflag", $"measure")
+      .agg(count(lit(1)).as("n"),
+        sum(dec($"value")).cast("string").cast("double").as("sum_value"))
+      .orderBy($"l_returnflag", $"measure")
+  }
+
+  val q107Sql: String =
+    """SELECT l_returnflag, measure, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value
+      |FROM (
+      |  SELECT l_returnflag, measure, value
+      |  FROM lineitem
+      |  UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, l_discount)))
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  /** q108 — LATERAL correlated subquery: each customer's top-2 orders by
+    * price through a per-row dependent subquery with ORDER BY + LIMIT —
+    * the SQL-surface dual of q8's window top-N. Catalyst decorrelates
+    * the lateral into a join + per-key limit (no per-customer re-scan);
+    * at scale this is one shuffle on the correlation key, same cost
+    * class as the window form. Deterministic tie-break on orderkey.
+    */
+  def q108LateralTopOrders(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c,
+        |LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey
+        |  LIMIT 2) t
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
+  }
+
+  val q108Sql: String =
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer c,
+      |LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey
+      |  LIMIT 2) t
+      |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin
+
   /** Range (theta) join: clicks within 30 minutes after a purchase by the
     * same user. The time bound is integer microsecond arithmetic so both
     * engines evaluate the identical predicate. Spark plans the non-equi
@@ -585,7 +698,10 @@ object Analytics {
     "q99_percentile_sketch" -> (q99PercentileSketch _),
     "q100_percentile_calibration_slice" -> (q100PercentileCalibrationSlice _),
     "q104_recursive_spine" -> (q104RecursiveSpine _),
-    "q105_heavy_hitters" -> (q105HeavyHitters _))
+    "q105_heavy_hitters" -> (q105HeavyHitters _),
+    "q106_sketch_rollup" -> (q106SketchRollup _),
+    "q107_unpivot" -> (q107Unpivot _),
+    "q108_lateral_top_orders" -> (q108LateralTopOrders _))
 
   val oracleSql: Map[String, String] = Map(
     "q42_approx_distinct" -> q42Sql,
@@ -601,5 +717,8 @@ object Analytics {
     "q99_percentile_sketch" -> q99Sql,
     "q100_percentile_calibration_slice" -> q100Sql,
     "q104_recursive_spine" -> q104Sql,
-    "q105_heavy_hitters" -> q105Sql)
+    "q105_heavy_hitters" -> q105Sql,
+    "q106_sketch_rollup" -> q106Sql,
+    "q107_unpivot" -> q107Sql,
+    "q108_lateral_top_orders" -> q108Sql)
 }
