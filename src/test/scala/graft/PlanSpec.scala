@@ -135,6 +135,20 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(aggExprs("q40_percentiles").exists(_.isInstanceOf[Percentile]))
   }
 
+  test("q108: lateral subquery decorrelates — per-key limit, no per-row re-scan") {
+    val p = plan("q108_lateral_top_orders")
+    // Catalyst must rewrite the correlated LATERAL (ORDER BY + LIMIT per
+    // customer) into the window-top-N shape: a WindowGroupLimit with a
+    // map-side partial, ONE exchange on the correlation key, and a hash
+    // join against customer — never a nested-loop/cartesian per-row
+    // re-execution of the subquery.
+    assert(p.contains("WindowGroupLimit"),
+      "decorrelated per-key limit missing from the plan")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "lateral must not plan as a per-row re-scan")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+  }
+
   test("q75: pair comparison is a label equi-join, verdict join broadcasts") {
     val p = plan("q75_semantic_dedup")
     // all-pairs only WITHIN a cluster: the pair stage must hash-join on
