@@ -21,7 +21,8 @@ object SparkEntry {
     Relational.queries ++ Events.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
       Analytics.queries ++ Corpus.queries ++ Selection.queries ++
-      Contracts.queries ++ graft.sql.ModelRunner.queries
+      Contracts.queries ++ Lakehouse.queries ++ Resolution.queries ++
+      graft.sql.ModelRunner.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -30,5 +31,6 @@ object SparkEntry {
     Relational.oracleSql ++ Events.oracleSql ++ TextAnalysis.oracleSql ++
       Dedup.oracleSql ++ Similarity.oracleSql ++ Multimodal.oracleSql ++
       Analytics.oracleSql ++ Corpus.oracleSql ++ Selection.oracleSql ++
-      Contracts.oracleSql ++ graft.sql.ModelRunner.oracleSql
+      Contracts.oracleSql ++ Lakehouse.oracleSql ++ Resolution.oracleSql ++
+      graft.sql.ModelRunner.oracleSql
 }
