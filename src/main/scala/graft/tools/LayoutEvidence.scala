@@ -47,12 +47,22 @@ object LayoutEvidence {
       .write.mode("overwrite").parquet(linDest)
     graft.operators.Lakehouse.writeZOrdered(o, zDest, "o_custkey", "day", shards)
 
+    // execute the captured plan itself (a fresh count() would build its
+    // own QueryExecution and leave these metrics untouched), then read
+    // the scan leaf's numOutputRows = rows surviving parquet row-group
+    // pruning, i.e. what the executors actually decoded
     def scanRows(dest: String, probe: DataFrame => DataFrame): (Long, Long) = {
       val df = probe(spark.read.parquet(dest))
-      val n = df.count()
-      val scanned = df.queryExecution.executedPlan.collectLeaves()
+      val qe = df.queryExecution
+      val matched = qe.executedPlan.execute().count()
+      val finalPlan = qe.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val scanned = finalPlan.collectLeaves()
         .flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
-      (scanned, n)
+      (scanned, matched)
     }
 
     println(s"== Layout evidence: sf=$sfDir shards=$shards rows=$total " +

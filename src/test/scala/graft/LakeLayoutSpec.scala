@@ -101,6 +101,43 @@ class LakeLayoutSpec extends AnyFunSuite with SparkSpec {
     assert(n == layout.count())
   }
 
+  test("z-ordered layout physically skips row groups on the non-sort dimension") {
+    // write the same orders twice: linear-sorted on day vs z-ordered on
+    // (custkey, day); then measure what the vectorized reader actually
+    // decodes (scan-leaf numOutputRows = rows in row groups surviving
+    // parquet footer-stats pruning) under a custkey range probe
+    val o = graft.sources.Tables.orders(spark, sfDir)
+      .withColumn("day", datediff($"o_orderdate", lit("1992-01-01").cast("date")).cast("long"))
+    val Array(minc, maxc) = o.agg(min($"o_custkey"), max($"o_custkey"))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    val (ckLo, ckHi) = (minc + ((maxc - minc + 1) * 96) / 256,
+      minc + ((maxc - minc + 1) * 112) / 256 - 1)
+    val base = Files.createTempDirectory("graft_zorder").toString
+    o.repartitionByRange(32, $"day").sortWithinPartitions("day")
+      .write.mode("overwrite").parquet(s"$base/linear")
+    graft.operators.Lakehouse.writeZOrdered(o, s"$base/zorder", "o_custkey", "day", 32)
+
+    def decoded(dest: String): (Long, Long) = {
+      val df = spark.read.parquet(dest).filter($"o_custkey".between(ckLo, ckHi))
+      val qe = df.queryExecution
+      val matched = qe.executedPlan.execute().count()
+      val finalPlan = qe.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      (finalPlan.collectLeaves().flatMap(_.metrics.get("numOutputRows")).map(_.value).sum,
+        matched)
+    }
+    val total = o.count()
+    val (linScanned, linMatched) = decoded(s"$base/linear")
+    val (zScanned, zMatched) = decoded(s"$base/zorder")
+    assert(linMatched == zMatched, "layouts must return identical results")
+    // linear layout has no custkey locality: every row group survives
+    assert(linScanned == total, s"linear should decode all $total rows, got $linScanned")
+    // z-order: footer stats prune most row groups on the SECOND dimension
+    assert(zScanned * 2 <= total, s"z-order should decode <= half the rows, got $zScanned/$total")
+  }
+
   test("simhash captures the same near-dup set as exact Jaccard on this corpus") {
     val exact = graft.operators.Dedup.ngramJaccardAllPairs(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
