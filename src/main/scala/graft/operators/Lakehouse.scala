@@ -283,15 +283,71 @@ object Lakehouse {
       |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** q114 — interval merge ("gaps and islands" with VARIABLE-length
+    * intervals, which fixed-gap sessionization like q23 cannot express):
+    * each event opens an interval [ts, ts + dur) whose duration is a
+    * deterministic function of event_id (1–24.5 h); overlapping
+    * intervals per user merge into islands. The merge is the classic
+    * one-pass form: an island boundary is a start strictly after the
+    * running max of all PRIOR ends (ROWS UNBOUNDED PRECEDING TO 1
+    * PRECEDING), island id is the running sum of boundaries, then one
+    * aggregation per island. All epoch-millis integer arithmetic; two
+    * windows + the final aggregate share ONE user_id partitioning, so
+    * the whole query is a single shuffle.
+    */
+  def q114IntervalMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val iv = Tables.events(spark, dir)
+      .select($"user_id", $"event_id",
+        unix_millis($"ts").as("start_ms"),
+        (unix_millis($"ts") + lit(3600000L) + ($"event_id" % 48) * lit(1800000L)).as("end_ms"))
+    val w = Window.partitionBy($"user_id").orderBy($"start_ms", $"event_id")
+    val prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    val islands = iv
+      .withColumn("boundary",
+        when($"start_ms" > max($"end_ms").over(prior), 1L).otherwise(
+          when(max($"end_ms").over(prior).isNull, 1L).otherwise(0L)))
+      .withColumn("island", sum($"boundary").over(w))
+    islands.groupBy($"user_id", $"island")
+      .agg(min($"start_ms").as("island_start_ms"),
+        max($"end_ms").as("island_end_ms"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"user_id", $"island")
+  }
+
+  val q114Sql: String =
+    """WITH iv AS (
+      |  SELECT user_id, event_id,
+      |         epoch_ms(ts) AS start_ms,
+      |         epoch_ms(ts) + 3600000 + (event_id % 48) * 1800000 AS end_ms
+      |  FROM events),
+      |b AS (
+      |  SELECT *,
+      |    CASE WHEN max(end_ms) OVER (PARTITION BY user_id ORDER BY start_ms, event_id
+      |                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |           OR start_ms > max(end_ms) OVER (PARTITION BY user_id ORDER BY start_ms, event_id
+      |                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |         THEN 1 ELSE 0 END AS boundary
+      |  FROM iv),
+      |i AS (
+      |  SELECT *, CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY start_ms, event_id) AS BIGINT) AS island
+      |  FROM b)
+      |SELECT user_id, island, min(start_ms) AS island_start_ms,
+      |       max(end_ms) AS island_end_ms, count(*) AS n_events
+      |FROM i GROUP BY user_id, island
+      |ORDER BY user_id, island""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q109_zorder_layout" -> (q109ZorderLayout _),
     "q110_scd2_dim" -> (q110Scd2Dim _),
     "q111_cdc_merge" -> (q111CdcMerge _),
-    "q113_range_frame" -> (q113RangeFrame _))
+    "q113_range_frame" -> (q113RangeFrame _),
+    "q114_interval_merge" -> (q114IntervalMerge _))
 
   val oracleSql: Map[String, String] = Map(
     "q109_zorder_layout" -> q109Sql,
     "q110_scd2_dim" -> q110Sql,
     "q111_cdc_merge" -> q111Sql,
-    "q113_range_frame" -> q113Sql)
+    "q113_range_frame" -> q113Sql,
+    "q114_interval_merge" -> q114Sql)
 }

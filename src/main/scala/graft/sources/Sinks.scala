@@ -105,6 +105,43 @@ object Sinks {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(dest)
   }
 
+  /** Small-files compaction — the lake-maintenance job every streaming
+    * or incremental writer eventually needs (the same problem
+    * NearDupIndex solves with its rebuild-on-doubling; this is the
+    * general API): rewrites a parquet directory into
+    * `ceil(rows / rowsPerFile)` files, then atomically swaps the new
+    * tree in (write to `<dest>.compact.tmp`, rename old aside, rename
+    * tmp in, delete old). Readers racing the swap see either the old or
+    * the new complete tree, never a mix — rename is atomic per entry on
+    * HDFS-like stores; on S3-like stores the swap window is the two
+    * renames, which is why production tables put a manifest/catalog
+    * (Iceberg, S13) in front. Returns (filesBefore, filesAfter).
+    */
+  def compactLake(spark: SparkSession, dest: String, rowsPerFile: Long = 1000000L): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val path = new Path(dest)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parquetCount(p: Path): Int = {
+      val it = fs.listFiles(p, true)
+      var n = 0
+      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
+    }
+    val before = parquetCount(path)
+    val df = spark.read.parquet(dest)
+    val rows = df.count()
+    val nFiles = math.max(1, math.ceil(rows.toDouble / rowsPerFile).toInt)
+    val tmp = new Path(dest + ".compact.tmp")
+    val old = new Path(dest + ".compact.old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    df.repartition(nFiles).write.mode("overwrite")
+      .option("compression", "zstd").parquet(tmp.toString)
+    require(fs.rename(path, old), s"compactLake: could not move $path aside")
+    require(fs.rename(tmp, path), s"compactLake: could not move $tmp into place")
+    fs.delete(old, true)
+    (before, parquetCount(path))
+  }
+
   /** Deployment form of the q80 shard layout (graft.operators.Corpus):
     * one directory per shard, rows laid down in permutation order within
     * it — `repartition(shard)` + `sortWithinPartitions` keeps every sort

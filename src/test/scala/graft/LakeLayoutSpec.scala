@@ -138,6 +138,24 @@ class LakeLayoutSpec extends AnyFunSuite with SparkSpec {
     assert(zScanned * 2 <= total, s"z-order should decode <= half the rows, got $zScanned/$total")
   }
 
+  test("compactLake rewrites a fragmented lake into few files and swaps atomically") {
+    val dest = Files.createTempDirectory("graft_compact").toString + "/docs"
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    docs.repartition(40).write.parquet(dest)
+    val rows = docs.count()
+    val (before, after) = graft.sources.Sinks.compactLake(spark, dest,
+      rowsPerFile = math.max(1L, rows / 2))
+    assert(before == 40, s"fragmented write should have produced 40 files, got $before")
+    assert(after <= 3, s"compaction should leave <= 3 files, got $after")
+    // no temp/backup trees left behind
+    val parent = new java.io.File(dest).getParentFile
+    assert(parent.listFiles().map(_.getName).toSet == Set("docs"), parent.listFiles().toSeq.toString)
+    // data identical
+    val got = spark.read.parquet(dest).select("doc_id").collect().map(_.getLong(0)).sorted
+    val want = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(want))
+  }
+
   test("simhash captures the same near-dup set as exact Jaccard on this corpus") {
     val exact = graft.operators.Dedup.ngramJaccardAllPairs(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

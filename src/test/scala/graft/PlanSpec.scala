@@ -353,4 +353,34 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("partial_sum") || p.contains("partial_count"))
     assert(!p.contains("Join"))
   }
+
+  test("runtime bloom-filter pruning injects on a selective shuffle join") {
+    // At 100 TB a selective dim filter should prune the fact scan at
+    // RUNTIME via an injected bloom filter (InjectRuntimeFilter), not
+    // only after the shuffle. Local fixtures are below the default size
+    // thresholds, so lower them to what a cluster would see relative to
+    // its data; force the shuffle-join path (runtime filters don't apply
+    // to broadcast joins, which prune via reused exchange instead).
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = graft.sources.Tables.lineitem(spark, sfDir)
+      val o = graft.sources.Tables.orders(spark, sfDir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val p = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).count()
+        .queryExecution.explainString(FormattedMode)
+      assert(p.contains("might_contain") || p.contains("bloom_filter"),
+        "expected an injected runtime bloom filter on the fact side:\n" +
+          p.linesIterator.take(25).mkString("\n"))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
