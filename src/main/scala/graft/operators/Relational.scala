@@ -538,7 +538,37 @@ object Relational {
       |WHERE o_orderkey % 97 = 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** q116 — relational division ("for all"): customers whose orders
+    * cover EVERY order priority in the corpus. The scalable form is the
+    * count-match reduction, not a quintuple nested NOT EXISTS: one
+    * distinct-pair aggregation per customer (map-side combinable on the
+    * (custkey, priority) pair), compared against the broadcast one-row
+    * universe count. Output also carries the covering order count so
+    * the row is informative, computed in the same aggregation pass.
+    */
+  def q116RelationalDivision(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+    val universe = o.agg(countDistinct($"o_orderpriority").as("n_prio"))
+    o.groupBy($"o_custkey")
+      .agg(countDistinct($"o_orderpriority").as("n_covered"),
+        count(lit(1)).as("n_orders"))
+      .crossJoin(broadcast(universe))
+      .filter($"n_covered" === $"n_prio")
+      .select($"o_custkey", $"n_orders")
+      .orderBy($"o_custkey")
+  }
+
+  val q116Sql: String =
+    """SELECT o_custkey, count(*) AS n_orders
+      |FROM orders
+      |GROUP BY o_custkey
+      |HAVING count(DISTINCT o_orderpriority) =
+      |  (SELECT count(DISTINCT o_orderpriority) FROM orders)
+      |ORDER BY o_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_relational_division" -> (q116RelationalDivision _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_filter_project" -> (q2FilterProject _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
@@ -560,6 +590,7 @@ object Relational {
     "q19_math_funcs" -> (q19MathFuncs _))
 
   val oracleSql: Map[String, String] = Map(
+    "q116_relational_division" -> q116Sql,
     "q1_pricing_summary" -> q1Sql,
     "q2_filter_project" -> q2Sql,
     "q3_shipping_priority" -> q3Sql,

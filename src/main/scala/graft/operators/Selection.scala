@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.sources.Tables
@@ -458,7 +459,65 @@ object Selection {
       |FROM b
       |ORDER BY source""".stripMargin
 
+  /** q115 — systematic PPS (probability-proportional-to-size) sampling:
+    * the textbook corpus subsampler when inclusion probability must be
+    * exactly proportional to document size (token budget), not uniform
+    * (q81 applies per-source quotas; this is the size-exact
+    * single-stratum form). Walk the size-cumulative line with n=100
+    * equally spaced strides; a doc is picked once per stride falling in
+    * its [cum-w, cum) span — `n_picks = (cum*n div W) - ((cum-w)*n div
+    * W)`, all BIGINT, so the sample is bit-identical cross-engine and
+    * Σ n_picks = n exactly.
+    *
+    * Scale shape: the global cumulative sum is a DISTRIBUTED prefix
+    * scan, not a single-partition window — per-bucket totals (contiguous
+    * doc_id ranges) are aggregated small, offset by a window over the
+    * tiny totals relation, broadcast back, and each bucket scans in
+    * parallel with its offset added. The only global-order window runs
+    * over ~(corpus/64) one-row-per-bucket records. At 100 TB the
+    * arithmetic widens to DECIMAL(38,0) (cum*n overflows BIGINT around
+    * W ≈ 9e16 with n=100); the fixture stays in BIGINT range.
+    */
+  def q115PpsSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = 100
+    val d = Tables.documents(spark, dir)
+      .select($"doc_id", $"n_chars".as("w"))
+      .withColumn("bkt", expr("doc_id div 64"))
+    val totals = d.groupBy($"bkt").agg(sum($"w").as("bw"))
+    val offs = totals.withColumn("off",
+      coalesce(sum($"bw").over(
+        Window.orderBy($"bkt").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"bkt", $"off")
+    val wIn = Window.partitionBy($"bkt").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = d.join(broadcast(offs), Seq("bkt"))
+      .withColumn("cum", sum($"w").over(wIn) + $"off")
+    val tot = d.agg(sum($"w").as("wtot"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("hi", expr(s"(cum * $n) div wtot"))
+      .withColumn("lo", expr(s"((cum - w) * $n) div wtot"))
+      .filter($"hi" > $"lo")
+      .select($"doc_id", $"w", $"cum", ($"hi" - $"lo").as("n_picks"))
+      .orderBy($"doc_id")
+  }
+
+  val q115Sql: String =
+    """WITH d AS (SELECT doc_id, n_chars AS w FROM documents),
+      |c AS (
+      |  SELECT doc_id, w,
+      |         CAST(sum(w) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+      |                           AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM d),
+      |t AS (SELECT CAST(sum(w) AS BIGINT) AS wtot FROM d)
+      |SELECT doc_id, w, cum,
+      |       CAST((cum * 100) // wtot - ((cum - w) * 100) // wtot AS BIGINT) AS n_picks
+      |FROM c, t
+      |WHERE (cum * 100) // wtot > ((cum - w) * 100) // wtot
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q115_pps_sample" -> (q115PpsSample _),
     "q84_source_kl" -> (q84SourceKl _),
     "q85_importance_weights" -> (q85ImportanceWeights _),
     "q90_length_drift" -> (q90LengthDrift _),
@@ -466,6 +525,7 @@ object Selection {
     "q95_quality_nll_correlation" -> (q95QualityNllCorrelation _))
 
   val oracleSql: Map[String, String] = Map(
+    "q115_pps_sample" -> q115Sql,
     "q84_source_kl" -> q84Sql,
     "q85_importance_weights" -> q85Sql,
     "q90_length_drift" -> q90Sql,

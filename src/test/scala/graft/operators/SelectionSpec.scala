@@ -172,6 +172,24 @@ class SelectionSpec extends AnyFunSuite with SparkSpec {
     got.values.foreach { case (_, c) => assert(c >= -1.0 && c <= 1.0) }
   }
 
+  test("q115: distributed prefix scan equals the single-window scan; exactly n strides land") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val got = Selection.q115PpsSample(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cum"), r.getAs[Long]("n_picks")))
+    // naive reference: one global-order window (fine at test scale)
+    val naive = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars").as("w"))
+      .withColumn("cum", sum(col("w")).over(
+        Window.orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cum")).toMap
+    got.foreach { case (id, cum, _) =>
+      assert(naive(id) == cum, s"doc $id: bucketed cum $cum != naive ${naive(id)}")
+    }
+    assert(got.map(_._3).sum == 100L, s"stride count must be exactly n: ${got.map(_._3).sum}")
+    assert(got.forall(_._3 >= 1))
+  }
+
   test("frozen tables sit far from rounding boundaries at every shipped SF") {
     // The only cross-engine risk is a libm-vs-JVM ln ulp (~1e-8 in
     // micro-nat units: 2 ulps of a ~30-nat value) flipping a round();
