@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Continuous CDC apply — the q111 batch MERGE semantics maintained
+  * incrementally: a keyed snapshot store is merged with each
+  * micro-batch's latest-change-per-key under last-writer-wins ordering
+  * on (ts, event_id), with deletes as tombstones. The snapshot is
+  * derived state in the NearDupIndex mold: a parquet store updated by
+  * an atomic tree swap per batch, readable between batches, and
+  * rebuildable from base + full change log (which is exactly what
+  * [[graft.operators.Lakehouse.q111CdcMerge]] computes — the spec pins
+  * streaming == batch over ARBITRARY batch splits, including splits
+  * that deliver a key's changes out of event-time order across
+  * batches).
+  *
+  * Why tombstones: a batch-local MERGE could drop deleted keys
+  * outright, but a later batch may carry an OLDER change for the same
+  * key (out-of-order delivery); the tombstone keeps the winning
+  * (ts, event_id) so stale updates lose. Tombstone rows are bounded by
+  * deleted-key cardinality; a retention job can vacuum tombstones older
+  * than the source's max replay horizon — the same contract as
+  * `dropDuplicatesWithinWatermark`.
+  *
+  * Scale shape: per batch = one window over the BATCH (tiny) + one
+  * key-equi join batch-vs-snapshot + a snapshot rewrite. The rewrite is
+  * the simple exactness-first form (same tier as the frozen-snapshot
+  * stores in NearDupIndex); at 100 TB the store becomes a partitioned
+  * table and the rewrite touches only partitions with arrivals — the
+  * q103 dynamic-partition-overwrite seam, which this API deliberately
+  * shares its merge plan with.
+  */
+object CdcStreams {
+
+  private val internalCols = Seq("cust_key", "balance", "change",
+    "base_member", "deleted", "last_us", "last_eid")
+
+  /** Seed the snapshot store from a base table with columns
+    * (cust_key, balance): every row visible, `kept`, and older than any
+    * possible change (Long.MinValue sequence).
+    */
+  def initSnapshot(base: DataFrame, snapshotDir: String): Unit =
+    base.select(col("cust_key"), col("balance"),
+        lit("kept").as("change"), lit(true).as("base_member"),
+        lit(false).as("deleted"),
+        lit(Long.MinValue).as("last_us"), lit(Long.MinValue).as("last_eid"))
+      .write.mode("overwrite").parquet(snapshotDir)
+
+  /** The visible merged table: tombstones hidden, internal sequencing
+    * columns dropped — the q111 output shape.
+    */
+  def snapshot(spark: SparkSession, snapshotDir: String): DataFrame =
+    spark.read.parquet(snapshotDir)
+      .filter(!col("deleted"))
+      .select(col("cust_key"), col("balance"), col("change"))
+
+  /** Merge one micro-batch of raw events into the snapshot store.
+    * Within the batch the latest change per key wins (window on the
+    * batch only); across batches the stored (last_us, last_eid) decides,
+    * so replay and out-of-order file delivery are both safe.
+    */
+  def applyBatch(spark: SparkSession, batch: DataFrame, snapshotDir: String): Unit = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val latest = batch
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id").as("cust_key"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+        col("value").as("b_value"),
+        unix_micros(col("ts")).as("b_us"), col("event_id").as("b_eid"))
+
+    val snap = spark.read.parquet(snapshotDir)
+    val batchWins = col("op").isNotNull &&
+      (col("last_us").isNull ||
+        col("b_us") > col("last_us") ||
+        (col("b_us") === col("last_us") && col("b_eid") > col("last_eid")))
+    val wasMember = coalesce(col("base_member"), lit(false))
+    val merged = snap.join(latest, Seq("cust_key"), "full_outer")
+      .select(col("cust_key"),
+        when(batchWins && col("op") === "U", col("b_value"))
+          .otherwise(col("balance")).as("balance"),
+        when(batchWins && col("op") === "U",
+            when(wasMember, lit("updated")).otherwise(lit("inserted")))
+          .otherwise(col("change")).as("change"),
+        wasMember.as("base_member"),
+        when(batchWins, col("op") === "D").otherwise(coalesce(col("deleted"), lit(false)))
+          .as("deleted"),
+        when(batchWins, col("b_us")).otherwise(col("last_us")).as("last_us"),
+        when(batchWins, col("b_eid")).otherwise(col("last_eid")).as("last_eid"))
+
+    // materialize to a tmp tree, then swap atomically (reads during the
+    // tmp write still see the old tree; the swap is two renames)
+    val p = new Path(snapshotDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(snapshotDir + ".tmp")
+    val old = new Path(snapshotDir + ".old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    merged.select(internalCols.map(col): _*).write.mode("overwrite").parquet(tmp.toString)
+    require(fs.rename(p, old), s"cdc swap: could not move $p aside")
+    require(fs.rename(tmp, p), s"cdc swap: could not move $tmp into place")
+    fs.delete(old, true)
+  }
+
+  /** The continuous form: events files land in `srcDir`, each
+    * micro-batch merges into the snapshot store via [[applyBatch]].
+    */
+  def cdcApplyStream(spark: SparkSession, srcDir: String, snapshotDir: String,
+      checkpointDir: String, glob: String = "*.parquet",
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
+    EventStreams.fileStream(spark, srcDir, Some(glob),
+        maxFilesPerTrigger.map(n => "maxFilesPerTrigger" -> n.toString).toMap)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        applyBatch(batch.sparkSession, batch.toDF(), snapshotDir)
+      }
+      .start()
+}

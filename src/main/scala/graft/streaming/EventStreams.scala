@@ -30,7 +30,8 @@ object EventStreams {
     * `Tables.normalizeEventTs` canonicalizes to session-UTC TIMESTAMP so
     * stream and batch semantics agree byte-for-byte.
     */
-  def fileStream(spark: SparkSession, dir: String, globFilter: Option[String] = None): DataFrame = {
+  def fileStream(spark: SparkSession, dir: String, globFilter: Option[String] = None,
+      extraOptions: Map[String, String] = Map.empty): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val probed: Option[org.apache.spark.sql.types.DataType] =
       scala.util.Try {
@@ -52,6 +53,7 @@ object EventStreams {
     }
     val r = spark.readStream.schema(schema)
     globFilter.foreach(g => r.option("pathGlobFilter", g))
+    extraOptions.foreach { case (k, v) => r.option(k, v) }
     graft.sources.Tables.normalizeEventTs(r.parquet(dir))
   }
 
