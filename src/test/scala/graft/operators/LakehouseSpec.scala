@@ -102,6 +102,24 @@ class LakehouseSpec extends AnyFunSuite with SparkSpec {
     assert(rows.forall(r => r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
   }
 
+  test("q110/q113/q114 plan with a single data shuffle on the entity key") {
+    // the two windows (q110), the RANGE frame (q113), and the
+    // window+window+aggregate chain (q114) must all reuse ONE
+    // hash-partitioning on the entity key — hashpartitioning on user_id
+    // satisfies the (user_id, island) aggregate's clustered distribution
+    for (name <- Seq("q110_scd2_dim", "q113_range_frame", "q114_interval_merge")) {
+      val p = graft.SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+      // count hash exchanges via their Arguments lines (the final
+      // orderBy's rangepartitioning exchange is presentation, not a
+      // per-key data shuffle)
+      val dataShuffles = "hashpartitioning\\(".r.findAllIn(p).size
+      assert(dataShuffles == 1, s"$name: expected 1 hash exchange, got $dataShuffles\n" +
+        p.linesIterator.filter(l => l.contains("Exchange") || l.contains("partitioning"))
+          .mkString("\n"))
+    }
+  }
+
   test("q113: RANGE frame includes same-day peers and trailing week only") {
     val rows = Lakehouse.q113RangeFrame(spark, sfDir).collect()
     // driver-side reference on one customer

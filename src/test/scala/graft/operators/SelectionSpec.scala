@@ -188,6 +188,12 @@ class SelectionSpec extends AnyFunSuite with SparkSpec {
     }
     assert(got.map(_._3).sum == 100L, s"stride count must be exactly n: ${got.map(_._3).sum}")
     assert(got.forall(_._3 >= 1))
+    // scale pin: the corpus-sized window is bucket-partitioned; only the
+    // tiny per-bucket-totals relation sees a global-order window
+    val p = Selection.q115PpsSample(spark, sfDir).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("hashpartitioning(bkt"),
+      "corpus prefix scan must shuffle by bucket, not run as one global window")
   }
 
   test("frozen tables sit far from rounding boundaries at every shipped SF") {
