@@ -684,7 +684,47 @@ object Analytics {
       |GROUP BY k
       |ORDER BY k""".stripMargin
 
+  /** q122 — deterministic per-group mode (most frequent value), as pure
+    * aggregation: the modal order priority per market segment. Built-in
+    * `mode()` breaks ties nondeterministically in BOTH engines, so ties
+    * are broken explicitly — highest count, then lexicographically
+    * smallest value — via `min(struct(-cnt, value))`: one struct-ordered
+    * aggregate instead of a per-group sort. Scale shape: two hash
+    * aggregations (fact → (group, value) counts → group argmin), both
+    * map-side-combinable, with aggregate state bounded by
+    * |groups|×|domain|; the window-rank alternative (what the oracle
+    * runs, independently) would sort every group's candidate set. The
+    * customer side rides the o_custkey join, broadcast-or-shuffle per
+    * AQE's runtime stats.
+    */
+  def q122ModalPriority(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment".as("segment"), $"o_orderpriority".as("pri"))
+      .agg(count(lit(1)).as("cnt"))
+    counts.groupBy($"segment")
+      .agg(min(struct((-$"cnt").as("neg"), $"pri")).as("m"),
+        sum($"cnt").as("n_orders"))
+      .select($"segment", $"m.pri".as("modal_priority"), (-$"m.neg").as("cnt"),
+        $"n_orders")
+      .orderBy($"segment")
+  }
+
+  val q122Sql: String =
+    """WITH c AS (
+      |  SELECT c_mktsegment AS segment, o_orderpriority AS pri, count(*) AS cnt
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2)
+      |SELECT segment, pri AS modal_priority, cnt, n_orders FROM (
+      |  SELECT segment, pri, cnt,
+      |         CAST(sum(cnt) OVER (PARTITION BY segment) AS BIGINT) AS n_orders,
+      |         row_number() OVER (PARTITION BY segment ORDER BY cnt DESC, pri) AS rn
+      |  FROM c) t
+      |WHERE rn = 1 ORDER BY segment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_modal_priority" -> (q122ModalPriority _),
     "q38_cube" -> (q38Cube _),
     "q39_grouping_sets" -> (q39GroupingSets _),
     "q40_percentiles" -> (q40Percentiles _),
@@ -704,6 +744,7 @@ object Analytics {
     "q108_lateral_top_orders" -> (q108LateralTopOrders _))
 
   val oracleSql: Map[String, String] = Map(
+    "q122_modal_priority" -> q122Sql,
     "q42_approx_distinct" -> q42Sql,
     "q97_distinct_calibration_slice" -> q97Sql,
     "q38_cube" -> q38Sql,

@@ -110,9 +110,43 @@ object Contracts {
       |) t
       |ORDER BY "check"""".stripMargin
 
+  /** q121 — k-anonymity audit over the customer quasi-identifiers
+    * (market segment × nation × account-balance band): the re-
+    * identification risk check that must pass before a "pseudonymized"
+    * extract (q60) is actually safe to share — any QI group smaller
+    * than k=5 is a linkage attack surface, and this emits exactly those
+    * groups with their sizes. One map-side-combinable hash aggregation
+    * over the dimension (group count then filter) — the same shape at
+    * 100 TB, since the QI space (segments × nations × bands), not the
+    * row count, bounds the aggregate state. The balance band uses
+    * `floor(bal/1000)` (floor, not cast — Spark truncates toward zero
+    * and DuckDB rounds on cast, and balances can be negative, where
+    * truncate and floor disagree).
+    */
+  def q121KAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .groupBy($"c_mktsegment".as("segment"), $"c_nationkey".as("nation"),
+        floor($"c_acctbal" / 1000).cast("long").as("bal_band"))
+      .agg(count(lit(1)).as("group_size"))
+      .filter($"group_size" < 5)
+      .orderBy($"segment", $"nation", $"bal_band")
+  }
+
+  val q121Sql: String =
+    """SELECT c_mktsegment AS segment, c_nationkey AS nation,
+      |       CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+      |       count(*) AS group_size
+      |FROM customer
+      |GROUP BY 1, 2, 3
+      |HAVING count(*) < 5
+      |ORDER BY segment, nation, bal_band""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q102_data_contract" -> (q102DataContract _))
+    "q102_data_contract" -> (q102DataContract _),
+    "q121_k_anonymity" -> (q121KAnonymity _))
 
   val oracleSql: Map[String, String] = Map(
-    "q102_data_contract" -> q102Sql)
+    "q102_data_contract" -> q102Sql,
+    "q121_k_anonymity" -> q121Sql)
 }

@@ -516,7 +516,54 @@ object Selection {
       |WHERE (cum * 100) // wtot > ((cum - w) * 100) // wtot
       |ORDER BY doc_id""".stripMargin
 
+  /** q117 — skyline (Pareto frontier) selection: the parts no other part
+    * dominates on (price ↓, size ↑) — the multi-objective shortlist
+    * operator (cheapest-per-capability supplier, best quality-per-token
+    * doc). The naive form is an all-pairs NOT EXISTS dominance test
+    * (exactly what the DuckDB oracle runs — a genuinely independent
+    * quadratic algorithm validating this linear one); here the 2-D
+    * skyline reduces to order statistics: a part survives iff no
+    * strictly-cheaper part reaches its size (running max over prices
+    * below it) and no equal-priced part beats its size (per-price max).
+    * Both are computed on the per-price aggregate — one hash shuffle
+    * over the fact, then a window over the DISTINCT-PRICE relation
+    * (bounded by the price domain, not the row count) broadcast back.
+    * No pairwise join ever forms, so the plan survives any corpus size
+    * whose price domain fits a broadcast — and a domain too large for
+    * that just switches the join back to shuffle, still never O(n²).
+    */
+  def q117Skyline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables.part(spark, dir)
+      .select($"p_partkey", $"p_retailprice".cast(DecimalType(18, 4)).as("price"),
+        $"p_size")
+    val perPrice = p.groupBy($"price").agg(max($"p_size").as("msize"))
+    val wPrev = Window.orderBy($"price")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = perPrice
+      .withColumn("best_below", max($"msize").over(wPrev))
+      .select($"price".as("f_price"), $"msize", $"best_below")
+    p.join(broadcast(frontier), p("price") === frontier("f_price"))
+      .filter($"p_size" === $"msize" &&
+        ($"best_below".isNull || $"best_below" < $"p_size"))
+      .select($"p_partkey", $"price", $"p_size")
+      .orderBy($"p_partkey")
+  }
+
+  val q117Sql: String =
+    """WITH p AS (
+      |  SELECT p_partkey, CAST(p_retailprice AS DECIMAL(18,4)) AS price, p_size
+      |  FROM part)
+      |SELECT a.p_partkey, a.price, a.p_size
+      |FROM p a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM p b
+      |  WHERE b.price <= a.price AND b.p_size >= a.p_size
+      |    AND (b.price < a.price OR b.p_size > a.p_size))
+      |ORDER BY p_partkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_skyline" -> (q117Skyline _),
     "q115_pps_sample" -> (q115PpsSample _),
     "q84_source_kl" -> (q84SourceKl _),
     "q85_importance_weights" -> (q85ImportanceWeights _),
@@ -525,6 +572,7 @@ object Selection {
     "q95_quality_nll_correlation" -> (q95QualityNllCorrelation _))
 
   val oracleSql: Map[String, String] = Map(
+    "q117_skyline" -> q117Sql,
     "q115_pps_sample" -> q115Sql,
     "q84_source_kl" -> q84Sql,
     "q85_importance_weights" -> q85Sql,

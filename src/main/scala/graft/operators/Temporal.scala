@@ -1,0 +1,308 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import OpUtils.dec
+
+/** Time-series operators over the event stream: point-in-time dimension
+  * lookup, gap-fill with last-observation-carried-forward, Markov
+  * transition matrices, and duration-weighted averages. The reference's
+  * time handling stops at casting pickup timestamps on ingest
+  * (`citibike_project/etl/ingest_data.py:171-178`); these are the
+  * operations an analytics engine needs once the timestamps are load-
+  * bearing (attribution at event time, state duration, sequence models).
+  *
+  * Scale discipline shared by the family: every window partitions by
+  * `user_id` (the natural shard key — millions of partitions, each tiny),
+  * so the sort inside each window is local and the whole query is one
+  * hash shuffle; date spines are generated per-row with `sequence()`
+  * (bounded by the series span, never a driver-side loop); and every
+  * accumulated quantity is frozen to exact integer/decimal units before
+  * aggregation so segment-tree/accumulation order is unobservable.
+  */
+object Temporal {
+
+  /** q118 — point-in-time (bitemporal) lookup against an SCD2 dimension:
+    * the user's *status* dimension is built from the non-purchase events
+    * (consecutive-repeat collapse, [effective_from, effective_to)
+    * half-open validity — the q110 construction over a filtered input),
+    * then each purchase event is enriched with the status that was
+    * valid AT its event time and revenue is rolled up by that status.
+    * The temporal predicate rides on the `user_id` equi-key, so the
+    * plan is a plain hash join with a range post-filter — never a range
+    * scan across users. Purchases before a user's first status row
+    * surface as 'unknown' (LEFT join), so the lookup's coverage is
+    * auditable from the output itself.
+    */
+  def q118PitLookup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, dir)
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val dim = events.filter($"event_type" =!= "purchase")
+      .select($"user_id", $"event_type".as("status"), $"ts", $"event_id")
+      .withColumn("prev", lag($"status", 1).over(w))
+      .filter($"prev".isNull || $"prev" =!= $"status")
+      .select($"user_id".as("d_user"), $"status",
+        $"ts".as("valid_from"), lead($"ts", 1).over(w).as("valid_to"))
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", dec($"value").as("v"))
+    purchases
+      .join(dim,
+        purchases("user_id") === dim("d_user") &&
+          purchases("ts") >= dim("valid_from") &&
+          (dim("valid_to").isNull || purchases("ts") < dim("valid_to")),
+        "left")
+      .groupBy(coalesce($"status", lit("unknown")).as("status_at_purchase"))
+      .agg(count(lit(1)).as("n_purchases"), sum($"v").as("total_value"))
+      .orderBy($"status_at_purchase")
+  }
+
+  val q118Sql: String =
+    """WITH se AS (
+      |  SELECT user_id, event_type AS status, ts, event_id,
+      |         lag(event_type) OVER w AS prev
+      |  FROM events WHERE event_type <> 'purchase'
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |dim AS (
+      |  SELECT user_id, status, ts AS valid_from, lead(ts) OVER w AS valid_to
+      |  FROM se WHERE prev IS NULL OR prev <> status
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |p AS (
+      |  SELECT user_id, ts, CAST(value AS DECIMAL(18,4)) AS v
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT COALESCE(d.status, 'unknown') AS status_at_purchase,
+      |       count(*) AS n_purchases, sum(p.v) AS total_value
+      |FROM p LEFT JOIN dim d
+      |  ON p.user_id = d.user_id AND p.ts >= d.valid_from
+      |  AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q119 — daily gap-fill with last-observation-carried-forward: per
+    * user, daily purchase totals are projected onto a dense date spine
+    * (user's first purchase day → the corpus's last event day) and gap
+    * days carry the last observed total forward — the resample/ffill
+    * primitive every downstream time-series consumer (drift monitors,
+    * retention curves, forecasting features) assumes exists. The spine
+    * is `sequence()` per user (array bounded by the series span, built
+    * executor-side — no driver loop, no numbers-table scan), the global
+    * right edge is a broadcast one-row aggregate, and the fill is a
+    * running `last(ignoreNulls)` inside the per-user window. Totals are
+    * frozen to DECIMAL before summing so observed values hash-match the
+    * oracle exactly, and the carried copies inherit that exactness.
+    */
+  def q119GapFill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, dir)
+    val daily = events.filter($"event_type" === "purchase")
+      .groupBy($"user_id", to_date($"ts").as("day"))
+      .agg(sum(dec($"value")).as("observed"))
+    val edge = events.agg(max(to_date($"ts")).as("dmax"))
+    val spine = daily.groupBy($"user_id").agg(min($"day").as("d0"))
+      .crossJoin(broadcast(edge))
+      .select($"user_id",
+        explode(sequence($"d0", $"dmax", expr("interval 1 day"))).as("day"))
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select($"user_id", $"day",
+        last($"observed", ignoreNulls = true).over(w).as("filled"),
+        $"observed".isNotNull.as("is_observed"))
+      .orderBy($"user_id", $"day")
+  }
+
+  val q119Sql: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |         sum(CAST(value AS DECIMAL(18,4))) AS observed
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |edge AS (SELECT CAST(max(ts) AS DATE) AS dmax FROM events),
+      |spine AS (
+      |  SELECT b.user_id,
+      |         CAST(unnest(generate_series(b.d0, e.dmax, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM (SELECT user_id, min(day) AS d0 FROM daily GROUP BY 1) b
+      |  CROSS JOIN edge e)
+      |SELECT s.user_id, s.day,
+      |       last_value(d.observed IGNORE NULLS)
+      |         OVER (PARTITION BY s.user_id ORDER BY s.day) AS filled,
+      |       d.observed IS NOT NULL AS is_observed
+      |FROM spine s LEFT JOIN daily d
+      |  ON s.user_id = d.user_id AND s.day = d.day
+      |ORDER BY s.user_id, s.day""".stripMargin
+
+  /** q120 — first-order Markov transition matrix over event types: per
+    * user the event sequence is ordered by (ts, event_id) and adjacent
+    * pairs counted into (from_state, to_state) cells, with the row-
+    * conditional probability emitted in exact basis points (integer
+    * `div` against the broadcast-small row totals — both engines floor,
+    * so no float division crosses the oracle hash). One per-user window
+    * shuffle + one hash aggregation; the matrix itself is
+    * |states|² — tiny at any corpus scale, which is what makes sequence
+    * models cheap to fit even at 100 TB of raw events.
+    */
+  def q120TransitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val counts = Tables.events(spark, dir)
+      .select($"user_id", $"event_type".as("to_state"), $"ts", $"event_id")
+      .withColumn("from_state", lag($"to_state", 1).over(w))
+      .filter($"from_state".isNotNull)
+      .groupBy($"from_state", $"to_state")
+      .agg(count(lit(1)).as("n"))
+    val wf = Window.partitionBy($"from_state")
+    counts
+      .withColumn("from_total", sum($"n").over(wf))
+      .withColumn("share_bp", expr("n * 10000 div from_total"))
+      .select($"from_state", $"to_state", $"n", $"from_total", $"share_bp")
+      .orderBy($"from_state", $"to_state")
+  }
+
+  val q120Sql: String =
+    """WITH pairs AS (
+      |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |           AS from_state,
+      |         event_type AS to_state
+      |  FROM events),
+      |counts AS (
+      |  SELECT from_state, to_state, count(*) AS n
+      |  FROM pairs WHERE from_state IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_state, to_state, n,
+      |       CAST(sum(n) OVER (PARTITION BY from_state) AS BIGINT) AS from_total,
+      |       CAST((n * 10000) // sum(n) OVER (PARTITION BY from_state) AS BIGINT)
+      |         AS share_bp
+      |FROM counts ORDER BY from_state, to_state""".stripMargin
+
+  /** q123 — duration-weighted (time-weighted) average event value per
+    * user: each event's value holds until the user's next event, so the
+    * average weights each value by its holding duration — the TWAP /
+    * state-duration primitive that a plain `avg` silently gets wrong on
+    * irregular series. All arithmetic is exact integers end to end:
+    * values frozen to milli-units (`floor(value*1000)` — floor, not
+    * cast, because Spark truncates and DuckDB rounds on cast), holding
+    * times in epoch micros, and the final quotient by integer `div`
+    * (both engines floor non-negative quotients identically). Worst-case
+    * per-user numerator is ~5e5 milli-units × 2.6e12 µs (a 30-day span)
+    * ≈ 1.3e18 — inside BIGINT with 7× headroom, so no decimal widening
+    * is needed at any SF with a bounded series span; a multi-year span
+    * at larger values is the documented point to widen to DECIMAL(38,0).
+    * One per-user window shuffle carries the whole query.
+    */
+  def q123TimeWeighted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id",
+        floor($"value" * 1000).cast("long").as("vm"))
+      .withColumn("dur_us", unix_micros(lead($"ts", 1).over(w)) - unix_micros($"ts"))
+      .filter($"dur_us".isNotNull)
+      .groupBy($"user_id")
+      .agg(sum($"vm" * $"dur_us").as("vt_sum"), sum($"dur_us").as("dur_sum"))
+      .withColumn("twa_milli", expr("vt_sum div dur_sum"))
+      .orderBy($"user_id")
+  }
+
+  val q123Sql: String =
+    """WITH seq AS (
+      |  SELECT user_id,
+      |         CAST(floor(value * 1000) AS BIGINT) AS vm,
+      |         epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dur_us
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, CAST(sum(vm * dur_us) AS BIGINT) AS vt_sum,
+      |       CAST(sum(dur_us) AS BIGINT) AS dur_sum,
+      |       CAST(sum(vm * dur_us) // sum(dur_us) AS BIGINT) AS twa_milli
+      |FROM seq WHERE dur_us IS NOT NULL
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** q124 — interval-overlap join via temporal binning: which user
+    * sessions (q23's 30-min-gap sessionization) were live during
+    * incident windows (±30 min around each error event), with the
+    * exact overlap duration — the ops-analytics "who was affected"
+    * join. A direct overlap predicate is a theta join (quadratic, and
+    * Spark would plan it as a nested loop); instead both interval sets
+    * are EXPLODED onto a shared hour-bin grid and equi-joined on the
+    * bin — the standard distributed interval join. Replication factor
+    * is `len/bin + 1 ≤ 3` here because the bin width (1 h) is chosen at
+    * the scale of the intervals; pairs sharing several bins are deduped
+    * before aggregation, and the whole-bin candidate set bounds the
+    * work at (sessions/bin)×(incidents/bin) per bin instead of
+    * sessions×incidents. The DuckDB oracle runs the quadratic theta
+    * join directly — an independent algorithm, so a bin-edge bug
+    * (dropped boundary pair) flips the driver hash. A pathological bin
+    * (incident storm) is q57's salting situation; the grid key salts
+    * trivially.
+    */
+  def q124IntervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val binUs = 3600L * 1000000
+    val halfWinUs = 30L * 60 * 1000000
+    val gapUs = 30L * 60 * 1000000
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val events = Tables.events(spark, dir)
+    val sessions = events
+      .withColumn("us", unix_micros($"ts"))
+      .withColumn("prev_us", lag($"us", 1).over(byUser))
+      .withColumn("new_session",
+        when($"prev_us".isNull || $"us" - $"prev_us" > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum($"new_session")
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_id")
+      .agg(min($"us").as("s_start"), max($"us").as("s_end"))
+    val incidents = events.filter($"event_type" === "error")
+      .select($"event_id".as("incident_id"),
+        (unix_micros($"ts") - halfWinUs).as("i_start"),
+        (unix_micros($"ts") + halfWinUs).as("i_end"))
+    val sBinned = sessions.withColumn("bin",
+      explode(sequence(expr(s"s_start div $binUs"), expr(s"s_end div $binUs"))))
+    val iBinned = incidents.withColumn("bin",
+      explode(sequence(expr(s"i_start div $binUs"), expr(s"i_end div $binUs"))))
+    sBinned.join(iBinned, Seq("bin"))
+      .filter($"s_start" <= $"i_end" && $"i_start" <= $"s_end")
+      .select($"user_id", $"session_id", $"incident_id",
+        (least($"s_end", $"i_end") - greatest($"s_start", $"i_start")).as("overlap_us"))
+      .dropDuplicates("user_id", "session_id", "incident_id")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_overlaps"), sum($"overlap_us").as("overlap_us_sum"))
+      .orderBy($"user_id")
+  }
+
+  val q124Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |         OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, session_id, min(us) AS s_start, max(us) AS s_end
+      |  FROM (SELECT user_id, us,
+      |          sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |        FROM flagged) t
+      |  GROUP BY 1, 2),
+      |i AS (
+      |  SELECT event_id AS incident_id,
+      |         epoch_us(ts) - 1800000000 AS i_start,
+      |         epoch_us(ts) + 1800000000 AS i_end
+      |  FROM events WHERE event_type = 'error')
+      |SELECT s.user_id, count(*) AS n_overlaps,
+      |       CAST(sum(least(s_end, i_end) - greatest(s_start, i_start)) AS BIGINT)
+      |         AS overlap_us_sum
+      |FROM s JOIN i ON s.s_start <= i.i_end AND i.i_start <= s.s_end
+      |GROUP BY s.user_id
+      |ORDER BY user_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_interval_overlap" -> (q124IntervalOverlap _),
+    "q118_pit_lookup" -> (q118PitLookup _),
+    "q119_gap_fill" -> (q119GapFill _),
+    "q120_transition_matrix" -> (q120TransitionMatrix _),
+    "q123_time_weighted" -> (q123TimeWeighted _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q124_interval_overlap" -> q124Sql,
+    "q118_pit_lookup" -> q118Sql,
+    "q119_gap_fill" -> q119Sql,
+    "q120_transition_matrix" -> q120Sql,
+    "q123_time_weighted" -> q123Sql)
+}

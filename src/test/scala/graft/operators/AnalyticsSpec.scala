@@ -55,4 +55,25 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     }
     assert(got.toSeq == expected.toSeq)
   }
+
+  test("q122: aggregation-only mode equals window-rank reference, no Window in plan") {
+    val got = Analytics.q122ModalPriority(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("segment"), r.getAs[String]("modal_priority"),
+        r.getAs[Long]("cnt"), r.getAs[Long]("n_orders")))
+    // independent driver-side reference with the same tie-break
+    val raw = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment", $"o_orderpriority").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expected = raw.groupBy(_._1).map { case (seg, rs) =>
+      val counts = rs.groupBy(_._2).map { case (p, v) => (p, v.size.toLong) }
+      val (pri, cnt) = counts.toSeq.minBy { case (p, c) => (-c, p) }
+      (seg, pri, cnt, rs.size.toLong)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == expected)
+    val plan = Analytics.q122ModalPriority(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Window"),
+      "mode must stay pure aggregation — no per-group sort/window")
+  }
 }

@@ -279,4 +279,29 @@ class SelectionSpec extends AnyFunSuite with SparkSpec {
       .select($"kl_sum".cast("double")).collect()(0).getDouble(0)
     assert(s == 3e20, "exact decimal aggregate, no Int64 wrap")
   }
+
+  test("q117: skyline equals brute-force dominance; plan is join-free of nested loops") {
+    val sf = "/root/testdata/sf0.001"
+    val got = Selection.q117Skyline(spark, sf).collect()
+      .map(r => (r.getAs[Long]("p_partkey"),
+        r.getAs[java.math.BigDecimal]("price").doubleValue(), r.getAs[Int]("p_size")))
+    // independent quadratic reference over the raw table
+    val parts = graft.sources.Tables.part(spark, sf)
+      .select($"p_partkey", $"p_retailprice", $"p_size").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val expected = parts.filter { a =>
+      !parts.exists(b => b._2 <= a._2 && b._3 >= a._3 &&
+        (b._2 < a._2 || b._3 > a._3))
+    }.sortBy(_._1)
+    assert(got.map(_._1).toSeq == expected.map(_._1).toSeq,
+      s"skyline mismatch: got ${got.map(_._1).mkString(",")}")
+    // frontier property: a pricier survivor must offer a strictly larger
+    // size (else the cheaper one dominates it)
+    val frontier = got.sortBy(t => (t._2, t._1)).map(_._3)
+    assert(frontier.zip(frontier.tail).forall { case (a, b) => a <= b })
+    val p = Selection.q117Skyline(spark, sf)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "skyline must never form the all-pairs dominance join")
+  }
 }

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.FormattedMode
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** Semantic + plan-shape pins for the time-series family (q118–q120,
+  * q123). Semantics are cross-checked by driver-side replay over the
+  * sf0.001 events fixture (the per-user series are small enough to fold
+  * in plain Scala, which is a genuinely independent evaluation order);
+  * plan pins hold the one-shuffle-per-user-key discipline the scaladocs
+  * claim.
+  */
+class TemporalSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private lazy val events =
+    Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"event_id", $"event_type", $"value")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000L +
+        (r.getTimestamp(1).getNanos / 1000) % 1000, r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+
+  test("q118: every purchase is accounted once; statuses come from the status event domain") {
+    val rows = Temporal.q118PitLookup(spark, sfDir).collect()
+    val nPurchases = events.count(_._4 == "purchase")
+    assert(rows.map(_.getAs[Long]("n_purchases")).sum == nPurchases,
+      "PIT join dropped or duplicated purchases — validity intervals don't tile")
+    val statuses = rows.map(_.getAs[String]("status_at_purchase")).toSet
+    assert(statuses.subsetOf(Set("signup", "click", "view", "error", "unknown")))
+    assert(!statuses.contains("purchase"), "purchase leaked into its own status dim")
+  }
+
+  test("q118: statuses match a driver-side as-of replay") {
+    val rows = Temporal.q118PitLookup(spark, sfDir).collect()
+      .map(r => r.getAs[String]("status_at_purchase") -> r.getAs[Long]("n_purchases"))
+      .toMap
+    // replay: per user, order events; a purchase's status = type of the
+    // latest non-purchase event at-or-before it (episode starts are
+    // exactly those events' timestamps, and repeats don't move them)
+    val replay = events.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._2, e._3))
+      var status: String = null
+      val seen = scala.collection.mutable.ArrayBuffer[String]()
+      sorted.foreach { e =>
+        if (e._4 != "purchase") status = e._4
+        else seen += (if (status == null) "unknown" else status)
+      }
+      seen.toSeq
+    }
+    val expected: Map[String, Long] =
+      replay.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(rows == expected, s"got $rows expected $expected")
+  }
+
+  test("q119: dense spine, observed days exact, gaps carry the last observation") {
+    val rows = Temporal.q119GapFill(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Date]("day").toLocalDate,
+        r.getAs[java.math.BigDecimal]("filled"), r.getAs[Boolean]("is_observed")))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._3 != null), "filled must never be null on the spine")
+    val gmax = events.map(_._2).max / 1000000L / 86400L
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      val byDay = rs.sortBy(_._2.toEpochDay)
+      // contiguous from first purchase day through the global max day
+      assert(byDay.head._4, s"user $u spine must start on an observed day")
+      assert(byDay.last._2.toEpochDay == gmax, s"user $u spine must end at the corpus edge")
+      assert(byDay.map(_._2.toEpochDay) === (byDay.head._2.toEpochDay to gmax),
+        s"user $u spine has holes")
+      byDay.zip(byDay.tail).foreach { case (prev, cur) =>
+        if (!cur._4) assert(cur._3 == prev._3,
+          s"user $u day ${cur._2}: gap day must carry ${prev._3}, got ${cur._3}")
+      }
+    }
+  }
+
+  test("q120: transitions conserve mass and rows sum to their totals") {
+    val rows = Temporal.q120TransitionMatrix(spark, sfDir).collect()
+    val nUsers = events.map(_._1).distinct.length
+    assert(rows.map(_.getAs[Long]("n")).sum == events.length - nUsers,
+      "each user contributes exactly (events-1) transitions")
+    rows.groupBy(_.getAs[String]("from_state")).foreach { case (s, rs) =>
+      val tot = rs.head.getAs[Long]("from_total")
+      assert(rs.map(_.getAs[Long]("n")).sum == tot, s"row $s total mismatch")
+      assert(rs.forall(r => r.getAs[Long]("share_bp") >= 0 &&
+        r.getAs[Long]("share_bp") <= 10000))
+    }
+  }
+
+  test("q123: time-weighted average matches an exact driver-side fold") {
+    val rows = Temporal.q123TimeWeighted(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("vt_sum"), r.getAs[Long]("dur_sum"), r.getAs[Long]("twa_milli")))
+      .toMap
+    val expected = events.groupBy(_._1).map { case (u, es) =>
+      val sorted = es.sortBy(e => (e._2, e._3))
+      val terms = sorted.zip(sorted.tail).map { case (a, b) =>
+        val vm = math.floor(a._5 * 1000).toLong
+        val dur = b._2 - a._2
+        (vm * dur, dur)
+      }
+      u -> (terms.map(_._1).sum, terms.map(_._2).sum)
+    }
+    assert(rows.keySet == expected.keySet)
+    expected.foreach { case (u, (vt, dur)) =>
+      val (gvt, gdur, gtwa) = rows(u)
+      assert(gvt == vt && gdur == dur, s"user $u: got ($gvt,$gdur) expected ($vt,$dur)")
+      assert(gtwa == Math.floorDiv(vt, dur), s"user $u quotient")
+    }
+  }
+
+  test("q120/q123 plan with a single data shuffle on user_id") {
+    // the per-user window is the only per-row shuffle; everything after
+    // runs on the tiny (states² / per-user) relations
+    for (name <- Seq("q123_time_weighted")) {
+      val p = graft.SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.explainString(FormattedMode)
+      val dataShuffles = "hashpartitioning\\(".r.findAllIn(p).size
+      assert(dataShuffles == 1, s"$name: expected 1 hash exchange, got $dataShuffles")
+    }
+    // q120 re-aggregates the pair counts (a |states|²-sized relation) —
+    // two more exchanges over 25 rows; the pin is that only ONE shuffle
+    // ever carries user_id (the fact-sized one)
+    val p120 = graft.SparkEntry.queries("q120_transition_matrix")(spark, sfDir)
+      .queryExecution.explainString(FormattedMode)
+    val userShuffles = "hashpartitioning\\(user_id".r.findAllIn(p120).size
+    assert(userShuffles == 1, s"q120: expected 1 user_id exchange, got $userShuffles")
+  }
+
+  test("q118 plans as an equi hash join on user_id, never a nested loop") {
+    val p = graft.SparkEntry.queries("q118_pit_lookup")(spark, sfDir)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "temporal predicate must ride the user_id equi key:\n" +
+        p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
+}
