@@ -292,7 +292,85 @@ object Temporal {
       |GROUP BY s.user_id
       |ORDER BY user_id""".stripMargin
 
+  /** q126 — cumulative distinct reach (users ever seen, per day): the
+    * DAU-accumulation curve. COUNT(DISTINCT) OVER a growing window is
+    * either unsupported (Spark) or a per-day rescan (naive SQL); the
+    * scalable identity is that a user enters the cumulative count
+    * exactly once — on their FIRST day — so the curve is
+    * first-day-per-user (one hash aggregate over the fact) → new-user
+    * counts per day (aggregate over users) → prefix sum over the tiny
+    * day relation. The only window runs over ≤ series-span rows. The
+    * oracle computes each day's COUNT(DISTINCT) against the raw fact
+    * directly — quadratic in days×fact, fine at oracle scale, and a
+    * genuinely different evaluation.
+    */
+  def q126CumulativeReach(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, dir)
+    val days = events.select(to_date($"ts").as("day")).distinct()
+    val newPerDay = events.groupBy($"user_id").agg(min(to_date($"ts")).as("day"))
+      .groupBy($"day").agg(count(lit(1)).as("nu"))
+    val w = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    days.join(newPerDay, Seq("day"), "left")
+      .withColumn("new_users", coalesce($"nu", lit(0L)))
+      .withColumn("cum_users", sum($"new_users").over(w))
+      .select($"day", $"new_users", $"cum_users")
+      .orderBy($"day")
+  }
+
+  val q126Sql: String =
+    """WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+      |SELECT d.day,
+      |  (SELECT count(DISTINCT e.user_id) FROM events e
+      |   WHERE CAST(e.ts AS DATE) = d.day
+      |     AND NOT EXISTS (SELECT 1 FROM events p
+      |                     WHERE p.user_id = e.user_id
+      |                       AND CAST(p.ts AS DATE) < d.day)) AS new_users,
+      |  (SELECT count(DISTINCT e.user_id) FROM events e
+      |   WHERE CAST(e.ts AS DATE) <= d.day) AS cum_users
+      |FROM days d
+      |ORDER BY day""".stripMargin
+
+  /** q127 — rolling 7-day distinct users per day (the sliding-window
+    * reach metric): COUNT(DISTINCT) over a sliding RANGE frame doesn't
+    * exist in either engine's window support at scale; the distributed
+    * form replicates each (user, active-day) pair onto the ≤7 window
+    * anchor days it can serve (bounded replication = window length,
+    * same discipline as q124's interval bins), dedups to (anchor-day,
+    * user), and counts — three hash aggregates, no global sort, no
+    * per-day rescan. Anchor days are restricted to days the corpus
+    * actually contains (dense here; an empty anchor day would simply
+    * not appear). The oracle recomputes each day's distinct set
+    * directly against the raw fact.
+    */
+  def q127RollingReach(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val userDays = Tables.events(spark, dir)
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+    val anchors = userDays.select($"day").distinct()
+      .select($"day".as("anchor"))
+    val contrib = userDays
+      .withColumn("anchor",
+        explode(sequence($"day", date_add($"day", 6), expr("interval 1 day"))))
+      .select($"anchor", $"user_id").distinct()
+    contrib.join(anchors, Seq("anchor"))
+      .groupBy($"anchor".as("day"))
+      .agg(count(lit(1)).as("users_7d"))
+      .orderBy($"day")
+  }
+
+  val q127Sql: String =
+    """WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+      |SELECT d.day,
+      |  (SELECT count(DISTINCT e.user_id) FROM events e
+      |   WHERE CAST(e.ts AS DATE) BETWEEN d.day - 6 AND d.day) AS users_7d
+      |FROM days d
+      |ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_cumulative_reach" -> (q126CumulativeReach _),
+    "q127_rolling_reach" -> (q127RollingReach _),
     "q124_interval_overlap" -> (q124IntervalOverlap _),
     "q118_pit_lookup" -> (q118PitLookup _),
     "q119_gap_fill" -> (q119GapFill _),
@@ -300,6 +378,8 @@ object Temporal {
     "q123_time_weighted" -> (q123TimeWeighted _))
 
   val oracleSql: Map[String, String] = Map(
+    "q126_cumulative_reach" -> q126Sql,
+    "q127_rolling_reach" -> q127Sql,
     "q124_interval_overlap" -> q124Sql,
     "q118_pit_lookup" -> q118Sql,
     "q119_gap_fill" -> q119Sql,

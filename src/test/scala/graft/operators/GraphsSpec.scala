@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.FormattedMode
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** q125 semantics against a plain-Scala brute-force triangle enumeration
+  * (adjacency sets, no orientation at all — a third independent
+  * algorithm besides the operator's degree orientation and the oracle's
+  * id orientation), plus the no-theta-join plan pin.
+  */
+class GraphsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("q125: per-part triangle counts match unoriented brute force") {
+    val got = Graphs.q125TriangleCount(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("part") -> r.getAs[Long]("n_triangles")).toMap
+    val po = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = po.groupBy(_._1).values.flatMap { items =>
+      val ps = items.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val adj = (edges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) })
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val counts = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for ((u, v) <- edges; w <- adj(u).intersect(adj(v)); if u < w && v < w) {
+      counts(u) += 1; counts(v) += 1; counts(w) += 1
+    }
+    assert(got == counts.toMap, s"got ${got.size} parts, expected ${counts.size}")
+    assert(got.values.sum % 3 == 0, "each triangle must be attributed to exactly 3 vertices")
+  }
+
+  test("q125 plans with equi joins only — no theta/nested-loop wedge join") {
+    val p = Graphs.q125TriangleCount(spark, sfDir)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "wedge join must ride the shared-vertex equi key:\n" +
+        p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
+}

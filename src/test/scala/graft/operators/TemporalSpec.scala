@@ -129,6 +129,68 @@ class TemporalSpec extends AnyFunSuite with SparkSpec {
     assert(userShuffles == 1, s"q120: expected 1 user_id exchange, got $userShuffles")
   }
 
+  test("q124: binned interval join equals a driver-side quadratic overlap scan") {
+    val got = Temporal.q124IntervalOverlap(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_overlaps"), r.getAs[Long]("overlap_us_sum"))).toMap
+    // sessions via exact replay (30-min gap), incidents = ±30 min around errors
+    val gap = 30L * 60 * 1000000
+    val sessions = events.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val ts = es.sortBy(e => (e._2, e._3)).map(_._2)
+      val bounds = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      var (s0, last) = (ts.head, ts.head)
+      ts.tail.foreach { t =>
+        if (t - last > gap) { bounds += ((s0, last)); s0 = t }
+        last = t
+      }
+      bounds += ((s0, last))
+      bounds.map { case (a, b) => (u, a, b) }
+    }
+    val incidents = events.filter(_._4 == "error").map(e => (e._2 - gap, e._2 + gap))
+    val expected = sessions
+      .flatMap { case (u, a, b) =>
+        incidents.filter { case (i0, i1) => a <= i1 && i0 <= b }
+          .map { case (i0, i1) => (u, math.min(b, i1) - math.max(a, i0)) }
+      }
+      .groupBy(_._1).map { case (u, v) => u -> (v.size.toLong, v.map(_._2).sum) }
+    assert(got == expected,
+      s"got ${got.size} users vs ${expected.size} — bin-edge pair drop?")
+  }
+
+  test("q124 plans the bin key as an equi join, never a theta nested loop") {
+    val p = graft.SparkEntry.queries("q124_interval_overlap")(spark, sfDir)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
+
+  test("q126/q127: reach curves match a per-day distinct replay") {
+    val dayOf = (us: Long) => us / 1000000L / 86400L
+    val userDays = events.map(e => (e._1, dayOf(e._2))).distinct
+    val allDays = userDays.map(_._2).distinct.sorted
+    // q126: cumulative distinct = users whose first day is <= d
+    val firstDay = userDays.groupBy(_._1).map { case (u, ds) => u -> ds.map(_._2).min }
+    val got126 = Temporal.q126CumulativeReach(spark, sfDir).collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toLocalDate.toEpochDay,
+        r.getAs[Long]("new_users"), r.getAs[Long]("cum_users")))
+    assert(got126.map(_._1).toSeq == allDays.toSeq, "q126 must emit every active day")
+    got126.foreach { case (d, nu, cu) =>
+      assert(nu == firstDay.values.count(_ == d), s"day $d new_users")
+      assert(cu == firstDay.values.count(_ <= d), s"day $d cum_users")
+    }
+    assert(got126.last._3 == firstDay.size, "final reach = all users")
+    // q127: trailing-7-day distinct
+    val got127 = Temporal.q127RollingReach(spark, sfDir).collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toLocalDate.toEpochDay,
+        r.getAs[Long]("users_7d"))).toMap
+    assert(got127.keySet == allDays.toSet)
+    allDays.foreach { d =>
+      val expect = userDays.filter { case (_, ud) => ud >= d - 6 && ud <= d }
+        .map(_._1).distinct.length
+      assert(got127(d) == expect, s"day $d users_7d: got ${got127(d)} expected $expect")
+    }
+  }
+
   test("q118 plans as an equi hash join on user_id, never a nested loop") {
     val p = graft.SparkEntry.queries("q118_pit_lookup")(spark, sfDir)
       .queryExecution.explainString(FormattedMode)
