@@ -34,17 +34,19 @@ object Graphs {
     * same (orientation-invariant) triangle set, so a double-count or
     * drop in either orientation flips the driver hash.
     */
-  def q125TriangleCount(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val po = Tables.lineitem(spark, dir)
-      .select($"l_orderkey".as("ord"), $"l_partkey".as("part")).distinct()
-    val edges = po.as("a").join(po.as("b"), Seq("ord"))
-      .filter($"a.part" < $"b.part")
-      .select($"a.part".as("u"), $"b.part".as("v")).distinct()
+  /** Orient an undirected edge list (columns `u`, `v`) from each edge's
+    * lower-(degree, id) endpoint to its higher one. Returns (s, t, dt)
+    * with `dt` = degree of the target, the rank key later wedge
+    * ordering needs. This is the whole skew defence: the measured hub
+    * demonstration (GraphsSpec) shows a 20k-star graph forming 2×10⁸
+    * wedges under id orientation and 2×10⁴ under this one — the hub is
+    * always the TARGET, so it contributes no wedges at all.
+    */
+  def orientByDegree(edges: DataFrame): DataFrame = {
+    import edges.sparkSession.implicits._
     val deg = edges.select(explode(array($"u", $"v")).as("p"))
       .groupBy($"p").agg(count(lit(1)).as("d"))
-    // orient each edge from its lower-(degree, id) endpoint: s → t
-    val oriented = edges
+    edges
       .join(deg.select($"p".as("u"), $"d".as("du")), Seq("u"))
       .join(deg.select($"p".as("v"), $"d".as("dv")), Seq("v"))
       .select(
@@ -52,8 +54,16 @@ object Graphs {
           struct($"u".as("s"), $"v".as("t"), $"dv".as("dt")))
           .otherwise(struct($"v".as("s"), $"u".as("t"), $"du".as("dt"))).as("e"))
       .select($"e.s".as("s"), $"e.t".as("t"), $"e.dt".as("dt"))
-    // wedges at the lowest-ranked vertex, targets rank-ordered, closed by
-    // an oriented edge between the targets
+  }
+
+  /** Per-vertex triangle counts for an undirected edge list (`u`, `v`):
+    * orient by degree, form wedges at each lowest-ranked vertex with
+    * rank-ordered targets, close them against the oriented edge set,
+    * attribute each triangle to its three corners.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    import edges.sparkSession.implicits._
+    val oriented = orientByDegree(edges)
     val wedges = oriented.as("x").join(oriented.as("y"),
         $"x.s" === $"y.s" &&
           ($"x.dt" < $"y.dt" || ($"x.dt" === $"y.dt" && $"x.t" < $"y.t")))
@@ -63,7 +73,16 @@ object Graphs {
     triangles
       .select(explode(array($"a", $"b", $"c")).as("part"))
       .groupBy($"part").agg(count(lit(1)).as("n_triangles"))
-      .orderBy($"part")
+  }
+
+  def q125TriangleCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val po = Tables.lineitem(spark, dir)
+      .select($"l_orderkey".as("ord"), $"l_partkey".as("part")).distinct()
+    val edges = po.as("a").join(po.as("b"), Seq("ord"))
+      .filter($"a.part" < $"b.part")
+      .select($"a.part".as("u"), $"b.part".as("v")).distinct()
+    triangleCounts(edges).orderBy($"part")
   }
 
   val q125Sql: String =

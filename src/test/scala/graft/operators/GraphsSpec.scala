@@ -2,6 +2,7 @@ package graft.operators
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions.max
 import graft.SparkSpec
 import graft.sources.Tables
 
@@ -31,6 +32,33 @@ class GraphsSpec extends AnyFunSuite with SparkSpec {
     }
     assert(got == counts.toMap, s"got ${got.size} parts, expected ${counts.size}")
     assert(got.values.sum % 3 == 0, "each triangle must be attributed to exactly 3 vertices")
+  }
+
+  test("degree orientation neutralizes a hub: star graph wedges collapse 10,000x") {
+    // 2k-star + leaf ring. Under id orientation the hub (id 0) is the
+    // SOURCE of every star edge: C(2000,2) ≈ 2.0e6 wedges land on one
+    // key — the curse-of-the-last-reducer shape. Degree orientation
+    // makes the hub the TARGET of every edge, so out-degrees are ≤ 2
+    // and the wedge relation is linear in E.
+    val n = 2000L
+    val star = (1L to n).map(i => (0L, i))
+    val ring = (1L until n).map(i => (i, i + 1))
+    val edges = (star ++ ring).toDF("u", "v")
+    val oriented = Graphs.orientByDegree(edges).cache()
+    val outDeg = oriented.groupBy($"s").count().agg(max($"count")).collect()(0).getLong(0)
+    assert(outDeg <= 2, s"hub must never be a wedge source, max out-degree $outDeg")
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        $"x.s" === $"y.s" &&
+          ($"x.dt" < $"y.dt" || ($"x.dt" === $"y.dt" && $"x.t" < $"y.t"))).count()
+    assert(wedges <= 2 * n, s"wedge relation must stay linear in E, got $wedges")
+    // and the counts are still exactly right: each ring edge closes one
+    // triangle with the hub; interior leaves touch 2, ends 1, hub all
+    val tri = Graphs.triangleCounts(edges).collect()
+      .map(r => r.getAs[Long]("part") -> r.getAs[Long]("n_triangles")).toMap
+    assert(tri(0L) == n - 1, "hub participates in every hub-ring triangle")
+    assert(tri(1L) == 1 && tri(n) == 1 && tri(2L) == 2)
+    assert(tri.values.sum == 3 * (n - 1))
+    oriented.unpersist()
   }
 
   test("q125 plans with equi joins only — no theta/nested-loop wedge join") {
