@@ -567,7 +567,44 @@ object Relational {
       |  (SELECT count(DISTINCT o_orderpriority) FROM orders)
       |ORDER BY o_custkey""".stripMargin
 
+  /** q128 — ordered list aggregation (LISTAGG / string_agg): each
+    * customer's order-priority "journey" concatenated in strict
+    * (order-date, order-key) sequence. Determinism does NOT come from
+    * `collect_list` (whose order is partition-arrival chaos) but from
+    * `array_sort` over structs whose FIELD ORDER is the sort key —
+    * lexicographic struct comparison gives (date, key, priority), and
+    * the higher-order `transform` then projects the payload. Scale
+    * note: list-agg state is the group's row count; orders-per-customer
+    * is domain-bounded here, and the unbounded-group form of this
+    * operator is `slice(array_sort(...), 1, k)` — truncate AFTER the
+    * sort, keeping the same determinism. The oracle runs DuckDB's
+    * native `string_agg(... ORDER BY)` — a different mechanism, same
+    * string.
+    */
+  def q128OrderJourney(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(
+        concat_ws(">", transform(
+          array_sort(collect_list(struct($"o_orderdate".as("d"),
+            $"o_orderkey".as("k"), $"o_orderpriority".as("p")))),
+          x => x.getField("p"))).as("journey"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"o_custkey")
+  }
+
+  val q128Sql: String =
+    """SELECT o_custkey,
+      |       string_agg(o_orderpriority, '>' ORDER BY o_orderdate, o_orderkey)
+      |         AS journey,
+      |       count(*) AS n_orders
+      |FROM orders
+      |GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q128_order_journey" -> (q128OrderJourney _),
     "q116_relational_division" -> (q116RelationalDivision _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_filter_project" -> (q2FilterProject _),
@@ -590,6 +627,7 @@ object Relational {
     "q19_math_funcs" -> (q19MathFuncs _))
 
   val oracleSql: Map[String, String] = Map(
+    "q128_order_journey" -> q128Sql,
     "q116_relational_division" -> q116Sql,
     "q1_pricing_summary" -> q1Sql,
     "q2_filter_project" -> q2Sql,
