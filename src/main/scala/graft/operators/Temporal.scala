@@ -368,7 +368,96 @@ object Temporal {
       |FROM days d
       |ORDER BY day""".stripMargin
 
+  /** q129 — rolling reach, sketch-production form: q127's exact
+    * replication answer is the calibration baseline; THIS is what runs
+    * at 100 TB — one `hll_sketch_agg` partial per day (mergeable,
+    * storable, the q106 rollup-table discipline applied to reach), the
+    * 7-day window answered by `hll_union_agg` over ≤7 daily sketches
+    * replicated onto their anchor days (the q127 grid, but carrying
+    * ~KB sketches instead of every user row). The fact is touched
+    * exactly once; window width changes (7→30→90 days) re-merge stored
+    * sketches without re-scanning history. The emitted columns are the
+    * exact reach plus an engine-portable boolean pinning the estimate
+    * inside the lgK=12 error envelope (±5%) — sketch VALUES never
+    * cross the oracle boundary (merge-order-dependent), the same
+    * discipline as q96/q99/q106.
+    */
+  def q129RollingReachSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+    val anchors = daily.select($"day".as("anchor"))
+    val merged = daily
+      .withColumn("anchor",
+        explode(sequence($"day", date_add($"day", 6), expr("interval 1 day"))))
+      .join(anchors, Seq("anchor"))
+      .groupBy($"anchor".as("day"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"))
+    merged.join(q127RollingReach(spark, dir), Seq("day"))
+      .select($"day", $"users_7d",
+        (abs($"est" - $"users_7d").cast("double") / $"users_7d" <= 0.05)
+          .as("est_in_bounds"))
+      .orderBy($"day")
+  }
+
+  val q129Sql: String =
+    """WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+      |SELECT d.day,
+      |  (SELECT count(DISTINCT e.user_id) FROM events e
+      |   WHERE CAST(e.ts AS DATE) BETWEEN d.day - 6 AND d.day) AS users_7d,
+      |  TRUE AS est_in_bounds
+      |FROM days d
+      |ORDER BY day""".stripMargin
+
+  /** q130 — day-over-day audience churn (Jaccard of consecutive daily
+    * active-user sets): the set-overlap time series behind retention
+    * alarms. Both the intersection (equi-join on (user, shifted day) —
+    * each user-day row matches at most one successor row) and the
+    * per-day sizes are exact integer counts; the Jaccard lands in
+    * integer basis points via `div` (both engines floor), so no float
+    * division crosses the oracle hash. Work is two hash aggregates +
+    * one equi-join on the deduped user-day relation — the same shape at
+    * any corpus size.
+    */
+  def q130DailyChurn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ud = Tables.events(spark, dir)
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+    val sizes = ud.groupBy($"day").agg(count(lit(1)).as("n"))
+    val common = ud.as("a")
+      .join(ud.as("b"),
+        $"a.user_id" === $"b.user_id" && date_add($"a.day", 1) === $"b.day")
+      .groupBy($"b.day".as("day")).agg(count(lit(1)).as("n_common"))
+    sizes.select($"day", $"n".as("n_curr"))
+      .join(sizes.select(date_add($"day", 1).as("day"), $"n".as("n_prev")), Seq("day"))
+      .join(common, Seq("day"), "left")
+      .withColumn("n_common", coalesce($"n_common", lit(0L)))
+      .withColumn("jaccard_bp",
+        expr("n_common * 10000 div (n_prev + n_curr - n_common)"))
+      .select($"day", $"n_prev", $"n_curr", $"n_common", $"jaccard_bp")
+      .orderBy($"day")
+  }
+
+  val q130Sql: String =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |sizes AS (SELECT day, count(*) AS n FROM ud GROUP BY day),
+      |common AS (
+      |  SELECT b.day AS day, count(*) AS n_common
+      |  FROM ud a JOIN ud b ON a.user_id = b.user_id AND a.day + 1 = b.day
+      |  GROUP BY 1)
+      |SELECT c.day, p.n AS n_prev, c.n AS n_curr,
+      |       COALESCE(m.n_common, 0) AS n_common,
+      |       (COALESCE(m.n_common, 0) * 10000)
+      |         // (p.n + c.n - COALESCE(m.n_common, 0)) AS jaccard_bp
+      |FROM sizes c
+      |JOIN sizes p ON p.day + 1 = c.day
+      |LEFT JOIN common m ON m.day = c.day
+      |ORDER BY c.day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_rolling_reach_sketch" -> (q129RollingReachSketch _),
+    "q130_daily_churn" -> (q130DailyChurn _),
     "q126_cumulative_reach" -> (q126CumulativeReach _),
     "q127_rolling_reach" -> (q127RollingReach _),
     "q124_interval_overlap" -> (q124IntervalOverlap _),
@@ -378,6 +467,8 @@ object Temporal {
     "q123_time_weighted" -> (q123TimeWeighted _))
 
   val oracleSql: Map[String, String] = Map(
+    "q129_rolling_reach_sketch" -> q129Sql,
+    "q130_daily_churn" -> q130Sql,
     "q126_cumulative_reach" -> q126Sql,
     "q127_rolling_reach" -> q127Sql,
     "q124_interval_overlap" -> q124Sql,

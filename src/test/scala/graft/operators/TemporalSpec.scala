@@ -191,6 +191,26 @@ class TemporalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q130: day-over-day Jaccard matches an exact set replay") {
+    val dayOf = (us: Long) => us / 1000000L / 86400L
+    val byDay = events.map(e => (dayOf(e._2), e._1)).distinct
+      .groupBy(_._1).map { case (d, v) => d -> v.map(_._2).toSet }
+    val got = Temporal.q130DailyChurn(spark, sfDir).collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toLocalDate.toEpochDay,
+        r.getAs[Long]("n_prev"), r.getAs[Long]("n_curr"),
+        r.getAs[Long]("n_common"), r.getAs[Long]("jaccard_bp")))
+    assert(got.nonEmpty)
+    got.foreach { case (d, np, nc, ncom, jbp) =>
+      val (prev, cur) = (byDay(d - 1), byDay(d))
+      assert(np == prev.size && nc == cur.size, s"day $d sizes")
+      assert(ncom == prev.intersect(cur).size, s"day $d intersection")
+      assert(jbp == ncom * 10000 / prev.union(cur).size, s"day $d jaccard")
+    }
+    // every consecutive-day pair present
+    val days = byDay.keySet
+    assert(got.length == days.count(d => days.contains(d - 1)))
+  }
+
   test("q118 plans as an equi hash join on user_id, never a nested loop") {
     val p = graft.SparkEntry.queries("q118_pit_lookup")(spark, sfDir)
       .queryExecution.explainString(FormattedMode)
