@@ -64,7 +64,11 @@ object ScaleEvidence {
       case "memoscale" => memoScale(spark,
         if (args.length > 1) args.drop(1).map(_.toInt).toSeq
         else Seq(5000, 10000, 20000, 50000))
-      case other => sys.error(s"unknown mode $other (ssjoin|skew|stream|probe|memoscale)")
+      case "triangles" => triangleScale(spark,
+        if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+        else Seq(15000, 30000, 60000, 120000, 240000),
+        resetShuffle _, () => shuffleMB)
+      case other => sys.error(s"unknown mode $other (ssjoin|skew|stream|probe|memoscale|triangles)")
     }
     spark.stop()
   }
@@ -331,6 +335,56 @@ object ScaleEvidence {
     * state is released before the next so rungs are independent
     * first-touch builds.
     */
+  /** Triangle-counting scaling on synthetic skewed co-occurrence graphs:
+    * `basket` orders × 5 items drawn with a quadratic-skew popularity
+    * (u² mapping — low part ids are hubs), so both E and the hub degree
+    * grow with the rung. Records wall time, |E|, Σ triangles, shuffle
+    * bytes, and the end-to-end exponent α (t ∝ n^α) per rung pair.
+    * First rung repeats once as a discarded JIT warmup (the memoscale
+    * discipline).
+    */
+  private def triangleScale(spark: org.apache.spark.sql.SparkSession,
+      sizes: Seq[Int], resetShuffle: () => Unit,
+      shuffleMB: () => (Double, Double)): Unit = {
+    import spark.implicits._
+    println(s"== triangle-count scaling over synthetic baskets $sizes ==")
+    def basketEdges(nOrders: Int): DataFrame = {
+      val nParts = math.max(200L, nOrders / 30L)
+      val m = 1000000L
+      val po = spark.range(nOrders.toLong).select($"id".as("ord"))
+        .select($"ord", explode(sequence(lit(0), lit(4))).as("i"))
+        .select($"ord",
+          floor(pow((pmod(xxhash64($"ord", $"i"), lit(m)).cast("double") + 0.5) / m, 2.0)
+            * nParts).cast("long").as("part"))
+        .distinct()
+      po.as("a").join(po.as("b"), Seq("ord"))
+        .filter($"a.part" < $"b.part")
+        .select($"a.part".as("u"), $"b.part".as("v")).distinct()
+    }
+    case class Rung(n: Int, t: Double, e: Long, tri: Long, sw: Double)
+    val allSizes = sizes.head +: sizes // first rung doubles as JIT warmup
+    val rungs = allSizes.zipWithIndex.map { case (n, idx) =>
+      resetShuffle()
+      val edges = basketEdges(n).localCheckpoint()
+      val e = edges.count()
+      val t0 = System.nanoTime()
+      val tri = graft.operators.Graphs.triangleCounts(edges)
+        .agg(org.apache.spark.sql.functions.sum($"n_triangles")).collect()(0).getLong(0) / 3
+      val t = (System.nanoTime() - t0) / 1e9
+      val (sw, _) = shuffleMB()
+      org.apache.spark.sql.graft.CheckpointUtils.sweepUnpinned(spark.sparkContext)
+      val tag = if (idx == 0) " (warmup, discarded)" else ""
+      println(f"n=$n%7d  edges=$e%9d  triangles=$tri%10d  t=$t%7.2f s  shufW=$sw%8.1f MB$tag")
+      Rung(n, t, e, tri, sw)
+    }.drop(1)
+    rungs.sliding(2).foreach {
+      case Seq(a, b) =>
+        val r = math.log(b.n.toDouble / a.n)
+        println(f"${a.n}%7d -> ${b.n}%7d: alpha_t=${math.log(b.t / a.t) / r}%5.2f  alpha_E=${math.log(b.e.toDouble / a.e) / r}%5.2f")
+      case _ =>
+    }
+  }
+
   private def memoScale(spark: org.apache.spark.sql.SparkSession,
       sizes: Seq[Int]): Unit = {
     println(s"== memo-build scaling: q31_pairs + inv_pairs_0.7 over Zipf corpora $sizes ==")

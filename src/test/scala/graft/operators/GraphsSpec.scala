@@ -61,6 +61,19 @@ class GraphsSpec extends AnyFunSuite with SparkSpec {
     oriented.unpersist()
   }
 
+  test("shuffle fallback (vertex dim past broadcast budget) counts identically") {
+    val key = "spark.graft.triangles.broadcastVertices"
+    val broadcastCounts = Graphs.q125TriangleCount(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    spark.conf.set(key, "1")
+    try {
+      val shuffleCounts = Graphs.q125TriangleCount(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(shuffleCounts == broadcastCounts,
+        "the scale path (shuffle adjacency join) must agree with the broadcast path")
+    } finally spark.conf.unset(key)
+  }
+
   test("q125 plans with equi joins only — no theta/nested-loop wedge join") {
     val p = Graphs.q125TriangleCount(spark, sfDir)
       .queryExecution.explainString(FormattedMode)
