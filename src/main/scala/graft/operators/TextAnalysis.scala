@@ -793,7 +793,83 @@ object TextAnalysis {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** q131 — BM25 top-k retrieval (k1=1.2, b=0.75, Lucene idf): score
+    * every document against a deterministic query (the corpus's three
+    * highest-df tokens, tie-broken lexicographically — data-derived, so
+    * the same query exists at every SF) and return the top 20. The
+    * entire score is exact integer arithmetic:
+    *
+    *  - idf frozen to micro-nats per TERM (3 values): the Lucene form
+    *    `ln(1 + (N-df+½)/(df+½)) = ln((2N+1)/(2df+1))` — a log of a
+    *    ratio of exact integers, ALWAYS positive (the classic idf goes
+    *    negative at df > N/2, where Spark's truncating `div` and
+    *    DuckDB's flooring `//` disagree — that class of bug is excluded
+    *    by construction, not by luck).
+    *  - the tf/length saturation rationalized: with k1=12/10, b=3/4 and
+    *    avglen = A/N, term score = idf·22·A·tf div (10·A·tf + 3·A +
+    *    9·len·N) — numerator ≲ 3e13·tf at sf0.1, BIGINT with room;
+    *    corpus-scale A widens to DECIMAL(38,0).
+    *
+    * Shape: one token explode feeding df/N/A/len aggregates (the q56
+    * relation), a 3-row broadcast of query terms, one (doc, term) hash
+    * aggregation, and a TakeOrdered top-20 — no global sort of the
+    * scored corpus.
+    */
+  def q131Bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tx = docs(spark, dir)
+      .select($"doc_id", explode(toks).as("tok"))
+      .localCheckpoint() // df, N, A, len, and tf all branch from it
+    val dfreq = tx.groupBy($"tok").agg(countDistinct($"doc_id").as("df"))
+    val stats = tx.agg(count(lit(1)).as("A"),
+      countDistinct($"doc_id").as("N"))
+    val qterms = dfreq.orderBy($"df".desc, $"tok").limit(3)
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_micro",
+        round(log(($"N" * 2 + 1).cast("double") / ($"df" * 2 + 1).cast("double"))
+          * 1e6).cast("long"))
+      .select($"tok", $"idf_micro", $"A", $"N")
+    val len = tx.groupBy($"doc_id").agg(count(lit(1)).as("len"))
+    val tf = tx.join(broadcast(qterms), Seq("tok"))
+      .groupBy($"doc_id", $"tok")
+      .agg(count(lit(1)).as("tf"), first($"idf_micro").as("idf_micro"),
+        first($"A").as("A"), first($"N").as("N"))
+    tf.join(len, Seq("doc_id"))
+      .withColumn("term_score",
+        expr("(idf_micro * 22 * A * tf) div (10 * A * tf + 3 * A + 9 * len * N)"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum($"term_score").as("score"))
+      .orderBy($"score".desc, $"doc_id")
+      .limit(20)
+  }
+
+  val q131Sql: String =
+    """WITH tx AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+      |  FROM documents),
+      |dfreq AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |  FROM tx GROUP BY 1),
+      |stats AS (SELECT CAST(count(*) AS BIGINT) AS A,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS N FROM tx),
+      |qterms AS (
+      |  SELECT tok,
+      |    CAST(round(ln(CAST(N * 2 + 1 AS DOUBLE) / CAST(df * 2 + 1 AS DOUBLE))
+      |      * 1e6) AS BIGINT) AS idf_micro, A, N
+      |  FROM dfreq, stats ORDER BY df DESC, tok LIMIT 3),
+      |len AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tx GROUP BY 1),
+      |tf AS (
+      |  SELECT t.doc_id, t.tok, CAST(count(*) AS BIGINT) AS tf,
+      |    any_value(q.idf_micro) AS idf_micro, any_value(q.A) AS A,
+      |    any_value(q.N) AS N
+      |  FROM tx t JOIN qterms q USING (tok) GROUP BY 1, 2)
+      |SELECT tf.doc_id, count(*) AS n_terms,
+      |  CAST(sum((idf_micro * 22 * A * tf)
+      |    // (10 * A * tf + 3 * A + 9 * len * N)) AS BIGINT) AS score
+      |FROM tf JOIN len ON tf.doc_id = len.doc_id
+      |GROUP BY 1
+      |ORDER BY score DESC, tf.doc_id LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_bm25_topk" -> (q131Bm25TopK _),
     "q65_corpus_card" -> (q65CorpusCard _),
     "q76_unigram_nll" -> (q76UnigramNll _),
     "q58_repetition_metrics" -> (q58RepetitionMetrics _),
@@ -811,6 +887,7 @@ object TextAnalysis {
     "q56_tfidf_top_terms" -> (q56TfidfTopTerms _))
 
   val oracleSql: Map[String, String] = Map(
+    "q131_bm25_topk" -> q131Sql,
     "q65_corpus_card" -> q65Sql,
     "q76_unigram_nll" -> q76Sql,
     "q58_repetition_metrics" -> q58Sql,

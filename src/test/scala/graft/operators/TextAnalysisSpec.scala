@@ -263,4 +263,33 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
         r.getAs[Long]("tf") * n * 1000L / r.getAs[Long]("df"))
     }
   }
+
+  test("q131: BM25 scores are rank-ordered, saturation-bounded, and the frozen idf sits off the rounding boundary") {
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val rows = TextAnalysis.q131Bm25TopK(spark, sf).collect()
+      assert(rows.length == 20, s"$sf: expected top-20")
+      val scores = rows.map(_.getAs[Long]("score")).toSeq
+      assert(scores == scores.sorted.reverse, s"$sf: not rank-ordered")
+      assert(rows.forall(r => r.getAs[Long]("n_terms") <= 3 && r.getAs[Long]("score") > 0))
+      // recompute the three frozen idfs exactly and pin the rounding
+      // distance (the Selection micro-nat guard discipline): a value
+      // near x.5 micro-nats would let HALF_UP vs half-away diverge
+      import org.apache.spark.sql.functions._
+      val tx = graft.sources.Tables.documents(spark, sf)
+        .select($"doc_id", explode(split(trim($"text"), " ")).as("tok"))
+      val n = tx.select($"doc_id").distinct().count()
+      val dfs = tx.groupBy($"tok").agg(countDistinct($"doc_id").as("df"))
+        .orderBy($"df".desc, $"tok").limit(3).collect().map(_.getAs[Long]("df"))
+      dfs.foreach { df =>
+        val v = math.log((2.0 * n + 1) / (2.0 * df + 1)) * 1e6
+        assert(v > 0, s"$sf: Lucene idf must be positive (df=$df, N=$n)")
+        val frac = math.abs(v - math.floor(v) - 0.5)
+        assert(frac > 1e-3, s"$sf: idf $v sits ${frac} from the .5 boundary (df=$df)")
+      }
+      // saturation: a term score can never exceed idf·(k1+1)/k1 = 2.2·idf
+      val maxIdf = dfs.map(df => math.round(math.log((2.0 * n + 1) / (2.0 * df + 1)) * 1e6)).max
+      assert(scores.head <= (3 * 2.2 * maxIdf).toLong,
+        s"$sf: top score ${scores.head} exceeds the BM25 saturation bound")
+    }
+  }
 }
