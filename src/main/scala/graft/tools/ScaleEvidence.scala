@@ -68,7 +68,10 @@ object ScaleEvidence {
         if (args.length > 1) args.drop(1).map(_.toInt).toSeq
         else Seq(15000, 30000, 60000, 120000, 240000),
         resetShuffle _, () => shuffleMB)
-      case other => sys.error(s"unknown mode $other (ssjoin|skew|stream|probe|memoscale|triangles)")
+      case "intervals" => intervalScale(spark,
+        if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+        else Seq(10000, 20000, 40000, 80000, 160000, 320000))
+      case other => sys.error(s"unknown mode $other (ssjoin|skew|stream|probe|memoscale|triangles|intervals)")
     }
     spark.stop()
   }
@@ -381,6 +384,77 @@ object ScaleEvidence {
       case Seq(a, b) =>
         val r = math.log(b.n.toDouble / a.n)
         println(f"${a.n}%7d -> ${b.n}%7d: alpha_t=${math.log(b.t / a.t) / r}%5.2f  alpha_E=${math.log(b.e.toDouble / a.e) / r}%5.2f")
+      case _ =>
+    }
+  }
+
+  /** Binned interval join (the q124 shape) vs the direct theta join, on
+    * synthetic interval sets over a fixed 30-day span: n sessions
+    * (≤30 min) and n/4 incident windows (1 h), both hash-placed. The
+    * theta join's candidate space is n²/4 regardless of interval
+    * density; the binned join's is (per-bin sessions)×(per-bin
+    * incidents) summed — linear in n at fixed span density per bin
+    * width. The theta side is measured only while it stays affordable;
+    * the binned side runs every rung. Both sides must agree on the
+    * overlap-pair count (checked per rung — evidence is worthless if
+    * the fast path is wrong).
+    */
+  private def intervalScale(spark: org.apache.spark.sql.SparkSession,
+      sizes: Seq[Int]): Unit = {
+    import spark.implicits._
+    println(s"== interval-overlap join: binned vs theta over $sizes ==")
+    // span grows with n (fixed interval density — a longer history, not a
+    // denser one): true overlap pairs stay LINEAR in n while the theta
+    // join's probed candidate space is n²/4 regardless
+    val binUs = 3600L * 1000000
+    def intervals(n: Int, nBase: Int, widthUs: Long, salt: Int): DataFrame = {
+      val spanUs = 30L * 86400 * 1000000 * (n.toLong max nBase) / nBase
+      spark.range(n.toLong).select($"id",
+        pmod(xxhash64($"id", lit(salt)), lit(spanUs - widthUs)).as("start"))
+        .select($"id", $"start", ($"start" + widthUs).as("end"))
+    }
+    def binned(s: DataFrame, i: DataFrame): Long = {
+      val sb = s.withColumn("bin",
+        explode(sequence(expr(s"start div $binUs"), expr(s"end div $binUs"))))
+        .select($"id".as("sid"), $"start".as("ss"), $"end".as("se"), $"bin")
+      val ib = i.withColumn("bin",
+        explode(sequence(expr(s"start div $binUs"), expr(s"end div $binUs"))))
+        .select($"id".as("iid"), $"start".as("is"), $"end".as("ie"), $"bin")
+      sb.join(ib, Seq("bin"))
+        .filter($"ss" <= $"ie" && $"is" <= $"se")
+        .select($"sid", $"iid").distinct().count()
+    }
+    def theta(s: DataFrame, i: DataFrame): Long =
+      s.select($"id".as("sid"), $"start".as("ss"), $"end".as("se"))
+        .join(i.select($"id".as("iid"), $"start".as("is"), $"end".as("ie")),
+          $"ss" <= $"ie" && $"is" <= $"se")
+        .count()
+    val thetaCutoff = 200000
+    val allSizes = sizes.head +: sizes // JIT warmup rung, discarded
+    val rungs = allSizes.zipWithIndex.map { case (n, idx) =>
+      val s = intervals(n, sizes.head, 30L * 60 * 1000000, 1).localCheckpoint()
+      val i = intervals(n / 4, sizes.head / 4, binUs, 2).localCheckpoint()
+      val t0 = System.nanoTime()
+      val pairsB = binned(s, i)
+      val tB = (System.nanoTime() - t0) / 1e9
+      val (tT, agree) = if (n <= thetaCutoff) {
+        val t1 = System.nanoTime()
+        val pairsT = theta(s, i)
+        ((System.nanoTime() - t1) / 1e9, pairsT == pairsB)
+      } else (-1.0, true)
+      org.apache.spark.sql.graft.CheckpointUtils.sweepUnpinned(spark.sparkContext)
+      val tag = if (idx == 0) " (warmup, discarded)" else ""
+      val tTs = if (tT >= 0) f"theta=$tT%7.2f s agree=$agree" else "theta=    (skipped)"
+      println(f"n=$n%7d  pairs=$pairsB%9d  binned=$tB%7.2f s  $tTs$tag")
+      require(agree, s"binned and theta joins disagree at n=$n")
+      (n, tB, tT)
+    }.drop(1)
+    rungs.sliding(2).foreach {
+      case Seq((na, ta, tta), (nb, tb, ttb)) =>
+        val r = math.log(nb.toDouble / na)
+        val thetaA = if (tta > 0 && ttb > 0)
+          f"  alpha_theta=${math.log(ttb / tta) / r}%5.2f" else ""
+        println(f"$na%7d -> $nb%7d: alpha_binned=${math.log(tb / ta) / r}%5.2f$thetaA")
       case _ =>
     }
   }
