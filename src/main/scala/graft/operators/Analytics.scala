@@ -723,7 +723,59 @@ object Analytics {
       |  FROM c) t
       |WHERE rn = 1 ORDER BY segment""".stripMargin
 
+  /** q132 — equi-depth feature binning at scale (the QuantileDiscretizer
+    * job, SQL-native): decile boundaries from ONE `approx_percentile`
+    * pass (GK sketch, bounded memory), bucket assignment as a pure
+    * map — `size(filter(boundaries, b -> b <= x))` against the
+    * broadcast 9-element boundary array — and the audit closed by
+    * exact rank arithmetic: per-bucket counts (one hash aggregate)
+    * prefix-summed over the 10-row bucket relation give count(x < bᵢ)
+    * and count(x ≤ bᵢ) EXACTLY, which must bracket i·n/10 within the
+    * sketch's ε·n envelope (the q99 rank-gate discipline; boundary
+    * VALUES never cross the oracle — GK results are merge-order-
+    * dependent). The fact is touched exactly twice (sketch pass +
+    * assignment pass), never sorted; every post-aggregate relation is
+    * ≤ 20 rows.
+    */
+  def q132EquidepthBins(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir).select($"o_totalprice".as("x"))
+    val bounds = o.agg(count(lit(1)).as("n"),
+      percentile_approx($"x", array((1 to 9).map(i => lit(i / 10.0)): _*),
+        lit(10000)).as("bs"))
+    val perBucket = o.crossJoin(broadcast(bounds))
+      .select($"n",
+        size(filter($"bs", b => b <= $"x")).cast("long").as("bucket"),
+        coalesce(array_position($"bs", $"x"), lit(0L)).as("eqpos"))
+      .groupBy($"bucket", $"eqpos")
+      .agg(first($"n").as("n"), count(lit(1)).as("cnt"))
+      .localCheckpoint() // ≤20 rows; feeds two tiny branches
+    val deciles = spark.range(1, 10).select($"id".as("decile"))
+      .crossJoin(broadcast(perBucket.agg(first($"n").as("n"))))
+    // lt_i = rows in buckets < i (a 9x20 theta join over tiny relations
+    // — the fact never re-enters); eq_i = rows exactly ON boundary i
+    val lt = deciles.join(perBucket.select($"bucket", $"cnt"),
+        $"bucket" < $"decile", "left")
+      .groupBy($"decile").agg(first($"n").as("n"),
+        coalesce(sum($"cnt"), lit(0L)).as("lt"))
+    val eq = perBucket.filter($"eqpos" > 0)
+      .groupBy($"eqpos".as("decile")).agg(sum($"cnt").as("eqc"))
+    lt.join(eq, Seq("decile"), "left")
+      .withColumn("le", $"lt" + coalesce($"eqc", lit(0L)))
+      .select($"decile", $"n",
+        (($"lt".cast("double") <= ($"decile" / 10.0 + lit(pctlEps)) * $"n" + 2.0) &&
+          ($"le".cast("double") >= ($"decile" / 10.0 - lit(pctlEps)) * $"n" - 2.0))
+          .as("rank_ok"))
+      .orderBy($"decile")
+  }
+
+  val q132Sql: String =
+    """SELECT i AS decile, n.n AS n, TRUE AS rank_ok
+      |FROM range(1, 10) t(i), (SELECT CAST(count(*) AS BIGINT) AS n FROM orders) n
+      |ORDER BY decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q132_equidepth_bins" -> (q132EquidepthBins _),
     "q122_modal_priority" -> (q122ModalPriority _),
     "q38_cube" -> (q38Cube _),
     "q39_grouping_sets" -> (q39GroupingSets _),
@@ -744,6 +796,7 @@ object Analytics {
     "q108_lateral_top_orders" -> (q108LateralTopOrders _))
 
   val oracleSql: Map[String, String] = Map(
+    "q132_equidepth_bins" -> q132Sql,
     "q122_modal_priority" -> q122Sql,
     "q42_approx_distinct" -> q42Sql,
     "q97_distinct_calibration_slice" -> q97Sql,
