@@ -22,7 +22,8 @@ object SparkEntry {
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
       Analytics.queries ++ Corpus.queries ++ Selection.queries ++
       Contracts.queries ++ Lakehouse.queries ++ Resolution.queries ++
-      Temporal.queries ++ Graphs.queries ++ graft.sql.ModelRunner.queries
+      Temporal.queries ++ Graphs.queries ++ Reconcile.queries ++
+      graft.sql.ModelRunner.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -32,5 +33,6 @@ object SparkEntry {
       Dedup.oracleSql ++ Similarity.oracleSql ++ Multimodal.oracleSql ++
       Analytics.oracleSql ++ Corpus.oracleSql ++ Selection.oracleSql ++
       Contracts.oracleSql ++ Lakehouse.oracleSql ++ Resolution.oracleSql ++
-      Temporal.oracleSql ++ Graphs.oracleSql ++ graft.sql.ModelRunner.oracleSql
+      Temporal.oracleSql ++ Graphs.oracleSql ++ Reconcile.oracleSql ++
+      graft.sql.ModelRunner.oracleSql
 }

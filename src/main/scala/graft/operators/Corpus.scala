@@ -477,6 +477,72 @@ object Corpus {
        |FROM h
        |ORDER BY shard, pos""".stripMargin
 
+  /** q137 — rendezvous (highest-random-weight) shard routing: each doc
+    * scores every shard with the portable 60-bit hash of `id:shard` and
+    * lands on the argmax — the assignment scheme whose defining
+    * property is MINIMAL MOVEMENT under topology change: removing a
+    * shard relocates exactly that shard's docs (each to its runner-up)
+    * and NO doc between surviving shards, unlike `h % S` where almost
+    * every doc moves. The query proves the property, not just the
+    * assignment: it routes against the full 8-shard set AND the set
+    * with shard 3 removed, and emits per-shard `n_moved` — identically
+    * 0 for survivors, n_docs for the removed shard, so a single
+    * misrouted doc flips the driver hash.
+    *
+    * Shapes that matter at 100 TB: the ×S candidate blowup is a
+    * map-side explode feeding a map-side-combinable argmax aggregate
+    * (`min(struct(-w, s))`, the q122 precedence idiom — no window, no
+    * sort); S is the shard-set size, not data-sized, and past a few
+    * hundred shards the standard fix is hierarchical HRW (route to a
+    * shard GROUP, then within it), which is this same query applied
+    * twice. The DuckDB oracle picks the argmax with a window rank over
+    * the identical weight relation — independent mechanism, same
+    * routing.
+    */
+  def q137RendezvousSharding(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val S = 8
+    val weighted = Tables.documents(spark, dir)
+      .select($"doc_id", $"n_chars")
+      .withColumn("s", explode(array((0 until S).map(i => lit(i.toLong)): _*)))
+      .withColumn("w", hashColumn(concat_ws(":", $"doc_id", $"s")))
+      .localCheckpoint() // feeds both routing passes
+    def route(in: DataFrame, as: String): DataFrame = {
+      import in.sparkSession.implicits._
+      in.groupBy($"doc_id")
+        .agg(min(struct((-$"w").as("nw"), $"s".as("s"))).as("p"),
+          first($"n_chars").as("n_chars"))
+        .select($"doc_id", $"p.s".as(as), $"n_chars")
+    }
+    route(weighted, "shard8")
+      .join(route(weighted.filter($"s" =!= 3), "shard7").drop("n_chars"),
+        Seq("doc_id"))
+      .groupBy($"shard8")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"),
+        sum(when($"shard7" =!= $"shard8", 1L).otherwise(0L)).as("n_moved"))
+      .select($"shard8".as("shard"), $"n_docs", $"total_chars", $"n_moved")
+      .orderBy($"shard")
+  }
+
+  val q137Sql: String =
+    s"""WITH wts AS (
+       |  SELECT doc_id, n_chars, t.s,
+       |         ${hashSqlExpr("CAST(doc_id AS VARCHAR) || ':' || CAST(t.s AS VARCHAR)")} AS w
+       |  FROM documents CROSS JOIN range(0, 8) t(s)),
+       |a8 AS (SELECT doc_id, n_chars, s AS shard8,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, s) AS rn
+       |       FROM wts),
+       |a7 AS (SELECT doc_id, s AS shard7,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, s) AS rn
+       |       FROM wts WHERE s <> 3)
+       |SELECT a8.shard8 AS shard, count(*) AS n_docs,
+       |       CAST(sum(a8.n_chars) AS BIGINT) AS total_chars,
+       |       CAST(sum(CASE WHEN a7.shard7 <> a8.shard8 THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_moved
+       |FROM a8 JOIN a7 ON a7.doc_id = a8.doc_id AND a7.rn = 1
+       |WHERE a8.rn = 1
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q81 — temperature-quota subsample: applies q78's α=0.5 weights to
     * actually SELECT documents. Each source gets a token budget
     * b_s = round(weight_s · 20% of corpus tokens); its docs are laid out
@@ -542,6 +608,7 @@ object Corpus {
     "q68_vocab_coverage" -> (q68VocabCoverage _),
     "q78_temperature_mix" -> (q78TemperatureMix _),
     "q80_shard_layout" -> (q80ShardLayout _),
+    "q137_rendezvous_sharding" -> (q137RendezvousSharding _),
     "q81_mix_subsample" -> (q81MixSubsample _),
     "q69_bigram_lift" -> (q69BigramLift _),
     "q70_stratified_split" -> (q70StratifiedSplit _),
@@ -558,5 +625,6 @@ object Corpus {
     "q72_boilerplate_prefixes" -> q72Sql,
     "q73_source_vocab_jaccard" -> q73Sql,
     "q80_shard_layout" -> q80Sql,
-    "q81_mix_subsample" -> q81Sql)
+    "q81_mix_subsample" -> q81Sql,
+    "q137_rendezvous_sharding" -> q137Sql)
 }

@@ -1391,7 +1391,58 @@ object Dedup {
        |FROM fh CROSS JOIN tot
        |ORDER BY cluster_size""".stripMargin
 
+  /** q135 — golden-record survivorship: the step AFTER clustering that
+    * makes entity resolution actionable — each near-dup cluster (q51's
+    * connected components over the q31 LSH pairs) collapses to ONE
+    * canonical record under an explicit, deterministic rule: longest
+    * text wins, doc_id breaks ties. The selection is the q122
+    * aggregation-only idiom — `min(struct(-n_chars, doc_id))`, a
+    * map-side-combinable hash aggregate whose struct field order IS the
+    * precedence — so no window, no per-cluster sort, one shuffle on the
+    * cluster key after the (doc-keyed) attribute join. Alongside the
+    * canonical pick, the merged attributes every MDM pipeline carries:
+    * member count, distinct-source count, and total chars (BIGINT).
+    * The oracle reruns the survivorship rule as a window rank over the
+    * same recursive-CTE clusters — independent mechanism, same pick;
+    * an arg-min tie broken differently flips the driver hash.
+    */
+  def q135GoldenRecord(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val members = q51DedupClusters(spark, dir).select($"doc_id", $"cluster_rep")
+    val attrs = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", $"n_chars")
+    members.join(attrs, Seq("doc_id"))
+      .groupBy($"cluster_rep")
+      .agg(
+        min(struct((-$"n_chars").as("nc"), $"doc_id".as("d"))).as("pick"),
+        count(lit(1)).as("n_members"),
+        countDistinct($"source").as("n_sources"),
+        sum($"n_chars").as("total_chars"))
+      .select($"cluster_rep", $"pick.d".as("canonical_doc"),
+        $"n_members", $"n_sources", $"total_chars")
+      .orderBy($"cluster_rep")
+  }
+
+  val q135Sql: String =
+    s"""WITH RECURSIVE $q31CoreCtes,
+       |$clusterCtes,
+       |m AS (SELECT c.cluster_rep, d.doc_id, d.source, d.n_chars
+       |      FROM comp c JOIN documents d ON d.doc_id = c.doc_id),
+       |sel AS (SELECT cluster_rep, doc_id,
+       |          row_number() OVER (PARTITION BY cluster_rep
+       |                             ORDER BY n_chars DESC, doc_id) AS rn
+       |        FROM m),
+       |ag AS (SELECT cluster_rep, CAST(count(*) AS BIGINT) AS n_members,
+       |         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       |         CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |       FROM m GROUP BY 1)
+       |SELECT ag.cluster_rep, sel.doc_id AS canonical_doc,
+       |       ag.n_members, ag.n_sources, ag.total_chars
+       |FROM ag JOIN sel ON sel.cluster_rep = ag.cluster_rep AND sel.rn = 1
+       |ORDER BY ag.cluster_rep""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_golden_record" -> (q135GoldenRecord _),
     "q63_training_manifest" -> (q63TrainingManifest _),
     "q87_neardup_source_matrix" -> (q87NearDupSourceMatrix _),
     "q88_cluster_size_histogram" -> (q88ClusterSizeHistogram _),
@@ -1407,6 +1458,7 @@ object Dedup {
     "q79_split_leakage" -> (q79SplitLeakage _))
 
   val oracleSql: Map[String, String] = Map(
+    "q135_golden_record" -> q135Sql,
     "q63_training_manifest" -> q63Sql,
     "q87_neardup_source_matrix" -> q87Sql,
     "q88_cluster_size_histogram" -> q88Sql,

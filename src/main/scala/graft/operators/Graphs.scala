@@ -131,9 +131,167 @@ object Graphs {
       |      UNION ALL SELECT c FROM tri) t
       |GROUP BY part ORDER BY part""".stripMargin
 
+  /** q134 — k-hop BFS reachability (k=3) over the REPEAT-co-purchase
+    * graph (parts co-purchased in ≥2 distinct orders — the ≥2 support
+    * threshold is what makes the graph sparse enough to have hop
+    * structure; the raw co-purchase graph has diameter ~2). Seeds are
+    * the vertices with key ≡ 0 mod 100; output is the per-distance
+    * frontier census (count + exact key checksum), with never-reached
+    * vertices surfaced at dist = -1.
+    *
+    * This is textbook distributed BFS, the level-synchronous form every
+    * Pregel-style system runs: per hop, ONE equi-join (edges ⋈ frontier
+    * on the source key) + distinct + ONE left-anti join against the
+    * visited set. All hash-shuffleable on the vertex key; per-round
+    * state is the visited relation (≤|V|, two columns), and
+    * `localCheckpoint` truncates the 3-round lineage so round i's plan
+    * does not recompute rounds 1..i-1 (iterative-algorithm discipline,
+    * same as the large-star/small-star components in Dedup). The DuckDB
+    * oracle runs the same levels as chained CTEs with EXCEPT — an
+    * independent set-algebra evaluation; one vertex on the wrong level
+    * flips both the count and the checksum.
+    */
+  def q134KhopReach(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val po = Tables.lineitem(spark, dir)
+      .select($"l_orderkey".as("ord"), $"l_partkey".as("part")).distinct()
+    val half = po.as("a").join(po.as("b"), Seq("ord"))
+      .filter($"a.part" < $"b.part")
+      .groupBy($"a.part".as("u"), $"b.part".as("v"))
+      .agg(count(lit(1)).as("c")).filter($"c" >= 2)
+      .select($"u", $"v")
+    val edges = half.unionByName(half.select($"v".as("u"), $"u".as("v")))
+      .localCheckpoint()
+    val verts = edges.select($"u".as("p")).distinct().localCheckpoint()
+    var frontier = verts.filter($"p" % 100 === 0).localCheckpoint()
+    var visited = frontier.withColumn("dist", lit(0L))
+    for (hop <- 1 to 3) {
+      frontier = edges.join(frontier.select($"p".as("u")), Seq("u"))
+        .select($"v".as("p")).distinct()
+        .join(visited.select($"p"), Seq("p"), "left_anti")
+        .localCheckpoint()
+      visited = visited.unionByName(frontier.withColumn("dist", lit(hop.toLong)))
+        .localCheckpoint()
+    }
+    val unreached = verts.join(visited.select($"p"), Seq("p"), "left_anti")
+      .withColumn("dist", lit(-1L))
+    visited.unionByName(unreached)
+      .groupBy($"dist")
+      .agg(count(lit(1)).as("n"), sum($"p").as("key_sum"))
+      .orderBy($"dist")
+  }
+
+  val q134Sql: String =
+    """WITH po AS (
+      |  SELECT DISTINCT l_orderkey AS ord, l_partkey AS part FROM lineitem),
+      |half AS (
+      |  SELECT a.part AS u, b.part AS v
+      |  FROM po a JOIN po b ON a.ord = b.ord AND a.part < b.part
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |e AS (SELECT u, v FROM half UNION ALL SELECT v, u FROM half),
+      |vx AS (SELECT DISTINCT u AS p FROM e),
+      |d0 AS (SELECT p FROM vx WHERE p % 100 = 0),
+      |d1 AS (SELECT DISTINCT e.v AS p FROM e JOIN d0 ON e.u = d0.p
+      |       EXCEPT SELECT p FROM d0),
+      |d2 AS (SELECT DISTINCT e.v AS p FROM e JOIN d1 ON e.u = d1.p
+      |       EXCEPT (SELECT p FROM d0 UNION SELECT p FROM d1)),
+      |d3 AS (SELECT DISTINCT e.v AS p FROM e JOIN d2 ON e.u = d2.p
+      |       EXCEPT (SELECT p FROM d0 UNION SELECT p FROM d1
+      |               UNION SELECT p FROM d2)),
+      |lv AS (
+      |  SELECT 0 AS dist, p FROM d0
+      |  UNION ALL SELECT 1, p FROM d1
+      |  UNION ALL SELECT 2, p FROM d2
+      |  UNION ALL SELECT 3, p FROM d3
+      |  UNION ALL SELECT -1, p FROM (
+      |    SELECT p FROM vx EXCEPT (SELECT p FROM d0 UNION SELECT p FROM d1
+      |      UNION SELECT p FROM d2 UNION SELECT p FROM d3)) u)
+      |SELECT CAST(dist AS BIGINT) AS dist, count(*) AS n,
+      |       CAST(sum(p) AS BIGINT) AS key_sum
+      |FROM lv GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q138 — PageRank, three synchronous iterations over the q134
+    * repeat-co-purchase graph, in EXACT integer arithmetic: ranks live
+    * in fixed-point units of 1e-12 (SCALE), the per-edge contribution
+    * is `rank div out_degree` (floor), and the damped update is
+    * `(15·SCALE + 85·Σcontrib) div 100` — every operation is a
+    * non-negative BIGINT floor-division or sum, identical in Spark's
+    * `div` and DuckDB's `//`, so an ITERATIVE FLOAT algorithm becomes
+    * bit-reproducible cross-engine (the float form's sum-order
+    * nondeterminism cannot pass a hash gate at all; this construction
+    * is why the engine's iterative numerics are auditable). The
+    * undirected ≥2-support graph has minimum degree 1, so there is no
+    * dangling mass and the teleport term is the constant 15% — the
+    * dangling-redistribution variant adds one scalar broadcast per
+    * round, shape unchanged.
+    *
+    * Scale shape: per iteration ONE equi-join (edges ⋈ ranks on the
+    * source key, degree pre-attached to the edge list) + ONE hash
+    * aggregate on the destination — the Pregel message pattern as two
+    * shuffles; `localCheckpoint` truncates lineage so round i does not
+    * replan rounds 1..i−1. Ranks are |V|-sized, edges |E|-sized; at
+    * 100 TB both partition on the vertex key and nothing is ever
+    * collected or globally sorted. The oracle unrolls the same three
+    * rounds as chained CTEs — same recurrence, independently evaluated;
+    * one lost contribution anywhere flips the exact ranks.
+    */
+  def q138Pagerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scale = 1000000000000L
+    val po = Tables.lineitem(spark, dir)
+      .select($"l_orderkey".as("ord"), $"l_partkey".as("part")).distinct()
+    val half = po.as("a").join(po.as("b"), Seq("ord"))
+      .filter($"a.part" < $"b.part")
+      .groupBy($"a.part".as("u"), $"b.part".as("v"))
+      .agg(count(lit(1)).as("c")).filter($"c" >= 2)
+      .select($"u", $"v")
+    val edges = half.unionByName(half.select($"v".as("u"), $"u".as("v")))
+    val degreed = edges
+      .join(edges.groupBy($"u").agg(count(lit(1)).as("deg")), Seq("u"))
+      .localCheckpoint() // (u, v, deg_u): degree rides the edge list
+    var ranks = degreed.select($"u".as("p")).distinct()
+      .withColumn("r", lit(scale)).localCheckpoint()
+    for (_ <- 1 to 3) {
+      ranks = degreed
+        .join(ranks.select($"p".as("u"), $"r"), Seq("u"))
+        .select($"v".as("p"), expr("r div deg").as("contrib"))
+        .groupBy($"p")
+        .agg(expr(s"(15 * ${scale}L + 85 * sum(contrib)) div 100").as("r"))
+        .localCheckpoint()
+    }
+    ranks.orderBy($"p")
+  }
+
+  val q138Sql: String = {
+    val S = 1000000000000L
+    def round(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT e.v AS p, (15 * $S + 85 * sum(r.r // e.deg)) // 100 AS r
+         |  FROM e JOIN $prev r ON r.p = e.u
+         |  GROUP BY e.v)""".stripMargin
+    s"""WITH po AS (
+       |  SELECT DISTINCT l_orderkey AS ord, l_partkey AS part FROM lineitem),
+       |half AS (
+       |  SELECT a.part AS u, b.part AS v
+       |  FROM po a JOIN po b ON a.ord = b.ord AND a.part < b.part
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |eu AS (SELECT u, v FROM half UNION ALL SELECT v, u FROM half),
+       |dg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM eu GROUP BY 1),
+       |e AS (SELECT eu.u, eu.v, dg.deg FROM eu JOIN dg ON dg.u = eu.u),
+       |r0 AS (SELECT DISTINCT u AS p, CAST($S AS BIGINT) AS r FROM eu),
+       |${round("r0", "r1")},
+       |${round("r1", "r2")},
+       |${round("r2", "r3")}
+       |SELECT p, CAST(r AS BIGINT) AS r FROM r3 ORDER BY p""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q125_triangle_count" -> (q125TriangleCount _))
+    "q125_triangle_count" -> (q125TriangleCount _),
+    "q134_khop_reach" -> (q134KhopReach _),
+    "q138_pagerank" -> (q138Pagerank _))
 
   val oracleSql: Map[String, String] = Map(
-    "q125_triangle_count" -> q125Sql)
+    "q125_triangle_count" -> q125Sql,
+    "q134_khop_reach" -> q134Sql,
+    "q138_pagerank" -> q138Sql)
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -52,9 +53,79 @@ object Resolution {
       |WHERE levenshtein(a.sig, b.sig) <= 40
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q136 — sorted-neighborhood blocking (Hernández & Stolfo's
+    * merge/purge), the third classic candidate generator next to q112's
+    * equi-prefix blocks and the q31/q32 hash bands: sort the corpus by
+    * a key, compare each record only to its w−1 successors in sort
+    * order. It catches near-boundary pairs that straddle two exact
+    * blocks (equi-blocking's known miss class) at O(n·w) verifications.
+    *
+    * Scale shape: the global sort rank is NOT a single-partition window
+    * (Spark would collapse an unpartitioned `row_number` to one task) —
+    * it is the q115 distributed prefix scan transplanted to key space:
+    * deterministic first-char buckets (prefix of the sort key, so
+    * bucket order IS key order), per-bucket counts offset by a window
+    * over the tiny bucket relation, broadcast back, ranks computed in
+    * parallel per bucket. Neighbor pairs are then an EQUI-join on
+    * `rank + j` (j ∈ 1..w−1, exploded), never a theta join — plan-
+    * pinned in ResolutionSpec. At production scale the one-char bucket
+    * widens to two/three chars to keep partitions balanced; the
+    * structure is unchanged. The oracle runs DuckDB's native global
+    * `row_number` — an independent ranking mechanism that agrees
+    * exactly because (key, doc_id) is a total order.
+    */
+  def q136SortedNeighborhood(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = 4
+    val d = Tables.documents(spark, dir)
+      .select($"doc_id", substring($"text", 1, 240).as("sig"),
+        substring($"text", 1, 64).as("k"))
+      .withColumn("bkt", substring($"k", 1, 1))
+    val offs = d.groupBy($"bkt").agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum($"bn").over(
+        Window.orderBy($"bkt").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select($"bkt", $"off")
+    val ranked = d.join(broadcast(offs), Seq("bkt"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy($"bkt").orderBy($"k", $"doc_id"))
+          .cast("long") + $"off")
+      .select($"doc_id", $"sig", $"rn")
+    val probes = ranked
+      .withColumn("g", explode(array((1 until w).map(lit): _*)))
+      .select($"doc_id".as("id_a"), $"sig".as("sig_a"),
+        ($"rn" + $"g").as("rt"), $"g".cast("long").as("gap"))
+    probes.join(ranked.select($"doc_id".as("id_b"), $"sig".as("sig_b"),
+        $"rn".as("rt")), Seq("rt"))
+      .withColumn("dist", levenshtein($"sig_a", $"sig_b"))
+      .filter($"dist" <= 40)
+      .select(least($"id_a", $"id_b").as("doc_a"),
+        greatest($"id_a", $"id_b").as("doc_b"), $"gap", $"dist")
+      .orderBy($"doc_a", $"doc_b", $"gap")
+  }
+
+  val q136Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, substr(text, 1, 240) AS sig, substr(text, 1, 64) AS k
+      |  FROM documents),
+      |r AS (SELECT doc_id, sig,
+      |        row_number() OVER (ORDER BY k, doc_id) AS rn
+      |      FROM d)
+      |SELECT least(a.doc_id, b.doc_id) AS doc_a,
+      |       greatest(a.doc_id, b.doc_id) AS doc_b,
+      |       CAST(j.g AS BIGINT) AS gap,
+      |       levenshtein(a.sig, b.sig) AS dist
+      |FROM r a
+      |JOIN (VALUES (1), (2), (3)) j(g) ON true
+      |JOIN r b ON b.rn = a.rn + j.g
+      |WHERE levenshtein(a.sig, b.sig) <= 40
+      |ORDER BY doc_a, doc_b, gap""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q112_fuzzy_match" -> (q112FuzzyMatch _))
+    "q112_fuzzy_match" -> (q112FuzzyMatch _),
+    "q136_sorted_neighborhood" -> (q136SortedNeighborhood _))
 
   val oracleSql: Map[String, String] = Map(
-    "q112_fuzzy_match" -> q112Sql)
+    "q112_fuzzy_match" -> q112Sql,
+    "q136_sorted_neighborhood" -> q136Sql)
 }

@@ -81,4 +81,68 @@ class GraphsSpec extends AnyFunSuite with SparkSpec {
       "wedge join must ride the shared-vertex equi key:\n" +
         p.linesIterator.filter(_.contains("Join")).mkString("\n"))
   }
+
+  /** The ≥2-support undirected co-purchase graph q134/q138 run on,
+    * rebuilt driver-side for replays.
+    */
+  private lazy val supportGraph: (Set[Long], Set[(Long, Long)]) = {
+    val po = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairCounts = po.groupBy(_._1).values.flatMap { items =>
+      val ps = items.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).map { case (k, v) => k -> v.size }
+    val half = pairCounts.filter(_._2 >= 2).keys.toSet
+    val edges = half ++ half.map { case (u, v) => (v, u) }
+    (edges.map(_._1), edges)
+  }
+
+  test("q134: BFS levels match a driver-side frontier replay") {
+    val (verts, edges) = supportGraph
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    var visited = verts.filter(_ % 100 == 0)
+    var frontier = visited
+    val levels = scala.collection.mutable.Map(0 -> visited)
+    for (hop <- 1 to 3) {
+      frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- visited
+      visited ++= frontier
+      levels(hop) = frontier
+    }
+    levels(-1) = verts -- visited
+    val expected = levels.toMap.filter(_._2.nonEmpty).map { case (d, s) =>
+      d.toLong -> ((s.size.toLong, s.sum))
+    }
+    val got = Graphs.q134KhopReach(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("dist") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("key_sum")))).toMap
+    assert(got == expected, s"got $got expected $expected")
+  }
+
+  test("q138: integer PageRank matches an exact driver-side recurrence") {
+    val (verts, edges) = supportGraph
+    val scale = 1000000000000L
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var r = verts.map(_ -> scale).toMap
+    for (_ <- 1 to 3) {
+      val contrib = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for ((u, v) <- edges) contrib(v) += r(u) / deg(u)
+      r = verts.map(p => p -> (15L * scale + 85L * contrib(p)) / 100L).toMap
+    }
+    val got = Graphs.q138Pagerank(spark, sfDir).collect()
+      .map(row => row.getAs[Long]("p") -> row.getAs[Long]("r")).toMap
+    assert(got == r, "fixed-point ranks must be bit-identical to the replay")
+    // total mass: |V|*scale minus floor losses, never above
+    assert(got.values.sum <= verts.size * scale)
+    assert(got.values.sum > (verts.size * scale * 99L) / 100L)
+  }
+
+  test("q134/q138 plan with equi joins only — frontier/message passing never nested-loop") {
+    for (df <- Seq(Graphs.q134KhopReach(spark, sfDir),
+        Graphs.q138Pagerank(spark, sfDir))) {
+      val p = df.queryExecution.explainString(FormattedMode)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    }
+  }
 }

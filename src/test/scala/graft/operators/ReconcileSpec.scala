@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.FormattedMode
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** Driver-side replays + plan pins for the round-10 reconciliation /
+  * survivorship / blocking batch (q133, q135, q136, q137). Each replay
+  * re-derives the answer with plain Scala collections — a genuinely
+  * different evaluation order from both the Spark plan and the DuckDB
+  * oracle — so the three agree only if the semantics are right.
+  */
+class ReconcileSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("q133: per-class counts and checksums match the simulated-change arithmetic") {
+    val keys = Tables.orders(spark, sfDir).select($"o_orderkey").collect()
+      .map(_.getLong(0))
+    val inserted = keys.filter(_ % 97 == 0)
+    val changed = keys.filter(k => k % 89 == 0 && k % 97 != 0)
+    val deleted = keys.filter(_ % 101 == 0).map(_ + 2000000000L)
+    val unchanged = keys.filter(k => k % 97 != 0 && k % 89 != 0)
+    val expected = Map(
+      "inserted" -> ((inserted.length.toLong, inserted.sum)),
+      "changed" -> ((changed.length.toLong, changed.sum)),
+      "deleted" -> ((deleted.length.toLong, deleted.sum)),
+      "unchanged" -> ((unchanged.length.toLong, unchanged.sum)))
+      .filter(_._2._1 > 0)
+    val got = Reconcile.q133SnapshotDiff(spark, sfDir).collect()
+      .map(r => r.getAs[String]("change_type") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("key_sum")))).toMap
+    assert(got == expected, s"got $got expected $expected")
+  }
+
+  test("q133 plans one full-outer equi join — payload crosses as a fingerprint") {
+    val plan = Reconcile.q133SnapshotDiff(spark, sfDir)
+      .queryExecution.explainString(FormattedMode)
+    assert(plan.contains("FullOuter"), "diff must be a single full-outer join")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q135: canonical picks and merged attributes match a survivorship replay") {
+    val members = Dedup.q51DedupClusters(spark, sfDir)
+      .select($"doc_id", $"cluster_rep").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val attrs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", $"n_chars").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val expected = members.groupBy(_._2).map { case (rep, ms) =>
+      val ds = ms.map(_._1)
+      val canonical = ds.minBy(d => (-attrs(d)._2, d))
+      rep -> ((canonical, ds.length.toLong,
+        ds.map(attrs(_)._1).distinct.length.toLong, ds.map(attrs(_)._2).sum))
+    }
+    val got = Dedup.q135GoldenRecord(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("cluster_rep") ->
+        ((r.getAs[Long]("canonical_doc"), r.getAs[Long]("n_members"),
+          r.getAs[Long]("n_sources"), r.getAs[Long]("total_chars")))).toMap
+    assert(got == expected, s"got ${got.size} clusters expected ${expected.size}")
+    assert(got.nonEmpty, "fixture must produce clusters to make this test meaningful")
+  }
+
+  private def lev(a: String, b: String): Int = {
+    val prev = Array.range(0, b.length + 1)
+    var cur = new Array[Int](b.length + 1)
+    var p = prev
+    for (i <- 1 to a.length) {
+      cur(0) = i
+      for (j <- 1 to b.length)
+        cur(j) = math.min(math.min(cur(j - 1) + 1, p(j) + 1),
+          p(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      val t = p; p = cur; cur = t
+    }
+    p(b.length)
+  }
+
+  test("q136: pairs match a brute sorted-window replay (rank scan == global sort)") {
+    val d = Tables.documents(spark, sfDir).select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .map { case (id, t) => (id, t.take(240), t.take(64)) }
+      .sortBy { case (id, _, k) => (k, id) }
+    val expected = (for {
+      i <- d.indices
+      g <- 1 to 3
+      if i + g < d.length
+      dist = lev(d(i)._2, d(i + g)._2)
+      if dist <= 40
+    } yield {
+      val (a, b) = (d(i)._1, d(i + g)._1)
+      (math.min(a, b), math.max(a, b), g.toLong, dist.toLong)
+    }).toSet
+    val got = Resolution.q136SortedNeighborhood(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("gap"), r.getAs[Integer]("dist").toLong)).toSet
+    assert(got == expected, s"got ${got.size} pairs expected ${expected.size}")
+    assert(got.nonEmpty, "fixture must contain sorted-adjacent near-dups")
+  }
+
+  test("q136 plans the neighbor probe as an equi join on rank+j — never a theta join") {
+    val plan = Resolution.q136SortedNeighborhood(spark, sfDir)
+      .queryExecution.explainString(FormattedMode)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      plan.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
+
+  test("q137: rendezvous minimal-movement property holds exactly") {
+    val rows = Corpus.q137RendezvousSharding(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_moved")))
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_._2).sum == nDocs, "every doc routed exactly once")
+    rows.foreach { case (shard, n, moved) =>
+      if (shard == 3L)
+        assert(moved == n, "removing shard 3 must relocate ALL of its docs")
+      else
+        assert(moved == 0L,
+          s"shard $shard: HRW must not move docs between surviving shards")
+    }
+  }
+}
