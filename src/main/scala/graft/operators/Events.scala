@@ -519,7 +519,155 @@ object Events {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** q140 — multi-touch (linear) attribution: every purchase's value is
+    * split evenly across the user's clicks in the trailing 7 days, the
+    * remainder cent going to the LAST touch, and purchases with no
+    * preceding click fall into a `direct` bucket — the marketing-
+    * attribution job behind every "credited revenue by day" dashboard.
+    * The split is exact integer arithmetic end-to-end: value frozen to
+    * micro-units at the leaf, per-touch share `v div n` (both engines
+    * floor non-negatives), last-touch credit `v − (v div n)·(n−1)` — so
+    * Σcredits == Σpurchase values EXACTLY, by construction, and the
+    * spec pins that conservation law (a float split could never).
+    *
+    * Scale shape: the purchase×click pairing is a user-keyed equi-join
+    * (the q24/q43 discipline — the time predicate rides the hash join
+    * as a post-filter; per-user fan-out is bounded by activity, and a
+    * pathological user is exactly the q57 salting case). The per-
+    * purchase count and last-touch rank are two windows on ONE
+    * purchase-id partitioning, then both branches aggregate map-side
+    * to days.
+    */
+  def q140MultiTouchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("p_id"), unix_micros($"ts").as("pt"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("v"),
+        to_date($"ts").as("p_day"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("c_id"), unix_micros($"ts").as("ct"),
+        to_date($"ts").as("c_day"))
+    val touches = purchases.join(clicks, Seq("user_id"))
+      .filter($"ct" >= $"pt" - lit(604800000000L) && $"ct" < $"pt")
+    val byPurchase = Window.partitionBy($"p_id")
+    val credited = touches
+      .withColumn("n", count(lit(1)).over(byPurchase))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"p_id").orderBy($"ct".desc, $"c_id".desc)))
+      .withColumn("credit",
+        when($"rn" === 1, $"v" - expr("v div n") * ($"n" - 1))
+          .otherwise(expr("v div n")))
+      .groupBy($"c_day".as("day"))
+      .agg(count(lit(1)).as("n_touches"), sum($"credit").as("credited_micro"))
+      .withColumn("kind", lit("click"))
+    val direct = purchases
+      .join(touches.select($"p_id").distinct(), Seq("p_id"), "left_anti")
+      .groupBy($"p_day".as("day"))
+      .agg(count(lit(1)).as("n_touches"), sum($"v").as("credited_micro"))
+      .withColumn("kind", lit("direct"))
+    credited.unionByName(direct)
+      .select($"kind", $"day", $"n_touches", $"credited_micro")
+      .orderBy($"kind", $"day")
+  }
+
+  val q140Sql: String =
+    """WITH p AS (
+      |  SELECT user_id, event_id AS p_id, epoch_us(ts) AS pt,
+      |         CAST(round(value * 1000000) AS BIGINT) AS v,
+      |         CAST(ts AS DATE) AS p_day
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, event_id AS c_id, epoch_us(ts) AS ct,
+      |        CAST(ts AS DATE) AS c_day
+      |      FROM events WHERE event_type = 'click'),
+      |t AS (SELECT p.p_id, p.v, c.c_id, c.ct, c.c_day
+      |      FROM p JOIN c USING (user_id)
+      |      WHERE c.ct >= p.pt - 604800000000 AND c.ct < p.pt),
+      |r AS (SELECT *, count(*) OVER (PARTITION BY p_id) AS n,
+      |        row_number() OVER (PARTITION BY p_id
+      |                           ORDER BY ct DESC, c_id DESC) AS rn
+      |      FROM t),
+      |ca AS (SELECT 'click' AS kind, c_day AS day,
+      |         CAST(count(*) AS BIGINT) AS n_touches,
+      |         CAST(sum(CASE WHEN rn = 1 THEN v - (v // n) * (n - 1)
+      |                       ELSE v // n END) AS BIGINT) AS credited_micro
+      |       FROM r GROUP BY 2),
+      |dr AS (SELECT 'direct' AS kind, p_day AS day,
+      |         CAST(count(*) AS BIGINT) AS n_touches,
+      |         CAST(sum(v) AS BIGINT) AS credited_micro
+      |       FROM p WHERE p_id NOT IN (SELECT DISTINCT p_id FROM t)
+      |       GROUP BY 2)
+      |SELECT * FROM ca UNION ALL SELECT * FROM dr
+      |ORDER BY kind, day""".stripMargin
+
+  /** q141 — strict ordered-sequence funnel (signup → click → purchase,
+    * each step within 24 h of the previous): unlike q94's loose "ever
+    * converted" funnel, each step must follow the PREVIOUS MATCHED
+    * step — the sequence-matching semantics of SQL MATCH_RECOGNIZE /
+    * funnel engines, expressed with the engine's primitives.
+    *
+    * Step 2 is a RANGE-frame window on epoch micros — `min(click ts)
+    * over (partition by user order by t RANGE BETWEEN 1 FOLLOWING AND
+    * 24h FOLLOWING)` — one user-keyed shuffle, no self-join, frame
+    * evaluation linear per user (Spark's sliding-frame aggregation).
+    * Step 3's window anchors at step 2's MATCH time (t2, different per
+    * row), which no frame can express — it is a user-keyed equi-join
+    * against purchases with the (t2, t2+24h] predicate as a post-join
+    * filter + min aggregate (the q140 pairing shape). Counts per
+    * signup day are exact integers; the DuckDB oracle evaluates the
+    * same sequence with correlated scalar subqueries — an entirely
+    * different mechanism (per-row re-scan vs frame + join) agreeing on
+    * every match time.
+    */
+  def q141SequenceFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val gap = 86400000000L
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("t"),
+        to_date($"ts").as("day"))
+    val stepFrame = Window.partitionBy($"user_id").orderBy($"t")
+      .rangeBetween(1L, gap)
+    val s2 = ev
+      .withColumn("t2", min(when($"event_type" === "click", $"t")).over(stepFrame))
+      .filter($"event_type" === "signup")
+      .select($"user_id", $"t", $"t2", $"day")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"t".as("p_t"))
+    val s3 = s2.filter($"t2".isNotNull)
+      .join(purchases, Seq("user_id"))
+      .filter($"p_t" > $"t2" && $"p_t" <= $"t2" + gap)
+      .groupBy($"user_id", $"t")
+      .agg(min($"p_t").as("t3"))
+    s2.join(s3, Seq("user_id", "t"), "left_outer")
+      .groupBy($"day")
+      .agg(count(lit(1)).as("n_signups"),
+        count($"t2").as("n_clicked"),
+        count($"t3").as("n_completed"))
+      .orderBy($"day")
+  }
+
+  val q141Sql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t,
+      |             CAST(ts AS DATE) AS day
+      |           FROM events),
+      |s AS (SELECT user_id, t, day FROM e WHERE event_type = 'signup'),
+      |s2 AS (SELECT s.*,
+      |         (SELECT min(c.t) FROM e c
+      |          WHERE c.user_id = s.user_id AND c.event_type = 'click'
+      |            AND c.t > s.t AND c.t <= s.t + 86400000000) AS t2
+      |       FROM s),
+      |s3 AS (SELECT s2.*,
+      |         (SELECT min(p.t) FROM e p
+      |          WHERE p.user_id = s2.user_id AND p.event_type = 'purchase'
+      |            AND p.t > s2.t2 AND p.t <= s2.t2 + 86400000000) AS t3
+      |       FROM s2)
+      |SELECT day, count(*) AS n_signups, count(t2) AS n_clicked,
+      |       count(t3) AS n_completed
+      |FROM s3 GROUP BY day ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q140_multi_touch_attribution" -> (q140MultiTouchAttribution _),
+    "q141_sequence_funnel" -> (q141SequenceFunnel _),
     "q93_cohort_retention" -> (q93CohortRetention _),
     "q94_conversion_funnel" -> (q94ConversionFunnel _),
     "q67_outlier_flags" -> (q67OutlierFlags _),
@@ -535,6 +683,8 @@ object Events {
     "q57_salted_skew_join" -> (q57SaltedSkewJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q140_multi_touch_attribution" -> q140Sql,
+    "q141_sequence_funnel" -> q141Sql,
     "q93_cohort_retention" -> q93Sql,
     "q94_conversion_funnel" -> q94Sql,
     "q67_outlier_flags" -> q67Sql,

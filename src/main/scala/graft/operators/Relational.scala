@@ -603,7 +603,76 @@ object Relational {
       |GROUP BY o_custkey
       |ORDER BY o_custkey""".stripMargin
 
+  /** q139 — market share (the TPC-H Q8 shape, generalized): within the
+    * ASIA-customer market, each supplier nation's share of yearly
+    * revenue in exact basis points. Two levels of aggregation over a
+    * six-table join: per-(year, supplier-nation) revenue, then per-year
+    * totals joined back — the total relation is years-sized, so the
+    * share join is a broadcast, never a second pass over the fact.
+    *
+    * Join-order showcase: the fact-fact join (lineitem ⋈ orders)
+    * shuffles on the order key; customer/supplier ride their keys
+    * unhinted (they scale with SF — AQE picks broadcast when they
+    * fit); nation (25 rows) and region (5) are fixed-size and
+    * explicitly broadcast. Catalyst pushes the region filter through
+    * the join chain so non-ASIA customers never reach the fact join.
+    *
+    * Exactness: per-line revenue frozen to cents BIGINT at the leaf
+    * (`round(ep·(1−disc)·100)` — the q113/q133 freeze, with the same
+    * double expression text in both engines), so the two aggregation
+    * levels and the share division (`rev·10000 div total`, both floor)
+    * are pure integer arithmetic. Headroom: year-total cents ~2e12 at
+    * sf1, ×10⁴ ~2e16 — BIGINT holds to ~sf400; past that the share
+    * arithmetic widens to DECIMAL(38,0).
+    */
+  def q139MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val region = Tables.region(spark, dir).filter($"r_name" === "ASIA")
+    val cnation = Tables.nation(spark, dir)
+    val snation = Tables.nation(spark, dir)
+      .select($"n_nationkey".as("sn_key"), $"n_name".as("supp_nation"))
+    val rev = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(cnation), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .join(Tables.supplier(spark, dir), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(snation), $"s_nationkey" === $"sn_key")
+      .withColumn("cents",
+        expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)"))
+      .groupBy(year($"o_orderdate").cast("long").as("o_year"), $"supp_nation")
+      .agg(sum($"cents").as("rev_cents"))
+    val totals = rev.groupBy($"o_year").agg(sum($"rev_cents").as("tot_cents"))
+    rev.join(broadcast(totals), Seq("o_year"))
+      .withColumn("share_bp", expr("rev_cents * 10000 div tot_cents"))
+      .select($"o_year", $"supp_nation", $"rev_cents", $"share_bp")
+      .orderBy($"o_year", $"supp_nation")
+  }
+
+  val q139Sql: String =
+    """WITH rev AS (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |         sn.n_name AS supp_nation,
+      |         CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+      |                       AS BIGINT)) AS BIGINT) AS rev_cents
+      |  FROM lineitem
+      |  JOIN orders   ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |  JOIN region   ON cn.n_regionkey = r_regionkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |  WHERE r_name = 'ASIA'
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT o_year, CAST(sum(rev_cents) AS BIGINT) AS tot_cents
+      |        FROM rev GROUP BY 1)
+      |SELECT rev.o_year, rev.supp_nation, rev.rev_cents,
+      |       rev.rev_cents * 10000 // tot.tot_cents AS share_bp
+      |FROM rev JOIN tot ON rev.o_year = tot.o_year
+      |ORDER BY rev.o_year, rev.supp_nation""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_market_share" -> (q139MarketShare _),
     "q128_order_journey" -> (q128OrderJourney _),
     "q116_relational_division" -> (q116RelationalDivision _),
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -627,6 +696,7 @@ object Relational {
     "q19_math_funcs" -> (q19MathFuncs _))
 
   val oracleSql: Map[String, String] = Map(
+    "q139_market_share" -> q139Sql,
     "q128_order_journey" -> q128Sql,
     "q116_relational_division" -> q116Sql,
     "q1_pricing_summary" -> q1Sql,

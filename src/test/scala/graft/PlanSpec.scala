@@ -383,4 +383,19 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("q139: six-table market share broadcasts dims, no nested loop; shares sum to ~10000 bp") {
+    val df = graft.operators.Relational.q139MarketShare(spark, sfDir)
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(p.contains("BroadcastHashJoin"),
+      "fixed-size dims (nation/region) and the years-sized totals must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    val perYear = df.collect()
+      .groupBy(_.getAs[Long]("o_year"))
+      .view.mapValues(rs => (rs.map(_.getAs[Long]("share_bp")).sum, rs.length)).toMap
+    perYear.foreach { case (y, (bp, n)) =>
+      assert(bp <= 10000 && bp > 10000 - n,
+        s"year $y: floor shares must sum into (10000-$n, 10000], got $bp")
+    }
+  }
 }

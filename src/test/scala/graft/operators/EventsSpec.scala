@@ -233,4 +233,76 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
       .orderBy($"id").collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2))))
     assert(got.toSeq === Seq((1L, 7L, Some("a")), (2L, 35L, None)))
   }
+
+  /** The harness events fixture, collected once for the q140/q141
+    * driver-side replays (epoch micros, frozen micro-value).
+    */
+  private lazy val harnessEvents: Array[(Long, String, Long, Long, Long)] = {
+    import org.apache.spark.sql.functions._
+    graft.sources.Tables.events(spark, sfDir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("t"),
+        $"event_id", expr("CAST(round(value * 1000000) AS BIGINT)").as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+  }
+
+  test("q140: linear attribution conserves purchase value exactly and matches a replay") {
+    val purchases = harnessEvents.filter(_._2 == "purchase")
+    val clicks = harnessEvents.filter(_._2 == "click")
+    val byUserClicks = clicks.groupBy(_._1)
+    val week = 604800000000L
+    val dayOf = (t: Long) => t / 86400000000L
+    val credit = scala.collection.mutable.Map[(String, Long), (Long, Long)]()
+      .withDefaultValue((0L, 0L))
+    for ((u, _, pt, _, v) <- purchases) {
+      val touches = byUserClicks.getOrElse(u, Array.empty)
+        .filter(c => c._3 >= pt - week && c._3 < pt)
+      if (touches.isEmpty) {
+        val k = ("direct", dayOf(pt))
+        val (n, s) = credit(k); credit(k) = (n + 1, s + v)
+      } else {
+        val n = touches.length.toLong
+        val last = touches.maxBy(c => (c._3, c._4))
+        for (c <- touches) {
+          val share = if (c eq last) v - (v / n) * (n - 1) else v / n
+          val k = ("click", dayOf(c._3))
+          val (cn, s) = credit(k); credit(k) = (cn + 1, s + share)
+        }
+      }
+    }
+    val got = Events.q140MultiTouchAttribution(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("kind"),
+        r.getAs[java.sql.Date]("day").toLocalDate.toEpochDay) ->
+        ((r.getAs[Long]("n_touches"), r.getAs[Long]("credited_micro")))).toMap
+    assert(got == credit.toMap, "per-(kind, day) credits must match the replay")
+    assert(got.values.map(_._2).sum == purchases.map(_._5).sum,
+      "attribution must conserve total purchase value to the micro-unit")
+  }
+
+  test("q141: strict sequence funnel matches a driver-side scan") {
+    val gap = 86400000000L
+    val byUser = harnessEvents.groupBy(_._1)
+    val dayOf = (t: Long) => t / 86400000000L
+    val agg = scala.collection.mutable.Map[Long, (Long, Long, Long)]()
+      .withDefaultValue((0L, 0L, 0L))
+    for ((_, es) <- byUser) {
+      val clicks = es.filter(_._2 == "click").map(_._3).sorted
+      val buys = es.filter(_._2 == "purchase").map(_._3).sorted
+      for ((_, _, t, _, _) <- es.filter(_._2 == "signup")) {
+        val t2 = clicks.find(c => c > t && c <= t + gap)
+        val t3 = t2.flatMap(c2 => buys.find(p => p > c2 && p <= c2 + gap))
+        val k = dayOf(t)
+        val (a, b, c) = agg(k)
+        agg(k) = (a + 1, b + (if (t2.isDefined) 1 else 0),
+          c + (if (t3.isDefined) 1 else 0))
+      }
+    }
+    val got = Events.q141SequenceFunnel(spark, sfDir).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toLocalDate.toEpochDay ->
+        ((r.getAs[Long]("n_signups"), r.getAs[Long]("n_clicked"),
+          r.getAs[Long]("n_completed")))).toMap
+    assert(got == agg.toMap, s"got $got expected $agg")
+    assert(got.values.map(_._3).sum > 0, "fixture must complete some funnels")
+  }
 }
