@@ -142,11 +142,70 @@ object Contracts {
       |HAVING count(*) < 5
       |ORDER BY segment, nation, bal_band""".stripMargin
 
+  /** q142 — erasure-cascade audit (the GDPR right-to-be-forgotten job):
+    * given a tombstone set (here customers with key ≡ 0 mod 100), count
+    * exactly what a purge would remove at every level of the foreign-key
+    * cascade — customer rows directly, their orders via `o_custkey`,
+    * those orders' lineitems via `l_orderkey` — and emit the
+    * (table, n_before, n_purged, n_after) audit every deletion run must
+    * publish BEFORE it mutates anything.
+    *
+    * Scale shape: the cascade is two levels of SEMI joins — tombstone
+    * keys are dimension-sized (broadcast; a billion-row tombstone list
+    * degrades to a shuffle semi join, same plan class), and the
+    * order-key frontier of level 2 is itself derived via a semi join,
+    * never materialized to the driver. Each audit row is a count
+    * aggregate over a semi/anti join — no row is ever copied, the purge
+    * itself would be the same anti-joins written back (`Sinks
+    * .deleteWhere` / partition overwrite are the mutation seams).
+    */
+  def q142ErasureAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tomb = Tables.customer(spark, dir)
+      .filter($"c_custkey" % 100 === 0).select($"c_custkey")
+    val orders = Tables.orders(spark, dir)
+    val purgedOrders = orders
+      .join(broadcast(tomb), $"o_custkey" === $"c_custkey", "left_semi")
+    val li = Tables.lineitem(spark, dir)
+    val purgedLi = li.join(purgedOrders.select($"o_orderkey"),
+      $"l_orderkey" === $"o_orderkey", "left_semi")
+    def audit(name: String, all: DataFrame, purged: DataFrame): DataFrame =
+      all.agg(count(lit(1)).as("n_before"))
+        .crossJoin(purged.agg(count(lit(1)).as("n_purged")))
+        .select(lit(name).as("table_name"), $"n_before", $"n_purged",
+          ($"n_before" - $"n_purged").as("n_after"))
+    audit("customer", Tables.customer(spark, dir),
+        Tables.customer(spark, dir).filter($"c_custkey" % 100 === 0))
+      .unionByName(audit("orders", orders, purgedOrders))
+      .unionByName(audit("lineitem", li, purgedLi))
+      .orderBy($"table_name")
+  }
+
+  val q142Sql: String =
+    """WITH tomb AS (SELECT c_custkey FROM customer WHERE c_custkey % 100 = 0),
+      |po AS (SELECT o_orderkey FROM orders
+      |       WHERE o_custkey IN (SELECT c_custkey FROM tomb)),
+      |a AS (
+      |  SELECT 'customer' AS table_name,
+      |         (SELECT count(*) FROM customer) AS n_before,
+      |         (SELECT count(*) FROM tomb) AS n_purged
+      |  UNION ALL
+      |  SELECT 'orders', (SELECT count(*) FROM orders),
+      |         (SELECT count(*) FROM po)
+      |  UNION ALL
+      |  SELECT 'lineitem', (SELECT count(*) FROM lineitem),
+      |         (SELECT count(*) FROM lineitem
+      |          WHERE l_orderkey IN (SELECT o_orderkey FROM po)))
+      |SELECT table_name, n_before, n_purged, n_before - n_purged AS n_after
+      |FROM a ORDER BY table_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q102_data_contract" -> (q102DataContract _),
-    "q121_k_anonymity" -> (q121KAnonymity _))
+    "q121_k_anonymity" -> (q121KAnonymity _),
+    "q142_erasure_audit" -> (q142ErasureAudit _))
 
   val oracleSql: Map[String, String] = Map(
     "q102_data_contract" -> q102Sql,
-    "q121_k_anonymity" -> q121Sql)
+    "q121_k_anonymity" -> q121Sql,
+    "q142_erasure_audit" -> q142Sql)
 }

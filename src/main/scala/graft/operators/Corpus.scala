@@ -543,6 +543,84 @@ object Corpus {
        |WHERE a8.rn = 1
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q143 — greedy max-coverage document selection, three rounds: pick
+    * the doc covering the most distinct tokens, remove its tokens from
+    * the universe, repeat — the submodular facility-location greedy
+    * behind coverage-driven corpus curation ("which k docs teach the
+    * vocabulary fastest"), with the classic (1−1/e) guarantee. Each
+    * round is ONE left-anti join (doc-token relation vs the covered-set
+    * relation, both keyed on the token — hash-shuffleable at any
+    * corpus size) + one hash aggregate + a TakeOrdered(1) argmax with
+    * the (gain desc, doc_id) tie rule; the covered set grows by the
+    * winner's tokens only (vocabulary-bounded, Heaps-sublinear — never
+    * corpus-sized), and `localCheckpoint` stops round i replanning
+    * rounds <i. `covered_after` is the running gain sum, so the output
+    * is pure relational algebra — no driver-side set is ever built.
+    * The oracle unrolls the same three rounds as chained CTEs with
+    * NOT IN — independent evaluation; one mis-ranked pick cascades
+    * into every later round and flips the hash.
+    */
+  def q143GreedyCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // coverage universe = bigram shingles (the q31 gram construction):
+    // the fixture's unigram vocabulary is ~31 types, which one long doc
+    // covers entirely — bigrams give a universe where greedy rounds
+    // actually compete
+    val tx = docs(spark, dir)
+      .select($"doc_id", toks.as("toks"))
+      .select($"doc_id", explode(expr(
+        """CASE WHEN size(toks) < 2 THEN CAST(array() AS ARRAY<STRING>)
+          |ELSE transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))
+          |END""".stripMargin)).as("tok"))
+      .distinct()
+      .localCheckpoint()
+    var covered = tx.select($"tok").limit(0)
+    var picks: DataFrame = null
+    for (round <- 1 to 3) {
+      val pick = tx.join(covered, Seq("tok"), "left_anti")
+        .groupBy($"doc_id").agg(count(lit(1)).as("gain"))
+        .orderBy($"gain".desc, $"doc_id").limit(1)
+        .withColumn("round", lit(round.toLong))
+        .localCheckpoint()
+      picks = if (picks == null) pick else picks.unionByName(pick)
+      covered = covered
+        .unionByName(tx.join(broadcast(pick.select($"doc_id")), Seq("doc_id"))
+          .select($"tok"))
+        .localCheckpoint()
+    }
+    picks
+      .withColumn("covered_after",
+        sum($"gain").over(Window.orderBy($"round")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"round", $"doc_id", $"gain", $"covered_after")
+      .orderBy($"round")
+  }
+
+  val q143Sql: String =
+    """WITH tk AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+      |            FROM documents),
+      |tx AS (SELECT DISTINCT doc_id, tok FROM
+      |  (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))])
+      |     AS tok FROM tk) z),
+      |g1 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+      |       FROM tx GROUP BY 1),
+      |p1 AS (SELECT doc_id, gain FROM g1 ORDER BY gain DESC, doc_id LIMIT 1),
+      |c1 AS (SELECT tok FROM tx WHERE doc_id = (SELECT doc_id FROM p1)),
+      |g2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain FROM tx
+      |       WHERE tok NOT IN (SELECT tok FROM c1) GROUP BY 1),
+      |p2 AS (SELECT doc_id, gain FROM g2 ORDER BY gain DESC, doc_id LIMIT 1),
+      |c2 AS (SELECT tok FROM c1 UNION
+      |       SELECT tok FROM tx WHERE doc_id = (SELECT doc_id FROM p2)),
+      |g3 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain FROM tx
+      |       WHERE tok NOT IN (SELECT tok FROM c2) GROUP BY 1),
+      |p3 AS (SELECT doc_id, gain FROM g3 ORDER BY gain DESC, doc_id LIMIT 1),
+      |u AS (SELECT 1 AS round, doc_id, gain FROM p1
+      |      UNION ALL SELECT 2, doc_id, gain FROM p2
+      |      UNION ALL SELECT 3, doc_id, gain FROM p3)
+      |SELECT CAST(round AS BIGINT) AS round, doc_id, gain,
+      |       CAST(sum(gain) OVER (ORDER BY round) AS BIGINT) AS covered_after
+      |FROM u ORDER BY round""".stripMargin
+
   /** q81 — temperature-quota subsample: applies q78's α=0.5 weights to
     * actually SELECT documents. Each source gets a token budget
     * b_s = round(weight_s · 20% of corpus tokens); its docs are laid out
@@ -609,6 +687,7 @@ object Corpus {
     "q78_temperature_mix" -> (q78TemperatureMix _),
     "q80_shard_layout" -> (q80ShardLayout _),
     "q137_rendezvous_sharding" -> (q137RendezvousSharding _),
+    "q143_greedy_coverage" -> (q143GreedyCoverage _),
     "q81_mix_subsample" -> (q81MixSubsample _),
     "q69_bigram_lift" -> (q69BigramLift _),
     "q70_stratified_split" -> (q70StratifiedSplit _),
@@ -626,5 +705,6 @@ object Corpus {
     "q73_source_vocab_jaccard" -> q73Sql,
     "q80_shard_layout" -> q80Sql,
     "q81_mix_subsample" -> q81Sql,
-    "q137_rendezvous_sharding" -> q137Sql)
+    "q137_rendezvous_sharding" -> q137Sql,
+    "q143_greedy_coverage" -> q143Sql)
 }

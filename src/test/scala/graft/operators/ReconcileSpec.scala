@@ -106,6 +106,56 @@ class ReconcileSpec extends AnyFunSuite with SparkSpec {
       plan.linesIterator.filter(_.contains("Join")).mkString("\n"))
   }
 
+  test("q142: cascade purge counts match a driver-side key-set replay") {
+    val custs = Tables.customer(spark, sfDir).select($"c_custkey").collect()
+      .map(_.getLong(0))
+    val tomb = custs.filter(_ % 100 == 0).toSet
+    val orders = Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val purgedOrd = orders.filter(o => tomb(o._2)).map(_._1).toSet
+    val liKeys = Tables.lineitem(spark, sfDir).select($"l_orderkey").collect()
+      .map(_.getLong(0))
+    val expected = Map(
+      "customer" -> ((custs.length.toLong, tomb.size.toLong)),
+      "orders" -> ((orders.length.toLong, purgedOrd.size.toLong)),
+      "lineitem" -> ((liKeys.length.toLong, liKeys.count(purgedOrd).toLong)))
+    val got = Contracts.q142ErasureAudit(spark, sfDir).collect()
+      .map(r => r.getAs[String]("table_name") ->
+        ((r.getAs[Long]("n_before"), r.getAs[Long]("n_purged")))).toMap
+    assert(got == expected, s"got $got expected $expected")
+    Contracts.q142ErasureAudit(spark, sfDir).collect().foreach(r =>
+      assert(r.getAs[Long]("n_after") ==
+        r.getAs[Long]("n_before") - r.getAs[Long]("n_purged")))
+  }
+
+  test("q143: greedy coverage picks match an exhaustive driver-side greedy") {
+    val docGrams = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").collect()
+      .map { r =>
+        val t = r.getString(1).trim.split(" ", -1)
+        r.getLong(0) -> (if (t.length < 2) Set.empty[String]
+          else t.sliding(2).map(_.mkString(" ")).toSet)
+      }.toMap
+    var covered = Set.empty[String]
+    val expected = (1 to 3).map { round =>
+      val (doc, gain) = docGrams.view
+        .map { case (d, g) => (d, (g -- covered).size.toLong) }
+        .minBy { case (d, g) => (-g, d) }
+      covered ++= docGrams(doc)
+      (round.toLong, doc, gain)
+    }
+    val rows = Corpus.q143GreedyCoverage(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("round"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("gain"), r.getAs[Long]("covered_after")))
+    assert(rows.map(t => (t._1, t._2, t._3)).toSeq == expected,
+      s"got ${rows.toSeq} expected $expected")
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sortBy(-_).toSeq,
+      "greedy gains must be non-increasing (submodularity)")
+    assert(rows.last._4 == rows.map(_._3).sum,
+      "covered_after must be the running gain sum")
+  }
+
   test("q137: rendezvous minimal-movement property holds exactly") {
     val rows = Corpus.q137RendezvousSharding(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_docs"),
