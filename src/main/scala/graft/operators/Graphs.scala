@@ -151,7 +151,10 @@ object Graphs {
     * independent set-algebra evaluation; one vertex on the wrong level
     * flips both the count and the checksum.
     */
-  def q134KhopReach(spark: SparkSession, dir: String): DataFrame = {
+  /** The ≥2-support repeat-co-purchase graph (both edge directions),
+    * shared by q134/q138 and the scale-evidence harness.
+    */
+  private[graft] def supportEdges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val po = Tables.lineitem(spark, dir)
       .select($"l_orderkey".as("ord"), $"l_partkey".as("part")).distinct()
@@ -160,12 +163,19 @@ object Graphs {
       .groupBy($"a.part".as("u"), $"b.part".as("v"))
       .agg(count(lit(1)).as("c")).filter($"c" >= 2)
       .select($"u", $"v")
-    val edges = half.unionByName(half.select($"v".as("u"), $"u".as("v")))
-      .localCheckpoint()
-    val verts = edges.select($"u".as("p")).distinct().localCheckpoint()
-    var frontier = verts.filter($"p" % 100 === 0).localCheckpoint()
+    half.unionByName(half.select($"v".as("u"), $"u".as("v")))
+  }
+
+  /** Level-synchronous BFS over a directed edge list (`u`, `v`): per
+    * hop one equi-join (edges ⋈ frontier) + one left-anti join against
+    * the visited set, lineage truncated per round. Returns (p, dist)
+    * for every vertex reached within `hops` of `seeds` (dist 0).
+    */
+  def bfsLevels(edges: DataFrame, seeds: DataFrame, hops: Int): DataFrame = {
+    import edges.sparkSession.implicits._
+    var frontier = seeds.select($"p").localCheckpoint()
     var visited = frontier.withColumn("dist", lit(0L))
-    for (hop <- 1 to 3) {
+    for (hop <- 1 to hops) {
       frontier = edges.join(frontier.select($"p".as("u")), Seq("u"))
         .select($"v".as("p")).distinct()
         .join(visited.select($"p"), Seq("p"), "left_anti")
@@ -173,6 +183,14 @@ object Graphs {
       visited = visited.unionByName(frontier.withColumn("dist", lit(hop.toLong)))
         .localCheckpoint()
     }
+    visited
+  }
+
+  def q134KhopReach(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = supportEdges(spark, dir).localCheckpoint()
+    val verts = edges.select($"u".as("p")).distinct().localCheckpoint()
+    val visited = bfsLevels(edges, verts.filter($"p" % 100 === 0), 3)
     val unreached = verts.join(visited.select($"p"), Seq("p"), "left_anti")
       .withColumn("dist", lit(-1L))
     visited.unionByName(unreached)
@@ -235,23 +253,19 @@ object Graphs {
     * rounds as chained CTEs — same recurrence, independently evaluated;
     * one lost contribution anywhere flips the exact ranks.
     */
-  def q138Pagerank(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  /** Fixed-point integer PageRank over a directed edge list (`u`, `v`)
+    * whose every vertex has out-degree ≥ 1 (no dangling mass). Returns
+    * (p, r) with ranks in 1e-12 units after `iters` synchronous rounds.
+    */
+  def pagerankRanks(edges: DataFrame, iters: Int): DataFrame = {
+    import edges.sparkSession.implicits._
     val scale = 1000000000000L
-    val po = Tables.lineitem(spark, dir)
-      .select($"l_orderkey".as("ord"), $"l_partkey".as("part")).distinct()
-    val half = po.as("a").join(po.as("b"), Seq("ord"))
-      .filter($"a.part" < $"b.part")
-      .groupBy($"a.part".as("u"), $"b.part".as("v"))
-      .agg(count(lit(1)).as("c")).filter($"c" >= 2)
-      .select($"u", $"v")
-    val edges = half.unionByName(half.select($"v".as("u"), $"u".as("v")))
     val degreed = edges
       .join(edges.groupBy($"u").agg(count(lit(1)).as("deg")), Seq("u"))
       .localCheckpoint() // (u, v, deg_u): degree rides the edge list
     var ranks = degreed.select($"u".as("p")).distinct()
       .withColumn("r", lit(scale)).localCheckpoint()
-    for (_ <- 1 to 3) {
+    for (_ <- 1 to iters) {
       ranks = degreed
         .join(ranks.select($"p".as("u"), $"r"), Seq("u"))
         .select($"v".as("p"), expr("r div deg").as("contrib"))
@@ -259,7 +273,12 @@ object Graphs {
         .agg(expr(s"(15 * ${scale}L + 85 * sum(contrib)) div 100").as("r"))
         .localCheckpoint()
     }
-    ranks.orderBy($"p")
+    ranks
+  }
+
+  def q138Pagerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pagerankRanks(supportEdges(spark, dir), 3).orderBy($"p")
   }
 
   val q138Sql: String = {

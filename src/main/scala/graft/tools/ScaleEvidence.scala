@@ -71,7 +71,11 @@ object ScaleEvidence {
       case "intervals" => intervalScale(spark,
         if (args.length > 1) args.drop(1).map(_.toInt).toSeq
         else Seq(10000, 20000, 40000, 80000, 160000, 320000))
-      case other => sys.error(s"unknown mode $other (ssjoin|skew|stream|probe|memoscale|triangles|intervals)")
+      case "graphiter" => graphIterScale(spark,
+        if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+        else Seq(15000, 30000, 60000, 120000, 240000),
+        resetShuffle _, () => shuffleMB)
+      case other => sys.error(s"unknown mode $other (ssjoin|skew|stream|probe|memoscale|triangles|intervals|graphiter)")
     }
     spark.stop()
   }
@@ -346,6 +350,65 @@ object ScaleEvidence {
     * First rung repeats once as a discarded JIT warmup (the memoscale
     * discipline).
     */
+  /** Iterative-graph cost model: wall seconds and shuffle volume of
+    * 3-hop BFS ([[graft.operators.Graphs.bfsLevels]]) and 3-round
+    * integer PageRank ([[graft.operators.Graphs.pagerankRanks]]) over
+    * synthetic basket graphs of increasing size — the per-round
+    * join+aggregate structure predicts t ∝ E (α ≈ 1, modulo fixed
+    * per-round overhead that depresses the exponent at small sizes);
+    * anything superlinear would mean frontier/rank state is being
+    * recomputed across rounds instead of checkpoint-truncated.
+    */
+  private def graphIterScale(spark: org.apache.spark.sql.SparkSession,
+      sizes: Seq[Int], resetShuffle: () => Unit,
+      shuffleMB: () => (Double, Double)): Unit = {
+    import spark.implicits._
+    println(s"== BFS/PageRank iteration scaling over synthetic baskets $sizes ==")
+    def basketEdges(nOrders: Int): DataFrame = {
+      val nParts = math.max(200L, nOrders / 30L)
+      val m = 1000000L
+      val po = spark.range(nOrders.toLong).select($"id".as("ord"))
+        .select($"ord", explode(sequence(lit(0), lit(4))).as("i"))
+        .select($"ord",
+          floor(pow((pmod(xxhash64($"ord", $"i"), lit(m)).cast("double") + 0.5) / m, 2.0)
+            * nParts).cast("long").as("part"))
+        .distinct()
+      val half = po.as("a").join(po.as("b"), Seq("ord"))
+        .filter($"a.part" < $"b.part")
+        .select($"a.part".as("u"), $"b.part".as("v")).distinct()
+      half.unionByName(half.select($"v".as("u"), $"u".as("v")))
+    }
+    case class Rung(n: Int, e: Long, tBfs: Double, tPr: Double, sw: Double)
+    val allSizes = sizes.head +: sizes // first rung doubles as JIT warmup
+    val rungs = allSizes.zipWithIndex.map { case (n, idx) =>
+      val edges = basketEdges(n).localCheckpoint()
+      val e = edges.count()
+      val seeds = edges.select($"u".as("p")).distinct()
+        .filter($"p" % 100 === 0)
+      resetShuffle()
+      val t0 = System.nanoTime()
+      val reached = graft.operators.Graphs.bfsLevels(edges, seeds, 3).count()
+      val tBfs = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val mass = graft.operators.Graphs.pagerankRanks(edges, 3)
+        .agg(sum($"r")).collect()(0).getLong(0)
+      val tPr = (System.nanoTime() - t1) / 1e9
+      val (sw, _) = shuffleMB()
+      org.apache.spark.sql.graft.CheckpointUtils.sweepUnpinned(spark.sparkContext)
+      val tag = if (idx == 0) " (warmup, discarded)" else ""
+      println(f"n=$n%7d  edges=$e%9d  reached=$reached%8d  prMass=$mass%16d  " +
+        f"tBFS=$tBfs%6.2f s  tPR=$tPr%6.2f s  shufW=$sw%8.1f MB$tag")
+      Rung(n, e, tBfs, tPr, sw)
+    }.drop(1)
+    rungs.sliding(2).foreach {
+      case Seq(a, b) =>
+        val r = math.log(b.e.toDouble / a.e)
+        println(f"E=${a.e}%8d -> ${b.e}%8d: alpha_bfs=${math.log(b.tBfs / a.tBfs) / r}%5.2f  " +
+          f"alpha_pr=${math.log(b.tPr / a.tPr) / r}%5.2f  alpha_shuf=${math.log(b.sw / a.sw) / r}%5.2f")
+      case _ =>
+    }
+  }
+
   private def triangleScale(spark: org.apache.spark.sql.SparkSession,
       sizes: Seq[Int], resetShuffle: () => Unit,
       shuffleMB: () => (Double, Double)): Unit = {
