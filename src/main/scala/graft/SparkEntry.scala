@@ -23,7 +23,7 @@ object SparkEntry {
       Analytics.queries ++ Corpus.queries ++ Selection.queries ++
       Contracts.queries ++ Lakehouse.queries ++ Resolution.queries ++
       Temporal.queries ++ Graphs.queries ++ Reconcile.queries ++
-      graft.sql.ModelRunner.queries
+      Diagnostics.queries ++ graft.sql.ModelRunner.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -34,5 +34,5 @@ object SparkEntry {
       Analytics.oracleSql ++ Corpus.oracleSql ++ Selection.oracleSql ++
       Contracts.oracleSql ++ Lakehouse.oracleSql ++ Resolution.oracleSql ++
       Temporal.oracleSql ++ Graphs.oracleSql ++ Reconcile.oracleSql ++
-      graft.sql.ModelRunner.oracleSql
+      Diagnostics.oracleSql ++ graft.sql.ModelRunner.oracleSql
 }
