@@ -774,7 +774,64 @@ object Analytics {
       |FROM range(1, 10) t(i), (SELECT CAST(count(*) AS BIGINT) AS n FROM orders) n
       |ORDER BY decile""".stripMargin
 
+  /** q146 — hierarchical percent-of-parent rollup (region → nation):
+    * each nation's revenue share of ITS REGION and each region's share
+    * of the grand total, in exact basis points — the drill-down tree
+    * every BI layer renders, without a window: the fact aggregates
+    * ONCE to the nation grain (cents frozen at the leaf, the q139
+    * discipline), then the region totals (25ish rows) and the
+    * one-row grand total are broadcast back. Shares are
+    * `rev·10000 div parent` — pure BIGINT floor division, and the spec
+    * invariant is structural: children's share_bp sums land in
+    * (10000−n_children, 10000] at every level.
+    */
+  def q146PercentOfParent(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nation = Tables.nation(spark, dir)
+      .select($"n_nationkey", $"n_name", $"n_regionkey")
+    val region = Tables.region(spark, dir)
+      .select($"r_regionkey", $"r_name")
+    val natRev = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .withColumn("cents",
+        expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)"))
+      .groupBy($"r_name", $"n_name")
+      .agg(sum($"cents").as("rev_cents"))
+    val regRev = natRev.groupBy($"r_name").agg(sum($"rev_cents").as("reg_cents"))
+    val total = regRev.agg(sum($"reg_cents").as("tot_cents"))
+    natRev.join(broadcast(regRev), Seq("r_name"))
+      .crossJoin(broadcast(total))
+      .select($"r_name", $"n_name", $"rev_cents",
+        expr("rev_cents * 10000 div reg_cents").as("nation_share_bp"),
+        expr("reg_cents * 10000 div tot_cents").as("region_share_bp"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  val q146Sql: String =
+    """WITH nr AS (
+      |  SELECT r_name, n_name,
+      |         CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+      |                       AS BIGINT)) AS BIGINT) AS rev_cents
+      |  FROM lineitem
+      |  JOIN orders   ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation   ON c_nationkey = n_nationkey
+      |  JOIN region   ON n_regionkey = r_regionkey
+      |  GROUP BY 1, 2),
+      |rr AS (SELECT r_name, CAST(sum(rev_cents) AS BIGINT) AS reg_cents
+      |       FROM nr GROUP BY 1),
+      |t AS (SELECT CAST(sum(reg_cents) AS BIGINT) AS tot_cents FROM rr)
+      |SELECT nr.r_name, nr.n_name, nr.rev_cents,
+      |       nr.rev_cents * 10000 // rr.reg_cents AS nation_share_bp,
+      |       rr.reg_cents * 10000 // t.tot_cents AS region_share_bp
+      |FROM nr JOIN rr ON nr.r_name = rr.r_name, t
+      |ORDER BY nr.r_name, nr.n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_percent_of_parent" -> (q146PercentOfParent _),
     "q132_equidepth_bins" -> (q132EquidepthBins _),
     "q122_modal_priority" -> (q122ModalPriority _),
     "q38_cube" -> (q38Cube _),
@@ -796,6 +853,7 @@ object Analytics {
     "q108_lateral_top_orders" -> (q108LateralTopOrders _))
 
   val oracleSql: Map[String, String] = Map(
+    "q146_percent_of_parent" -> q146Sql,
     "q132_equidepth_bins" -> q132Sql,
     "q122_modal_priority" -> q122Sql,
     "q42_approx_distinct" -> q42Sql,

@@ -455,7 +455,48 @@ object Temporal {
       |LEFT JOIN common m ON m.day = c.day
       |ORDER BY c.day""".stripMargin
 
+  /** q147 — activity-rate anomaly flags: a user-day is anomalous when
+    * its event count exceeds 3× the user's trailing-28-day daily
+    * average — division-free, in pure integers: the flag is
+    * `cnt·28 > 3·trailing_sum` (cross-multiplied, so no float ratio
+    * and no floor-rounding question exists at all), computed with ONE
+    * RANGE-frame window (28 PRECEDING .. 1 PRECEDING on the integer
+    * epoch-day key — calendar-gap-correct where a ROWS frame would
+    * silently span months for sparse users). One user_id shuffle for
+    * the daily rollup and the frame; output only the flagged rows, so
+    * result size tracks anomalies, not activity.
+    */
+  def q147RateAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .groupBy($"user_id",
+        expr("unix_micros(ts) div 86400000000").as("epoch_day"))
+      .agg(count(lit(1)).as("cnt"))
+    val trail = Window.partitionBy($"user_id").orderBy($"epoch_day")
+      .rangeBetween(-28L, -1L)
+    daily
+      .withColumn("trail_cnt", coalesce(sum($"cnt").over(trail), lit(0L)))
+      .filter($"trail_cnt" > 0 && $"cnt" * 28 > $"trail_cnt" * 3)
+      .select($"user_id", $"epoch_day", $"cnt", $"trail_cnt")
+      .orderBy($"user_id", $"epoch_day")
+  }
+
+  val q147Sql: String =
+    """WITH daily AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS epoch_day,
+      |         CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |w AS (SELECT user_id, epoch_day, cnt,
+      |        COALESCE(CAST(sum(cnt) OVER (PARTITION BY user_id ORDER BY epoch_day
+      |          RANGE BETWEEN 28 PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+      |          AS trail_cnt
+      |      FROM daily)
+      |SELECT user_id, epoch_day, cnt, trail_cnt
+      |FROM w WHERE trail_cnt > 0 AND cnt * 28 > trail_cnt * 3
+      |ORDER BY user_id, epoch_day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_rate_anomaly" -> (q147RateAnomaly _),
     "q129_rolling_reach_sketch" -> (q129RollingReachSketch _),
     "q130_daily_churn" -> (q130DailyChurn _),
     "q126_cumulative_reach" -> (q126CumulativeReach _),
@@ -467,6 +508,7 @@ object Temporal {
     "q123_time_weighted" -> (q123TimeWeighted _))
 
   val oracleSql: Map[String, String] = Map(
+    "q147_rate_anomaly" -> q147Sql,
     "q129_rolling_reach_sketch" -> q129Sql,
     "q130_daily_churn" -> q130Sql,
     "q126_cumulative_reach" -> q126Sql,

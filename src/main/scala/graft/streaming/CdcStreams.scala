@@ -27,12 +27,15 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * `dropDuplicatesWithinWatermark`.
   *
   * Scale shape: per batch = one window over the BATCH (tiny) + one
-  * key-equi join batch-vs-snapshot + a snapshot rewrite. The rewrite is
-  * the simple exactness-first form (same tier as the frozen-snapshot
-  * stores in NearDupIndex); at 100 TB the store becomes a partitioned
-  * table and the rewrite touches only partitions with arrivals — the
-  * q103 dynamic-partition-overwrite seam, which this API deliberately
-  * shares its merge plan with.
+  * key-equi join batch-vs-snapshot + a snapshot rewrite. BOTH store
+  * tiers ship: [[applyBatch]] rewrites the whole tree with an atomic
+  * swap (exactness-first, whole-snapshot read isolation), and
+  * [[applyBatchPartitioned]] keeps the snapshot as a
+  * `pk_bucket`-partitioned table, reading and dynamically overwriting
+  * ONLY the buckets with arrivals — per-batch cost independent of
+  * snapshot size (the q103 seam). CdcStreamsSpec pins the two tiers
+  * convergent with batch q111 and pins untouched buckets' FILES
+  * physically unmodified across a targeted batch.
   */
 object CdcStreams {
 
@@ -63,23 +66,31 @@ object CdcStreams {
     * batch only); across batches the stored (last_us, last_eid) decides,
     * so replay and out-of-order file delivery are both safe.
     */
-  def applyBatch(spark: SparkSession, batch: DataFrame, snapshotDir: String): Unit = {
+  /** Latest change per key within one micro-batch (window on the batch
+    * only — batch-sized state).
+    */
+  private def latestOfBatch(batch: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").desc, col("event_id").desc)
-    val latest = batch
+    batch
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("user_id").as("cust_key"),
         when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
         col("value").as("b_value"),
         unix_micros(col("ts")).as("b_us"), col("event_id").as("b_eid"))
+  }
 
-    val snap = spark.read.parquet(snapshotDir)
+  /** The last-writer-wins merge of a snapshot slice against a batch's
+    * latest-per-key changes — shared by the tree-swap and the
+    * partitioned-overwrite store tiers.
+    */
+  private def mergeWithSnapshot(snap: DataFrame, latest: DataFrame): DataFrame = {
     val batchWins = col("op").isNotNull &&
       (col("last_us").isNull ||
         col("b_us") > col("last_us") ||
         (col("b_us") === col("last_us") && col("b_eid") > col("last_eid")))
     val wasMember = coalesce(col("base_member"), lit(false))
-    val merged = snap.join(latest, Seq("cust_key"), "full_outer")
+    snap.join(latest, Seq("cust_key"), "full_outer")
       .select(col("cust_key"),
         when(batchWins && col("op") === "U", col("b_value"))
           .otherwise(col("balance")).as("balance"),
@@ -91,6 +102,11 @@ object CdcStreams {
           .as("deleted"),
         when(batchWins, col("b_us")).otherwise(col("last_us")).as("last_us"),
         when(batchWins, col("b_eid")).otherwise(col("last_eid")).as("last_eid"))
+  }
+
+  def applyBatch(spark: SparkSession, batch: DataFrame, snapshotDir: String): Unit = {
+    val merged = mergeWithSnapshot(spark.read.parquet(snapshotDir),
+      latestOfBatch(batch))
 
     // materialize to a tmp tree, then swap atomically (reads during the
     // tmp write still see the old tree; the swap is two renames)
@@ -104,6 +120,74 @@ object CdcStreams {
     require(fs.rename(tmp, p), s"cdc swap: could not move $tmp into place")
     fs.delete(old, true)
   }
+
+  private def bucketCount(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.cdc.buckets").map(_.toInt).getOrElse(16)
+
+  /** Seed the PARTITIONED snapshot store: the same rows as
+    * [[initSnapshot]], laid out as `pk_bucket=<cust_key mod N>`
+    * partitions so per-batch merges can overwrite only the buckets a
+    * batch actually touches.
+    */
+  def initSnapshotPartitioned(base: DataFrame, snapshotDir: String): Unit = {
+    val n = bucketCount(base.sparkSession)
+    base.select(col("cust_key"), col("balance"),
+        lit("kept").as("change"), lit(true).as("base_member"),
+        lit(false).as("deleted"),
+        lit(Long.MinValue).as("last_us"), lit(Long.MinValue).as("last_eid"))
+      .withColumn("pk_bucket", pmod(col("cust_key"), lit(n.toLong)))
+      .write.mode("overwrite").partitionBy("pk_bucket").parquet(snapshotDir)
+  }
+
+  /** The 100 TB store tier the tree-swap scaladoc promises: the
+    * snapshot is a `pk_bucket`-partitioned table and each batch merge
+    * READS only the buckets with arrivals (partition pruning on the
+    * scan) and REWRITES only those buckets (dynamic partition
+    * overwrite — the q103 seam). Per-batch cost is
+    * O(arriving buckets' data + batch), independent of total snapshot
+    * size; the full-rewrite [[applyBatch]] stays as the exactness-first
+    * tier with stronger (whole-tree-atomic) read isolation, since
+    * dynamic overwrite commits partition-by-partition — production
+    * cross-partition atomicity is a table format's snapshot isolation
+    * (Iceberg/Delta, env-gated here, S13).
+    */
+  def applyBatchPartitioned(spark: SparkSession, batch: DataFrame,
+      snapshotDir: String): Unit = {
+    val n = bucketCount(spark)
+    val latest = latestOfBatch(batch)
+      .withColumn("pk_bucket", pmod(col("cust_key"), lit(n.toLong)))
+      .localCheckpoint() // feeds the bucket probe AND the merge join
+    val arrived = latest.select(col("pk_bucket")).distinct()
+      .collect().map(_.getLong(0)) // ≤ N bucket ids — a meta read, not data
+    if (arrived.isEmpty) return
+    val snapSlice = spark.read.parquet(snapshotDir)
+      .filter(col("pk_bucket").isin(arrived.toIndexedSeq: _*))
+      .drop("pk_bucket")
+    val merged = mergeWithSnapshot(snapSlice, latest.drop("pk_bucket"))
+      .withColumn("pk_bucket", pmod(col("cust_key"), lit(n.toLong)))
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try merged.select((internalCols :+ "pk_bucket").map(col): _*)
+      .write.mode("overwrite").partitionBy("pk_bucket").parquet(snapshotDir)
+    finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** The continuous form over the partitioned store tier. */
+  def cdcApplyStreamPartitioned(spark: SparkSession, srcDir: String,
+      snapshotDir: String, checkpointDir: String, glob: String = "*.parquet",
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
+    EventStreams.fileStream(spark, srcDir, Some(glob),
+        maxFilesPerTrigger.map(n => "maxFilesPerTrigger" -> n.toString).toMap)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        applyBatchPartitioned(batch.sparkSession, batch.toDF(), snapshotDir)
+      }
+      .start()
 
   /** The continuous form: events files land in `srcDir`, each
     * micro-batch merges into the snapshot store via [[applyBatch]].

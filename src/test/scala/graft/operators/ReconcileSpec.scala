@@ -156,6 +156,39 @@ class ReconcileSpec extends AnyFunSuite with SparkSpec {
       "covered_after must be the running gain sum")
   }
 
+  test("q146: percent-of-parent shares obey the floor-sum bound at both levels") {
+    val rows = Analytics.q146PercentOfParent(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("r_name"), r.getAs[Long]("rev_cents"),
+        r.getAs[Long]("nation_share_bp"), r.getAs[Long]("region_share_bp")))
+    rows.groupBy(_._1).foreach { case (region, ns) =>
+      val bp = ns.map(_._3).sum
+      assert(bp <= 10000 && bp > 10000 - ns.length,
+        s"$region: nation shares must floor-sum into (10000-n, 10000], got $bp")
+    }
+    val regionBp = rows.groupBy(_._1).values.map(_.head._4).sum
+    assert(regionBp <= 10000 && regionBp > 10000 - rows.groupBy(_._1).size)
+  }
+
+  test("q147: anomaly flags match a driver-side trailing-window replay") {
+    import org.apache.spark.sql.functions.unix_micros
+    val days = Tables.events(spark, sfDir)
+      .select($"user_id", unix_micros($"ts").as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 86400000000L))
+      .groupBy(identity).map { case ((u, d), v) => (u, d, v.size.toLong) }.toSeq
+    val byUser = days.groupBy(_._1)
+    val expected = (for {
+      (u, ds) <- byUser.toSeq
+      (_, d, cnt) <- ds
+      trail = ds.filter(x => x._2 >= d - 28 && x._2 <= d - 1).map(_._3).sum
+      if trail > 0 && cnt * 28 > trail * 3
+    } yield (u, d, cnt, trail)).toSet
+    val got = Temporal.q147RateAnomaly(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("epoch_day"),
+        r.getAs[Long]("cnt"), r.getAs[Long]("trail_cnt"))).toSet
+    assert(got == expected, s"got ${got.size} flags expected ${expected.size}")
+    assert(got.nonEmpty, "fixture must contain rate anomalies")
+  }
+
   test("q137: rendezvous minimal-movement property holds exactly") {
     val rows = Corpus.q137RendezvousSharding(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_docs"),

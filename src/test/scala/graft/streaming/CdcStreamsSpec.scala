@@ -72,4 +72,47 @@ class CdcStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(visible(snapDir) == once, "replayed subset must not change the snapshot")
     assert(once == batchExpected())
   }
+
+  test("partitioned store tier converges identically over the same out-of-order waves") {
+    val snapDir = Files.createTempDirectory("graft_cdc_part").toString + "/snap"
+    CdcStreams.initSnapshotPartitioned(base(), snapDir)
+    val events = graft.sources.Tables.events(spark, sfDir)
+    (0 until 3).foreach { wave =>
+      CdcStreams.applyBatchPartitioned(spark,
+        events.filter($"event_id" % 3 === wave), snapDir)
+    }
+    assert(visible(snapDir) == batchExpected(),
+      "bucket-sliced merges must equal the full-rewrite tier and batch q111")
+  }
+
+  test("partitioned tier rewrites ONLY the buckets a batch touches") {
+    val snapDir = Files.createTempDirectory("graft_cdc_prune").toString + "/snap"
+    CdcStreams.initSnapshotPartitioned(base(), snapDir)
+    val events = graft.sources.Tables.events(spark, sfDir)
+    CdcStreams.applyBatchPartitioned(spark, events, snapDir) // populate all
+    def fileState(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(snapDir))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> ((f.lastModified(), f.length()))).toMap
+    }
+    val before = fileState()
+    Thread.sleep(1100) // mtime granularity guard
+    // a batch confined to ONE bucket: user_id ≡ 5 (mod 16)
+    val targeted = events.filter($"user_id" % 16 === 5)
+    assert(targeted.count() > 0, "fixture must populate the targeted bucket")
+    CdcStreams.applyBatchPartitioned(spark, targeted, snapDir)
+    val after = fileState()
+    val untouchedBefore = before.filter(!_._1.contains("pk_bucket=5"))
+    val untouchedAfter = after.filter(!_._1.contains("pk_bucket=5"))
+    assert(untouchedAfter == untouchedBefore,
+      "files outside the arrived bucket must be byte-for-byte untouched")
+    assert(after.keys.exists(_.contains("pk_bucket=5")) &&
+      after.filter(_._1.contains("pk_bucket=5")) !=
+        before.filter(_._1.contains("pk_bucket=5")),
+      "the arrived bucket must actually be rewritten")
+    assert(visible(snapDir) == batchExpected(),
+      "the targeted replay is a no-op on the visible table")
+  }
 }
