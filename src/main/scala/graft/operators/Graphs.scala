@@ -106,12 +106,7 @@ object Graphs {
 
   def q125TriangleCount(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val po = Tables.lineitem(spark, dir)
-      .select($"l_orderkey".as("ord"), $"l_partkey".as("part")).distinct()
-    val edges = po.as("a").join(po.as("b"), Seq("ord"))
-      .filter($"a.part" < $"b.part")
-      .select($"a.part".as("u"), $"b.part".as("v")).distinct()
-    triangleCounts(edges).orderBy($"part")
+    triangleCounts(coPurchaseEdges(spark, dir)).orderBy($"part")
   }
 
   val q125Sql: String =
@@ -151,20 +146,45 @@ object Graphs {
     * independent set-algebra evaluation; one vertex on the wrong level
     * flips both the count and the checksum.
     */
+  /** Session memo for the derived edge relations — the same shared-
+    * artifact discipline as the dedup pair tables: q125/q134/q138 all
+    * start from a co-purchase edge list, so the expensive distinct
+    * self-join over lineitem is built once per (session, dir) and its
+    * first-touch cost shows up as an adjudicated `memo_build` line item
+    * in Bench instead of being re-paid inside every graph query.
+    */
+  private val memo = new OpUtils.SessionMemo("graphs")
+
+  /** The raw co-purchase half-edge list (u < v, distinct) — q125's
+    * graph.
+    */
+  private[graft] def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "copurchase_edges") {
+      import spark.implicits._
+      val po = Tables.lineitem(spark, dir)
+        .select($"l_orderkey".as("ord"), $"l_partkey".as("part")).distinct()
+      po.as("a").join(po.as("b"), Seq("ord"))
+        .filter($"a.part" < $"b.part")
+        .select($"a.part".as("u"), $"b.part".as("v")).distinct()
+        .localCheckpoint()
+    }
+
   /** The ≥2-support repeat-co-purchase graph (both edge directions),
     * shared by q134/q138 and the scale-evidence harness.
     */
-  private[graft] def supportEdges(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val po = Tables.lineitem(spark, dir)
-      .select($"l_orderkey".as("ord"), $"l_partkey".as("part")).distinct()
-    val half = po.as("a").join(po.as("b"), Seq("ord"))
-      .filter($"a.part" < $"b.part")
-      .groupBy($"a.part".as("u"), $"b.part".as("v"))
-      .agg(count(lit(1)).as("c")).filter($"c" >= 2)
-      .select($"u", $"v")
-    half.unionByName(half.select($"v".as("u"), $"u".as("v")))
-  }
+  private[graft] def supportEdges(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "support_edges") {
+      import spark.implicits._
+      val po = Tables.lineitem(spark, dir)
+        .select($"l_orderkey".as("ord"), $"l_partkey".as("part")).distinct()
+      val half = po.as("a").join(po.as("b"), Seq("ord"))
+        .filter($"a.part" < $"b.part")
+        .groupBy($"a.part".as("u"), $"b.part".as("v"))
+        .agg(count(lit(1)).as("c")).filter($"c" >= 2)
+        .select($"u", $"v")
+      half.unionByName(half.select($"v".as("u"), $"u".as("v")))
+        .localCheckpoint()
+    }
 
   /** Level-synchronous BFS over a directed edge list (`u`, `v`): per
     * hop one equi-join (edges ⋈ frontier) + one left-anti join against
@@ -188,7 +208,7 @@ object Graphs {
 
   def q134KhopReach(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val edges = supportEdges(spark, dir).localCheckpoint()
+    val edges = supportEdges(spark, dir)
     val verts = edges.select($"u".as("p")).distinct().localCheckpoint()
     val visited = bfsLevels(edges, verts.filter($"p" % 100 === 0), 3)
     val unreached = verts.join(visited.select($"p"), Seq("p"), "left_anti")

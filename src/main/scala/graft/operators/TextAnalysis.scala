@@ -868,7 +868,79 @@ object TextAnalysis {
       |GROUP BY 1
       |ORDER BY score DESC, tf.doc_id LIMIT 20""".stripMargin
 
+  /** q148 — exact phrase search via a positional index: find every
+    * document containing a 3-token phrase (the corpus's highest-df
+    * trigram, tie-broken lexicographically — data-derived, so the same
+    * query exists at every SF) with its occurrence count. This is the
+    * positional-postings complement to q131's ranked retrieval: the
+    * (doc, pos, token) relation is the inverted index WITH positions,
+    * and phrase matching is two equi-joins on `(doc_id, pos+k)` — the
+    * classic positional-intersection algorithm, every join
+    * hash-shuffleable on the doc key, no regex and no per-row scan of
+    * full text in the match path. Occurrences are counted at every
+    * position (overlapping matches included — both engines count
+    * positionally, so the convention is shared). The emitted
+    * `contains_str` boolean re-confirms each hit at the STRING level
+    * (space-padded substring probe) — an independent mechanism inside
+    * the hash gate; a positional false positive flips it.
+    */
+  def q148PhraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tk = docs(spark, dir).select($"doc_id", $"text", toks.as("t"))
+      .localCheckpoint() // feeds the index, the trigram census, and the probe
+    val tx = tk.select($"doc_id", posexplode($"t")).toDF("doc_id", "pos", "tok")
+    val tris = tk.select($"doc_id", explode(expr(
+        """CASE WHEN size(t) < 3 THEN CAST(array() AS ARRAY<STRING>)
+          |ELSE transform(sequence(0, size(t)-3),
+          |  i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])) END""".stripMargin))
+        .as("g"))
+    val phrase = tris.distinct()
+      .groupBy($"g").agg(count(lit(1)).as("df"))
+      .orderBy($"df".desc, $"g").limit(1)
+      .select($"g", split($"g", " ").as("w"))
+      .select($"g", $"w".getItem(0).as("w1"), $"w".getItem(1).as("w2"),
+        $"w".getItem(2).as("w3"))
+    val m1 = tx.join(broadcast(phrase), $"tok" === $"w1")
+      .select($"doc_id", $"pos", $"g", $"w2", $"w3")
+    val m2 = m1.join(
+        tx.select($"doc_id", ($"pos" - 1).as("pos"), $"tok".as("t2")),
+        Seq("doc_id", "pos"))
+      .filter($"t2" === $"w2")
+    val occ = m2.join(
+        tx.select($"doc_id", ($"pos" - 2).as("pos"), $"tok".as("t3")),
+        Seq("doc_id", "pos"))
+      .filter($"t3" === $"w3")
+      .groupBy($"doc_id")
+      .agg(first($"g").as("phrase"), count(lit(1)).as("n_occurrences"))
+    occ.join(tk.select($"doc_id", $"text"), Seq("doc_id"))
+      .select($"doc_id", $"phrase", $"n_occurrences",
+        (instr(concat(lit(" "), trim($"text"), lit(" ")),
+          concat(lit(" "), $"phrase", lit(" "))) > 0).as("contains_str"))
+      .orderBy($"doc_id")
+  }
+
+  val q148Sql: String =
+    """WITH tk AS (SELECT doc_id, text, string_split(trim(text), ' ') AS t
+      |            FROM documents),
+      |tri AS (SELECT doc_id,
+      |          [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |           for i in range(1, len(t) - 1)] AS gs
+      |        FROM tk),
+      |trx AS (SELECT DISTINCT doc_id, unnest(gs) AS g FROM tri),
+      |ph AS (SELECT g FROM trx GROUP BY g
+      |       ORDER BY count(*) DESC, g LIMIT 1),
+      |occ AS (SELECT tri.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+      |        FROM tri, ph, unnest(tri.gs) AS z(g2)
+      |        WHERE z.g2 = ph.g GROUP BY 1)
+      |SELECT o.doc_id, ph.g AS phrase, o.n_occurrences,
+      |       strpos(' ' || trim(d.text) || ' ', ' ' || ph.g || ' ') > 0
+      |         AS contains_str
+      |FROM occ o, ph
+      |JOIN documents d ON d.doc_id = o.doc_id
+      |ORDER BY o.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_phrase_search" -> (q148PhraseSearch _),
     "q131_bm25_topk" -> (q131Bm25TopK _),
     "q65_corpus_card" -> (q65CorpusCard _),
     "q76_unigram_nll" -> (q76UnigramNll _),
@@ -887,6 +959,7 @@ object TextAnalysis {
     "q56_tfidf_top_terms" -> (q56TfidfTopTerms _))
 
   val oracleSql: Map[String, String] = Map(
+    "q148_phrase_search" -> q148Sql,
     "q131_bm25_topk" -> q131Sql,
     "q65_corpus_card" -> q65Sql,
     "q76_unigram_nll" -> q76Sql,

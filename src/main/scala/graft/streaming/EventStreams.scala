@@ -158,6 +158,32 @@ object EventStreams {
       .select(col("p_id"), col("c_id"), col("user_id"), col("p_ts"), col("c_ts"))
   }
 
+  /** LEFT OUTER stream-stream attribution: same join as
+    * [[attributedClicks]], but purchases that see NO click in their
+    * 30-minute window ALSO emit — with null click columns — once the
+    * click-side watermark proves no match can still arrive (i.e. the
+    * watermark passed `p_ts + 30min`; a row held until then is the
+    * null-emission latency every outer stream join pays). This is the
+    * completeness-critical form: an attribution pipeline that only
+    * emits matches silently undercounts un-attributed conversions.
+    * State bounds are identical to the inner form — both sides evict
+    * at the watermark horizon.
+    */
+  def attributedClicksOuter(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") > col("p_ts") &&
+        col("c_ts") <= col("p_ts") + expr("interval 30 minutes"),
+      "left_outer")
+      .select(col("p_id"), col("c_id"), col("user_id"), col("p_ts"), col("c_ts"))
+  }
+
   /** STREAM-STATIC enrichment join: each micro-batch joins against a
     * static dimension snapshot — the per-batch planner broadcasts the
     * small side, so this is a stateless map-side enrichment (no streaming

@@ -292,4 +292,30 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
         s"$sf: top score ${scores.head} exceeds the BM25 saturation bound")
     }
   }
+
+  test("q148: positional phrase matches equal a driver-side scan, every hit string-confirmed") {
+    val texts = graft.sources.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split(" ", -1).toSeq).toMap
+    val triCounts = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+    texts.values.foreach { t =>
+      val grams: Set[String] =
+        t.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      grams.foreach(g => triCounts(g) += 1)
+    }
+    val phrase = triCounts.toSeq.minBy { case (g, df) => (-df, g) }._1
+    val expected = texts.flatMap { case (id, t) =>
+      val n = t.sliding(3).count(w => w.length == 3 && w.mkString(" ") == phrase)
+      if (n > 0) Some(id -> n.toLong) else None
+    }
+    val rows = TextAnalysis.q148PhraseSearch(spark, sfDir).collect()
+    assert(rows.forall(_.getAs[String]("phrase") == phrase),
+      "spark must derive the same top-df trigram")
+    val got = rows.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Long]("n_occurrences")).toMap
+    assert(got == expected, s"got $got expected $expected")
+    assert(rows.forall(_.getAs[Boolean]("contains_str")),
+      "every positional hit must re-confirm at the string level")
+    assert(got.nonEmpty)
+  }
 }

@@ -489,6 +489,48 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits watermark-proven unmatched purchases") {
+    import org.apache.spark.sql.functions.unix_micros
+    val p = EventStreams.fileStream(spark, sfDir, Some("events.parquet"))
+    val c = EventStreams.fileStream(spark, sfDir, Some("events.parquet"))
+    val q = EventStreams.attributedClicksOuter(p, c)
+      .writeStream.outputMode("append").format("memory").queryName("attribo").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("attribo")
+        .select($"p_id", $"c_id", unix_micros($"p_ts").as("pus")).collect()
+      val matched = rows.filter(!_.isNullAt(1)).map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batchPairs = graft.operators.Analytics.q43RangeJoin(spark, sfDir)
+        .select($"p_id", $"c_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(matched == batchPairs, "matched rows must equal the inner/batch join")
+      // null emissions: exactly the no-click purchases whose window the
+      // watermark has provably closed (boundary given ±1s slack)
+      val wmStr = Option(q.lastProgress).map(_.eventTime.get("watermark")).orNull
+      assert(wmStr != null, "outer join must report a watermark")
+      val wmUs = java.time.Instant.parse(
+        wmStr.replace(" ", "T") + (if (wmStr.endsWith("Z")) "" else "Z"))
+        .toEpochMilli * 1000L
+      val ev = graft.sources.Tables.events(spark, sfDir)
+        .select($"event_id", $"event_type", unix_micros($"ts").as("us")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      val matchedP = batchPairs.map(_._1)
+      val win = 30L * 60 * 1000000
+      val unmatchedAll = ev.filter(e => e._2 == "purchase" && !matchedP(e._1))
+      val mustEmit = unmatchedAll.filter(e => e._3 + win < wmUs - 1000000).map(_._1).toSet
+      val mayEmit = unmatchedAll.filter(e => e._3 + win <= wmUs + 1000000).map(_._1).toSet
+      val gotNulls = rows.filter(_.isNullAt(1)).map(_.getLong(0)).toSet
+      assert(mustEmit.subsetOf(gotNulls),
+        s"${(mustEmit -- gotNulls).size} watermark-closed unmatched purchases missing")
+      assert(gotNulls.subsetOf(mayEmit),
+        "an unmatched purchase emitted before its window provably closed")
+      assert(gotNulls.nonEmpty, "fixture must contain closed unmatched purchases")
+      assert(rows.length == rows.map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).distinct.length,
+        "no duplicate emissions")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment broadcasts the dim, no streaming state") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq(("a", 10L), ("b", 20L)).toDF("event_type", "weight")
