@@ -843,8 +843,11 @@ object TextAnalysis {
       .limit(20)
   }
 
-  val q131Sql: String =
-    """WITH tx AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+  /** The q131 BM25 pipeline as a reusable CTE chain ending in `tf` and
+    * `len` — shared by the q131 oracle and q149's reranker oracle.
+    */
+  private val q131Ctes: String =
+    """tx AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
       |  FROM documents),
       |dfreq AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
       |  FROM tx GROUP BY 1),
@@ -860,13 +863,16 @@ object TextAnalysis {
       |  SELECT t.doc_id, t.tok, CAST(count(*) AS BIGINT) AS tf,
       |    any_value(q.idf_micro) AS idf_micro, any_value(q.A) AS A,
       |    any_value(q.N) AS N
-      |  FROM tx t JOIN qterms q USING (tok) GROUP BY 1, 2)
-      |SELECT tf.doc_id, count(*) AS n_terms,
-      |  CAST(sum((idf_micro * 22 * A * tf)
-      |    // (10 * A * tf + 3 * A + 9 * len * N)) AS BIGINT) AS score
-      |FROM tf JOIN len ON tf.doc_id = len.doc_id
-      |GROUP BY 1
-      |ORDER BY score DESC, tf.doc_id LIMIT 20""".stripMargin
+      |  FROM tx t JOIN qterms q USING (tok) GROUP BY 1, 2)""".stripMargin
+
+  val q131Sql: String =
+    s"""WITH $q131Ctes
+       |SELECT tf.doc_id, count(*) AS n_terms,
+       |  CAST(sum((idf_micro * 22 * A * tf)
+       |    // (10 * A * tf + 3 * A + 9 * len * N)) AS BIGINT) AS score
+       |FROM tf JOIN len ON tf.doc_id = len.doc_id
+       |GROUP BY 1
+       |ORDER BY score DESC, tf.doc_id LIMIT 20""".stripMargin
 
   /** q148 — exact phrase search via a positional index: find every
     * document containing a 3-token phrase (the corpus's highest-df
@@ -939,7 +945,96 @@ object TextAnalysis {
       |JOIN documents d ON d.doc_id = o.doc_id
       |ORDER BY o.doc_id""".stripMargin
 
+  /** q149 — MMR (maximal marginal relevance) diverse reranking of the
+    * q131 BM25 top-20: five greedy picks maximizing
+    * `rel_bp − max_{j∈picked} sim_bp(i,j)` — the λ=½ MMR objective with
+    * both terms in the SAME integer basis-point scale (relevance
+    * normalized to bp of the pool max, similarity = exact token-set
+    * Jaccard in bp), so the greedy argmax is pure BIGINT arithmetic
+    * with the (score desc, doc_id) tie rule — bit-identical
+    * cross-engine where float MMR never could be. This is the RAG
+    * retrieval stack's second stage: q131 recalls, this de-dupes the
+    * context window.
+    *
+    * Scale shape: everything after BM25 operates on the CANDIDATE POOL
+    * (20 rows — pool², not corpus², for the similarity matrix), so the
+    * reranker costs O(k²) regardless of corpus size; each greedy round
+    * is a left-anti + penalty-aggregate + TakeOrdered(1) over ≤20
+    * rows. The oracle unrolls the same five rounds as chained CTEs.
+    */
+  def q149MmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cand = q131Bm25TopK(spark, dir).select($"doc_id", $"score")
+      .localCheckpoint()
+    val rel = cand.crossJoin(broadcast(cand.agg(max($"score").as("m"))))
+      .select($"doc_id", expr("score * 10000 div m").as("rel_bp"))
+      .localCheckpoint()
+    val tk = docs(spark, dir)
+      .join(broadcast(rel.select($"doc_id")), Seq("doc_id"))
+      .select($"doc_id", array_distinct(toks).as("ts"))
+    val sim = tk.as("a").crossJoin(tk.as("b"))
+      .filter($"a.doc_id" =!= $"b.doc_id")
+      .select($"a.doc_id".as("da"), $"b.doc_id".as("db"),
+        size(array_intersect($"a.ts", $"b.ts")).cast("long").as("i"),
+        (size($"a.ts") + size($"b.ts")).cast("long").as("ab"))
+      .select($"da", $"db", expr("i * 10000 div (ab - i)").as("sim_bp"))
+      .localCheckpoint()
+    var picks = rel.orderBy($"rel_bp".desc, $"doc_id").limit(1)
+      .select(lit(1L).as("round"), $"doc_id", $"rel_bp", $"rel_bp".as("mmr"))
+      .localCheckpoint()
+    for (r <- 2 to 5) {
+      val pen = sim
+        .join(broadcast(picks.select($"doc_id".as("db"))), Seq("db"))
+        .groupBy($"da".as("doc_id")).agg(max($"sim_bp").as("pen"))
+      val next = rel.join(picks.select($"doc_id"), Seq("doc_id"), "left_anti")
+        .join(pen, Seq("doc_id"))
+        .withColumn("mmr", $"rel_bp" - $"pen")
+        .orderBy($"mmr".desc, $"doc_id").limit(1)
+        .select(lit(r.toLong).as("round"), $"doc_id", $"rel_bp", $"mmr")
+      picks = picks.unionByName(next).localCheckpoint()
+    }
+    picks.orderBy($"round")
+  }
+
+  val q149Sql: String = {
+    def round(r: Int): String = {
+      val picked = (1 until r).map(i => s"SELECT doc_id FROM p$i")
+        .mkString(" UNION ALL ")
+      s"""m$r AS (SELECT r.doc_id, r.rel_bp, r.rel_bp - max(s.sim_bp) AS mmr
+         |  FROM rel r JOIN sim s ON s.da = r.doc_id
+         |    AND s.db IN ($picked)
+         |  WHERE r.doc_id NOT IN ($picked)
+         |  GROUP BY 1, 2),
+         |p$r AS (SELECT doc_id, rel_bp, mmr FROM m$r
+         |        ORDER BY mmr DESC, doc_id LIMIT 1)""".stripMargin
+    }
+    s"""WITH $q131Ctes,
+       |bm AS (
+       |  SELECT tf.doc_id, CAST(sum((idf_micro * 22 * A * tf)
+       |    // (10 * A * tf + 3 * A + 9 * len * N)) AS BIGINT) AS score
+       |  FROM tf JOIN len ON tf.doc_id = len.doc_id
+       |  GROUP BY 1 ORDER BY score DESC, tf.doc_id LIMIT 20),
+       |mxx AS (SELECT max(score) AS m FROM bm),
+       |rel AS (SELECT doc_id, score * 10000 // m AS rel_bp FROM bm, mxx),
+       |tkc AS (SELECT d.doc_id,
+       |          list_distinct(string_split(trim(d.text), ' ')) AS ts
+       |        FROM documents d JOIN rel USING (doc_id)),
+       |sim AS (SELECT a.doc_id AS da, b.doc_id AS db,
+       |          CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) * 10000 //
+       |          (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
+       |            AS sim_bp
+       |        FROM tkc a JOIN tkc b ON a.doc_id <> b.doc_id),
+       |p1 AS (SELECT doc_id, rel_bp, rel_bp AS mmr FROM rel
+       |       ORDER BY rel_bp DESC, doc_id LIMIT 1),
+       |${(2 to 5).map(round).mkString(",\n")}
+       |SELECT CAST(rnd AS BIGINT) AS round, doc_id, rel_bp, mmr FROM (
+       |  SELECT 1 AS rnd, * FROM p1
+       |  ${(2 to 5).map(r => s"UNION ALL SELECT $r, * FROM p$r").mkString("\n  ")}
+       |) z ORDER BY round""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_mmr_rerank" -> (q149MmrRerank _),
     "q148_phrase_search" -> (q148PhraseSearch _),
     "q131_bm25_topk" -> (q131Bm25TopK _),
     "q65_corpus_card" -> (q65CorpusCard _),
@@ -959,6 +1054,7 @@ object TextAnalysis {
     "q56_tfidf_top_terms" -> (q56TfidfTopTerms _))
 
   val oracleSql: Map[String, String] = Map(
+    "q149_mmr_rerank" -> q149Sql,
     "q148_phrase_search" -> q148Sql,
     "q131_bm25_topk" -> q131Sql,
     "q65_corpus_card" -> q65Sql,

@@ -318,4 +318,35 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
       "every positional hit must re-confirm at the string level")
     assert(got.nonEmpty)
   }
+
+  test("q149: MMR picks match an exact driver-side greedy over the BM25 pool") {
+    val pool = TextAnalysis.q131Bm25TopK(spark, sfDir)
+      .select($"doc_id", $"score").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val maxScore = pool.map(_._2).max
+    val rel = pool.map { case (d, s) => d -> s * 10000L / maxScore }.toMap
+    val toks = graft.sources.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split(" ", -1).toSet).toMap
+    def simBp(a: Long, b: Long): Long = {
+      val (ta, tb) = (toks(a), toks(b))
+      val i = (ta & tb).size.toLong
+      i * 10000L / (ta.size + tb.size - i)
+    }
+    var picked = Vector.empty[(Long, Long, Long)] // (doc, rel, mmr)
+    for (r <- 1 to 5) {
+      val cands = rel.keys.filterNot(d => picked.exists(_._1 == d))
+      val scored = cands.map { d =>
+        val pen = if (picked.isEmpty) 0L else picked.map(p => simBp(d, p._1)).max
+        (d, rel(d), rel(d) - pen)
+      }
+      picked :+= scored.minBy { case (d, _, m) => (-m, d) }
+    }
+    val got = TextAnalysis.q149MmrRerank(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rel_bp"),
+        r.getAs[Long]("mmr")))
+    assert(got.toVector == picked, s"got ${got.toVector} expected $picked")
+    assert(got.map(_._1).distinct.length == 5, "five distinct picks")
+    assert(got.head._2 == 10000L, "round 1 is the relevance argmax")
+  }
 }
