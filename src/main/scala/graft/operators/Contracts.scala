@@ -199,13 +199,62 @@ object Contracts {
       |SELECT table_name, n_before, n_purged, n_before - n_purged AS n_after
       |FROM a ORDER BY table_name""".stripMargin
 
+  /** q150 — Benford first-digit audit over order totals (the classic
+    * fabricated-data screen): observed first-digit shares vs Benford's
+    * law, everything in exact basis points. The Benford expectations
+    * `round(log₁₀(1+1/d)·10⁴)` are FROZEN LITERALS in both engines
+    * (3010, 1761, …) rather than computed — two libms' log₁₀ can
+    * differ in the last ulp, and a frozen constant is the only form a
+    * hash gate can carry. First digit = first character of the cents
+    * BIGINT rendered as a string (pure integer path, no float log).
+    * One map + one 9-row aggregate; the fixture's uniform-ish price
+    * distribution does NOT follow Benford — the audit reports the
+    * deviation rather than asserting conformance, which is exactly
+    * what it would do on real ledgers.
+    */
+  def q150BenfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val benford = Seq(3010L, 1761L, 1249L, 969L, 792L, 669L, 580L, 512L, 458L)
+    val bexpr =
+      s"CAST(element_at(array(${benford.mkString(",")}), CAST(digit AS INT)) AS BIGINT)"
+    val d = Tables.orders(spark, dir)
+      .select(round($"o_totalprice" * 100).cast("long").as("cents"))
+      .filter($"cents" > 0)
+      .select(substring($"cents".cast("string"), 1, 1).as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n"))
+    d.crossJoin(broadcast(d.agg(sum($"n").as("tot"))))
+      .select($"digit", $"n",
+        expr("n * 10000 div tot").as("share_bp"),
+        expr(bexpr).as("benford_bp"))
+      .withColumn("abs_dev_bp", abs($"share_bp" - $"benford_bp"))
+      .orderBy($"digit")
+  }
+
+  val q150Sql: String =
+    """WITH d AS (
+      |  SELECT substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+      |                1, 1) AS digit
+      |  FROM orders WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0),
+      |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+      |SELECT c.digit, c.n,
+      |       c.n * 10000 // t.tot AS share_bp,
+      |       CAST(([3010, 1761, 1249, 969, 792, 669, 580, 512, 458])[CAST(c.digit AS INT)]
+      |            AS BIGINT) AS benford_bp,
+      |       abs(c.n * 10000 // t.tot -
+      |           CAST(([3010, 1761, 1249, 969, 792, 669, 580, 512, 458])[CAST(c.digit AS INT)]
+      |                AS BIGINT)) AS abs_dev_bp
+      |FROM c, t ORDER BY c.digit""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q102_data_contract" -> (q102DataContract _),
     "q121_k_anonymity" -> (q121KAnonymity _),
-    "q142_erasure_audit" -> (q142ErasureAudit _))
+    "q142_erasure_audit" -> (q142ErasureAudit _),
+    "q150_benford_audit" -> (q150BenfordAudit _))
 
   val oracleSql: Map[String, String] = Map(
     "q102_data_contract" -> q102Sql,
     "q121_k_anonymity" -> q121Sql,
-    "q142_erasure_audit" -> q142Sql)
+    "q142_erasure_audit" -> q142Sql,
+    "q150_benford_audit" -> q150Sql)
 }

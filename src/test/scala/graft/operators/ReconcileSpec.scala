@@ -189,6 +189,22 @@ class ReconcileSpec extends AnyFunSuite with SparkSpec {
     assert(got.nonEmpty, "fixture must contain rate anomalies")
   }
 
+  test("q150: first-digit census replays exactly; Benford constants fixed") {
+    val digits = Tables.orders(spark, sfDir).select($"o_totalprice").collect()
+      .map(r => math.round(r.getDouble(0) * 100))
+      .filter(_ > 0).map(_.toString.head.asDigit)
+    val expected = digits.groupBy(identity).map { case (d, v) =>
+      d.toString -> v.size.toLong
+    }
+    val rows = Contracts.q150BenfordAudit(spark, sfDir).collect()
+    val got = rows.map(r => r.getAs[String]("digit") -> r.getAs[Long]("n")).toMap
+    assert(got == expected, s"got $got expected $expected")
+    assert(got.values.sum == digits.length, "every positive total lands in a digit")
+    val benford = Map("1" -> 3010L, "2" -> 1761L, "9" -> 458L)
+    rows.filter(r => benford.contains(r.getAs[String]("digit"))).foreach(r =>
+      assert(r.getAs[Long]("benford_bp") == benford(r.getAs[String]("digit"))))
+  }
+
   test("q137: rendezvous minimal-movement property holds exactly") {
     val rows = Corpus.q137RendezvousSharding(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_docs"),
