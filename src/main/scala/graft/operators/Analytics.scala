@@ -830,7 +830,70 @@ object Analytics {
       |FROM nr JOIN rr ON nr.r_name = rr.r_name, t
       |ORDER BY nr.r_name, nr.n_name""".stripMargin
 
+  /** q152 — group-wise least-squares trend (revenue slope per market
+    * segment): the closed-form OLS slope
+    * `(n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)` over (epoch-day, daily cents)
+    * points, per segment, emitted in exact micro-units — regression as
+    * ONE map-side-combinable aggregate per group (five sums), the
+    * in-database ML-lite primitive that needs no iteration and no
+    * collect. Cross-products accumulate in DECIMAL(38,0) (day·cents
+    * reaches ~2e11 per point; n·Σxy crosses BIGINT near sf10 — the
+    * q95 widen discipline). The final division SIGN-SPLITS explicitly:
+    * slopes go negative, and Spark's `div` truncates toward zero while
+    * DuckDB's `//` floors — the divergence class q131's always-positive
+    * idf avoided by construction is handled here by computing
+    * `sign·(|num|·10⁶ div den)` in BOTH engines (den > 0 whenever a
+    * segment has ≥2 distinct days).
+    */
+  def q152SegmentTrend(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pts = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment".as("segment"),
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') AS BIGINT)")
+          .as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("y"))
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    pts.groupBy($"segment")
+      .agg(count(lit(1)).as("n"), sum($"day").as("sx"), sum($"y").as("sy"),
+        sum($"day".cast(d38) * $"y").as("sxy"),
+        sum($"day".cast(d38) * $"day").as("sxx"))
+      .withColumn("num",
+        expr("CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+      .withColumn("den",
+        expr("CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .select($"segment", $"n",
+        expr("""CAST(CASE WHEN num < 0 THEN -((-num * 1000000) div den)
+                          ELSE (num * 1000000) div den END AS BIGINT)""")
+          .as("slope_micro"))
+      .orderBy($"segment")
+  }
+
+  val q152Sql: String =
+    """WITH d AS (
+      |  SELECT c.c_mktsegment AS segment,
+      |         CAST(CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+      |         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |           AS y
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2),
+      |a AS (SELECT segment, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(day) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |        CAST(sum(CAST(day AS HUGEINT) * y) AS HUGEINT) AS sxy,
+      |        CAST(sum(CAST(day AS HUGEINT) * day) AS HUGEINT) AS sxx
+      |      FROM d GROUP BY 1),
+      |b AS (SELECT segment, n,
+      |        CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+      |        CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den
+      |      FROM a)
+      |SELECT segment, n,
+      |       CAST(CASE WHEN num < 0 THEN -((-num * 1000000) // den)
+      |                 ELSE (num * 1000000) // den END AS BIGINT)
+      |         AS slope_micro
+      |FROM b ORDER BY segment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q152_segment_trend" -> (q152SegmentTrend _),
     "q146_percent_of_parent" -> (q146PercentOfParent _),
     "q132_equidepth_bins" -> (q132EquidepthBins _),
     "q122_modal_priority" -> (q122ModalPriority _),
@@ -853,6 +916,7 @@ object Analytics {
     "q108_lateral_top_orders" -> (q108LateralTopOrders _))
 
   val oracleSql: Map[String, String] = Map(
+    "q152_segment_trend" -> q152Sql,
     "q146_percent_of_parent" -> q146Sql,
     "q132_equidepth_bins" -> q132Sql,
     "q122_modal_priority" -> q122Sql,

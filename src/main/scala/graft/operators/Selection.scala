@@ -562,7 +562,59 @@ object Selection {
       |    AND (b.price < a.price OR b.p_size > a.p_size))
       |ORDER BY p_partkey""".stripMargin
 
+  /** q151 — Gini concentration of per-customer revenue (the Lorenz
+    * inequality audit — the same statistic a corpus steward runs on
+    * source/domain token shares to see how concentrated the mix is):
+    * G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over the ASCENDING-sorted
+    * values, emitted in exact basis points. The global value rank is
+    * the q136 distributed prefix scan on VALUE space: deterministic
+    * magnitude buckets (`cents div 10⁷` — bucket order IS value
+    * order), per-bucket counts offset by a window over the tiny bucket
+    * relation, ranks in parallel per bucket — no single-partition
+    * window over the customer relation. Σ i·x is accumulated in
+    * DECIMAL(38,0) (i·x reaches ~3e16 at sf0.1 and the ×10⁴ headroom
+    * overflows BIGINT — the q84/q95 widen discipline); the final
+    * division is integral on non-negative terms (Lorenz sums are
+    * monotone, the numerator is provably ≥ 0), so truncate == floor in
+    * both engines.
+    */
+  def q151GiniConcentration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cr = Tables.orders(spark, dir)
+      .groupBy($"o_custkey".as("k"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("x"))
+      .withColumn("bkt", expr("x div 10000000"))
+    val offs = cr.groupBy($"bkt").agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum($"bn").over(
+        Window.orderBy($"bkt").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select($"bkt", $"off")
+    val ranked = cr.join(broadcast(offs), Seq("bkt"))
+      .withColumn("i",
+        row_number().over(Window.partitionBy($"bkt").orderBy($"x", $"k"))
+          .cast("long") + $"off")
+    ranked.agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+        sum($"i".cast(DecimalType(38, 0)) * $"x").as("six"))
+      .select($"n", $"sx",
+        expr("CAST(((2 * six - (CAST(n AS DECIMAL(38,0)) + 1) * sx) * 10000) div (CAST(n AS DECIMAL(38,0)) * sx) AS BIGINT)")
+          .as("gini_bp"))
+  }
+
+  val q151Sql: String =
+    """WITH cr AS (
+      |  SELECT o_custkey AS k,
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |r AS (SELECT x, row_number() OVER (ORDER BY x, k) AS i FROM cr),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+      |        CAST(sum(CAST(i AS HUGEINT) * x) AS HUGEINT) AS six FROM r)
+      |SELECT n, sx,
+      |  CAST((2 * six - (CAST(n AS HUGEINT) + 1) * sx) * 10000 //
+      |       (CAST(n AS HUGEINT) * sx) AS BIGINT) AS gini_bp
+      |FROM a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q151_gini_concentration" -> (q151GiniConcentration _),
     "q117_skyline" -> (q117Skyline _),
     "q115_pps_sample" -> (q115PpsSample _),
     "q84_source_kl" -> (q84SourceKl _),
@@ -572,6 +624,7 @@ object Selection {
     "q95_quality_nll_correlation" -> (q95QualityNllCorrelation _))
 
   val oracleSql: Map[String, String] = Map(
+    "q151_gini_concentration" -> q151Sql,
     "q117_skyline" -> q117Sql,
     "q115_pps_sample" -> q115Sql,
     "q84_source_kl" -> q84Sql,

@@ -76,4 +76,31 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Window"),
       "mode must stay pure aggregation — no per-group sort/window")
   }
+
+  test("q152: per-segment OLS slopes match an exact BigInt replay (negatives included)") {
+    import org.apache.spark.sql.functions._
+    val pts = graft.sources.Tables.orders(spark, sfDir)
+      .join(graft.sources.Tables.customer(spark, sfDir),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment".as("segment"),
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') AS BIGINT)")
+          .as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("y"))
+      .collect().map(r => (r.getString(0), BigInt(r.getLong(1)), BigInt(r.getLong(2))))
+    val expected = pts.groupBy(_._1).map { case (seg, ps) =>
+      val n = BigInt(ps.length)
+      val sx = ps.map(_._2).sum; val sy = ps.map(_._3).sum
+      val sxy = ps.map(p => p._2 * p._3).sum
+      val sxx = ps.map(p => p._2 * p._2).sum
+      val num = n * sxy - sx * sy
+      val den = n * sxx - sx * sx
+      // sign-split trunc-toward-zero, matching both engines' construction
+      val slope = if (num < 0) -((-num * 1000000) / den) else (num * 1000000) / den
+      seg -> ((ps.length.toLong, slope.toLong))
+    }
+    val got = Analytics.q152SegmentTrend(spark, sfDir).collect()
+      .map(r => r.getAs[String]("segment") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("slope_micro")))).toMap
+    assert(got == expected, s"got $got expected $expected")
+  }
 }

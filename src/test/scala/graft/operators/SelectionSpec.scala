@@ -304,4 +304,22 @@ class SelectionSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "skyline must never form the all-pairs dominance join")
   }
+
+  test("q151: Gini matches an exact BigInt replay over the naive global sort") {
+    import org.apache.spark.sql.functions._
+    val xs = graft.sources.Tables.orders(spark, sfDir)
+      .groupBy($"o_custkey")
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("x"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (k, x) => (x, k) }.map(_._2)
+    val n = BigInt(xs.length)
+    val sx = xs.map(BigInt(_)).sum
+    val six = xs.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+    val expected = ((2 * six - (n + 1) * sx) * 10000 / (n * sx)).toLong
+    val r = Selection.q151GiniConcentration(spark, sfDir).collect()(0)
+    assert(r.getAs[Long]("n") == xs.length && r.getAs[Long]("sx") == sx.toLong)
+    assert(r.getAs[Long]("gini_bp") == expected,
+      "bucketed value-space rank must equal the naive global sort's Gini")
+    assert(r.getAs[Long]("gini_bp") >= 0 && r.getAs[Long]("gini_bp") < 10000)
+  }
 }
