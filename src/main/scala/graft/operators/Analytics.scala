@@ -892,7 +892,44 @@ object Analytics {
       |         AS slope_micro
       |FROM b ORDER BY segment""".stripMargin
 
+  /** q154 — equi-WIDTH histogram (the q132 equi-depth dual): 20 fixed-
+    * width bands over order totals in cents, width
+    * `w = (hi−lo) div 20 + 1` so the max lands in band 19 by
+    * construction — every edge, band id, and count is pure BIGINT
+    * arithmetic from the broadcast (lo, hi) one-row aggregate. Two
+    * passes over the fact (min/max + banding), both map-side
+    * combinable; output is 20 rows at any scale. Unlike q132 no sketch
+    * is involved — equi-width needs only the exact extrema, which is
+    * why it's the cheap first-look histogram.
+    */
+  def q154EquiwidthHist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val x = Tables.orders(spark, dir)
+      .select(round($"o_totalprice" * 100).cast("long").as("c"))
+    val mm = x.agg(min($"c").as("lo"), max($"c").as("hi"))
+    x.crossJoin(broadcast(mm))
+      .withColumn("w", expr("(hi - lo) div 20 + 1"))
+      .withColumn("band", expr("(c - lo) div w"))
+      .groupBy($"band", expr("lo + band * w").as("lo_edge"))
+      .agg(count(lit(1)).as("n"), sum($"c").as("sum_cents"))
+      .orderBy($"band")
+  }
+
+  val q154Sql: String =
+    """WITH x AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      |           FROM orders),
+      |mm AS (SELECT CAST(min(c) AS BIGINT) AS lo, CAST(max(c) AS BIGINT) AS hi
+      |       FROM x),
+      |b AS (SELECT (c - lo) // ((hi - lo) // 20 + 1) AS band,
+      |             lo, (hi - lo) // 20 + 1 AS w, c
+      |      FROM x, mm)
+      |SELECT CAST(band AS BIGINT) AS band,
+      |       CAST(lo + band * w AS BIGINT) AS lo_edge,
+      |       count(*) AS n, CAST(sum(c) AS BIGINT) AS sum_cents
+      |FROM b GROUP BY 1, 2 ORDER BY band""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_equiwidth_hist" -> (q154EquiwidthHist _),
     "q152_segment_trend" -> (q152SegmentTrend _),
     "q146_percent_of_parent" -> (q146PercentOfParent _),
     "q132_equidepth_bins" -> (q132EquidepthBins _),
@@ -916,6 +953,7 @@ object Analytics {
     "q108_lateral_top_orders" -> (q108LateralTopOrders _))
 
   val oracleSql: Map[String, String] = Map(
+    "q154_equiwidth_hist" -> q154Sql,
     "q152_segment_trend" -> q152Sql,
     "q146_percent_of_parent" -> q146Sql,
     "q132_equidepth_bins" -> q132Sql,

@@ -665,7 +665,59 @@ object Events {
       |       count(t3) AS n_completed
       |FROM s3 GROUP BY day ORDER BY day""".stripMargin
 
+  /** q153 — cohort lifetime-value curves: q93's cohort × week-offset
+    * grid carrying cumulative purchase VALUE per user instead of
+    * retention counts — the LTV table every growth dashboard draws.
+    * Purchase value frozen to micro-units at the leaf; the cumulative
+    * sum is a window over the (cohorts × offsets)-sized relation
+    * (weeks-of-history, never data-sized); per-user LTV is integral
+    * division on non-negative terms (floor in both engines). Week
+    * arithmetic is exact BIGINT on epoch micros (the q93 discipline).
+    */
+  def q153CohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val first = ev.groupBy($"user_id")
+      .agg(date_trunc("week", min($"ts")).as("cw"))
+    val sizes = first.groupBy($"cw").agg(count(lit(1)).as("n_users"))
+    val rev = ev.filter($"event_type" === "purchase")
+      .join(first, Seq("user_id"))
+      .groupBy($"cw",
+        expr("(unix_micros(date_trunc('week', ts)) - unix_micros(cw)) div 604800000000")
+          .as("week_offset"))
+      .agg(sum(expr("CAST(round(value * 1000000) AS BIGINT)")).as("v"))
+    val wCum = Window.partitionBy($"cw").orderBy($"week_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.withColumn("cum_micro", sum($"v").over(wCum))
+      .join(sizes, Seq("cw"))
+      .select(to_date($"cw").as("cohort_week"), $"week_offset", $"n_users",
+        $"cum_micro", expr("cum_micro div n_users").as("ltv_per_user_micro"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
+  val q153Sql: String =
+    """WITH f AS (
+      |  SELECT user_id, date_trunc('week', min(ts)) AS cw
+      |  FROM events GROUP BY 1),
+      |sz AS (SELECT cw, CAST(count(*) AS BIGINT) AS n_users FROM f GROUP BY 1),
+      |rev AS (
+      |  SELECT f.cw,
+      |         (epoch_us(date_trunc('week', e.ts)) - epoch_us(f.cw))
+      |           // 604800000000 AS week_offset,
+      |         CAST(sum(CAST(round(e.value * 1000000) AS BIGINT)) AS BIGINT) AS v
+      |  FROM events e JOIN f ON e.user_id = f.user_id
+      |  WHERE e.event_type = 'purchase' GROUP BY 1, 2),
+      |c AS (SELECT cw, week_offset,
+      |        CAST(sum(v) OVER (PARTITION BY cw ORDER BY week_offset)
+      |             AS BIGINT) AS cum_micro
+      |      FROM rev)
+      |SELECT CAST(c.cw AS DATE) AS cohort_week, c.week_offset, sz.n_users,
+      |       c.cum_micro, c.cum_micro // sz.n_users AS ltv_per_user_micro
+      |FROM c JOIN sz ON sz.cw = c.cw
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_cohort_ltv" -> (q153CohortLtv _),
     "q140_multi_touch_attribution" -> (q140MultiTouchAttribution _),
     "q141_sequence_funnel" -> (q141SequenceFunnel _),
     "q93_cohort_retention" -> (q93CohortRetention _),
@@ -683,6 +735,7 @@ object Events {
     "q57_salted_skew_join" -> (q57SaltedSkewJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q153_cohort_ltv" -> q153Sql,
     "q140_multi_touch_attribution" -> q140Sql,
     "q141_sequence_funnel" -> q141Sql,
     "q93_cohort_retention" -> q93Sql,

@@ -613,7 +613,53 @@ object Selection {
       |       (CAST(n AS HUGEINT) * sx) AS BIGINT) AS gini_bp
       |FROM a""".stripMargin
 
+  /** q155 — exact weighted median ("half the corpus BYTES live in docs
+    * shorter than X"): each doc weighted by its own char mass, the
+    * median found on the weight-cumulative line — the curation
+    * statistic a plain median misses entirely when lengths are skewed
+    * (most docs short, most mass long). EXACT and distributed: value-
+    * space buckets (`v div 64` — deterministic, value-ordered) + the
+    * q115 broadcast-offset prefix scan give the global cumulative
+    * weight with no single-partition window; the answer is the first
+    * row with `2·cum ≥ total` (lower-median convention, stated
+    * explicitly — both engines evaluate the same inequality on exact
+    * BIGINTs). Complements q40 (exact quantiles, memory-bound) and
+    * q99 (sketch quantiles, unweighted): this is the exact WEIGHTED
+    * form that stays one-pass-plus-tiny-window at any scale.
+    */
+  def q155WeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, dir)
+      .select($"doc_id", $"n_chars".as("v"), $"n_chars".as("w"))
+      .withColumn("bkt", expr("v div 64"))
+    val offs = d.groupBy($"bkt").agg(sum($"w").as("bw"))
+      .withColumn("off", coalesce(sum($"bw").over(
+        Window.orderBy($"bkt").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select($"bkt", $"off")
+    val wIn = Window.partitionBy($"bkt").orderBy($"v", $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = d.join(broadcast(offs), Seq("bkt"))
+      .withColumn("cum", sum($"w").over(wIn) + $"off")
+    cum.crossJoin(broadcast(d.agg(sum($"w").as("tot"))))
+      .filter($"cum" * 2 >= $"tot")
+      .orderBy($"cum")
+      .limit(1)
+      .select($"v".as("median_len"), $"cum", $"tot")
+  }
+
+  val q155Sql: String =
+    """WITH d AS (SELECT doc_id, n_chars AS v, n_chars AS w FROM documents),
+      |c AS (SELECT v, w,
+      |        CAST(sum(w) OVER (ORDER BY v, doc_id) AS BIGINT) AS cum
+      |      FROM d),
+      |t AS (SELECT CAST(sum(w) AS BIGINT) AS tot FROM d)
+      |SELECT v AS median_len, cum, tot FROM c, t
+      |WHERE cum * 2 >= tot
+      |ORDER BY cum LIMIT 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q155_weighted_median" -> (q155WeightedMedian _),
     "q151_gini_concentration" -> (q151GiniConcentration _),
     "q117_skyline" -> (q117Skyline _),
     "q115_pps_sample" -> (q115PpsSample _),
@@ -624,6 +670,7 @@ object Selection {
     "q95_quality_nll_correlation" -> (q95QualityNllCorrelation _))
 
   val oracleSql: Map[String, String] = Map(
+    "q155_weighted_median" -> q155Sql,
     "q151_gini_concentration" -> q151Sql,
     "q117_skyline" -> q117Sql,
     "q115_pps_sample" -> q115Sql,

@@ -205,6 +205,53 @@ class ReconcileSpec extends AnyFunSuite with SparkSpec {
       assert(r.getAs[Long]("benford_bp") == benford(r.getAs[String]("digit"))))
   }
 
+  test("q154: equi-width bands partition the fact exactly; edges pure integer") {
+    val cents = Tables.orders(spark, sfDir).select($"o_totalprice").collect()
+      .map(r => math.round(r.getDouble(0) * 100))
+    val (lo, hi) = (cents.min, cents.max)
+    val w = (hi - lo) / 20 + 1
+    val expected = cents.groupBy(c => (c - lo) / w)
+      .map { case (b, cs) => b -> ((cs.length.toLong, cs.sum)) }
+    val got = Analytics.q154EquiwidthHist(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("band") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("sum_cents")))).toMap
+    assert(got == expected)
+    assert(got.keys.forall(b => b >= 0 && b < 20), "max must land inside band 19")
+    assert(got.values.map(_._1).sum == cents.length)
+  }
+
+  test("q155: weighted median matches the driver-sorted cumulative-weight walk") {
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, v) => (v, id) }
+    val tot = docs.map(_._2).sum
+    var cum = 0L
+    val (medLen, medCum) = docs.iterator.map { case (_, v) =>
+      cum += v; (v, cum)
+    }.find(_._2 * 2 >= tot).get
+    val r = Selection.q155WeightedMedian(spark, sfDir).collect()(0)
+    assert((r.getAs[Long]("median_len"), r.getAs[Long]("cum"),
+      r.getAs[Long]("tot")) == ((medLen, medCum, tot)))
+  }
+
+  test("q153: cohort LTV conserves cohort purchase value at the curve's end") {
+    import org.apache.spark.sql.functions.{round => sround}
+    val totalMicro = Tables.events(spark, sfDir)
+      .filter($"event_type" === "purchase")
+      .agg(org.apache.spark.sql.functions.sum(
+        sround($"value" * 1000000).cast("long"))).collect()(0).getLong(0)
+    val rows = Events.q153CohortLtv(spark, sfDir).collect()
+    val lastCumPerCohort = rows.groupBy(_.getAs[java.sql.Date]("cohort_week"))
+      .map { case (_, rs) => rs.maxBy(_.getAs[Long]("week_offset")).getAs[Long]("cum_micro") }
+    assert(lastCumPerCohort.sum == totalMicro,
+      "end-of-curve cumulative value must equal total purchase value")
+    rows.groupBy(_.getAs[java.sql.Date]("cohort_week")).values.foreach { rs =>
+      val cums = rs.sortBy(_.getAs[Long]("week_offset")).map(_.getAs[Long]("cum_micro"))
+      assert(cums.toSeq == cums.sorted.toSeq, "LTV curves are monotone")
+    }
+  }
+
   test("q137: rendezvous minimal-movement property holds exactly") {
     val rows = Corpus.q137RendezvousSharding(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_docs"),
