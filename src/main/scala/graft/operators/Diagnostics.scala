@@ -110,11 +110,157 @@ object Diagnostics {
       |       bucket_ub * 10000 // exact_pairs AS ratio_bp
       |FROM e, u""".stripMargin
 
+  /** q157 — chi-square independence audit of the (market segment ×
+    * order priority) contingency table: the drift/dependence test a
+    * data steward runs before trusting a stratified mix ("does priority
+    * distribute independently of segment?"). The statistic is kept in
+    * EXACT scaled-integer arithmetic so it can cross the hash gate: for
+    * each cell, `dev = O·N − row·col` (the ×N-cross-multiplied O−E) and
+    * `contrib_micro = dev²·10⁶ div (row·col·N)` — dev² is non-negative,
+    * so Spark's truncating `div` and DuckDB's flooring `//` agree (the
+    * q152 sign-split is unnecessary by construction). Expected counts
+    * are emitted as exact milli-units (`row·col·10³ div N`). All
+    * cross-products in DECIMAL(38,0)/HUGEINT: dev²·10⁶ reaches ~8e23
+    * at sf0.1 — far past BIGINT (the q95 widen discipline).
+    *
+    * Scale shape: one hash aggregate to the |segments|·|priorities|
+    * cell relation (map-side combinable), margins re-aggregated from
+    * the TINY cell relation (localCheckpoint so the fact is scanned
+    * once), broadcast back. Output is ~25 rows at any data size.
+    */
+  def q157ChiSquare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment".as("segment"),
+        $"o_orderpriority".as("priority"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint() // tiny cell relation; feeds margins + cells
+    val rowM = cells.groupBy($"segment").agg(sum($"o").as("row_n"))
+    val colM = cells.groupBy($"priority").agg(sum($"o").as("col_n"))
+    val tot = cells.agg(sum($"o").as("n"))
+    cells.join(broadcast(rowM), "segment")
+      .join(broadcast(colM), "priority")
+      .crossJoin(broadcast(tot))
+      .withColumn("dev",
+        expr("CAST(o AS DECIMAL(38,0)) * n - CAST(row_n AS DECIMAL(38,0)) * col_n"))
+      .select($"segment", $"priority", $"o",
+        expr("CAST(CAST(row_n AS DECIMAL(38,0)) * col_n * 1000 div n AS BIGINT)")
+          .as("e_milli"),
+        expr("""CAST(dev * dev * 1000000
+                     div (CAST(row_n AS DECIMAL(38,0)) * col_n * n) AS BIGINT)""")
+          .as("contrib_micro"))
+      .orderBy($"segment", $"priority")
+  }
+
+  val q157Sql: String =
+    """WITH cells AS (
+      |  SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+      |         CAST(count(*) AS BIGINT) AS o
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2),
+      |r AS (SELECT segment, CAST(sum(o) AS BIGINT) AS row_n
+      |      FROM cells GROUP BY 1),
+      |c2 AS (SELECT priority, CAST(sum(o) AS BIGINT) AS col_n
+      |       FROM cells GROUP BY 1),
+      |t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+      |j AS (SELECT cells.segment, cells.priority, cells.o,
+      |             r.row_n, c2.col_n, t.n,
+      |             CAST(cells.o AS HUGEINT) * t.n
+      |               - CAST(r.row_n AS HUGEINT) * c2.col_n AS dev
+      |      FROM cells JOIN r ON cells.segment = r.segment
+      |      JOIN c2 ON cells.priority = c2.priority, t)
+      |SELECT segment, priority, o,
+      |       CAST(CAST(row_n AS HUGEINT) * col_n * 1000 // n AS BIGINT)
+      |         AS e_milli,
+      |       CAST(dev * dev * 1000000
+      |            // (CAST(row_n AS HUGEINT) * col_n * n) AS BIGINT)
+      |         AS contrib_micro
+      |FROM j ORDER BY segment, priority""".stripMargin
+
+  /** q160 — per-column profiling census over `lineitem` (the
+    * SUMMARIZE / dbt-profile primitive): one row per column carrying
+    * (n_rows, n_null, n_distinct, min_v, max_v), with min/max
+    * CANONICALIZED to BIGINT units per type (ids as-is, money in
+    * cents, rates in basis points, quantities in micro-units, dates
+    * as epoch days; free strings profile null extrema) so a single
+    * uniform schema crosses the hash gate — no float or
+    * engine-formatted string ever does.
+    *
+    * Scale shape: one aggregate PER COLUMN over a single-column
+    * parquet scan (column pruning makes each pass read only its own
+    * column's pages — ReadSchema is one field), each map-side
+    * combinable, with single-column exact `count(DISTINCT)` planning
+    * as a two-phase hash aggregate — never the multi-distinct Expand.
+    * At 100 TB the production form fuses the passes with
+    * `approx_count_distinct` (one scan, bounded state, the q42/q96
+    * sketch tier); the exact per-column census is the calibration
+    * tier, same cadence as q97.
+    */
+  def q160ColumnProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    def prof(name: String, canon: Option[String]): DataFrame = {
+      val v = canon.map(expr).getOrElse(lit(null).cast("long"))
+      li.select(col(name).as("raw"), v.as("v"))
+        .agg(count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count($"raw")).as("n_null"),
+          countDistinct($"raw").as("n_distinct"),
+          min($"v").as("min_v"), max($"v").as("max_v"))
+        .select(lit(name).as("col_name"), $"n_rows", $"n_null",
+          $"n_distinct", $"min_v", $"max_v")
+    }
+    Seq(
+      prof("l_orderkey", Some("l_orderkey")),
+      prof("l_partkey", Some("l_partkey")),
+      prof("l_suppkey", Some("l_suppkey")),
+      prof("l_linenumber", Some("CAST(l_linenumber AS BIGINT)")),
+      prof("l_quantity", Some("CAST(round(l_quantity * 1000000) AS BIGINT)")),
+      prof("l_extendedprice", Some("CAST(round(l_extendedprice * 100) AS BIGINT)")),
+      prof("l_discount", Some("CAST(round(l_discount * 10000) AS BIGINT)")),
+      prof("l_tax", Some("CAST(round(l_tax * 10000) AS BIGINT)")),
+      prof("l_returnflag", None),
+      prof("l_linestatus", None),
+      prof("l_shipdate",
+        Some("CAST(datediff(CAST(l_shipdate AS DATE), DATE'1970-01-01') AS BIGINT)")))
+      .reduce(_ unionByName _)
+      .orderBy($"col_name")
+  }
+
+  val q160Sql: String = {
+    def one(name: String, canon: Option[String]): String = {
+      val v = canon.getOrElse("CAST(NULL AS BIGINT)")
+      s"""SELECT '$name' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(*) - count($name) AS BIGINT) AS n_null,
+         |  CAST(count(DISTINCT $name) AS BIGINT) AS n_distinct,
+         |  CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v
+         |FROM (SELECT $name, $v AS v FROM lineitem)""".stripMargin
+    }
+    Seq(
+      one("l_orderkey", Some("l_orderkey")),
+      one("l_partkey", Some("l_partkey")),
+      one("l_suppkey", Some("l_suppkey")),
+      one("l_linenumber", Some("CAST(l_linenumber AS BIGINT)")),
+      one("l_quantity", Some("CAST(round(l_quantity * 1000000) AS BIGINT)")),
+      one("l_extendedprice", Some("CAST(round(l_extendedprice * 100) AS BIGINT)")),
+      one("l_discount", Some("CAST(round(l_discount * 10000) AS BIGINT)")),
+      one("l_tax", Some("CAST(round(l_tax * 10000) AS BIGINT)")),
+      one("l_returnflag", None),
+      one("l_linestatus", None),
+      one("l_shipdate",
+        Some("CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)")))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q144_skew_census" -> (q144SkewCensus _),
-    "q145_join_card_estimate" -> (q145JoinCardEstimate _))
+    "q145_join_card_estimate" -> (q145JoinCardEstimate _),
+    "q157_chi_square" -> (q157ChiSquare _),
+    "q160_column_profile" -> (q160ColumnProfile _))
 
   val oracleSql: Map[String, String] = Map(
     "q144_skew_census" -> q144Sql,
-    "q145_join_card_estimate" -> q145Sql)
+    "q145_join_card_estimate" -> q145Sql,
+    "q157_chi_square" -> q157Sql,
+    "q160_column_profile" -> q160Sql)
 }

@@ -716,7 +716,220 @@ object Events {
       |FROM c JOIN sz ON sz.cw = c.cw
       |ORDER BY cohort_week, week_offset""".stripMargin
 
+  /** q163 — two-proportion A/B z-test, sqrt-free and division-free
+    * until the final emitted quotient: customers split into arms by
+    * `c_custkey % 2` (the deterministic assignment an experimentation
+    * platform's hash bucketing reduces to), conversion = placed at
+    * least one URGENT-priority order (non-degenerate at every shipped
+    * SF: ~87% base rate — "every user purchases" made the events
+    * table's purchase flag constant, and a constant outcome zeroes the
+    * pooled variance). The pooled z² statistic is algebraically
+    * cleared of every
+    * fraction: z² = (c_a·n_b − c_b·n_a)²·n / (n_a·n_b·c·(n−c)), so
+    * the significance decision `z² ≥ 1.96²` becomes the pure integer
+    * comparison `num²·n·10⁴ ≥ 38416·n_a·n_b·c·(n−c)` with the 38416
+    * basis-point constant FROZEN in both engines (the q150 discipline —
+    * no libm, no sqrt, no float anywhere). num² is non-negative so the
+    * emitted z²-in-micro quotient floors identically under `div`/`//`.
+    * Cross-products are DECIMAL(38,0)/HUGEINT: num²·n·10⁶ ≈ 8e26 at
+    * sf0.1 — far past BIGINT.
+    *
+    * Scale shape: one hash aggregate per user (map-side combinable) to
+    * conversion flags, one 2-row arm aggregate, then scalar algebra on
+    * broadcast one-row relations. Output is one row at any scale.
+    */
+  def q163AbZTest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val arms = Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(max(when($"o_orderpriority" === "1-URGENT", 1L).otherwise(0L))
+        .as("conv"))
+      .groupBy(pmod($"c_custkey", lit(2L)).as("arm"))
+      .agg(count(lit(1)).as("n_users"), sum($"conv").as("n_conv"))
+    val a = arms.filter($"arm" === 0)
+      .select($"n_users".as("n_a"), $"n_conv".as("c_a"))
+    val b = arms.filter($"arm" === 1)
+      .select($"n_users".as("n_b"), $"n_conv".as("c_b"))
+    a.crossJoin(broadcast(b))
+      .withColumn("n", $"n_a" + $"n_b")
+      .withColumn("c", $"c_a" + $"c_b")
+      .withColumn("num",
+        expr("CAST(c_a AS DECIMAL(38,0)) * n_b - CAST(c_b AS DECIMAL(38,0)) * n_a"))
+      .select($"n_a", $"c_a", $"n_b", $"c_b",
+        expr("""CAST(num * num * n * 1000000
+                     div (CAST(n_a AS DECIMAL(38,0)) * n_b * c * (n - c))
+                     AS BIGINT)""").as("z2_micro"),
+        expr("""num * num * n * 10000
+                >= CAST(38416 AS DECIMAL(38,0)) * n_a * n_b * c * (n - c)""")
+          .as("significant"))
+  }
+
+  val q163Sql: String =
+    """WITH u AS (
+      |  SELECT c.c_custkey,
+      |         max(CASE WHEN o.o_orderpriority = '1-URGENT'
+      |                  THEN 1 ELSE 0 END) AS conv
+      |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      |  GROUP BY 1),
+      |arms AS (SELECT c_custkey % 2 AS arm, CAST(count(*) AS BIGINT) AS n_users,
+      |                CAST(sum(conv) AS BIGINT) AS n_conv
+      |         FROM u GROUP BY 1),
+      |ab AS (SELECT
+      |         max(CASE WHEN arm = 0 THEN n_users END) AS n_a,
+      |         max(CASE WHEN arm = 0 THEN n_conv END) AS c_a,
+      |         max(CASE WHEN arm = 1 THEN n_users END) AS n_b,
+      |         max(CASE WHEN arm = 1 THEN n_conv END) AS c_b
+      |       FROM arms),
+      |x AS (SELECT n_a, c_a, n_b, c_b, n_a + n_b AS n, c_a + c_b AS c,
+      |        CAST(c_a AS HUGEINT) * n_b - CAST(c_b AS HUGEINT) * n_a AS num
+      |      FROM ab)
+      |SELECT n_a, c_a, n_b, c_b,
+      |       CAST(num * num * n * 1000000
+      |            // (CAST(n_a AS HUGEINT) * n_b * c * (n - c)) AS BIGINT)
+      |         AS z2_micro,
+      |       num * num * n * 10000
+      |         >= CAST(38416 AS HUGEINT) * n_a * n_b * c * (n - c)
+      |         AS significant
+      |FROM x""".stripMargin
+
+  /** q164 — Kaplan–Meier survival curve for signup→first-purchase
+    * time-to-event, right-censored at the observation horizon (the
+    * global last day): per duration day t, the risk set n_t, events
+    * d_t, censorings c_t, and the log-survival curve
+    * `ln S(t) = Σ_{i≤t} ln((n_i − d_i)/n_i)` carried in FROZEN integer
+    * micro-nats — each term is the ln of a ratio of EXACT integers,
+    * rounded half-up to micro-nats in both engines (the Selection
+    * module's q76/q84 discipline), so the curve aggregation itself is
+    * exact BIGINT arithmetic and hash-gates. Degenerate plateaus
+    * (d_t = n_t, S hits 0) emit a NULL term in both engines — sum
+    * skips it identically (documented absorbing-state convention).
+    *
+    * Scale shape: per-user min-signup and first-purchase-after-signup
+    * are two map-side-combinable aggregates sharing one user_id
+    * shuffle (the purchase side equi-joins the signup relation on
+    * user_id, never an interval join); the KM table and its cumulative
+    * windows live on the duration-day relation, bounded by the
+    * calendar span, never by user count.
+    */
+  def q164SurvivalCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_type",
+        expr("unix_micros(ts) div 86400000000").as("day"))
+    val su = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"day").as("s_day"))
+    val pu = ev.filter($"event_type" === "purchase")
+      .join(su, "user_id")
+      .filter($"day" >= $"s_day")
+      .groupBy($"user_id").agg(min($"day" - $"s_day").as("dur"))
+    val horizon = ev.agg(max($"day").as("h_day"))
+    val obs = su.join(pu, Seq("user_id"), "left")
+      .crossJoin(broadcast(horizon))
+      .select(coalesce($"dur", $"h_day" - $"s_day").as("t"),
+        $"dur".isNotNull.as("is_event"))
+    val km = obs.groupBy($"t").agg(
+      sum(when($"is_event", 1L).otherwise(0L)).as("d"),
+      sum(when($"is_event", 0L).otherwise(1L)).as("c"))
+    // duration-day-sized relation: both windows are bounded by the
+    // calendar span, not the user population
+    val wPrior = Window.orderBy($"t").rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy($"t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    km.crossJoin(broadcast(obs.agg(count(lit(1)).as("n_total"))))
+      .withColumn("n_risk",
+        $"n_total" - coalesce(sum($"d" + $"c").over(wPrior), lit(0L)))
+      .withColumn("term",
+        when($"d" === 0, 0L)
+          .when($"n_risk" > $"d",
+            round(log(($"n_risk" - $"d").cast("double") /
+              $"n_risk".cast("double")) * 1e6).cast("long")))
+      .select($"t", $"n_risk", $"d", $"c",
+        sum($"term").over(wCum).as("ln_surv_micro"))
+      .orderBy($"t")
+  }
+
+  val q164Sql: String =
+    """WITH ev AS (SELECT user_id, event_type,
+      |              epoch_us(ts) // 86400000000 AS day FROM events),
+      |su AS (SELECT user_id, min(day) AS s_day FROM ev
+      |       WHERE event_type = 'signup' GROUP BY 1),
+      |pu AS (SELECT e.user_id, min(e.day - su.s_day) AS dur
+      |       FROM ev e JOIN su ON e.user_id = su.user_id
+      |       WHERE e.event_type = 'purchase' AND e.day >= su.s_day
+      |       GROUP BY 1),
+      |h AS (SELECT max(day) AS h_day FROM ev),
+      |obs AS (SELECT COALESCE(pu.dur, h.h_day - su.s_day) AS t,
+      |               pu.dur IS NOT NULL AS is_event
+      |        FROM su LEFT JOIN pu ON su.user_id = pu.user_id, h),
+      |km AS (SELECT t,
+      |         CAST(sum(CASE WHEN is_event THEN 1 ELSE 0 END) AS BIGINT) AS d,
+      |         CAST(sum(CASE WHEN is_event THEN 0 ELSE 1 END) AS BIGINT) AS c
+      |       FROM obs GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM obs),
+      |r AS (SELECT t, d, c,
+      |        n_total - COALESCE(CAST(sum(d + c) OVER (ORDER BY t
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |          AS BIGINT), 0) AS n_risk
+      |      FROM km, n),
+      |tm AS (SELECT t, n_risk, d, c,
+      |         CASE WHEN d = 0 THEN 0
+      |              WHEN n_risk > d THEN CAST(round(ln(
+      |                CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+      |                * 1000000) AS BIGINT)
+      |         END AS term
+      |       FROM r)
+      |SELECT t, n_risk, d, c,
+      |       CAST(sum(term) OVER (ORDER BY t) AS BIGINT) AS ln_surv_micro
+      |FROM tm ORDER BY t""".stripMargin
+
+  /** q165 — schema-evolution merge read at the ingest seam: epoch-1
+    * producers wrote events WITHOUT the (later-added) `event_type`
+    * column; epoch-2 producers write it. The lake read unifies both
+    * vintages with `mergeSchema` — parquet footer reconciliation, v1
+    * rows surfacing NULL for the added column — and the consumer
+    * aggregates across vintages with an explicit `unknown` bucket for
+    * pre-evolution rows. The oracle reproduces the same relation
+    * directly from the harness events table (vintage = event_id
+    * parity), so the driver hash gate covers write → evolve → merge →
+    * read, the whole seam, not just the aggregation.
+    *
+    * Scale: schema merge is footer-only work (per-file, no data
+    * rewrite — exactly why added-column evolution is free in a
+    * parquet lake); the vintage split lands in tmpfs scratch (the
+    * q101 pattern — a production lake accretes vintages in place).
+    */
+  def q165SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = scratchDir("graft_evolve_events")
+    val ev = Tables.events(spark, dir)
+    ev.filter(pmod($"event_id", lit(2L)) === 0)
+      .select($"event_id", $"ts", $"user_id", $"value")
+      .write.mode("overwrite").parquet(s"$out/vintage=1")
+    ev.filter(pmod($"event_id", lit(2L)) === 1)
+      .select($"event_id", $"ts", $"user_id", $"value", $"event_type")
+      .write.mode("overwrite").parquet(s"$out/vintage=2")
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$out/vintage=1", s"$out/vintage=2")
+      .groupBy(coalesce($"event_type", lit("unknown")).as("event_type"))
+      .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("n_users"),
+        sum(dec($"value")).cast("double").as("sum_value"))
+      .orderBy($"event_type")
+  }
+
+  val q165Sql: String =
+    """SELECT CASE WHEN event_id % 2 = 1 THEN event_type
+      |            ELSE 'unknown' END AS event_type,
+      |       COUNT(*) AS n,
+      |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE)
+      |         AS sum_value
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q163_ab_ztest" -> (q163AbZTest _),
+    "q164_survival_curve" -> (q164SurvivalCurve _),
+    "q165_schema_evolution" -> (q165SchemaEvolution _),
     "q153_cohort_ltv" -> (q153CohortLtv _),
     "q140_multi_touch_attribution" -> (q140MultiTouchAttribution _),
     "q141_sequence_funnel" -> (q141SequenceFunnel _),
@@ -735,6 +948,9 @@ object Events {
     "q57_salted_skew_join" -> (q57SaltedSkewJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q163_ab_ztest" -> q163Sql,
+    "q164_survival_curve" -> q164Sql,
+    "q165_schema_evolution" -> q165Sql,
     "q153_cohort_ltv" -> q153Sql,
     "q140_multi_touch_attribution" -> q140Sql,
     "q141_sequence_funnel" -> q141Sql,

@@ -324,13 +324,88 @@ object Graphs {
        |SELECT p, CAST(r AS BIGINT) AS r FROM r3 ORDER BY p""".stripMargin
   }
 
+  /** q156 — association rules over co-ordered BRANDS (market-basket
+    * support/confidence/lift, the Apriori 2-itemset pass): for every
+    * unordered brand pair {a, b}, how many orders contain both, and is
+    * that more than independence predicts? Co-occurrence counting is
+    * what q125's edge machinery does at part grain; lifting to the
+    * ~25-value brand dimension bounds the itemset lattice (≤ C(25,2)
+    * pairs at ANY data size) and adds the rule-quality metrics the
+    * part-grain graph family doesn't carry. Everything is exact
+    * integer: support and the two confidences in basis points
+    * (`n_pair·10⁴ div n_x`, positive so `div`/`//` agree), lift in
+    * micro-units with the `n_pair·N·10⁶` cross-product widened to
+    * DECIMAL(38,0)/HUGEINT (it crosses BIGINT near sf100 — the q95
+    * discipline).
+    *
+    * Scale shape: one distinct (order, brand) relation (hash
+    * aggregate; the brand lookup rides a broadcast of `part`), ONE
+    * self-equi-join on the order key — per-order blowup bounded by
+    * brands-per-order² ≤ 25² — then a hash aggregate to the ≤300-row
+    * pair relation; marginals and N are broadcast back onto it. No
+    * theta join, no lattice deeper than 2 (the reference surface is
+    * pairwise signals; deeper passes compose the same shape).
+    */
+  def q156AssociationRules(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ob = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey".as("ord"), $"p_brand".as("brand"))
+      .distinct()
+      .localCheckpoint() // feeds pairs, marginals, and N off one pass
+    val n = ob.select($"ord").distinct().agg(count(lit(1)).as("n_orders"))
+    val marg = ob.groupBy($"brand").agg(count(lit(1)).as("n_b"))
+    val pairs = ob.as("a")
+      .join(ob.as("b"),
+        $"a.ord" === $"b.ord" && $"a.brand" < $"b.brand")
+      .groupBy($"a.brand".as("brand_a"), $"b.brand".as("brand_b"))
+      .agg(count(lit(1)).as("n_pair"))
+    pairs
+      .join(broadcast(marg.select($"brand".as("brand_a"), $"n_b".as("n_a"))),
+        "brand_a")
+      .join(broadcast(marg.select($"brand".as("brand_b"), $"n_b".as("n_bb"))),
+        "brand_b")
+      .crossJoin(broadcast(n))
+      .select($"brand_a", $"brand_b", $"n_pair",
+        expr("n_pair * 10000 div n_orders").as("support_bp"),
+        expr("n_pair * 10000 div n_a").as("conf_ab_bp"),
+        expr("n_pair * 10000 div n_bb").as("conf_ba_bp"),
+        expr("""CAST(CAST(n_pair AS DECIMAL(38,0)) * n_orders * 1000000
+                     div (CAST(n_a AS DECIMAL(38,0)) * n_bb) AS BIGINT)""")
+          .as("lift_micro"))
+      .orderBy($"brand_a", $"brand_b")
+  }
+
+  val q156Sql: String =
+    """WITH ob AS (
+      |  SELECT DISTINCT l_orderkey AS ord, p_brand AS brand
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |n AS (SELECT CAST(count(DISTINCT ord) AS BIGINT) AS n_orders FROM ob),
+      |m AS (SELECT brand, CAST(count(*) AS BIGINT) AS n_b FROM ob GROUP BY 1),
+      |p AS (SELECT a.brand AS brand_a, b.brand AS brand_b,
+      |             CAST(count(*) AS BIGINT) AS n_pair
+      |      FROM ob a JOIN ob b ON a.ord = b.ord AND a.brand < b.brand
+      |      GROUP BY 1, 2)
+      |SELECT p.brand_a, p.brand_b, p.n_pair,
+      |       p.n_pair * 10000 // n.n_orders AS support_bp,
+      |       p.n_pair * 10000 // ma.n_b AS conf_ab_bp,
+      |       p.n_pair * 10000 // mb.n_b AS conf_ba_bp,
+      |       CAST(CAST(p.n_pair AS HUGEINT) * n.n_orders * 1000000
+      |            // (CAST(ma.n_b AS HUGEINT) * mb.n_b) AS BIGINT)
+      |         AS lift_micro
+      |FROM p JOIN m ma ON p.brand_a = ma.brand
+      |JOIN m mb ON p.brand_b = mb.brand, n
+      |ORDER BY p.brand_a, p.brand_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_triangle_count" -> (q125TriangleCount _),
     "q134_khop_reach" -> (q134KhopReach _),
-    "q138_pagerank" -> (q138Pagerank _))
+    "q138_pagerank" -> (q138Pagerank _),
+    "q156_association_rules" -> (q156AssociationRules _))
 
   val oracleSql: Map[String, String] = Map(
     "q125_triangle_count" -> q125Sql,
     "q134_khop_reach" -> q134Sql,
-    "q138_pagerank" -> q138Sql)
+    "q138_pagerank" -> q138Sql,
+    "q156_association_rules" -> q156Sql)
 }

@@ -658,7 +658,224 @@ object Selection {
       |WHERE cum * 2 >= tot
       |ORDER BY cum LIMIT 1""".stripMargin
 
+  /** q158 — stratified sample with largest-remainder apportionment
+    * (Hamilton's method): draw EXACTLY 100 documents allocated across
+    * the language strata in proportion to stratum size — the
+    * corpus-mix sampling primitive ("eval set proportional to language
+    * share") where naive per-stratum rounding misses the total and
+    * float quotas aren't reproducible. All integer: `base =
+    * n·N_lang div N`, the `n − Σ base` leftover goes to the largest
+    * remainders (`n·N_lang mod N`, ties by language asc), so Σ alloc
+    * = n EXACTLY. The draw itself is the deterministic-hash rank
+    * (md5 over doc_id — the q97 slice discipline), so the SAMPLE
+    * MEMBERSHIP is in the hash gate via per-stratum id-sum checksums,
+    * not just the counts.
+    *
+    * Scale shape: one hash aggregate to the |langs|-row strata
+    * relation; apportionment windows run over THAT tiny relation
+    * (bounded by the language dimension, never the corpus). The draw
+    * is a per-stratum rank — partition-parallel by lang; at skewed
+    * production strata the rank-filter form swaps for the bounded-
+    * state top-k aggregator (functions/TopKAggregator), same contract.
+    */
+  def q158StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = 100L
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", md5($"doc_id".cast("string")).as("h"))
+    val strata = docs.groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+    val tot = strata.agg(sum($"n_docs").as("n_total"))
+    val base = strata.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"n_docs * $n div n_total"))
+      .withColumn("rem", expr(s"n_docs * $n - (n_docs * $n div n_total) * n_total"))
+    val alloc = base
+      .crossJoin(broadcast(base.agg(sum($"base").as("base_sum"))))
+      // |langs|-sized relation: the single-partition window is bounded
+      // by the stratum dimension, not the corpus
+      .withColumn("rk", row_number().over(Window.orderBy($"rem".desc, $"lang")))
+      .select($"lang", $"n_docs",
+        ($"base" + when($"rk" <= lit(n) - $"base_sum", 1L).otherwise(0L))
+          .as("alloc"))
+    val wr = Window.partitionBy($"lang").orderBy($"h", $"doc_id")
+    val drawn = docs.join(broadcast(alloc.select($"lang", $"alloc")), "lang")
+      .withColumn("r", row_number().over(wr))
+      .filter($"r" <= $"alloc")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_drawn"), sum($"doc_id").as("drawn_id_sum"))
+    alloc.join(drawn, Seq("lang"), "left")
+      .select($"lang", $"n_docs", $"alloc",
+        coalesce($"n_drawn", lit(0L)).as("n_drawn"),
+        coalesce($"drawn_id_sum", lit(0L)).as("drawn_id_sum"))
+      .orderBy($"lang")
+  }
+
+  val q158Sql: String =
+    """WITH d AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h
+      |           FROM documents),
+      |s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM d GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM s),
+      |b AS (SELECT lang, n_docs, n_docs * 100 // n_total AS base,
+      |             n_docs * 100 - (n_docs * 100 // n_total) * n_total AS rem
+      |      FROM s, t),
+      |bs AS (SELECT CAST(sum(base) AS BIGINT) AS base_sum FROM b),
+      |a AS (SELECT lang, n_docs,
+      |        base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
+      |                         <= 100 - bs.base_sum
+      |               THEN 1 ELSE 0 END AS alloc
+      |      FROM b, bs),
+      |r AS (SELECT lang, doc_id,
+      |        row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+      |      FROM d),
+      |dr AS (SELECT r.lang, CAST(count(*) AS BIGINT) AS n_drawn,
+      |         CAST(sum(r.doc_id) AS BIGINT) AS drawn_id_sum
+      |       FROM r JOIN a ON r.lang = a.lang AND r.rk <= a.alloc
+      |       GROUP BY 1)
+      |SELECT a.lang, a.n_docs, CAST(a.alloc AS BIGINT) AS alloc,
+      |       COALESCE(dr.n_drawn, 0) AS n_drawn,
+      |       COALESCE(dr.drawn_id_sum, 0) AS drawn_id_sum
+      |FROM a LEFT JOIN dr ON a.lang = dr.lang
+      |ORDER BY a.lang""".stripMargin
+
+  /** q161 — exact median absolute deviation (MAD) of order totals:
+    * the robust dispersion statistic (outlier fences that a handful of
+    * mega-orders can't drag, unlike stddev). Two order statistics, each
+    * computed EXACTLY by the q155 machinery — rank arithmetic on the
+    * value-bucket prefix scan, never a global sort and never the
+    * whole-group buffering of exact `percentile`: the low median is the
+    * smallest v with 2·cum ≥ n over deterministic magnitude buckets
+    * (`cents div 10⁶` — bucket order IS value order), then the same
+    * scan over |cents − median|. Both engines compute the SAME rank
+    * definition via DIFFERENT mechanisms (Spark: bucketed distributed
+    * prefix scan; DuckDB: direct ordered window over the distinct-value
+    * relation) — the q117 two-algorithms discipline, so a rank-
+    * convention slip in either flips the hash.
+    */
+  def q161MadDispersion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // Exact low median over a value relation (`v` BIGINT, one row per
+    // observation): distinct-value counts, per-bucket windows +
+    // broadcast bucket offsets (the q115/q155 distributed prefix scan),
+    // then min v whose cumulative count covers half of n.
+    def lowMedian(vals: DataFrame): DataFrame = {
+      import vals.sparkSession.implicits._
+      val cnts = vals.groupBy($"v").agg(count(lit(1)).as("c"))
+        .withColumn("bkt", expr("v div 1000000"))
+      val offs = cnts.groupBy($"bkt").agg(sum($"c").as("bc"))
+        .withColumn("off", coalesce(sum($"bc").over(
+          Window.orderBy($"bkt").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select($"bkt", $"off")
+      val wIn = Window.partitionBy($"bkt").orderBy($"v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cnts.join(broadcast(offs), Seq("bkt"))
+        .withColumn("cum", sum($"c").over(wIn) + $"off")
+        .crossJoin(broadcast(vals.agg(count(lit(1)).as("n"))))
+        .filter($"cum" * 2 >= $"n")
+        .orderBy($"cum")
+        .limit(1)
+        .select($"v")
+    }
+    val cents = Tables.orders(spark, dir)
+      .select(round($"o_totalprice" * 100).cast("long").as("v"))
+    val med = lowMedian(cents).select($"v".as("median_cents"))
+    val devs = cents.crossJoin(broadcast(med))
+      .select(abs($"v" - $"median_cents").as("v"))
+    lowMedian(devs).select($"v".as("mad_cents"))
+      .crossJoin(broadcast(med))
+      .crossJoin(broadcast(cents.agg(count(lit(1)).as("n"))))
+      .select($"median_cents", $"mad_cents", $"n")
+  }
+
+  val q161Sql: String =
+    """WITH x AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |           FROM orders),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM x),
+      |c1 AS (SELECT v, CAST(sum(count(*)) OVER (ORDER BY v) AS BIGINT) AS cum
+      |       FROM x GROUP BY v),
+      |m AS (SELECT min(v) AS median_cents FROM c1, n WHERE cum * 2 >= n.n),
+      |d AS (SELECT abs(x.v - m.median_cents) AS v FROM x, m),
+      |c2 AS (SELECT v, CAST(sum(count(*)) OVER (ORDER BY v) AS BIGINT) AS cum
+      |       FROM d GROUP BY v),
+      |md AS (SELECT min(v) AS mad_cents FROM c2, n WHERE cum * 2 >= n.n)
+      |SELECT m.median_cents, md.mad_cents, n.n FROM m, md, n""".stripMargin
+
+  /** q162 — per-group IQR outlier fences (Tukey's boxplot rule), exact:
+    * for every return flag, the quartiles Q1/Q3 of line revenue as LOW
+    * ORDER STATISTICS by rank arithmetic (smallest v with 4·cum ≥ n /
+    * ≥ 3n) and the count of lines outside the 1.5×IQR fences. The
+    * half-unit fence arithmetic is cross-multiplied away: `2v < 5·q1 −
+    * 3·q3` and `2v > 5·q3 − 3·q1` are the ×2-integer forms of
+    * v < Q1 − 1.5·IQR / v > Q3 + 1.5·IQR, so no division exists at
+    * all. The robust dual of stddev outliers — a handful of mega-lines
+    * can't drag the fences.
+    *
+    * Scale shape: quartiles ride the q155/q161 machinery generalized
+    * per group — distinct (flag, value) counts, per-(flag, bucket)
+    * windows + broadcast per-flag bucket offsets, so no per-flag
+    * single-partition sort and no whole-group percentile buffer; the
+    * outlier count is one more pass with the 3-row fence relation
+    * broadcast. Oracle computes the same rank definition via direct
+    * per-flag ordered windows (two mechanisms, the q117 discipline).
+    */
+  def q162IqrOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vals = Tables.lineitem(spark, dir)
+      .select($"l_returnflag".as("flag"),
+        round($"l_extendedprice" * 100).cast("long").as("v"))
+    val cnts = vals.groupBy($"flag", $"v").agg(count(lit(1)).as("c"))
+      .withColumn("bkt", expr("v div 1000000"))
+    val offs = cnts.groupBy($"flag", $"bkt").agg(sum($"c").as("bc"))
+      .withColumn("off", coalesce(sum($"bc").over(
+        Window.partitionBy($"flag").orderBy($"bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"flag", $"bkt", $"off")
+    val wIn = Window.partitionBy($"flag", $"bkt").orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cnts.join(broadcast(offs), Seq("flag", "bkt"))
+      .withColumn("cum", sum($"c").over(wIn) + $"off")
+      .join(broadcast(vals.groupBy($"flag").agg(count(lit(1)).as("n"))), "flag")
+    val q1 = cum.filter($"cum" * 4 >= $"n")
+      .groupBy($"flag").agg(min($"v").as("q1_cents"))
+    val q3 = cum.filter($"cum" * 4 >= $"n" * 3)
+      .groupBy($"flag").agg(min($"v").as("q3_cents"))
+    val fences = q1.join(q3, "flag")
+    vals.join(broadcast(fences), "flag")
+      .groupBy($"flag", $"q1_cents", $"q3_cents")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"v" * 2 < $"q1_cents" * 5 - $"q3_cents" * 3, 1L)
+          .otherwise(0L)).as("n_low_outliers"),
+        sum(when($"v" * 2 > $"q3_cents" * 5 - $"q1_cents" * 3, 1L)
+          .otherwise(0L)).as("n_high_outliers"))
+      .orderBy($"flag")
+  }
+
+  val q162Sql: String =
+    """WITH x AS (SELECT l_returnflag AS flag,
+      |             CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+      |           FROM lineitem),
+      |n AS (SELECT flag, CAST(count(*) AS BIGINT) AS n FROM x GROUP BY 1),
+      |c AS (SELECT flag, v,
+      |        CAST(sum(count(*)) OVER (PARTITION BY flag ORDER BY v)
+      |             AS BIGINT) AS cum
+      |      FROM x GROUP BY flag, v),
+      |f AS (SELECT n.flag,
+      |        (SELECT min(v) FROM c
+      |         WHERE c.flag = n.flag AND cum * 4 >= n.n) AS q1_cents,
+      |        (SELECT min(v) FROM c
+      |         WHERE c.flag = n.flag AND cum * 4 >= n.n * 3) AS q3_cents
+      |      FROM n)
+      |SELECT x.flag, f.q1_cents, f.q3_cents, count(*) AS n,
+      |       CAST(sum(CASE WHEN x.v * 2 < f.q1_cents * 5 - f.q3_cents * 3
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
+      |       CAST(sum(CASE WHEN x.v * 2 > f.q3_cents * 5 - f.q1_cents * 3
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers
+      |FROM x JOIN f ON x.flag = f.flag
+      |GROUP BY 1, 2, 3 ORDER BY x.flag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q162_iqr_outliers" -> (q162IqrOutliers _),
+    "q158_stratified_sample" -> (q158StratifiedSample _),
+    "q161_mad_dispersion" -> (q161MadDispersion _),
     "q155_weighted_median" -> (q155WeightedMedian _),
     "q151_gini_concentration" -> (q151GiniConcentration _),
     "q117_skyline" -> (q117Skyline _),
@@ -670,6 +887,9 @@ object Selection {
     "q95_quality_nll_correlation" -> (q95QualityNllCorrelation _))
 
   val oracleSql: Map[String, String] = Map(
+    "q162_iqr_outliers" -> q162Sql,
+    "q158_stratified_sample" -> q158Sql,
+    "q161_mad_dispersion" -> q161Sql,
     "q155_weighted_median" -> q155Sql,
     "q151_gini_concentration" -> q151Sql,
     "q117_skyline" -> q117Sql,

@@ -495,7 +495,61 @@ object Temporal {
       |FROM w WHERE trail_cnt > 0 AND cnt * 28 > trail_cnt * 3
       |ORDER BY user_id, epoch_day""".stripMargin
 
+  /** q159 — CUSUM change-point detection over daily event volumes, per
+    * event type: the classic cumulative-sum control chart
+    * (Page 1954), division-free in pure integers. With D = the type's
+    * day count and T its total events, the running statistic is
+    * `S_t = Σ_{u≤t} (cnt_u·D − T)` — cnt·D−T is the ×D-cross-multiplied
+    * deviation from the type's mean daily rate, so S drifts monotonely
+    * through a level shift and hovers near 0 under stationarity; a day
+    * is flagged when |S_t| > T (cumulative drift past one average
+    * day's volume ×D — a deterministic, unitless-consistent
+    * threshold). No float mean, no division anywhere.
+    *
+    * Scale shape: one hash aggregate to the (type, day) relation
+    * (map-side combinable), per-type totals re-aggregated from it and
+    * broadcast back, then ONE cumulative window partitioned by type
+    * over the days axis — state bounded by the calendar span × type
+    * dimension, never by event count.
+    */
+  def q159CusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .groupBy($"event_type",
+        expr("unix_micros(ts) div 86400000000").as("epoch_day"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // (type, day)-sized; feeds totals + the chart
+    val totals = daily.groupBy($"event_type")
+      .agg(count(lit(1)).as("d_days"), sum($"cnt").as("t_total"))
+    val wCum = Window.partitionBy($"event_type").orderBy($"epoch_day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(broadcast(totals), "event_type")
+      .withColumn("cusum", sum($"cnt" * $"d_days" - $"t_total").over(wCum))
+      .select($"event_type", $"epoch_day", $"cnt", $"cusum",
+        (abs($"cusum") > $"t_total").as("flagged"))
+      .orderBy($"event_type", $"epoch_day")
+  }
+
+  val q159Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS epoch_day,
+      |         CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS d_days,
+      |             CAST(sum(cnt) AS BIGINT) AS t_total
+      |      FROM daily GROUP BY 1)
+      |SELECT daily.event_type, daily.epoch_day, daily.cnt,
+      |       CAST(sum(daily.cnt * t.d_days - t.t_total)
+      |            OVER (PARTITION BY daily.event_type ORDER BY daily.epoch_day)
+      |            AS BIGINT) AS cusum,
+      |       abs(CAST(sum(daily.cnt * t.d_days - t.t_total)
+      |            OVER (PARTITION BY daily.event_type ORDER BY daily.epoch_day)
+      |            AS BIGINT)) > t.t_total AS flagged
+      |FROM daily JOIN t ON daily.event_type = t.event_type
+      |ORDER BY daily.event_type, daily.epoch_day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q159_cusum_changepoint" -> (q159CusumChangepoint _),
     "q147_rate_anomaly" -> (q147RateAnomaly _),
     "q129_rolling_reach_sketch" -> (q129RollingReachSketch _),
     "q130_daily_churn" -> (q130DailyChurn _),
@@ -508,6 +562,7 @@ object Temporal {
     "q123_time_weighted" -> (q123TimeWeighted _))
 
   val oracleSql: Map[String, String] = Map(
+    "q159_cusum_changepoint" -> q159Sql,
     "q147_rate_anomaly" -> q147Sql,
     "q129_rolling_reach_sketch" -> q129Sql,
     "q130_daily_churn" -> q130Sql,

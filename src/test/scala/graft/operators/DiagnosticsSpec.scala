@@ -30,4 +30,51 @@ class DiagnosticsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getAs[Boolean]("ub_ge_exact"), "Σ_b tot_b² ≥ Σ_k cnt_k² is a theorem")
     assert(r.getAs[Long]("ratio_bp") >= 10000L)
   }
+
+  test("q157: every chi-square cell replays exactly in BigInt") {
+    val rows = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment", $"o_orderpriority").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val cells = rows.groupBy(identity).map { case (k, v) => k -> BigInt(v.length) }
+    val rowM = cells.groupBy(_._1._1).map { case (s, m) => s -> m.values.sum }
+    val colM = cells.groupBy(_._1._2).map { case (p, m) => p -> m.values.sum }
+    val n = BigInt(rows.length)
+    val got = Diagnostics.q157ChiSquare(spark, sfDir).collect()
+    assert(got.length == cells.size)
+    got.foreach { r =>
+      val k = (r.getAs[String]("segment"), r.getAs[String]("priority"))
+      val (o, rn, cn) = (cells(k), rowM(k._1), colM(k._2))
+      assert(BigInt(r.getAs[Long]("o")) == o)
+      assert(BigInt(r.getAs[Long]("e_milli")) == rn * cn * 1000 / n)
+      val dev = o * n - rn * cn
+      assert(BigInt(r.getAs[Long]("contrib_micro")) ==
+        dev * dev * 1000000 / (rn * cn * n))
+    }
+    // per-row (and by symmetry per-column) cross-multiplied deviations
+    // telescope to zero — the margin arithmetic is consistent
+    cells.groupBy(_._1._1).foreach { case (s, m) =>
+      assert(m.map { case ((_, p), o) => o * n - rowM(s) * colM(p) }.sum == 0)
+    }
+  }
+
+  test("q160: per-column profile replays on price; string columns profile null extrema") {
+    val got = Diagnostics.q160ColumnProfile(spark, sfDir).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(got.size == 11)
+    val prices = Tables.lineitem(spark, sfDir).select($"l_extendedprice")
+      .collect().map(_.getDouble(0))
+    val cents = prices.map(p => math.round(p * 100))
+    val pr = got("l_extendedprice")
+    assert(pr.getAs[Long]("n_rows") == prices.length.toLong)
+    assert(pr.getAs[Long]("n_null") == 0L)
+    assert(pr.getAs[Long]("n_distinct") == prices.distinct.length.toLong)
+    assert(pr.getAs[Long]("min_v") == cents.min)
+    assert(pr.getAs[Long]("max_v") == cents.max)
+    val rf = got("l_returnflag")
+    assert(rf.isNullAt(rf.fieldIndex("min_v")) && rf.isNullAt(rf.fieldIndex("max_v")))
+    assert(rf.getAs[Long]("n_distinct") == 3L)
+    assert(got.values.forall(_.getAs[Long]("n_rows") == prices.length.toLong),
+      "all columns census the same relation")
+  }
 }

@@ -305,4 +305,76 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     assert(got == agg.toMap, s"got $got expected $agg")
     assert(got.values.map(_._3).sum > 0, "fixture must complete some funnels")
   }
+
+  test("q163: z² and the significance decision replay exactly in BigInt") {
+    import org.apache.spark.sql.functions._
+    val custs = graft.sources.Tables.customer(spark, sfDir)
+      .select($"c_custkey").collect().map(_.getLong(0))
+    val urgent = graft.sources.Tables.orders(spark, sfDir)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey").collect().map(_.getLong(0)).toSet
+    val byArm = custs.groupBy(_ % 2).view
+      .mapValues(ks => (BigInt(ks.length), BigInt(ks.count(urgent)))).toMap
+    val ((na, ca), (nb, cb)) = (byArm(0), byArm(1))
+    val (n, c) = (na + nb, ca + cb)
+    val num = ca * nb - cb * na
+    val r = Events.q163AbZTest(spark, sfDir).collect()(0)
+    assert(BigInt(r.getAs[Long]("n_a")) == na && BigInt(r.getAs[Long]("c_a")) == ca)
+    assert(BigInt(r.getAs[Long]("n_b")) == nb && BigInt(r.getAs[Long]("c_b")) == cb)
+    assert(ca < na || cb < nb, "fixture outcome must not be degenerate")
+    assert(BigInt(r.getAs[Long]("z2_micro")) ==
+      num * num * n * 1000000 / (na * nb * c * (n - c)))
+    assert(r.getAs[Boolean]("significant") ==
+      (num * num * n * 10000 >= BigInt(38416) * na * nb * c * (n - c)))
+  }
+
+  test("q164: KM table replays; every ln term sits far from its rounding boundary") {
+    import org.apache.spark.sql.functions._
+    val evs = graft.sources.Tables.events(spark, sfDir)
+      .select($"user_id", $"event_type",
+        expr("unix_micros(ts) div 86400000000").as("day")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val sDay = evs.filter(_._2 == "signup").groupBy(_._1).view
+      .mapValues(_.map(_._3).min).toMap
+    val hDay = evs.map(_._3).max
+    val dur = sDay.toSeq.map { case (u, s) =>
+      val ps = evs.filter(e => e._1 == u && e._2 == "purchase" && e._3 >= s)
+        .map(_._3)
+      if (ps.nonEmpty) (ps.min - s, true) else (hDay - s, false)
+    }
+    var atRisk = dur.size.toLong
+    var lnSurv = 0L
+    val expected = dur.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, xs) =>
+      val (d, c) = (xs.count(_._2).toLong, xs.count(!_._2).toLong)
+      val nRisk = atRisk
+      if (d > 0 && nRisk > d) {
+        val x = math.log((nRisk - d).toDouble / nRisk) * 1e6
+        assert(math.abs(x - math.floor(x) - 0.5) > 1e-3,
+          s"frozen micro-nat term at t=$t is at a rounding boundary: $x")
+        lnSurv += math.round(x)
+      } // d == 0 adds 0; the d == nRisk absorbing plateau adds a skipped NULL
+      atRisk -= d + c
+      (t, nRisk, d, c, lnSurv)
+    }
+    val got = Events.q164SurvivalCurve(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("t"), r.getAs[Long]("n_risk"), r.getAs[Long]("d"),
+        r.getAs[Long]("c"), r.getAs[Long]("ln_surv_micro"))).toSeq
+    assert(got == expected, s"got $got expected $expected")
+    assert(expected.last._2 > 0, "risk set never empties before the horizon")
+  }
+
+  test("q165: merged read buckets the pre-evolution vintage as unknown, exactly") {
+    import org.apache.spark.sql.functions._
+    val r = Events.q165SchemaEvolution(spark, sfDir).collect()
+      .map(x => x.getAs[String]("event_type") -> x.getAs[Long]("n")).toMap
+    val evs = graft.sources.Tables.events(spark, sfDir)
+      .select($"event_id", $"event_type").collect()
+      .map(x => (x.getLong(0), x.getString(1)))
+    assert(r("unknown") == evs.count(_._1 % 2 == 0).toLong,
+      "every v1 (even-id) row must surface a NULL event_type after the merge")
+    evs.filter(_._1 % 2 == 1).groupBy(_._2).foreach { case (t, xs) =>
+      assert(r(t) == xs.length.toLong)
+    }
+    assert(r.values.sum == evs.length.toLong, "no row lost across vintages")
+  }
 }

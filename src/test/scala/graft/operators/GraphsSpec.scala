@@ -145,4 +145,41 @@ class GraphsSpec extends AnyFunSuite with SparkSpec {
         p.linesIterator.filter(_.contains("Join")).mkString("\n"))
     }
   }
+
+  test("q156: rule metrics replay exactly in BigInt from the deduped baskets") {
+    val ob = Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir), $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey", $"p_brand").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val n = BigInt(ob.map(_._1).distinct.length)
+    val marg = ob.groupBy(_._2).map { case (b, xs) => b -> BigInt(xs.length) }
+    val pairCnt = ob.groupBy(_._1).toSeq
+      .flatMap { case (_, xs) =>
+        val bs = xs.map(_._2).sorted.toSeq
+        for { a <- bs; b <- bs if a < b } yield (a, b)
+      }
+      .groupBy(identity).map { case (k, v) => k -> BigInt(v.length) }
+    val got = Graphs.q156AssociationRules(spark, sfDir).collect()
+    assert(got.length == pairCnt.size)
+    got.foreach { r =>
+      val k = (r.getAs[String]("brand_a"), r.getAs[String]("brand_b"))
+      val (np, na, nb) = (pairCnt(k), marg(k._1), marg(k._2))
+      assert(BigInt(r.getAs[Long]("n_pair")) == np)
+      assert(BigInt(r.getAs[Long]("support_bp")) == np * 10000 / n)
+      assert(BigInt(r.getAs[Long]("conf_ab_bp")) == np * 10000 / na)
+      assert(BigInt(r.getAs[Long]("conf_ba_bp")) == np * 10000 / nb)
+      assert(BigInt(r.getAs[Long]("lift_micro")) == np * n * 1000000 / (na * nb))
+    }
+    // the only nested-loop join allowed is the broadcast of the one-row
+    // N aggregate (the repo-wide scalar-attach pattern); pair generation
+    // itself must ride the order-key equi join
+    val p = Graphs.q156AssociationRules(spark, sfDir)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("CartesianProduct"))
+    // formatted explain lists each operator in the tree AND the detail
+    // section, so one physical nested-loop join == 2 textual hits
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 2 &&
+      "BroadcastNestedLoopJoin Cross".r.findAllIn(p).size == 1,
+      "pair generation must stay an equi join on the order key")
+  }
 }

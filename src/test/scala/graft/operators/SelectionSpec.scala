@@ -322,4 +322,75 @@ class SelectionSpec extends AnyFunSuite with SparkSpec {
       "bucketed value-space rank must equal the naive global sort's Gini")
     assert(r.getAs[Long]("gini_bp") >= 0 && r.getAs[Long]("gini_bp") < 10000)
   }
+
+  test("q158: apportionment sums to exactly 100 and the drawn sets replay via MD5") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val strata = docs.groupBy(_._2).map { case (l, xs) => l -> BigInt(xs.length) }
+    val ntot = BigInt(docs.length)
+    val base = strata.map { case (l, nd) => l -> nd * 100 / ntot }
+    val rem = strata.map { case (l, nd) => l -> (nd * 100 - base(l) * ntot) }
+    val leftover = (BigInt(100) - base.values.sum).toInt
+    val plus = strata.keys.toSeq.sortBy(l => (-rem(l), l)).take(leftover).toSet
+    val alloc = strata.map { case (l, _) =>
+      l -> (base(l) + (if (plus(l)) 1 else 0)).toLong }
+    val drawn = docs.groupBy(_._2).map { case (l, xs) =>
+      l -> xs.map(_._1).sortBy(id => (md5hex(id.toString), id))
+        .take(alloc(l).toInt) }
+    val got = Selection.q158StratifiedSample(spark, sfDir).collect()
+    assert(got.map(_.getAs[Long]("alloc")).sum == 100L,
+      "largest-remainder apportionment must hit the target exactly")
+    assert(got.length == strata.size)
+    got.foreach { r =>
+      val l = r.getAs[String]("lang")
+      assert(r.getAs[Long]("alloc") == alloc(l))
+      assert(r.getAs[Long]("n_drawn") == drawn(l).length.toLong)
+      assert(r.getAs[Long]("drawn_id_sum") == drawn(l).sum,
+        s"stratum $l drew a different sample than the MD5-rank replay")
+    }
+    assert(leftover > 0,
+      "fixture strata must be uneven enough to exercise the remainder step")
+  }
+
+  test("q162: quartiles and fence counts equal a sorted-array replay per flag") {
+    val rows = graft.sources.Tables.lineitem(spark, sfDir)
+      .select($"l_returnflag", $"l_extendedprice").collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100)))
+    def lowQ(xs: Array[Long], num: Int): Long = {
+      val s = xs.sorted
+      val n = s.length
+      s(s.indices.find(i => (i + 1).toLong * 4 >= num.toLong * n).get)
+    }
+    val got = Selection.q162IqrOutliers(spark, sfDir).collect()
+    assert(got.length == rows.map(_._1).distinct.length)
+    got.foreach { r =>
+      val xs = rows.filter(_._1 == r.getAs[String]("flag")).map(_._2)
+      val (q1, q3) = (lowQ(xs, 1), lowQ(xs, 3))
+      assert(r.getAs[Long]("q1_cents") == q1)
+      assert(r.getAs[Long]("q3_cents") == q3)
+      assert(r.getAs[Long]("n") == xs.length.toLong)
+      assert(r.getAs[Long]("n_low_outliers") ==
+        xs.count(v => 2 * v < 5 * q1 - 3 * q3).toLong)
+      assert(r.getAs[Long]("n_high_outliers") ==
+        xs.count(v => 2 * v > 5 * q3 - 3 * q1).toLong)
+    }
+  }
+
+  test("q161: median and MAD equal the sorted-array low-median replay") {
+    def lowMed(xs: Array[Long]): Long = {
+      val s = xs.sorted; s((s.length + 1) / 2 - 1)
+    }
+    val cents = graft.sources.Tables.orders(spark, sfDir)
+      .select($"o_totalprice").collect().map(r => math.round(r.getDouble(0) * 100))
+    val m = lowMed(cents)
+    val mad = lowMed(cents.map(c => math.abs(c - m)))
+    val r = Selection.q161MadDispersion(spark, sfDir).collect()(0)
+    assert(r.getAs[Long]("median_cents") == m)
+    assert(r.getAs[Long]("mad_cents") == mad)
+    assert(r.getAs[Long]("n") == cents.length.toLong)
+  }
 }

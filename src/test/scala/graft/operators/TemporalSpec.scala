@@ -218,4 +218,27 @@ class TemporalSpec extends AnyFunSuite with SparkSpec {
       "temporal predicate must ride the user_id equi key:\n" +
         p.linesIterator.filter(_.contains("Join")).mkString("\n"))
   }
+
+  test("q159: cusum replays exactly per type and telescopes to zero at the last day") {
+    val daily = events
+      .map { case (_, us, _, tpe, _) => (tpe, us / 86400000000L) }
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val got = Temporal.q159CusumChangepoint(spark, sfDir).collect()
+      .groupBy(_.getAs[String]("event_type"))
+    daily.groupBy(_._1._1).foreach { case (tpe, m) =>
+      val d = m.size.toLong
+      val tot = m.values.sum
+      var s = 0L
+      val expect = m.map { case ((_, day), c) => (day, c) }.toSeq.sortBy(_._1)
+        .map { case (day, c) =>
+          s += c * d - tot; (day, c, s, math.abs(s) > tot)
+        }
+      val g = got(tpe).sortBy(_.getAs[Long]("epoch_day"))
+        .map(r => (r.getAs[Long]("epoch_day"), r.getAs[Long]("cnt"),
+          r.getAs[Long]("cusum"), r.getAs[Boolean]("flagged"))).toSeq
+      assert(g == expect, s"type $tpe chart diverges from the driver replay")
+      assert(expect.last._3 == 0L,
+        "Σ (cnt·D − T) over all of a type's days is identically zero")
+    }
+  }
 }
