@@ -246,15 +246,58 @@ object Contracts {
       |                AS BIGINT)) AS abs_dev_bp
       |FROM c, t ORDER BY c.digit""".stripMargin
 
+  /** q168 — l-diversity audit, the companion check q121's k-anonymity
+    * is NOT sufficient without: a QI group can be large (k-safe) yet
+    * have every member share one sensitive value, so membership alone
+    * discloses it (the homogeneity attack). Sensitive attribute here:
+    * order priority; for each q121 QI group (segment × nation ×
+    * balance band) count the DISTINCT priorities across the group's
+    * orders, then publish the distribution — (l, n_groups) — plus how
+    * many groups sit below l = 3. Customers with no orders form l = 0
+    * groups (LEFT join, distinct over non-NULL only) — the most
+    * disclosing bucket, not a dropped row.
+    *
+    * Scale shape: one customer×orders equi join (the fact side), one
+    * hash aggregate to the QI space (bounded by segments × nations ×
+    * bands, not rows — distinct-priority state bounded by the ~5-value
+    * sensitive domain), one aggregate over the ≤|priorities|+1-row l
+    * dimension. Same shape at 100 TB.
+    */
+  def q168LDiversity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_mktsegment", $"c_nationkey",
+        floor($"c_acctbal" / 1000).cast("long").as("bal_band"))
+      .agg(countDistinct($"o_orderpriority").as("l"))
+      .groupBy($"l")
+      .agg(count(lit(1)).as("n_groups"))
+      .select($"l", $"n_groups", ($"l" < 3).as("homogeneity_risk"))
+      .orderBy($"l")
+  }
+
+  val q168Sql: String =
+    """WITH g AS (
+      |  SELECT c.c_mktsegment, c.c_nationkey,
+      |         CAST(floor(c.c_acctbal / 1000) AS BIGINT) AS bal_band,
+      |         CAST(count(DISTINCT o.o_orderpriority) AS BIGINT) AS l
+      |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      |  GROUP BY 1, 2, 3)
+      |SELECT l, CAST(count(*) AS BIGINT) AS n_groups,
+      |       l < 3 AS homogeneity_risk
+      |FROM g GROUP BY 1 ORDER BY l""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q102_data_contract" -> (q102DataContract _),
     "q121_k_anonymity" -> (q121KAnonymity _),
     "q142_erasure_audit" -> (q142ErasureAudit _),
-    "q150_benford_audit" -> (q150BenfordAudit _))
+    "q150_benford_audit" -> (q150BenfordAudit _),
+    "q168_l_diversity" -> (q168LDiversity _))
 
   val oracleSql: Map[String, String] = Map(
     "q102_data_contract" -> q102Sql,
     "q121_k_anonymity" -> q121Sql,
     "q142_erasure_audit" -> q142Sql,
-    "q150_benford_audit" -> q150Sql)
+    "q150_benford_audit" -> q150Sql,
+    "q168_l_diversity" -> q168Sql)
 }

@@ -926,7 +926,113 @@ object Events {
       |         AS sum_value
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** q166 — incremental aggregate maintenance (the IVM primitive /
+    * rollup-store pattern): the nightly (event_type, day) rollup for
+    * the OLDER half of the calendar is materialized to the store once;
+    * the consumer answers the per-type total by MERGING the stored
+    * partials with a rollup of only the newer half — additive
+    * aggregates (count, exact micro-unit sum) re-aggregate exactly,
+    * and the day-slice count proves the grain survived the merge. The
+    * oracle answers from the raw fact directly, so the driver hash
+    * gate proves stored-partials + delta == full recomputation — the
+    * contract that lets a 100 TB pipeline pay for history once and
+    * touch only the fresh partition per run (the q103 incremental-
+    * model seam, expressed at the aggregate layer; EventsSpec pins
+    * that the merged plan scans the raw fact exactly once, for the
+    * delta).
+    *
+    * The split day is read driver-side from a one-row min/max
+    * aggregate (tiny-scalar meta read, the Dedup precedent) — in
+    * production it is the stored rollup's own high-watermark.
+    */
+  def q166IncrementalRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = scratchDir("graft_ivm_rollup")
+    def daily(df: DataFrame) = df
+      .groupBy($"event_type", $"day")
+      .agg(count(lit(1)).as("n"), sum($"v").as("v_micro"))
+    val ev = Tables.events(spark, dir)
+      .select($"event_type", expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("v"))
+    val mm = ev.agg(min($"day"), max($"day")).collect()(0)
+    val split = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0) + 1) / 2
+    daily(ev.filter($"day" < split)).write.mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+      .unionByName(daily(ev.filter($"day" >= split)))
+      .groupBy($"event_type")
+      .agg(sum($"n").as("n"), count(lit(1)).as("n_days"),
+        sum($"v_micro").as("value_micro"))
+      .orderBy($"event_type")
+  }
+
+  val q166Sql: String =
+    """WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |             CAST(round(value * 1000000) AS BIGINT) AS v
+      |           FROM events)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+      |       CAST(sum(v) AS BIGINT) AS value_micro
+      |FROM e GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  /** q167 — top session paths (clickstream path analysis): the ten most
+    * common event-type journeys within a q23 session (same 30-minute
+    * inactivity boundary, same window construction). Path order is NOT
+    * collect_list arrival order — the q128 discipline: events are
+    * sorted by `array_sort` over structs whose FIELD ORDER is the sort
+    * key (epoch-micros, then event_id as the tie-break mirrored in the
+    * oracle's `ORDER BY ts, event_id`), so the string is deterministic
+    * on both engines; the top-10 boundary is tie-broken by path text.
+    *
+    * Scale shape: one user_id shuffle for the session windows, one
+    * hash aggregate per session (state bounded by session length — an
+    * inactivity-bounded quantity, documented `slice` guard for
+    * pathological never-idle keys), one aggregate over the path
+    * dimension, TakeOrdered(10) — no global sort.
+    */
+  def q167TopSessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val gapUs = 30L * 60 * 1000000
+    Tables.events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when($"prev_us".isNull || unix_micros($"ts") - $"prev_us" > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum($"new_session")
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_id")
+      .agg(collect_list(struct(unix_micros($"ts").as("us"), $"event_id",
+        $"event_type")).as("evs"))
+      .select(concat_ws(">",
+        expr("transform(array_sort(evs), e -> e.event_type)")).as("path"))
+      .groupBy($"path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy($"n_sessions".desc, $"path")
+      .limit(10)
+  }
+
+  val q167Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w > 1800000000
+      |         OR LAG(epoch_us(ts), 1) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged),
+      |paths AS (
+      |  SELECT user_id, session_id,
+      |         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      |  FROM sessions GROUP BY 1, 2)
+      |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+      |FROM paths GROUP BY 1
+      |ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_incremental_rollup" -> (q166IncrementalRollup _),
+    "q167_top_session_paths" -> (q167TopSessionPaths _),
     "q163_ab_ztest" -> (q163AbZTest _),
     "q164_survival_curve" -> (q164SurvivalCurve _),
     "q165_schema_evolution" -> (q165SchemaEvolution _),
@@ -948,6 +1054,8 @@ object Events {
     "q57_salted_skew_join" -> (q57SaltedSkewJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q166_incremental_rollup" -> q166Sql,
+    "q167_top_session_paths" -> q167Sql,
     "q163_ab_ztest" -> q163Sql,
     "q164_survival_curve" -> q164Sql,
     "q165_schema_evolution" -> q165Sql,

@@ -363,6 +363,56 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     assert(expected.last._2 > 0, "risk set never empties before the horizon")
   }
 
+  test("q166: merged partials equal a direct recount; the fact is scanned once") {
+    import org.apache.spark.sql.functions._
+    val df = Events.q166IncrementalRollup(spark, sfDir)
+    val got = df.collect().map(r => r.getAs[String]("event_type") ->
+      ((r.getAs[Long]("n"), r.getAs[Long]("n_days"),
+        r.getAs[Long]("value_micro")))).toMap
+    val evs = graft.sources.Tables.events(spark, sfDir)
+      .select($"event_type", expr("unix_micros(ts) div 86400000000"),
+        expr("CAST(round(value * 1000000) AS BIGINT)")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val exp = evs.groupBy(_._1).map { case (t, xs) =>
+      t -> ((xs.length.toLong, xs.map(_._2).distinct.length.toLong,
+        xs.map(_._3).sum))
+    }
+    assert(got == exp, "stored partials + delta must equal full recomputation")
+    // the merge plan reads the raw fact ONCE (the delta); the base half
+    // comes from the materialized rollup store
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert("events\\.parquet".r.findAllIn(p).size == 1,
+      "base segment must be answered from the rollup store, not the fact")
+  }
+
+  test("q167: top paths replay from a driver-side session fold") {
+    import org.apache.spark.sql.functions._
+    val evs = graft.sources.Tables.events(spark, sfDir)
+      .select($"user_id", expr("unix_micros(ts)"), $"event_id", $"event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val paths = evs.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val s = xs.sortBy(e => (e._2, e._3))
+      val sessions = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer[String]())
+      var prev = Long.MinValue
+      for (e <- s) {
+        if (prev != Long.MinValue && e._2 - prev > 1800000000L)
+          sessions += scala.collection.mutable.ArrayBuffer[String]()
+        sessions.last += e._4
+        prev = e._2
+      }
+      sessions.map(_.mkString(">"))
+    }
+    val cnt = paths.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expTop = cnt.toSeq.sortBy { case (p, n) => (-n, p) }.take(10)
+    val got = Events.q167TopSessionPaths(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("path"), r.getAs[Long]("n_sessions"))).toSeq
+    assert(got == expTop, s"got $got expected $expTop")
+    assert(expTop.exists(_._1.contains(">")), "fixture has multi-event sessions")
+  }
+
   test("q165: merged read buckets the pre-evolution vintage as unknown, exactly") {
     import org.apache.spark.sql.functions._
     val r = Events.q165SchemaEvolution(spark, sfDir).collect()

@@ -266,4 +266,29 @@ class ReconcileSpec extends AnyFunSuite with SparkSpec {
           s"shard $shard: HRW must not move docs between surviving shards")
     }
   }
+
+  test("q168: l distribution replays from a driver-side QI fold") {
+    val custs = Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_mktsegment", $"c_nationkey", $"c_acctbal")
+      .collect()
+      .map(r => (r.getLong(0),
+        (r.getString(1), r.getInt(2), math.floor(r.getDouble(3) / 1000).toLong)))
+    val prio = Tables.orders(spark, sfDir)
+      .select($"o_custkey", $"o_orderpriority").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val lByGroup = custs.groupBy(_._2).map { case (_, members) =>
+      members.flatMap(m => prio.getOrElse(m._1, Set.empty)).toSet.size.toLong
+    }
+    val exp = lByGroup.groupBy(identity).map { case (l, ls) =>
+      l -> ls.size.toLong }
+    val got = Contracts.q168LDiversity(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("l") ->
+        ((r.getAs[Long]("n_groups"), r.getAs[Boolean]("homogeneity_risk"))))
+      .toMap
+    assert(got.view.mapValues(_._1).toMap == exp, s"got $got expected $exp")
+    got.foreach { case (l, (_, risk)) => assert(risk == (l < 3)) }
+    assert(got.keySet.exists(_ < 3),
+      "fixture must contain at least one homogeneity-risk group")
+  }
 }
