@@ -252,15 +252,78 @@ object Diagnostics {
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  /** q169 — key-space gap census over `lineitem.l_orderkey` (orders
+    * that never shipped a line — the dropped-data detector a pipeline
+    * runs after every backfill): how many maximal runs of missing keys,
+    * how many keys are missing in total, and the widest hole. The
+    * classic gaps query is a lag() over the GLOBALLY sorted key set —
+    * a single-partition sort at scale; here the same answer comes from
+    * the distributed two-level form: within-bucket lags over
+    * `k div 4096` partitions (parallel, each bucket sorts 4096 keys at
+    * most) plus boundary gaps from the bucket-extrema relation (one
+    * tiny window over the bucket dimension). The emitted
+    * `conservation_ok` is the theorem span − n_keys = Σ missing — any
+    * lost or double-counted gap flips it, and the driver hash gate
+    * carries it.
+    */
+  def q169KeyGapCensus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ks = Tables.lineitem(spark, dir).select($"l_orderkey".as("k"))
+      .distinct()
+      .withColumn("bkt", expr("k div 4096"))
+      .localCheckpoint() // feeds inner gaps, extrema, and the census
+    val wB = Window.partitionBy($"bkt").orderBy($"k")
+    val inner = ks.withColumn("pk", lag($"k", 1).over(wB))
+      .filter($"pk".isNotNull && $"k" - $"pk" > 1)
+      .select(($"k" - $"pk" - 1).as("missing"))
+    val ext = ks.groupBy($"bkt").agg(min($"k").as("mn"), max($"k").as("mx"))
+    // bucket-dimension relation (|keys|/4096 rows): the only
+    // unpartitioned window runs here, not over the key set
+    val bound = ext.withColumn("pmx", lag($"mx", 1).over(Window.orderBy($"bkt")))
+      .filter($"pmx".isNotNull && $"mn" - $"pmx" > 1)
+      .select(($"mn" - $"pmx" - 1).as("missing"))
+    val tot = ks.agg(count(lit(1)).as("n_keys"), min($"k").as("min_key"),
+      max($"k").as("max_key"))
+    inner.unionByName(bound)
+      .agg(count(lit(1)).as("n_gaps"),
+        coalesce(sum($"missing"), lit(0L)).as("n_missing"),
+        coalesce(max($"missing"), lit(0L)).as("max_gap"))
+      .crossJoin(broadcast(tot))
+      .select($"n_keys", $"min_key", $"max_key", $"n_gaps", $"n_missing",
+        $"max_gap",
+        ($"max_key" - $"min_key" + 1 - $"n_keys" === $"n_missing")
+          .as("conservation_ok"))
+  }
+
+  val q169Sql: String =
+    """WITH k AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+      |g AS (SELECT k, lag(k) OVER (ORDER BY k) AS pk FROM k),
+      |gaps AS (SELECT k - pk - 1 AS missing FROM g
+      |         WHERE pk IS NOT NULL AND k - pk > 1),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+      |        COALESCE(CAST(sum(missing) AS BIGINT), 0) AS n_missing,
+      |        COALESCE(CAST(max(missing) AS BIGINT), 0) AS max_gap
+      |      FROM gaps),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+      |        CAST(min(k) AS BIGINT) AS min_key,
+      |        CAST(max(k) AS BIGINT) AS max_key FROM k)
+      |SELECT t.n_keys, t.min_key, t.max_key, a.n_gaps, a.n_missing, a.max_gap,
+      |       t.max_key - t.min_key + 1 - t.n_keys = a.n_missing
+      |         AS conservation_ok
+      |FROM a, t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q144_skew_census" -> (q144SkewCensus _),
     "q145_join_card_estimate" -> (q145JoinCardEstimate _),
     "q157_chi_square" -> (q157ChiSquare _),
-    "q160_column_profile" -> (q160ColumnProfile _))
+    "q160_column_profile" -> (q160ColumnProfile _),
+    "q169_key_gap_census" -> (q169KeyGapCensus _))
 
   val oracleSql: Map[String, String] = Map(
     "q144_skew_census" -> q144Sql,
     "q145_join_card_estimate" -> q145Sql,
     "q157_chi_square" -> q157Sql,
-    "q160_column_profile" -> q160Sql)
+    "q160_column_profile" -> q160Sql,
+    "q169_key_gap_census" -> q169Sql)
 }

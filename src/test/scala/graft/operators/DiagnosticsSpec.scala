@@ -58,6 +58,21 @@ class DiagnosticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q169: gap census equals the naive sorted-scan replay, and conserves the span") {
+    val ks = Tables.lineitem(spark, sfDir).select($"l_orderkey").collect()
+      .map(_.getLong(0)).distinct.sorted
+    val gaps = ks.zip(ks.tail).collect { case (a, b) if b - a > 1 => b - a - 1 }
+    val r = Diagnostics.q169KeyGapCensus(spark, sfDir).collect()(0)
+    assert(r.getAs[Long]("n_keys") == ks.length.toLong)
+    assert(r.getAs[Long]("min_key") == ks.head && r.getAs[Long]("max_key") == ks.last)
+    assert(r.getAs[Long]("n_gaps") == gaps.length.toLong)
+    assert(r.getAs[Long]("n_missing") == gaps.sum)
+    assert(r.getAs[Long]("max_gap") == (if (gaps.isEmpty) 0L else gaps.max))
+    assert(r.getAs[Boolean]("conservation_ok"),
+      "span − n_keys must equal total missing — a lost boundary gap breaks this")
+    assert(gaps.nonEmpty, "fixture must contain lineitem-less orders")
+  }
+
   test("q160: per-column profile replays on price; string columns profile null extrema") {
     val got = Diagnostics.q160ColumnProfile(spark, sfDir).collect()
       .map(r => r.getAs[String]("col_name") -> r).toMap
