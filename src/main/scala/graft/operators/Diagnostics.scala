@@ -268,9 +268,18 @@ object Diagnostics {
     */
   def q169KeyGapCensus(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    gapCensus(Tables.lineitem(spark, dir).select($"l_orderkey".as("k")))
+  }
+
+  /** The distributed gap census behind q169, reusable over any BIGINT
+    * key relation (column `k`, duplicates allowed). ScaleEvidence's
+    * `gaps` mode measures this two-level form against the naive
+    * global-window lag as the key count grows.
+    */
+  def gapCensus(keys: DataFrame): DataFrame = {
+    import keys.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
-    val ks = Tables.lineitem(spark, dir).select($"l_orderkey".as("k"))
-      .distinct()
+    val ks = keys.select($"k").distinct()
       .withColumn("bkt", expr("k div 4096"))
       .localCheckpoint() // feeds inner gaps, extrema, and the census
     val wB = Window.partitionBy($"bkt").orderBy($"k")

@@ -777,9 +777,11 @@ object Selection {
     }
     val cents = Tables.orders(spark, dir)
       .select(round($"o_totalprice" * 100).cast("long").as("v"))
+      .localCheckpoint() // each lowMedian pass re-reads its input twice
     val med = lowMedian(cents).select($"v".as("median_cents"))
     val devs = cents.crossJoin(broadcast(med))
       .select(abs($"v" - $"median_cents").as("v"))
+      .localCheckpoint()
     lowMedian(devs).select($"v".as("mad_cents"))
       .crossJoin(broadcast(med))
       .crossJoin(broadcast(cents.agg(count(lit(1)).as("n"))))
@@ -831,14 +833,15 @@ object Selection {
       .select($"flag", $"bkt", $"off")
     val wIn = Window.partitionBy($"flag", $"bkt").orderBy($"v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = cnts.join(broadcast(offs), Seq("flag", "bkt"))
+    // both quartiles in ONE aggregation over the cum relation (min of v
+    // where the rank predicate holds) — the r10 bench showed the
+    // two-filter form re-executing the whole cum pipeline per quartile
+    val fences = cnts.join(broadcast(offs), Seq("flag", "bkt"))
       .withColumn("cum", sum($"c").over(wIn) + $"off")
       .join(broadcast(vals.groupBy($"flag").agg(count(lit(1)).as("n"))), "flag")
-    val q1 = cum.filter($"cum" * 4 >= $"n")
-      .groupBy($"flag").agg(min($"v").as("q1_cents"))
-    val q3 = cum.filter($"cum" * 4 >= $"n" * 3)
-      .groupBy($"flag").agg(min($"v").as("q3_cents"))
-    val fences = q1.join(q3, "flag")
+      .groupBy($"flag").agg(
+        min(when($"cum" * 4 >= $"n", $"v")).as("q1_cents"),
+        min(when($"cum" * 4 >= $"n" * 3, $"v")).as("q3_cents"))
     vals.join(broadcast(fences), "flag")
       .groupBy($"flag", $"q1_cents", $"q3_cents")
       .agg(count(lit(1)).as("n"),

@@ -75,7 +75,10 @@ object ScaleEvidence {
         if (args.length > 1) args.drop(1).map(_.toInt).toSeq
         else Seq(15000, 30000, 60000, 120000, 240000),
         resetShuffle _, () => shuffleMB)
-      case other => sys.error(s"unknown mode $other (ssjoin|skew|stream|probe|memoscale|triangles|intervals|graphiter)")
+      case "gaps" => gapScale(spark,
+        if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+        else Seq(1000000, 2000000, 4000000, 8000000, 16000000))
+      case other => sys.error(s"unknown mode $other (ssjoin|skew|stream|probe|memoscale|triangles|intervals|graphiter|gaps)")
     }
     spark.stop()
   }
@@ -544,6 +547,64 @@ object ScaleEvidence {
       case Seq(a, b) =>
         val r = math.log(b.n.toDouble / a.n) // rung ratio
         println(f"${a.n}%7d -> ${b.n}%7d: alpha_q31=${math.log(b.t31 / a.t31) / r}%5.2f  alpha_inv=${math.log(b.tInv / a.tInv) / r}%5.2f")
+      case _ =>
+    }
+  }
+
+  /** Distributed gap census (the q169 shape) vs the naive global-window
+    * lag, on synthetic key sets with ~10% hash-deleted keys. The naive
+    * form sorts the ENTIRE key set into one partition for its lag();
+    * the two-level form lags inside 4096-key buckets (parallel) and
+    * closes bucket boundaries on the tiny extrema relation. Both sides
+    * must produce the identical census row per rung — the evidence is
+    * worthless if the fast path is wrong.
+    */
+  private def gapScale(spark: org.apache.spark.sql.SparkSession,
+      sizes: Seq[Int]): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    println(s"== key-gap census: bucketed vs global-window over $sizes ==")
+    def keys(n: Int): DataFrame =
+      spark.range(n.toLong).select($"id".as("k"))
+        .filter(pmod(xxhash64($"k"), lit(10L)) =!= 0)
+    def naive(ks: DataFrame): org.apache.spark.sql.Row = {
+      val gaps = ks.select($"k").distinct()
+        .withColumn("pk", lag($"k", 1).over(Window.orderBy($"k")))
+        .filter($"pk".isNotNull && $"k" - $"pk" > 1)
+        .select(($"k" - $"pk" - 1).as("missing"))
+      val tot = ks.select($"k").distinct().agg(count(lit(1)).as("n_keys"),
+        min($"k").as("min_key"), max($"k").as("max_key"))
+      gaps.agg(count(lit(1)).as("n_gaps"),
+          coalesce(sum($"missing"), lit(0L)).as("n_missing"),
+          coalesce(max($"missing"), lit(0L)).as("max_gap"))
+        .crossJoin(broadcast(tot))
+        .select($"n_keys", $"min_key", $"max_key", $"n_gaps", $"n_missing",
+          $"max_gap",
+          ($"max_key" - $"min_key" + 1 - $"n_keys" === $"n_missing")
+            .as("conservation_ok"))
+        .collect()(0)
+    }
+    val allSizes = sizes.head +: sizes // JIT warmup rung, discarded
+    val rungs = allSizes.zipWithIndex.map { case (n, idx) =>
+      val ks = keys(n).localCheckpoint()
+      val t0 = System.nanoTime()
+      val rB = graft.operators.Diagnostics.gapCensus(ks).collect()(0)
+      val tB = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val rN = naive(ks)
+      val tN = (System.nanoTime() - t1) / 1e9
+      require(rB == rN, s"bucketed and naive censuses disagree at n=$n: $rB vs $rN")
+      org.apache.spark.sql.graft.CheckpointUtils.sweepUnpinned(spark.sparkContext)
+      val tag = if (idx == 0) " (warmup, discarded)" else ""
+      println(f"n=$n%9d  gaps=${rB.getAs[Long]("n_gaps")}%9d  " +
+        f"bucketed=$tB%7.2f s  naive=$tN%7.2f s$tag")
+      (n, tB, tN)
+    }.drop(1)
+    rungs.sliding(2).foreach {
+      case Seq((na, ta, tna), (nb, tb, tnb)) =>
+        val r = math.log(nb.toDouble / na)
+        println(f"$na%9d -> $nb%9d: alpha_bucketed=${math.log(tb / ta) / r}%5.2f" +
+          f"  alpha_naive=${math.log(tnb / tna) / r}%5.2f")
       case _ =>
     }
   }
