@@ -671,7 +671,69 @@ object Relational {
       |FROM rev JOIN tot ON rev.o_year = tot.o_year
       |ORDER BY rev.o_year, rev.supp_nation""".stripMargin
 
+  /** q170 — three-valued-logic audit: `NOT IN` vs `NOT EXISTS` against a
+    * NULL-bearing subquery, the classic SQL semantics trap an engine must
+    * get exactly right. The probe list is 12 nation keys with two
+    * deterministically NULLed out (`k % 5 = 2`); the audit emits the
+    * same anti-membership count three ways: NOT IN against the
+    * NULL-free list (the baseline), NOT IN against the NULL-bearing
+    * list (standard semantics: one NULL poisons the predicate to
+    * UNKNOWN for every non-member, so the count MUST be 0), and
+    * NOT EXISTS on the equality correlation (NULL never equals, so it
+    * matches the clean baseline). The two boolean identities ride the
+    * driver hash gate; Spark must plan the poisoned variant as a
+    * null-aware anti join (pinned in PlanSpec-style within
+    * RelationalSpec) rather than a plain anti join.
+    *
+    * Scale shape: the probe relation is nation-bounded (≤12 rows,
+    * broadcast); all three counts are single-pass anti joins over the
+    * customer fact. Expressed through `spark.sql` because NOT IN
+    * subquery semantics are exactly the surface under test.
+    */
+  def q170NullSemantics(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_q170_customer")
+    Tables.nation(spark, dir).createOrReplaceTempView("graft_q170_nation")
+    spark.sql(
+      """WITH probe AS (
+        |  SELECT CASE WHEN n_nationkey % 5 = 2 THEN NULL
+        |              ELSE n_nationkey END AS k
+        |  FROM graft_q170_nation WHERE n_nationkey < 12),
+        |clean AS (SELECT k FROM probe WHERE k IS NOT NULL)
+        |SELECT
+        |  (SELECT COUNT(*) FROM graft_q170_customer
+        |   WHERE c_nationkey NOT IN (SELECT k FROM clean)) AS n_not_in_clean,
+        |  (SELECT COUNT(*) FROM graft_q170_customer
+        |   WHERE c_nationkey NOT IN (SELECT k FROM probe)) AS n_not_in_null,
+        |  (SELECT COUNT(*) FROM graft_q170_customer c
+        |   WHERE NOT EXISTS (SELECT 1 FROM probe p
+        |                     WHERE p.k = c.c_nationkey)) AS n_not_exists
+        |""".stripMargin)
+      .selectExpr("n_not_in_clean", "n_not_in_null", "n_not_exists",
+        "n_not_in_null = 0 AS null_poisons_not_in",
+        "n_not_exists = n_not_in_clean AS not_exists_ignores_null")
+  }
+
+  val q170Sql: String =
+    """WITH probe AS (
+      |  SELECT CASE WHEN n_nationkey % 5 = 2 THEN NULL
+      |              ELSE n_nationkey END AS k
+      |  FROM nation WHERE n_nationkey < 12),
+      |clean AS (SELECT k FROM probe WHERE k IS NOT NULL),
+      |x AS (SELECT
+      |  (SELECT COUNT(*) FROM customer
+      |   WHERE c_nationkey NOT IN (SELECT k FROM clean)) AS n_not_in_clean,
+      |  (SELECT COUNT(*) FROM customer
+      |   WHERE c_nationkey NOT IN (SELECT k FROM probe)) AS n_not_in_null,
+      |  (SELECT COUNT(*) FROM customer c
+      |   WHERE NOT EXISTS (SELECT 1 FROM probe p
+      |                     WHERE p.k = c.c_nationkey)) AS n_not_exists)
+      |SELECT n_not_in_clean, n_not_in_null, n_not_exists,
+      |       n_not_in_null = 0 AS null_poisons_not_in,
+      |       n_not_exists = n_not_in_clean AS not_exists_ignores_null
+      |FROM x""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q170_null_semantics" -> (q170NullSemantics _),
     "q139_market_share" -> (q139MarketShare _),
     "q128_order_journey" -> (q128OrderJourney _),
     "q116_relational_division" -> (q116RelationalDivision _),
@@ -696,6 +758,7 @@ object Relational {
     "q19_math_funcs" -> (q19MathFuncs _))
 
   val oracleSql: Map[String, String] = Map(
+    "q170_null_semantics" -> q170Sql,
     "q139_market_share" -> q139Sql,
     "q128_order_journey" -> q128Sql,
     "q116_relational_division" -> q116Sql,

@@ -398,4 +398,33 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
         s"year $y: floor shares must sum into (10000-$n, 10000], got $bp")
     }
   }
+
+  test("q170: NOT IN with a NULL plans null-aware and the identities hold") {
+    val r = SparkEntry.queries("q170_null_semantics")(spark, sfDir).collect()(0)
+    assert(r.getAs[Long]("n_not_in_clean") > 0,
+      "probe list must exclude some customers or the audit is vacuous")
+    assert(r.getAs[Long]("n_not_in_null") == 0L,
+      "a NULL in the NOT IN list must poison every non-member to UNKNOWN")
+    assert(r.getAs[Long]("n_not_exists") == r.getAs[Long]("n_not_in_clean"),
+      "NOT EXISTS equality correlation must ignore the NULL")
+    assert(r.getAs[Boolean]("null_poisons_not_in"))
+    assert(r.getAs[Boolean]("not_exists_ignores_null"))
+    // the poisoned variant requires the null-aware anti-join machinery —
+    // a plain LeftAnti would silently return the clean count. The audit
+    // query hides its joins inside scalar Subquery nodes (which formatted
+    // explain does not inline), so pin the shape on the standalone form;
+    // the temp views are registered by the query call above.
+    val p = spark.sql(
+      """SELECT COUNT(*) FROM graft_q170_customer
+        |WHERE c_nationkey NOT IN (
+        |  SELECT CASE WHEN n_nationkey % 5 = 2 THEN NULL
+        |              ELSE n_nationkey END
+        |  FROM graft_q170_nation WHERE n_nationkey < 12)""".stripMargin)
+      .queryExecution.executedPlan.toString
+    // BroadcastHashJoinExec prints its isNullAwareAntiJoin flag as the
+    // trailing boolean: "LeftAnti, BuildRight, true"
+    assert(p.contains("LeftAnti, BuildRight, true"),
+      "NOT IN against a nullable subquery must plan a null-aware anti join:\n" +
+        p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
 }
