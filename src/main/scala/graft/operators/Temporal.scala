@@ -548,7 +548,59 @@ object Temporal {
       |FROM daily JOIN t ON daily.event_type = t.event_type
       |ORDER BY daily.event_type, daily.epoch_day""".stripMargin
 
+  /** q171 — walk-forward forecast backtest with integer MAPE: the
+    * persistence ("naive last-week") forecast scored per market
+    * segment — the baseline every real revenue model must beat, and
+    * the eval harness is the operator worth shipping: weekly actuals,
+    * one lag per segment for the prediction, absolute percentage
+    * error frozen to basis points per scored week
+    * (`|act − pred|·10⁴ div act`, positive so `div`/`//` agree), then
+    * the mean of those integer bp (`Σape div n` — mean-of-frozen, the
+    * exact analogue of the micro-nat discipline). Emitted per
+    * segment: weeks scored, MAPE bp, and the worst single week.
+    *
+    * Scale shape: one hash aggregate to the (segment, week) relation;
+    * the lag window and the final rollup both run on that tiny
+    * relation (segments × calendar weeks), never the fact.
+    */
+  def q171ForecastBacktest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val weekly = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment".as("segment"),
+        date_trunc("week", $"o_orderdate").as("week"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("act"))
+    val wLag = Window.partitionBy($"segment").orderBy($"week")
+    weekly
+      .withColumn("pred", lag($"act", 1).over(wLag))
+      .filter($"pred".isNotNull)
+      .withColumn("ape_bp", expr("abs(act - pred) * 10000 div act"))
+      .groupBy($"segment")
+      .agg(count(lit(1)).as("n_weeks"),
+        expr("sum(ape_bp) div count(1)").as("mape_bp"),
+        max($"ape_bp").as("worst_ape_bp"))
+      .orderBy($"segment")
+  }
+
+  val q171Sql: String =
+    """WITH w AS (
+      |  SELECT c.c_mktsegment AS segment, date_trunc('week', o.o_orderdate) AS week,
+      |         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |           AS act
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2),
+      |p AS (SELECT segment, week, act,
+      |        lag(act, 1) OVER (PARTITION BY segment ORDER BY week) AS pred
+      |      FROM w),
+      |e AS (SELECT segment, abs(act - pred) * 10000 // act AS ape_bp
+      |      FROM p WHERE pred IS NOT NULL)
+      |SELECT segment, CAST(count(*) AS BIGINT) AS n_weeks,
+      |       CAST(sum(ape_bp) // count(*) AS BIGINT) AS mape_bp,
+      |       CAST(max(ape_bp) AS BIGINT) AS worst_ape_bp
+      |FROM e GROUP BY 1 ORDER BY segment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q171_forecast_backtest" -> (q171ForecastBacktest _),
     "q159_cusum_changepoint" -> (q159CusumChangepoint _),
     "q147_rate_anomaly" -> (q147RateAnomaly _),
     "q129_rolling_reach_sketch" -> (q129RollingReachSketch _),
@@ -562,6 +614,7 @@ object Temporal {
     "q123_time_weighted" -> (q123TimeWeighted _))
 
   val oracleSql: Map[String, String] = Map(
+    "q171_forecast_backtest" -> q171Sql,
     "q159_cusum_changepoint" -> q159Sql,
     "q147_rate_anomaly" -> q147Sql,
     "q129_rolling_reach_sketch" -> q129Sql,

@@ -219,6 +219,32 @@ class TemporalSpec extends AnyFunSuite with SparkSpec {
         p.linesIterator.filter(_.contains("Join")).mkString("\n"))
   }
 
+  test("q171: MAPE replays from the weekly relation in BigInt-free Long arithmetic") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // take only the week truncation from Spark (its Monday semantics are
+    // oracle-pinned via q93); rebuild the lag, APEs and rollup in Scala
+    val weekly = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment", date_trunc("week", $"o_orderdate").as("w"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => ((r.getString(0), r.getTimestamp(1).getTime), r.getLong(2)))
+    val acts = weekly.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val got = Temporal.q171ForecastBacktest(spark, sfDir).collect()
+      .map(r => r.getAs[String]("segment") -> ((r.getAs[Long]("n_weeks"),
+        r.getAs[Long]("mape_bp"), r.getAs[Long]("worst_ape_bp")))).toMap
+    val bySeg = acts.groupBy(_._1._1)
+    bySeg.foreach { case (seg, m) =>
+      val series = m.toSeq.map { case ((_, w), a) => (w, a) }.sortBy(_._1)
+      val apes = series.zip(series.tail).map { case ((_, prev), (_, act)) =>
+        math.abs(act - prev) * 10000L / act }
+      val exp = (apes.length.toLong, apes.sum / apes.length, apes.max)
+      assert(got(seg) == exp, s"$seg: got ${got(seg)} expected $exp")
+    }
+    assert(got.keySet == bySeg.keySet)
+  }
+
   test("q159: cusum replays exactly per type and telescopes to zero at the last day") {
     val daily = events
       .map { case (_, us, _, tpe, _) => (tpe, us / 86400000000L) }
