@@ -732,7 +732,109 @@ object Relational {
       |       n_not_exists = n_not_in_clean AS not_exists_ignores_null
       |FROM x""".stripMargin
 
+  /** q172 — inclusion–exclusion audit over three customer cohorts
+    * (placed an URGENT / HIGH / MEDIUM order): |A∪B∪C| computed TWO
+    * ways — directly as a distinct count, and via the
+    * inclusion–exclusion identity from the seven intersection
+    * cardinalities — with the equality boolean in the driver hash
+    * gate. Two genuinely different mechanisms (distinct aggregation vs
+    * arithmetic over flag sums), so a drop or double-count in either
+    * flips the gate (the q117 two-algorithms discipline applied to set
+    * algebra).
+    *
+    * Scale shape: ONE pass builds per-customer membership flags (hash
+    * aggregate, map-side combinable); every one of the nine counts is
+    * then a sum over that flags relation in a single second aggregate —
+    * no per-cohort rescans, no joins.
+    */
+  def q172InclusionExclusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val flags = Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(
+        max(when($"o_orderpriority" === "1-URGENT", 1L).otherwise(0L)).as("a"),
+        max(when($"o_orderpriority" === "2-HIGH", 1L).otherwise(0L)).as("b"),
+        max(when($"o_orderpriority" === "3-MEDIUM", 1L).otherwise(0L)).as("c"))
+    flags.agg(
+      sum($"a").as("n_a"), sum($"b").as("n_b"), sum($"c").as("n_c"),
+      sum($"a" * $"b").as("n_ab"), sum($"a" * $"c").as("n_ac"),
+      sum($"b" * $"c").as("n_bc"),
+      sum($"a" * $"b" * $"c").as("n_abc"),
+      sum(when($"a" + $"b" + $"c" > 0, 1L).otherwise(0L)).as("union_direct"))
+      .select($"n_a", $"n_b", $"n_c", $"n_ab", $"n_ac", $"n_bc", $"n_abc",
+        $"union_direct",
+        ($"n_a" + $"n_b" + $"n_c" - $"n_ab" - $"n_ac" - $"n_bc" + $"n_abc")
+          .as("union_ie"),
+        ($"union_direct" ===
+          $"n_a" + $"n_b" + $"n_c" - $"n_ab" - $"n_ac" - $"n_bc" + $"n_abc")
+          .as("ie_holds"))
+  }
+
+  val q172Sql: String =
+    """WITH f AS (
+      |  SELECT o_custkey,
+      |    max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS a,
+      |    max(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS b,
+      |    max(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS c
+      |  FROM orders GROUP BY 1),
+      |s AS (SELECT CAST(sum(a) AS BIGINT) AS n_a, CAST(sum(b) AS BIGINT) AS n_b,
+      |        CAST(sum(c) AS BIGINT) AS n_c,
+      |        CAST(sum(a * b) AS BIGINT) AS n_ab,
+      |        CAST(sum(a * c) AS BIGINT) AS n_ac,
+      |        CAST(sum(b * c) AS BIGINT) AS n_bc,
+      |        CAST(sum(a * b * c) AS BIGINT) AS n_abc,
+      |        CAST(sum(CASE WHEN a + b + c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS union_direct
+      |      FROM f)
+      |SELECT n_a, n_b, n_c, n_ab, n_ac, n_bc, n_abc, union_direct,
+      |       n_a + n_b + n_c - n_ab - n_ac - n_bc + n_abc AS union_ie,
+      |       union_direct = n_a + n_b + n_c - n_ab - n_ac - n_bc + n_abc
+      |         AS ie_holds
+      |FROM s""".stripMargin
+
+  /** q173 — presence-set encoding (the bitmap-index primitive): each
+    * customer's order-priority usage compressed to a 5-bit mask via
+    * `bit_or` of per-priority powers of two, then the distribution of
+    * masks — which priority COMBINATIONS exist and how common each is
+    * (the "customer segments by behavior signature" rollup). `bit_count`
+    * recovers the set size from the mask. Output ≤ 2⁵ rows at any
+    * scale; the mask aggregate is map-side combinable and the mask is
+    * exchangeable — two shards' masks OR together, the same
+    * mergeability argument as the sketch tables (q106), but exact,
+    * because the domain is 5 values.
+    */
+  def q173PresenceMask(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bit = expr(
+      """CASE o_orderpriority
+        |  WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2 WHEN '3-MEDIUM' THEN 4
+        |  WHEN '4-NOT SPECIFIED' THEN 8 ELSE 16 END""".stripMargin)
+    Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(bit_or(bit).cast("long").as("mask"))
+      .groupBy($"mask")
+      .agg(count(lit(1)).as("n_customers"))
+      .select($"mask", expr("bit_count(mask)").cast("long").as("n_priorities"),
+        $"n_customers")
+      .orderBy($"mask")
+  }
+
+  val q173Sql: String =
+    """WITH m AS (
+      |  SELECT o_custkey,
+      |         bit_or(CASE o_orderpriority
+      |           WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+      |           WHEN '3-MEDIUM' THEN 4 WHEN '4-NOT SPECIFIED' THEN 8
+      |           ELSE 16 END) AS mask
+      |  FROM orders GROUP BY 1)
+      |SELECT CAST(mask AS BIGINT) AS mask,
+      |       CAST(bit_count(CAST(mask AS BIGINT)) AS BIGINT) AS n_priorities,
+      |       count(*) AS n_customers
+      |FROM m GROUP BY 1 ORDER BY mask""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_inclusion_exclusion" -> (q172InclusionExclusion _),
+    "q173_presence_mask" -> (q173PresenceMask _),
     "q170_null_semantics" -> (q170NullSemantics _),
     "q139_market_share" -> (q139MarketShare _),
     "q128_order_journey" -> (q128OrderJourney _),
@@ -758,6 +860,8 @@ object Relational {
     "q19_math_funcs" -> (q19MathFuncs _))
 
   val oracleSql: Map[String, String] = Map(
+    "q172_inclusion_exclusion" -> q172Sql,
+    "q173_presence_mask" -> q173Sql,
     "q170_null_semantics" -> q170Sql,
     "q139_market_share" -> q139Sql,
     "q128_order_journey" -> q128Sql,

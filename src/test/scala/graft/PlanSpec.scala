@@ -399,6 +399,40 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q172/q173: set algebra and presence masks replay from a driver-side fold") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.sources.Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderpriority")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def cohort(p: String) = rows.filter(_._2 == p).map(_._1).toSet
+    val (a, b, c) = (cohort("1-URGENT"), cohort("2-HIGH"), cohort("3-MEDIUM"))
+    val r = SparkEntry.queries("q172_inclusion_exclusion")(spark, sfDir)
+      .collect()(0)
+    assert(r.getAs[Long]("n_a") == a.size && r.getAs[Long]("n_b") == b.size &&
+      r.getAs[Long]("n_c") == c.size)
+    assert(r.getAs[Long]("n_ab") == (a & b).size)
+    assert(r.getAs[Long]("n_abc") == (a & b & c).size)
+    assert(r.getAs[Long]("union_direct") == (a | b | c).size)
+    assert(r.getAs[Long]("union_ie") == r.getAs[Long]("union_direct"))
+    assert(r.getAs[Boolean]("ie_holds"))
+    assert((a & b).nonEmpty && (a | b | c).size < rows.map(_._1).distinct.length + 1,
+      "cohorts must overlap non-trivially for the audit to bite")
+
+    val bitOf = Map("1-URGENT" -> 1, "2-HIGH" -> 2, "3-MEDIUM" -> 4,
+      "4-NOT SPECIFIED" -> 8).withDefaultValue(16)
+    val masks = rows.groupBy(_._1).values
+      .map(_.map(x => bitOf(x._2)).reduce(_ | _))
+    val exp = masks.groupBy(identity).map { case (m, xs) =>
+      m.toLong -> xs.size.toLong }
+    val got = SparkEntry.queries("q173_presence_mask")(spark, sfDir).collect()
+      .map(x => x.getAs[Long]("mask") ->
+        ((x.getAs[Long]("n_priorities"), x.getAs[Long]("n_customers")))).toMap
+    assert(got.view.mapValues(_._2).toMap == exp, s"got $got expected $exp")
+    got.foreach { case (m, (np, _)) =>
+      assert(np == java.lang.Long.bitCount(m).toLong)
+    }
+  }
+
   test("q170: NOT IN with a NULL plans null-aware and the identities hold") {
     val r = SparkEntry.queries("q170_null_semantics")(spark, sfDir).collect()(0)
     assert(r.getAs[Long]("n_not_in_clean") > 0,
