@@ -27,7 +27,10 @@ object Main {
       gcArtifacts: Option[String] = None,
       releases: Seq[String] = Seq.empty,
       rebuildIndex: Option[(String, String)] = None,
-      smoke: Option[String] = None) {
+      smoke: Option[String] = None,
+      query: Option[(String, String)] = None,
+      explain: Boolean = false,
+      show: Int = 20) {
     /** Warm-tier maintenance flags short-circuit the ingest pipeline. */
     def isMaintenance: Boolean =
       gcArtifacts.nonEmpty || releases.nonEmpty || rebuildIndex.nonEmpty
@@ -60,6 +63,14 @@ object Main {
       // would have caught round 8's silent toolchain swap before a full
       // bench ran
       case "--smoke" :: v :: t => loop(t, c.copy(smoke = Some(v)))
+      // ad-hoc runner: execute one declared query by name against a
+      // table dir — the "run what the engine ships" entry a reference
+      // user reaches for first. `--explain` adds the formatted physical
+      // plan; `--show N` bounds the printed rows (collect stays off the
+      // driver beyond that bound).
+      case "--query" :: name :: dir :: t => loop(t, c.copy(query = Some((name, dir))))
+      case "--explain" :: t => loop(t, c.copy(explain = true))
+      case "--show" :: v :: t => loop(t, c.copy(show = v.toInt))
       case Nil => c
       case x :: _ => throw new IllegalArgumentException(s"unknown arg: $x")
     }
@@ -139,15 +150,31 @@ object Main {
     val cfg = parse(args)
     val spark = graft.core.Sessions.local(cfg.cores)
     spark.sparkContext.setLogLevel("WARN")
-    cfg.smoke match {
-      case Some(sfDir) =>
+    (cfg.smoke, cfg.query) match {
+      case (Some(sfDir), _) =>
         val failures = runSmoke(spark, sfDir)
         println(s"[graft] smoke on Spark ${spark.version} at $sfDir: " +
           (if (failures.isEmpty) "OK" else s"FAILED ${failures.map(_._1).mkString(",")}"))
         failures.foreach { case (n, m) => System.err.println(s"[graft] smoke $n: $m") }
         spark.stop()
         if (failures.nonEmpty) sys.exit(1)
-      case None =>
+      case (None, Some((name, dir))) =>
+        SparkEntry.queries.get(name) match {
+          case None =>
+            System.err.println(s"[graft] unknown query '$name'; declared: " +
+              SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
+            spark.stop()
+            sys.exit(2)
+          case Some(q) =>
+            val df = q(spark, dir)
+            if (cfg.explain)
+              println(df.queryExecution.explainString(
+                org.apache.spark.sql.execution.FormattedMode))
+            df.show(cfg.show, truncate = false)
+            println(s"[graft] $name on $dir: showed up to ${cfg.show} rows")
+            spark.stop()
+        }
+      case (None, None) =>
         if (cfg.isMaintenance) runMaintenance(spark, cfg)
         else {
           val n = run(spark, cfg)

@@ -181,6 +181,17 @@ class IngestSpec extends AnyFunSuite with SparkSpec {
     } finally server.stop(0)
   }
 
+  test("--query flag parses and resolves a declared query against a table dir") {
+    val cfg = graft.Main.parse(Array(
+      "--query", "q1_pricing_summary", "/root/testdata/sf0.001",
+      "--explain", "--show", "3"))
+    assert(cfg.query.contains(("q1_pricing_summary", "/root/testdata/sf0.001")))
+    assert(cfg.explain && cfg.show == 3)
+    val (name, dir) = cfg.query.get
+    assert(graft.SparkEntry.queries(name)(spark, dir).count() > 0)
+    assert(!graft.SparkEntry.queries.contains("not_a_query"))
+  }
+
   test("--limit-inputs dev guard scans only the first N discovered CSVs") {
     val staging = Files.createTempDirectory("graft_limit_staging")
     // two months, one CSV each
