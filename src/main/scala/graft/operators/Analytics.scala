@@ -928,7 +928,75 @@ object Analytics {
       |       count(*) AS n, CAST(sum(c) AS BIGINT) AS sum_cents
       |FROM b GROUP BY 1, 2 ORDER BY band""".stripMargin
 
+  /** q175 — deterministic jackknife variance of the mean order value:
+    * uncertainty quantification WITHOUT randomness — the 16
+    * delete-one-group estimates come from the deterministic
+    * `substr(md5(orderkey),1,1)` slicing (the q97 hash-slice
+    * discipline), so the variance is reproducible bit-for-bit. Each
+    * leave-one-out mean is frozen to exact MILLI-cents
+    * (`(tot−sum_g)·10³ div (n−n_g)`, positive so `div`/`//` agree —
+    * first cut froze to micro and Σdev² overflowed BIGINT in BOTH
+    * engines at sf0.01); their spread `(g−1)/g · Σ(mean_g − mean_bar)²`
+    * is accumulated in DECIMAL(38,0)/HUGEINT. The oracle
+    * recomputes the identical frozen pipeline — and q175's value is
+    * the OPERATOR: the error bar a data steward attaches to any
+    * whole-corpus scalar, at one aggregate's cost.
+    *
+    * Scale shape: one map-side-combinable aggregate to the 16-row
+    * slice relation; everything after is arithmetic on those 16 rows
+    * broadcast against the one-row total.
+    */
+  def q175JackknifeVariance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val slices = Tables.orders(spark, dir)
+      .select(substring(md5($"o_orderkey".cast("string")), 1, 1).as("g"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .groupBy($"g")
+      .agg(count(lit(1)).as("n_g"), sum($"cents").as("sum_g"))
+    val tot = slices.agg(sum($"n_g").as("n"), sum($"sum_g").as("tot"),
+      count(lit(1)).as("n_slices"))
+    val loo = slices.crossJoin(broadcast(tot))
+      .withColumn("mean_g_milli",
+        expr("(tot - sum_g) * 1000 div (n - n_g)"))
+    val bar = loo.agg(sum($"mean_g_milli").as("s"), count(lit(1)).as("g"))
+      .select(expr("s div g").as("mean_bar_milli"))
+    loo.crossJoin(broadcast(bar))
+      .withColumn("dev",
+        ($"mean_g_milli" - $"mean_bar_milli")
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+      .groupBy($"n", $"tot", $"n_slices")
+      .agg(sum($"dev" * $"dev").as("ss"))
+      .select($"n".as("n_orders"), $"tot".as("total_cents"),
+        expr("tot * 1000000 div n").as("mean_micro"),
+        expr("CAST((n_slices - 1) * ss div n_slices AS BIGINT)")
+          .as("jk_var_milli2"))
+  }
+
+  val q175Sql: String =
+    """WITH s AS (
+      |  SELECT substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) AS g,
+      |         CAST(count(*) AS BIGINT) AS n_g,
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |           AS sum_g
+      |  FROM orders GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_g) AS BIGINT) AS n, CAST(sum(sum_g) AS BIGINT)
+      |        AS tot, CAST(count(*) AS BIGINT) AS n_slices FROM s),
+      |loo AS (SELECT s.g, (t.tot - s.sum_g) * 1000 // (t.n - s.n_g)
+      |          AS mean_g_milli
+      |        FROM s, t),
+      |b AS (SELECT CAST(sum(mean_g_milli) AS BIGINT) // count(*)
+      |        AS mean_bar_milli FROM loo)
+      |SELECT t.n AS n_orders, t.tot AS total_cents,
+      |       t.tot * 1000000 // t.n AS mean_micro,
+      |       CAST((t.n_slices - 1) *
+      |         sum(CAST(loo.mean_g_milli - b.mean_bar_milli AS HUGEINT)
+      |           * (loo.mean_g_milli - b.mean_bar_milli))
+      |         // t.n_slices AS BIGINT) AS jk_var_milli2
+      |FROM loo, b, t
+      |GROUP BY t.n, t.tot, t.n_slices""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q175_jackknife_variance" -> (q175JackknifeVariance _),
     "q154_equiwidth_hist" -> (q154EquiwidthHist _),
     "q152_segment_trend" -> (q152SegmentTrend _),
     "q146_percent_of_parent" -> (q146PercentOfParent _),
@@ -953,6 +1021,7 @@ object Analytics {
     "q108_lateral_top_orders" -> (q108LateralTopOrders _))
 
   val oracleSql: Map[String, String] = Map(
+    "q175_jackknife_variance" -> q175Sql,
     "q154_equiwidth_hist" -> q154Sql,
     "q152_segment_trend" -> q152Sql,
     "q146_percent_of_parent" -> q146Sql,

@@ -875,7 +875,85 @@ object Selection {
       |FROM x JOIN f ON x.flag = f.flag
       |GROUP BY 1, 2, 3 ORDER BY x.flag""".stripMargin
 
+  /** q174 — Pareto / ABC analysis: the exact minimum number of top
+    * customers whose revenue reaches 80% of the total, with the 80%
+    * threshold held as the cross-multiplied integer comparison
+    * `5·cum ≥ 4·tot` (no float share ever exists). Descending value
+    * order rides the q151 bucket prefix scan after the monotone flip
+    * `v' = 10¹⁵ − cents` (cents are non-negative, so v' stays positive
+    * and `div` bucketing never sees a negative operand — the
+    * q152-class divergence is avoided by construction; the 10¹⁵ cap =
+    * $10T/customer, documented widen point). The boundary value-group
+    * is resolved exactly: k = ⌈(4·tot − 5·cumrev_prev) / (5·v)⌉
+    * customers of the tied value are needed, so ties at the threshold
+    * don't over-count. Oracle recomputes via DuckDB's direct
+    * descending window — two mechanisms, one gate.
+    *
+    * Scale shape: one per-customer aggregate, then everything runs on
+    * the distinct-revenue-value relation (bucket windows + broadcast
+    * offsets — no global sort); 5·cumrev crosses BIGINT near 2e18
+    * cents total, the documented DECIMAL(38,0) widen point.
+    */
+  def q174ParetoCut(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rev = Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+    val vals = rev.select((lit(1000000000000000L) - $"cents").as("vp"), $"cents")
+      .groupBy($"vp", $"cents").agg(count(lit(1)).as("cnt"))
+      .withColumn("bkt", expr("vp div 100000000"))
+    val offs = vals.groupBy($"bkt")
+      .agg(sum($"cnt").as("bc"), sum($"cnt" * $"cents").as("bv"))
+      .withColumn("offc", coalesce(sum($"bc").over(
+        Window.orderBy($"bkt").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("offv", coalesce(sum($"bv").over(
+        Window.orderBy($"bkt").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select($"bkt", $"offc", $"offv")
+    val wIn = Window.partitionBy($"bkt").orderBy($"vp")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vals.join(broadcast(offs), Seq("bkt"))
+      .withColumn("cumc", sum($"cnt").over(wIn) + $"offc")
+      .withColumn("cumv", sum($"cnt" * $"cents").over(wIn) + $"offv")
+    val tot = rev.agg(count(lit(1)).as("n_customers"), sum($"cents").as("tot"))
+    cum.crossJoin(broadcast(tot))
+      .filter($"cumv" * 5 >= $"tot" * 4)
+      .orderBy($"cumc")
+      .limit(1)
+      .select($"n_customers", $"tot".as("total_cents"),
+        ($"cumc" - $"cnt" +
+          expr("(4 * tot - 5 * (cumv - cnt * cents) + 5 * cents - 1) div (5 * cents)"))
+          .as("n_top80"))
+      .select($"n_customers", $"total_cents", $"n_top80",
+        expr("n_top80 * 10000 div n_customers").as("top80_customer_share_bp"))
+  }
+
+  val q174Sql: String =
+    """WITH rev AS (
+      |  SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+      |           AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |r AS (SELECT cents,
+      |        CAST(sum(count(*)) OVER (ORDER BY cents DESC) AS BIGINT) AS cumc,
+      |        CAST(sum(sum(cents)) OVER (ORDER BY cents DESC) AS BIGINT) AS cumv,
+      |        CAST(count(*) AS BIGINT) AS cnt
+      |      FROM rev GROUP BY cents),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS n_customers,
+      |        CAST(sum(cents) AS BIGINT) AS tot FROM rev),
+      |b AS (SELECT r.*, t.n_customers, t.tot FROM r, t
+      |      WHERE r.cumv * 5 >= t.tot * 4
+      |      ORDER BY r.cumc LIMIT 1)
+      |SELECT n_customers, tot AS total_cents,
+      |       cumc - cnt + (4 * tot - 5 * (cumv - cnt * cents) + 5 * cents - 1)
+      |         // (5 * cents) AS n_top80,
+      |       (cumc - cnt + (4 * tot - 5 * (cumv - cnt * cents) + 5 * cents - 1)
+      |         // (5 * cents)) * 10000 // n_customers
+      |         AS top80_customer_share_bp
+      |FROM b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q174_pareto_cut" -> (q174ParetoCut _),
     "q162_iqr_outliers" -> (q162IqrOutliers _),
     "q158_stratified_sample" -> (q158StratifiedSample _),
     "q161_mad_dispersion" -> (q161MadDispersion _),
@@ -890,6 +968,7 @@ object Selection {
     "q95_quality_nll_correlation" -> (q95QualityNllCorrelation _))
 
   val oracleSql: Map[String, String] = Map(
+    "q174_pareto_cut" -> q174Sql,
     "q162_iqr_outliers" -> q162Sql,
     "q158_stratified_sample" -> q158Sql,
     "q161_mad_dispersion" -> q161Sql,

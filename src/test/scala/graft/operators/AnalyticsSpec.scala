@@ -103,4 +103,29 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
         ((r.getAs[Long]("n"), r.getAs[Long]("slope_micro")))).toMap
     assert(got == expected, s"got $got expected $expected")
   }
+
+  test("q175: jackknife variance replays from an MD5-sliced driver fold") {
+    def md5first(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(1).map("%02x".format(_)).mkString.take(1)
+    val rows = graft.sources.Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_totalprice").collect()
+      .map(r => (md5first(r.getLong(0).toString), math.round(r.getDouble(1) * 100)))
+    val slices = rows.groupBy(_._1).view
+      .mapValues(xs => (xs.length.toLong, xs.map(_._2).sum)).toMap
+    val n = rows.length.toLong
+    val tot = rows.map(_._2).sum
+    val loo = slices.values.toSeq.map { case (ng, sg) =>
+      (tot - sg) * 1000L / (n - ng) }
+    val bar = loo.sum / loo.length
+    val ss = loo.map(m => BigInt(m - bar) * BigInt(m - bar)).sum
+    val expVar = (BigInt(loo.length - 1) * ss / loo.length).toLong
+    val r = Analytics.q175JackknifeVariance(spark, sfDir).collect()(0)
+    assert(r.getAs[Long]("n_orders") == n)
+    assert(r.getAs[Long]("total_cents") == tot)
+    assert(r.getAs[Long]("mean_micro") == tot * 1000000L / n)
+    assert(r.getAs[Long]("jk_var_milli2") == expVar,
+      s"got ${r.getAs[Long]("jk_var_milli2")} expected $expVar")
+    assert(slices.size == 16, "md5 first hex char must populate all 16 slices")
+  }
 }

@@ -380,6 +380,25 @@ class SelectionSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q174: the 80% Pareto cut equals a descending-sort replay, ties resolved") {
+    val rev = graft.sources.Tables.orders(spark, sfDir)
+      .select($"o_custkey", $"o_totalprice").collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val desc = rev.values.toSeq.sortBy(-_)
+    val tot = desc.sum
+    var cum = 0L
+    val nTop = desc.indexWhere { v => cum += v; cum * 5 >= tot * 4 } + 1
+    val r = Selection.q174ParetoCut(spark, sfDir).collect()(0)
+    assert(r.getAs[Long]("n_customers") == rev.size.toLong)
+    assert(r.getAs[Long]("total_cents") == tot)
+    assert(r.getAs[Long]("n_top80") == nTop.toLong,
+      s"expected the minimal top set to be $nTop customers")
+    assert(r.getAs[Long]("top80_customer_share_bp") ==
+      nTop.toLong * 10000 / rev.size)
+    assert(nTop > 0 && nTop < rev.size, "cut must be strictly inside")
+  }
+
   test("q161: median and MAD equal the sorted-array low-median replay") {
     def lowMed(xs: Array[Long]): Long = {
       val s = xs.sorted; s((s.length + 1) / 2 - 1)
