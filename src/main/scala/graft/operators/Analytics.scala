@@ -995,7 +995,82 @@ object Analytics {
       |FROM loo, b, t
       |GROUP BY t.n, t.tot, t.n_slices""".stripMargin
 
+  /** q177 — revenue bridge (price/volume waterfall): the FP&A
+    * decomposition of per-brand revenue change between two periods
+    * (ship years ≤1997 vs ≥1998) into a volume effect at old prices
+    * plus a price effect, in exact milli-cents: `volume =
+    * Δqty·rev_A div qty_A` (Δqty·rev_A widened to
+    * DECIMAL(38,0)/HUGEINT — it crosses BIGINT near sf1 — and
+    * SIGN-SPLIT because Δqty goes negative and Spark `div` truncates
+    * where DuckDB `//` floors, the q152 class), and `price =
+    * Δrev·10³ − volume` BY CONSTRUCTION — the residual assignment
+    * makes additivity (volume + price = Δrev·10³) an identity, not a
+    * rounding hope, and the spec pins it. Quantities are frozen to
+    * centi-units at the leaf.
+    *
+    * Scale shape: one map-side-combinable aggregate per period over
+    * the fact (period = pushed-down year predicate), joined on the
+    * ~25-row brand dimension; all bridge arithmetic runs on that tiny
+    * relation.
+    */
+  def q177RevenueBridge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def period(lo: Boolean): DataFrame = {
+      val pred = if (lo) expr("year(CAST(l_shipdate AS DATE)) <= 1997")
+      else expr("year(CAST(l_shipdate AS DATE)) >= 1998")
+      val tag = if (lo) "a" else "b"
+      Tables.lineitem(spark, dir).filter(pred)
+        .join(broadcast(Tables.part(spark, dir)),
+          $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand".as("brand"))
+        .agg(sum(round($"l_extendedprice" * 100).cast("long")).as(s"rev_$tag"),
+          sum(round($"l_quantity" * 100).cast("long")).as(s"qty_$tag"))
+    }
+    period(lo = true).join(period(lo = false), "brand")
+      .withColumn("num",
+        expr("(CAST(qty_b AS DECIMAL(38,0)) - qty_a) * rev_a * 1000"))
+      .withColumn("volume_effect_milli",
+        expr("""CAST(CASE WHEN num < 0 THEN -((-num) div CAST(qty_a AS DECIMAL(38,0)))
+                          ELSE num div CAST(qty_a AS DECIMAL(38,0)) END AS BIGINT)"""))
+      .select($"brand", $"rev_a", $"rev_b", $"qty_a", $"qty_b",
+        (($"rev_b" - $"rev_a") * 1000).as("delta_milli"),
+        $"volume_effect_milli",
+        (($"rev_b" - $"rev_a") * 1000 - $"volume_effect_milli")
+          .as("price_effect_milli"))
+      .orderBy($"brand")
+  }
+
+  val q177Sql: String =
+    """WITH a AS (
+      |  SELECT p_brand AS brand,
+      |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev_a,
+      |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_a
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE year(CAST(l_shipdate AS DATE)) <= 1997 GROUP BY 1),
+      |b AS (
+      |  SELECT p_brand AS brand,
+      |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev_b,
+      |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_b
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE year(CAST(l_shipdate AS DATE)) >= 1998 GROUP BY 1),
+      |j AS (SELECT a.brand, rev_a, rev_b, qty_a, qty_b,
+      |        (CAST(qty_b AS HUGEINT) - qty_a) * rev_a * 1000 AS num
+      |      FROM a JOIN b ON a.brand = b.brand)
+      |SELECT brand, rev_a, rev_b, qty_a, qty_b,
+      |       (rev_b - rev_a) * 1000 AS delta_milli,
+      |       CAST(CASE WHEN num < 0 THEN -((-num) // CAST(qty_a AS HUGEINT))
+      |                 ELSE num // CAST(qty_a AS HUGEINT) END AS BIGINT)
+      |         AS volume_effect_milli,
+      |       (rev_b - rev_a) * 1000
+      |         - CAST(CASE WHEN num < 0 THEN -((-num) // CAST(qty_a AS HUGEINT))
+      |                     ELSE num // CAST(qty_a AS HUGEINT) END AS BIGINT)
+      |         AS price_effect_milli
+      |FROM j ORDER BY brand""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q177_revenue_bridge" -> (q177RevenueBridge _),
     "q175_jackknife_variance" -> (q175JackknifeVariance _),
     "q154_equiwidth_hist" -> (q154EquiwidthHist _),
     "q152_segment_trend" -> (q152SegmentTrend _),
@@ -1021,6 +1096,7 @@ object Analytics {
     "q108_lateral_top_orders" -> (q108LateralTopOrders _))
 
   val oracleSql: Map[String, String] = Map(
+    "q177_revenue_bridge" -> q177Sql,
     "q175_jackknife_variance" -> q175Sql,
     "q154_equiwidth_hist" -> q154Sql,
     "q152_segment_trend" -> q152Sql,

@@ -832,7 +832,61 @@ object Relational {
       |       count(*) AS n_customers
       |FROM m GROUP BY 1 ORDER BY mask""".stripMargin
 
+  /** The q178 twins: the same 1996-orders aggregate expressed
+    * non-sargably (`year(o_orderdate) = 1996` — a function over the
+    * column, opaque to parquet min/max pruning) and sargably (the
+    * equivalent half-open date range, pushed to the scan as
+    * GreaterThanOrEqual/LessThan). Exposed separately so PlanSpec can
+    * pin the PushedFilters difference — the rewrite every query author
+    * on a 100 TB table must know.
+    */
+  def q178YearFnAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .filter(expr("year(CAST(o_orderdate AS DATE)) = 1996"))
+      .agg(count(lit(1)).as("n_fn"),
+        sum(round($"o_totalprice" * 100).cast("long")).as("cents_fn"))
+  }
+
+  def q178RangeAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+      .agg(count(lit(1)).as("n_range"),
+        sum(round($"o_totalprice" * 100).cast("long")).as("cents_range"))
+  }
+
+  /** q178 — sargability twin audit: both forms MUST agree (equality
+    * booleans in the driver hash gate — a timezone or boundary slip in
+    * the rewrite flips them), while PlanSpec pins that only the range
+    * form reaches the parquet scan as a pushed filter. The declared
+    * query carries the semantics; the plan difference is the lesson.
+    */
+  def q178SargabilityTwin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    q178YearFnAgg(spark, dir).crossJoin(broadcast(q178RangeAgg(spark, dir)))
+      .select($"n_fn", $"cents_fn", $"n_range", $"cents_range",
+        ($"n_fn" === $"n_range" && $"cents_fn" === $"cents_range")
+          .as("rewrite_equivalent"))
+  }
+
+  val q178Sql: String =
+    """WITH f AS (SELECT COUNT(*) AS n_fn,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents_fn
+      |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1996),
+      |r AS (SELECT COUNT(*) AS n_range,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents_range
+      |  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |    AND o_orderdate < TIMESTAMP '1997-01-01')
+      |SELECT n_fn, cents_fn, n_range, cents_range,
+      |       n_fn = n_range AND cents_fn = cents_range AS rewrite_equivalent
+      |FROM f, r""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q178_sargability_twin" -> (q178SargabilityTwin _),
     "q172_inclusion_exclusion" -> (q172InclusionExclusion _),
     "q173_presence_mask" -> (q173PresenceMask _),
     "q170_null_semantics" -> (q170NullSemantics _),
@@ -860,6 +914,7 @@ object Relational {
     "q19_math_funcs" -> (q19MathFuncs _))
 
   val oracleSql: Map[String, String] = Map(
+    "q178_sargability_twin" -> q178Sql,
     "q172_inclusion_exclusion" -> q172Sql,
     "q173_presence_mask" -> q173Sql,
     "q170_null_semantics" -> q170Sql,

@@ -599,7 +599,46 @@ object Temporal {
       |       CAST(max(ape_bp) AS BIGINT) AS worst_ape_bp
       |FROM e GROUP BY 1 ORDER BY segment""".stripMargin
 
+  /** q176 — activity rhythm matrix (the ops-dashboard heatmap): event
+    * counts on the hour-of-day × day-of-week grid, with day-of-week
+    * computed ENGINE-FREE as `(epoch_day + 4) % 7` (1970-01-01 was a
+    * Thursday; Spark's `dayofweek` is 1=Sunday while DuckDB's `dow` is
+    * 0=Sunday — the class of off-by-one that silently shifts a whole
+    * heatmap, excluded by pure integer arithmetic). The week is
+    * pivoted into columns (`sum(when)` — the static-pivot form both
+    * engines express identically), 24 rows at any scale.
+    *
+    * Scale shape: one map-side-combinable hash aggregate to the
+    * 24×7 grid; the pivot is projection arithmetic on that grid.
+    */
+  def q176RhythmMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.events(spark, dir)
+      .select(
+        expr("(unix_micros(ts) div 3600000000) % 24").as("hour"),
+        expr("((unix_micros(ts) div 86400000000) + 4) % 7").as("dow"))
+      .groupBy($"hour", $"dow").agg(count(lit(1)).as("n"))
+    val cols = (0 to 6).map(d =>
+      sum(when($"dow" === d, $"n").otherwise(0L)).as(s"d$d"))
+    base.groupBy($"hour")
+      .agg(cols.head, cols.tail: _*)
+      .orderBy($"hour")
+  }
+
+  val q176Sql: String = {
+    val cols = (0 to 6).map(d =>
+      s"CAST(sum(CASE WHEN dow = $d THEN 1 ELSE 0 END) AS BIGINT) AS d$d")
+      .mkString(",\n      |       ")
+    s"""WITH e AS (
+       |  SELECT (epoch_us(ts) // 3600000000) % 24 AS hour,
+       |         ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow
+       |  FROM events)
+       |SELECT hour, $cols
+       |FROM e GROUP BY hour ORDER BY hour""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q176_rhythm_matrix" -> (q176RhythmMatrix _),
     "q171_forecast_backtest" -> (q171ForecastBacktest _),
     "q159_cusum_changepoint" -> (q159CusumChangepoint _),
     "q147_rate_anomaly" -> (q147RateAnomaly _),
@@ -614,6 +653,7 @@ object Temporal {
     "q123_time_weighted" -> (q123TimeWeighted _))
 
   val oracleSql: Map[String, String] = Map(
+    "q176_rhythm_matrix" -> q176Sql,
     "q171_forecast_backtest" -> q171Sql,
     "q159_cusum_changepoint" -> q159Sql,
     "q147_rate_anomaly" -> q147Sql,

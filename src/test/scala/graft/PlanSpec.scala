@@ -433,6 +433,21 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q178: the range twin pushes to the scan; the year() twin cannot") {
+    val r = SparkEntry.queries("q178_sargability_twin")(spark, sfDir).collect()(0)
+    assert(r.getAs[Boolean]("rewrite_equivalent"),
+      "the sargable rewrite must be value-identical")
+    assert(r.getAs[Long]("n_fn") > 0)
+    val range = graft.operators.Relational.q178RangeAgg(spark, sfDir)
+      .queryExecution.explainString(FormattedMode)
+    val fn = graft.operators.Relational.q178YearFnAgg(spark, sfDir)
+      .queryExecution.explainString(FormattedMode)
+    assert(range.contains("GreaterThanOrEqual(o_orderdate"),
+      "half-open range must reach the parquet scan as a pushed filter")
+    assert(!fn.contains("GreaterThanOrEqual(o_orderdate"),
+      "year() over the column must NOT be pushable — that asymmetry is the lesson")
+  }
+
   test("q170: NOT IN with a NULL plans null-aware and the identities hold") {
     val r = SparkEntry.queries("q170_null_semantics")(spark, sfDir).collect()(0)
     assert(r.getAs[Long]("n_not_in_clean") > 0,

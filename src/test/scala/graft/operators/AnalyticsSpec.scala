@@ -104,6 +104,24 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(got == expected, s"got $got expected $expected")
   }
 
+  test("q177: bridge additivity is exact and the volume effect replays in BigInt") {
+    val rows = Analytics.q177RevenueBridge(spark, sfDir).collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val (ra, rb) = (BigInt(r.getAs[Long]("rev_a")), BigInt(r.getAs[Long]("rev_b")))
+      val (qa, qb) = (BigInt(r.getAs[Long]("qty_a")), BigInt(r.getAs[Long]("qty_b")))
+      val num = (qb - qa) * ra * 1000
+      val vol = if (num < 0) -((-num) / qa) else num / qa
+      assert(BigInt(r.getAs[Long]("volume_effect_milli")) == vol)
+      assert(r.getAs[Long]("delta_milli") ==
+        r.getAs[Long]("volume_effect_milli") + r.getAs[Long]("price_effect_milli"),
+        "volume + price must reconstruct the delta EXACTLY — residual assignment")
+      assert(r.getAs[Long]("delta_milli") == (rb - ra).toLong * 1000)
+    }
+    assert(rows.exists(_.getAs[Long]("volume_effect_milli") < 0),
+      "fixture must exercise the negative-quotient sign split")
+  }
+
   test("q175: jackknife variance replays from an MD5-sliced driver fold") {
     def md5first(s: String): String =
       java.security.MessageDigest.getInstance("MD5")

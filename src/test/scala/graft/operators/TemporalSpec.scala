@@ -219,6 +219,22 @@ class TemporalSpec extends AnyFunSuite with SparkSpec {
         p.linesIterator.filter(_.contains("Join")).mkString("\n"))
   }
 
+  test("q176: rhythm grid replays from pure integer hour/dow arithmetic") {
+    val grid = events.map { case (_, us, _, _, _) =>
+      ((us / 3600000000L) % 24, ((us / 86400000000L) + 4) % 7)
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = Temporal.q176RhythmMatrix(spark, sfDir).collect()
+    got.foreach { r =>
+      val h = r.getAs[Long]("hour")
+      (0 to 6).foreach { d =>
+        assert(r.getAs[Long](s"d$d") == grid.getOrElse((h, d.toLong), 0L),
+          s"hour $h dow $d")
+      }
+    }
+    assert(got.map(r => (0 to 6).map(d => r.getAs[Long](s"d$d")).sum).sum ==
+      events.length.toLong, "every event lands in exactly one cell")
+  }
+
   test("q171: MAPE replays from the weekly relation in BigInt-free Long arithmetic") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
