@@ -845,6 +845,58 @@ object Dedup {
        |WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.7
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** q179 — asymmetric CONTAINMENT detection (quote/subsumption — "doc A
+    * is ≥80% contained in doc B"), the near-dup relation symmetric
+    * Jaccard cannot express: a short quote inside a long article has low
+    * Jaccard but containment ≈ 1, and it is containment that a curation
+    * policy acts on (drop the subsumed side, keep the superset). Exact
+    * throughout: the admission filter is the cross-multiplied
+    * `i·5 ≥ na·4` and the emitted score is integer basis points
+    * (`i·10⁴ div na`) — no float threshold anywhere.
+    *
+    * Scale shape: the prefix filter adapts to asymmetry — C(A→B) ≥ t
+    * forces a shared shingle inside A's rarest `n − ⌊t·n⌋ + 1` prefix
+    * (same conservative length as q47), but the CONTAINER side has no
+    * length bound, so prefixes probe the FULL posting list rather than
+    * prefix×prefix. Candidate volume is Σ_prefix-shingles df — bounded
+    * by rare-shingle document frequencies, still never an all-pairs
+    * scan; candidates verify with the exact merge-intersection kernel.
+    * Rides the memoized hashed-shingle relation (hx) and the q47 doc
+    * arrays, so the marginal cost over the Jaccard family is one
+    * posting join + verification.
+    */
+  def q179Containment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = 0.8
+    val hx = hxOf(spark, dir).select($"doc_id", $"h")
+    val docs = invertedDocsFromHx(spark, hx, t)
+    val prefixes = docs
+      .select($"doc_id".as("a_id"), explode(expr("slice(by_rarity, 1, plen)")).as("p"))
+      .select($"a_id", $"p.h".as("ph"))
+    val postings = hx.select($"doc_id".as("b_id"), $"h".as("ph"))
+    // posting join unhinted — both sides corpus-scale (see hxOf's note)
+    val cand = prefixes.join(postings, Seq("ph"))
+      .filter($"a_id" =!= $"b_id")
+      .select($"a_id", $"b_id").distinct()
+    val da = docs.select($"doc_id".as("a_id"), $"harr".as("ha"), $"n".as("na"))
+    val db = docs.select($"doc_id".as("b_id"), $"harr".as("hb"))
+    cand.join(da, Seq("a_id")).join(db, Seq("b_id"))
+      .withColumn("i", graft.functions.SetFunctions.intersectCount($"ha", $"hb"))
+      .filter($"i" * 5 >= $"na" * 4)
+      .select($"a_id", $"b_id", expr("i * 10000 div na").as("containment_bp"))
+      .orderBy($"a_id", $"b_id")
+  }
+
+  val q179Sql: String =
+    s"""WITH $gramsDuckCte,
+       |ver AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |          CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS i,
+       |          CAST(len(a.grams) AS BIGINT) AS na
+       |        FROM grams a JOIN grams b ON a.doc_id <> b.doc_id)
+       |SELECT a_id, b_id, i * 10000 // na AS containment_bp
+       |FROM ver WHERE i * 5 >= na * 4
+       |ORDER BY a_id, b_id""".stripMargin
+
   /** Benchmark decontamination — the train/eval overlap check every
     * LLM-corpus pipeline runs before training (flag training documents
     * that share n-grams with an evaluation/benchmark set). The eval set
@@ -1452,6 +1504,7 @@ object Dedup {
     "q32_simhash" -> (q32Simhash _),
     "q33_ngram_jaccard" -> (q33NgramJaccard _),
     "q47_ngram_jaccard_inverted" -> (q47NgramJaccardInverted _),
+    "q179_containment" -> (q179Containment _),
     "q51_dedup_clusters" -> (q51DedupClusters _),
     "q54_decontamination" -> (q54Decontamination _),
     "q59_incremental_dedup" -> (q59IncrementalDedup _),
@@ -1468,6 +1521,7 @@ object Dedup {
     "q32_simhash" -> q32Sql,
     "q33_ngram_jaccard" -> q33Sql,
     "q47_ngram_jaccard_inverted" -> q47Sql,
+    "q179_containment" -> q179Sql,
     "q51_dedup_clusters" -> q51Sql,
     "q54_decontamination" -> q54Sql,
     "q59_incremental_dedup" -> q59Sql,

@@ -25,6 +25,40 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     d
   }
 
+  test("q179: containment finds the quote pair Jaccard misses; brute replay agrees") {
+    import org.apache.spark.sql.functions._
+    val d = Files.createTempDirectory("graft_containment").toString
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val quote = (10 to 19).map(i => s"w$i").mkString(" ")
+    val other = (1 to 40).map(i => s"qq$i").mkString(" ")
+    Seq((0L, base), (1L, quote), (2L, other))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Dedup.q179Containment(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("containment_bp"))
+      .toMap
+    // quote ⊂ base: all 9 of its bigrams hit, containment exactly 10000 bp;
+    // the reverse direction (9/39) fails the 0.8 gate, as does everything
+    // touching the unrelated doc
+    assert(got((1L, 0L)) == 10000L)
+    assert(!got.contains((0L, 1L)))
+    assert(!got.keys.exists(p => p._1 == 2L || p._2 == 2L))
+    def grams(s: String) = s.split(" ").sliding(2).map(_.mkString(" ")).toSet
+    val gs = Map(0L -> grams(base), 1L -> grams(quote), 2L -> grams(other))
+    for (a <- gs.keys; b <- gs.keys if a != b) {
+      val i = (gs(a) & gs(b)).size
+      val na = gs(a).size
+      if (i * 5 >= na * 4) assert(got((a, b)) == i.toLong * 10000 / na)
+      else assert(!got.contains((a, b)))
+    }
+    // the asymmetric pair sits BELOW the symmetric Jaccard radar — the
+    // reason containment is its own operator
+    val j = Dedup.q47NgramJaccardInverted(spark, d).collect()
+    assert(!j.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L))
+  }
+
   test("exact dedup groups identical texts") {
     val r = Dedup.q30ExactDedup(spark, dir).collect()
     assert(r.length == 3) // 4 docs, one exact-dup pair
