@@ -897,6 +897,54 @@ object Dedup {
        |FROM ver WHERE i * 5 >= na * 4
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** q180 — subsumption roots: the curation ACTION on q179's directed
+    * containment graph. A doc is SUBSUMED when ≥80% of it lives inside
+    * some other doc (it is the a-side of a q179 edge); the roots are
+    * everything else — the minimal keep-set under the "drop quotes and
+    * excerpts, keep supersets" policy, the asymmetric sibling of q51's
+    * symmetric keep-list. Emitted per source: doc counts, subsumed
+    * counts, root counts, and the exact bp subsumption rate — the
+    * per-source quote-contamination report a corpus steward reads.
+    *
+    * Scale shape: q179's pair relation (already banded + verified)
+    * reduced to its distinct a-side, one anti-join-shaped membership
+    * flag via a LEFT join on doc_id, one hash aggregate over the
+    * source dimension. Cost beyond the shared q179 machinery: one
+    * join + one aggregate.
+    */
+  def q180SubsumptionRoots(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val subsumed = q179Containment(spark, dir)
+      .select($"a_id".as("doc_id")).distinct()
+      .withColumn("sub", lit(true))
+    Tables.documents(spark, dir).select($"doc_id", $"source")
+      .join(subsumed, Seq("doc_id"), "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"sub", 1L).otherwise(0L)).as("n_subsumed"))
+      .select($"source", $"n_docs", $"n_subsumed",
+        ($"n_docs" - $"n_subsumed").as("n_roots"),
+        expr("n_subsumed * 10000 div n_docs").as("subsumed_bp"))
+      .orderBy($"source")
+  }
+
+  val q180Sql: String =
+    s"""WITH $gramsDuckCte,
+       |ver AS (SELECT a.doc_id AS a_id,
+       |          CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS i,
+       |          CAST(len(a.grams) AS BIGINT) AS na
+       |        FROM grams a JOIN grams b ON a.doc_id <> b.doc_id),
+       |sub AS (SELECT DISTINCT a_id FROM ver WHERE i * 5 >= na * 4)
+       |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN sub.a_id IS NOT NULL THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_subsumed,
+       |       CAST(count(*) - sum(CASE WHEN sub.a_id IS NOT NULL THEN 1
+       |                           ELSE 0 END) AS BIGINT) AS n_roots,
+       |       CAST(sum(CASE WHEN sub.a_id IS NOT NULL THEN 1 ELSE 0 END)
+       |            * 10000 // count(*) AS BIGINT) AS subsumed_bp
+       |FROM documents d LEFT JOIN sub ON d.doc_id = sub.a_id
+       |GROUP BY 1 ORDER BY d.source""".stripMargin
+
   /** Benchmark decontamination — the train/eval overlap check every
     * LLM-corpus pipeline runs before training (flag training documents
     * that share n-grams with an evaluation/benchmark set). The eval set
@@ -1505,6 +1553,7 @@ object Dedup {
     "q33_ngram_jaccard" -> (q33NgramJaccard _),
     "q47_ngram_jaccard_inverted" -> (q47NgramJaccardInverted _),
     "q179_containment" -> (q179Containment _),
+    "q180_subsumption_roots" -> (q180SubsumptionRoots _),
     "q51_dedup_clusters" -> (q51DedupClusters _),
     "q54_decontamination" -> (q54Decontamination _),
     "q59_incremental_dedup" -> (q59IncrementalDedup _),
@@ -1522,6 +1571,7 @@ object Dedup {
     "q33_ngram_jaccard" -> q33Sql,
     "q47_ngram_jaccard_inverted" -> q47Sql,
     "q179_containment" -> q179Sql,
+    "q180_subsumption_roots" -> q180Sql,
     "q51_dedup_clusters" -> q51Sql,
     "q54_decontamination" -> q54Sql,
     "q59_incremental_dedup" -> q59Sql,

@@ -637,7 +637,53 @@ object Temporal {
        |FROM e GROUP BY hour ORDER BY hour""".stripMargin
   }
 
+  /** q181 — dyadic time-decay engagement leaderboard: recency-weighted
+    * per-user value where the decay base is EXACTLY 1/2 per week, so
+    * "exponential decay" becomes an integer arithmetic right-shift
+    * (`value_micro >> age_weeks` — both engines shift arithmetically,
+    * i.e. floor), and the classic float `pow(λ, age)` — whose libm
+    * differences could never cross the hash gate — disappears
+    * entirely. Half-life-per-week is the standard practitioner choice
+    * anyway; any dyadic half-life (per day, per 4 weeks) is the same
+    * shift with a different divisor. The horizon is the data's own max
+    * day (deterministic; production passes its watermark). Top-20 by
+    * score, ties broken by user id.
+    *
+    * Scale shape: one map-side-combinable aggregate per user after a
+    * broadcast of the one-row horizon; TakeOrdered(20) — no global
+    * sort. Shift amounts are capped at 62 so ancient events decay to
+    * 0 rather than overflowing the shift.
+    */
+  def q181DecayScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("v"))
+    val h = ev.agg(max($"day").as("h_day"))
+    ev.crossJoin(broadcast(h))
+      .withColumn("k", least(expr("(h_day - day) div 7"), lit(62L)).cast("int"))
+      .withColumn("dv", expr("shiftright(v, k)"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"), sum($"dv").as("score_micro"))
+      .orderBy($"score_micro".desc, $"user_id")
+      .limit(20)
+  }
+
+  val q181Sql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |             CAST(round(value * 1000000) AS BIGINT) AS v
+      |           FROM events),
+      |h AS (SELECT max(day) AS h_day FROM e),
+      |d AS (SELECT user_id,
+      |        v >> CAST(least((h.h_day - day) // 7, 62) AS INTEGER) AS dv
+      |      FROM e, h)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(dv) AS BIGINT) AS score_micro
+      |FROM d GROUP BY 1
+      |ORDER BY score_micro DESC, user_id LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q181_decay_score" -> (q181DecayScore _),
     "q176_rhythm_matrix" -> (q176RhythmMatrix _),
     "q171_forecast_backtest" -> (q171ForecastBacktest _),
     "q159_cusum_changepoint" -> (q159CusumChangepoint _),
@@ -653,6 +699,7 @@ object Temporal {
     "q123_time_weighted" -> (q123TimeWeighted _))
 
   val oracleSql: Map[String, String] = Map(
+    "q181_decay_score" -> q181Sql,
     "q176_rhythm_matrix" -> q176Sql,
     "q171_forecast_backtest" -> q171Sql,
     "q159_cusum_changepoint" -> q159Sql,

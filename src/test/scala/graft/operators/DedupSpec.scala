@@ -59,6 +59,26 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(!j.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L))
   }
 
+  test("q180: subsumption roots classify the quote as subsumed, per source") {
+    import org.apache.spark.sql.functions._
+    val d = Files.createTempDirectory("graft_subroots").toString
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val quote = (10 to 19).map(i => s"w$i").mkString(" ")
+    val other = (1 to 40).map(i => s"qq$i").mkString(" ")
+    Seq((0L, base, "srcA"), (1L, quote, "srcB"), (2L, other, "srcB"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Dedup.q180SubsumptionRoots(spark, d).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_subsumed"),
+          r.getAs[Long]("n_roots"), r.getAs[Long]("subsumed_bp")))).toMap
+    assert(got("srcA") == ((1L, 0L, 1L, 0L)))
+    assert(got("srcB") == ((2L, 1L, 1L, 5000L)),
+      "the quote is subsumed by the srcA base doc; the unrelated doc is a root")
+  }
+
   test("exact dedup groups identical texts") {
     val r = Dedup.q30ExactDedup(spark, dir).collect()
     assert(r.length == 3) // 4 docs, one exact-dup pair

@@ -219,6 +219,24 @@ class TemporalSpec extends AnyFunSuite with SparkSpec {
         p.linesIterator.filter(_.contains("Join")).mkString("\n"))
   }
 
+  test("q181: dyadic decay leaderboard replays via integer shifts") {
+    val byUser = events.map { case (u, us, _, _, v) =>
+      (u, us / 86400000000L, math.round(v * 1000000)) }
+    val hDay = byUser.map(_._2).max
+    val scores = byUser.groupBy(_._1).map { case (u, xs) =>
+      u -> ((xs.length.toLong,
+        xs.map { case (_, day, v) =>
+          v >> math.min((hDay - day) / 7, 62L).toInt }.sum))
+    }
+    val expTop = scores.toSeq.sortBy { case (u, (_, s)) => (-s, u) }.take(20)
+      .map { case (u, (n, s)) => (u, n, s) }
+    val got = Temporal.q181DecayScore(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("score_micro"))).toSeq
+    assert(got == expTop, s"got $got expected $expTop")
+    assert(expTop.head._3 > 0)
+  }
+
   test("q176: rhythm grid replays from pure integer hour/dow arithmetic") {
     val grid = events.map { case (_, us, _, _, _) =>
       ((us / 3600000000L) % 24, ((us / 86400000000L) + 4) % 7)
