@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.sources.Tables
 
 /** Snapshot reconciliation — the diff-two-table-versions job behind
@@ -83,9 +84,137 @@ object Reconcile {
       |FROM a FULL OUTER JOIN b ON a.k = b.k
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q182 — Merkle-style anti-entropy: LOCATE where two snapshots
+    * diverge with two bucket-checksum relations instead of a row-level
+    * join. Each row collapses to a 60-bit digest
+    * ([[graft.functions.Md5Prefix60]] over the q133 canonical form);
+    * rows hash-bucket on their KEY (256 leaf buckets, rolled up to 16
+    * supers = the Merkle levels); per (side, bucket) the state is
+    * (count, Σ digest) — the sum is COMMUTATIVE, so the checksum is
+    * order-independent, map-side combinable, and incrementally
+    * maintainable (a CDC delta adjusts it by ± the changed rows'
+    * digests without touching the rest of the bucket). The query emits
+    * only the MISMATCHED rows of both levels: the drill-down path an
+    * anti-entropy repair walks before running the q133 row diff on
+    * just the differing 1/256 key slices.
+    *
+    * Versus q133 (row-level full outer join, shuffle sized by the
+    * table): each side here is one map-side-combinable aggregate to
+    * 256 rows and the comparison join is 256×256 — at 100 TB the
+    * checksums live as a tiny side table maintained per ingest batch,
+    * and reconciliation touches the fact only for buckets that
+    * actually differ. Digest sums are DECIMAL(38,0)/HUGEINT (rows ×
+    * 2^60 crosses BIGINT at ~8 rows/bucket) and cross the gate as the
+    * mod-10^15 residue — identical in both engines, and a single
+    * flipped row digest changes the residue.
+    *
+    * The simulated divergence is the q133 discipline at anti-entropy-
+    * sized moduli: payload +1 cent on keys ≡0 (mod 1024) [changed],
+    * keys ≡0 (mod 1501) absent from prev [inserted], ghost keys
+    * shifted past the domain on ≡0 (mod 1777) [deleted] — ~34 touched
+    * keys at sf0.01, so mismatched leaves stay a small subset of 256
+    * and the "locate, don't scan" story is visible in the output.
+    */
+  def q182MerkleDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cur = Tables.orders(spark, dir).select(
+      $"o_orderkey".as("k"), $"o_orderstatus".as("st"),
+      round($"o_totalprice" * 100).cast("long").as("cents"))
+    val prev = cur.filter($"k" % 1501 =!= 0)
+      .withColumn("cents",
+        when($"k" % 1024 === 0, $"cents" + 1L).otherwise($"cents"))
+      .unionByName(cur.filter($"k" % 1777 === 0)
+        .withColumn("k", $"k" + 2000000000L))
+    def leaves(side: DataFrame): DataFrame = {
+      import side.sparkSession.implicits._
+      side
+        .select(
+          pmod(graft.functions.Md5Prefix60($"k".cast("string")), lit(256L))
+            .as("bucket"),
+          graft.functions.Md5Prefix60(
+            concat_ws("|", $"k", $"st", $"cents")).as("h"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n"),
+          sum($"h".cast(DecimalType(38, 0))).as("hs"))
+    }
+    def levels(side: DataFrame, nPfx: String, cPfx: String): DataFrame = {
+      import side.sparkSession.implicits._
+      val leaf = side.select(lit(2L).as("level"), $"bucket", $"n", $"hs")
+      val sup = side.groupBy(expr("bucket div 16").as("bucket"))
+        .agg(sum($"n").as("n"), sum($"hs").as("hs"))
+        .select(lit(1L).as("level"), $"bucket", $"n", $"hs")
+      leaf.unionByName(sup)
+        .select($"level", $"bucket", $"n".as(nPfx),
+          expr("CAST(hs % 1000000000000000 AS BIGINT)").as(cPfx))
+    }
+    levels(leaves(prev), "n_prev", "chk_prev")
+      .join(levels(leaves(cur), "n_cur", "chk_cur"),
+        Seq("level", "bucket"), "full_outer")
+      .filter($"n_prev".isNull || $"n_cur".isNull ||
+        $"n_prev" =!= $"n_cur" || $"chk_prev" =!= $"chk_cur")
+      .select($"level", $"bucket",
+        coalesce($"n_prev", lit(0L)).as("n_prev"),
+        coalesce($"n_cur", lit(0L)).as("n_cur"),
+        coalesce($"chk_prev", lit(-1L)).as("chk_prev"),
+        coalesce($"chk_cur", lit(-1L)).as("chk_cur"))
+      .orderBy($"level", $"bucket")
+  }
+
+  val q182Sql: String =
+    """WITH cur AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |prev AS (
+      |  SELECT k, st,
+      |         CASE WHEN k % 1024 = 0 THEN cents + 1 ELSE cents END AS cents
+      |  FROM cur WHERE k % 1501 <> 0
+      |  UNION ALL
+      |  SELECT k + 2000000000, st, cents FROM cur WHERE k % 1777 = 0),
+      |pl AS (
+      |  SELECT CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15) AS BIGINT)
+      |           % 256 AS bucket,
+      |         CAST(count(*) AS BIGINT) AS n,
+      |         sum(CAST(CAST('0x' || substr(md5(concat_ws('|',
+      |               CAST(k AS VARCHAR), st, CAST(cents AS VARCHAR))), 1, 15)
+      |             AS BIGINT) AS HUGEINT)) AS hs
+      |  FROM prev GROUP BY 1),
+      |cl AS (
+      |  SELECT CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15) AS BIGINT)
+      |           % 256 AS bucket,
+      |         CAST(count(*) AS BIGINT) AS n,
+      |         sum(CAST(CAST('0x' || substr(md5(concat_ws('|',
+      |               CAST(k AS VARCHAR), st, CAST(cents AS VARCHAR))), 1, 15)
+      |             AS BIGINT) AS HUGEINT)) AS hs
+      |  FROM cur GROUP BY 1),
+      |p2 AS (
+      |  SELECT CAST(2 AS BIGINT) AS level, bucket, n,
+      |         CAST(hs % 1000000000000000 AS BIGINT) AS chk FROM pl
+      |  UNION ALL
+      |  SELECT 1, bucket // 16, CAST(sum(n) AS BIGINT),
+      |         CAST(sum(hs) % 1000000000000000 AS BIGINT)
+      |  FROM pl GROUP BY 2),
+      |c2 AS (
+      |  SELECT CAST(2 AS BIGINT) AS level, bucket, n,
+      |         CAST(hs % 1000000000000000 AS BIGINT) AS chk FROM cl
+      |  UNION ALL
+      |  SELECT 1, bucket // 16, CAST(sum(n) AS BIGINT),
+      |         CAST(sum(hs) % 1000000000000000 AS BIGINT)
+      |  FROM cl GROUP BY 2)
+      |SELECT COALESCE(p2.level, c2.level) AS level,
+      |       COALESCE(p2.bucket, c2.bucket) AS bucket,
+      |       COALESCE(p2.n, 0) AS n_prev, COALESCE(c2.n, 0) AS n_cur,
+      |       COALESCE(p2.chk, -1) AS chk_prev, COALESCE(c2.chk, -1) AS chk_cur
+      |FROM p2 FULL OUTER JOIN c2
+      |  ON p2.level = c2.level AND p2.bucket = c2.bucket
+      |WHERE p2.n IS NULL OR c2.n IS NULL OR p2.n <> c2.n OR p2.chk <> c2.chk
+      |ORDER BY level, bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q133_snapshot_diff" -> (q133SnapshotDiff _))
+    "q133_snapshot_diff" -> (q133SnapshotDiff _),
+    "q182_merkle_diff" -> (q182MerkleDiff _))
 
   val oracleSql: Map[String, String] = Map(
-    "q133_snapshot_diff" -> q133Sql)
+    "q133_snapshot_diff" -> q133Sql,
+    "q182_merkle_diff" -> q182Sql)
 }

@@ -952,7 +952,145 @@ object Selection {
       |         AS top80_customer_share_bp
       |FROM b""".stripMargin
 
+  /** q183 — weighted sampling without replacement by SEQUENTIAL POISSON
+    * sampling (Ohlsson): every doc gets the priority q = u div w where
+    * u is the deterministic 60-bit md5 of its id ("uniform draw", the
+    * q97/q158 hash discipline) and w = n_chars its size weight; the
+    * sample is the 200 SMALLEST priorities. P(u/w small) grows with w,
+    * so inclusion probability is approximately proportional to size —
+    * the standard reproducible πps scheme for "sample big documents
+    * more" without replacement and without per-stratum machinery.
+    * Everything is BIGINT (u < 2^60, w ≥ 1; the quotient floors
+    * identically in both engines) and ties break on doc_id, so SAMPLE
+    * MEMBERSHIP is bit-deterministic and crosses the driver hash gate
+    * via per-source id/weight checksums.
+    *
+    * Scale shape: no global sort — the 200-smallest selection is a
+    * TakeOrdered (per-partition top-k, driver merges k×partitions
+    * rows); the output aggregates to the |sources| relation. At 100 TB
+    * the same plan holds: priorities are a map, selection is bounded
+    * state per partition.
+    */
+  def q183WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", $"n_chars")
+      .withColumn("u", graft.functions.Md5Prefix60($"doc_id".cast("string")))
+      .withColumn("q", expr("u div n_chars"))
+    val strata = docs.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+    val drawn = docs.orderBy($"q", $"doc_id").limit(200)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_drawn"), sum($"doc_id").as("drawn_id_sum"),
+        sum($"n_chars").as("drawn_chars"))
+    strata.join(drawn, Seq("source"), "left")
+      .select($"source", $"n_docs", $"total_chars",
+        coalesce($"n_drawn", lit(0L)).as("n_drawn"),
+        coalesce($"drawn_id_sum", lit(0L)).as("drawn_id_sum"),
+        coalesce($"drawn_chars", lit(0L)).as("drawn_chars"))
+      .orderBy($"source")
+  }
+
+  val q183Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, n_chars,
+      |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+      |           AS BIGINT) // n_chars AS q
+      |  FROM documents),
+      |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |        CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |      FROM d GROUP BY 1),
+      |pick AS (SELECT * FROM d ORDER BY q, doc_id LIMIT 200),
+      |dr AS (SELECT source, CAST(count(*) AS BIGINT) AS n_drawn,
+      |         CAST(sum(doc_id) AS BIGINT) AS drawn_id_sum,
+      |         CAST(sum(n_chars) AS BIGINT) AS drawn_chars
+      |       FROM pick GROUP BY 1)
+      |SELECT s.source, s.n_docs, s.total_chars,
+      |       COALESCE(dr.n_drawn, 0) AS n_drawn,
+      |       COALESCE(dr.drawn_id_sum, 0) AS drawn_id_sum,
+      |       COALESCE(dr.drawn_chars, 0) AS drawn_chars
+      |FROM s LEFT JOIN dr ON s.source = dr.source
+      |ORDER BY s.source""".stripMargin
+
+  /** q184 — winsorized and trimmed means of order totals: the robust
+    * location statistics (cap / drop the extreme 5% per tail) that
+    * complete the robust family next to q161 (MAD) and q162 (IQR
+    * fences). The p05/p95 cut points are EXACT low order statistics —
+    * k-th smallest with k = ⌈q·n⌉, found by rank arithmetic on the
+    * q155/q161 value-bucket prefix scan (never a global sort, never
+    * exact-percentile's whole-group buffer); the second pass clamps
+    * (winsorize) or filters (trim) against the broadcast 1-row cut
+    * relation and sums exact cents. Means are emitted in milli-cents
+    * by integer `div` (Σcents·10³ ≈ 2e15 at sf0.1 — BIGINT-safe to
+    * ~sf100, the documented widen point). Oracle computes the same
+    * rank definition via DuckDB's direct ordered window over the
+    * distinct-value relation — two mechanisms, one gate (the q117
+    * discipline).
+    */
+  def q184RobustMeans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vals = Tables.orders(spark, dir)
+      .select(round($"o_totalprice" * 100).cast("long").as("v"))
+      .localCheckpoint() // feeds the cut-point scan and the clamp pass
+    val cnts = vals.groupBy($"v").agg(count(lit(1)).as("c"))
+      .withColumn("bkt", expr("v div 1000000"))
+    val offs = cnts.groupBy($"bkt").agg(sum($"c").as("bc"))
+      .withColumn("off", coalesce(sum($"bc").over(
+        Window.orderBy($"bkt").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select($"bkt", $"off")
+    val wIn = Window.partitionBy($"bkt").orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // both cut points from ONE aggregation over the cum relation (the
+    // q162 lesson: a filter per cut re-executes the whole scan)
+    val cuts = cnts.join(broadcast(offs), Seq("bkt"))
+      .withColumn("cum", sum($"c").over(wIn) + $"off")
+      .crossJoin(broadcast(vals.agg(count(lit(1)).as("n"))))
+      .groupBy($"n").agg(
+        min(when($"cum" * 100 >= $"n" * 5, $"v")).as("p05_cents"),
+        min(when($"cum" * 100 >= $"n" * 95, $"v")).as("p95_cents"))
+    vals.crossJoin(broadcast(cuts))
+      .groupBy($"n", $"p05_cents", $"p95_cents")
+      .agg(
+        sum(greatest($"p05_cents", least($"p95_cents", $"v")))
+          .as("win_sum"),
+        sum(when($"v".between($"p05_cents", $"p95_cents"), 1L).otherwise(0L))
+          .as("n_trimmed"),
+        sum(when($"v".between($"p05_cents", $"p95_cents"), $"v")
+          .otherwise(0L)).as("trim_sum"))
+      .select($"n", $"p05_cents", $"p95_cents",
+        expr("win_sum * 1000 div n").as("win_mean_milli"),
+        $"n_trimmed",
+        expr("trim_sum * 1000 div n_trimmed").as("trim_mean_milli"))
+  }
+
+  val q184Sql: String =
+    """WITH x AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |           FROM orders),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM x),
+      |c AS (SELECT v, CAST(sum(count(*)) OVER (ORDER BY v) AS BIGINT) AS cum
+      |      FROM x GROUP BY v),
+      |cuts AS (SELECT n.n,
+      |           (SELECT min(v) FROM c WHERE cum * 100 >= n.n * 5)
+      |             AS p05_cents,
+      |           (SELECT min(v) FROM c WHERE cum * 100 >= n.n * 95)
+      |             AS p95_cents
+      |         FROM n)
+      |SELECT cuts.n, cuts.p05_cents, cuts.p95_cents,
+      |       CAST(sum(greatest(cuts.p05_cents, least(cuts.p95_cents, x.v)))
+      |            AS BIGINT) * 1000 // cuts.n AS win_mean_milli,
+      |       CAST(sum(CASE WHEN x.v BETWEEN cuts.p05_cents AND cuts.p95_cents
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_trimmed,
+      |       CAST(sum(CASE WHEN x.v BETWEEN cuts.p05_cents AND cuts.p95_cents
+      |                     THEN x.v ELSE 0 END) AS BIGINT) * 1000 //
+      |         CAST(sum(CASE WHEN x.v BETWEEN cuts.p05_cents AND cuts.p95_cents
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS trim_mean_milli
+      |FROM x, cuts
+      |GROUP BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q183_weighted_sample" -> (q183WeightedSample _),
+    "q184_robust_means" -> (q184RobustMeans _),
     "q174_pareto_cut" -> (q174ParetoCut _),
     "q162_iqr_outliers" -> (q162IqrOutliers _),
     "q158_stratified_sample" -> (q158StratifiedSample _),
@@ -968,6 +1106,8 @@ object Selection {
     "q95_quality_nll_correlation" -> (q95QualityNllCorrelation _))
 
   val oracleSql: Map[String, String] = Map(
+    "q183_weighted_sample" -> q183Sql,
+    "q184_robust_means" -> q184Sql,
     "q174_pareto_cut" -> q174Sql,
     "q162_iqr_outliers" -> q162Sql,
     "q158_stratified_sample" -> q158Sql,

@@ -291,4 +291,56 @@ class ReconcileSpec extends AnyFunSuite with SparkSpec {
     assert(got.keySet.exists(_ < 3),
       "fixture must contain at least one homogeneity-risk group")
   }
+
+  test("q182: mismatched merkle buckets replay from a driver-side checksum fold") {
+    def h(s: String): Long = graft.functions.Md5Prefix60.hash(s.getBytes)
+    val M = BigInt(1000000000000000L)
+    val rows = Tables.orders(spark, sfDir)
+      .selectExpr("o_orderkey", "o_orderstatus",
+        "CAST(round(o_totalprice * 100) AS BIGINT)").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val prev = rows.filter(_._1 % 1501 != 0)
+      .map { case (k, st, c) => (k, st, if (k % 1024 == 0) c + 1 else c) } ++
+      rows.filter(_._1 % 1777 == 0)
+        .map { case (k, st, c) => (k + 2000000000L, st, c) }
+    def levels(side: Seq[(Long, String, Long)]): Map[(Long, Long), (Long, Long)] = {
+      val leaves = side
+        .groupBy { case (k, _, _) => math.floorMod(h(k.toString), 256L) }
+        .map { case (b, ms) => b -> ((ms.size.toLong,
+          ms.map(m => BigInt(h(s"${m._1}|${m._2}|${m._3}"))).sum)) }
+      val leaf = leaves.map { case (b, (n, hs)) =>
+        (2L, b) -> ((n, (hs % M).toLong)) }
+      val sup = leaves.groupBy(_._1 / 16).map { case (b, ms) =>
+        (1L, b) -> ((ms.values.map(_._1).sum,
+          (ms.values.map(_._2).sum % M).toLong)) }
+      leaf ++ sup
+    }
+    val p = levels(prev)
+    val c = levels(rows)
+    val expected = (p.keySet ++ c.keySet).toSeq.flatMap { key =>
+      val (pv, cv) = (p.get(key), c.get(key))
+      if (pv == cv) None
+      else Some(key -> ((pv.map(_._1).getOrElse(0L), cv.map(_._1).getOrElse(0L),
+        pv.map(_._2).getOrElse(-1L), cv.map(_._2).getOrElse(-1L))))
+    }.toMap
+    val got = Reconcile.q182MerkleDiff(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("level"), r.getAs[Long]("bucket")) ->
+        ((r.getAs[Long]("n_prev"), r.getAs[Long]("n_cur"),
+          r.getAs[Long]("chk_prev"), r.getAs[Long]("chk_cur")))).toMap
+    assert(got == expected, s"got $got expected $expected")
+    assert(got.keys.exists(_._1 == 2L),
+      "fixture perturbation must produce at least one mismatched leaf")
+    // the Merkle drill-down invariant: a mismatched leaf ALWAYS has a
+    // mismatched super (commutative sums make parent = Σ children)
+    got.keys.filter(_._1 == 2L).foreach { case (_, b) =>
+      assert(got.contains((1L, b / 16)),
+        s"leaf $b mismatched but super ${b / 16} reported clean") }
+  }
+
+  test("q182 locates: mismatched leaves are a strict subset of 256") {
+    val leaves = Reconcile.q182MerkleDiff(spark, sfDir)
+      .filter("level = 2").count()
+    assert(leaves > 0 && leaves < 256,
+      s"anti-entropy must narrow the repair set, got $leaves leaves")
+  }
 }

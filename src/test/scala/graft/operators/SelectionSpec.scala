@@ -412,4 +412,45 @@ class SelectionSpec extends AnyFunSuite with SparkSpec {
     assert(r.getAs[Long]("mad_cents") == mad)
     assert(r.getAs[Long]("n") == cents.length.toLong)
   }
+
+  test("q183: sample membership equals the driver-side priority sort") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", $"n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val pick = docs.map { case (id, src, w) =>
+      (graft.functions.Md5Prefix60.hash(id.toString.getBytes) / w, id, src, w) }
+      .sortBy(t => (t._1, t._2)).take(200)
+    val exp = docs.groupBy(_._2).map { case (src, ds) =>
+      val dr = pick.filter(_._3 == src)
+      src -> ((ds.size.toLong, ds.map(_._3).sum, dr.size.toLong,
+        dr.map(_._2).sum, dr.map(_._4).sum))
+    }
+    val got = Selection.q183WeightedSample(spark, sfDir).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("total_chars"),
+          r.getAs[Long]("n_drawn"), r.getAs[Long]("drawn_id_sum"),
+          r.getAs[Long]("drawn_chars")))).toMap
+    assert(got == exp, s"got $got expected $exp")
+    assert(got.values.map(_._3).sum == math.min(200L, docs.size.toLong))
+  }
+
+  test("q184: winsorized/trimmed means equal the sorted-array replay") {
+    val cents = graft.sources.Tables.orders(spark, sfDir)
+      .select($"o_totalprice").collect()
+      .map(r => math.round(r.getDouble(0) * 100)).sorted
+    val n = cents.length.toLong
+    val p05 = cents(((5 * n + 99) / 100).toInt - 1)
+    val p95 = cents(((95 * n + 99) / 100).toInt - 1)
+    val winSum = cents.map(v => math.max(p05, math.min(p95, v))).sum
+    val tr = cents.filter(v => v >= p05 && v <= p95)
+    val r = Selection.q184RobustMeans(spark, sfDir).collect()(0)
+    assert(r.getAs[Long]("n") == n)
+    assert(r.getAs[Long]("p05_cents") == p05)
+    assert(r.getAs[Long]("p95_cents") == p95)
+    assert(r.getAs[Long]("win_mean_milli") == winSum * 1000 / n)
+    assert(r.getAs[Long]("n_trimmed") == tr.length.toLong)
+    assert(r.getAs[Long]("trim_mean_milli") == tr.sum * 1000 / tr.length)
+    assert(p05 < p95 && tr.length < cents.length,
+      "fixture must actually trim both tails")
+  }
 }
