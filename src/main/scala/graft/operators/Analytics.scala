@@ -1069,7 +1069,137 @@ object Analytics {
       |         AS price_effect_milli
       |FROM j ORDER BY brand""".stripMargin
 
+  /** q186 — RFM (recency / frequency / monetary) segmentation: every
+    * ordering customer scored 1–5 on each axis against EXACT quintile
+    * cut points, rolled up to the RFM-cell census (≤125 rows) with
+    * custkey-sum checksums so CELL MEMBERSHIP — not just cell sizes —
+    * crosses the driver's hash gate. The classic CRM/marketing
+    * segmentation (Hughes), done with the house exactness discipline:
+    *
+    *  - per-customer metrics in pure integers (recency = max epoch day,
+    *    frequency = order count, monetary = Σ cents);
+    *  - each axis's four cut points (20/40/60/80%) are EXACT low order
+    *    statistics — min v with cum·5 ≥ n·k — by rank arithmetic on the
+    *    q155/q184 value-bucket prefix scan (per-axis magnitude buckets,
+    *    windows bounded by the bucket, never a global sort and never a
+    *    percentile buffer);
+    *  - scores are `1 + Σ [v > cut_k]`: pure integer comparisons, so
+    *    heavy ties (frequency takes ~40 distinct values) collapse into
+    *    the same score DETERMINISTICALLY in both engines.
+    *
+    * Scale shape: one custkey hash aggregate, three distinct-value
+    * prefix scans (each bounded by its value domain, frequency's is
+    * tiny), one broadcast of the 1-row cut relation, one ≤125-group
+    * rollup. The oracle computes the same rank definition via DuckDB's
+    * direct ordered window over distinct values — the q117
+    * two-mechanisms discipline.
+    */
+  def q186RfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val m = Tables.orders(spark, dir)
+      .select($"o_custkey",
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') AS BIGINT)")
+          .as("day"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .groupBy($"o_custkey")
+      .agg(max($"day").as("rec"), count(lit(1)).as("frq"),
+        sum($"cents").as("mon"))
+      .localCheckpoint() // feeds three cut scans + the scoring pass
+    // exact 20/40/60/80% cut points of one metric column via the
+    // bucketed prefix scan; returns 1 row (c1..c4)
+    def cuts(metric: String, bktDiv: Long): DataFrame = {
+      val cnts = m.select(col(metric).as("v"))
+        .groupBy($"v").agg(count(lit(1)).as("c"))
+        .withColumn("bkt", expr(s"v div $bktDiv"))
+      val offs = cnts.groupBy($"bkt").agg(sum($"c").as("bc"))
+        .withColumn("off", coalesce(sum($"bc").over(
+          Window.orderBy($"bkt").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select($"bkt", $"off")
+      val wIn = Window.partitionBy($"bkt").orderBy($"v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cnts.join(broadcast(offs), Seq("bkt"))
+        .withColumn("cum", sum($"c").over(wIn) + $"off")
+        .crossJoin(broadcast(m.agg(count(lit(1)).as("n"))))
+        .groupBy($"n").agg(
+          min(when($"cum" * 5 >= $"n" * 1, $"v")).as(s"${metric}_c1"),
+          min(when($"cum" * 5 >= $"n" * 2, $"v")).as(s"${metric}_c2"),
+          min(when($"cum" * 5 >= $"n" * 3, $"v")).as(s"${metric}_c3"),
+          min(when($"cum" * 5 >= $"n" * 4, $"v")).as(s"${metric}_c4"))
+        .drop("n")
+    }
+    def score(v: Column, pfx: String): Column =
+      lit(1L) +
+        when(v > col(s"${pfx}_c1"), 1L).otherwise(0L) +
+        when(v > col(s"${pfx}_c2"), 1L).otherwise(0L) +
+        when(v > col(s"${pfx}_c3"), 1L).otherwise(0L) +
+        when(v > col(s"${pfx}_c4"), 1L).otherwise(0L)
+    m.crossJoin(broadcast(
+        cuts("rec", 64L).crossJoin(cuts("frq", 8L)).crossJoin(cuts("mon", 1000000L))))
+      .select($"o_custkey",
+        score($"rec", "rec").as("r"), score($"frq", "frq").as("f"),
+        score($"mon", "mon").as("mv"))
+      .groupBy($"r", $"f", $"mv")
+      .agg(count(lit(1)).as("n_customers"), sum($"o_custkey").as("cust_checksum"))
+      .select(($"r" * 100 + $"f" * 10 + $"mv").as("rfm_cell"),
+        $"r", $"f", $"mv".as("m"), $"n_customers", $"cust_checksum")
+      .orderBy($"rfm_cell")
+  }
+
+  val q186Sql: String =
+    """WITH m AS (
+      |  SELECT o_custkey,
+      |    CAST(max(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS BIGINT)
+      |      AS rec,
+      |    CAST(count(*) AS BIGINT) AS frq,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS mon
+      |  FROM orders GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM m),
+      |rc AS (SELECT v, CAST(sum(count(*)) OVER (ORDER BY v) AS BIGINT) AS cum
+      |       FROM (SELECT rec AS v FROM m) GROUP BY v),
+      |fc AS (SELECT v, CAST(sum(count(*)) OVER (ORDER BY v) AS BIGINT) AS cum
+      |       FROM (SELECT frq AS v FROM m) GROUP BY v),
+      |mc AS (SELECT v, CAST(sum(count(*)) OVER (ORDER BY v) AS BIGINT) AS cum
+      |       FROM (SELECT mon AS v FROM m) GROUP BY v),
+      |cuts AS (SELECT
+      |    (SELECT min(v) FROM rc, n WHERE cum * 5 >= n * 1) AS rec_c1,
+      |    (SELECT min(v) FROM rc, n WHERE cum * 5 >= n * 2) AS rec_c2,
+      |    (SELECT min(v) FROM rc, n WHERE cum * 5 >= n * 3) AS rec_c3,
+      |    (SELECT min(v) FROM rc, n WHERE cum * 5 >= n * 4) AS rec_c4,
+      |    (SELECT min(v) FROM fc, n WHERE cum * 5 >= n * 1) AS frq_c1,
+      |    (SELECT min(v) FROM fc, n WHERE cum * 5 >= n * 2) AS frq_c2,
+      |    (SELECT min(v) FROM fc, n WHERE cum * 5 >= n * 3) AS frq_c3,
+      |    (SELECT min(v) FROM fc, n WHERE cum * 5 >= n * 4) AS frq_c4,
+      |    (SELECT min(v) FROM mc, n WHERE cum * 5 >= n * 1) AS mon_c1,
+      |    (SELECT min(v) FROM mc, n WHERE cum * 5 >= n * 2) AS mon_c2,
+      |    (SELECT min(v) FROM mc, n WHERE cum * 5 >= n * 3) AS mon_c3,
+      |    (SELECT min(v) FROM mc, n WHERE cum * 5 >= n * 4) AS mon_c4),
+      |sc AS (SELECT o_custkey,
+      |    1 + CASE WHEN rec > rec_c1 THEN 1 ELSE 0 END
+      |      + CASE WHEN rec > rec_c2 THEN 1 ELSE 0 END
+      |      + CASE WHEN rec > rec_c3 THEN 1 ELSE 0 END
+      |      + CASE WHEN rec > rec_c4 THEN 1 ELSE 0 END AS r,
+      |    1 + CASE WHEN frq > frq_c1 THEN 1 ELSE 0 END
+      |      + CASE WHEN frq > frq_c2 THEN 1 ELSE 0 END
+      |      + CASE WHEN frq > frq_c3 THEN 1 ELSE 0 END
+      |      + CASE WHEN frq > frq_c4 THEN 1 ELSE 0 END AS f,
+      |    1 + CASE WHEN mon > mon_c1 THEN 1 ELSE 0 END
+      |      + CASE WHEN mon > mon_c2 THEN 1 ELSE 0 END
+      |      + CASE WHEN mon > mon_c3 THEN 1 ELSE 0 END
+      |      + CASE WHEN mon > mon_c4 THEN 1 ELSE 0 END AS m
+      |  FROM m, cuts)
+      |SELECT CAST(r * 100 + f * 10 + m AS BIGINT) AS rfm_cell,
+      |       CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+      |       CAST(m AS BIGINT) AS m,
+      |       CAST(count(*) AS BIGINT) AS n_customers,
+      |       CAST(sum(o_custkey) AS BIGINT) AS cust_checksum
+      |FROM sc GROUP BY 1, 2, 3, 4
+      |ORDER BY rfm_cell""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q186_rfm_segments" -> (q186RfmSegments _),
     "q177_revenue_bridge" -> (q177RevenueBridge _),
     "q175_jackknife_variance" -> (q175JackknifeVariance _),
     "q154_equiwidth_hist" -> (q154EquiwidthHist _),
@@ -1096,6 +1226,7 @@ object Analytics {
     "q108_lateral_top_orders" -> (q108LateralTopOrders _))
 
   val oracleSql: Map[String, String] = Map(
+    "q186_rfm_segments" -> q186Sql,
     "q177_revenue_bridge" -> q177Sql,
     "q175_jackknife_variance" -> q175Sql,
     "q154_equiwidth_hist" -> q154Sql,

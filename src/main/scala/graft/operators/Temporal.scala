@@ -682,7 +682,76 @@ object Temporal {
       |FROM d GROUP BY 1
       |ORDER BY score_micro DESC, user_id LIMIT 20""".stripMargin
 
+  /** q187 — sample autocorrelation (ACF) of the daily event-count
+    * series at lags 1–7: the seasonality/trend diagnostic read before
+    * trusting q171's persistence baseline or picking q147's anomaly
+    * window (a strong lag-7 says "weekly rhythm — compare same-weekday,
+    * not yesterday"; q176 shows the rhythm's shape, this quantifies its
+    * strength). Exact arithmetic end-to-end: with S = Σx and n days,
+    * the mean-centered value is cleared of the rational x̄ = S/n by
+    * scaling — z_t = n·x_t − S (exact BIGINT) — so
+    * acf_k = Σ z_t·z_{t+k} / Σ z_t² is a ratio of exact integers,
+    * emitted in basis points with the q152 SIGN-SPLIT division
+    * (autocorrelations go negative; Spark `div` truncates, DuckDB `//`
+    * floors). Products widen to DECIMAL(38,0)/HUGEINT (z² ~ (n·x)²
+    * crosses BIGINT once n·x̄ passes ~3e9 — a decade of 100M-event
+    * days). Lag is CALENDAR days: a pair exists only when both day and
+    * day+k are present, so series gaps contribute nothing — the
+    * convention both engines share by construction.
+    *
+    * Scale shape: one hash aggregate to the days-sized series relation
+    * (bounded by the calendar, not the corpus); the 7 lag pairings are
+    * one broadcast of the 7-row lag spine + one equi self-join of the
+    * tiny series; output is 7 rows at any scale.
+    */
+  def q187Acf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val s = Tables.events(spark, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy($"day").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // days-sized; feeds z (used on both join sides)
+    val st = s.agg(count(lit(1)).as("n"), sum($"cnt").as("sm"))
+    val z = s.crossJoin(broadcast(st))
+      .select($"day", ($"n" * $"cnt" - $"sm").as("z"))
+      .localCheckpoint()
+    val den = z.agg(sum($"z".cast(d38) * $"z").as("den"))
+    val lags = spark.range(1, 8).select($"id".as("lag"))
+    z.crossJoin(broadcast(lags))
+      .select($"lag", ($"day" + $"lag").as("day"), $"z".as("za"))
+      .join(z.select($"day", $"z".as("zb")), Seq("day"))
+      .groupBy($"lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum($"za".cast(d38) * $"zb").as("num"))
+      .crossJoin(broadcast(den))
+      .select($"lag", $"n_pairs",
+        expr("""CAST(CASE WHEN num < 0 THEN -((-num * 10000) div den)
+                          ELSE (num * 10000) div den END AS BIGINT)""")
+          .as("acf_bp"))
+      .orderBy($"lag")
+  }
+
+  val q187Sql: String =
+    """WITH s AS (SELECT epoch_us(ts) // 86400000000 AS day,
+      |             CAST(count(*) AS BIGINT) AS cnt
+      |           FROM events GROUP BY 1),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(cnt) AS BIGINT) AS sm FROM s),
+      |z AS (SELECT day, n * cnt - sm AS z FROM s, st),
+      |den AS (SELECT CAST(sum(CAST(z AS HUGEINT) * z) AS HUGEINT) AS den
+      |        FROM z),
+      |l AS (SELECT CAST(k AS BIGINT) AS lag FROM range(1, 8) t(k)),
+      |p AS (SELECT l.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+      |        CAST(sum(CAST(a.z AS HUGEINT) * b.z) AS HUGEINT) AS num
+      |      FROM l JOIN z a ON true JOIN z b ON b.day = a.day + l.lag
+      |      GROUP BY 1)
+      |SELECT p.lag, p.n_pairs,
+      |       CAST(CASE WHEN num < 0 THEN -((-num * 10000) // den)
+      |                 ELSE (num * 10000) // den END AS BIGINT) AS acf_bp
+      |FROM p, den ORDER BY p.lag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q187_acf" -> (q187Acf _),
     "q181_decay_score" -> (q181DecayScore _),
     "q176_rhythm_matrix" -> (q176RhythmMatrix _),
     "q171_forecast_backtest" -> (q171ForecastBacktest _),
@@ -699,6 +768,7 @@ object Temporal {
     "q123_time_weighted" -> (q123TimeWeighted _))
 
   val oracleSql: Map[String, String] = Map(
+    "q187_acf" -> q187Sql,
     "q181_decay_score" -> q181Sql,
     "q176_rhythm_matrix" -> q176Sql,
     "q171_forecast_backtest" -> q171Sql,

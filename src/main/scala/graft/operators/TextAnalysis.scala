@@ -1045,7 +1045,172 @@ object TextAnalysis {
        |) z ORDER BY round""".stripMargin
   }
 
+  /** q188 — bigram language-model NLL scoring with add-one smoothing:
+    * the sequence-aware upgrade of q76's unigram perplexity proxy (a
+    * doc of common words in an impossible ORDER scores badly here but
+    * fine there — the word-salad class a unigram filter can't see).
+    * Per bigram type, the smoothed conditional is
+    * `P(w2|w1) = (c2(w1,w2)+1)/(c1(w1)+V)`, so the per-bigram
+    * surprisal is `ln((c1+V)/(c2+1))` — a log of a ratio of exact
+    * integers, frozen to micro-nats per TYPE (the q76/q84 freeze
+    * discipline), and ALWAYS ≥ 0 by construction (c2 ≤ c1 and V ≥ 1),
+    * so no sign-split is needed. Per-doc NLL is then a pure BIGINT
+    * `Σ k·s_micro` — order-invariant at any parallelism. Every scored
+    * bigram is by definition present in the corpus table (the corpus
+    * contains the doc), so no unseen-fallback branch exists in the
+    * batch-scoring form; scoring EXTERNAL text against this table
+    * would add the c2=0 fallback term `ln(c1+V) − ln 1` keyed on w1
+    * alone.
+    *
+    * Scale shape: one bigram explode feeding (doc,w1,w2) and the
+    * corpus tables (bigram-vocabulary-sized, Zipf-bounded); the
+    * surprisal join is an equi-join on the bigram key; the final
+    * aggregation is one doc_id hash agg. No windows, no UDFs — the
+    * explode and arithmetic stay in codegen.
+    */
+  def q188BigramNll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bg = docs(spark, dir)
+      .select($"doc_id", toks.as("t"))
+      .select($"doc_id", explode(expr(
+        """CASE WHEN size(t) < 2
+          |THEN CAST(array() AS ARRAY<STRUCT<w1:STRING,w2:STRING>>)
+          |ELSE transform(sequence(0, size(t)-2),
+          |  i -> struct(t[i] AS w1, t[i+1] AS w2)) END""".stripMargin)).as("b"))
+      .select($"doc_id", $"b.w1", $"b.w2")
+    val db = bg.groupBy($"doc_id", $"w1", $"w2")
+      .agg(count(lit(1)).as("k"))
+      .localCheckpoint() // feeds the corpus tables and the scoring join
+    val c2 = db.groupBy($"w1", $"w2").agg(sum($"k").as("c2"))
+    val c1 = c2.groupBy($"w1").agg(sum($"c2").as("c1"))
+    val v = docs(spark, dir).select(explode(toks).as("tok"))
+      .agg(countDistinct($"tok").as("v"))
+    val s = c2.join(c1, Seq("w1")).crossJoin(broadcast(v))
+      .select($"w1", $"w2",
+        round(log(($"c1" + $"v").cast("double") / ($"c2" + 1).cast("double"))
+          * 1e6).cast("long").as("s_micro"))
+    db.join(s, Seq("w1", "w2"))
+      .groupBy($"doc_id")
+      .agg(sum($"k").as("n_bigrams"), sum($"k" * $"s_micro").as("nll_micro"))
+      .select($"doc_id", $"n_bigrams", $"nll_micro",
+        ($"nll_micro".cast("double") / lit(1000000.0) / $"n_bigrams")
+          .as("avg_nll"))
+      .orderBy($"doc_id")
+  }
+
+  val q188Sql: String =
+    """WITH tk AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+      |            FROM documents),
+      |bg AS (SELECT doc_id,
+      |         unnest([t[i] for i in range(1, len(t))]) AS w1,
+      |         unnest([t[i+1] for i in range(1, len(t))]) AS w2
+      |       FROM tk),
+      |db AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS k
+      |       FROM bg GROUP BY 1, 2, 3),
+      |c2 AS (SELECT w1, w2, CAST(sum(k) AS BIGINT) AS c2 FROM db GROUP BY 1, 2),
+      |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+      |vv AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+      |       FROM (SELECT unnest(t) AS tok FROM tk)),
+      |s AS (SELECT c2.w1, c2.w2,
+      |        CAST(round(ln(CAST(c1 + v AS DOUBLE) / (c2 + 1)) * 1000000.0)
+      |          AS BIGINT) AS s_micro
+      |      FROM c2 JOIN c1 USING (w1), vv)
+      |SELECT db.doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+      |       CAST(sum(k * s_micro) AS BIGINT) AS nll_micro,
+      |       CAST(sum(k * s_micro) AS DOUBLE) / 1000000.0 / sum(k) AS avg_nll
+      |FROM db JOIN s USING (w1, w2)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q185 — hybrid retrieval via reciprocal-rank fusion (RRF, Cormack
+    * et al. SIGIR'09): the lexical arm is the q131 BM25 top-20 (rides
+    * the session memo — paid once), the semantic arm is exact cosine
+    * top-20 for ONE deterministic query vector (the md5-first
+    * embedding, the q34 panel discipline; `vec_id` and `doc_id` share
+    * the harness id space), and the fused score is the rank-only
+    * `Σ_arms 1_000_000 div (60 + rank)` — the standard k=60 RRF with
+    * the reciprocal frozen to integer micro-units, so fusion is pure
+    * BIGINT over ranks and never touches either arm's incomparable raw
+    * scores (BM25 integer micro-idf vs IEEE cosine). Docs recalled by
+    * only one arm contribute that arm's term only (RRF over the union);
+    * absent ranks surface as 0. This is the third stage of the RAG
+    * retrieval stack next to q131 (recall) and q149 (diversity): two
+    * retrievers disagree, RRF arbitrates without score calibration.
+    *
+    * Scale shape: each arm is already bounded (20 rows) before fusion —
+    * the BM25 arm re-ranks the memoized pool, the semantic arm is one
+    * broadcast query row + a map-side pass through the bounded-state
+    * TopKByScore aggregator (partitions shrink to ≤20 rows pre-shuffle,
+    * never a corpus window sort). The fusion join is 20×20; the
+    * rank windows run over 20-row relations. Ordering inside each arm
+    * is identical cross-engine (integer BM25 scores; the cosine kernel
+    * is bit-identical to DuckDB's `list_cosine_similarity`), so ranks —
+    * and therefore the fused relation — hash-match the oracle.
+    */
+  def q185HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lex = q131Bm25TopK(spark, dir)
+      .select($"doc_id", $"score")
+      .withColumn("r_lex", row_number()
+        .over(Window.orderBy($"score".desc, $"doc_id")).cast("long"))
+      .select($"doc_id", $"r_lex")
+    val emb = Tables.embeddings(spark, dir)
+    val qv = emb.orderBy(md5($"vec_id".cast("string")), $"vec_id").limit(1)
+      .select($"vec_id".as("q_id"), $"embedding".as("eq"))
+    val top20 = graft.functions.TopKByScore(20)
+    val sem = emb
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select($"vec_id".as("doc_id"), $"embedding".as("eb"))
+      .join(broadcast(qv), $"doc_id" =!= $"q_id")
+      .withColumn("cs",
+        graft.functions.VectorFunctions.cosineSim($"eq", $"eb"))
+      .filter(!isnan($"cs"))
+      .groupBy($"q_id")
+      .agg(top20($"cs", $"doc_id").as("top"))
+      .select(posexplode($"top").as(Seq("pos", "t")))
+      .select($"t.b_id".as("doc_id"), ($"pos" + 1).cast("long").as("r_sem"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select($"doc_id",
+        coalesce($"r_lex", lit(0L)).as("r_lex"),
+        coalesce($"r_sem", lit(0L)).as("r_sem"),
+        (coalesce(expr("1000000 div (60 + r_lex)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + r_sem)"), lit(0L)))
+          .as("rrf_micro"))
+      .orderBy($"rrf_micro".desc, $"doc_id")
+      .limit(10)
+  }
+
+  val q185Sql: String =
+    s"""WITH $q131Ctes,
+       |bm AS (
+       |  SELECT tf.doc_id, CAST(sum((idf_micro * 22 * A * tf)
+       |    // (10 * A * tf + 3 * A + 9 * len * N)) AS BIGINT) AS score
+       |  FROM tf JOIN len ON tf.doc_id = len.doc_id
+       |  GROUP BY 1 ORDER BY score DESC, tf.doc_id LIMIT 20),
+       |lex AS (SELECT doc_id, CAST(ROW_NUMBER() OVER
+       |          (ORDER BY score DESC, doc_id) AS BIGINT) AS r_lex
+       |        FROM bm),
+       |qv AS (SELECT vec_id, embedding FROM embeddings
+       |       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1),
+       |sc AS (SELECT b.vec_id AS doc_id,
+       |         list_cosine_similarity(q.embedding::DOUBLE[],
+       |                                b.embedding::DOUBLE[]) AS cs
+       |       FROM qv q JOIN embeddings b ON b.vec_id <> q.vec_id),
+       |sem AS (SELECT doc_id, r_sem FROM (
+       |          SELECT doc_id, CAST(ROW_NUMBER() OVER
+       |            (ORDER BY cs DESC, doc_id) AS BIGINT) AS r_sem
+       |          FROM sc WHERE NOT isnan(cs)) z
+       |        WHERE r_sem <= 20)
+       |SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+       |       COALESCE(l.r_lex, 0) AS r_lex,
+       |       COALESCE(s.r_sem, 0) AS r_sem,
+       |       COALESCE(1000000 // (60 + l.r_lex), 0) +
+       |         COALESCE(1000000 // (60 + s.r_sem), 0) AS rrf_micro
+       |FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+       |ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q185_hybrid_rrf" -> (q185HybridRrf _),
+    "q188_bigram_nll" -> (q188BigramNll _),
     "q149_mmr_rerank" -> (q149MmrRerank _),
     "q148_phrase_search" -> (q148PhraseSearch _),
     "q131_bm25_topk" -> (q131Bm25TopK _),
@@ -1066,6 +1231,8 @@ object TextAnalysis {
     "q56_tfidf_top_terms" -> (q56TfidfTopTerms _))
 
   val oracleSql: Map[String, String] = Map(
+    "q185_hybrid_rrf" -> q185Sql,
+    "q188_bigram_nll" -> q188Sql,
     "q149_mmr_rerank" -> q149Sql,
     "q148_phrase_search" -> q148Sql,
     "q131_bm25_topk" -> q131Sql,

@@ -146,4 +146,39 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       s"got ${r.getAs[Long]("jk_var_milli2")} expected $expVar")
     assert(slices.size == 16, "md5 first hex char must populate all 16 slices")
   }
+
+  test("q186: RFM cells equal a sorted-array quintile replay") {
+    val metrics = Tables.orders(spark, sfDir)
+      .selectExpr("o_custkey",
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') AS BIGINT)",
+        "CAST(round(o_totalprice * 100) AS BIGINT)").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .groupBy(_._1)
+      .map { case (ck, os) =>
+        (ck, os.map(_._2).max, os.size.toLong, os.map(_._3).sum) }.toSeq
+    val n = metrics.size.toLong
+    def cuts(vs: Seq[Long]): Seq[Long] = {
+      val sorted = vs.sorted
+      // min v with cum*5 >= n*k == the ceil(n*k/5)-th smallest
+      (1 to 4).map(k => sorted((((n * k + 4) / 5) - 1).toInt))
+    }
+    val (rc, fc, mc) =
+      (cuts(metrics.map(_._2)), cuts(metrics.map(_._3)), cuts(metrics.map(_._4)))
+    def score(v: Long, cs: Seq[Long]): Long = 1L + cs.count(v > _)
+    val expected = metrics
+      .map { case (ck, r, f, m) => (score(r, rc), score(f, fc), score(m, mc), ck) }
+      .groupBy { case (r, f, m, _) => (r, f, m) }
+      .map { case (k, cs) => k -> ((cs.size.toLong, cs.map(_._4).sum)) }
+    val got = Analytics.q186RfmSegments(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("r"), r.getAs[Long]("f"), r.getAs[Long]("m")) ->
+        ((r.getAs[Long]("n_customers"), r.getAs[Long]("cust_checksum")))).toMap
+    assert(got == expected, s"got $got expected $expected")
+    assert(got.values.map(_._1).sum == n, "every ordering customer is in a cell")
+    assert(got.keys.forall { case (r, f, m) =>
+      Seq(r, f, m).forall(s => s >= 1 && s <= 5) }, "scores in 1..5")
+    // fixture must spread: at least 3 distinct values on each axis
+    assert(got.keys.map(_._1).toSet.size >= 3)
+    assert(got.keys.map(_._2).toSet.size >= 3)
+    assert(got.keys.map(_._3).toSet.size >= 3)
+  }
 }

@@ -301,4 +301,29 @@ class TemporalSpec extends AnyFunSuite with SparkSpec {
         "Σ (cnt·D − T) over all of a type's days is identically zero")
     }
   }
+
+  test("q187: ACF replays from a driver-side BigInt fold") {
+    val days = Tables.events(spark, sfDir)
+      .selectExpr("unix_micros(ts) div 86400000000 AS day").collect()
+      .map(_.getLong(0)).groupBy(identity)
+      .map { case (d, xs) => d -> xs.length.toLong }
+    val n = days.size.toLong
+    val sm = days.values.sum
+    val z = days.map { case (d, c) => d -> BigInt(n * c - sm) }
+    val den = z.values.map(v => v * v).sum
+    val expected = (1L to 7L).map { k =>
+      val pairs = z.keys.filter(d => z.contains(d + k)).toSeq
+      val num = pairs.map(d => z(d) * z(d + k)).sum
+      val bp =
+        if (num < 0) -((-num * 10000) / den) else (num * 10000) / den
+      (k, pairs.size.toLong, bp.toLong)
+    }
+    val got = Temporal.q187Acf(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("lag"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("acf_bp"))).toSeq
+    assert(got == expected, s"got $got expected $expected")
+    assert(got.map(_._2).forall(_ > 0), "every lag must have pairs")
+    // zero-sum invariant of the centered series: Σ z_t == 0 exactly
+    assert(z.values.sum == 0)
+  }
 }

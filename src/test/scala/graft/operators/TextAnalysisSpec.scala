@@ -349,4 +349,81 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(got.map(_._1).distinct.length == 5, "five distinct picks")
     assert(got.head._2 == 10000L, "round 1 is the relevance argmax")
   }
+
+  test("q188: bigram NLL replays from a driver-side smoothed-LM fold") {
+    val texts = graft.sources.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split(" ", -1).toSeq).toMap
+    val docBigrams = texts.view.mapValues(t =>
+      if (t.size < 2) Seq.empty else t.sliding(2).map(p => (p(0), p(1))).toSeq)
+      .toMap
+    val c2 = docBigrams.values.flatten
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = c2.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val v = texts.values.flatten.toSet.size.toLong
+    def sMicro(b: (String, String)): Long =
+      math.round(math.log((c1(b._1) + v).toDouble / (c2(b) + 1)) * 1e6)
+    val expected = docBigrams.collect { case (d, bs) if bs.nonEmpty =>
+      d -> ((bs.size.toLong, bs.map(sMicro).sum))
+    }
+    val got = TextAnalysis.q188BigramNll(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("nll_micro")))).toMap
+    assert(got == expected)
+    // surprisal is non-negative by construction (c2 <= c1, v >= 1), so
+    // the frozen terms never need the sign-split division
+    assert(c2.keys.forall(b => sMicro(b) >= 0L))
+    // the sequence-sensitivity claim: a doc scores its bigrams, so two
+    // docs with identical token MULTISETS but different orders differ
+    val multisets = texts.view.mapValues(_.groupBy(identity).view
+      .mapValues(_.size).toMap).toMap
+    val samePairs = for {
+      (a, ma) <- multisets.toSeq; (b, mb) <- multisets.toSeq
+      if a < b && ma == mb
+    } yield (a, b)
+    samePairs.headOption.foreach { case (a, b) =>
+      assert(texts(a) != texts(b) || got(a) == got(b)) }
+  }
+
+  test("q185: RRF fusion equals a driver-side replay of both arms") {
+    // lexical arm: ranks over the declared BM25 pool
+    val lexRank = TextAnalysis.q131Bm25TopK(spark, sfDir)
+      .select($"doc_id", $"score").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (d, s) => (-s, d) }
+      .zipWithIndex.map { case ((d, _), i) => d -> (i + 1L) }.toMap
+    // semantic arm: md5-first query vector, sequential-double cosine
+    val embs = graft.sources.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toSeq
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    val (qid, qe) = embs.map { case (id, e) => (md5hex(id.toString), id, e) }
+      .minBy(t => (t._1, t._2)) match { case (_, id, e) => (id, e) }
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.zip(b).foreach { case (x, y) =>
+        dot += x.toDouble * y.toDouble; na += x.toDouble * x.toDouble
+        nb += y.toDouble * y.toDouble }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val semRank = embs.filter(_._1 != qid)
+      .map { case (id, e) => (id, cos(qe, e)) }
+      .filterNot { case (_, c) => c.isNaN }
+      .sortBy { case (d, c) => (-c, d) }.take(20)
+      .zipWithIndex.map { case ((d, _), i) => d -> (i + 1L) }.toMap
+    val expected = (lexRank.keySet ++ semRank.keySet).toSeq.map { d =>
+      val rrf = lexRank.get(d).map(r => 1000000L / (60 + r)).getOrElse(0L) +
+        semRank.get(d).map(r => 1000000L / (60 + r)).getOrElse(0L)
+      (d, lexRank.getOrElse(d, 0L), semRank.getOrElse(d, 0L), rrf)
+    }.sortBy { case (d, _, _, rrf) => (-rrf, d) }.take(10)
+    val got = TextAnalysis.q185HybridRrf(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("r_lex"),
+        r.getAs[Long]("r_sem"), r.getAs[Long]("rrf_micro"))).toSeq
+    assert(got == expected, s"got $got expected $expected")
+    // the fixture must exercise genuine fusion: both arms contribute
+    assert(got.exists(_._2 > 0) && got.exists(_._3 > 0),
+      "fused top-10 must draw from both retrieval arms")
+  }
 }
