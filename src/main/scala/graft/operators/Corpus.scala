@@ -682,7 +682,91 @@ object Corpus {
        |WHERE c.cum_before < b.b_tokens
        |ORDER BY doc_id""".stripMargin
 
+  /** q189 — boilerplate STRIPPING, the transform acting on q72's
+    * detection: each source's modal leading 8-gram (its candidate
+    * header/banner) is removed from every document that starts with it,
+    * provided the prefix is actually SHARED (count ≥ 2 — a unique
+    * prefix is content, not boilerplate). The audit row per source
+    * carries before/after character totals and a stripped-doc-id
+    * checksum, so the transform's exact effect — which docs, how many
+    * chars — crosses the driver's hash gate, the q142 publish-before-
+    * mutate discipline for destructive curation steps.
+    *
+    * Mechanics kept engine-portable: the modal prefix is the
+    * `min(struct(-cnt, prefix))` aggregation (q122's window-free argmax
+    * with the explicit (count desc, prefix asc) tie rule — the oracle
+    * uses a rank window instead, two mechanisms one gate), `hit` is
+    * exact string equality of the doc's OWN 8-token prefix against the
+    * modal one, and chars_removed accounts for the separator space
+    * (prefix+1) except when the doc IS the prefix exactly.
+    *
+    * Scale shape: one (source, prefix) hash aggregate, a source-bounded
+    * broadcast of the modal relation, one source rollup — the fact is
+    * scanned twice (detection, strip), zero windows over data-sized
+    * relations.
+    */
+  def q189BoilerplateStrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir)
+      .select($"doc_id", $"source", $"text",
+        concat_ws(" ", slice(toks, 1, 8)).as("prefix"))
+      .localCheckpoint() // feeds detection and the strip pass
+    val top = d.groupBy($"source", $"prefix").agg(count(lit(1)).as("cnt"))
+      .groupBy($"source")
+      .agg(min(struct(($"cnt" * -1).as("nc"), $"prefix".as("p"))).as("t"))
+      .select($"source", $"t.p".as("bp"), (-$"t.nc").as("bp_cnt"))
+      .filter($"bp_cnt" >= 2)
+    d.join(broadcast(top), Seq("source"), "left")
+      .withColumn("hit", $"bp".isNotNull && $"prefix" === $"bp")
+      .withColumn("removed", when(!$"hit", lit(0L)).otherwise(
+        when(length($"text") > length($"bp"), length($"bp") + 1)
+          .otherwise(length($"bp")).cast("long")))
+      .groupBy($"source")
+      .agg(
+        coalesce(max($"bp"), lit("")).as("boilerplate_prefix"),
+        coalesce(max($"bp_cnt"), lit(0L)).as("prefix_cnt"),
+        count(lit(1)).as("n_docs"),
+        sum(when($"hit", 1L).otherwise(0L)).as("n_stripped"),
+        sum(length($"text")).cast("long").as("chars_before"),
+        sum($"removed").as("chars_removed"),
+        sum(when($"hit", $"doc_id").otherwise(0L)).as("stripped_id_sum"))
+      .orderBy($"source")
+  }
+
+  val q189Sql: String =
+    """WITH d AS (SELECT doc_id, source, text,
+      |             array_to_string(string_split(trim(text), ' ')[1:8], ' ')
+      |               AS prefix
+      |           FROM documents),
+      |g AS (SELECT source, prefix, CAST(count(*) AS BIGINT) AS cnt
+      |      FROM d GROUP BY 1, 2),
+      |t AS (SELECT source, prefix AS bp, cnt AS bp_cnt FROM (
+      |        SELECT source, prefix, cnt, row_number() OVER (
+      |          PARTITION BY source ORDER BY cnt DESC, prefix) AS rn
+      |        FROM g) z
+      |      WHERE rn = 1 AND cnt >= 2),
+      |j AS (SELECT d.doc_id, d.source, d.text,
+      |        t.bp IS NOT NULL AND d.prefix = t.bp AS hit,
+      |        CASE WHEN t.bp IS NOT NULL AND d.prefix = t.bp
+      |             THEN CASE WHEN length(d.text) > length(t.bp)
+      |                       THEN length(t.bp) + 1 ELSE length(t.bp) END
+      |             ELSE 0 END AS removed,
+      |        t.bp, t.bp_cnt
+      |      FROM d LEFT JOIN t ON d.source = t.source)
+      |SELECT source,
+      |       COALESCE(max(bp), '') AS boilerplate_prefix,
+      |       COALESCE(max(bp_cnt), 0) AS prefix_cnt,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_stripped,
+      |       CAST(sum(length(text)) AS BIGINT) AS chars_before,
+      |       CAST(sum(removed) AS BIGINT) AS chars_removed,
+      |       CAST(sum(CASE WHEN hit THEN doc_id ELSE 0 END) AS BIGINT)
+      |         AS stripped_id_sum
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_boilerplate_strip" -> (q189BoilerplateStrip _),
     "q68_vocab_coverage" -> (q68VocabCoverage _),
     "q78_temperature_mix" -> (q78TemperatureMix _),
     "q80_shard_layout" -> (q80ShardLayout _),
@@ -696,6 +780,7 @@ object Corpus {
     "q73_source_vocab_jaccard" -> (q73SourceVocabJaccard _))
 
   val oracleSql: Map[String, String] = Map(
+    "q189_boilerplate_strip" -> q189Sql,
     "q68_vocab_coverage" -> q68Sql,
     "q78_temperature_mix" -> q78Sql,
     "q69_bigram_lift" -> q69Sql,

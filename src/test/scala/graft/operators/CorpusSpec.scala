@@ -232,4 +232,36 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
       .filter($"split" =!= $"expect")
     assert(r.count() == 0)
   }
+
+  test("q189: boilerplate strip replays driver-side and actually strips") {
+    val ds = graft.sources.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    def pfx(t: String): String = t.trim.split(" ", -1).take(8).mkString(" ")
+    val expected = ds.groupBy(_._2).map { case (src, docs) =>
+      val byPfx = docs.groupBy(d => pfx(d._3)).view.mapValues(_.size).toMap
+      val (bp, cnt) = byPfx.toSeq.minBy { case (p, c) => (-c, p) }
+      val shared = cnt >= 2
+      val hits = if (shared) docs.filter(d => pfx(d._3) == bp) else Seq.empty
+      val removed = hits.map { d =>
+        if (d._3.length > bp.length) bp.length + 1L else bp.length.toLong }.sum
+      src -> ((if (shared) bp else "", if (shared) cnt.toLong else 0L,
+        docs.size.toLong, hits.size.toLong,
+        docs.map(_._3.length.toLong).sum, removed, hits.map(_._1).sum))
+    }
+    val got = Corpus.q189BoilerplateStrip(spark, sfDir).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[String]("boilerplate_prefix"), r.getAs[Long]("prefix_cnt"),
+          r.getAs[Long]("n_docs"), r.getAs[Long]("n_stripped"),
+          r.getAs[Long]("chars_before"), r.getAs[Long]("chars_removed"),
+          r.getAs[Long]("stripped_id_sum")))).toMap
+    assert(got == expected, s"got $got expected $expected")
+    // the fixture must exercise the transform: at least one source strips
+    assert(got.values.exists(_._4 > 0), "no source had shared boilerplate")
+    // conservation: chars_removed never exceeds what stripped docs held
+    got.values.foreach { case (_, _, _, nStripped, before, removed, _) =>
+      assert(removed >= 0 && removed <= before)
+      if (nStripped == 0) assert(removed == 0)
+    }
+  }
 }
