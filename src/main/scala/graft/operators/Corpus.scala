@@ -765,7 +765,131 @@ object Corpus {
       |         AS stripped_id_sum
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q191 — Zipf-law fit per source: the OLS slope of ln(count) against
+    * ln(rank) over each source's top-256 vocabulary head — the corpus-
+    * health scalar behind q68's coverage curve (natural language sits
+    * near slope −1; templated/generated text flattens, OCR noise
+    * steepens the tail). The q152 regression discipline on q76's freeze:
+    * both axes are frozen to exact micro-nat integers per vocabulary
+    * row (`round(ln(rank)·10⁶)`, `round(ln(cnt)·10⁶)`), the five OLS
+    * sums accumulate in DECIMAL(38,0)/HUGEINT (x·y ≈ 4e14 per point —
+    * a million-type vocabulary would cross BIGINT), and the closed-form
+    * slope divides SIGN-SPLIT (slopes are negative; Spark `div`
+    * truncates, DuckDB `//` floors). Dimensionless slope emitted in
+    * micro-units.
+    *
+    * Scale shape: one (source, token) aggregate; the rank window runs
+    * over the per-source VOCABULARY (Zipf-bounded, never the corpus —
+    * the q73 precedent) and the fit only consumes the 256-row head per
+    * source; output is |sources| rows.
+    */
+  def q191ZipfFit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = Window.partitionBy($"source").orderBy($"cnt".desc, $"token")
+    val head = docs(spark, dir)
+      .select($"source", explode(toks).as("token"))
+      .groupBy($"source", $"token").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 256)
+      .select($"source",
+        round(log($"rank".cast("double")) * 1e6).cast("long").as("x"),
+        round(log($"cnt".cast("double")) * 1e6).cast("long").as("y"))
+    head.groupBy($"source")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x".cast(d38) * $"y").as("sxy"),
+        sum($"x".cast(d38) * $"x").as("sxx"))
+      .withColumn("num",
+        expr("CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+      .withColumn("den",
+        expr("CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .select($"source", $"n".as("n_points"),
+        expr("""CAST(CASE WHEN num < 0 THEN -((-num * 1000000) div den)
+                          ELSE (num * 1000000) div den END AS BIGINT)""")
+          .as("zipf_slope_micro"))
+      .orderBy($"source")
+  }
+
+  val q191Sql: String =
+    """WITH v AS (
+      |  SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM (SELECT source, unnest(string_split(trim(text), ' ')) AS tok
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |h AS (SELECT source,
+      |        CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
+      |        CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000.0) AS BIGINT) AS y
+      |      FROM (SELECT source, cnt, row_number() OVER (
+      |              PARTITION BY source ORDER BY cnt DESC, tok) AS rank
+      |            FROM v) z
+      |      WHERE rank <= 256),
+      |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |        CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+      |        CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+      |      FROM h GROUP BY 1),
+      |b AS (SELECT source, n,
+      |        CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+      |        CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den
+      |      FROM a)
+      |SELECT source, n AS n_points,
+      |       CAST(CASE WHEN num < 0 THEN -((-num * 1000000) // den)
+      |                 ELSE (num * 1000000) // den END AS BIGINT)
+      |         AS zipf_slope_micro
+      |FROM b ORDER BY source""".stripMargin
+
+  /** q192 — training-shard export manifest with content checksums: for
+    * every (split, shard) cell of the q70 split × q80 shard layout, the
+    * counts a trainer verifies BEFORE reading data (docs, tokens) plus
+    * two order-invariant integrity sums — Σ doc_id and
+    * Σ md5-prefix60(text) mod 10¹⁵ (the q182 Merkle-residue
+    * discipline applied to the export boundary: a single flipped BYTE
+    * of any document changes the residue, so a corrupted copy or a
+    * truncated shard fails the manifest without row-level comparison).
+    * This is the handshake artifact between the data pipeline and the
+    * training job — the reference's closest analogue is its row-count
+    * log lines (`citibike_project/etl/ingest_data.py:172`).
+    *
+    * Scale shape: pure map (split/shard/hash columns) + ONE map-side-
+    * combinable aggregate to the ≤ 3·64 manifest rows; commutative sums
+    * make the checksum partition-order-independent and incrementally
+    * maintainable per appended batch.
+    */
+  def q192ShardManifest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    docs(spark, dir)
+      .select($"doc_id", size(toks).cast("long").as("n_tokens"),
+        splitColumn($"doc_id").as("split"),
+        (hashColumn($"doc_id") % nShards).cast("long").as("shard"),
+        graft.functions.Md5Prefix60($"text").as("content_h"))
+      .groupBy($"split", $"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("token_sum"),
+        sum($"doc_id").as("id_sum"),
+        expr("CAST(sum(CAST(content_h AS DECIMAL(38,0))) % 1000000000000000 AS BIGINT)")
+          .as("content_checksum"))
+      .orderBy($"split", $"shard")
+  }
+
+  val q192Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS BIGINT)
+       |           AS n_tokens,
+       |         ${splitSqlExpr("doc_id")} AS split,
+       |         CAST(${hashSqlExpr("doc_id")} % $nShards AS BIGINT) AS shard,
+       |         CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS content_h
+       |  FROM documents)
+       |SELECT split, shard, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS token_sum,
+       |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       |       CAST(sum(CAST(content_h AS HUGEINT)) % 1000000000000000
+       |            AS BIGINT) AS content_checksum
+       |FROM d GROUP BY 1, 2
+       |ORDER BY split, shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_zipf_fit" -> (q191ZipfFit _),
+    "q192_shard_manifest" -> (q192ShardManifest _),
     "q189_boilerplate_strip" -> (q189BoilerplateStrip _),
     "q68_vocab_coverage" -> (q68VocabCoverage _),
     "q78_temperature_mix" -> (q78TemperatureMix _),
@@ -780,6 +904,8 @@ object Corpus {
     "q73_source_vocab_jaccard" -> (q73SourceVocabJaccard _))
 
   val oracleSql: Map[String, String] = Map(
+    "q191_zipf_fit" -> q191Sql,
+    "q192_shard_manifest" -> q192Sql,
     "q189_boilerplate_strip" -> q189Sql,
     "q68_vocab_coverage" -> q68Sql,
     "q78_temperature_mix" -> q78Sql,

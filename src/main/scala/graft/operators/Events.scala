@@ -1030,7 +1030,60 @@ object Events {
       |FROM paths GROUP BY 1
       |ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin
 
+  /** q190 — Shannon-entropy census of each event type's value
+    * distribution (decade buckets, q60's coarsening grid): the
+    * information-theoretic dual of q84's KL — KL asks "how far is this
+    * source from the corpus", entropy asks "does this dimension carry
+    * signal at all" (H ≈ 0: constant column, drop it from features;
+    * H ≈ H_max: uniform noise). The q84/q76 freeze discipline:
+    * `H = Σ (c/N)·ln(N/c)` with each per-bucket term frozen to
+    * micro-nats — `c·round(ln(N/c)·10⁶)` — so the sum is exact BIGINT
+    * and order-invariant; ln(N/c) ≥ 0 always (c ≤ N), no sign-split.
+    * `h_max_micro = round(ln(n_buckets)·10⁶)` rides along so the
+    * normalized evenness H/H_max is one consumer-side division.
+    *
+    * Scale shape: one (type, bucket) map-side-combinable aggregate
+    * (state bounded by types × decades), windows never touch the fact;
+    * output is |types| rows at any scale.
+    */
+  def q190EntropyCensus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.events(spark, dir)
+      .select($"event_type", (floor($"value" / 10) * 10).cast("long").as("bkt"))
+      .groupBy($"event_type", $"bkt").agg(count(lit(1)).as("c"))
+    val types = cells.groupBy($"event_type")
+      .agg(sum($"c").as("n"), count(lit(1)).as("n_buckets"))
+    cells.join(broadcast(types), Seq("event_type"))
+      .withColumn("term_micro",
+        $"c" * round(log($"n".cast("double") / $"c") * 1e6).cast("long"))
+      .groupBy($"event_type")
+      .agg(first($"n").as("n_events"), first($"n_buckets").as("n_buckets"),
+        expr("sum(term_micro) div first(n)").as("h_micro"),
+        round(log(first($"n_buckets").cast("double")) * 1e6).cast("long")
+          .as("h_max_micro"))
+      .orderBy($"event_type")
+  }
+
+  val q190Sql: String =
+    """WITH cells AS (
+      |  SELECT event_type, CAST(floor(value / 10) * 10 AS BIGINT) AS bkt,
+      |         CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
+      |        CAST(count(*) AS BIGINT) AS n_buckets
+      |      FROM cells GROUP BY 1)
+      |SELECT cells.event_type, any_value(t.n) AS n_events,
+      |       any_value(t.n_buckets) AS n_buckets,
+      |       CAST(sum(c * CAST(round(ln(CAST(t.n AS DOUBLE) / c) * 1000000.0)
+      |                         AS BIGINT)) AS BIGINT) // any_value(t.n)
+      |         AS h_micro,
+      |       CAST(round(ln(CAST(any_value(t.n_buckets) AS DOUBLE))
+      |                  * 1000000.0) AS BIGINT) AS h_max_micro
+      |FROM cells JOIN t USING (event_type)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q190_entropy_census" -> (q190EntropyCensus _),
     "q166_incremental_rollup" -> (q166IncrementalRollup _),
     "q167_top_session_paths" -> (q167TopSessionPaths _),
     "q163_ab_ztest" -> (q163AbZTest _),
@@ -1054,6 +1107,7 @@ object Events {
     "q57_salted_skew_join" -> (q57SaltedSkewJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q190_entropy_census" -> q190Sql,
     "q166_incremental_rollup" -> q166Sql,
     "q167_top_session_paths" -> q167Sql,
     "q163_ab_ztest" -> q163Sql,

@@ -264,4 +264,75 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
       if (nStripped == 0) assert(removed == 0)
     }
   }
+
+  test("q191: Zipf slopes replay from a driver-side frozen-log OLS") {
+    val vocab = graft.sources.Tables.documents(spark, sfDir)
+      .select($"source", $"text").collect()
+      .flatMap(r => r.getString(1).trim.split(" ", -1)
+        .map(t => (r.getString(0), t))).toSeq
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = vocab.keys.map(_._1).toSeq.distinct.map { src =>
+      val head = vocab.collect { case ((`src`, t), c) => (t, c) }.toSeq
+        .sortBy { case (t, c) => (-c, t) }.take(256).zipWithIndex
+        .map { case ((_, c), i) =>
+          (math.round(math.log(i + 1.0) * 1e6),
+            math.round(math.log(c.toDouble) * 1e6)) }
+      val n = BigInt(head.size)
+      val sx = head.map(p => BigInt(p._1)).sum
+      val sy = head.map(p => BigInt(p._2)).sum
+      val sxy = head.map(p => BigInt(p._1) * p._2).sum
+      val sxx = head.map(p => BigInt(p._1) * p._1).sum
+      val num = n * sxy - sx * sy
+      val den = n * sxx - sx * sx
+      val slope =
+        if (num < 0) -((-num * 1000000) / den) else (num * 1000000) / den
+      src -> ((head.size.toLong, slope.toLong))
+    }.toMap
+    val got = Corpus.q191ZipfFit(spark, sfDir).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_points"), r.getAs[Long]("zipf_slope_micro")))).toMap
+    assert(got == expected, s"got $got expected $expected")
+    // word frequencies decay: every fitted slope is negative
+    assert(got.values.forall(_._2 < 0L), "a Zipf head cannot slope upward")
+  }
+
+  test("q192: manifest checksums replay and cover the whole corpus") {
+    val ds = graft.sources.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    val M = BigInt(1000000000000000L)
+    val expected = ds.map { case (id, text) =>
+      val hx = md5hex(id.toString).charAt(31)
+      val split = if (hx <= 'b') "train" else if (hx <= 'd') "val" else "test"
+      val shard = graft.functions.Md5Prefix60.hash(id.toString.getBytes) % 64
+      ((split, shard), (id, text))
+    }.groupBy(_._1).map { case (k, xs) =>
+      k -> ((xs.size.toLong,
+        xs.map(_._2._2.trim.split(" ", -1).length.toLong).sum,
+        xs.map(_._2._1).sum,
+        (xs.map(x => BigInt(graft.functions.Md5Prefix60.hash(x._2._2.getBytes)))
+          .sum % M).toLong))
+    }
+    val got = Corpus.q192ShardManifest(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("split"), r.getAs[Long]("shard")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("token_sum"),
+          r.getAs[Long]("id_sum"), r.getAs[Long]("content_checksum")))).toMap
+    assert(got == expected, s"got $got expected $expected")
+    assert(got.values.map(_._1).sum == ds.size.toLong,
+      "manifest must account for every document")
+    // a flipped byte flips the residue: re-fold with one doc's text
+    // perturbed and require a different checksum for its cell
+    val (pid, ptext) = ds.head
+    val phx = md5hex(pid.toString).charAt(31)
+    val psplit = if (phx <= 'b') "train" else if (phx <= 'd') "val" else "test"
+    val pshard = graft.functions.Md5Prefix60.hash(pid.toString.getBytes) % 64
+    val cell = got((psplit, pshard))
+    val perturbed = (BigInt(cell._4) - BigInt(
+      graft.functions.Md5Prefix60.hash(ptext.getBytes)) + BigInt(
+      graft.functions.Md5Prefix60.hash((ptext + "x").getBytes))).mod(M)
+    assert(perturbed.toLong != cell._4, "checksum blind to a content flip")
+  }
 }

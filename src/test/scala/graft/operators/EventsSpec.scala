@@ -427,4 +427,26 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     }
     assert(r.values.sum == evs.length.toLong, "no row lost across vintages")
   }
+
+  test("q190: entropy census replays from a driver-side micro-nat fold") {
+    val cells = graft.sources.Tables.events(spark, sfDir)
+      .selectExpr("event_type", "CAST(floor(value / 10) * 10 AS BIGINT)")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = cells.keys.map(_._1).toSeq.distinct.map { t =>
+      val cs = cells.collect { case ((`t`, _), c) => c }.toSeq
+      val n = cs.sum
+      val h = cs.map(c =>
+        c * math.round(math.log(n.toDouble / c) * 1e6)).sum / n
+      t -> ((n, cs.size.toLong, h, math.round(math.log(cs.size.toDouble) * 1e6)))
+    }.toMap
+    val got = Events.q190EntropyCensus(spark, sfDir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("n_buckets"),
+          r.getAs[Long]("h_micro"), r.getAs[Long]("h_max_micro")))).toMap
+    assert(got == expected, s"got $got expected $expected")
+    // entropy bounded by the uniform maximum (micro-rounding slack)
+    got.values.foreach { case (_, _, h, hMax) =>
+      assert(h >= 0 && h <= hMax + 5, s"H=$h outside [0, $hMax]") }
+  }
 }
