@@ -476,4 +476,58 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "NOT IN against a nullable subquery must plan a null-aware anti join:\n" +
         p.linesIterator.filter(_.contains("Join")).mkString("\n"))
   }
+
+  test("q186: quintile cuts never sort the customer relation globally") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // The three cut-point scans window per magnitude bucket; the only
+    // partition-less windows allowed are the bucket-offset prefix sums
+    // over the per-bucket aggregate (value-domain-sized, not data-sized).
+    val df = SparkEntry.queries("q186_rfm_segments")(spark, sfDir)
+    val offenders = df.queryExecution.analyzed.collect {
+      case w: LWindow if w.partitionSpec.isEmpty &&
+        !w.child.exists {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+            a.groupingExpressions.exists(_.references.exists(_.name == "bkt"))
+          case _ => false
+        } => w
+    }
+    assert(offenders.isEmpty,
+      s"customer-sized relation funnels through one window:\n$offenders")
+    val p = plan("q186_rfm_segments")
+    assert(!p.contains("Percentile"),
+      "cuts must come from rank arithmetic, never a percentile buffer")
+  }
+
+  test("q188/q190: LM scoring and entropy census plan window-free") {
+    // Both are pure aggregate pipelines: corpus tables + one hash agg.
+    // A window sneaking in would mean a per-group sort of a data-sized
+    // relation.
+    Seq("q188_bigram_nll", "q190_entropy_census").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q must not plan a window")
+      assert(p.contains("HashAggregate"), s"$q should hash-aggregate")
+    }
+  }
+
+  test("q185: fusion arms are bounded before the join — no corpus-sized window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Window => LWindow}
+    val df = SparkEntry.queries("q185_hybrid_rrf")(spark, sfDir)
+    // every window must sit above a LIMIT (the 20-row arm) or the
+    // checkpointed BM25 memo pool (itself limit-20 by construction) —
+    // the semantic arm ranks through the bounded-state TopKByScore
+    // aggregator, never a window over the corpus
+    val unbounded = df.queryExecution.analyzed.collect {
+      case w: LWindow if !w.child.exists {
+        case _: GlobalLimit => true
+        case r: org.apache.spark.sql.execution.LogicalRDD =>
+          r.output.exists(_.name == "score") // the memoized q131 pool
+        case _ => false
+      } => w
+    }
+    assert(unbounded.isEmpty,
+      s"window over an unbounded relation in the fusion plan:\n$unbounded")
+    val p = plan("q185_hybrid_rrf")
+    assert(p.contains("TopKByScore") || p.contains("topkbyscore"),
+      "semantic arm must rank via the bounded-state aggregator")
+  }
 }
