@@ -29,6 +29,31 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.7, s"recall $recall (${ivf.size}/${brute.size})")
   }
 
+  test("q193 mutual pairs are exactly q35's reciprocal rank-1 edges") {
+    // q35 emits each vector's in-bucket top-3 over the SAME memoized LSH
+    // buckets, so its rank-1 edges are an independent route to the NN
+    // relation; mutual pairs must be exactly the reciprocal rank-1 edges.
+    val rank1 = Similarity.q35AnnLsh(spark, sfDir)
+      .filter("rk = 1").collect()
+      .map(r => r.getAs[Long]("a_id") ->
+        ((r.getAs[Long]("b_id"), r.getAs[Double]("cs")))).toMap
+    val expected = rank1.collect {
+      case (a, (b, cs)) if a < b && rank1.get(b).exists(_._1 == a) =>
+        (a, b, cs)
+    }.toSet
+    val got = Similarity.q193MutualNn(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Double]("cs"))).toSet
+    assert(got == expected, s"got ${got.size} expected ${expected.size} pairs")
+    assert(got.nonEmpty, "fixture must produce mutual pairs")
+    // mutuality makes pairs a matching: every id appears at most once
+    val ids = got.toSeq.flatMap(p => Seq(p._1, p._2))
+    assert(ids.distinct.size == ids.size, "a vector joined two mutual pairs")
+    // and cs is symmetric bit-for-bit: cs(a,b) recomputed from q35's
+    // reverse edge must be identical
+    got.foreach { case (a, b, cs) => assert(rank1(b)._2 == cs) }
+  }
+
   test("q50 typed-UDAF centroids agree bit-for-bit with q36 column form") {
     val q36 = Similarity.q36LabelCentroids(spark, sfDir)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
