@@ -845,6 +845,69 @@ object Dedup {
        |WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.7
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** q194 — near-dup threshold sensitivity sweep: the same verified
+    * pair relation read at five Jaccard thresholds (0.70–0.90), each
+    * reporting pair count, docs involved, and an id checksum — the
+    * evidence a curation owner reads BEFORE freezing the dedup
+    * threshold ("0.8 drops 9% of docs, 0.85 drops 3% — the knee is
+    * here"), instead of inheriting 0.7 as folklore. Rides the memoized
+    * q47 pair relation, so the sweep costs five filters over an
+    * already-verified pairs table — the fact is not re-shingled per
+    * threshold. Thresholds compare as double literals (identical bit
+    * patterns in both engines against the exact-rational jaccard);
+    * counts and checksums are pure BIGINT.
+    *
+    * Scale shape: the pair relation is the expensive artifact and is
+    * built once (prefix-filtered, never all-pairs); the sweep is a
+    * 5-row broadcast cross + two hash aggregates over pairs-sized
+    * input. Adding a threshold is free.
+    */
+  def q194ThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = ngramJaccardInverted(spark, dir, 0.7)
+    val th = Seq((7000L, 0.70), (7500L, 0.75), (8000L, 0.80),
+        (8500L, 0.85), (9000L, 0.90)).toDF("t_bp", "t")
+    val hits = pairs.crossJoin(broadcast(th))
+      .filter($"jaccard" >= $"t")
+      .localCheckpoint() // feeds the pair rollup and the distinct-doc census
+    val pa = hits.groupBy($"t_bp").agg(count(lit(1)).as("n_pairs"),
+      sum($"a_id" + $"b_id").as("pair_checksum"))
+    val dc = hits.select($"t_bp", explode(array($"a_id", $"b_id")).as("d"))
+      .groupBy($"t_bp").agg(countDistinct($"d").as("n_docs"))
+    th.select($"t_bp")
+      .join(pa, Seq("t_bp"), "left").join(dc, Seq("t_bp"), "left")
+      .select($"t_bp",
+        coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+        coalesce($"n_docs", lit(0L)).as("n_docs"),
+        coalesce($"pair_checksum", lit(0L)).as("pair_checksum"))
+      .orderBy($"t_bp")
+  }
+
+  val q194Sql: String =
+    s"""WITH $gramsDuckCte,
+       |ver AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |          CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS i,
+       |          CAST(len(a.grams) AS BIGINT) AS na, CAST(len(b.grams) AS BIGINT) AS nb
+       |        FROM grams a JOIN grams b ON a.doc_id < b.doc_id),
+       |p AS (SELECT a_id, b_id, CAST(i AS DOUBLE) / (na + nb - i) AS jaccard
+       |      FROM ver WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.7),
+       |th(t_bp, t) AS (VALUES (7000, 0.70), (7500, 0.75), (8000, 0.80),
+       |                       (8500, 0.85), (9000, 0.90)),
+       |hits AS (SELECT th.t_bp, p.a_id, p.b_id FROM p, th
+       |         WHERE p.jaccard >= CAST(th.t AS DOUBLE)),
+       |pa AS (SELECT t_bp, CAST(count(*) AS BIGINT) AS n_pairs,
+       |         CAST(sum(a_id + b_id) AS BIGINT) AS pair_checksum
+       |       FROM hits GROUP BY 1),
+       |dc AS (SELECT t_bp, CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+       |       FROM (SELECT t_bp, unnest([a_id, b_id]) AS d FROM hits)
+       |       GROUP BY 1)
+       |SELECT CAST(th.t_bp AS BIGINT) AS t_bp,
+       |       COALESCE(pa.n_pairs, 0) AS n_pairs,
+       |       COALESCE(dc.n_docs, 0) AS n_docs,
+       |       COALESCE(pa.pair_checksum, 0) AS pair_checksum
+       |FROM th LEFT JOIN pa USING (t_bp) LEFT JOIN dc USING (t_bp)
+       |ORDER BY t_bp""".stripMargin
+
   /** q179 — asymmetric CONTAINMENT detection (quote/subsumption — "doc A
     * is ≥80% contained in doc B"), the near-dup relation symmetric
     * Jaccard cannot express: a short quote inside a long article has low
@@ -1564,6 +1627,7 @@ object Dedup {
     "q32_simhash" -> (q32Simhash _),
     "q33_ngram_jaccard" -> (q33NgramJaccard _),
     "q47_ngram_jaccard_inverted" -> (q47NgramJaccardInverted _),
+    "q194_threshold_sweep" -> (q194ThresholdSweep _),
     "q179_containment" -> (q179Containment _),
     "q180_subsumption_roots" -> (q180SubsumptionRoots _),
     "q51_dedup_clusters" -> (q51DedupClusters _),
@@ -1582,6 +1646,7 @@ object Dedup {
     "q32_simhash" -> q32Sql,
     "q33_ngram_jaccard" -> q33Sql,
     "q47_ngram_jaccard_inverted" -> q47Sql,
+    "q194_threshold_sweep" -> q194Sql,
     "q179_containment" -> q179Sql,
     "q180_subsumption_roots" -> q180Sql,
     "q51_dedup_clusters" -> q51Sql,

@@ -346,4 +346,28 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     // and the underlying pair table too
     assert(Dedup.q31MinhashLsh(spark, dir).count() > 0)
   }
+
+  test("q194: threshold sweep replays from the collected pair relation") {
+    val pairs = Dedup.q47NgramJaccardInverted(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Double]("jaccard"))).toSeq
+    val ths = Seq(7000L -> 0.70, 7500L -> 0.75, 8000L -> 0.80,
+      8500L -> 0.85, 9000L -> 0.90)
+    val expected = ths.map { case (bp, t) =>
+      val hits = pairs.filter(_._3 >= t)
+      (bp, hits.size.toLong,
+        hits.flatMap(p => Seq(p._1, p._2)).distinct.size.toLong,
+        hits.map(p => p._1 + p._2).sum)
+    }
+    val got = Dedup.q194ThresholdSweep(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("t_bp"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("pair_checksum"))).toSeq
+    assert(got == expected, s"got $got expected $expected")
+    // the 0.70 row IS the full relation; counts decay monotonically
+    // (the harness fixture's planted clones all sit >= 0.9, so the decay
+    // is degenerate-flat there — the replay equality above is the gate)
+    assert(got.head._2 == pairs.size.toLong)
+    assert(got.head._2 > 0, "fixture must contain near-dup pairs")
+    assert(got.map(_._2) == got.map(_._2).sorted.reverse)
+  }
 }
