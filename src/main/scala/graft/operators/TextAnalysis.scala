@@ -1045,6 +1045,105 @@ object TextAnalysis {
        |) z ORDER BY round""".stripMargin
   }
 
+  /** q195 — quality-score calibration (decile lift table): documents
+    * bucketed into EXACT deciles of the cheap q27 heuristic score, each
+    * decile reporting its mean per-token NLL from the q76 unigram LM —
+    * the table that shows whether the cheap filter RANKS like the
+    * expensive one across the whole range, where q95's single Pearson
+    * scalar can hide a non-monotonic middle. This is the lift/
+    * calibration readout a curation owner checks before replacing model
+    * scoring with heuristics at the 100 TB tier.
+    *
+    * Exactness: the quality score is frozen to integer micro-units
+    * (the shared IEEE-deterministic [[qualityScoreCol]], then one
+    * round); the nine decile cut points are exact order statistics by
+    * rank arithmetic on the q155/q186 value-bucket prefix scan (never
+    * a sort, never a percentile buffer); per-decile means are integer
+    * `div` of exact sums (mean quality in micro-units, per-token NLL
+    * in micro-nats = Σ nll_micro div Σ tokens).
+    *
+    * Scale shape: one doc-key join of the two per-doc relations, one
+    * distinct-value prefix scan (bounded by the ~10⁶-point score
+    * domain), one broadcast of the 1-row cut relation, a ≤10-group
+    * rollup.
+    */
+  def q195QualityCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val q = docs(spark, dir).select($"doc_id",
+      round(qualityScoreCol($"text", toks) * 1e6).cast("long").as("qs"))
+    val m = q.join(
+        q76UnigramNll(spark, dir).select($"doc_id", $"n_tokens", $"nll_micro"),
+        Seq("doc_id"))
+      .localCheckpoint() // feeds the cut scan and the decile rollup
+    val cnts = m.groupBy($"qs").agg(count(lit(1)).as("c"))
+      .withColumn("bkt", expr("qs div 50000"))
+    val offs = cnts.groupBy($"bkt").agg(sum($"c").as("bc"))
+      .withColumn("off", coalesce(sum($"bc").over(
+        Window.orderBy($"bkt").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select($"bkt", $"off")
+    val wIn = Window.partitionBy($"bkt").orderBy($"qs")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cuts = cnts.join(broadcast(offs), Seq("bkt"))
+      .withColumn("cum", sum($"c").over(wIn) + $"off")
+      .crossJoin(broadcast(m.agg(count(lit(1)).as("n"))))
+      .groupBy($"n")
+      .agg(
+        min(when($"cum" * 10 >= $"n" * 1, $"qs")).as("c1"),
+        (2 to 9).map(k =>
+          min(when($"cum" * 10 >= $"n" * k, $"qs")).as(s"c$k")): _*)
+      .drop("n")
+    val dEx = (1 to 9).map(k => s"(CASE WHEN qs > c$k THEN 1 ELSE 0 END)")
+      .mkString("1 + ", " + ", "")
+    m.crossJoin(broadcast(cuts))
+      .withColumn("decile", expr(dEx).cast("long"))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(qs) div count(1)").as("mean_quality_micro"),
+        expr("sum(nll_micro) div sum(n_tokens)").as("per_token_nll_micro"))
+      .orderBy($"decile")
+  }
+
+  val q195Sql: String = {
+    val dEx = (1 to 9).map(k => s"(CASE WHEN qs > c$k THEN 1 ELSE 0 END)")
+      .mkString("1 + ", " + ", "")
+    s"""WITH tk AS (SELECT doc_id, text, string_split(trim(text), ' ') AS t
+       |            FROM documents),
+       |q AS (SELECT doc_id,
+       |        CAST(round((${qualitySqlExpr("text", "t")}) * 1000000.0)
+       |          AS BIGINT) AS qs
+       |      FROM tk),
+       |tx AS (SELECT doc_id, unnest(t) AS tok FROM tk),
+       |dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt
+       |       FROM tx GROUP BY 1, 2),
+       |ty AS (SELECT tok, CAST(sum(cnt) AS BIGINT) AS c FROM dt GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM ty),
+       |sp AS (SELECT tok, CAST(round(ln(CAST(n AS DOUBLE) / c) * 1000000.0)
+       |                        AS BIGINT) AS s_micro
+       |       FROM ty CROSS JOIN tot),
+       |nl AS (SELECT dt.doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       |         CAST(sum(cnt * s_micro) AS BIGINT) AS nll_micro
+       |       FROM dt JOIN sp USING (tok) GROUP BY 1),
+       |m AS (SELECT q.doc_id, q.qs, nl.n_tokens, nl.nll_micro
+       |      FROM q JOIN nl USING (doc_id)),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM m),
+       |cu AS (SELECT qs, CAST(sum(count(*)) OVER (ORDER BY qs) AS BIGINT)
+       |         AS cum
+       |       FROM m GROUP BY qs),
+       |cuts AS (SELECT
+       |${(1 to 9).map(k =>
+          s"    (SELECT min(qs) FROM cu, n WHERE cum * 10 >= n * $k) AS c$k")
+         .mkString(",\n")})
+       |SELECT CAST($dEx AS BIGINT) AS decile,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(qs) AS BIGINT) // count(*) AS mean_quality_micro,
+       |       CAST(sum(nll_micro) AS BIGINT) // CAST(sum(n_tokens) AS BIGINT)
+       |         AS per_token_nll_micro
+       |FROM m, cuts
+       |GROUP BY 1 ORDER BY decile""".stripMargin
+  }
+
   /** q188 — bigram language-model NLL scoring with add-one smoothing:
     * the sequence-aware upgrade of q76's unigram perplexity proxy (a
     * doc of common words in an impossible ORDER scores badly here but
@@ -1211,6 +1310,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q185_hybrid_rrf" -> (q185HybridRrf _),
     "q188_bigram_nll" -> (q188BigramNll _),
+    "q195_quality_calibration" -> (q195QualityCalibration _),
     "q149_mmr_rerank" -> (q149MmrRerank _),
     "q148_phrase_search" -> (q148PhraseSearch _),
     "q131_bm25_topk" -> (q131Bm25TopK _),
@@ -1233,6 +1333,7 @@ object TextAnalysis {
   val oracleSql: Map[String, String] = Map(
     "q185_hybrid_rrf" -> q185Sql,
     "q188_bigram_nll" -> q188Sql,
+    "q195_quality_calibration" -> q195Sql,
     "q149_mmr_rerank" -> q149Sql,
     "q148_phrase_search" -> q148Sql,
     "q131_bm25_topk" -> q131Sql,

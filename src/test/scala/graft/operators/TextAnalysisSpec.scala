@@ -350,6 +350,38 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(got.head._2 == 10000L, "round 1 is the relevance argmax")
   }
 
+  test("q195: decile calibration replays from a driver-side rank fold") {
+    val q = TextAnalysis.q27QualityScore(spark, sfDir)
+      .selectExpr("doc_id", "CAST(round(quality * 1e6) AS BIGINT)")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nll = TextAnalysis.q76UnigramNll(spark, sfDir)
+      .select($"doc_id", $"n_tokens", $"nll_micro").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val n = q.size.toLong
+    val sorted = q.values.toSeq.sorted
+    val cuts = (1 to 9).map(k => sorted((((n * k + 9) / 10) - 1).toInt))
+    val expected = q.toSeq.map { case (d, qs) =>
+      (1L + cuts.count(qs > _), qs, nll(d)._1, nll(d)._2)
+    }.groupBy(_._1).map { case (dec, xs) =>
+      dec -> ((xs.size.toLong, xs.map(_._2).sum / xs.size,
+        xs.map(_._4).sum / xs.map(_._3).sum))
+    }
+    val got = TextAnalysis.q195QualityCalibration(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("decile") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("mean_quality_micro"),
+          r.getAs[Long]("per_token_nll_micro")))).toMap
+    assert(got == expected, s"got $got expected $expected")
+    // exact deciles: every bucket within rounding of n/10
+    got.values.foreach { case (nd, _, _) =>
+      assert(math.abs(nd - n / 10) <= n / 10,
+        s"decile size $nd far from ${n / 10}") }
+    // mean quality strictly increases with the decile — the cut
+    // arithmetic would be broken otherwise
+    val means = got.toSeq.sortBy(_._1).map(_._2._2)
+    assert(means == means.sorted && means.distinct == means,
+      "decile mean quality must be strictly increasing")
+  }
+
   test("q188: bigram NLL replays from a driver-side smoothed-LM fold") {
     val texts = graft.sources.Tables.documents(spark, sfDir)
       .select($"doc_id", $"text").collect()
