@@ -1030,6 +1030,82 @@ object Events {
       |FROM paths GROUP BY 1
       |ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin
 
+  /** q196 — time-to-convert quartiles per signup cohort: among users
+    * who DID purchase after signing up, the exact Q1/median/Q3 of the
+    * signup→first-purchase delay (micros precision), grouped by signup
+    * week — the "how fast" distribution that q164's survival curve
+    * (which handles the censored non-converters) and q94's single
+    * conversion rate both flatten. Skewed delays make means useless
+    * here; quartiles are the readout, and they are EXACT low order
+    * statistics by per-(cohort, day-bucket) rank arithmetic on the
+    * q162 prefix-scan machinery — never a sort, never a percentile
+    * buffer, windows bounded by (cohort × delay-day) cells.
+    *
+    * Scale shape: two user_id hash aggregates build the per-user delay
+    * relation (users-sized); the quartile scan runs over its DISTINCT
+    * (cohort, delay) values; one broadcast of the cohort-sized cut
+    * relation never re-touches the fact.
+    */
+  def q196ConvertQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", expr("unix_micros(ts)").as("us"))
+    val su = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"us").as("s_us"))
+    val vals = ev.filter($"event_type" === "purchase")
+      .join(su, "user_id")
+      .filter($"us" >= $"s_us")
+      .groupBy($"user_id")
+      .agg(min($"us" - $"s_us").as("v"), min($"s_us").as("s_us"))
+      .select(expr("s_us div 604800000000").as("wk"), $"v")
+      .localCheckpoint() // feeds the cut scan and the cohort sizes
+    val cnts = vals.groupBy($"wk", $"v").agg(count(lit(1)).as("c"))
+      .withColumn("bkt", expr("v div 86400000000"))
+    val offs = cnts.groupBy($"wk", $"bkt").agg(sum($"c").as("bc"))
+      .withColumn("off", coalesce(sum($"bc").over(
+        Window.partitionBy($"wk").orderBy($"bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"wk", $"bkt", $"off")
+    val wIn = Window.partitionBy($"wk", $"bkt").orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cnts.join(broadcast(offs), Seq("wk", "bkt"))
+      .withColumn("cum", sum($"c").over(wIn) + $"off")
+      .join(broadcast(vals.groupBy($"wk").agg(count(lit(1)).as("n"))), "wk")
+      .groupBy($"wk", $"n").agg(
+        min(when($"cum" * 4 >= $"n", $"v")).as("q1_us"),
+        min(when($"cum" * 2 >= $"n", $"v")).as("median_us"),
+        min(when($"cum" * 4 >= $"n" * 3, $"v")).as("q3_us"))
+      .select($"wk".as("signup_week"), $"n".as("n_converters"),
+        $"q1_us", $"median_us", $"q3_us")
+      .orderBy($"signup_week")
+  }
+
+  val q196Sql: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
+      |            FROM events),
+      |su AS (SELECT user_id, CAST(min(us) AS BIGINT) AS s_us
+      |       FROM ev WHERE event_type = 'signup' GROUP BY 1),
+      |d AS (SELECT ev.user_id,
+      |        CAST(min(ev.us - su.s_us) AS BIGINT) AS v,
+      |        CAST(min(su.s_us) AS BIGINT) AS s_us
+      |      FROM ev JOIN su USING (user_id)
+      |      WHERE ev.event_type = 'purchase' AND ev.us >= su.s_us
+      |      GROUP BY 1),
+      |x AS (SELECT s_us // 604800000000 AS wk, v FROM d),
+      |n AS (SELECT wk, CAST(count(*) AS BIGINT) AS n FROM x GROUP BY 1),
+      |c AS (SELECT wk, v,
+      |        CAST(sum(count(*)) OVER (PARTITION BY wk ORDER BY v)
+      |             AS BIGINT) AS cum
+      |      FROM x GROUP BY wk, v)
+      |SELECT n.wk AS signup_week, n.n AS n_converters,
+      |       (SELECT min(v) FROM c
+      |        WHERE c.wk = n.wk AND cum * 4 >= n.n) AS q1_us,
+      |       (SELECT min(v) FROM c
+      |        WHERE c.wk = n.wk AND cum * 2 >= n.n) AS median_us,
+      |       (SELECT min(v) FROM c
+      |        WHERE c.wk = n.wk AND cum * 4 >= n.n * 3) AS q3_us
+      |FROM n ORDER BY signup_week""".stripMargin
+
   /** q190 — Shannon-entropy census of each event type's value
     * distribution (decade buckets, q60's coarsening grid): the
     * information-theoretic dual of q84's KL — KL asks "how far is this
@@ -1084,6 +1160,7 @@ object Events {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q190_entropy_census" -> (q190EntropyCensus _),
+    "q196_convert_quartiles" -> (q196ConvertQuartiles _),
     "q166_incremental_rollup" -> (q166IncrementalRollup _),
     "q167_top_session_paths" -> (q167TopSessionPaths _),
     "q163_ab_ztest" -> (q163AbZTest _),
@@ -1108,6 +1185,7 @@ object Events {
 
   val oracleSql: Map[String, String] = Map(
     "q190_entropy_census" -> q190Sql,
+    "q196_convert_quartiles" -> q196Sql,
     "q166_incremental_rollup" -> q166Sql,
     "q167_top_session_paths" -> q167Sql,
     "q163_ab_ztest" -> q163Sql,

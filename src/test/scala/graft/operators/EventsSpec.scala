@@ -428,6 +428,34 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     assert(r.values.sum == evs.length.toLong, "no row lost across vintages")
   }
 
+  test("q196: conversion quartiles replay from a sorted-array fold") {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_type", "unix_micros(ts)").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val su = ev.filter(_._2 == "signup").groupBy(_._1)
+      .map { case (u, xs) => u -> xs.map(_._3).min }
+    val durs = ev.filter(_._2 == "purchase")
+      .flatMap { case (u, _, us) =>
+        su.get(u).filter(us >= _).map(s => (u, s, us - s)) }
+      .groupBy(_._1).toSeq
+      .map { case (_, xs) => (xs.head._2 / 604800000000L, xs.map(_._3).min) }
+    val expected = durs.groupBy(_._1).map { case (wk, xs) =>
+      val vs = xs.map(_._2).sorted
+      val n = vs.length.toLong
+      def cut(num: Long, den: Long): Long = vs((((n * num + den - 1) / den) - 1).toInt)
+      wk -> ((n, cut(1, 4), cut(1, 2), cut(3, 4)))
+    }
+    val got = Events.q196ConvertQuartiles(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("signup_week") ->
+        ((r.getAs[Long]("n_converters"), r.getAs[Long]("q1_us"),
+          r.getAs[Long]("median_us"), r.getAs[Long]("q3_us")))).toMap
+    assert(got == expected, s"got $got expected $expected")
+    // quartiles ordered within every cohort
+    got.values.foreach { case (_, q1, med, q3) =>
+      assert(q1 <= med && med <= q3) }
+    assert(got.nonEmpty, "fixture must contain signup→purchase converters")
+  }
+
   test("q190: entropy census replays from a driver-side micro-nat fold") {
     val cells = graft.sources.Tables.events(spark, sfDir)
       .selectExpr("event_type", "CAST(floor(value / 10) * 10 AS BIGINT)")
