@@ -750,8 +750,81 @@ object Temporal {
       |                 ELSE (num * 10000) // den END AS BIGINT) AS acf_bp
       |FROM p, den ORDER BY p.lag""".stripMargin
 
+  /** q197 — clamped running balance (floor-at-zero inventory): per
+    * user, credits (purchases) and debits (errors) in event-time order
+    * with the balance CLAMPED below at zero — the stateful recurrence
+    * `S_t = max(0, S_{t−1} + δ_t)` that naive window sums cannot
+    * express because clamping makes it non-associative. The engine
+    * form uses the exact one-sided-clamp identity
+    * `S_t = P_t − min(0, min_{j≤t} P_j)` (P = unclamped prefix sum):
+    * two frames over ONE user_id×ts window ordering, pure BIGINT cents
+    * end-to-end, so the "sequential" recurrence runs as an ordinary
+    * data-parallel window — the identity is the whole trick, and the
+    * spec re-derives it against a literal sequential driver fold. One
+    * clamp side only: a cap-above-AND-floor-below band is genuinely
+    * order-coupled and would need the mapPartitions escape hatch.
+    *
+    * Output per user: move count, raw final sum, clamped final
+    * balance, and how much was absorbed by the floor (the overdraft a
+    * real ledger would have rejected).
+    *
+    * Scale shape: one user_id shuffle shared by both window frames and
+    * the final aggregate; per-user partitions sort locally.
+    */
+  def q197ClampedBalance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val mv = Tables.events(spark, dir)
+      .filter($"event_type".isin("purchase", "error"))
+      .select($"user_id", $"event_id",
+        expr("unix_micros(ts)").as("us"),
+        when($"event_type" === "purchase", round($"value" * 100).cast("long"))
+          .otherwise(-round($"value" * 100).cast("long")).as("delta"))
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mv.withColumn("p", sum($"delta").over(w))
+      .withColumn("mn", least(min($"p").over(w), lit(0L)))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_moves"),
+        sum($"delta").as("raw_final"),
+        // last row per user = the full-frame values: max(us, event_id)
+        // keys the argmax through the struct-max aggregate (no second
+        // window pass)
+        max(struct($"us", $"event_id", ($"p" - $"mn").as("bal"))).as("t"))
+      .select($"user_id", $"n_moves", $"raw_final",
+        $"t.bal".as("clamped_final"),
+        ($"t.bal" - $"raw_final").as("absorbed"))
+      .orderBy($"user_id")
+  }
+
+  val q197Sql: String =
+    """WITH mv AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |         CASE WHEN event_type = 'purchase'
+      |              THEN CAST(round(value * 100) AS BIGINT)
+      |              ELSE -CAST(round(value * 100) AS BIGINT) END AS delta
+      |  FROM events WHERE event_type IN ('purchase', 'error')),
+      |q AS (SELECT user_id, event_id, us, delta, psum AS p,
+      |        least(CAST(min(psum) OVER (PARTITION BY user_id
+      |          ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT), 0)
+      |          AS mn
+      |      FROM (SELECT user_id, event_id, us, delta,
+      |              CAST(sum(delta) OVER (PARTITION BY user_id
+      |                ORDER BY us, event_id ROWS UNBOUNDED PRECEDING)
+      |                AS BIGINT) AS psum
+      |            FROM mv) z)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_moves,
+      |       CAST(sum(delta) AS BIGINT) AS raw_final,
+      |       CAST(max(struct_pack(us := us, event_id := event_id,
+      |                            bal := p - mn)).bal AS BIGINT)
+      |         AS clamped_final,
+      |       CAST(max(struct_pack(us := us, event_id := event_id,
+      |                            bal := p - mn)).bal
+      |            - sum(delta) AS BIGINT) AS absorbed
+      |FROM q GROUP BY 1 ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q187_acf" -> (q187Acf _),
+    "q197_clamped_balance" -> (q197ClampedBalance _),
     "q181_decay_score" -> (q181DecayScore _),
     "q176_rhythm_matrix" -> (q176RhythmMatrix _),
     "q171_forecast_backtest" -> (q171ForecastBacktest _),
@@ -769,6 +842,7 @@ object Temporal {
 
   val oracleSql: Map[String, String] = Map(
     "q187_acf" -> q187Sql,
+    "q197_clamped_balance" -> q197Sql,
     "q181_decay_score" -> q181Sql,
     "q176_rhythm_matrix" -> q176Sql,
     "q171_forecast_backtest" -> q171Sql,

@@ -302,6 +302,35 @@ class TemporalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q197: clamped balance equals the literal sequential recurrence") {
+    val mv = Tables.events(spark, sfDir)
+      .filter($"event_type".isin("purchase", "error"))
+      .selectExpr("user_id", "event_id", "unix_micros(ts)",
+        """CASE WHEN event_type = 'purchase'
+          |THEN CAST(round(value * 100) AS BIGINT)
+          |ELSE -CAST(round(value * 100) AS BIGINT) END""".stripMargin)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the ground truth is the SEQUENTIAL recurrence S_t = max(0, S+δ) —
+    // not the identity the query uses, so this test proves the identity
+    val expected = mv.groupBy(_._1).map { case (u, xs) =>
+      val ordered = xs.sortBy(x => (x._3, x._2))
+      var s = 0L
+      ordered.foreach(x => s = math.max(0L, s + x._4))
+      u -> ((ordered.length.toLong, ordered.map(_._4).sum, s,
+        s - ordered.map(_._4).sum))
+    }
+    val got = Temporal.q197ClampedBalance(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_moves"), r.getAs[Long]("raw_final"),
+          r.getAs[Long]("clamped_final"), r.getAs[Long]("absorbed")))).toMap
+    assert(got == expected, "prefix-min identity diverges from the recurrence")
+    // the clamp must actually engage somewhere or the fixture is vacuous
+    assert(got.values.exists(_._4 > 0), "no user ever hit the zero floor")
+    got.values.foreach { case (_, raw, clamped, absorbed) =>
+      assert(clamped >= 0 && clamped >= raw && absorbed >= 0) }
+  }
+
   test("q187: ACF replays from a driver-side BigInt fold") {
     val days = Tables.events(spark, sfDir)
       .selectExpr("unix_micros(ts) div 86400000000 AS day").collect()
