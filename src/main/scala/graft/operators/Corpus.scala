@@ -855,11 +855,19 @@ object Corpus {
     * make the checksum partition-order-independent and incrementally
     * maintainable per appended batch.
     */
-  def q192ShardManifest(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    docs(spark, dir)
-      .select($"doc_id", size(toks).cast("long").as("n_tokens"),
+  /** The q192 manifest aggregation over any documents-shaped relation —
+    * shared by the batch query and the streaming incremental manifest
+    * ([[graft.streaming.CorpusStreams.manifestStream]]), so "streaming
+    * partials merge to the batch answer" is true by shared construction
+    * AND pinned by spec. Content sums are carried as mod-10¹⁵ residues,
+    * which are ADDITIVE under re-aggregation ((Σ rᵢ) mod M =
+    * (Σ Sᵢ) mod M), so per-batch partials merge exactly.
+    */
+  private[graft] def manifestPartials(batch: DataFrame): DataFrame = {
+    import batch.sparkSession.implicits._
+    batch
+      .select($"doc_id",
+        size(split(trim($"text"), " ")).cast("long").as("n_tokens"),
         splitColumn($"doc_id").as("split"),
         (hashColumn($"doc_id") % nShards).cast("long").as("shard"),
         graft.functions.Md5Prefix60($"text").as("content_h"))
@@ -868,8 +876,23 @@ object Corpus {
         sum($"doc_id").as("id_sum"),
         expr("CAST(sum(CAST(content_h AS DECIMAL(38,0))) % 1000000000000000 AS BIGINT)")
           .as("content_checksum"))
+  }
+
+  /** Merge manifest partials (one or many batches' worth) to the final
+    * per-(split, shard) manifest — q192's exact output shape.
+    */
+  private[graft] def mergeManifest(partials: DataFrame): DataFrame = {
+    import partials.sparkSession.implicits._
+    partials.groupBy($"split", $"shard")
+      .agg(sum($"n_docs").as("n_docs"), sum($"token_sum").as("token_sum"),
+        sum($"id_sum").as("id_sum"),
+        expr("CAST(sum(CAST(content_checksum AS DECIMAL(38,0))) % 1000000000000000 AS BIGINT)")
+          .as("content_checksum"))
       .orderBy($"split", $"shard")
   }
+
+  def q192ShardManifest(spark: SparkSession, dir: String): DataFrame =
+    mergeManifest(manifestPartials(docs(spark, dir)))
 
   val q192Sql: String =
     s"""WITH d AS (

@@ -150,4 +150,34 @@ object CorpusStreams {
         admitNearDupBatch(batch, corpusDir, minTokens, minJaccard)
       }
       .start()
+
+  /** Incrementally-maintained shard manifest — q192's export handshake
+    * as a CONTINUOUS query: each micro-batch aggregates ITS OWN docs to
+    * (split, shard) partials ([[graft.operators.Corpus.manifestPartials]]
+    * — counts, token/id sums, mod-10¹⁵ content residues, all additive)
+    * and appends them to `storeDir` WITHOUT reading the store — per-batch
+    * cost is the batch, never the corpus (contrast the naive
+    * recompute-the-manifest-per-batch form, which re-hashes all history
+    * every trigger). [[readManifest]] merges the stored partials to the
+    * exact batch-q192 answer; CorpusStreamsSpec pins streaming == batch
+    * over a multi-batch file stream. Store growth is
+    * batches × (≤ 3·64 cells) tiny rows; the compacting-rebuild cadence
+    * ([[graft.operators.Sinks.compactLake]]) bounds file count if a
+    * deployment ever cares.
+    */
+  def manifestStream(spark: SparkSession, srcDir: String, storeDir: String,
+      checkpointDir: String, glob: String = "documents.parquet")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    fileStream(spark, srcDir, glob)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Corpus.manifestPartials(batch)
+          .write.mode("append").parquet(storeDir)
+      }
+      .start()
+
+  /** Merge the partials store to the final manifest (q192's shape). */
+  def readManifest(spark: SparkSession, storeDir: String): DataFrame =
+    graft.operators.Corpus.mergeManifest(spark.read.parquet(storeDir))
 }

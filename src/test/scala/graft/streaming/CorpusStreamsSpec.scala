@@ -224,6 +224,42 @@ class CorpusStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming manifest partials merge to the exact batch q192 answer") {
+    val base = java.nio.file.Files.createTempDirectory("graft_manifest")
+    val src = base.resolve("src").toString
+    val store = base.resolve("store").toString
+    val ckpt = base.resolve("ckpt").toString
+    // the real harness documents table, split into three arrival waves,
+    // each delivered in its own micro-batch (write → drain → write)
+    val all = graft.sources.Tables.documents(spark, sfDir)
+    all.filter(col("doc_id") % 3 === 0).coalesce(1)
+      .write.mode("append").parquet(src)
+    val q = CorpusStreams.manifestStream(spark, src, store, ckpt,
+      glob = "*.parquet")
+    try {
+      q.processAllAvailable()
+      (1 until 3).foreach { w =>
+        all.filter(col("doc_id") % 3 === w).coalesce(1)
+          .write.mode("append").parquet(src)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = CorpusStreams.readManifest(spark, store).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    val expected = graft.operators.Corpus.q192ShardManifest(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected,
+      "merged streaming partials must equal the batch manifest exactly")
+    // genuinely incremental: the store holds MORE rows than the merged
+    // manifest (per-batch partials, not a rewritten snapshot)
+    val stored = spark.read.parquet(store).count()
+    assert(stored > expected.size.toLong,
+      s"store has $stored rows for ${expected.size} cells — not partial")
+  }
+
   test("index rebuild from the corpus restores admission behavior") {
     val base = java.nio.file.Files.createTempDirectory("graft_ndidx_rebuild")
     val corpus = base.resolve("corpus").toString
