@@ -892,6 +892,99 @@ object Analytics {
       |         AS slope_micro
       |FROM b ORDER BY segment""".stripMargin
 
+  /** q198 — Theil–Sen robust trend per market segment: the MEDIAN of
+    * all pairwise weekly-revenue slopes — the estimator that shrugs off
+    * the outlier weeks that drag q152's OLS (median breakdown point
+    * 29%, OLS 0%). The robust-statistics discipline (q161/q162) applied
+    * to regression:
+    *
+    *  - points are the (segment, week) weekly revenue relation —
+    *    calendar-bounded, so the pairwise self-join is C(weeks, 2) per
+    *    segment (~thousands), NEVER fact², and stays so at 100 TB;
+    *  - each pairwise slope is frozen to exact micro-cents/week with
+    *    the q152 sign-split division (slopes go negative);
+    *  - the per-segment median is an exact low order statistic by rank
+    *    arithmetic on the per-(segment, bucket) prefix scan, with the
+    *    magnitude bucket computed as an ARITHMETIC RIGHT-SHIFT
+    *    (`v >> 30`) — truncating `div` would misorder negative slopes
+    *    around zero (the q181 shift trick reused for bucketing).
+    *
+    * Oracle computes the same median definition via a direct ordered
+    * window over the pair relation — two mechanisms, one gate.
+    */
+  def q198TheilSen(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pts = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment".as("segment"),
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') AS BIGINT) div 7")
+          .as("wk"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("y"))
+      .localCheckpoint() // both sides of the pair join
+    val later = pts.select($"segment", $"wk".as("wk2"), $"y".as("y2"))
+    // divisor guarded with greatest(..., 1): identical on every surviving
+    // row (wk2 > wk forces >= 1), but InferFiltersFromConstraints hoists
+    // an isnotnull(v >> 30) conjunct INTO the join condition, where ANSI
+    // evaluates the division before the wk2 > wk conjunct prunes the
+    // equal-week candidates — the guard makes that eager evaluation
+    // harmless instead of a DIVIDE_BY_ZERO
+    val slopes = pts.join(later, Seq("segment"))
+      .filter($"wk2" > $"wk")
+      .select($"segment",
+        expr("""CAST(CASE WHEN (y2 - y) < 0
+                          THEN -((-(y2 - y) * 1000000) div greatest(wk2 - wk, 1))
+                          ELSE ((y2 - y) * 1000000) div greatest(wk2 - wk, 1)
+                     END AS BIGINT)""").as("v"))
+    val cnts = slopes.groupBy($"segment", $"v").agg(count(lit(1)).as("c"))
+      .withColumn("bkt", expr("v >> 30"))
+    val offs = cnts.groupBy($"segment", $"bkt").agg(sum($"c").as("bc"))
+      .withColumn("off", coalesce(sum($"bc").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"segment")
+          .orderBy($"bkt").rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select($"segment", $"bkt", $"off")
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy($"segment", $"bkt").orderBy($"v")
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    cnts.join(broadcast(offs), Seq("segment", "bkt"))
+      .withColumn("cum", sum($"c").over(wIn) + $"off")
+      .join(broadcast(slopes.groupBy($"segment").agg(count(lit(1)).as("n"))),
+        "segment")
+      .groupBy($"segment", $"n")
+      .agg(min(when($"cum" * 2 >= $"n", $"v")).as("theilsen_slope_micro"))
+      .select($"segment", $"n".as("n_pairs"), $"theilsen_slope_micro")
+      .orderBy($"segment")
+  }
+
+  val q198Sql: String =
+    """WITH d AS (
+      |  SELECT c.c_mktsegment AS segment,
+      |         CAST(CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+      |           // 7 AS wk,
+      |         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |           AS y
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2),
+      |s AS (SELECT a.segment,
+      |        CAST(CASE WHEN (b.y - a.y) < 0
+      |                  THEN -((-(b.y - a.y) * 1000000) // greatest(b.wk - a.wk, 1))
+      |                  ELSE ((b.y - a.y) * 1000000) // greatest(b.wk - a.wk, 1)
+      |             END AS BIGINT) AS v
+      |      FROM d a JOIN d b ON a.segment = b.segment AND b.wk > a.wk),
+      |n AS (SELECT segment, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1),
+      |c AS (SELECT segment, v,
+      |        CAST(sum(count(*)) OVER (PARTITION BY segment ORDER BY v)
+      |             AS BIGINT) AS cum
+      |      FROM s GROUP BY segment, v)
+      |SELECT n.segment, n.n AS n_pairs,
+      |       (SELECT min(v) FROM c
+      |        WHERE c.segment = n.segment AND cum * 2 >= n.n)
+      |         AS theilsen_slope_micro
+      |FROM n ORDER BY n.segment""".stripMargin
+
   /** q154 — equi-WIDTH histogram (the q132 equi-depth dual): 20 fixed-
     * width bands over order totals in cents, width
     * `w = (hi−lo) div 20 + 1` so the max lands in band 19 by
@@ -1200,6 +1293,7 @@ object Analytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q186_rfm_segments" -> (q186RfmSegments _),
+    "q198_theil_sen" -> (q198TheilSen _),
     "q177_revenue_bridge" -> (q177RevenueBridge _),
     "q175_jackknife_variance" -> (q175JackknifeVariance _),
     "q154_equiwidth_hist" -> (q154EquiwidthHist _),
@@ -1227,6 +1321,7 @@ object Analytics {
 
   val oracleSql: Map[String, String] = Map(
     "q186_rfm_segments" -> q186Sql,
+    "q198_theil_sen" -> q198Sql,
     "q177_revenue_bridge" -> q177Sql,
     "q175_jackknife_variance" -> q175Sql,
     "q154_equiwidth_hist" -> q154Sql,

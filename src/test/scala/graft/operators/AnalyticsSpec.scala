@@ -147,6 +147,39 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(slices.size == 16, "md5 first hex char must populate all 16 slices")
   }
 
+  test("q198: Theil-Sen slopes replay from a driver-side pairwise fold") {
+    val pts = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), $"o_custkey" === $"c_custkey")
+      .selectExpr("c_mktsegment",
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') AS BIGINT) div 7",
+        "CAST(round(o_totalprice * 100) AS BIGINT)").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      .groupBy(x => (x._1, x._2)).view.mapValues(_.map(_._3).sum).toSeq
+      .map { case ((s, w), y) => (s, w, y) }
+    val expected = pts.groupBy(_._1).map { case (seg, xs) =>
+      val slopes = for {
+        a <- xs; b <- xs if b._2 > a._2
+      } yield {
+        val num = BigInt(b._3 - a._3) * 1000000
+        val den = BigInt(b._2 - a._2)
+        (if (num < 0) -((-num) / den) else num / den).toLong
+      }
+      val sorted = slopes.toSeq.sorted
+      // min v with 2·cum >= n == the ceil(n/2)-th smallest (low median)
+      seg -> ((slopes.size.toLong,
+        sorted(((sorted.size + 1) / 2) - 1)))
+    }
+    val got = Analytics.q198TheilSen(spark, sfDir).collect()
+      .map(r => r.getAs[String]("segment") ->
+        ((r.getAs[Long]("n_pairs"),
+          r.getAs[Long]("theilsen_slope_micro")))).toMap
+    assert(got == expected, s"got $got expected $expected")
+    // pair counts are exactly C(weeks-with-distinct-key, 2) per segment
+    pts.groupBy(_._1).foreach { case (seg, xs) =>
+      val k = xs.size.toLong
+      assert(got(seg)._1 == k * (k - 1) / 2) }
+  }
+
   test("q186: RFM cells equal a sorted-array quintile replay") {
     val metrics = Tables.orders(spark, sfDir)
       .selectExpr("o_custkey",
