@@ -910,7 +910,98 @@ object Corpus {
        |FROM d GROUP BY 1, 2
        |ORDER BY split, shard""".stripMargin
 
+  /** q199 — corpus release scorecard: the one-pager a release owner
+    * signs off on, composed from the governance operators this library
+    * already ships — size census (docs/tokens/sources), exact-duplicate
+    * mass (q30's normalized fingerprint), near-dup pairs at the 0.8
+    * release threshold (riding the MEMOIZED q47 pair relation — the
+    * sweep discipline of q194), mean q27 quality in micro-units, and
+    * the q70 split sizes. Emitted as (metric, value) BIGINT rows so one
+    * hash gate covers the whole card; each number is individually
+    * cross-checkable against its parent query.
+    *
+    * Scale shape: one doc-relation aggregate (+ a 3-group split
+    * rollup), one filter over the memoized pair table — composition
+    * adds nothing quadratic; the expensive artifact (pairs) is shared,
+    * not rebuilt.
+    */
+  def q199ReleaseScorecard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir)
+      .select($"doc_id", $"source",
+        md5(lower(trim(regexp_replace($"text", "\\s+", " ")))).as("fp"),
+        size(toks).cast("long").as("n_tokens"),
+        round(TextAnalysis.qualityScoreCol($"text", toks) * 1e6)
+          .cast("long").as("qs"),
+        splitColumn($"doc_id").as("split"))
+      .localCheckpoint() // feeds the scalar census and the split rollup
+    val base = d.agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("n_tokens"),
+        countDistinct($"source").as("n_sources"),
+        (count(lit(1)) - countDistinct($"fp")).as("exact_dup_docs"),
+        expr("sum(qs) div count(1)").as("mean_quality_micro"))
+      .selectExpr(
+        """stack(5,
+          |  'n_docs', n_docs,
+          |  'n_tokens', n_tokens,
+          |  'n_sources', n_sources,
+          |  'exact_dup_docs', exact_dup_docs,
+          |  'mean_quality_micro', mean_quality_micro) AS (metric, value)"""
+          .stripMargin)
+    val splits = d.groupBy($"split").agg(count(lit(1)).as("value"))
+      .select(concat(lit("docs_"), $"split").as("metric"), $"value")
+    val nearDups = Dedup.ngramJaccardInverted(spark, dir, 0.7)
+      .filter($"jaccard" >= 0.8)
+      .agg(count(lit(1)).as("value"))
+      .select(lit("neardup_pairs_08").as("metric"), $"value")
+    base.unionByName(splits).unionByName(nearDups)
+      .orderBy($"metric")
+  }
+
+  val q199Sql: String = {
+    val grams = Dedup.gramsDuckCte
+    s"""WITH tk AS (SELECT doc_id, source, text,
+       |              string_split(trim(text), ' ') AS t,
+       |              md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+       |                AS fp,
+       |              ${splitSqlExpr("doc_id")} AS split
+       |            FROM documents),
+       |d AS (SELECT doc_id, source, fp, split,
+       |        CAST(len(t) AS BIGINT) AS n_tokens,
+       |        CAST(round((${TextAnalysis.qualitySqlExpr("text", "t")})
+       |             * 1000000.0) AS BIGINT) AS qs
+       |      FROM tk),
+       |$grams,
+       |ver AS (SELECT CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT)
+       |          AS i,
+       |        CAST(len(a.grams) AS BIGINT) AS na,
+       |        CAST(len(b.grams) AS BIGINT) AS nb
+       |        FROM grams a JOIN grams b ON a.doc_id < b.doc_id),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS v FROM ver
+       |       WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.8
+       |         AND CAST(i AS DOUBLE) / (na + nb - i) >= 0.7)
+       |SELECT metric, value FROM (
+       |  SELECT 'n_docs' AS metric, CAST(count(*) AS BIGINT) AS value FROM d
+       |  UNION ALL
+       |  SELECT 'n_tokens', CAST(sum(n_tokens) AS BIGINT) FROM d
+       |  UNION ALL
+       |  SELECT 'n_sources', CAST(count(DISTINCT source) AS BIGINT) FROM d
+       |  UNION ALL
+       |  SELECT 'exact_dup_docs',
+       |         CAST(count(*) - count(DISTINCT fp) AS BIGINT) FROM d
+       |  UNION ALL
+       |  SELECT 'mean_quality_micro',
+       |         CAST(sum(qs) AS BIGINT) // count(*) FROM d
+       |  UNION ALL
+       |  SELECT 'docs_' || split, CAST(count(*) AS BIGINT) FROM d GROUP BY 1
+       |  UNION ALL
+       |  SELECT 'neardup_pairs_08', v FROM nd
+       |) z ORDER BY metric""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q199_release_scorecard" -> (q199ReleaseScorecard _),
     "q191_zipf_fit" -> (q191ZipfFit _),
     "q192_shard_manifest" -> (q192ShardManifest _),
     "q189_boilerplate_strip" -> (q189BoilerplateStrip _),
@@ -927,6 +1018,7 @@ object Corpus {
     "q73_source_vocab_jaccard" -> (q73SourceVocabJaccard _))
 
   val oracleSql: Map[String, String] = Map(
+    "q199_release_scorecard" -> q199Sql,
     "q191_zipf_fit" -> q191Sql,
     "q192_shard_manifest" -> q192Sql,
     "q189_boilerplate_strip" -> q189Sql,

@@ -109,7 +109,7 @@ object Dedup {
     s"""toks AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM $table),
        |grams AS (SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS grams FROM toks)""".stripMargin
 
-  private val gramsDuckCte: String = gramsDuckCteFor("documents")
+  private[operators] val gramsDuckCte: String = gramsDuckCteFor("documents")
 
   /** Distinct-shingle hash dictionary: md5 is ~100× more expensive than the
     * joins that replace it, and shingles repeat heavily across documents

@@ -265,6 +265,32 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q199: scorecard metrics agree with their parent operators") {
+    val card = Corpus.q199ReleaseScorecard(spark, sfDir).collect()
+      .map(r => r.getAs[String]("metric") -> r.getAs[Long]("value")).toMap
+    val ds = graft.sources.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text", $"source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(card("n_docs") == ds.size.toLong)
+    assert(card("n_sources") == ds.map(_._3).distinct.size.toLong)
+    assert(card("n_tokens") ==
+      ds.map(_._2.trim.split(" ", -1).length.toLong).sum)
+    val fps = ds.map(_._2.trim.toLowerCase.replaceAll("\\s+", " "))
+    assert(card("exact_dup_docs") == (fps.size - fps.distinct.size).toLong)
+    // splits partition the corpus exactly
+    assert(card("docs_train") + card("docs_val") + card("docs_test")
+      == card("n_docs"))
+    // near-dup count equals the parent pair relation at the threshold
+    val nd = Dedup.q47NgramJaccardInverted(spark, sfDir)
+      .filter($"jaccard" >= 0.8).count()
+    assert(card("neardup_pairs_08") == nd)
+    // mean quality agrees with the declared q27 relation
+    val qs = TextAnalysis.q27QualityScore(spark, sfDir)
+      .selectExpr("CAST(round(quality * 1e6) AS BIGINT)").collect()
+      .map(_.getLong(0))
+    assert(card("mean_quality_micro") == qs.sum / qs.length)
+  }
+
   test("q191: Zipf slopes replay from a driver-side frozen-log OLS") {
     val vocab = graft.sources.Tables.documents(spark, sfDir)
       .select($"source", $"text").collect()
