@@ -322,7 +322,67 @@ object Diagnostics {
       |         AS conservation_ok
       |FROM a, t""".stripMargin
 
+  /** q200 — cross-partitioning determinism audit: the repo's exactness
+    * thesis ("every declared aggregation is order-invariant integer
+    * arithmetic, so results are bit-identical at ANY parallelism")
+    * proven as a declared, hash-gated query. Three headline aggregates
+    * over lineitem — revenue cents, row count, exact distinct orders —
+    * are each computed TWICE under coprime repartitionings (7-way
+    * round-robin vs 13-way hash), which force different task
+    * boundaries, reduction trees, and row orders; the emitted
+    * `identical` boolean is the audit. A float-sum variant of this
+    * query could not exist: its boolean would itself be
+    * nondeterministic — which is exactly why the engine freezes money
+    * to cents before aggregating (documented at every operator; made
+    * executable here). DuckDB computes each value once and TRUE
+    * literals, so a Spark determinism regression flips the driver's
+    * hash gate.
+    *
+    * Scale note: the repartitions exist to force disagreement and make
+    * the audit meaningful; production consumers run the single-pass
+    * form. Cost = two scans + two one-row aggregates.
+    */
+  def q200DeterminismAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def metrics(df: DataFrame, sfx: String): DataFrame =
+      df.agg(
+        sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long")).as(s"revenue_cents_$sfx"),
+        count(lit(1)).as(s"n_rows_$sfx"),
+        countDistinct(col("l_orderkey")).as(s"n_orders_$sfx"))
+    val li = Tables.lineitem(spark, dir)
+    val a = metrics(li.repartition(7), "a")
+    val b = metrics(li.repartition(13, $"l_partkey"), "b")
+    a.crossJoin(broadcast(b))
+      .selectExpr(
+        """stack(3,
+          |  'revenue_cents', revenue_cents_a, revenue_cents_b,
+          |  'n_rows', n_rows_a, n_rows_b,
+          |  'n_orders', n_orders_a, n_orders_b)
+          |AS (metric, run_a, run_b)""".stripMargin)
+      .withColumn("identical", $"run_a" === $"run_b")
+      .orderBy($"metric")
+  }
+
+  val q200Sql: String =
+    """WITH m AS (
+      |  SELECT CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+      |                             * 100) AS BIGINT)) AS BIGINT)
+      |           AS revenue_cents,
+      |         CAST(count(*) AS BIGINT) AS n_rows,
+      |         CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      |  FROM lineitem)
+      |SELECT metric, run_a, run_b, TRUE AS identical FROM (
+      |  SELECT 'revenue_cents' AS metric, revenue_cents AS run_a,
+      |         revenue_cents AS run_b FROM m
+      |  UNION ALL
+      |  SELECT 'n_rows', n_rows, n_rows FROM m
+      |  UNION ALL
+      |  SELECT 'n_orders', n_orders, n_orders FROM m) z
+      |ORDER BY metric""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q200_determinism_audit" -> (q200DeterminismAudit _),
     "q144_skew_census" -> (q144SkewCensus _),
     "q145_join_card_estimate" -> (q145JoinCardEstimate _),
     "q157_chi_square" -> (q157ChiSquare _),
@@ -330,6 +390,7 @@ object Diagnostics {
     "q169_key_gap_census" -> (q169KeyGapCensus _))
 
   val oracleSql: Map[String, String] = Map(
+    "q200_determinism_audit" -> q200Sql,
     "q144_skew_census" -> q144Sql,
     "q145_join_card_estimate" -> q145Sql,
     "q157_chi_square" -> q157Sql,

@@ -92,4 +92,24 @@ class DiagnosticsSpec extends AnyFunSuite with SparkSpec {
     assert(got.values.forall(_.getAs[Long]("n_rows") == prices.length.toLong),
       "all columns census the same relation")
   }
+
+  test("q200: both partitionings agree with each other and a driver fold") {
+    val li = Tables.lineitem(spark, sfDir)
+      .selectExpr("l_orderkey",
+        "CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = Map(
+      "revenue_cents" -> li.map(_._2).sum,
+      "n_rows" -> li.length.toLong,
+      "n_orders" -> li.map(_._1).distinct.length.toLong)
+    val got = Diagnostics.q200DeterminismAudit(spark, sfDir).collect()
+      .map(r => r.getAs[String]("metric") ->
+        ((r.getAs[Long]("run_a"), r.getAs[Long]("run_b"),
+          r.getAs[Boolean]("identical")))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (m, (a, b, id)) =>
+      assert(id && a == b, s"$m diverged across partitionings: $a vs $b")
+      assert(a == expected(m), s"$m: $a != driver fold ${expected(m)}")
+    }
+  }
 }
