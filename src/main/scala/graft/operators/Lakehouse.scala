@@ -337,7 +337,57 @@ object Lakehouse {
       |FROM i GROUP BY user_id, island
       |ORDER BY user_id, island""".stripMargin
 
+  /** q205 — metadata-only table stats via parquet AGGREGATE PUSHDOWN:
+    * count(*) / min / max over the fact answered from parquet FOOTER
+    * statistics, never decoding a data page — the 100 TB freshness
+    * probe ("how many rows, what key range landed?") at the cost of
+    * reading file metadata. Spark's DSv2 parquet scan rewrites the
+    * whole aggregate into the scan when `spark.sql.parquet.
+    * aggregatePushdown` is on and the query is filter-free min/max/
+    * count over non-nested, non-float columns; PlanSpec pins the
+    * `PushedAggregation` clause in the scan node so a regression to a
+    * full decode is a test failure, and this query carries the SAME
+    * numbers through the driver hash gate so the footer answer is
+    * proven equal to DuckDB's full-scan answer.
+    *
+    * The conf is set on a CLONED session (`spark.newSession()` —
+    * shared SparkContext, isolated SQL conf), so no other query in the
+    * Verify/Bench process sees the flag.
+    */
+  def q205FooterStats(spark: SparkSession, dir: String): DataFrame = {
+    val s2 = spark.newSession()
+    // aggregate pushdown is a DSv2-scan feature; the default read path
+    // keeps parquet on V1, so the cloned session routes parquet through
+    // DSv2 as well (both confs session-scoped, nothing global changes)
+    s2.conf.set("spark.sql.sources.useV1SourceList", "")
+    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    footerStatsDf(s2, dir)
+  }
+
+  /** The aggregate that qualifies for parquet footer pushdown (shared
+    * with PlanSpec's `PushedAggregation` pin): filter-free count/min/
+    * max over integer key columns of the raw scan.
+    */
+  private[graft] def footerStatsDf(s2: SparkSession, dir: String): DataFrame = {
+    import s2.implicits._
+    s2.read.parquet(s"$dir/lineitem.parquet")
+      .agg(expr("count(*)").as("n_rows"),
+        min($"l_orderkey").as("min_orderkey"),
+        max($"l_orderkey").as("max_orderkey"),
+        min($"l_partkey").as("min_partkey"),
+        max($"l_partkey").as("max_partkey"))
+  }
+
+  val q205Sql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(min(l_orderkey) AS BIGINT) AS min_orderkey,
+      |       CAST(max(l_orderkey) AS BIGINT) AS max_orderkey,
+      |       CAST(min(l_partkey) AS BIGINT) AS min_partkey,
+      |       CAST(max(l_partkey) AS BIGINT) AS max_partkey
+      |FROM lineitem""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q205_footer_stats" -> (q205FooterStats _),
     "q109_zorder_layout" -> (q109ZorderLayout _),
     "q110_scd2_dim" -> (q110Scd2Dim _),
     "q111_cdc_merge" -> (q111CdcMerge _),
@@ -345,6 +395,7 @@ object Lakehouse {
     "q114_interval_merge" -> (q114IntervalMerge _))
 
   val oracleSql: Map[String, String] = Map(
+    "q205_footer_stats" -> q205Sql,
     "q109_zorder_layout" -> q109Sql,
     "q110_scd2_dim" -> q110Sql,
     "q111_cdc_merge" -> q111Sql,

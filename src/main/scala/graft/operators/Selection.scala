@@ -1088,7 +1088,74 @@ object Selection {
       |FROM x, cuts
       |GROUP BY 1, 2, 3""".stripMargin
 
+  /** q201 — exact tie-aware AUC (Mann–Whitney form): how well order
+    * value separates urgent from non-urgent orders, the ranking-
+    * quality statistic behind every classifier / quality-score eval
+    * (q195's decile calibration gives the SHAPE of the lift curve;
+    * this is the scalar that summarizes it). Computed EXACTLY from the
+    * distinct-score relation: per score v, (n_pos(v), n_neg(v)); then
+    * AUC·2PN = Σ_v [2·n_pos(v)·cum_neg(<v) + n_pos(v)·n_neg(v)] — the
+    * midrank tie convention (ties count ½) cleared to ×2 integer
+    * units, so the statistic is BIGINT end-to-end and hash-gates
+    * (auc_bp = num2·10⁴ div 2PN; non-negative, so Spark `div`
+    * truncation and DuckDB `//` flooring agree). Overflow headroom:
+    * num2 ≤ 2PN ≈ 7·10⁹ at sf0.1; ×10⁴ ≈ 7·10¹³ ≪ 2⁶³. The P·N
+    * product crosses BIGINT near 10⁹ orders — the documented
+    * DECIMAL(38,0) widen-point for the 100 TB run.
+    *
+    * Scale shape: the exclusive negative-prefix over distinct scores
+    * is the q155/q161 DISTRIBUTED prefix scan (deterministic magnitude
+    * buckets — bucket order IS value order — per-bucket windows +
+    * broadcast bucket offsets), never a single-partition global
+    * window; the oracle computes the same rank algebra via DuckDB's
+    * direct ordered window — the q117 two-mechanisms discipline.
+    */
+  def q201ExactAuc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val s = Tables.orders(spark, dir).select(
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"),
+      when($"o_orderpriority" === "1-URGENT", 1L).otherwise(0L).as("p"))
+    val c = s.groupBy($"v")
+      .agg(sum($"p").as("np"), (count(lit(1)) - sum($"p")).as("nn"))
+      .withColumn("bkt", expr("v div 1000000"))
+    val offs = c.groupBy($"bkt").agg(sum($"nn").as("bn"))
+      .withColumn("off", coalesce(sum($"bn").over(
+        Window.orderBy($"bkt").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select($"bkt", $"off")
+    val wIn = Window.partitionBy($"bkt").orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    c.join(broadcast(offs), Seq("bkt"))
+      .withColumn("cl", coalesce(sum($"nn").over(wIn), lit(0L)) + $"off")
+      .agg(sum($"np").as("n_pos"), sum($"nn").as("n_neg"),
+        sum($"np" * $"cl" * 2 + $"np" * $"nn").as("num2"))
+      .select($"n_pos", $"n_neg", $"num2",
+        expr("(num2 * 10000) div (2 * n_pos * n_neg)").as("auc_bp"))
+  }
+
+  val q201Sql: String =
+    """WITH s AS (
+      |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+      |         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS p
+      |  FROM orders),
+      |c AS (SELECT v, CAST(sum(p) AS BIGINT) AS np,
+      |             CAST(count(*) - sum(p) AS BIGINT) AS nn
+      |      FROM s GROUP BY v),
+      |w AS (SELECT np, nn,
+      |             CAST(coalesce(sum(nn) OVER (ORDER BY v
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |               AS BIGINT) AS cl
+      |      FROM c),
+      |t AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+      |             CAST(sum(nn) AS BIGINT) AS n_neg,
+      |             CAST(sum(2 * np * cl + np * nn) AS BIGINT) AS num2
+      |      FROM w)
+      |SELECT n_pos, n_neg, num2,
+      |       CAST(num2 * 10000 // (2 * n_pos * n_neg) AS BIGINT) AS auc_bp
+      |FROM t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_exact_auc" -> (q201ExactAuc _),
     "q183_weighted_sample" -> (q183WeightedSample _),
     "q184_robust_means" -> (q184RobustMeans _),
     "q174_pareto_cut" -> (q174ParetoCut _),
@@ -1106,6 +1173,7 @@ object Selection {
     "q95_quality_nll_correlation" -> (q95QualityNllCorrelation _))
 
   val oracleSql: Map[String, String] = Map(
+    "q201_exact_auc" -> q201Sql,
     "q183_weighted_sample" -> q183Sql,
     "q184_robust_means" -> q184Sql,
     "q174_pareto_cut" -> q174Sql,

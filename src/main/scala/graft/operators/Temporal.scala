@@ -822,7 +822,71 @@ object Temporal {
       |            - sum(delta) AS BIGINT) AS absorbed
       |FROM q GROUP BY 1 ORDER BY user_id""".stripMargin
 
+  /** q207 — business-day SLA latency (order date → line ship date in
+    * WEEKDAYS, per order priority): the operational form of shipping
+    * latency — calendars, not wall-clock — that every fulfilment /
+    * freshness SLA is written against. The weekday count is a closed-
+    * form integer expression, never a generated calendar join: with
+    * d = epoch day, g(m) = 5·(m div 7) + least(greatest(m mod 7 − 1,
+    * 0), 5) counts weekdays in [0, m) of the Sunday-aligned line
+    * (epoch day −4 was a Sunday, hence the +5 shift), and weekdays in
+    * (d₁, d₂] = g(d₂+5) − g(d₁+5). The formula is validated against an
+    * independent busday implementation in TemporalSpec and is the SAME
+    * integer text in both engines — no dow() convention (Spark
+    * 1=Sunday vs DuckDB 0=Sunday, the q176 hazard) can shift it.
+    *
+    * Scale shape: one equi hash join orders⋈lineitem on the order key
+    * (both sides big — a genuine shuffle join, AQE-handled), then one
+    * map-side-combinable aggregate to the 5-row priority relation.
+    * avg is exact milli-days (sum·1000 div n, non-negative so div/`//`
+    * agree); breach = > 14 business days.
+    */
+  def q207BusinessDaySla(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def g(m: String): String =
+      s"(5 * (($m) div 7) + least(greatest(($m) % 7 - 1, 0L), 5L))"
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_orderkey",
+        expr("unix_date(cast(l_shipdate as date))").cast("long").as("sd"))
+    val ord = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_orderpriority",
+        expr("unix_date(cast(o_orderdate as date))").cast("long").as("od"))
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .withColumn("bd", expr(s"${g("sd + 5")} - ${g("od + 5")}"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        sum($"bd").as("total_busdays"),
+        max($"bd").as("max_busdays"),
+        sum(when($"bd" > 14, 1L).otherwise(0L)).as("n_breach"))
+      .select($"o_orderpriority", $"n_lines", $"total_busdays",
+        expr("(total_busdays * 1000) div n_lines").as("avg_busdays_milli"),
+        $"max_busdays", $"n_breach")
+      .orderBy($"o_orderpriority")
+  }
+
+  val q207Sql: String =
+    """WITH j AS (
+      |  SELECT o_orderpriority,
+      |         (5 * ((CAST(CAST(l_shipdate AS DATE)
+      |                     - DATE '1970-01-01' AS BIGINT) + 5) // 7)
+      |          + least(greatest((CAST(CAST(l_shipdate AS DATE)
+      |                     - DATE '1970-01-01' AS BIGINT) + 5) % 7 - 1, 0), 5))
+      |         - (5 * ((CAST(CAST(o_orderdate AS DATE)
+      |                     - DATE '1970-01-01' AS BIGINT) + 5) // 7)
+      |          + least(greatest((CAST(CAST(o_orderdate AS DATE)
+      |                     - DATE '1970-01-01' AS BIGINT) + 5) % 7 - 1, 0), 5))
+      |           AS bd
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+      |       CAST(sum(bd) AS BIGINT) AS total_busdays,
+      |       CAST(sum(bd) * 1000 // count(*) AS BIGINT) AS avg_busdays_milli,
+      |       CAST(max(bd) AS BIGINT) AS max_busdays,
+      |       CAST(sum(CASE WHEN bd > 14 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_breach
+      |FROM j GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q207_business_day_sla" -> (q207BusinessDaySla _),
     "q187_acf" -> (q187Acf _),
     "q197_clamped_balance" -> (q197ClampedBalance _),
     "q181_decay_score" -> (q181DecayScore _),
@@ -841,6 +905,7 @@ object Temporal {
     "q123_time_weighted" -> (q123TimeWeighted _))
 
   val oracleSql: Map[String, String] = Map(
+    "q207_business_day_sla" -> q207Sql,
     "q187_acf" -> q187Sql,
     "q197_clamped_balance" -> q197Sql,
     "q181_decay_score" -> q181Sql,

@@ -530,4 +530,19 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("TopKByScore") || p.contains("topkbyscore"),
       "semantic arm must rank via the bounded-state aggregator")
   }
+
+  test("q205: the stats aggregate is answered from parquet footers") {
+    val p = plan("q205_footer_stats")
+    assert(p.contains("PushedAggregation"),
+      s"expected the count/min/max to push into the parquet scan:\n$p")
+    assert(p.contains("COUNT(*)") && p.contains("MIN(l_orderkey)"),
+      s"pushed aggregate list incomplete:\n$p")
+  }
+
+  test("q201: the score-prefix scan is bucket-partitioned") {
+    val p = plan("q201_exact_auc")
+    assert(p.contains("hashpartitioning(bkt"),
+      "the distinct-score cumulative must run per magnitude bucket, " +
+        "not as a data-sized global window")
+  }
 }

@@ -355,4 +355,31 @@ class TemporalSpec extends AnyFunSuite with SparkSpec {
     // zero-sum invariant of the centered series: Σ z_t == 0 exactly
     assert(z.values.sum == 0)
   }
+
+  test("q207: the closed-form weekday count equals a literal calendar walk") {
+    // g(m) counts weekdays in [0, m) of the Sunday-aligned day line;
+    // the query's busdays(d1, d2) = g(d2+5) − g(d1+5) must equal walking
+    // day-by-day over (d1, d2] and testing dow ∈ Mon..Fri — across every
+    // weekday phase and span shape (incl. zero-length and multi-week).
+    def g(m: Long): Long = 5 * (m / 7) + math.min(math.max(m % 7 - 1, 0), 5)
+    def closed(d1: Long, d2: Long): Long = g(d2 + 5) - g(d1 + 5)
+    def walk(d1: Long, d2: Long): Long =
+      (d1 + 1 to d2).count(d => { val w = (d + 4) % 7; w >= 1 && w <= 5 })
+    for (d1 <- 9128L to 9141L; span <- 0L to 45L)
+      assert(closed(d1, d1 + span) == walk(d1, d1 + span),
+        s"formula diverges at d1=$d1 span=$span")
+  }
+
+  test("q207: per-priority aggregates are internally consistent") {
+    val rows = Temporal.q207BusinessDaySla(spark, sfDir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (n, tot, avgMilli) = (r.getAs[Long]("n_lines"),
+        r.getAs[Long]("total_busdays"), r.getAs[Long]("avg_busdays_milli"))
+      assert(n > 0 && tot >= 0)
+      assert(avgMilli == tot * 1000 / n)
+      assert(r.getAs[Long]("max_busdays") * n >= tot)
+      assert(r.getAs[Long]("n_breach") <= n)
+    }
+  }
 }
