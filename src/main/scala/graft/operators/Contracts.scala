@@ -287,14 +287,90 @@ object Contracts {
       |       l < 3 AS homogeneity_risk
       |FROM g GROUP BY 1 ORDER BY l""".stripMargin
 
+  /** q203 — corrupt-record quarantine audit at the CSV ingest seam: the
+    * dead-letter accounting every production loader needs (the
+    * reference ingests citibike CSVs with pandas `read_csv` and dies on
+    * the first malformed line; a 100 TB loader must instead QUARANTINE
+    * bad records and publish exact counts). The query materializes a
+    * CSV extract of the customer slice (key ≤ 2000) with a
+    * deterministic 1-in-7 malformation (a non-numeric balance field),
+    * re-reads it under PERMISSIVE mode with a `_corrupt_record` column,
+    * and emits the audit row: totals, good/bad splits, the good-side
+    * balance checksum, and the bad-side KEY checksum recovered from the
+    * raw quarantined line (split on the delimiter — the raw line is
+    * always present for a quarantined record, independent of which
+    * fields happened to parse). The oracle reproduces every number from
+    * the harness table by the same key-parity rule, so the driver hash
+    * gate covers write → malform → permissive-parse → classify.
+    *
+    * Scale shape: the write and the audited read are both
+    * embarrassingly parallel scans; the audit is one map-side-
+    * combinable aggregate. No driver-side row handling anywhere.
+    */
+  def q203CorruptRecordAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val out = scratchDir("graft_corrupt_csv")
+    Tables.customer(spark, dir)
+      .filter($"c_custkey" <= 2000)
+      .select(concat_ws(",", $"c_custkey", $"c_name",
+        when($"c_custkey" % 7 === 0, concat(lit("X"), $"c_custkey"))
+          .otherwise(expr("CAST(round(c_acctbal * 100) AS BIGINT)")
+            .cast("string"))).as("value"))
+      .write.mode("overwrite").text(out)
+    val schema = StructType(Seq(
+      StructField("custkey", LongType), StructField("name", StringType),
+      StructField("acctbal_cents", LongType),
+      StructField("_corrupt_record", StringType)))
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(out)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when($"_corrupt_record".isNotNull, 1L).otherwise(0L)).as("n_bad"),
+        sum(when($"_corrupt_record".isNull, 1L).otherwise(0L)).as("n_good"),
+        sum(when($"_corrupt_record".isNull, $"acctbal_cents")
+          .otherwise(0L)).as("good_cents_sum"),
+        sum(coalesce(expr("CAST(split(_corrupt_record, ',')[0] AS BIGINT)"),
+          lit(0L))).as("bad_key_checksum"))
+  }
+
+  val q203Sql: String =
+    """WITH c AS (
+      |  SELECT c_custkey AS k,
+      |         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      |  FROM customer WHERE c_custkey <= 2000)
+      |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_bad,
+      |       CAST(sum(CASE WHEN k % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_good,
+      |       CAST(sum(CASE WHEN k % 7 <> 0 THEN cents ELSE 0 END) AS BIGINT)
+      |         AS good_cents_sum,
+      |       CAST(sum(CASE WHEN k % 7 = 0 THEN k ELSE 0 END) AS BIGINT)
+      |         AS bad_key_checksum
+      |FROM c""".stripMargin
+
+  /** tmpfs scratch for the ephemeral CSV extract (same policy as the
+    * q49 mart / q101 variant-compaction scratch).
+    */
+  private def scratchDir(prefix: String): String = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite)
+      java.nio.file.Files.createTempDirectory(shm.toPath, prefix).toString
+    else java.nio.file.Files.createTempDirectory(prefix).toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q102_data_contract" -> (q102DataContract _),
+    "q203_corrupt_record_audit" -> (q203CorruptRecordAudit _),
     "q121_k_anonymity" -> (q121KAnonymity _),
     "q142_erasure_audit" -> (q142ErasureAudit _),
     "q150_benford_audit" -> (q150BenfordAudit _),
     "q168_l_diversity" -> (q168LDiversity _))
 
   val oracleSql: Map[String, String] = Map(
+    "q203_corrupt_record_audit" -> q203Sql,
     "q102_data_contract" -> q102Sql,
     "q121_k_anonymity" -> q121Sql,
     "q142_erasure_audit" -> q142Sql,

@@ -106,8 +106,77 @@ object Graphs {
 
   def q125TriangleCount(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    triangleCounts(coPurchaseEdges(spark, dir)).orderBy($"part")
+    triangleCountsMemo(spark, dir).orderBy($"part")
   }
+
+  /** Per-part triangle counts over the co-purchase graph, shared by
+    * q125 and q202 — the second derived graph relation worth paying for
+    * once per (session, dir): the adjacency build + intersection scan
+    * is the expensive half of both queries, and as a memo table its
+    * first-touch cost is an adjudicated `memo_build` line item instead
+    * of being re-paid per query.
+    */
+  private[graft] def triangleCountsMemo(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "triangle_counts") {
+      triangleCounts(coPurchaseEdges(spark, dir)).localCheckpoint()
+    }
+
+  /** q202 — local clustering coefficient per part (exact basis points):
+    * cc(v) = triangles(v) / C(deg(v), 2), the cohesion statistic that
+    * separates "parts bought in tight bundles" (cc → 1) from hub parts
+    * that co-occur with everything but whose neighbours never co-occur
+    * (cc → 0) — the per-vertex refinement of q125's raw triangle
+    * census. Exact integer end-to-end: cc_bp = 2·tri·10⁴ div d(d−1)
+    * (non-negative, so Spark `div` and DuckDB `//` agree), vertices
+    * with d < 2 excluded (undefined denominator).
+    *
+    * Scale shape: degrees are one map-side-combinable aggregate over
+    * the memoized half-edge list; triangles ride the shared memo (the
+    * O(E^1.5)-bounded edge-iterator form, never the wedge join); the
+    * join is |V|-sized on the vertex key. The oracle recomputes
+    * triangles via the independent three-way wedge join — the q117
+    * two-algorithms discipline applied to graph cohesion.
+    */
+  def q202ClusteringCoefficient(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = coPurchaseEdges(spark, dir)
+    val deg = edges.select(explode(array($"u", $"v")).as("part"))
+      .groupBy($"part").agg(count(lit(1)).as("degree"))
+    deg.join(triangleCountsMemo(spark, dir), Seq("part"), "left")
+      .withColumn("n_triangles", coalesce($"n_triangles", lit(0L)))
+      .filter($"degree" >= 2)
+      .select($"part", $"degree", $"n_triangles",
+        expr("(n_triangles * 20000) div (degree * (degree - 1))").as("cc_bp"))
+      .orderBy($"part")
+  }
+
+  val q202Sql: String =
+    """WITH po AS (
+      |  SELECT DISTINCT l_orderkey AS ord, l_partkey AS part FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT a.part AS u, b.part AS v
+      |  FROM po a JOIN po b ON a.ord = b.ord AND a.part < b.part),
+      |deg AS (
+      |  SELECT part, CAST(count(*) AS BIGINT) AS degree
+      |  FROM (SELECT u AS part FROM e UNION ALL SELECT v FROM e) z
+      |  GROUP BY part),
+      |tri AS (
+      |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |  FROM e e1
+      |  JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+      |  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+      |tc AS (
+      |  SELECT part, CAST(count(*) AS BIGINT) AS n
+      |  FROM (SELECT a AS part FROM tri
+      |        UNION ALL SELECT b FROM tri
+      |        UNION ALL SELECT c FROM tri) t
+      |  GROUP BY part)
+      |SELECT d.part, d.degree, coalesce(tc.n, 0) AS n_triangles,
+      |       CAST(coalesce(tc.n, 0) * 20000
+      |            // (d.degree * (d.degree - 1)) AS BIGINT) AS cc_bp
+      |FROM deg d LEFT JOIN tc ON tc.part = d.part
+      |WHERE d.degree >= 2
+      |ORDER BY d.part""".stripMargin
 
   val q125Sql: String =
     """WITH po AS (
@@ -398,12 +467,14 @@ object Graphs {
       |ORDER BY p.brand_a, p.brand_b""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q202_clustering_coefficient" -> (q202ClusteringCoefficient _),
     "q125_triangle_count" -> (q125TriangleCount _),
     "q134_khop_reach" -> (q134KhopReach _),
     "q138_pagerank" -> (q138Pagerank _),
     "q156_association_rules" -> (q156AssociationRules _))
 
   val oracleSql: Map[String, String] = Map(
+    "q202_clustering_coefficient" -> q202Sql,
     "q125_triangle_count" -> q125Sql,
     "q134_khop_reach" -> q134Sql,
     "q138_pagerank" -> q138Sql,

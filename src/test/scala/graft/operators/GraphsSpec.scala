@@ -34,6 +34,32 @@ class GraphsSpec extends AnyFunSuite with SparkSpec {
     assert(got.values.sum % 3 == 0, "each triangle must be attributed to exactly 3 vertices")
   }
 
+  test("q202: clustering coefficients replay from brute-force adjacency") {
+    val got = Graphs.q202ClusteringCoefficient(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("part") ->
+        ((r.getAs[Long]("degree"), r.getAs[Long]("n_triangles"),
+          r.getAs[Long]("cc_bp")))).toMap
+    val po = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = po.groupBy(_._1).values.flatMap { items =>
+      val ps = items.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val adj = (edges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) })
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val expected = adj.collect { case (p, ns) if ns.size >= 2 =>
+      val d = ns.size.toLong
+      val tri = ns.toSeq.combinations(2)
+        .count { case Seq(a, b) => edges(if (a < b) (a, b) else (b, a)) }
+        .toLong
+      p -> ((d, tri, tri * 20000L / (d * (d - 1))))
+    }
+    assert(got == expected)
+    // cc is a proportion of realized wedges — can never exceed 10000 bp
+    assert(got.values.forall(_._3 <= 10000L))
+  }
+
   test("degree orientation neutralizes a hub: star graph wedges collapse 10,000x") {
     // 2k-star + leaf ring. Under id orientation the hub (id 0) is the
     // SOURCE of every star edge: C(2000,2) ≈ 2.0e6 wedges land on one
