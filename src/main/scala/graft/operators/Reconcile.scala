@@ -210,11 +210,116 @@ object Reconcile {
       |WHERE p2.n IS NULL OR c2.n IS NULL OR p2.n <> c2.n OR p2.chk <> c2.chk
       |ORDER BY level, bucket""".stripMargin
 
+  /** q208 — incremental JOIN maintenance (delta-join IVM): q166 proved
+    * stored partials + delta == full for a single-table rollup; this is
+    * the same contract for a two-table JOIN view, where the delta
+    * algebra has cross terms. With both sides split base/delta
+    * deterministically (ΔO = order keys ≡ 0 mod 10, ΔL = line rows with
+    * (orderkey + linenumber) ≡ 3 mod 7 — independent rules, so every
+    * cross term is non-empty), the view V = γ(O ⋈ L) satisfies the
+    * inclusion–exclusion identity
+    *
+    *   V = γ(Ob ⋈ Lb)  +  γ(ΔO ⋈ L)  +  γ(O ⋈ ΔL)  −  γ(ΔO ⋈ ΔL)
+    *
+    * (the ΔO⋈ΔL term is double-counted by the two middle terms — the
+    * subtraction is exact because count/sum are additive with signed
+    * weights). The base term comes from a STORED parquet rollup
+    * materialized once (the q166 store seam); the query emits the
+    * incremental and full answers side by side with equality booleans,
+    * so a broken delta algebra in either engine flips the driver hash.
+    *
+    * Scale shape: the base term is never re-joined — it is a ≤5-row
+    * stored rollup read. Each delta term joins a delta against the
+    * OPPOSITE full side; at 100 TB those joins prune to the delta's key
+    * range against the bucketed snapshot store (the
+    * `CdcStreams.applyBatchPartitioned` seam) instead of full scans —
+    * per-run cost proportional to the deltas, not to history. All four
+    * γ terms are map-side-combinable aggregates to the 5-row priority
+    * relation; the signed merge is a union of tiny relations.
+    */
+  def q208JoinIvm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = scratchDir("graft_ivm_join")
+    val o = Tables.orders(spark, dir).select($"o_orderkey",
+      $"o_orderpriority", ($"o_orderkey" % 10 === 0).as("d_o"))
+    val l = Tables.lineitem(spark, dir).select($"l_orderkey",
+      expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)")
+        .as("cents"),
+      (($"l_orderkey" + $"l_linenumber") % 7 === 3).as("d_l"))
+    def view(os: DataFrame, ls: DataFrame): DataFrame =
+      os.join(ls, os("o_orderkey") === ls("l_orderkey"))
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum($"cents").as("rev"))
+    view(o.filter(!$"d_o"), l.filter(!$"d_l"))
+      .write.mode("overwrite").parquet(out)
+    val signed = spark.read.parquet(out).withColumn("sgn", lit(1L))
+      .unionByName(view(o.filter($"d_o"), l).withColumn("sgn", lit(1L)))
+      .unionByName(view(o, l.filter($"d_l")).withColumn("sgn", lit(1L)))
+      .unionByName(view(o.filter($"d_o"), l.filter($"d_l"))
+        .withColumn("sgn", lit(-1L)))
+    val incr = signed.groupBy($"o_orderpriority")
+      .agg(sum($"n" * $"sgn").as("n_incr"), sum($"rev" * $"sgn").as("rev_incr"))
+    view(o, l)
+      .select($"o_orderpriority", $"n".as("n_full"), $"rev".as("rev_full"))
+      .join(incr, Seq("o_orderpriority"), "full")
+      .select($"o_orderpriority", $"n_full", $"rev_full", $"n_incr",
+        $"rev_incr",
+        ($"n_full" <=> $"n_incr").as("counts_match"),
+        ($"rev_full" <=> $"rev_incr").as("revenue_match"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q208Sql: String =
+    """WITH o AS (SELECT o_orderkey, o_orderpriority,
+      |                  o_orderkey % 10 = 0 AS d_o FROM orders),
+      |l AS (SELECT l_orderkey,
+      |             CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+      |                  AS BIGINT) AS cents,
+      |             (l_orderkey + l_linenumber) % 7 = 3 AS d_l
+      |      FROM lineitem),
+      |full_v AS (
+      |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_full,
+      |         CAST(sum(cents) AS BIGINT) AS rev_full
+      |  FROM o JOIN l ON o_orderkey = l_orderkey GROUP BY 1),
+      |terms AS (
+      |  SELECT o_orderpriority, count(*) AS n, sum(cents) AS rev, 1 AS sgn
+      |  FROM o JOIN l ON o_orderkey = l_orderkey
+      |  WHERE NOT d_o AND NOT d_l GROUP BY 1
+      |  UNION ALL
+      |  SELECT o_orderpriority, count(*), sum(cents), 1
+      |  FROM o JOIN l ON o_orderkey = l_orderkey WHERE d_o GROUP BY 1
+      |  UNION ALL
+      |  SELECT o_orderpriority, count(*), sum(cents), 1
+      |  FROM o JOIN l ON o_orderkey = l_orderkey WHERE d_l GROUP BY 1
+      |  UNION ALL
+      |  SELECT o_orderpriority, count(*), sum(cents), -1
+      |  FROM o JOIN l ON o_orderkey = l_orderkey
+      |  WHERE d_o AND d_l GROUP BY 1),
+      |incr AS (
+      |  SELECT o_orderpriority, CAST(sum(n * sgn) AS BIGINT) AS n_incr,
+      |         CAST(sum(rev * sgn) AS BIGINT) AS rev_incr
+      |  FROM terms GROUP BY 1)
+      |SELECT f.o_orderpriority, f.n_full, f.rev_full, i.n_incr, i.rev_incr,
+      |       f.n_full = i.n_incr AS counts_match,
+      |       f.rev_full = i.rev_incr AS revenue_match
+      |FROM full_v f FULL OUTER JOIN incr i USING (o_orderpriority)
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** tmpfs scratch for the stored base-term rollup (q49/q166 policy). */
+  private def scratchDir(prefix: String): String = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite)
+      java.nio.file.Files.createTempDirectory(shm.toPath, prefix).toString
+    else java.nio.file.Files.createTempDirectory(prefix).toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q208_join_ivm" -> (q208JoinIvm _),
     "q133_snapshot_diff" -> (q133SnapshotDiff _),
     "q182_merkle_diff" -> (q182MerkleDiff _))
 
   val oracleSql: Map[String, String] = Map(
+    "q208_join_ivm" -> q208Sql,
     "q133_snapshot_diff" -> q133Sql,
     "q182_merkle_diff" -> q182Sql)
 }

@@ -742,7 +742,88 @@ object Similarity {
       |GROUP BY 1
       |ORDER BY label""".stripMargin
 
+  /** q204 — greedy k-center coreset (farthest-first traversal, the
+    * Gonzalez 2-approximation): pick 5 embedding exemplars maximizing
+    * mutual spread — the diversity-selection primitive behind "choose a
+    * representative subset to label/inspect/train on" (complements
+    * q143's coverage greedy, which maximizes token overlap; this one
+    * works in embedding space). Every distance is EXACT integer
+    * arithmetic on the ×1024 grid: qv = floor(x · 1024) per dimension —
+    * 1024 is a power of two, so the scaling is exact in binary floating
+    * point and BOTH engines floor the same value — and d²(u, c) =
+    * Σ (qu_i − qc_i)² in BIGINT, so the greedy argmax (farthest point,
+    * ties to the smaller id) is bit-identical cross-engine where a
+    * float-distance greedy could never hash-gate. sel_dist2 at round r
+    * is the coverage radius² of the first r−1 centers — the monotone
+    * non-increasing sequence the spec pins.
+    *
+    * Scale shape: per round ONE distributed scan computing a running
+    * min-distance column against ≤k broadcast (literal) centers and a
+    * TakeOrdered(1) argmax — never a pairwise matrix; the quantized
+    * relation is materialized once (localCheckpoint) and each round's
+    * update folds one more center into the running `md` column. The
+    * driver holds only the k chosen centers (tiny-scalar reads, the
+    * q143 greedy precedent). The oracle replays the identical greedy as
+    * 5 chained CTEs over DuckDB list arithmetic — an independent
+    * evaluation mechanism for every distance.
+    */
+  def q204KcenterCoreset(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = Tables.embeddings(spark, dir)
+      .select($"vec_id",
+        expr("transform(embedding, x -> CAST(floor(x * 1024.0D) AS BIGINT))")
+          .as("qv"))
+      .localCheckpoint()
+    def dist2To(c: Seq[Long]) =
+      aggregate(zip_with($"qv", typedLit(c),
+        (x, y) => (x - y) * (x - y)), lit(0L), (a, x) => a + x)
+    val seed = q.orderBy($"vec_id").limit(1).collect()(0)
+    var centers = Vector((seed.getLong(0), seed.getSeq[Long](1), 0L))
+    var scored = q.withColumn("md", dist2To(centers.head._2))
+    for (_ <- 2 to 5) {
+      val far = scored.orderBy($"md".desc, $"vec_id").limit(1).collect()(0)
+      val cq = far.getSeq[Long](1)
+      centers :+= ((far.getLong(0), cq, far.getLong(2)))
+      scored = scored.withColumn("md", least($"md", dist2To(cq)))
+    }
+    centers.zipWithIndex
+      .map { case ((id, _, d), i) => (i + 1L, id, d) }
+      .toDF("round", "vec_id", "sel_dist2")
+      .orderBy($"round")
+  }
+
+  val q204Sql: String = {
+    def dist(a: String, b: String) =
+      s"CAST(list_sum(list_transform(list_zip($a.qv, $b.qv), " +
+        s"z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT)"
+    val rounds = (2 to 5).map { r =>
+      s"""c$r AS (SELECT vec_id, qv, md FROM d${r - 1}
+         |        ORDER BY md DESC, vec_id LIMIT 1),
+         |d$r AS (SELECT a.vec_id, a.qv,
+         |               least(a.md, ${dist("a", "c")}) AS md
+         |        FROM d${r - 1} a, c$r c)""".stripMargin
+    }.mkString(",\n")
+    val picks = (2 to 5).map { r =>
+      s"UNION ALL SELECT $r, vec_id, md FROM c$r"
+    }.mkString("\n")
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(floor(x * 1024.0) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |c1 AS (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 1),
+       |d1 AS (SELECT a.vec_id, a.qv, ${dist("a", "c")} AS md
+       |       FROM q a, c1 c),
+       |$rounds
+       |SELECT CAST(round AS BIGINT) AS round, vec_id,
+       |       CAST(sel_dist2 AS BIGINT) AS sel_dist2 FROM (
+       |  SELECT 1 AS round, vec_id, 0 AS sel_dist2 FROM c1
+       |  $picks) z
+       |ORDER BY round""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q204_kcenter_coreset" -> (q204KcenterCoreset _),
     "q64_quantize_embeddings" -> (q64QuantizeEmbeddings _),
     "q34_cosine_topk" -> (q34CosineTopk _),
     "q35_ann_lsh" -> (q35AnnLsh _),
@@ -757,6 +838,7 @@ object Similarity {
     "q89_embedding_health" -> (q89EmbeddingHealth _))
 
   val oracleSql: Map[String, String] = Map(
+    "q204_kcenter_coreset" -> q204Sql,
     "q64_quantize_embeddings" -> q64Sql,
     "q34_cosine_topk" -> q34Sql,
     "q35_ann_lsh" -> q35Sql,

@@ -343,4 +343,24 @@ class ReconcileSpec extends AnyFunSuite with SparkSpec {
     assert(leaves > 0 && leaves < 256,
       s"anti-entropy must narrow the repair set, got $leaves leaves")
   }
+
+  test("q208: delta-join identity holds and every cross term is exercised") {
+    import spark.implicits._
+    val rows = Reconcile.q208JoinIvm(spark, sfDir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("counts_match") &&
+        r.getAs[Boolean]("revenue_match"),
+        s"IVM algebra diverged for ${r.getString(0)}")
+    }
+    // the identity is only a real test if all four terms are non-empty —
+    // check the split rules actually produce joined rows in each class
+    val o = Tables.orders(spark, sfDir)
+      .select($"o_orderkey", ($"o_orderkey" % 10 === 0).as("d_o"))
+    val l = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", (($"l_orderkey" + $"l_linenumber") % 7 === 3).as("d_l"))
+    val j = o.join(l, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"d_o", $"d_l").count().collect()
+    assert(j.length == 4, s"expected all 4 base/delta classes, got ${j.toSeq}")
+  }
 }

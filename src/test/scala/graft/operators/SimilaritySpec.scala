@@ -225,4 +225,35 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(r(0L).getAs[Double]("mse") - 0.125) < 1e-6)
     assert(r(1L).getAs[Double]("max_abs_err") == 127.0)
   }
+
+  test("q204: greedy k-center replays exhaustively; coverage radius non-increasing") {
+    import spark.implicits._
+    val got = Similarity.q204KcenterCoreset(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("round"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("sel_dist2")))
+    // independent driver-side replay of the quantize + farthest-first fold
+    val vs = graft.sources.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x * 1024.0).toLong).toArray)
+      .sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var centers = Vector((vs.head._1, vs.head._2, 0L))
+    var md = vs.map { case (id, v) => id -> d2(v, vs.head._2) }.toMap
+    for (_ <- 2 to 5) {
+      val (fid, fd) = md.toSeq.maxBy { case (id, d) => (d, -id) }
+      val fv = vs.find(_._1 == fid).get._2
+      centers :+= ((fid, fv, fd))
+      md = md.map { case (id, d) =>
+        id -> math.min(d, d2(vs.find(_._1 == id).get._2, fv)) }
+    }
+    val expected = centers.zipWithIndex
+      .map { case ((id, _, d), i) => (i + 1L, id, d) }
+    assert(got.toSeq == expected)
+    // rounds 2..5 carry the shrinking coverage radius of the prefix
+    val radii = got.filter(_._1 >= 2).sortBy(_._1).map(_._3).toSeq
+    assert(radii == radii.sortBy(-_),
+      s"coverage radius must be non-increasing: $radii")
+  }
 }
