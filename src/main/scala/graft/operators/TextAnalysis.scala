@@ -1307,7 +1307,142 @@ object TextAnalysis {
        |FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
        |ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin
 
+  /** q206 — BPE merge training (the first 3 merges): the tokenizer-
+    * TRAINING operator — q26 counts tokens with a fixed BPE-ish regex;
+    * this LEARNS the merge table itself, the data-defined half of every
+    * LLM tokenizer build. Classic byte-pair encoding: per round, count
+    * adjacent symbol pairs (corpus-frequency-weighted), merge the most
+    * frequent pair (ties to the lexicographically smallest) everywhere
+    * with LEFTMOST-GREEDY non-overlapping semantics, repeat. The greedy
+    * overlap rule only bites on self-pairs (for x ≠ y two matches can
+    * never share a symbol, since a match's successor symbol is y ≠ x);
+    * runs of consecutive self-pair matches keep even offsets — exactly
+    * the standard left-to-right scan, expressed relationally as
+    * consecutive-position islands (pos − row_number is constant within
+    * a run) with an even-offset filter. TextAnalysisSpec pins the whole
+    * table against a literal sequential-scan BPE fold; the DuckDB
+    * oracle replays the identical relational algebra independently.
+    *
+    * Scale shape — the textbook BPE-training optimization, which is
+    * also the distributed one: all work happens on the DISTINCT-WORD
+    * relation weighted by corpus frequency (one corpus scan builds the
+    * vocab; at 100 TB that is the only data-sized pass — symbol
+    * relations are vocab-sized). Per round: one self-join on (word,
+    * pos+1), one map-side-combinable pair count, a TakeOrdered(1)
+    * argmax (tiny-scalar read, the q143/q204 greedy precedent), and
+    * per-WORD windows for the rebuild (partitions bounded by word
+    * length). `localCheckpoint` truncates the per-round lineage
+    * (iterative-algorithm discipline, as in BFS/PageRank).
+    */
+  def q206BpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v = Tables.documents(spark, dir)
+      .select(explode(split(trim($"text"), " ")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"w").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    bpeMerges(v, 3)
+  }
+
+  /** The BPE training loop over a weighted vocab relation (`w`, `n`) —
+    * factored out so the spec can drive it on crafted vocabularies that
+    * exercise the self-pair overlap rule the harness corpus may not.
+    */
+  private[graft] def bpeMerges(v: DataFrame, rounds: Int): DataFrame = {
+    val spark = v.sparkSession
+    import spark.implicits._
+    var s = v.select($"w", posexplode(split($"w", "")))
+      .toDF("w", "pos", "sym")
+      .filter($"sym" =!= "") // Java split(-1) keeps a trailing empty chunk
+      .select($"w", $"pos".cast("long").as("pos"), $"sym")
+      .localCheckpoint()
+    var results = Vector.empty[(Long, String, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val pairs = s.as("a")
+        .join(s.as("b"), $"a.w" === $"b.w" && $"b.pos" === $"a.pos" + 1)
+        .select($"a.w".as("w"), $"a.pos".as("pos"),
+          $"a.sym".as("x"), $"b.sym".as("y"))
+      val top = pairs.join(v, Seq("w"))
+        .groupBy($"x", $"y").agg(sum($"n").as("cnt"))
+        .orderBy($"cnt".desc, $"x", $"y").limit(1).collect()(0)
+      val (tx, ty, tc) = (top.getString(0), top.getString(1), top.getLong(2))
+      results :+= ((r.toLong, tx, ty, tx + ty, tc))
+      if (r < rounds) {
+        val m = pairs.filter($"x" === tx && $"y" === ty).select($"w", $"pos")
+        val runs = m.withColumn("grp",
+          $"pos" - row_number().over(Window.partitionBy($"w").orderBy($"pos")))
+        val kept = runs
+          .withColumn("off",
+            $"pos" - min($"pos").over(Window.partitionBy($"w", $"grp")))
+          .filter($"off" % 2 === 0)
+          .select($"w", $"pos", lit(true).as("is_k"))
+        val dropped = kept.select($"w", ($"pos" + 1).as("pos"),
+          lit(true).as("is_d"))
+        s = s.join(kept, Seq("w", "pos"), "left")
+          .join(dropped, Seq("w", "pos"), "left")
+          .filter($"is_d".isNull)
+          .withColumn("sym",
+            when($"is_k".isNotNull, concat($"sym", lit(ty))).otherwise($"sym"))
+          .withColumn("pos",
+            (row_number().over(Window.partitionBy($"w").orderBy($"pos")) - 1)
+              .cast("long"))
+          .select($"w", $"pos", $"sym")
+          .localCheckpoint()
+      }
+    }
+    results.toDF("merge_round", "lhs", "rhs", "merged", "pair_count")
+      .orderBy($"merge_round")
+  }
+
+  val q206Sql: String = {
+    def round(r: Int): String =
+      s"""p$r AS (SELECT a.w, a.pos, a.sym AS x, b.sym AS y
+         |        FROM s$r a JOIN s$r b ON a.w = b.w AND b.pos = a.pos + 1),
+         |pc$r AS (SELECT x, y, CAST(sum(n) AS BIGINT) AS cnt
+         |         FROM p$r JOIN v USING (w) GROUP BY x, y),
+         |t$r AS (SELECT x, y, cnt FROM pc$r ORDER BY cnt DESC, x, y LIMIT 1),
+         |m$r AS (SELECT p.w, p.pos FROM p$r p, t$r t
+         |        WHERE p.x = t.x AND p.y = t.y),
+         |g$r AS (SELECT w, pos,
+         |               pos - ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos)
+         |                 AS grp
+         |        FROM m$r),
+         |k$r AS (SELECT w, pos FROM (
+         |          SELECT w, pos,
+         |                 pos - min(pos) OVER (PARTITION BY w, grp) AS off
+         |          FROM g$r) z
+         |        WHERE off % 2 = 0),
+         |s${r + 1} AS (
+         |  SELECT w, ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) - 1
+         |           AS pos, sym
+         |  FROM (SELECT s.w, s.pos,
+         |               CASE WHEN k.pos IS NOT NULL THEN s.sym || t.y
+         |                    ELSE s.sym END AS sym
+         |        FROM s$r s CROSS JOIN t$r t
+         |        LEFT JOIN k$r k ON k.w = s.w AND k.pos = s.pos
+         |        LEFT JOIN k$r kp ON kp.w = s.w AND kp.pos = s.pos - 1
+         |        WHERE kp.pos IS NULL) zz)""".stripMargin
+    s"""WITH v AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT unnest(string_split(trim(text), ' ')) AS w
+       |        FROM documents) z
+       |  WHERE length(w) > 0 GROUP BY w),
+       |s1 AS (SELECT w, CAST(unnest(range(length(w))) AS BIGINT) AS pos,
+       |              unnest(string_split(w, '')) AS sym
+       |       FROM v),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT CAST(mr AS BIGINT) AS merge_round, x AS lhs, y AS rhs,
+       |       x || y AS merged, cnt AS pair_count FROM (
+       |  SELECT 1 AS mr, x, y, cnt FROM t1
+       |  UNION ALL SELECT 2, x, y, cnt FROM t2
+       |  UNION ALL SELECT 3, x, y, cnt FROM t3) u
+       |ORDER BY merge_round""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q206_bpe_merges" -> (q206BpeMerges _),
     "q185_hybrid_rrf" -> (q185HybridRrf _),
     "q188_bigram_nll" -> (q188BigramNll _),
     "q195_quality_calibration" -> (q195QualityCalibration _),
@@ -1331,6 +1466,7 @@ object TextAnalysis {
     "q56_tfidf_top_terms" -> (q56TfidfTopTerms _))
 
   val oracleSql: Map[String, String] = Map(
+    "q206_bpe_merges" -> q206Sql,
     "q185_hybrid_rrf" -> q185Sql,
     "q188_bigram_nll" -> q188Sql,
     "q195_quality_calibration" -> q195Sql,

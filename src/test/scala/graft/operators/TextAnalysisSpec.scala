@@ -458,4 +458,61 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(got.exists(_._2 > 0) && got.exists(_._3 > 0),
       "fused top-10 must draw from both retrieval arms")
   }
+
+  /** Literal sequential BPE: per round count weighted adjacent pairs,
+    * merge the (count desc, pair asc) winner left-to-right per word —
+    * the scan the relational islands formulation must reproduce.
+    */
+  private def bpeFold(vocab: Map[String, Long], rounds: Int)
+      : Seq[(Long, String, String, String, Long)] = {
+    var vs = vocab.map { case (w, n) => (w.map(_.toString).toList, n) }.toList
+    (1 to rounds).map { r =>
+      val cnt = scala.collection.mutable.Map[(String, String), Long]()
+        .withDefaultValue(0L)
+      for ((syms, n) <- vs; i <- 0 until syms.length - 1)
+        cnt((syms(i), syms(i + 1))) += n
+      val ((x, y), c) = cnt.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+      vs = vs.map { case (syms, n) =>
+        val out = scala.collection.mutable.ListBuffer[String]()
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == x && syms(i + 1) == y) {
+            out += x + y; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        (out.toList, n)
+      }
+      (r.toLong, x, y, x + y, c)
+    }
+  }
+
+  test("q206: learned merges equal a literal sequential BPE fold") {
+    val got = TextAnalysis.q206BpeMerges(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    val vocab = graft.sources.Tables.documents(spark, sfDir)
+      .select(explode(split(trim($"text"), " ")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == bpeFold(vocab, 3), s"got $got")
+  }
+
+  test("q206 machinery: self-pair runs merge leftmost-greedy (aaaa -> aa aa)") {
+    import spark.implicits._
+    // 'aaaa'×9 + 'aaab'×1: round 1 must pick (a,a) and merge the even
+    // offsets only; round 2 then sees ('aa','aa') in aaaa and ('aa','ab')
+    // in aaab — a wrong greedy (odd-offset keep or double-count) changes
+    // both the round-2 winner and its count.
+    val v = Seq(("aaaa", 9L), ("aaab", 1L)).toDF("w", "n")
+    val got = TextAnalysis.bpeMerges(v, 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    val expected = bpeFold(Map("aaaa" -> 9L, "aaab" -> 1L), 2)
+    assert(got == expected, s"got $got expected $expected")
+    // round 1: (a,a) appears 3×9 + 2×1 = 29 weighted times
+    assert(got.head == ((1L, "a", "a", "aa", 29L)))
+    // round 2 state must be aaaa->[aa,aa], aaab->[aa,a,b]: top pair (aa,aa)=9
+    assert(got(1) == ((2L, "aa", "aa", "aaaa", 9L)))
+  }
 }
