@@ -351,6 +351,113 @@ object Contracts {
       |         AS bad_key_checksum
       |FROM c""".stripMargin
 
+  /** q211 — experiment-assignment health (sample-ratio mismatch): the
+    * audit every A/B platform runs BEFORE reading effects (q163 reads
+    * the effect; this validates the randomization that makes the
+    * effect meaningful). Assignment is the deterministic md5 first-hex-
+    * digit split (< '8' → arm A — the q97 hash-slice discipline, ~50/50
+    * by construction and reproducible in both engines), and the SRM
+    * test is the 2-cell chi-square against the declared 50/50 ratio
+    * cleared of all floats: χ² = (n_a − n_b)²/n, emitted in micro-units
+    * by exact integer division and compared against the FROZEN 3.8416
+    * critical constant (q150/q163 frozen-constant discipline). A true
+    * srm_flag means the assignment itself is broken and any effect
+    * readout is invalid.
+    *
+    * Scale shape: one map-side-combinable two-cell aggregate over the
+    * key relation; everything after is arithmetic on one row.
+    */
+  def q211SrmAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .select(when(expr("substr(md5(CAST(c_custkey AS STRING)), 1, 1)") < "8",
+        1L).otherwise(0L).as("a"))
+      .agg(sum($"a").as("n_a"), (count(lit(1)) - sum($"a")).as("n_b"))
+      .select($"n_a", $"n_b",
+        expr("((n_a - n_b) * (n_a - n_b) * 1000000) div (n_a + n_b)")
+          .as("chi2_micro"),
+        expr("(n_a * 10000) div (n_a + n_b)").as("share_a_bp"))
+      .withColumn("srm_flag", $"chi2_micro" > 3841600L)
+  }
+
+  val q211Sql: String =
+    """WITH c AS (
+      |  SELECT CASE WHEN substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) < '8'
+      |              THEN 1 ELSE 0 END AS a
+      |  FROM customer),
+      |t AS (SELECT CAST(sum(a) AS BIGINT) AS n_a,
+      |             CAST(count(*) - sum(a) AS BIGINT) AS n_b FROM c)
+      |SELECT n_a, n_b,
+      |       CAST((n_a - n_b) * (n_a - n_b) * 1000000 // (n_a + n_b)
+      |            AS BIGINT) AS chi2_micro,
+      |       CAST(n_a * 10000 // (n_a + n_b) AS BIGINT) AS share_a_bp,
+      |       (n_a - n_b) * (n_a - n_b) * 1000000 // (n_a + n_b) > 3841600
+      |         AS srm_flag
+      |FROM t""".stripMargin
+
+  /** q212 — Wilson 95% upper bound on per-source defect rates: the
+    * one-sided confidence ceiling a release gate quotes ("defect rate
+    * is AT MOST x%"), companion to q203's exact defect counting — a
+    * small sample with zero observed defects still gets a non-zero
+    * ceiling, which is the whole point of the interval over the naive
+    * rate. Defect = doc with n_chars < 200 (deterministic). The bound
+    * is computed in EXACT integer arithmetic end-to-end: with
+    * a = z²·10⁴ = 38416 frozen (q150 discipline), the radicand
+    * R = (4·10⁴·a·k·(n−k)) div n + a² is floored once (documented —
+    * rank-scale ulp), its integer square root is float-sqrt CORRECTED
+    * to the true isqrt by ±1 integer comparisons (exact for R < 2⁵²;
+    * BIGINT headroom to n ≈ 10⁹ rows/source, the documented
+    * DECIMAL(38,0) widen-point), and
+    * ub_bp = (2·10⁴k + a + isqrt(R))·10⁴ div (2·10⁴n + 2a). Both
+    * engines evaluate the identical integer text, so the driver hash
+    * gates the whole construction; ub ≥ the naive rate is emitted as a
+    * theorem boolean.
+    *
+    * Scale shape: one conditional aggregate to the source relation;
+    * the interval arithmetic is per-row on ~20 rows.
+    */
+  def q212WilsonBound(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"n_chars" < 200, 1L).otherwise(0L)).as("k"))
+      .withColumn("rate_bp", expr("(k * 10000) div n"))
+      .withColumn("rad", expr("(40000 * 38416 * k * (n - k)) div n" +
+        " + CAST(38416 AS BIGINT) * 38416"))
+      .withColumn("s0",
+        expr("CAST(floor(sqrt(CAST(rad AS DOUBLE))) AS BIGINT)"))
+      .withColumn("isq", expr("CASE WHEN (s0 + 1) * (s0 + 1) <= rad" +
+        " THEN s0 + 1 WHEN s0 * s0 > rad THEN s0 - 1 ELSE s0 END"))
+      .withColumn("wilson_ub_bp",
+        expr("((20000 * k + 38416 + isq) * 10000) div (20000 * n + 76832)"))
+      .select($"source", $"n".as("n_docs"), $"k".as("n_defect"),
+        $"rate_bp", $"wilson_ub_bp",
+        ($"wilson_ub_bp" >= $"rate_bp").as("ub_dominates"))
+      .orderBy($"source")
+  }
+
+  val q212Sql: String =
+    """WITH s AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS k
+      |  FROM documents GROUP BY source),
+      |r AS (SELECT *, (40000 * 38416 * k * (n - k)) // n
+      |               + CAST(38416 AS BIGINT) * 38416 AS rad FROM s),
+      |q AS (SELECT *, CAST(floor(sqrt(CAST(rad AS DOUBLE))) AS BIGINT)
+      |               AS s0 FROM r),
+      |i AS (SELECT *, CASE WHEN (s0 + 1) * (s0 + 1) <= rad THEN s0 + 1
+      |                     WHEN s0 * s0 > rad THEN s0 - 1 ELSE s0 END
+      |               AS isq FROM q)
+      |SELECT source, n AS n_docs, k AS n_defect,
+      |       CAST(k * 10000 // n AS BIGINT) AS rate_bp,
+      |       CAST((20000 * k + 38416 + isq) * 10000
+      |            // (20000 * n + 76832) AS BIGINT) AS wilson_ub_bp,
+      |       (20000 * k + 38416 + isq) * 10000 // (20000 * n + 76832)
+      |         >= k * 10000 // n AS ub_dominates
+      |FROM i ORDER BY source""".stripMargin
+
   /** tmpfs scratch for the ephemeral CSV extract (same policy as the
     * q49 mart / q101 variant-compaction scratch).
     */
@@ -364,6 +471,8 @@ object Contracts {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q102_data_contract" -> (q102DataContract _),
     "q203_corrupt_record_audit" -> (q203CorruptRecordAudit _),
+    "q211_srm_audit" -> (q211SrmAudit _),
+    "q212_wilson_bound" -> (q212WilsonBound _),
     "q121_k_anonymity" -> (q121KAnonymity _),
     "q142_erasure_audit" -> (q142ErasureAudit _),
     "q150_benford_audit" -> (q150BenfordAudit _),
@@ -371,6 +480,8 @@ object Contracts {
 
   val oracleSql: Map[String, String] = Map(
     "q203_corrupt_record_audit" -> q203Sql,
+    "q211_srm_audit" -> q211Sql,
+    "q212_wilson_bound" -> q212Sql,
     "q102_data_contract" -> q102Sql,
     "q121_k_anonymity" -> q121Sql,
     "q142_erasure_audit" -> q142Sql,

@@ -1000,7 +1000,98 @@ object Corpus {
        |) z ORDER BY metric""".stripMargin
   }
 
+  /** q210 — water-filling quota allocation (max–min fair): split a
+    * global character budget (60% of the corpus) across sources so no
+    * source exceeds its own size, small sources keep everything, and
+    * the surplus is shared EQUALLY at a common water level — the
+    * standard max–min fair division behind per-source sampling quotas
+    * (the allocation dual of q78's temperature mix: temperature
+    * reweights by a power law; water-filling enforces a hard cap).
+    * Exact integer construction: sources sorted by (size, name), the
+    * first index where the equal-share level L_i = (B − cum_prev) div
+    * (k − i + 1) falls below the source's size is the crossing point;
+    * everything before fills fully, everything after gets the base
+    * level with the division remainder spread one char each to the
+    * first r capped sources in name order (largest-remainder
+    * discipline, q158). Σ alloc == B is then an IDENTITY, carried in
+    * the hash gate as `conservation_ok`.
+    *
+    * Scale shape: one map-side-combinable aggregate to the source
+    * relation (domain-bounded, ~20 rows); every window runs over that
+    * tiny relation — the corpus is scanned exactly once.
+    */
+  def q210WaterfillQuota(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = Tables.documents(spark, dir)
+      .groupBy($"source").agg(sum($"n_chars").as("sz"))
+      .localCheckpoint()
+    val tot = src.agg(sum($"sz").as("tot"), count(lit(1)).as("k"))
+    val w = Window.orderBy($"sz", $"source")
+    val ranked = src.crossJoin(broadcast(tot))
+      .withColumn("b", expr("(tot * 3) div 5"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("cum_prev", coalesce(sum($"sz").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("lvl", expr("(b - cum_prev) div (k - i + 1)"))
+      .localCheckpoint() // feeds both the crossing scalar and the output
+    val crossing = ranked.filter($"sz" > $"lvl")
+      .select(min(struct($"i", $"cum_prev", $"lvl")).as("c"))
+      .select($"c.i".as("ci"), $"c.cum_prev".as("ccum"), $"c.lvl".as("base"))
+    val wname = Window.orderBy($"source")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val alloc = ranked.crossJoin(broadcast(crossing))
+      .withColumn("r", expr("(b - ccum) % (k - ci + 1)"))
+      .withColumn("cap_rank",
+        sum(when($"i" >= $"ci", 1L).otherwise(0L)).over(wname))
+      .withColumn("capped", $"i" >= $"ci")
+      .withColumn("alloc", when(!$"capped", $"sz")
+        .otherwise($"base" + when($"cap_rank" <= $"r", 1L).otherwise(0L)))
+    alloc
+      .withColumn("total_alloc",
+        sum($"alloc").over(Window.partitionBy(lit(1))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select($"source", $"sz".as("n_chars"), $"alloc".as("alloc_chars"),
+        $"capped", ($"total_alloc" === $"b").as("conservation_ok"))
+      .orderBy($"source")
+  }
+
+  val q210Sql: String =
+    """WITH s AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS sz
+      |           FROM documents GROUP BY source),
+      |t AS (SELECT CAST(sum(sz) AS BIGINT) AS tot,
+      |             CAST(count(*) AS BIGINT) AS k,
+      |             CAST(sum(sz) * 3 // 5 AS BIGINT) AS b FROM s),
+      |rk AS (SELECT s.*, t.k, t.b,
+      |              CAST(ROW_NUMBER() OVER (ORDER BY sz, source) AS BIGINT)
+      |                AS i,
+      |              CAST(coalesce(sum(sz) OVER (ORDER BY sz, source
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |                AS BIGINT) AS cum_prev
+      |       FROM s, t),
+      |lv AS (SELECT *, CAST((b - cum_prev) // (k - i + 1) AS BIGINT) AS lvl
+      |       FROM rk),
+      |cr AS (SELECT i AS ci, cum_prev AS ccum, lvl AS base
+      |       FROM lv WHERE sz > lvl ORDER BY i LIMIT 1),
+      |al AS (SELECT lv.*, cr.ci, cr.base,
+      |              CAST((lv.b - cr.ccum) % (lv.k - cr.ci + 1) AS BIGINT)
+      |                AS r,
+      |              CAST(sum(CASE WHEN lv.i >= cr.ci THEN 1 ELSE 0 END)
+      |                OVER (ORDER BY lv.source
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |                AS BIGINT) AS cap_rank
+      |       FROM lv, cr),
+      |fin AS (SELECT source, sz, i >= ci AS capped,
+      |               CASE WHEN i < ci THEN sz
+      |                    ELSE base + CASE WHEN cap_rank <= r THEN 1 ELSE 0
+      |                         END END AS alloc, b
+      |        FROM al)
+      |SELECT source, sz AS n_chars, CAST(alloc AS BIGINT) AS alloc_chars,
+      |       capped,
+      |       CAST(sum(alloc) OVER () AS BIGINT) = b AS conservation_ok
+      |FROM fin ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q210_waterfill_quota" -> (q210WaterfillQuota _),
     "q199_release_scorecard" -> (q199ReleaseScorecard _),
     "q191_zipf_fit" -> (q191ZipfFit _),
     "q192_shard_manifest" -> (q192ShardManifest _),
@@ -1018,6 +1109,7 @@ object Corpus {
     "q73_source_vocab_jaccard" -> (q73SourceVocabJaccard _))
 
   val oracleSql: Map[String, String] = Map(
+    "q210_waterfill_quota" -> q210Sql,
     "q199_release_scorecard" -> q199Sql,
     "q191_zipf_fit" -> q191Sql,
     "q192_shard_manifest" -> q192Sql,

@@ -386,7 +386,74 @@ object Lakehouse {
       |       CAST(max(l_partkey) AS BIGINT) AS max_partkey
       |FROM lineitem""".stripMargin
 
+  /** q209 — bucketed co-located join: the shuffle-elimination physical
+    * design for the recurring big-big join. Both sides are materialized
+    * as catalog tables CLUSTERED BY the join key into the same bucket
+    * count (8), so the sort-merge join consumes the on-disk bucketing
+    * as its required distribution and plans with ZERO Exchange — at
+    * 100 TB this converts the nightly orders⋈lineitem shuffle (the
+    * single largest network cost in the star) into a local per-bucket
+    * merge, paid once at write time and amortized over every
+    * subsequent join on that key. The declared query runs the join on
+    * a session clone with broadcast disabled so the bucket-to-bucket
+    * path is the one actually exercised (and pinned Exchange-free in
+    * PlanSpec); the oracle joins the raw tables directly, so the
+    * driver hash gate proves bucketed == unbucketed.
+    *
+    * Bucket-write shape: each side is repartitioned ON the bucket key
+    * to `buckets` tasks before the write, so the table lands as one
+    * file per bucket instead of tasks × buckets small files (the
+    * bucketed-table version of the small-files discipline).
+    */
+  def q209BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val s2 = spark.newSession()
+    import s2.implicits._
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val buckets = 8
+    // EXTERNAL tables on per-run scratch paths: the catalog entry is
+    // dropped and re-created each run, and the data location is fresh —
+    // a managed table's warehouse path would survive the JVM while the
+    // in-memory catalog forgets it, failing the next CREATE.
+    val tmp = scratchDir("graft_bucketed")
+    s2.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+    s2.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
+    Tables.orders(s2, dir).select($"o_orderkey", $"o_orderpriority")
+      .repartition(buckets, $"o_orderkey")
+      .write.format("parquet").option("path", s"$tmp/orders")
+      .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_bkt_orders")
+    Tables.lineitem(s2, dir).select($"l_orderkey",
+      expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)")
+        .as("cents"))
+      .repartition(buckets, $"l_orderkey")
+      .write.format("parquet").option("path", s"$tmp/lineitem")
+      .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_bkt_lineitem")
+    s2.table("graft_bkt_orders")
+      .join(s2.table("graft_bkt_lineitem"),
+        $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"), sum($"cents").as("revenue_cents"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** tmpfs scratch for the bucketed-table data (q49/q166 policy). */
+  private def scratchDir(prefix: String): String = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite)
+      java.nio.file.Files.createTempDirectory(shm.toPath, prefix).toString
+    else java.nio.file.Files.createTempDirectory(prefix).toString
+  }
+
+  val q209Sql: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+      |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+      |                     AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q209_bucketed_join" -> (q209BucketedJoin _),
     "q205_footer_stats" -> (q205FooterStats _),
     "q109_zorder_layout" -> (q109ZorderLayout _),
     "q110_scd2_dim" -> (q110Scd2Dim _),
@@ -395,6 +462,7 @@ object Lakehouse {
     "q114_interval_merge" -> (q114IntervalMerge _))
 
   val oracleSql: Map[String, String] = Map(
+    "q209_bucketed_join" -> q209Sql,
     "q205_footer_stats" -> q205Sql,
     "q109_zorder_layout" -> q109Sql,
     "q110_scd2_dim" -> q110Sql,

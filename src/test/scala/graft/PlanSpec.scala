@@ -539,6 +539,17 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"pushed aggregate list incomplete:\n$p")
   }
 
+  test("q209: bucketed tables join without a join-key shuffle") {
+    val p = plan("q209_bucketed_join")
+    assert(p.contains("SortMergeJoin"),
+      "broadcast is disabled on the clone — the join must be sort-merge")
+    assert(p.contains("Bucketed: true"),
+      s"scans must consume the on-disk bucketing:\n$p")
+    assert(!p.contains("hashpartitioning(o_orderkey") &&
+      !p.contains("hashpartitioning(l_orderkey"),
+      "the bucket-co-located join must not shuffle on the join key")
+  }
+
   test("q201: the score-prefix scan is bucket-partitioned") {
     val p = plan("q201_exact_auc")
     assert(p.contains("hashpartitioning(bkt"),

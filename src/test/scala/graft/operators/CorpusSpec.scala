@@ -361,4 +361,39 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
       graft.functions.Md5Prefix60.hash((ptext + "x").getBytes))).mod(M)
     assert(perturbed.toLong != cell._4, "checksum blind to a content flip")
   }
+
+  test("q210: water-filling replays against an iterative driver-side fill") {
+    val got = Corpus.q210WaterfillQuota(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_chars"),
+        r.getAs[Long]("alloc_chars"), r.getAs[Boolean]("capped"),
+        r.getAs[Boolean]("conservation_ok")))).toMap
+    assert(got.values.forall(_._4), "conservation must hold")
+    // independent replay: literally lower the water level source by source
+    val sizes = got.view.mapValues(_._1).toMap
+    val budget = sizes.values.sum * 3 / 5
+    var remaining = budget
+    var pool = sizes.toSeq.sortBy { case (s, n) => (n, s) }
+    val alloc = scala.collection.mutable.Map[String, Long]()
+    while (pool.nonEmpty && pool.head._2 <= remaining / pool.length) {
+      val (s, n) = pool.head
+      alloc(s) = n; remaining -= n; pool = pool.tail
+    }
+    if (pool.nonEmpty) {
+      val base = remaining / pool.length
+      val r = remaining % pool.length
+      pool.map(_._1).sorted.zipWithIndex.foreach { case (s, j) =>
+        alloc(s) = base + (if (j < r) 1L else 0L)
+      }
+    }
+    got.foreach { case (s, (n, a, capped, _)) =>
+      assert(a == alloc(s), s"alloc mismatch for $s: got $a want ${alloc(s)}")
+      assert(capped == (a < n) || (capped && a == n && pool.exists(_._1 == s)),
+        s"cap flag inconsistent for $s")
+    }
+    // max–min fairness: capped allocations differ by at most one char
+    val capAllocs = got.values.collect { case (_, a, true, _) => a }
+    if (capAllocs.nonEmpty)
+      assert(capAllocs.max - capAllocs.min <= 1,
+        "capped sources must sit at a common water level")
+  }
 }

@@ -344,6 +344,37 @@ class ReconcileSpec extends AnyFunSuite with SparkSpec {
       s"anti-entropy must narrow the repair set, got $leaves leaves")
   }
 
+  test("q212: integer Wilson bound tracks the float formula; isqrt exact") {
+    val rows = Contracts.q212WilsonBound(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, k) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_defect"))
+      val (rate, ub) = (r.getAs[Long]("rate_bp"), r.getAs[Long]("wilson_ub_bp"))
+      assert(r.getAs[Boolean]("ub_dominates") && ub >= rate)
+      // float replay of the textbook formula — the integer build must
+      // land within 1 bp (one floored radicand + three floored divides)
+      val z2 = 3.8416
+      val p = k.toDouble / n
+      val fub = (p + z2 / (2 * n) + math.sqrt(
+        z2 * p * (1 - p) / n + z2 * z2 / (4.0 * n * n)) * 1.0) /
+        (1 + z2 / n)
+      assert(math.abs(ub - fub * 10000).toLong <= 1,
+        s"integer Wilson diverged: n=$n k=$k ub_bp=$ub float=${fub * 10000}")
+      // even k = 0 must carry a strictly positive ceiling
+      if (k == 0) assert(ub > 0, "zero observed defects still need a ceiling")
+    }
+  }
+
+  test("q211: fixture assignment is healthy and the identity is internally consistent") {
+    val r = Contracts.q211SrmAudit(spark, sfDir).collect()(0)
+    val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+    assert(na > 0 && nb > 0)
+    assert(r.getAs[Long]("chi2_micro") ==
+      (na - nb) * (na - nb) * 1000000L / (na + nb))
+    assert(!r.getAs[Boolean]("srm_flag"),
+      s"md5 hex-digit split must pass SRM on the fixture: $na vs $nb")
+  }
+
   test("q208: delta-join identity holds and every cross term is exercised") {
     import spark.implicits._
     val rows = Reconcile.q208JoinIvm(spark, sfDir).collect()
