@@ -452,7 +452,61 @@ object Lakehouse {
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
 
+  /** q214 — hive-partitioned lake write + partition-PRUNED read: the
+    * directory-level data skipping that complements q109's z-order
+    * statistics skipping — events land under `day=<epoch-day>/`
+    * directories (`partitionBy` at write), and the two-day consumer
+    * query prunes to exactly those directories at PLANNING time
+    * (`PartitionFilters` in the scan, pinned in PlanSpec), so at 100 TB
+    * a day-scoped query lists two directories instead of scanning the
+    * calendar. The oracle reproduces the same two-day aggregate from
+    * the raw events table via the identical epoch-day arithmetic, so
+    * the hash gate covers write → partition → prune → read.
+    *
+    * The probe window is the lake's own first two days (one-row min
+    * meta read, the q166 high-watermark precedent) — data-derived, so
+    * the query works at every SF.
+    */
+  def q214PartitionPrunedLake(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = scratchDir("graft_day_lake")
+    Tables.events(spark, dir)
+      .select($"event_type",
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("v"))
+      .write.mode("overwrite").partitionBy("day").parquet(out)
+    val lake = spark.read.parquet(out)
+    val d0 = lake.agg(min($"day").cast("long")).collect()(0).getLong(0)
+    prunedTwoDayRollup(lake, d0)
+  }
+
+  /** The consumer whose scan must carry `PartitionFilters` (shared with
+    * the PlanSpec pin): a two-day slice aggregated per (day, type).
+    */
+  private[graft] def prunedTwoDayRollup(lake: DataFrame, d0: Long): DataFrame = {
+    import lake.sparkSession.implicits._
+    lake.filter($"day" >= d0 && $"day" <= d0 + 1)
+      // partition-column type inference may surface `day` as INT —
+      // canonicalize to BIGINT so the emitted schema is layout-invariant
+      .groupBy($"day".cast("long").as("day"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"v").as("value_micro"))
+      .orderBy($"day", $"event_type")
+  }
+
+  val q214Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |         CAST(round(value * 1000000) AS BIGINT) AS v
+      |  FROM events),
+      |d0 AS (SELECT min(day) AS d0 FROM e)
+      |SELECT CAST(day AS BIGINT) AS day, event_type,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(v) AS BIGINT) AS value_micro
+      |FROM e, d0 WHERE day >= d0 AND day <= d0 + 1
+      |GROUP BY day, event_type ORDER BY day, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q214_partition_pruned_lake" -> (q214PartitionPrunedLake _),
     "q209_bucketed_join" -> (q209BucketedJoin _),
     "q205_footer_stats" -> (q205FooterStats _),
     "q109_zorder_layout" -> (q109ZorderLayout _),
@@ -462,6 +516,7 @@ object Lakehouse {
     "q114_interval_merge" -> (q114IntervalMerge _))
 
   val oracleSql: Map[String, String] = Map(
+    "q214_partition_pruned_lake" -> q214Sql,
     "q209_bucketed_join" -> q209Sql,
     "q205_footer_stats" -> q205Sql,
     "q109_zorder_layout" -> q109Sql,

@@ -1348,7 +1348,15 @@ object TextAnalysis {
     * factored out so the spec can drive it on crafted vocabularies that
     * exercise the self-pair overlap rule the harness corpus may not.
     */
-  private[graft] def bpeMerges(v: DataFrame, rounds: Int): DataFrame = {
+  private[graft] def bpeMerges(v: DataFrame, rounds: Int): DataFrame =
+    bpeTrain(v, rounds)._1
+
+  /** Full trainer: returns (merge table, final symbol relation
+    * (w, pos, sym) with ALL `rounds` merges applied) — q206 reads the
+    * merges, q213 reads the post-merge segmentation.
+    */
+  private[graft] def bpeTrain(v: DataFrame, rounds: Int)
+      : (DataFrame, DataFrame) = {
     val spark = v.sparkSession
     import spark.implicits._
     var s = v.select($"w", posexplode(split($"w", "")))
@@ -1367,7 +1375,7 @@ object TextAnalysis {
         .orderBy($"cnt".desc, $"x", $"y").limit(1).collect()(0)
       val (tx, ty, tc) = (top.getString(0), top.getString(1), top.getLong(2))
       results :+= ((r.toLong, tx, ty, tx + ty, tc))
-      if (r < rounds) {
+      locally {
         val m = pairs.filter($"x" === tx && $"y" === ty).select($"w", $"pos")
         val runs = m.withColumn("grp",
           $"pos" - row_number().over(Window.partitionBy($"w").orderBy($"pos")))
@@ -1390,11 +1398,15 @@ object TextAnalysis {
           .localCheckpoint()
       }
     }
-    results.toDF("merge_round", "lhs", "rhs", "merged", "pair_count")
-      .orderBy($"merge_round")
+    (results.toDF("merge_round", "lhs", "rhs", "merged", "pair_count")
+      .orderBy($"merge_round"), s)
   }
 
-  val q206Sql: String = {
+  /** The shared WITH-prefix of the BPE oracle SQL: global weighted
+    * vocab, char-level s1, and the three train-and-merge rounds ending
+    * in s4 — q206 reads the merge winners, q213 reads s4.
+    */
+  private def bpeCtePrefix: String = {
     def round(r: Int): String =
       s"""p$r AS (SELECT a.w, a.pos, a.sym AS x, b.sym AS y
          |        FROM s$r a JOIN s$r b ON a.w = b.w AND b.pos = a.pos + 1),
@@ -1432,17 +1444,71 @@ object TextAnalysis {
        |       FROM v),
        |${round(1)},
        |${round(2)},
-       |${round(3)}
+       |${round(3)}""".stripMargin
+  }
+
+  val q206Sql: String =
+    s"""$bpeCtePrefix
        |SELECT CAST(mr AS BIGINT) AS merge_round, x AS lhs, y AS rhs,
        |       x || y AS merged, cnt AS pair_count FROM (
        |  SELECT 1 AS mr, x, y, cnt FROM t1
        |  UNION ALL SELECT 2, x, y, cnt FROM t2
        |  UNION ALL SELECT 3, x, y, cnt FROM t3) u
        |ORDER BY merge_round""".stripMargin
+
+  /** q213 — tokenizer compression report: APPLY q206's learned merges
+    * and measure what they buy, per source — symbols-per-word shrink
+    * from the char baseline to the post-merge segmentation, weighted by
+    * corpus frequency (chars == symbols_before by construction, so
+    * saved_bp is the exact compression the 3-merge tokenizer achieves
+    * on each source's distribution). This is the eval half of tokenizer
+    * training: merges are chosen globally, but their value varies by
+    * source — a source whose saved_bp lags the corpus is out-of-
+    * distribution for the tokenizer (the fertility-rate audit every
+    * multilingual tokenizer build runs).
+    *
+    * Scale shape: rides the q206 trainer (vocab-sized symbol relations;
+    * corpus scanned once for the vocab and once for the per-source word
+    * counts); the report is two map-side-combinable aggregates joined
+    * on the word dimension.
+    */
+  def q213BpeCompression(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = Tables.documents(spark, dir)
+      .select($"source", explode(split(trim($"text"), " ")).as("w"))
+      .filter(length($"w") > 0)
+    val v = words.groupBy($"w").agg(count(lit(1)).as("n")).localCheckpoint()
+    val finalSyms = bpeTrain(v, 3)._2
+    val symCount = finalSyms.groupBy($"w").agg(count(lit(1)).as("m"))
+    words.groupBy($"source", $"w").agg(count(lit(1)).as("nw"))
+      .join(symCount, Seq("w"))
+      .groupBy($"source")
+      .agg(sum($"nw").as("n_words"),
+        sum($"nw" * length($"w")).as("chars"),
+        sum($"nw" * $"m").as("symbols_after"))
+      .select($"source", $"n_words", $"chars", $"symbols_after",
+        expr("((chars - symbols_after) * 10000) div chars").as("saved_bp"))
+      .orderBy($"source")
   }
+
+  val q213Sql: String =
+    s"""$bpeCtePrefix,
+       |sc AS (SELECT w, CAST(count(*) AS BIGINT) AS m FROM s4 GROUP BY w),
+       |wc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS nw
+       |       FROM (SELECT source, unnest(string_split(trim(text), ' ')) AS w
+       |             FROM documents) z
+       |       WHERE length(w) > 0 GROUP BY source, w)
+       |SELECT source, CAST(sum(nw) AS BIGINT) AS n_words,
+       |       CAST(sum(nw * length(w)) AS BIGINT) AS chars,
+       |       CAST(sum(nw * m) AS BIGINT) AS symbols_after,
+       |       CAST((sum(nw * length(w)) - sum(nw * m)) * 10000
+       |            // sum(nw * length(w)) AS BIGINT) AS saved_bp
+       |FROM wc JOIN sc USING (w)
+       |GROUP BY source ORDER BY source""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q206_bpe_merges" -> (q206BpeMerges _),
+    "q213_bpe_compression" -> (q213BpeCompression _),
     "q185_hybrid_rrf" -> (q185HybridRrf _),
     "q188_bigram_nll" -> (q188BigramNll _),
     "q195_quality_calibration" -> (q195QualityCalibration _),
@@ -1467,6 +1533,7 @@ object TextAnalysis {
 
   val oracleSql: Map[String, String] = Map(
     "q206_bpe_merges" -> q206Sql,
+    "q213_bpe_compression" -> q213Sql,
     "q185_hybrid_rrf" -> q185Sql,
     "q188_bigram_nll" -> q188Sql,
     "q195_quality_calibration" -> q195Sql,

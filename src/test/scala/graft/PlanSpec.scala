@@ -550,6 +550,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "the bucket-co-located join must not shuffle on the join key")
   }
 
+  test("q214: the day-scoped read prunes lake partitions at planning time") {
+    val p = plan("q214_partition_pruned_lake")
+    // the day predicates must land in PartitionFilters (directory
+    // pruning), NOT as row-level PushedFilters over data pages
+    val scanSection = p.split("PartitionFilters:")
+    assert(scanSection.length > 1, s"no PartitionFilters in the scan:\n$p")
+    assert(scanSection(1).takeWhile(_ != '\n').contains("day"),
+      "day bounds must prune directories")
+  }
+
   test("q201: the score-prefix scan is bucket-partitioned") {
     val p = plan("q201_exact_auc")
     assert(p.contains("hashpartitioning(bkt"),
