@@ -1030,6 +1030,71 @@ object Events {
       |FROM paths GROUP BY 1
       |ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin
 
+  /** q216 — regex over event sequences (MATCH_RECOGNIZE-lite): each
+    * user's full event history is collapsed to an initial-letter string
+    * in strict (ts, event_id) order — c/e/p/s/v for
+    * click/error/purchase/signup/view — and behavioural patterns are
+    * counted as ordinary regex matches over that string: `vp` (purchase
+    * immediately after a view), `v+p` (a view streak ending in
+    * purchase), `s[cv]*p` (signup converting through only clicks/views),
+    * `ee` (back-to-back errors). This is the ad-hoc tier of sequence
+    * analytics the fixed-shape funnels (q141 strict three-step, q94
+    * conversion window) cannot express: any new behavioural question is
+    * one more pattern literal, no new plan. Patterns stay inside the
+    * Java∩RE2 common subset (literals, classes, `+`/`*` — no
+    * backreferences or lookaround) so Spark's Java regex and the
+    * oracle's RE2 count identical non-overlapping leftmost matches.
+    *
+    * Ordering rides the q167/q128 sorted-struct discipline
+    * (`array_sort` over structs whose field order IS the sort key, with
+    * event_id the unique tiebreak), so the sequence is deterministic
+    * under any partitioning. Scale shape: one hash aggregation to
+    * per-user sequences (state bounded by per-user activity — the same
+    * per-entity-history contract as q167), a flatMap to (pattern, count)
+    * pairs, and a map-side-combinable rollup to one row per pattern
+    * with a user_id·count checksum pinning WHICH users matched, not
+    * just how many.
+    */
+  def q216SequenceRegex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pats = Seq("vp", "v+p", "s[cv]*p", "ee")
+    val seqs = Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .agg(collect_list(struct(unix_micros($"ts").as("us"), $"event_id",
+        substring($"event_type", 1, 1).as("ini"))).as("evs"))
+      .select($"user_id",
+        concat_ws("", expr("transform(array_sort(evs), e -> e.ini)")).as("seq"))
+    val perPat = seqs.select($"user_id", explode(array(pats.map(p =>
+        struct(lit(p).as("pattern"),
+          regexp_count($"seq", lit(p)).cast("long").as("cnt"))): _*)).as("m"))
+      .select($"user_id", $"m.pattern".as("pattern"), $"m.cnt".as("cnt"))
+    perPat.groupBy($"pattern")
+      .agg(sum(when($"cnt" > 0, 1L).otherwise(0L)).as("n_users"),
+        sum($"cnt").as("n_matches"),
+        sum($"user_id" * $"cnt").as("user_checksum"))
+      .orderBy($"pattern")
+  }
+
+  val q216Sql: String =
+    """WITH seq AS (
+      |  SELECT user_id,
+      |         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
+      |  FROM events GROUP BY user_id),
+      |m AS (
+      |  SELECT user_id, 'vp' AS pattern,
+      |         CAST(len(regexp_extract_all(s, 'vp')) AS BIGINT) AS cnt FROM seq
+      |  UNION ALL SELECT user_id, 'v+p',
+      |         CAST(len(regexp_extract_all(s, 'v+p')) AS BIGINT) FROM seq
+      |  UNION ALL SELECT user_id, 's[cv]*p',
+      |         CAST(len(regexp_extract_all(s, 's[cv]*p')) AS BIGINT) FROM seq
+      |  UNION ALL SELECT user_id, 'ee',
+      |         CAST(len(regexp_extract_all(s, 'ee')) AS BIGINT) FROM seq)
+      |SELECT pattern,
+      |       CAST(sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_users,
+      |       CAST(sum(cnt) AS BIGINT) AS n_matches,
+      |       CAST(sum(user_id * cnt) AS BIGINT) AS user_checksum
+      |FROM m GROUP BY pattern ORDER BY pattern""".stripMargin
+
   /** q196 — time-to-convert quartiles per signup cohort: among users
     * who DID purchase after signing up, the exact Q1/median/Q3 of the
     * signup→first-purchase delay (micros precision), grouped by signup
@@ -1163,6 +1228,7 @@ object Events {
     "q196_convert_quartiles" -> (q196ConvertQuartiles _),
     "q166_incremental_rollup" -> (q166IncrementalRollup _),
     "q167_top_session_paths" -> (q167TopSessionPaths _),
+    "q216_sequence_regex" -> (q216SequenceRegex _),
     "q163_ab_ztest" -> (q163AbZTest _),
     "q164_survival_curve" -> (q164SurvivalCurve _),
     "q165_schema_evolution" -> (q165SchemaEvolution _),
@@ -1188,6 +1254,7 @@ object Events {
     "q196_convert_quartiles" -> q196Sql,
     "q166_incremental_rollup" -> q166Sql,
     "q167_top_session_paths" -> q167Sql,
+    "q216_sequence_regex" -> q216Sql,
     "q163_ab_ztest" -> q163Sql,
     "q164_survival_curve" -> q164Sql,
     "q165_schema_evolution" -> q165Sql,

@@ -121,6 +121,112 @@ object Graphs {
       triangleCounts(coPurchaseEdges(spark, dir)).localCheckpoint()
     }
 
+  /** Per-undirected-edge triangle counts — |N(u) ∩ N(v)| for every
+    * co-purchase edge (u, v), the common-neighbour statistic link
+    * prediction scores are built from. Same degree-ordered edge-iterator
+    * enumeration as [[triangleCounts]] (each triangle found exactly once
+    * on its lowest-rank base edge, O(E^1.5)-bounded combos, hub-proof),
+    * but each oriented triangle (s, t, w) is exploded into its three
+    * undirected edges before the count, so the result is keyed by edge
+    * rather than by vertex. Memoized: q215 pays the adjacency build once
+    * per (session, dir) as an adjudicated `memo_build` line item.
+    */
+  private[graft] def edgeTriangleCountsMemo(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "edge_triangles") {
+      import spark.implicits._
+      val sp = spark
+      val oriented = orientByDegree(coPurchaseEdges(spark, dir)).localCheckpoint()
+      val adj = oriented.groupBy($"s").agg(collect_list($"t").as("nbrs"))
+      val nV = adj.count()
+      val broadcastMax =
+        sp.conf.getOption("spark.graft.triangles.broadcastVertices")
+          .map(_.toLong).getOrElse(1000000L)
+      def side(keyed: DataFrame) = if (nV <= broadcastMax) broadcast(keyed) else keyed
+      val tri = oriented.select($"s", $"t")
+        .join(side(adj.select($"s", $"nbrs".as("ns"))), Seq("s"))
+        .join(side(adj.select($"s".as("t"), $"nbrs".as("nt"))), Seq("t"))
+        .select($"s", $"t", explode(array_intersect($"ns", $"nt")).as("w"))
+      tri.select(explode(array(
+          struct(least($"s", $"t").as("u"), greatest($"s", $"t").as("v")),
+          struct(least($"s", $"w").as("u"), greatest($"s", $"w").as("v")),
+          struct(least($"t", $"w").as("u"), greatest($"t", $"w").as("v")))).as("e"))
+        .groupBy($"e.u".as("u"), $"e.v".as("v"))
+        .agg(count(lit(1)).as("n_common"))
+        .localCheckpoint()
+    }
+
+  /** q215 — edge Jaccard link strength over the co-purchase graph: for
+    * every edge (u, v), jaccard = |N(u) ∩ N(v)| / |N(u) ∪ N(v)| with
+    * |N(u) ∪ N(v)| = d(u) + d(v) − common (v ∈ N(u) and u ∈ N(v) sit in
+    * the union but never the intersection, so the denominator is ≥ 2 by
+    * construction). This is the neighbourhood-overlap score of classic
+    * link prediction (Liben-Nowell & Kleinberg, CIKM'03) — "how much of
+    * these two parts' co-purchase context is shared" — and the natural
+    * edge-weight for community detection over the same graph. Exact
+    * integer basis points (`common·10⁴ div union`, both operands
+    * non-negative so Spark `div` and DuckDB `//` agree), published as
+    * the 500 bp-bucket histogram with edge-endpoint checksums so the
+    * hash gate pins every edge's bucket without emitting the |E|-sized
+    * relation.
+    *
+    * Scale shape: common-neighbour counts ride the memoized
+    * edge-iterator enumeration (never the wedge join — the same
+    * skew-proofing as q125/q202); degrees are one map-side-combinable
+    * aggregate over the half-edge list; the assembly is three equi hash
+    * joins on vertex/edge keys over |E|-sized relations; the histogram
+    * is a map-side-combinable aggregate to ≤ 21 rows. The oracle
+    * recomputes common neighbours via the independent two-wedge join —
+    * the q117 two-algorithms discipline applied to link strength.
+    */
+  def q215EdgeJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = coPurchaseEdges(spark, dir)
+    val deg = edges.select(explode(array($"u", $"v")).as("p"))
+      .groupBy($"p").agg(count(lit(1)).as("d"))
+    val j = edges
+      .join(deg.select($"p".as("u"), $"d".as("du")), Seq("u"))
+      .join(deg.select($"p".as("v"), $"d".as("dv")), Seq("v"))
+      .join(edgeTriangleCountsMemo(spark, dir), Seq("u", "v"), "left")
+      .withColumn("n_common", coalesce($"n_common", lit(0L)))
+      .withColumn("jaccard_bp",
+        expr("(n_common * 10000) div (du + dv - n_common)"))
+    j.groupBy(expr("jaccard_bp div 500").as("bucket"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum($"n_common").as("common_sum"),
+        sum($"u").as("u_checksum"),
+        sum($"v").as("v_checksum"))
+      .orderBy($"bucket")
+  }
+
+  val q215Sql: String =
+    """WITH po AS (
+      |  SELECT DISTINCT l_orderkey AS ord, l_partkey AS part FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT a.part AS u, b.part AS v
+      |  FROM po a JOIN po b ON a.ord = b.ord AND a.part < b.part),
+      |h AS (SELECT u AS p, v AS w FROM e UNION ALL SELECT v, u FROM e),
+      |deg AS (SELECT p, CAST(count(*) AS BIGINT) AS d FROM h GROUP BY p),
+      |cn AS (
+      |  SELECT e.u, e.v, CAST(count(*) AS BIGINT) AS n_common
+      |  FROM e
+      |  JOIN h h1 ON h1.p = e.u
+      |  JOIN h h2 ON h2.p = e.v AND h2.w = h1.w
+      |  GROUP BY e.u, e.v),
+      |j AS (
+      |  SELECT e.u, e.v, coalesce(cn.n_common, 0) AS n_common,
+      |         (coalesce(cn.n_common, 0) * 10000)
+      |           // (du.d + dv.d - coalesce(cn.n_common, 0)) AS jaccard_bp
+      |  FROM e
+      |  JOIN deg du ON du.p = e.u
+      |  JOIN deg dv ON dv.p = e.v
+      |  LEFT JOIN cn ON cn.u = e.u AND cn.v = e.v)
+      |SELECT jaccard_bp // 500 AS bucket,
+      |       CAST(count(*) AS BIGINT) AS n_edges,
+      |       CAST(sum(n_common) AS BIGINT) AS common_sum,
+      |       CAST(sum(u) AS BIGINT) AS u_checksum,
+      |       CAST(sum(v) AS BIGINT) AS v_checksum
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q202 — local clustering coefficient per part (exact basis points):
     * cc(v) = triangles(v) / C(deg(v), 2), the cohesion statistic that
     * separates "parts bought in tight bundles" (cc → 1) from hub parts
@@ -468,6 +574,7 @@ object Graphs {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q202_clustering_coefficient" -> (q202ClusteringCoefficient _),
+    "q215_edge_jaccard" -> (q215EdgeJaccard _),
     "q125_triangle_count" -> (q125TriangleCount _),
     "q134_khop_reach" -> (q134KhopReach _),
     "q138_pagerank" -> (q138Pagerank _),
@@ -475,6 +582,7 @@ object Graphs {
 
   val oracleSql: Map[String, String] = Map(
     "q202_clustering_coefficient" -> q202Sql,
+    "q215_edge_jaccard" -> q215Sql,
     "q125_triangle_count" -> q125Sql,
     "q134_khop_reach" -> q134Sql,
     "q138_pagerank" -> q138Sql,

@@ -477,4 +477,38 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     got.values.foreach { case (_, _, h, hMax) =>
       assert(h >= 0 && h <= hMax + 5, s"H=$h outside [0, $hMax]") }
   }
+
+  test("q216: sequence-regex census replays via java.util.regex on driver-sorted strings") {
+    import org.apache.spark.sql.functions._
+    val seqs = graft.sources.Tables.events(spark, sfDir)
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id", $"event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1).view.mapValues { rows =>
+        rows.sortBy(r => (r._2, r._3)).map(_._4.head).mkString
+      }.toMap
+    def count(s: String, pat: String): Long = {
+      val m = java.util.regex.Pattern.compile(pat).matcher(s)
+      var n = 0L; while (m.find()) n += 1; n
+    }
+    val pats = Seq("vp", "v+p", "s[cv]*p", "ee")
+    val expected = pats.map { p =>
+      val per = seqs.map { case (u, s) => u -> count(s, p) }
+      p -> ((per.count(_._2 > 0).toLong, per.values.sum,
+        per.map { case (u, c) => u * c }.sum))
+    }.toMap
+    val got = Events.q216SequenceRegex(spark, sfDir).collect()
+      .map(r => r.getAs[String]("pattern") ->
+        ((r.getAs[Long]("n_users"), r.getAs[Long]("n_matches"),
+          r.getAs[Long]("user_checksum")))).toMap
+    assert(got == expected, s"got $got expected $expected")
+    // the fixture event mix makes every pattern realizable; a zero-match
+    // census would mean the sequence assembly (not the regex) broke
+    assert(got.values.forall(_._2 > 0), s"every pattern should match somewhere: $got")
+    // v+p matches are a superset-by-position of vp matches: each vp match
+    // extends leftward to a v+p match, and distinct vp matches cannot
+    // collapse into one v+p match (each contains exactly one p)
+    assert(got("v+p")._2 == got("vp")._2,
+      "v+p and vp must biject: one match per view-run ending in a purchase")
+  }
 }

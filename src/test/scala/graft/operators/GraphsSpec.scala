@@ -60,6 +60,41 @@ class GraphsSpec extends AnyFunSuite with SparkSpec {
     assert(got.values.forall(_._3 <= 10000L))
   }
 
+  test("q215: edge-Jaccard histogram replays from brute-force neighbourhoods") {
+    val got = Graphs.q215EdgeJaccard(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("n_edges"), r.getAs[Long]("common_sum"),
+          r.getAs[Long]("u_checksum"), r.getAs[Long]("v_checksum")))).toMap
+    val po = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = po.groupBy(_._1).values.flatMap { items =>
+      val ps = items.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val adj = (edges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) })
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val expected = edges.toSeq.map { case (u, v) =>
+      val inter = adj(u).intersect(adj(v)).size.toLong
+      val union = adj(u).size.toLong + adj(v).size.toLong - inter
+      (inter * 10000L / union / 500L, u, v, inter)
+    }.groupBy(_._1).map { case (b, es) =>
+      b -> ((es.size.toLong, es.map(_._4).sum, es.map(_._2).sum, es.map(_._3).sum))
+    }
+    assert(got == expected)
+    // union = du + dv − inter is ≥ 2 for every edge (u ∈ N(v), v ∈ N(u)),
+    // so jaccard < 10000 bp strictly: bucket 20 must never appear
+    assert(got.keySet.forall(_ < 20L))
+  }
+
+  test("q215 plans with equi joins only and rides the edge-triangle memo") {
+    val p = Graphs.q215EdgeJaccard(spark, sfDir)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "link-strength assembly must stay on equi hash keys:\n" +
+        p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
+
   test("degree orientation neutralizes a hub: star graph wedges collapse 10,000x") {
     // 2k-star + leaf ring. Under id orientation the hub (id 0) is the
     // SOURCE of every star edge: C(2000,2) ≈ 2.0e6 wedges land on one
