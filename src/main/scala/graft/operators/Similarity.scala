@@ -129,7 +129,7 @@ object Similarity {
     * plane/dot-product pipeline is paid once per (session, dir) and
     * shows up as an adjudicated memo_build line item in Bench.
     */
-  private def lshVectors(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def lshVectors(spark: SparkSession, dir: String): DataFrame =
     memo(spark, dir, "lsh_buckets") {
       import spark.implicits._
       val planes = spark.range(8).select($"id".cast("int").as("h"))
@@ -252,6 +252,84 @@ object Similarity {
       |FROM nn x JOIN nn y ON x.b_id = y.a_id AND x.a_id = y.b_id
       |WHERE x.a_id < x.b_id
       |ORDER BY x.a_id""".stripMargin
+
+  /** q217 — ANN recall@5: the evaluation loop for the similarity index,
+    * as a declared query. For the q34 panel (32 md5-ordered queries),
+    * exact cosine top-5 over the full corpus is the ground truth and
+    * the LSH index's in-bucket top-5 is the candidate set; the output
+    * is the overlap histogram — how many panel queries recovered
+    * 0..5 of their true neighbors — with a panel-id checksum per cell.
+    * This is the recall curve every ANN deployment is judged by
+    * (missing-neighbor rate vs the ~2^bits candidate-set saving), kept
+    * hash-gateable because only INTEGER overlap counts are emitted; the
+    * float scores stay internal, and both engines' rankings agree
+    * bit-for-bit by the q34/q35 precedent (identical IEEE kernels,
+    * explicit (cs desc, id) tie rule, NaN dropped before ranking).
+    *
+    * Scale shape: ground truth is the BOUNDED panel form (|panel|·n
+    * kernel, the declared-q34 contract — never all-pairs); candidates
+    * ride the memoized [[lshVectors]] buckets (panel side broadcast);
+    * both top-5s are bounded-state [[graft.functions.TopKByScore]]
+    * aggregates; the overlap join is |panel|·5 rows. Recall for a NEW
+    * index configuration = rerun with different plane count — the
+    * histogram IS the tuning artifact.
+    */
+  def q217AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact = q34CosineTopk(spark, dir).select($"a_id", $"b_id")
+    val withVec = lshVectors(spark, dir)
+    val panel = samplePanel(spark, dir, topkPanelK).select($"vec_id".as("a_id"))
+    val a = withVec.join(broadcast(panel), withVec("vec_id") === panel("a_id"))
+      .select($"a_id", $"bucket", $"embedding".as("ea"))
+    val b = withVec.select($"vec_id".as("b_id"), $"bucket", $"embedding".as("eb"))
+    val top5 = graft.functions.TopKByScore(5)
+    val ann = a.join(b, Seq("bucket"))
+      .filter($"a_id" =!= $"b_id")
+      .withColumn("cs", VectorFunctions.cosineSim($"ea", $"eb"))
+      .filter(!isnan($"cs"))
+      .groupBy($"a_id")
+      .agg(top5($"cs", $"b_id").as("top"))
+      .select($"a_id", explode($"top").as("t"))
+      .select($"a_id", $"t.b_id".as("b_id"))
+    val hits = exact.join(ann, Seq("a_id", "b_id"))
+      .groupBy($"a_id").agg(count(lit(1)).as("hits"))
+    panel.join(hits, Seq("a_id"), "left")
+      .withColumn("hits", coalesce($"hits", lit(0L)))
+      .groupBy($"hits")
+      .agg(count(lit(1)).as("n_queries"), sum($"a_id").as("a_checksum"))
+      .orderBy($"hits")
+  }
+
+  val q217Sql: String =
+    s"""WITH $lshCtes,
+      |q AS (SELECT vec_id, embedding FROM embeddings
+      |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $topkPanelK),
+      |scored AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cs
+      |  FROM q a JOIN embeddings b ON a.vec_id <> b.vec_id),
+      |ex AS (SELECT a_id, b_id FROM (
+      |  SELECT a_id, b_id, ROW_NUMBER() OVER (
+      |    PARTITION BY a_id ORDER BY cs DESC, b_id) AS rk
+      |  FROM scored WHERE NOT isnan(cs)) t WHERE rk <= 5),
+      |pv AS (SELECT wv.vec_id, wv.bucket, wv.embedding
+      |       FROM wv JOIN q ON q.vec_id = wv.vec_id),
+      |cscored AS (
+      |  SELECT p.vec_id AS a_id, w.vec_id AS b_id,
+      |    list_cosine_similarity(p.embedding::DOUBLE[], w.embedding::DOUBLE[]) AS cs
+      |  FROM pv p JOIN wv w ON p.bucket = w.bucket AND p.vec_id <> w.vec_id),
+      |ann AS (SELECT a_id, b_id FROM (
+      |  SELECT a_id, b_id, ROW_NUMBER() OVER (
+      |    PARTITION BY a_id ORDER BY cs DESC, b_id) AS rk
+      |  FROM cscored WHERE NOT isnan(cs)) t WHERE rk <= 5),
+      |ov AS (SELECT e.a_id, CAST(count(*) AS BIGINT) AS hits
+      |       FROM ex e JOIN ann a ON a.a_id = e.a_id AND a.b_id = e.b_id
+      |       GROUP BY 1)
+      |SELECT coalesce(ov.hits, 0) AS hits,
+      |       CAST(count(*) AS BIGINT) AS n_queries,
+      |       CAST(sum(q.vec_id) AS BIGINT) AS a_checksum
+      |FROM q LEFT JOIN ov ON ov.a_id = q.vec_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Per-label centroids in long form (label, dim, centroid component):
     * exact decimal sums, single deterministic division at the end. The
@@ -826,6 +904,7 @@ object Similarity {
     "q204_kcenter_coreset" -> (q204KcenterCoreset _),
     "q64_quantize_embeddings" -> (q64QuantizeEmbeddings _),
     "q34_cosine_topk" -> (q34CosineTopk _),
+    "q217_ann_recall" -> (q217AnnRecall _),
     "q35_ann_lsh" -> (q35AnnLsh _),
     "q193_mutual_nn" -> (q193MutualNn _),
     "q36_label_centroids" -> (q36LabelCentroids _),
@@ -841,6 +920,7 @@ object Similarity {
     "q204_kcenter_coreset" -> q204Sql,
     "q64_quantize_embeddings" -> q64Sql,
     "q34_cosine_topk" -> q34Sql,
+    "q217_ann_recall" -> q217Sql,
     "q35_ann_lsh" -> q35Sql,
     "q193_mutual_nn" -> q193Sql,
     "q36_label_centroids" -> q36Sql,

@@ -256,4 +256,43 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(radii == radii.sortBy(-_),
       s"coverage radius must be non-increasing: $radii")
   }
+
+  test("q217: recall histogram replays from a driver-side scalar pipeline") {
+    // independent replay: panel by driver-side md5 order, exact top-5 and
+    // in-bucket top-5 by plain-Scala cosine with the SAME sequential
+    // accumulation as the codegen kernel (bit-identical doubles), overlap
+    // histogram compared to the distributed query
+    val got = Similarity.q217AnnRecall(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("hits") ->
+        ((r.getAs[Long]("n_queries"), r.getAs[Long]("a_checksum")))).toMap
+    val wv = Similarity.lshVectors(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("bucket"),
+        r.getAs[Seq[Float]]("embedding").toArray))
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val panel = wv.map(_._1).sortBy(id => (md5hex(id.toString), id)).take(32).toSet
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def top5(aId: Long, av: Array[Float], cands: Seq[(Long, Array[Float])]): Set[Long] =
+      cands.filter(_._1 != aId)
+        .map { case (bId, bv) => (bId, cos(av, bv)) }
+        .filterNot(t => t._2.isNaN)
+        .sortBy { case (bId, cs) => (-cs, bId) }.take(5).map(_._1).toSet
+    val all = wv.map(t => (t._1, t._3)).toSeq
+    val byBucket = wv.groupBy(_._2).view.mapValues(_.map(t => (t._1, t._3)).toSeq).toMap
+    val expected = panel.toSeq.map { aId =>
+      val (_, bkt, av) = wv.find(_._1 == aId).get
+      aId -> (top5(aId, av, all) intersect top5(aId, av, byBucket(bkt))).size.toLong
+    }.groupBy(_._2).map { case (h, qs) =>
+      h -> ((qs.size.toLong, qs.map(_._1).sum))
+    }
+    assert(got == expected, s"got $got expected $expected")
+    assert(got.values.map(_._1).sum == 32L, "histogram must cover the full panel")
+  }
 }
