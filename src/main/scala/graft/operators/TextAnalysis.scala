@@ -1144,6 +1144,120 @@ object TextAnalysis {
        |GROUP BY 1 ORDER BY decile""".stripMargin
   }
 
+  /** q218 — cross-source quantile normalization of the quality score:
+    * each document's score is replaced by the GLOBAL score at the same
+    * within-source quantile (right-continuous empirical inverse on a
+    * 1000-point grid), making quality comparable across sources whose
+    * raw distributions differ — the standard pre-step before any
+    * cross-source quality threshold or mix weighting (a "0.7" from a
+    * clean source and a "0.7" from a boilerplate-heavy source are not
+    * the same signal; after normalization, equal values mean equal
+    * within-corpus standing). Published as the per-source before/after
+    * audit: mean shift and max per-doc displacement in exact micro
+    * units, n-conservation per source.
+    *
+    * Everything is integer-exact: scores ride the shared micro-frozen
+    * [[qualityScoreCol]]; within-source and global ranks come from the
+    * q155/q195 value-bucket prefix scan (cumulative counts over the
+    * DISTINCT-value relation, bounded by the ≤10⁶-point score domain —
+    * never a data-sized sort); the grid edge for rank r of n is
+    * `k = ceil(1000·r / n)` in integer arithmetic; and the grid itself
+    * (k → global score at per-mille k) is built by exploding each
+    * distinct global value over the per-mille interval it covers
+    * (`sequence(lo, hi)`), ≤1000 rows, broadcast. The oracle builds
+    * the same grid by an independent min-over-filter formulation — two
+    * mechanisms, one gate.
+    *
+    * Scale shape: two hash aggs to distinct-value relations (domain-
+    * bounded), two-level prefix scans (the q195 bucket/offset idiom —
+    * no global window over data), a broadcast grid join, and one
+    * (source, qs) equi-join back to docs. At 100 TB nothing here scales
+    * with N except the two initial aggregations.
+    */
+  def q218QuantileNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val q = docs(spark, dir).select($"doc_id", $"source",
+        round(qualityScoreCol($"text", toks) * 1e6).cast("long").as("qs"))
+      .localCheckpoint() // feeds both rank scans and the final join
+    // global distinct-value cumulative counts (two-level scan)
+    val gcnts = q.groupBy($"qs").agg(count(lit(1)).as("c"))
+      .withColumn("bkt", expr("qs div 50000"))
+    val goffs = gcnts.groupBy($"bkt").agg(sum($"c").as("bc"))
+      .withColumn("off", coalesce(sum($"bc").over(
+        Window.orderBy($"bkt").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select($"bkt", $"off")
+    val wG = Window.partitionBy($"bkt").orderBy($"qs")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nRow = q.agg(count(lit(1)).as("n"))
+    // per-mille grid: each distinct global value covers the k-interval
+    // (1000·cum_prev/n, 1000·cum/n] — explode it; exactly 1000 rows out
+    val edges = gcnts.join(broadcast(goffs), Seq("bkt"))
+      .withColumn("cum", sum($"c").over(wG) + $"off")
+      .crossJoin(broadcast(nRow))
+      .withColumn("lo", expr("((cum - c) * 1000) div n + 1"))
+      .withColumn("hi", expr("(cum * 1000) div n"))
+      .filter($"hi" >= $"lo")
+      .select(explode(expr("sequence(lo, hi)")).as("k"), $"qs".as("norm_qs"))
+    // within-source cumulative counts (same scan, source-partitioned)
+    val scnts = q.groupBy($"source", $"qs").agg(count(lit(1)).as("c"))
+      .withColumn("bkt", expr("qs div 50000"))
+    val soffs = scnts.groupBy($"source", $"bkt").agg(sum($"c").as("bc"))
+      .withColumn("off", coalesce(sum($"bc").over(
+        Window.partitionBy($"source").orderBy($"bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"source", $"bkt", $"off")
+    val wS = Window.partitionBy($"source", $"bkt").orderBy($"qs")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ns = q.groupBy($"source").agg(count(lit(1)).as("n_s"))
+    val mapped = scnts.join(broadcast(soffs), Seq("source", "bkt"))
+      .withColumn("cum_s", sum($"c").over(wS) + $"off")
+      .join(broadcast(ns), Seq("source"))
+      .withColumn("k", expr("(cum_s * 1000 + n_s - 1) div n_s"))
+      .join(broadcast(edges), Seq("k"))
+      .select($"source", $"qs", $"norm_qs")
+    q.join(mapped, Seq("source", "qs"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(qs) div count(1)").as("mean_before_micro"),
+        expr("sum(norm_qs) div count(1)").as("mean_after_micro"),
+        max(abs($"norm_qs" - $"qs")).as("max_shift_micro"))
+      .orderBy($"source")
+  }
+
+  val q218Sql: String =
+    s"""WITH tk AS (SELECT doc_id, source, text,
+       |              string_split(trim(text), ' ') AS t
+       |            FROM documents),
+       |q AS (SELECT doc_id, source,
+       |        CAST(round((${qualitySqlExpr("text", "t")}) * 1000000.0)
+       |          AS BIGINT) AS qs
+       |      FROM tk),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+       |gc AS (SELECT qs, CAST(sum(count(*)) OVER (ORDER BY qs) AS BIGINT)
+       |         AS cum
+       |       FROM q GROUP BY qs),
+       |edges AS (SELECT r.k, min(gc.qs) AS norm_qs
+       |          FROM range(1, 1001) r(k) CROSS JOIN n
+       |          JOIN gc ON gc.cum * 1000 >= n.n * r.k
+       |          GROUP BY r.k),
+       |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+       |       FROM q GROUP BY source),
+       |sc AS (SELECT source, qs,
+       |         CAST(sum(count(*)) OVER (PARTITION BY source ORDER BY qs)
+       |           AS BIGINT) AS cum_s
+       |       FROM q GROUP BY source, qs),
+       |mapped AS (SELECT sc.source, sc.qs, e.norm_qs
+       |           FROM sc JOIN ns USING (source)
+       |           JOIN edges e ON e.k = (sc.cum_s * 1000 + ns.n_s - 1) // ns.n_s)
+       |SELECT q.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(q.qs) AS BIGINT) // count(*) AS mean_before_micro,
+       |       CAST(sum(m.norm_qs) AS BIGINT) // count(*) AS mean_after_micro,
+       |       CAST(max(abs(m.norm_qs - q.qs)) AS BIGINT) AS max_shift_micro
+       |FROM q JOIN mapped m ON m.source = q.source AND m.qs = q.qs
+       |GROUP BY q.source ORDER BY q.source""".stripMargin
+
   /** q188 — bigram language-model NLL scoring with add-one smoothing:
     * the sequence-aware upgrade of q76's unigram perplexity proxy (a
     * doc of common words in an impossible ORDER scores badly here but
@@ -1512,6 +1626,7 @@ object TextAnalysis {
     "q185_hybrid_rrf" -> (q185HybridRrf _),
     "q188_bigram_nll" -> (q188BigramNll _),
     "q195_quality_calibration" -> (q195QualityCalibration _),
+    "q218_quantile_normalize" -> (q218QuantileNormalize _),
     "q149_mmr_rerank" -> (q149MmrRerank _),
     "q148_phrase_search" -> (q148PhraseSearch _),
     "q131_bm25_topk" -> (q131Bm25TopK _),
@@ -1537,6 +1652,7 @@ object TextAnalysis {
     "q185_hybrid_rrf" -> q185Sql,
     "q188_bigram_nll" -> q188Sql,
     "q195_quality_calibration" -> q195Sql,
+    "q218_quantile_normalize" -> q218Sql,
     "q149_mmr_rerank" -> q149Sql,
     "q148_phrase_search" -> q148Sql,
     "q131_bm25_topk" -> q131Sql,

@@ -382,6 +382,48 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
       "decile mean quality must be strictly increasing")
   }
 
+  test("q218: quantile normalization replays from a driver-side rank map") {
+    // per-doc (source, qs) from the declared q27 score — the same frozen
+    // basis the operator uses
+    val rows = TextAnalysis.q27QualityScore(spark, sfDir)
+      .selectExpr("doc_id", "CAST(round(quality * 1e6) AS BIGINT) AS qs")
+      .join(graft.sources.Tables.documents(spark, sfDir).select($"doc_id", $"source"),
+        Seq("doc_id"))
+      .select($"source", $"qs").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val n = rows.size.toLong
+    // global per-mille grid: edge k = min qs with cum*1000 >= n*k
+    val gCum = rows.map(_._2).groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.sortBy(_._1)
+      .scanLeft((Long.MinValue, 0L)) { case ((_, c0), (v, c)) => (v, c0 + c) }.drop(1)
+    def edge(k: Long): Long = gCum.find(_._2 * 1000 >= n * k).get._1
+    val bySource = rows.groupBy(_._1)
+    val expected = bySource.map { case (src, rs) =>
+      val ns = rs.size.toLong
+      val sCum = rs.map(_._2).groupBy(identity).view.mapValues(_.size.toLong)
+        .toSeq.sortBy(_._1)
+        .scanLeft((Long.MinValue, 0L)) { case ((_, c0), (v, c)) => (v, c0 + c) }.drop(1)
+      val mapQs = sCum.map { case (v, cum) =>
+        v -> edge((cum * 1000 + ns - 1) / ns) }.toMap
+      val before = rs.map(_._2)
+      val after = before.map(mapQs)
+      src -> ((ns, before.sum / ns, after.sum / ns,
+        before.zip(after).map { case (b, a) => math.abs(a - b) }.max))
+    }
+    val got = TextAnalysis.q218QuantileNormalize(spark, sfDir).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("mean_before_micro"),
+          r.getAs[Long]("mean_after_micro"), r.getAs[Long]("max_shift_micro")))).toMap
+    assert(got == expected, s"got $got expected $expected")
+    // normalization pulls every source's mean to the global distribution:
+    // the spread of after-means must be far tighter than before-means
+    val spreadB = got.values.map(_._2).max - got.values.map(_._2).min
+    val spreadA = got.values.map(_._3).max - got.values.map(_._3).min
+    assert(spreadA * 4 <= spreadB,
+      s"after-spread $spreadA should collapse vs before-spread $spreadB")
+    assert(got.values.map(_._1).sum == n, "n-conservation across sources")
+  }
+
   test("q188: bigram NLL replays from a driver-side smoothed-LM fold") {
     val texts = graft.sources.Tables.documents(spark, sfDir)
       .select($"doc_id", $"text").collect()
