@@ -374,6 +374,84 @@ object Corpus {
       |LEFT JOIN inter i ON i.source_a = x.source AND i.source_b = y.source
       |ORDER BY source_a, source_b""".stripMargin
 
+  /** q219 — sketch-algebra vocabulary overlap between sources: pairwise
+    * Jaccard over the FULL per-source vocabularies, estimated from 20
+    * mergeable DataSketches HLL sketches via inclusion–exclusion
+    * (|A∩B| ≈ est(A) + est(B) − est(A ∪ B), union by `hll_union` on
+    * the stored binary sketches) — the q106 sketch-rollup discipline
+    * extended from counts to SET ALGEBRA. At 100 TB this is the form
+    * source-overlap monitoring actually runs: one sketch per source per
+    * ingest day (bytes, mergeable, exchangeable), any pair/window
+    * overlap answered from sketches alone; the exact token-key
+    * intersection join (q73's mechanism, here over full vocabularies
+    * rather than top-1000 signatures) is the calibration arm, affordable
+    * at fixture SF and sliced in production (the q97/q100 pattern).
+    * Gate: the estimated Jaccard must sit within ±0.05 absolute of the
+    * exact one (lgK=12 ⇒ rsd ≈ 0.8% per estimate; inclusion–exclusion
+    * amplifies to a few % of the union — 0.05 ≫ 6σ here). DuckDB emits
+    * the exact relation plus TRUE literals, so a broken sketch merge,
+    * union, or estimate flips a boolean and fails the hash gate.
+    *
+    * Scale shape: one explode feeding a 20-row sketch aggregate (hash
+    * agg, map-side partial) and the Zipf-bounded (source, token)
+    * distinct relation; the exact arm is a token-key equi self-join;
+    * the pair frame is a broadcast self-join of a |sources|-row dim.
+    */
+  def q219SketchVocabOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val st = docs(spark, dir).select($"source", explode(toks).as("token"))
+    val sk = st.groupBy($"source")
+      .agg(expr("hll_sketch_agg(token, 12)").as("sk"))
+      .localCheckpoint() // 20 rows; both sides of the pair frame
+    val ex = st.distinct().localCheckpoint() // sizes + both exact join sides
+    val sizes = ex.groupBy($"source").agg(count(lit(1)).as("n"))
+    val inter = ex.as("a").join(ex.as("b"), "token")
+      .filter($"a.source" < $"b.source")
+      .groupBy($"a.source".as("source_a"), $"b.source".as("source_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    sk.as("x").join(sk.as("y"), $"x.source" < $"y.source")
+      .select($"x.source".as("source_a"), $"y.source".as("source_b"),
+        expr("hll_sketch_estimate(x.sk)").as("ea"),
+        expr("hll_sketch_estimate(y.sk)").as("eb"),
+        expr("hll_sketch_estimate(hll_union(x.sk, y.sk))").as("eu"))
+      .join(broadcast(sizes.select($"source".as("source_a"), $"n".as("n_a"))),
+        Seq("source_a"))
+      .join(broadcast(sizes.select($"source".as("source_b"), $"n".as("n_b"))),
+        Seq("source_b"))
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .withColumn("n_inter", coalesce($"n_inter", lit(0L)))
+      .withColumn("jaccard_bp",
+        expr("(n_inter * 10000) div (n_a + n_b - n_inter)"))
+      .withColumn("est_j",
+        ($"ea" + $"eb" - $"eu").cast("double") / $"eu")
+      .select($"source_a", $"source_b", $"n_a", $"n_b", $"n_inter",
+        $"jaccard_bp",
+        (abs($"est_j" - $"n_inter".cast("double")
+          / ($"n_a" + $"n_b" - $"n_inter")) <= 0.05).as("sketch_in_envelope"))
+      .orderBy($"source_a", $"source_b")
+  }
+
+  val q219Sql: String =
+    """WITH st AS (
+      |  SELECT DISTINCT source, unnest(string_split(trim(text), ' ')) AS token
+      |  FROM documents),
+      |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+      |          FROM st GROUP BY source),
+      |inter AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |         CAST(count(*) AS BIGINT) AS n_inter
+      |  FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT x.source AS source_a, y.source AS source_b,
+      |       x.n AS n_a, y.n AS n_b,
+      |       CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+      |       (COALESCE(i.n_inter, 0) * 10000)
+      |         // (x.n + y.n - COALESCE(i.n_inter, 0)) AS jaccard_bp,
+      |       TRUE AS sketch_in_envelope
+      |FROM sizes x JOIN sizes y ON x.source < y.source
+      |LEFT JOIN inter i ON i.source_a = x.source AND i.source_b = y.source
+      |ORDER BY source_a, source_b""".stripMargin
+
   /** q78 — temperature-resampled source weights: the multilingual/multi-
     * source rebalancing step (α = 0.5): sampling weight w_s ∝ p_s^α where
     * p_s is the source's natural token share, plus the implied up/down-
@@ -1106,7 +1184,8 @@ object Corpus {
     "q70_stratified_split" -> (q70StratifiedSplit _),
     "q71_source_overlap" -> (q71SourceOverlap _),
     "q72_boilerplate_prefixes" -> (q72BoilerplatePrefixes _),
-    "q73_source_vocab_jaccard" -> (q73SourceVocabJaccard _))
+    "q73_source_vocab_jaccard" -> (q73SourceVocabJaccard _),
+    "q219_sketch_vocab_overlap" -> (q219SketchVocabOverlap _))
 
   val oracleSql: Map[String, String] = Map(
     "q210_waterfill_quota" -> q210Sql,
@@ -1121,6 +1200,7 @@ object Corpus {
     "q71_source_overlap" -> q71Sql,
     "q72_boilerplate_prefixes" -> q72Sql,
     "q73_source_vocab_jaccard" -> q73Sql,
+    "q219_sketch_vocab_overlap" -> q219Sql,
     "q80_shard_layout" -> q80Sql,
     "q81_mix_subsample" -> q81Sql,
     "q137_rendezvous_sharding" -> q137Sql,

@@ -237,6 +237,67 @@ object TextAnalysis {
       |FROM f
       |ORDER BY doc_id""".stripMargin
 
+  /** q220 — minimizer signatures (winnowing): the sampling step the
+    * scalable containment/overlap detectors run BEFORE any pair joins
+    * (Schleimer et al., "Winnowing: Local Algorithms for Document
+    * Fingerprinting", SIGMOD'03; Roberts et al.'s minimizers). Each
+    * document keeps, from every window of w = 5 consecutive token
+    * hashes, only the window minimum; distinct minima form the
+    * signature. The guarantee that makes this better than "every k-th
+    * hash": any shared run of ≥ w + 1 tokens between two documents
+    * shares at least one minimizer, so containment is detectable from
+    * signatures alone — at an expected 2/(w+1) ≈ 33% of the positions
+    * (adjacent windows usually share their minimum). Output is the
+    * per-document audit: window count, distinct-minimizer count, and
+    * the realized retention in exact basis points, which a corpus
+    * operator reads before sizing the signature join (q47/q179 run on
+    * FULL shingle sets; this is the knob that makes those joins
+    * affordable when documents grow long).
+    *
+    * Token hashes ride the shared 60-bit md5 prefix
+    * ([[graft.functions.Md5Prefix60]], engine-portable, non-negative);
+    * the window minimum is a (doc, position)-keyed sliding frame — ONE
+    * hash shuffle on doc_id, frames bounded by w; only full windows
+    * count (position ≤ n − w), so both engines see identical frames.
+    */
+  def q220MinimizerSignature(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = 5
+    val tp = docs(spark, dir)
+      .select($"doc_id", posexplode(toks).as(Seq("p", "tok")))
+      .withColumn("h", graft.functions.Md5Prefix60($"tok"))
+    val frame = Window.partitionBy($"doc_id").orderBy($"p")
+      .rowsBetween(Window.currentRow, w - 1)
+    tp.withColumn("mn", min($"h").over(frame))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
+      .filter($"p" <= $"n" - w && $"n" >= w)
+      .select($"doc_id", $"n", $"mn").distinct()
+      .groupBy($"doc_id", $"n")
+      .agg(count(lit(1)).as("n_minimizers"))
+      .select($"doc_id", $"n".as("n_tokens"),
+        ($"n" - w + 1).as("n_windows"), $"n_minimizers",
+        expr(s"(n_minimizers * 10000) div (n - ${w - 1})").as("retention_bp"))
+      .orderBy($"doc_id")
+  }
+
+  val q220Sql: String =
+    """WITH tk AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+      |            FROM documents),
+      |tp AS (SELECT doc_id, generate_subscripts(t, 1) - 1 AS p,
+      |         CAST('0x' || substr(md5(unnest(t)), 1, 15) AS BIGINT) AS h,
+      |         CAST(len(t) AS BIGINT) AS n
+      |       FROM tk),
+      |mins AS (SELECT doc_id, p, n,
+      |           min(h) OVER (PARTITION BY doc_id ORDER BY p
+      |                        ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS mn
+      |         FROM tp),
+      |sig AS (SELECT DISTINCT doc_id, n, mn
+      |        FROM mins WHERE p <= n - 5 AND n >= 5)
+      |SELECT doc_id, n AS n_tokens, n - 4 AS n_windows,
+      |       CAST(count(*) AS BIGINT) AS n_minimizers,
+      |       (count(*) * 10000) // (n - 4) AS retention_bp
+      |FROM sig GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
+
   /** Deterministic stratified sampling for training-mix construction:
     * within each stratum (source), rank documents by an md5-derived
     * pseudo-random key and keep the first floor(n/5) (a 1-in-5 rate,
@@ -1627,6 +1688,7 @@ object TextAnalysis {
     "q188_bigram_nll" -> (q188BigramNll _),
     "q195_quality_calibration" -> (q195QualityCalibration _),
     "q218_quantile_normalize" -> (q218QuantileNormalize _),
+    "q220_minimizer_signature" -> (q220MinimizerSignature _),
     "q149_mmr_rerank" -> (q149MmrRerank _),
     "q148_phrase_search" -> (q148PhraseSearch _),
     "q131_bm25_topk" -> (q131Bm25TopK _),
@@ -1653,6 +1715,7 @@ object TextAnalysis {
     "q188_bigram_nll" -> q188Sql,
     "q195_quality_calibration" -> q195Sql,
     "q218_quantile_normalize" -> q218Sql,
+    "q220_minimizer_signature" -> q220Sql,
     "q149_mmr_rerank" -> q149Sql,
     "q148_phrase_search" -> q148Sql,
     "q131_bm25_topk" -> q131Sql,

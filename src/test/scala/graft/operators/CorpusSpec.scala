@@ -396,4 +396,59 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
       assert(capAllocs.max - capAllocs.min <= 1,
         "capped sources must sit at a common water level")
   }
+
+  test("q219: exact overlap replays from driver-side vocab sets; sketches all in envelope") {
+    import org.apache.spark.sql.functions._
+    val vocab = graft.sources.Tables.documents(spark, sfDir)
+      .select($"source", explode(split(trim($"text"), " ")).as("token"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = (for {
+      a <- vocab.keys; b <- vocab.keys; if a < b
+      ia = (vocab(a) intersect vocab(b)).size.toLong
+      na = vocab(a).size.toLong; nb = vocab(b).size.toLong
+    } yield (a, b) -> ((na, nb, ia, ia * 10000L / (na + nb - ia)))).toMap
+    val got = Corpus.q219SketchVocabOverlap(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("n_inter"),
+          r.getAs[Long]("jaccard_bp"), r.getAs[Boolean]("sketch_in_envelope"))))
+      .toMap
+    assert(got.view.mapValues(t => (t._1, t._2, t._3, t._4)).toMap == expected)
+    // the inclusion–exclusion estimate must hold for EVERY pair — one
+    // false boolean is a broken sketch merge, not noise (gate is >6 sigma)
+    assert(got.values.forall(_._5), s"out-of-envelope pairs: ${got.filterNot(_._2._5).keys}")
+    assert(got.size == vocab.size * (vocab.size - 1) / 2, "full pair frame")
+  }
+
+  test("q220: minimizer signatures replay from a driver-side sliding-window fold") {
+    import org.apache.spark.sql.functions._
+    val w = 5
+    val docsT = graft.sources.Tables.documents(spark, sfDir)
+      .select($"doc_id", split(trim($"text"), " ").as("t")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    val expected = docsT.collect { case (d, ts) if ts.size >= w =>
+      val hs = ts.map(t => graft.functions.Md5Prefix60.hash(t.getBytes("UTF-8")))
+      val mins = (0 to hs.size - w).map(p => hs.slice(p, p + w).min).toSet
+      d -> ((ts.size.toLong, (ts.size - w + 1).toLong, mins.size.toLong,
+        mins.size.toLong * 10000L / (ts.size - w + 1)))
+    }
+    val got = TextAnalysis.q220MinimizerSignature(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_windows"),
+          r.getAs[Long]("n_minimizers"), r.getAs[Long]("retention_bp")))).toMap
+    assert(got == expected)
+    // winnowing's positional density floor does NOT survive the
+    // distinct-VALUE collapse (word-soup text repeats tokens, so one
+    // hash value serves many far-apart windows); only the trivial
+    // bounds hold on values: at least one, never more than windows
+    got.values.foreach { case (_, nw, nm, _) =>
+      assert(nm >= 1 && nm <= nw, s"minimizer count $nm outside [1, $nw]") }
+    // and signatures genuinely compress: aggregate retention well
+    // under the 100% a keep-everything "sampler" would show
+    val totalMin = got.values.map(_._3).sum
+    val totalWin = got.values.map(_._2).sum
+    assert(totalMin * 2 <= totalWin,
+      s"winnowing should at least halve the position count: $totalMin/$totalWin")
+  }
 }
