@@ -393,6 +393,72 @@ object Graphs {
     visited
   }
 
+  /** q222 — co-purchase graph churn across order-date periods: the
+    * temporal axis of the graph family. Edges are rebuilt per period
+    * (orders before / since 1998-01-01) and full-outer joined on the
+    * edge key, classifying every edge as kept / added / removed — the
+    * structural-drift census ("is the co-purchase structure stable
+    * enough to keep serving last quarter's clusters?") that complements
+    * the value-level drift monitors (q90 length, q91 vocab, PSI): those
+    * watch distributions, this watches RELATIONSHIPS. Output is the
+    * 3-row status census with endpoint checksums — a single moved edge
+    * flips a checksum and fails the hash gate.
+    *
+    * Scale shape: the period flag rides the orders dim join (one hash
+    * join on orderkey), each period's edge list is the q125 co-purchase
+    * recipe (distinct self-join on the order key), and the churn
+    * classification is ONE full-outer equi join on the edge key — at
+    * 100 TB each side partitions by date at the scan (the period
+    * predicate pushes down), and nothing here is quadratic in parts.
+    */
+  def q222GraphChurn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val po = Tables.lineitem(spark, dir)
+      .select($"l_orderkey".as("ord"), $"l_partkey".as("part"))
+      .join(Tables.orders(spark, dir)
+        .select($"o_orderkey".as("ord"),
+          ($"o_orderdate" < lit("1998-01-01")).as("early")), Seq("ord"))
+      .select($"ord", $"part", $"early").distinct()
+      .localCheckpoint() // feeds both period edge builds
+    def edges(e: Boolean) = {
+      val p = po.filter($"early" === e).select($"ord", $"part")
+      p.as("a").join(p.as("b"), Seq("ord"))
+        .filter($"a.part" < $"b.part")
+        .select($"a.part".as("u"), $"b.part".as("v")).distinct()
+    }
+    edges(true).withColumn("in_a", lit(1L))
+      .join(edges(false).withColumn("in_b", lit(1L)), Seq("u", "v"), "full_outer")
+      .select($"u", $"v",
+        when($"in_a".isNotNull && $"in_b".isNotNull, "kept")
+          .when($"in_a".isNotNull, "removed")
+          .otherwise("added").as("status"))
+      .groupBy($"status")
+      .agg(count(lit(1)).as("n_edges"),
+        sum($"u").as("u_checksum"), sum($"v").as("v_checksum"))
+      .orderBy($"status")
+  }
+
+  val q222Sql: String =
+    """WITH po AS (
+      |  SELECT DISTINCT l.l_orderkey AS ord, l.l_partkey AS part,
+      |         o.o_orderdate < DATE '1998-01-01' AS early
+      |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+      |ea AS (SELECT DISTINCT a.part AS u, b.part AS v
+      |       FROM po a JOIN po b ON a.ord = b.ord AND a.part < b.part
+      |       WHERE a.early AND b.early),
+      |eb AS (SELECT DISTINCT a.part AS u, b.part AS v
+      |       FROM po a JOIN po b ON a.ord = b.ord AND a.part < b.part
+      |       WHERE NOT a.early AND NOT b.early),
+      |ch AS (SELECT coalesce(ea.u, eb.u) AS u, coalesce(ea.v, eb.v) AS v,
+      |         CASE WHEN ea.u IS NOT NULL AND eb.u IS NOT NULL THEN 'kept'
+      |              WHEN ea.u IS NOT NULL THEN 'removed'
+      |              ELSE 'added' END AS status
+      |       FROM ea FULL OUTER JOIN eb ON ea.u = eb.u AND ea.v = eb.v)
+      |SELECT status, CAST(count(*) AS BIGINT) AS n_edges,
+      |       CAST(sum(u) AS BIGINT) AS u_checksum,
+      |       CAST(sum(v) AS BIGINT) AS v_checksum
+      |FROM ch GROUP BY status ORDER BY status""".stripMargin
+
   def q134KhopReach(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val edges = supportEdges(spark, dir)
@@ -587,6 +653,7 @@ object Graphs {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q202_clustering_coefficient" -> (q202ClusteringCoefficient _),
     "q215_edge_jaccard" -> (q215EdgeJaccard _),
+    "q222_graph_churn" -> (q222GraphChurn _),
     "q125_triangle_count" -> (q125TriangleCount _),
     "q134_khop_reach" -> (q134KhopReach _),
     "q138_pagerank" -> (q138Pagerank _),
@@ -595,6 +662,7 @@ object Graphs {
   val oracleSql: Map[String, String] = Map(
     "q202_clustering_coefficient" -> q202Sql,
     "q215_edge_jaccard" -> q215Sql,
+    "q222_graph_churn" -> q222Sql,
     "q125_triangle_count" -> q125Sql,
     "q134_khop_reach" -> q134Sql,
     "q138_pagerank" -> q138Sql,

@@ -95,6 +95,38 @@ class GraphsSpec extends AnyFunSuite with SparkSpec {
         p.linesIterator.filter(_.contains("Join")).mkString("\n"))
   }
 
+  test("q222: edge churn replays from driver-side per-period edge sets") {
+    import org.apache.spark.sql.functions.col
+    val od = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), (col("o_orderdate") < "1998-01-01").as("early"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val po = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def edgeSet(e: Boolean): Set[(Long, Long)] =
+      po.filter(p => od(p._1) == e).groupBy(_._1).values.flatMap { items =>
+        val ps = items.map(_._2).distinct.sorted
+        for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+      }.toSet
+    val (ea, eb) = (edgeSet(true), edgeSet(false))
+    def agg(s: Set[(Long, Long)]) =
+      (s.size.toLong, s.toSeq.map(_._1).sum, s.toSeq.map(_._2).sum)
+    val expected = Map(
+      "kept" -> agg(ea intersect eb),
+      "removed" -> agg(ea diff eb),
+      "added" -> agg(eb diff ea)).filter(_._2._1 > 0)
+    val got = Graphs.q222GraphChurn(spark, sfDir).collect()
+      .map(r => r.getAs[String]("status") ->
+        ((r.getAs[Long]("n_edges"), r.getAs[Long]("u_checksum"),
+          r.getAs[Long]("v_checksum")))).toMap
+    assert(got == expected, s"got $got expected $expected")
+    // conservation: removed + kept == |early edges|, added + kept == |late|
+    assert(got.getOrElse("removed", (0L, 0L, 0L))._1 +
+      got.getOrElse("kept", (0L, 0L, 0L))._1 == ea.size)
+    assert(got.getOrElse("added", (0L, 0L, 0L))._1 +
+      got.getOrElse("kept", (0L, 0L, 0L))._1 == eb.size)
+  }
+
   test("degree orientation neutralizes a hub: star graph wedges collapse 10,000x") {
     // 2k-star + leaf ring. Under id orientation the hub (id 0) is the
     // SOURCE of every star edge: C(2000,2) ≈ 2.0e6 wedges land on one
