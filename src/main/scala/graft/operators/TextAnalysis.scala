@@ -1205,6 +1205,123 @@ object TextAnalysis {
        |GROUP BY 1 ORDER BY decile""".stripMargin
   }
 
+  /** q223 — rank-biased overlap (RBO) between the lexical and semantic
+    * retrieval arms: how much do BM25's top-10 and the cosine top-10
+    * agree, weighted toward the top of the lists (Webber et al., "A
+    * Similarity Measure for Indefinite Rankings", TOIS 2010) — the
+    * fusion-design diagnostic q185 implicitly depends on (RRF only adds
+    * value when the arms DISAGREE; a high RBO says one arm is
+    * redundant, a near-zero RBO says the arms see different corpora —
+    * at sf0.1 the measured overlap is zero at every depth: the lexical
+    * and semantic arms rank disjoint documents, which is exactly why
+    * q185's fusion widens coverage). Truncated RBO at p = 0.9, depth
+    * 10, in EXACT integer arithmetic: the per-depth weight
+    * (1−p)·p^d/d is cleared to w_d = 9^d · 10^(10−d) · (2520/d)
+    * (2520 = lcm(1..10), so every division is exact), the per-depth
+    * agreement term is w_d · |lex@d ∩ sem@d|, and the scalar is
+    * rbo_bp = 10⁴·Σ terms div Σ_max — both engines fold the same
+    * BIGINTs, no float powers anywhere.
+    *
+    * Scale shape: both arms are the bounded q131/q185 pipelines (BM25
+    * rides the session memo, the cosine arm the bounded-state top-k
+    * aggregator); the overlap census explodes each agreed doc over the
+    * depths it is inside BOTH prefixes of (`sequence(max(r), 10)`) —
+    * a ≤10-row relation; everything downstream is constant-size.
+    */
+  def q223RankOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val lex = q131Bm25TopK(spark, dir).select($"doc_id", $"score")
+      .withColumn("r_lex", row_number()
+        .over(Window.orderBy($"score".desc, $"doc_id")).cast("long"))
+      .filter($"r_lex" <= 10).select($"doc_id", $"r_lex")
+    val emb = Tables.embeddings(spark, dir)
+    val qv = emb.orderBy(md5($"vec_id".cast("string")), $"vec_id").limit(1)
+      .select($"vec_id".as("q_id"), $"embedding".as("eq"))
+    val top10 = graft.functions.TopKByScore(10)
+    val sem = emb
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select($"vec_id".as("doc_id"), $"embedding".as("eb"))
+      .join(broadcast(qv), $"doc_id" =!= $"q_id")
+      .withColumn("cs",
+        graft.functions.VectorFunctions.cosineSim($"eq", $"eb"))
+      .filter(!isnan($"cs"))
+      .groupBy($"q_id")
+      .agg(top10($"cs", $"doc_id").as("top"))
+      .select(posexplode($"top").as(Seq("pos", "t")))
+      .select($"t.b_id".as("doc_id"), ($"pos" + 1).cast("long").as("r_sem"))
+    rboCensus(lex, sem)
+  }
+
+  /** The RBO census over two (doc_id, r_lex)/(doc_id, r_sem) top-10
+    * rankings — factored out so the exact-arithmetic fold is testable
+    * on hand-built rankings (self-RBO = 10000 bp, disjoint = 0).
+    */
+  private[operators] def rboCensus(lex: DataFrame, sem: DataFrame): DataFrame = {
+    val spark = lex.sparkSession
+    import spark.implicits._
+    val weights = rboWeights.toDF("depth", "w")
+    val ov = lex.join(sem, Seq("doc_id"))
+      .select(explode(expr("sequence(greatest(r_lex, r_sem), 10)")).as("depth"))
+      .groupBy($"depth").agg(count(lit(1)).as("overlap"))
+    val terms = broadcast(weights).join(ov, Seq("depth"), "left")
+      .withColumn("overlap", coalesce($"overlap", lit(0L)))
+      .withColumn("term_scaled", $"w" * $"overlap")
+    terms.crossJoin(broadcast(terms.agg(sum($"term_scaled").as("t"))))
+      .select($"depth", $"overlap", $"term_scaled",
+        expr(s"(t * 10000) div ${rboTmax}L").as("rbo_bp"))
+      .orderBy($"depth")
+  }
+
+  /** Exact cleared RBO weights: w_d = 9^d · 10^(10−d) · (2520/d). */
+  private val rboWeights: Seq[(Long, Long)] =
+    (1 to 10).map { d =>
+      (d.toLong,
+        BigInt(9).pow(d).toLong * BigInt(10).pow(10 - d).toLong * (2520L / d))
+    }
+  private val rboTmax: Long = rboWeights.map { case (d, w) => d * w }.sum
+
+  val q223Sql: String = {
+    val valuesSql = rboWeights
+      .map { case (d, w) => s"($d, CAST($w AS BIGINT))" }.mkString(", ")
+    s"""WITH $q131Ctes,
+       |bm AS (
+       |  SELECT tf.doc_id, CAST(sum((idf_micro * 22 * A * tf)
+       |    // (10 * A * tf + 3 * A + 9 * len * N)) AS BIGINT) AS score
+       |  FROM tf JOIN len ON tf.doc_id = len.doc_id
+       |  GROUP BY 1 ORDER BY score DESC, tf.doc_id LIMIT 20),
+       |lex AS (SELECT doc_id, r_lex FROM (
+       |          SELECT doc_id, CAST(ROW_NUMBER() OVER
+       |            (ORDER BY score DESC, doc_id) AS BIGINT) AS r_lex
+       |          FROM bm) z WHERE r_lex <= 10),
+       |qv AS (SELECT vec_id, embedding FROM embeddings
+       |       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1),
+       |sc AS (SELECT b.vec_id AS doc_id,
+       |         list_cosine_similarity(q.embedding::DOUBLE[],
+       |                                b.embedding::DOUBLE[]) AS cs
+       |       FROM qv q JOIN embeddings b ON b.vec_id <> q.vec_id),
+       |sem AS (SELECT doc_id, r_sem FROM (
+       |          SELECT doc_id, CAST(ROW_NUMBER() OVER
+       |            (ORDER BY cs DESC, doc_id) AS BIGINT) AS r_sem
+       |          FROM sc WHERE NOT isnan(cs)) z
+       |        WHERE r_sem <= 10),
+       |w(depth, w) AS (VALUES $valuesSql),
+       |mm AS (SELECT unnest(generate_series(greatest(l.r_lex, s.r_sem),
+       |                                     CAST(10 AS BIGINT))) AS depth
+       |       FROM lex l JOIN sem s ON l.doc_id = s.doc_id),
+       |ov AS (SELECT depth, CAST(count(*) AS BIGINT) AS overlap
+       |       FROM mm GROUP BY 1),
+       |terms AS (SELECT CAST(w.depth AS BIGINT) AS depth,
+       |            coalesce(ov.overlap, 0) AS overlap,
+       |            CAST(w.w * coalesce(ov.overlap, 0) AS BIGINT) AS term_scaled
+       |          FROM w LEFT JOIN ov ON ov.depth = w.depth),
+       |tot AS (SELECT CAST(coalesce(sum(term_scaled), 0) AS BIGINT) AS t
+       |        FROM terms)
+       |SELECT depth, overlap, term_scaled,
+       |       (t * 10000) // $rboTmax AS rbo_bp
+       |FROM terms, tot ORDER BY depth""".stripMargin
+  }
+
   /** q218 — cross-source quantile normalization of the quality score:
     * each document's score is replaced by the GLOBAL score at the same
     * within-source quantile (right-continuous empirical inverse on a
@@ -1689,6 +1806,7 @@ object TextAnalysis {
     "q195_quality_calibration" -> (q195QualityCalibration _),
     "q218_quantile_normalize" -> (q218QuantileNormalize _),
     "q220_minimizer_signature" -> (q220MinimizerSignature _),
+    "q223_rank_overlap" -> (q223RankOverlap _),
     "q149_mmr_rerank" -> (q149MmrRerank _),
     "q148_phrase_search" -> (q148PhraseSearch _),
     "q131_bm25_topk" -> (q131Bm25TopK _),
@@ -1716,6 +1834,7 @@ object TextAnalysis {
     "q195_quality_calibration" -> q195Sql,
     "q218_quantile_normalize" -> q218Sql,
     "q220_minimizer_signature" -> q220Sql,
+    "q223_rank_overlap" -> q223Sql,
     "q149_mmr_rerank" -> q149Sql,
     "q148_phrase_search" -> q148Sql,
     "q131_bm25_topk" -> q131Sql,

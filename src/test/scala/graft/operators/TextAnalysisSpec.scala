@@ -424,6 +424,38 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(got.values.map(_._1).sum == n, "n-conservation across sources")
   }
 
+  test("q223: RBO census — self-agreement is exactly 10000 bp, disjoint is 0, prefix-swap replays") {
+    def rk(ids: Seq[Long], col: String) =
+      ids.zipWithIndex.map { case (d, i) => (d, i + 1L) }.toDF("doc_id", col)
+    val a = (1L to 10L)
+    // identical rankings: every depth fully overlaps, T == Tmax
+    val self = TextAnalysis.rboCensus(rk(a, "r_lex"), rk(a, "r_sem")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(self.forall { case (d, ov, bp) => ov == d && bp == 10000L }, self.toSeq)
+    // disjoint rankings: zero everywhere
+    val disj = TextAnalysis.rboCensus(rk(a, "r_lex"), rk(a.map(_ + 100), "r_sem"))
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(disj.forall(t => t._1 == 0L && t._2 == 0L), disj.toSeq)
+    // same set, first two swapped: depth 1 misses, depths 2..10 full —
+    // replay the exact fold in BigInt
+    val swapped = a.updated(0, 2L).updated(1, 1L)
+    val got = TextAnalysis.rboCensus(rk(a, "r_lex"), rk(swapped, "r_sem"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ws = (1 to 10).map(d =>
+      d.toLong -> BigInt(9).pow(d) * BigInt(10).pow(10 - d) * (2520 / d)).toMap
+    val ovs = (1 to 10).map(d => d.toLong -> (if (d == 1) 0L else d.toLong)).toMap
+    val t = ws.map { case (d, w) => w * ovs(d) }.sum
+    val tmax = ws.map { case (d, w) => w * d }.sum
+    val bp = (t * 10000 / tmax).toLong
+    got.foreach { case (d, ov, term, rbp) =>
+      assert(ov == ovs(d) && BigInt(term) == ws(d) * ovs(d) && rbp == bp,
+        s"depth $d: ($ov, $term, $rbp) vs (${ovs(d)}, ${ws(d) * ovs(d)}, $bp)") }
+    // and the declared query replays from its own collected arms on the
+    // fixture (zero overlap there — the arms rank disjoint documents)
+    val fix = TextAnalysis.q223RankOverlap(spark, sfDir).collect()
+    assert(fix.length == 10 && fix.map(_.getLong(0)).toSeq == (1L to 10L))
+  }
+
   test("q188: bigram NLL replays from a driver-side smoothed-LM fold") {
     val texts = graft.sources.Tables.documents(spark, sfDir)
       .select($"doc_id", $"text").collect()
