@@ -97,13 +97,24 @@ object OpUtils {
           case art =>
             val t0 = System.nanoTime()
             val l0 = SessionMemo.loadAvg
-            val df = build
+            SessionMemo.pushFrame()
+            val df =
+              try build
+              catch { case e: Throwable => SessionMemo.popFrame(); throw e }
             org.apache.spark.sql.graft.CheckpointUtils.pin(df)
             // warm tier: persist the built table for the NEXT session;
             // this session keeps serving the (already paid-for) hot copy
             art.foreach(p => SessionMemo.commitArtifact(spark, p, dir, df))
+            val total = (System.nanoTime() - t0) / 1e9
+            // EXCLUSIVE accounting: a memo built FROM another memo (e.g.
+            // triangle_counts deriving from edge_triangles) triggers the
+            // child build inside this timer; subtracting the child keeps
+            // the ledger additive (Σ entries == wall actually paid) so
+            // the bench memo_build lines never double-count.
+            val child = SessionMemo.popFrame()
+            SessionMemo.addToParent(total)
             SessionMemo.record(s"$name.$key", dir, loaded = false,
-              (System.nanoTime() - t0) / 1e9, l0, SessionMemo.loadAvg)
+              total - child, l0, SessionMemo.loadAvg)
             df
         }
       }
@@ -159,6 +170,21 @@ object OpUtils {
       (String, String, Boolean, Double, Double, Double)]()
     private[operators] def loadAvg: Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
+    // ---- nested-build frames (per thread): when one memo's build
+    // triggers another memo's build (derived memos), the child's wall
+    // time is subtracted from the parent's ledger entry so the ledger
+    // stays additive. Each frame accumulates the TOTAL seconds of the
+    // direct children built under it.
+    private val frames = new ThreadLocal[java.util.ArrayDeque[java.lang.Double]] {
+      override def initialValue() = new java.util.ArrayDeque[java.lang.Double]()
+    }
+    private[operators] def pushFrame(): Unit = frames.get().push(0.0)
+    private[operators] def popFrame(): Double = frames.get().pop()
+    private[operators] def addToParent(sec: Double): Unit = {
+      val f = frames.get()
+      if (!f.isEmpty) f.push(f.pop() + sec)
+    }
     private def record(key: String, dir: String, loaded: Boolean, sec: Double,
         load0: Double, load1: Double): Unit = {
       ledger.merge((key, dir, loaded), sec, (a, b) => a + b)

@@ -322,4 +322,27 @@ class MemoLifecycleSpec extends AnyFunSuite with SparkSpec {
     assert(pairsOf(spark, dir) == first)
     Dedup.release(spark, dir)
   }
+
+  test("nested memo builds keep the ledger additive (child time excluded from parent)") {
+    // triangle_counts is DERIVED from edge_triangles: a cold touch of
+    // q125 builds both, the child inside the parent's build closure.
+    // The ledger must charge the enumeration to edge_triangles and only
+    // the cheap rollup to triangle_counts — before the exclusive-frame
+    // fix the parent entry double-counted the whole child build.
+    OpUtils.SessionMemo.releaseAll(spark, sfDir)
+    val before = OpUtils.SessionMemo.buildTelemetry
+      .view.mapValues(_.size).toMap.withDefaultValue(0)
+    Graphs.q125TriangleCount(spark, sfDir).collect()
+    val tel = OpUtils.SessionMemo.buildTelemetry
+    def newest(prefix: String): Double = {
+      val k = tel.keys.find(_.startsWith(prefix)).get
+      assert(tel(k).size > before(k), s"$prefix must have rebuilt")
+      tel(k).last._1
+    }
+    val child = newest("graphs.edge_triangles")
+    val parent = newest("graphs.triangle_counts")
+    assert(parent < child,
+      s"derived rollup ($parent s) must be charged less than the enumeration ($child s)")
+    OpUtils.SessionMemo.releaseAll(spark, sfDir)
+  }
 }
