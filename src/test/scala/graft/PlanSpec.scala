@@ -566,4 +566,37 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "the distinct-score cumulative must run per magnitude bucket, " +
         "not as a data-sized global window")
   }
+
+  test("q218: both rank scans are bucket-partitioned; the only cross join is the 1-row total") {
+    val p = plan("q218_quantile_normalize")
+    assert(p.contains("hashpartitioning(bkt"),
+      "the global cumulative must run per value bucket (q201 discipline)")
+    assert(p.contains("hashpartitioning(source"),
+      "the per-source cumulative must partition on (source, bkt)")
+    assert(!p.contains("CartesianProduct"), "no unbroadcast cross join")
+    // the cross joins present must all be BROADCAST builds (the 1-row
+    // total and the <=1000-row grid), never a shuffled cartesian
+    assert(p.linesIterator.filter(_.contains("NestedLoopJoin"))
+      .forall(_.contains("Broadcast")), p.linesIterator
+      .filter(_.contains("Join")).mkString("\n"))
+  }
+
+  test("q219: overlap is answered by sketch algebra, exact arm stays equi-keyed") {
+    val p = plan("q219_sketch_vocab_overlap")
+    assert(p.contains("hll_union") && p.contains("hll_sketch_estimate"),
+      "pair overlap must ride hll_union over stored sketches")
+    assert(!p.contains("CartesianProduct"),
+      "the pair frame must broadcast the |sources|-row dim")
+  }
+
+  test("q221: multi-probe candidates join on the bucket equi key") {
+    val p = plan("q221_multiprobe_recall")
+    assert(!p.contains("CartesianProduct"), "no cartesian candidate join")
+    assert(p.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")) && l.contains("bucket")) ||
+      p.contains("bucket#"),
+      "candidates must form only within probe buckets:\n" +
+        p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
 }
