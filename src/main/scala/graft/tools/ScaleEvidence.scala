@@ -61,6 +61,9 @@ object ScaleEvidence {
         indexed = args.drop(3).contains("indexed"),
         storm = args.drop(3).contains("storm"))
       case "probe" => probe()
+      case "qnorm" => qnormScale(spark,
+        if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+        else Seq(5000, 20000, 50000, 100000, 200000))
       case "memoscale" => memoScale(spark,
         if (args.length > 1) args.drop(1).map(_.toInt).toSeq
         else Seq(5000, 10000, 20000, 50000))
@@ -78,7 +81,7 @@ object ScaleEvidence {
       case "gaps" => gapScale(spark,
         if (args.length > 1) args.drop(1).map(_.toInt).toSeq
         else Seq(1000000, 2000000, 4000000, 8000000, 16000000))
-      case other => sys.error(s"unknown mode $other (ssjoin|skew|stream|probe|memoscale|triangles|intervals|graphiter|gaps)")
+      case other => sys.error(s"unknown mode $other (ssjoin|skew|stream|probe|memoscale|qnorm|triangles|intervals|graphiter|gaps)")
     }
     spark.stop()
   }
@@ -521,6 +524,40 @@ object ScaleEvidence {
         val thetaA = if (tta > 0 && ttb > 0)
           f"  alpha_theta=${math.log(ttb / tta) / r}%5.2f" else ""
         println(f"$na%7d -> $nb%7d: alpha_binned=${math.log(tb / ta) / r}%5.2f$thetaA")
+      case _ =>
+    }
+  }
+
+  /** q218 scaling: the quantile-normalization claim is that rank
+    * machinery is bounded by the SCORE DOMAIN, not the corpus — so
+    * total time should scale like the two initial aggregations
+    * (≈ linear in tokens) with no super-linear rank/sort term. Zipf
+    * corpora with 20 sources; first rung repeated as a discarded JIT
+    * warmup (memoscale discipline); checkpoint blocks swept per rung.
+    */
+  private def qnormScale(spark: org.apache.spark.sql.SparkSession,
+      sizes: Seq[Int]): Unit = {
+    import org.apache.spark.sql.functions._
+    println(s"== q218 quantile-normalization scaling over 20-source Zipf corpora $sizes ==")
+    case class Rung(n: Int, t: Double, rows: Long)
+    val allSizes = sizes.head +: sizes
+    val rungs = allSizes.zipWithIndex.map { case (n, idx) =>
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_qnorm_$n").toString
+      zipfDocs(spark, n)
+        .withColumn("source",
+          concat(lit("src"), pmod(col("doc_id"), lit(20L)).cast("string")))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val t0 = System.nanoTime()
+      val rows = graft.operators.TextAnalysis.q218QuantileNormalize(spark, dir).count()
+      val t = (System.nanoTime() - t0) / 1e9
+      if (idx > 0) println(f"n=$n%7d  q218=$t%7.2f s ($rows%3d source rows)")
+      org.apache.spark.sql.graft.CheckpointUtils.sweepUnpinned(spark.sparkContext)
+      Rung(n, t, rows)
+    }.drop(1)
+    rungs.sliding(2).foreach {
+      case Seq(a, b) =>
+        val r = math.log(b.n.toDouble / a.n)
+        println(f"${a.n}%7d -> ${b.n}%7d: alpha_q218=${math.log(b.t / a.t) / r}%5.2f")
       case _ =>
     }
   }
