@@ -908,6 +908,68 @@ object Dedup {
        |FROM th LEFT JOIN pa USING (t_bp) LEFT JOIN dc USING (t_bp)
        |ORDER BY t_bp""".stripMargin
 
+  /** q224 — dedup-method scorecard: the lossy candidate generators
+    * (MinHash banding q31, SimHash Hamming banding q32) measured
+    * against the LOSSLESS exact pair relation (q47's prefix-filtered
+    * inverted index at jaccard ≥ 0.7) on identical inputs — the "which
+    * method, at what recall, at what overshoot" table a curation owner
+    * reads before picking the production dedup tier, completing q92's
+    * minhash-only calibration across methods. Per method: emitted
+    * pairs, true-pair hits, recall in exact basis points against the
+    * shared truth count, and overshoot (emitted pairs outside the
+    * ≥ 0.7 truth — for minhash that is 0 by construction, its pairs
+    * are exact-verified at the same threshold, so its row isolates
+    * pure BANDING misses; for simhash, Hamming ≤ 10 is a different
+    * similarity notion, so both misses and extras are expected and
+    * measured). All three relations ride their session memos / the
+    * shared hashed-shingle dictionary — the fact is not re-shingled.
+    *
+    * Scale shape: two memoized pair relations unioned with a method
+    * tag, one equi join against the memoized truth pairs on the
+    * (a_id, b_id) key, a 2-group rollup, and a broadcast 1-row truth
+    * count. Nothing scales past the pair relations themselves.
+    */
+  def q224MethodScorecard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val truth = ngramJaccardInverted(spark, dir, 0.7).select($"a_id", $"b_id")
+    val m31 = q31MinhashLsh(spark, dir).select($"a_id", $"b_id")
+    val m32 = q32Simhash(spark, dir).select($"a_id", $"b_id")
+    val tagged = m31.withColumn("method", lit("minhash_lsh"))
+      .unionByName(m32.withColumn("method", lit("simhash")))
+    val nTrue = truth.agg(count(lit(1)).as("n_true"))
+    tagged
+      .join(truth.withColumn("is_true", lit(1L)), Seq("a_id", "b_id"), "left")
+      .groupBy($"method")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce($"is_true", lit(0L))).as("n_hit"),
+        sum($"a_id" + $"b_id").as("pair_checksum"))
+      .crossJoin(broadcast(nTrue))
+      .select($"method", $"n_pairs", $"n_hit", $"n_true",
+        expr("(n_hit * 10000) div n_true").as("recall_bp"),
+        ($"n_pairs" - $"n_hit").as("n_extra"),
+        $"pair_checksum")
+      .orderBy($"method")
+  }
+
+  val q224Sql: String =
+    s"""WITH truth AS (SELECT a_id, b_id FROM ($q47Sql) z),
+       |m AS (
+       |  SELECT 'minhash_lsh' AS method, a_id, b_id FROM ($q31Sql) z
+       |  UNION ALL
+       |  SELECT 'simhash', a_id, b_id FROM ($q32Sql) z),
+       |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+       |sc AS (
+       |  SELECT m.method, CAST(count(*) AS BIGINT) AS n_pairs,
+       |         CAST(sum(CASE WHEN t.a_id IS NOT NULL THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS n_hit,
+       |         CAST(sum(m.a_id + m.b_id) AS BIGINT) AS pair_checksum
+       |  FROM m LEFT JOIN truth t ON t.a_id = m.a_id AND t.b_id = m.b_id
+       |  GROUP BY m.method)
+       |SELECT method, n_pairs, n_hit, n_true,
+       |       (n_hit * 10000) // n_true AS recall_bp,
+       |       n_pairs - n_hit AS n_extra, pair_checksum
+       |FROM sc, nt ORDER BY method""".stripMargin
+
   /** q179 — asymmetric CONTAINMENT detection (quote/subsumption — "doc A
     * is ≥80% contained in doc B"), the near-dup relation symmetric
     * Jaccard cannot express: a short quote inside a long article has low
@@ -1627,6 +1689,7 @@ object Dedup {
     "q32_simhash" -> (q32Simhash _),
     "q33_ngram_jaccard" -> (q33NgramJaccard _),
     "q47_ngram_jaccard_inverted" -> (q47NgramJaccardInverted _),
+    "q224_method_scorecard" -> (q224MethodScorecard _),
     "q194_threshold_sweep" -> (q194ThresholdSweep _),
     "q179_containment" -> (q179Containment _),
     "q180_subsumption_roots" -> (q180SubsumptionRoots _),
@@ -1646,6 +1709,7 @@ object Dedup {
     "q32_simhash" -> q32Sql,
     "q33_ngram_jaccard" -> q33Sql,
     "q47_ngram_jaccard_inverted" -> q47Sql,
+    "q224_method_scorecard" -> q224Sql,
     "q194_threshold_sweep" -> q194Sql,
     "q179_containment" -> q179Sql,
     "q180_subsumption_roots" -> q180Sql,

@@ -370,4 +370,31 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(got.head._2 > 0, "fixture must contain near-dup pairs")
     assert(got.map(_._2) == got.map(_._2).sorted.reverse)
   }
+
+  test("q224: method scorecard replays from the three collected pair relations") {
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairsOf(Dedup.q47NgramJaccardInverted(spark, sfDir))
+    val m = Map(
+      "minhash_lsh" -> pairsOf(Dedup.q31MinhashLsh(spark, sfDir)),
+      "simhash" -> pairsOf(Dedup.q32Simhash(spark, sfDir)))
+    val expected = m.map { case (name, ps) =>
+      val hit = (ps intersect truth).size.toLong
+      name -> ((ps.size.toLong, hit, truth.size.toLong,
+        hit * 10000L / truth.size, ps.size - hit,
+        ps.toSeq.map(p => p._1 + p._2).sum))
+    }
+    val got = Dedup.q224MethodScorecard(spark, sfDir).collect()
+      .map(r => r.getAs[String]("method") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("n_hit"),
+          r.getAs[Long]("n_true"), r.getAs[Long]("recall_bp"),
+          r.getAs[Long]("n_extra"), r.getAs[Long]("pair_checksum")))).toMap
+    assert(got == expected, s"got $got expected $expected")
+    // minhash pairs are exact-VERIFIED at the same 0.7 threshold as the
+    // truth relation, so its overshoot is zero by construction — its row
+    // isolates pure banding misses
+    assert(got("minhash_lsh")._5 == 0L, "minhash cannot emit sub-threshold pairs")
+    assert(got.values.forall(v => v._2 <= v._1 && v._2 <= v._3))
+  }
 }
