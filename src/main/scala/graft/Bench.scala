@@ -176,9 +176,20 @@ object Bench {
     val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","reps":$repsJson,$suite,"queries":$qs,"memo_build":$mb,"memo_build_reps":$mbReps,"sf":"$sfDir","spark_version":"${spark.version}","failed":$failed,"partial_failures":$partialFailures,"total":${f"$total%.3f"},"n_valid":$nValid}"""
     println(line)
     val mirror = sys.env.getOrElse("SPARK_GRAFT_BENCH_COPY", "/root/repo/BENCH_LOCAL.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(mirror),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case _: Exception => () } // mirror is best-effort
+    val mirrored =
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(mirror),
+          (line + "\n").getBytes("UTF-8"))
+        true
+      } catch { case _: Exception => false } // mirror is best-effort
+    // LAST line = a compact, always-parseable summary: the round driver
+    // retains a bounded TAIL of stdout, and r10's window cut the full
+    // line mid-"reps" (parsed: null). The bulky per-rep/per-query detail
+    // lives in the full line above AND in the mirror file; this line
+    // carries the headline totals plus the mirror path so the tail
+    // always ends in valid JSON no matter how narrow the window.
+    val summary = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","spark_version":"${spark.version}","n_valid":$nValid,"failed":$failed,"partial_failures":$partialFailures,"memo_build_total":${f"${builds.map(_._2).sum}%.3f"},"full_json":${if (mirrored) "\"" + mirror + "\"" else "null"},"total":${f"$total%.3f"}}"""
+    println(summary)
     spark.stop()
   }
 }

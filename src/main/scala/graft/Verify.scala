@@ -20,10 +20,32 @@ object Verify {
     // them (silently green-looking) instead of recording failures. Now
     // any error lands in verify_errors.json AND flips the exit code.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Driver-stable output types: the driver's hasher canonicalizes these
+    // identically across Spark and DuckDB. Anything else — DECIMAL above
+    // all (r10: q117/q118/q119 were value-identical but hash-red because
+    // Spark landed DECIMAL(28,4) where DuckDB derived (38,4)) — must be
+    // frozen (STRING→DOUBLE round-trip or BIGINT cents) BEFORE the query
+    // boundary. Declaring a query with an unstable output type is a
+    // verify error, so it can never reach the driver unfrozen.
+    import org.apache.spark.sql.types._
+    def stable(dt: DataType): Boolean = dt match {
+      case _: LongType | _: IntegerType | _: ShortType | _: ByteType |
+           _: DoubleType | _: FloatType | _: StringType | _: DateType |
+           _: BooleanType | _: TimestampType | _: BinaryType => true
+      case ArrayType(e, _) => stable(e)
+      case _ => false
+    }
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        val unstable = df.schema.fields.filterNot(f => stable(f.dataType))
+        if (unstable.nonEmpty) {
+          val msg = "driver-unstable output type(s): " + unstable
+            .map(f => s"${f.name}: ${f.dataType.sql}").mkString("; ")
+          System.err.println(s"[verify] $name $msg")
+          errors(name) = msg
+        } else df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
       }

@@ -459,14 +459,10 @@ object Contracts {
       |FROM i ORDER BY source""".stripMargin
 
   /** tmpfs scratch for the ephemeral CSV extract (same policy as the
-    * q49 mart / q101 variant-compaction scratch).
+    * q49 mart / q101 variant-compaction scratch), tracked + swept by
+    * OpUtils.Scratch.
     */
-  private def scratchDir(prefix: String): String = {
-    val shm = new java.io.File("/dev/shm")
-    if (shm.isDirectory && shm.canWrite)
-      java.nio.file.Files.createTempDirectory(shm.toPath, prefix).toString
-    else java.nio.file.Files.createTempDirectory(prefix).toString
-  }
+  private def scratchDir(prefix: String): String = OpUtils.Scratch.dir(prefix)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q102_data_contract" -> (q102DataContract _),

@@ -945,7 +945,10 @@ object Dedup {
         sum($"a_id" + $"b_id").as("pair_checksum"))
       .crossJoin(broadcast(nTrue))
       .select($"method", $"n_pairs", $"n_hit", $"n_true",
-        expr("(n_hit * 10000) div n_true").as("recall_bp"),
+        // guard the empty-truth corpus: div-by-zero is null in non-ANSI
+        // and an error in ANSI — pin recall to an explicit NULL instead
+        when($"n_true" > 0L, expr("(n_hit * 10000) div n_true"))
+          .as("recall_bp"),
         ($"n_pairs" - $"n_hit").as("n_extra"),
         $"pair_checksum")
       .orderBy($"method")
@@ -966,7 +969,8 @@ object Dedup {
        |  FROM m LEFT JOIN truth t ON t.a_id = m.a_id AND t.b_id = m.b_id
        |  GROUP BY m.method)
        |SELECT method, n_pairs, n_hit, n_true,
-       |       (n_hit * 10000) // n_true AS recall_bp,
+       |       CASE WHEN n_true > 0 THEN (n_hit * 10000) // n_true END
+       |         AS recall_bp,
        |       n_pairs - n_hit AS n_extra, pair_checksum
        |FROM sc, nt ORDER BY method""".stripMargin
 

@@ -132,14 +132,10 @@ object Events {
   }
 
   /** tmpfs scratch for the ephemeral variant compaction (same policy and
-    * rationale as ModelRunner's mart scratch).
+    * rationale as ModelRunner's mart scratch), tracked + swept by
+    * OpUtils.Scratch.
     */
-  private def scratchDir(prefix: String): String = {
-    val shm = new java.io.File("/dev/shm")
-    if (shm.canWrite)
-      java.nio.file.Files.createTempDirectory(shm.toPath, prefix).toString
-    else java.nio.file.Files.createTempDirectory(prefix).toString
-  }
+  private def scratchDir(prefix: String): String = OpUtils.Scratch.dir(prefix)
 
   /** Tumbling one-hour windows (batch form of
     * `groupBy(window($"ts","1 hour"))`): bucket = date_trunc so the oracle
@@ -441,7 +437,8 @@ object Events {
       .agg(count(lit(1)).as("n_active"))
     val sizes = firsts.groupBy($"cw").agg(count(lit(1)).as("cohort_size"))
     counts.join(broadcast(sizes), Seq("cw"))
-      .select($"cw".as("cohort_week"), $"week_offset", $"n_active", $"cohort_size",
+      .select($"cw".cast("date").as("cohort_week"), $"week_offset",
+        $"n_active", $"cohort_size",
         ($"n_active".cast("double") / $"cohort_size").as("retention"))
       .orderBy($"cohort_week", $"week_offset")
   }
@@ -495,7 +492,8 @@ object Events {
       .groupBy($"signup_week")
       .agg(count(lit(1)).as("n_signups"),
         sum(when($"converted", 1L).otherwise(0L)).as("n_converted"))
-      .select($"signup_week", $"n_signups", $"n_converted",
+      .select($"signup_week".cast("date").as("signup_week"),
+        $"n_signups", $"n_converted",
         ($"n_converted".cast("double") / $"n_signups").as("conversion"))
       .orderBy($"signup_week")
   }

@@ -342,14 +342,32 @@ object Graphs {
     */
   private val memo = new OpUtils.SessionMemo("graphs")
 
+  /** The shared base scan every graph edge build starts from: distinct
+    * (order, part) pairs, flagged with q222's period bit (early =
+    * ordered before 1998-01-01; `early` is a function of `ord`, so the
+    * flag join after the distinct changes no cardinality). Memoized so
+    * copurchase_edges, support_edges AND the churn census pay the
+    * lineitem distinct exactly once per (session, dir) — one shared
+    * `memo_build` line item instead of three identical scans.
+    */
+  private[graft] def poFlagged(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "po_flagged") {
+      import spark.implicits._
+      Tables.lineitem(spark, dir)
+        .select($"l_orderkey".as("ord"), $"l_partkey".as("part")).distinct()
+        .join(Tables.orders(spark, dir)
+          .select($"o_orderkey".as("ord"),
+            ($"o_orderdate" < lit("1998-01-01")).as("early")), Seq("ord"))
+        .localCheckpoint()
+    }
+
   /** The raw co-purchase half-edge list (u < v, distinct) — q125's
     * graph.
     */
   private[graft] def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame =
     memo(spark, dir, "copurchase_edges") {
       import spark.implicits._
-      val po = Tables.lineitem(spark, dir)
-        .select($"l_orderkey".as("ord"), $"l_partkey".as("part")).distinct()
+      val po = poFlagged(spark, dir).select($"ord", $"part")
       po.as("a").join(po.as("b"), Seq("ord"))
         .filter($"a.part" < $"b.part")
         .select($"a.part".as("u"), $"b.part".as("v")).distinct()
@@ -362,8 +380,7 @@ object Graphs {
   private[graft] def supportEdges(spark: SparkSession, dir: String): DataFrame =
     memo(spark, dir, "support_edges") {
       import spark.implicits._
-      val po = Tables.lineitem(spark, dir)
-        .select($"l_orderkey".as("ord"), $"l_partkey".as("part")).distinct()
+      val po = poFlagged(spark, dir).select($"ord", $"part")
       val half = po.as("a").join(po.as("b"), Seq("ord"))
         .filter($"a.part" < $"b.part")
         .groupBy($"a.part".as("u"), $"b.part".as("v"))
@@ -404,33 +421,28 @@ object Graphs {
     * 3-row status census with endpoint checksums — a single moved edge
     * flips a checksum and fails the hash gate.
     *
-    * Scale shape: the period flag rides the orders dim join (one hash
-    * join on orderkey), each period's edge list is the q125 co-purchase
-    * recipe (distinct self-join on the order key), and the churn
-    * classification is ONE full-outer equi join on the edge key — at
-    * 100 TB each side partitions by date at the scan (the period
-    * predicate pushes down), and nothing here is quadratic in parts.
+    * Scale shape: the period flag rides the shared [[poFlagged]] memo
+    * (one hash join on orderkey after the distinct), and BOTH periods'
+    * edge sets come out of a SINGLE self-join pass — `early` is a
+    * function of the order key, so every joined pair carries its
+    * period, and `groupBy(u, v)` with two conditional existence flags
+    * replaces the old two-self-joins-plus-full-outer plan (one edge
+    * enumeration instead of two, no full-outer shuffle; the groupBy IS
+    * the per-period distinct, with map-side partial aggregation). At
+    * 100 TB nothing here is quadratic in parts: the self-join is
+    * basket-bounded per order and the census is one hash aggregation.
     */
   def q222GraphChurn(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val po = Tables.lineitem(spark, dir)
-      .select($"l_orderkey".as("ord"), $"l_partkey".as("part"))
-      .join(Tables.orders(spark, dir)
-        .select($"o_orderkey".as("ord"),
-          ($"o_orderdate" < lit("1998-01-01")).as("early")), Seq("ord"))
-      .select($"ord", $"part", $"early").distinct()
-      .localCheckpoint() // feeds both period edge builds
-    def edges(e: Boolean) = {
-      val p = po.filter($"early" === e).select($"ord", $"part")
-      p.as("a").join(p.as("b"), Seq("ord"))
-        .filter($"a.part" < $"b.part")
-        .select($"a.part".as("u"), $"b.part".as("v")).distinct()
-    }
-    edges(true).withColumn("in_a", lit(1L))
-      .join(edges(false).withColumn("in_b", lit(1L)), Seq("u", "v"), "full_outer")
+    val po = poFlagged(spark, dir)
+    po.as("a").join(po.as("b"), Seq("ord"))
+      .filter($"a.part" < $"b.part")
+      .groupBy($"a.part".as("u"), $"b.part".as("v"))
+      .agg(max(when($"a.early", 1L).otherwise(0L)).as("in_a"),
+        max(when(!$"a.early", 1L).otherwise(0L)).as("in_b"))
       .select($"u", $"v",
-        when($"in_a".isNotNull && $"in_b".isNotNull, "kept")
-          .when($"in_a".isNotNull, "removed")
+        when($"in_a" === 1L && $"in_b" === 1L, "kept")
+          .when($"in_a" === 1L, "removed")
           .otherwise("added").as("status"))
       .groupBy($"status")
       .agg(count(lit(1)).as("n_edges"),

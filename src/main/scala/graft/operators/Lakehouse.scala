@@ -175,7 +175,7 @@ object Lakehouse {
     changes.select($"user_id", $"status",
         $"ts".as("effective_from"),
         lead($"ts", 1).over(w2).as("effective_to"),
-        row_number().over(w2).as("version"),
+        row_number().over(w2).cast("long").as("version"),
         lead($"ts", 1).over(w2).isNull.as("is_current"))
       .orderBy($"user_id", $"version")
   }
@@ -415,35 +415,36 @@ object Lakehouse {
     // a managed table's warehouse path would survive the JVM while the
     // in-memory catalog forgets it, failing the next CREATE.
     val tmp = scratchDir("graft_bucketed")
-    s2.sql("DROP TABLE IF EXISTS graft_bkt_orders")
-    s2.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
+    // the catalog is shared per SparkContext (session clones see the same
+    // tables), so suffix the names with this run's scratch token —
+    // interleaved runs (different SF dirs in one JVM) can't race on
+    // DROP/CREATE or read each other's data
+    val tok = new java.io.File(tmp).getName.replaceAll("[^A-Za-z0-9_]", "_")
+    val (tOrders, tLineitem) = (s"graft_bkt_orders_$tok", s"graft_bkt_lineitem_$tok")
+    s2.sql(s"DROP TABLE IF EXISTS $tOrders")
+    s2.sql(s"DROP TABLE IF EXISTS $tLineitem")
     Tables.orders(s2, dir).select($"o_orderkey", $"o_orderpriority")
       .repartition(buckets, $"o_orderkey")
       .write.format("parquet").option("path", s"$tmp/orders")
       .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
-      .saveAsTable("graft_bkt_orders")
+      .saveAsTable(tOrders)
     Tables.lineitem(s2, dir).select($"l_orderkey",
       expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)")
         .as("cents"))
       .repartition(buckets, $"l_orderkey")
       .write.format("parquet").option("path", s"$tmp/lineitem")
       .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
-      .saveAsTable("graft_bkt_lineitem")
-    s2.table("graft_bkt_orders")
-      .join(s2.table("graft_bkt_lineitem"),
+      .saveAsTable(tLineitem)
+    s2.table(tOrders)
+      .join(s2.table(tLineitem),
         $"o_orderkey" === $"l_orderkey")
       .groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("n_lines"), sum($"cents").as("revenue_cents"))
       .orderBy($"o_orderpriority")
   }
 
-  /** tmpfs scratch for the bucketed-table data (q49/q166 policy). */
-  private def scratchDir(prefix: String): String = {
-    val shm = new java.io.File("/dev/shm")
-    if (shm.isDirectory && shm.canWrite)
-      java.nio.file.Files.createTempDirectory(shm.toPath, prefix).toString
-    else java.nio.file.Files.createTempDirectory(prefix).toString
-  }
+  /** tmpfs scratch (q49/q166 policy), tracked + swept by OpUtils.Scratch. */
+  private def scratchDir(prefix: String): String = OpUtils.Scratch.dir(prefix)
 
   val q209Sql: String =
     """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,

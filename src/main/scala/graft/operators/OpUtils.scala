@@ -25,6 +25,50 @@ object OpUtils {
   def seededSample(df: org.apache.spark.sql.DataFrame, k: Int, seed: Long): org.apache.spark.sql.DataFrame =
     df.orderBy(org.apache.spark.sql.functions.rand(seed)).limit(k)
 
+  /** tmpfs scratch dirs for ephemeral per-query materializations (the
+    * q49 mart, q101 variant compaction, q209 bucketed tables, …):
+    * RAM-backed (/dev/shm) when available because the harness's
+    * throttled block device dominates small-write round trips. A
+    * production run materializes these to the lakehouse, not here.
+    *
+    * Leak-proofing (r10 advisor): dirs are tracked per prefix — a new
+    * request for the same prefix deletes the previous run's dir first,
+    * so benchmark reps stop accumulating RAM-backed parquet copies —
+    * and a JVM shutdown hook sweeps whatever remains. Queries run
+    * sequentially per prefix (each prefix belongs to exactly one
+    * declared query), so replacing the previous dir is race-free in
+    * every harness mode.
+    */
+  object Scratch {
+    private val live =
+      new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+    private def deleteRecursively(p: java.nio.file.Path): Unit =
+      try {
+        import scala.jdk.CollectionConverters._
+        val all = java.nio.file.Files.walk(p).iterator().asScala.toSeq
+        all.sortBy(-_.getNameCount).foreach { f =>
+          try java.nio.file.Files.deleteIfExists(f)
+          catch { case _: java.io.IOException => () }
+        }
+      } catch { case _: java.io.IOException => () }
+
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      live.values.forEach(deleteRecursively(_))
+    }, "graft-scratch-sweep"))
+
+    def dir(prefix: String): String = {
+      val shm = new java.io.File("/dev/shm")
+      val fresh =
+        if (shm.isDirectory && shm.canWrite)
+          java.nio.file.Files.createTempDirectory(shm.toPath, prefix)
+        else java.nio.file.Files.createTempDirectory(prefix)
+      val prev = live.put(prefix, fresh)
+      if (prev != null) deleteRecursively(prev)
+      fresh.toString
+    }
+  }
+
   /** Session-scoped memo for shared checkpointed materializations (the
     * dedup pair-table family, the q48 IVF pair table): one build per
     * (session, fixture dir, key), pinned against the harness
@@ -91,8 +135,13 @@ object OpUtils {
           case Some(p) if SessionMemo.artifactExists(spark, p) =>
             val t0 = System.nanoTime()
             val df = spark.read.parquet(p)
+            val sec = (System.nanoTime() - t0) / 1e9
+            // a load nested inside a parent BUILD frame is timed inside
+            // the parent's entry too — subtract it there (same exclusive
+            // accounting as nested builds) so the ledger stays additive
+            SessionMemo.addToParent(sec)
             SessionMemo.record(s"$name.$key", dir, loaded = true,
-              (System.nanoTime() - t0) / 1e9, Double.NaN, Double.NaN)
+              sec, Double.NaN, Double.NaN)
             df
           case art =>
             val t0 = System.nanoTime()

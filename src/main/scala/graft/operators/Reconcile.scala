@@ -305,13 +305,10 @@ object Reconcile {
       |FROM full_v f FULL OUTER JOIN incr i USING (o_orderpriority)
       |ORDER BY o_orderpriority""".stripMargin
 
-  /** tmpfs scratch for the stored base-term rollup (q49/q166 policy). */
-  private def scratchDir(prefix: String): String = {
-    val shm = new java.io.File("/dev/shm")
-    if (shm.isDirectory && shm.canWrite)
-      java.nio.file.Files.createTempDirectory(shm.toPath, prefix).toString
-    else java.nio.file.Files.createTempDirectory(prefix).toString
-  }
+  /** tmpfs scratch for the stored base-term rollup (q49/q166 policy),
+    * tracked + swept by OpUtils.Scratch.
+    */
+  private def scratchDir(prefix: String): String = OpUtils.Scratch.dir(prefix)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q208_join_ivm" -> (q208JoinIvm _),

@@ -247,7 +247,7 @@ object Relational {
     import spark.implicits._
     val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
     Tables.orders(spark, dir)
-      .withColumn("rk", row_number().over(w))
+      .withColumn("rk", row_number().over(w).cast("long"))
       .filter($"rk" <= 3)
       .select($"o_custkey", $"rk", $"o_orderkey", $"o_totalprice")
       .orderBy($"o_custkey", $"rk")

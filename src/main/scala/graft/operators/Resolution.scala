@@ -37,7 +37,7 @@ object Resolution {
     val b = d.select($"doc_id".as("doc_b"), $"sig".as("sig_b"), $"blk")
     a.join(b, Seq("blk"))
       .filter($"doc_a" < $"doc_b")
-      .withColumn("dist", levenshtein($"sig_a", $"sig_b"))
+      .withColumn("dist", levenshtein($"sig_a", $"sig_b").cast("long"))
       .filter($"dist" <= 40)
       .select($"doc_a", $"doc_b", $"dist")
       .orderBy($"doc_a", $"doc_b")
@@ -97,7 +97,7 @@ object Resolution {
         ($"rn" + $"g").as("rt"), $"g".cast("long").as("gap"))
     probes.join(ranked.select($"doc_id".as("id_b"), $"sig".as("sig_b"),
         $"rn".as("rt")), Seq("rt"))
-      .withColumn("dist", levenshtein($"sig_a", $"sig_b"))
+      .withColumn("dist", levenshtein($"sig_a", $"sig_b").cast("long"))
       .filter($"dist" <= 40)
       .select(least($"id_a", $"id_b").as("doc_a"),
         greatest($"id_a", $"id_b").as("doc_b"), $"gap", $"dist")

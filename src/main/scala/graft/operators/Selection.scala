@@ -546,7 +546,7 @@ object Selection {
     p.join(broadcast(frontier), p("price") === frontier("f_price"))
       .filter($"p_size" === $"msize" &&
         ($"best_below".isNull || $"best_below" < $"p_size"))
-      .select($"p_partkey", $"price", $"p_size")
+      .select($"p_partkey", $"price".cast("double").as("price"), $"p_size")
       .orderBy($"p_partkey")
   }
 
@@ -554,7 +554,7 @@ object Selection {
     """WITH p AS (
       |  SELECT p_partkey, CAST(p_retailprice AS DECIMAL(18,4)) AS price, p_size
       |  FROM part)
-      |SELECT a.p_partkey, a.price, a.p_size
+      |SELECT a.p_partkey, CAST(CAST(a.price AS STRING) AS DOUBLE) AS price, a.p_size
       |FROM p a
       |WHERE NOT EXISTS (
       |  SELECT 1 FROM p b

@@ -411,6 +411,297 @@ object Similarity {
       |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** The tuned multi-table LSH index: 4 independent tables × 8 planes
+    * (plane p = tbl·8 + h, weight seeded md5(s"{p}_{d}") — table 0 IS
+    * the [[lshVectors]] single-table index, so the two indexes share a
+    * seeding audit trail). Stored as the slim (vec_id, tbl, bucket)
+    * relation — embeddings join back at query time, so the index is
+    * 4·n small rows, not 4 duplicated vector copies. Memoized: one
+    * build per (session, dir), an adjudicated memo_build line item.
+    *
+    * The configuration is MEASURED, not guessed: `tools/ann_sweep.py`
+    * swept bits ∈ {4..12} × tables ∈ {1,2,4,8} × probe radius ∈ {0,1}
+    * against the exact top-5 ground truth at sf0.01 AND sf0.1;
+    * (b=8, L=4, r=1) won both — recall@5 hits 18 → 80 of 160 and
+    * queries-with-≥1-hit 15 → 31 of 32 at sf0.1 vs the single-table
+    * multi-probe q221, at 36 probes ≈ 14% of corpus per query
+    * (probes·n/2⁸ — the fraction is scale-invariant in n). Runner-up
+    * (b=10, L=8, r=1) halves candidates at 60/160 recall — the table
+    * to consult when candidate cost dominates at higher corpus scale.
+    */
+  private[operators] def lshMultiBuckets(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "lsh_buckets_multi") {
+      import spark.implicits._
+      val planes = spark.range(32).select($"id".cast("int").as("p"))
+        .crossJoin(spark.range(64).select($"id".cast("int").as("d")))
+        .withColumn("w",
+          (conv(substring(md5(concat($"p".cast("string"), lit("_"), $"d".cast("string"))), 1, 15), 16, 10)
+            .cast("long") % 2001 - 1000).cast("long"))
+      val vx = Tables.embeddings(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select($"vec_id", posexplode($"embedding").as(Seq("d", "v")))
+      vx.join(broadcast(planes), Seq("d"))
+        .withColumn("prod", round($"v".cast("double") * $"w" * 1e6).cast("long"))
+        .groupBy($"vec_id", $"p")
+        .agg(sum($"prod").as("s"))
+        .withColumn("tbl", expr("p DIV 8"))
+        .withColumn("bit",
+          when($"s" > 0, expr("shiftleft(CAST(1 AS BIGINT), p % 8)")).otherwise(0L))
+        .groupBy($"vec_id", $"tbl")
+        .agg(sum($"bit").as("bucket"))
+        .localCheckpoint()
+    }
+
+  /** q225 — TUNED multi-table multi-probe recall@5: the adopted ANN
+    * configuration (see [[lshMultiBuckets]] — 4 tables × 8 bits ×
+    * Hamming-1 probes, the winner of the measured sweep), evaluated by
+    * the exact q217/q221 overlap histogram so the three queries side
+    * by side ARE the recall-vs-cost tuning table: 3 → 15 → 31 of 32
+    * panel queries recovering ≥1 true neighbor at sf0.1. Candidates
+    * from different tables/probes dedup on the (a_id, b_id) key BEFORE
+    * scoring (a multi-table union is not a multiset — without the
+    * distinct, a neighbor found by 4 tables would occupy 4 of the 5
+    * top-k slots). No all-pairs anywhere: candidate cost per query is
+    * 36 probes · n/2⁸ regardless of corpus size.
+    */
+  def q225LshTunedRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact = q34CosineTopk(spark, dir).select($"a_id", $"b_id")
+    val bk = lshMultiBuckets(spark, dir)
+    val panel = samplePanel(spark, dir, topkPanelK).select($"vec_id".as("a_id"))
+    val probeList = "bucket" +: (0 until 8).map(h => s"bucket ^ ${1L << h}L")
+    val probes = bk.join(broadcast(panel), bk("vec_id") === panel("a_id"))
+      .select($"a_id", $"tbl",
+        explode(expr(probeList.mkString("array(", ", ", ")"))).as("bucket"))
+    val cand = probes
+      .join(bk.select($"vec_id".as("b_id"), $"tbl", $"bucket"), Seq("tbl", "bucket"))
+      .filter($"a_id" =!= $"b_id")
+      .select($"a_id", $"b_id").distinct()
+    val emb = Tables.embeddings(spark, dir)
+    val pe = emb.join(broadcast(panel), emb("vec_id") === panel("a_id"))
+      .select($"a_id", $"embedding".as("ea"))
+    val top5 = graft.functions.TopKByScore(5)
+    val ann = cand
+      .join(broadcast(pe), Seq("a_id"))
+      .join(emb.select($"vec_id".as("b_id"), $"embedding".as("eb")), Seq("b_id"))
+      .withColumn("cs", VectorFunctions.cosineSim($"ea", $"eb"))
+      .filter(!isnan($"cs"))
+      .groupBy($"a_id")
+      .agg(top5($"cs", $"b_id").as("top"))
+      .select($"a_id", explode($"top").as("t"))
+      .select($"a_id", $"t.b_id".as("b_id"))
+    val hits = exact.join(ann, Seq("a_id", "b_id"))
+      .groupBy($"a_id").agg(count(lit(1)).as("hits"))
+    panel.join(hits, Seq("a_id"), "left")
+      .withColumn("hits", coalesce($"hits", lit(0L)))
+      .groupBy($"hits")
+      .agg(count(lit(1)).as("n_queries"), sum($"a_id").as("a_checksum"))
+      .orderBy($"hits")
+  }
+
+  val q225Sql: String = {
+    val probeSql = ("b.bucket" +: (0 until 8).map(h =>
+      s"xor(b.bucket, CAST(${1L << h} AS BIGINT))")).mkString("[", ", ", "]")
+    s"""WITH planes AS (
+      |  SELECT p, d, CAST(CAST('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 15) AS BIGINT) % 2001 - 1000 AS BIGINT) AS w
+      |  FROM range(32) t1(p), range(64) t2(d)),
+      |vx AS (SELECT vec_id, i AS d, embedding[i+1] AS v FROM embeddings, range(64) r(i)),
+      |dots AS (SELECT vec_id, p, SUM(CAST(round(CAST(v AS DOUBLE) * w * 1000000.0) AS BIGINT)) AS s
+      |         FROM vx JOIN planes USING (d) GROUP BY 1, 2),
+      |bk AS (SELECT vec_id, p // 8 AS tbl,
+      |              CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(p % 8 AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+      |       FROM dots GROUP BY 1, 2),
+      |q AS (SELECT vec_id, embedding FROM embeddings
+      |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $topkPanelK),
+      |scored AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cs
+      |  FROM q a JOIN embeddings b ON a.vec_id <> b.vec_id),
+      |ex AS (SELECT a_id, b_id FROM (
+      |  SELECT a_id, b_id, ROW_NUMBER() OVER (
+      |    PARTITION BY a_id ORDER BY cs DESC, b_id) AS rk
+      |  FROM scored WHERE NOT isnan(cs)) t WHERE rk <= 5),
+      |pq AS (SELECT b.vec_id AS a_id, b.tbl, unnest($probeSql) AS bucket
+      |       FROM bk b JOIN q ON q.vec_id = b.vec_id),
+      |cand AS (SELECT DISTINCT pq.a_id, w.vec_id AS b_id
+      |         FROM pq JOIN bk w ON w.tbl = pq.tbl AND w.bucket = pq.bucket
+      |         WHERE w.vec_id <> pq.a_id),
+      |cscored AS (
+      |  SELECT c.a_id, c.b_id,
+      |    list_cosine_similarity(qa.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS cs
+      |  FROM cand c JOIN q qa ON qa.vec_id = c.a_id
+      |  JOIN embeddings eb ON eb.vec_id = c.b_id),
+      |ann AS (SELECT a_id, b_id FROM (
+      |  SELECT a_id, b_id, ROW_NUMBER() OVER (
+      |    PARTITION BY a_id ORDER BY cs DESC, b_id) AS rk
+      |  FROM cscored WHERE NOT isnan(cs)) t WHERE rk <= 5),
+      |ov AS (SELECT e.a_id, CAST(count(*) AS BIGINT) AS hits
+      |       FROM ex e JOIN ann a ON a.a_id = e.a_id AND a.b_id = e.b_id
+      |       GROUP BY 1)
+      |SELECT coalesce(ov.hits, 0) AS hits,
+      |       CAST(count(*) AS BIGINT) AS n_queries,
+      |       CAST(sum(q.vec_id) AS BIGINT) AS a_checksum
+      |FROM q LEFT JOIN ov ON ov.a_id = q.vec_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  private val ivfRecallNlist = 64
+  private val ivfRecallNprobe = 8
+
+  /** q226 — IVF recall@5: the third ANN family (coarse-quantizer
+    * inverted lists, the FAISS-IVF shape) evaluated by the exact
+    * q217/q221/q225 overlap histogram. Index side: every vector lands
+    * in the inverted list of its SINGLE nearest pivot (the canonical
+    * m=1 assignment, so the index is exactly n entries). Query side:
+    * each panel query probes its `nprobe` nearest pivots' lists.
+    * Pivots are the `nlist` lowest-vec_id vectors (q48's
+    * deterministic, oracle-expressible quantizer).
+    *
+    * Configuration measured, not guessed (`tools/ivf_sweep.py`, same
+    * ground truth as the LSH sweep): (nlist=64, m=1, nprobe=8) is the
+    * best IVF point in the ~12% candidate band at both sf0.01 and
+    * sf0.1 — 73/160 top-5 hits, 30/32 queries with ≥1 hit at sf0.1 —
+    * slightly BEHIND tuned multi-table LSH (q225: 80/160 at 14%),
+    * which is the measured answer to "which index family fits this
+    * corpus". At scale nlist grows ~√n (and the pivot set comes from
+    * the KMeans trainer in graft.ml.Scoring); probing stays nprobe
+    * lists, so candidate cost per query is nprobe/nlist of the corpus
+    * regardless of n. No distinct needed on candidates: m=1 puts each
+    * vector in exactly one list and the probe set is `nprobe` DISTINCT
+    * pivots, so (a, b) pairs are unique by construction.
+    */
+  def q226IvfRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact = q34CosineTopk(spark, dir).select($"a_id", $"b_id")
+    val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val pivots = emb.orderBy($"vec_id").limit(ivfRecallNlist)
+      .select($"vec_id".as("p_id"), $"embedding".as("pe"))
+    val w = Window.partitionBy($"vec_id").orderBy($"cs_p".desc, $"p_id")
+    val ranked = emb
+      .repartition(spark.sparkContext.defaultParallelism)
+      .crossJoin(broadcast(pivots))
+      .withColumn("cs_p", VectorFunctions.cosineSim($"embedding", $"pe"))
+      .withColumn("rk", row_number().over(w))
+    val idx = ranked.filter($"rk" === 1).select($"vec_id".as("b_id"), $"p_id")
+    val panel = samplePanel(spark, dir, topkPanelK).select($"vec_id".as("a_id"))
+    val pq = ranked.join(broadcast(panel), ranked("vec_id") === panel("a_id"))
+      .filter($"rk" <= ivfRecallNprobe)
+      .select($"a_id", $"p_id")
+    val cand = pq.join(idx, Seq("p_id"))
+      .filter($"a_id" =!= $"b_id")
+      .select($"a_id", $"b_id")
+    val pe2 = emb.join(broadcast(panel), emb("vec_id") === panel("a_id"))
+      .select($"a_id", $"embedding".as("ea"))
+    val top5 = graft.functions.TopKByScore(5)
+    val ann = cand
+      .join(broadcast(pe2), Seq("a_id"))
+      .join(emb.select($"vec_id".as("b_id"), $"embedding".as("eb")), Seq("b_id"))
+      .withColumn("cs", VectorFunctions.cosineSim($"ea", $"eb"))
+      .filter(!isnan($"cs"))
+      .groupBy($"a_id")
+      .agg(top5($"cs", $"b_id").as("top"))
+      .select($"a_id", explode($"top").as("t"))
+      .select($"a_id", $"t.b_id".as("b_id"))
+    val hits = exact.join(ann, Seq("a_id", "b_id"))
+      .groupBy($"a_id").agg(count(lit(1)).as("hits"))
+    panel.join(hits, Seq("a_id"), "left")
+      .withColumn("hits", coalesce($"hits", lit(0L)))
+      .groupBy($"hits")
+      .agg(count(lit(1)).as("n_queries"), sum($"a_id").as("a_checksum"))
+      .orderBy($"hits")
+  }
+
+  val q226Sql: String =
+    s"""WITH piv AS (SELECT vec_id AS p_id, embedding AS pe
+      |            FROM embeddings ORDER BY vec_id LIMIT $ivfRecallNlist),
+      |rkp AS (SELECT e.vec_id, p.p_id,
+      |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], p.pe::DOUBLE[]) DESC, p.p_id) AS rk
+      |  FROM embeddings e CROSS JOIN piv p),
+      |idx AS (SELECT vec_id AS b_id, p_id FROM rkp WHERE rk = 1),
+      |q AS (SELECT vec_id, embedding FROM embeddings
+      |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $topkPanelK),
+      |scored AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cs
+      |  FROM q a JOIN embeddings b ON a.vec_id <> b.vec_id),
+      |ex AS (SELECT a_id, b_id FROM (
+      |  SELECT a_id, b_id, ROW_NUMBER() OVER (
+      |    PARTITION BY a_id ORDER BY cs DESC, b_id) AS rk
+      |  FROM scored WHERE NOT isnan(cs)) t WHERE rk <= 5),
+      |pq AS (SELECT r.vec_id AS a_id, r.p_id FROM rkp r
+      |       JOIN q ON q.vec_id = r.vec_id WHERE r.rk <= $ivfRecallNprobe),
+      |cand AS (SELECT pq.a_id, i.b_id
+      |         FROM pq JOIN idx i ON i.p_id = pq.p_id
+      |         WHERE i.b_id <> pq.a_id),
+      |cscored AS (
+      |  SELECT c.a_id, c.b_id,
+      |    list_cosine_similarity(qa.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS cs
+      |  FROM cand c JOIN q qa ON qa.vec_id = c.a_id
+      |  JOIN embeddings eb ON eb.vec_id = c.b_id),
+      |ann AS (SELECT a_id, b_id FROM (
+      |  SELECT a_id, b_id, ROW_NUMBER() OVER (
+      |    PARTITION BY a_id ORDER BY cs DESC, b_id) AS rk
+      |  FROM cscored WHERE NOT isnan(cs)) t WHERE rk <= 5),
+      |ov AS (SELECT e.a_id, CAST(count(*) AS BIGINT) AS hits
+      |       FROM ex e JOIN ann a ON a.a_id = e.a_id AND a.b_id = e.b_id
+      |       GROUP BY 1)
+      |SELECT coalesce(ov.hits, 0) AS hits,
+      |       CAST(count(*) AS BIGINT) AS n_queries,
+      |       CAST(sum(q.vec_id) AS BIGINT) AS a_checksum
+      |FROM q LEFT JOIN ov ON ov.a_id = q.vec_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q227 — ANN method scorecard: the q224 dedup-scorecard discipline
+    * applied to the similarity index — every declared ANN family's
+    * recall histogram (q217 single-probe LSH, q221 multi-probe LSH,
+    * q225 tuned multi-table LSH, q226 IVF) collapsed to one row per
+    * method: total true-neighbor hits (of |panel|·5), queries with ≥1
+    * hit, and recall in exact basis points. THE table a steward reads
+    * to pick the index family for a corpus — and because it is a
+    * declared, oracle-gated query, the comparison can never silently
+    * rot as the index implementations evolve. Costs ~nothing beyond
+    * its inputs: the four histograms are ≤6 rows each and the heavy
+    * parts underneath ride the session memos.
+    */
+  def q227AnnScorecard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val parts = Seq(
+      "lsh_single" -> q217AnnRecall(spark, dir),
+      "lsh_multiprobe" -> q221MultiProbeRecall(spark, dir),
+      "lsh_tuned" -> q225LshTunedRecall(spark, dir),
+      "ivf" -> q226IvfRecall(spark, dir))
+    parts.map { case (m, df) =>
+      df.select(lit(m).as("method"), $"hits", $"n_queries")
+    }.reduce(_ unionByName _)
+      .groupBy($"method")
+      .agg(sum($"hits" * $"n_queries").as("hits_total"),
+        sum(when($"hits" > 0L, $"n_queries").otherwise(0L)).as("queries_with_hit"),
+        sum($"n_queries").as("n_queries"))
+      .select($"method", $"hits_total", $"queries_with_hit", $"n_queries",
+        expr("(hits_total * 10000) div (n_queries * 5)").as("recall_bp"))
+      .orderBy($"method")
+  }
+
+  val q227Sql: String =
+    s"""WITH u AS (
+      |  SELECT 'lsh_single' AS method, hits, n_queries FROM ($q217Sql) z1
+      |  UNION ALL
+      |  SELECT 'lsh_multiprobe', hits, n_queries FROM ($q221Sql) z2
+      |  UNION ALL
+      |  SELECT 'lsh_tuned', hits, n_queries FROM ($q225Sql) z3
+      |  UNION ALL
+      |  SELECT 'ivf', hits, n_queries FROM ($q226Sql) z4)
+      |SELECT method,
+      |       CAST(sum(hits * n_queries) AS BIGINT) AS hits_total,
+      |       CAST(sum(CASE WHEN hits > 0 THEN n_queries ELSE 0 END) AS BIGINT)
+      |         AS queries_with_hit,
+      |       CAST(sum(n_queries) AS BIGINT) AS n_queries,
+      |       (CAST(sum(hits * n_queries) AS BIGINT) * 10000)
+      |         // (CAST(sum(n_queries) AS BIGINT) * 5) AS recall_bp
+      |FROM u GROUP BY method
+      |ORDER BY method""".stripMargin
+
   /** Per-label centroids in long form (label, dim, centroid component):
     * exact decimal sums, single deterministic division at the end. The
     * grouped-vector-aggregation pattern (a typed `Aggregator` over
@@ -986,6 +1277,9 @@ object Similarity {
     "q34_cosine_topk" -> (q34CosineTopk _),
     "q217_ann_recall" -> (q217AnnRecall _),
     "q221_multiprobe_recall" -> (q221MultiProbeRecall _),
+    "q225_lsh_tuned_recall" -> (q225LshTunedRecall _),
+    "q226_ivf_recall" -> (q226IvfRecall _),
+    "q227_ann_scorecard" -> (q227AnnScorecard _),
     "q35_ann_lsh" -> (q35AnnLsh _),
     "q193_mutual_nn" -> (q193MutualNn _),
     "q36_label_centroids" -> (q36LabelCentroids _),
@@ -1003,6 +1297,9 @@ object Similarity {
     "q34_cosine_topk" -> q34Sql,
     "q217_ann_recall" -> q217Sql,
     "q221_multiprobe_recall" -> q221Sql,
+    "q225_lsh_tuned_recall" -> q225Sql,
+    "q226_ivf_recall" -> q226Sql,
+    "q227_ann_scorecard" -> q227Sql,
     "q35_ann_lsh" -> q35Sql,
     "q193_mutual_nn" -> q193Sql,
     "q36_label_centroids" -> q36Sql,

@@ -55,7 +55,8 @@ object Temporal {
           (dim("valid_to").isNull || purchases("ts") < dim("valid_to")),
         "left")
       .groupBy(coalesce($"status", lit("unknown")).as("status_at_purchase"))
-      .agg(count(lit(1)).as("n_purchases"), sum($"v").as("total_value"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum($"v").cast("double").as("total_value"))
       .orderBy($"status_at_purchase")
   }
 
@@ -73,7 +74,8 @@ object Temporal {
       |  SELECT user_id, ts, CAST(value AS DECIMAL(18,4)) AS v
       |  FROM events WHERE event_type = 'purchase')
       |SELECT COALESCE(d.status, 'unknown') AS status_at_purchase,
-      |       count(*) AS n_purchases, sum(p.v) AS total_value
+      |       count(*) AS n_purchases,
+      |       CAST(CAST(sum(p.v) AS STRING) AS DOUBLE) AS total_value
       |FROM p LEFT JOIN dim d
       |  ON p.user_id = d.user_id AND p.ts >= d.valid_from
       |  AND (d.valid_to IS NULL OR p.ts < d.valid_to)
@@ -88,16 +90,18 @@ object Temporal {
     * is `sequence()` per user (array bounded by the series span, built
     * executor-side — no driver loop, no numbers-table scan), the global
     * right edge is a broadcast one-row aggregate, and the fill is a
-    * running `last(ignoreNulls)` inside the per-user window. Totals are
-    * frozen to DECIMAL before summing so observed values hash-match the
-    * oracle exactly, and the carried copies inherit that exactness.
+    * running `last(ignoreNulls)` inside the per-user window. Totals sum
+    * in DECIMAL (exact, order-independent) then freeze to DOUBLE at the
+    * output boundary — the repo-wide convention — so the carried copies
+    * inherit a driver-stable type rather than an engine-specific
+    * decimal precision.
     */
   def q119GapFill(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val events = Tables.events(spark, dir)
     val daily = events.filter($"event_type" === "purchase")
       .groupBy($"user_id", to_date($"ts").as("day"))
-      .agg(sum(dec($"value")).as("observed"))
+      .agg(sum(dec($"value")).cast("double").as("observed"))
     val edge = events.agg(max(to_date($"ts")).as("dmax"))
     val spine = daily.groupBy($"user_id").agg(min($"day").as("d0"))
       .crossJoin(broadcast(edge))
@@ -114,7 +118,8 @@ object Temporal {
   val q119Sql: String =
     """WITH daily AS (
       |  SELECT user_id, CAST(ts AS DATE) AS day,
-      |         sum(CAST(value AS DECIMAL(18,4))) AS observed
+      |         CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE)
+      |           AS observed
       |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
       |edge AS (SELECT CAST(max(ts) AS DATE) AS dmax FROM events),
       |spine AS (

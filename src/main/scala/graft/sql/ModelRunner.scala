@@ -236,14 +236,10 @@ object ModelRunner {
     * available, same policy (and rationale) as Sessions' shuffle-dir —
     * the harness's throttled block device dominates small-write round
     * trips and adds noise. A production run materializes marts to the
-    * lakehouse, not here.
+    * lakehouse, not here. Tracked + swept by OpUtils.Scratch.
     */
-  private def scratchDir(prefix: String): String = {
-    val shm = new java.io.File("/dev/shm")
-    if (shm.canWrite)
-      Files.createTempDirectory(shm.toPath, prefix).toString
-    else Files.createTempDirectory(prefix).toString
-  }
+  private def scratchDir(prefix: String): String =
+    graft.operators.OpUtils.Scratch.dir(prefix)
 
   val q49Sql: String =
     """SELECT c.c_custkey, c.c_name, n.n_name AS nation,

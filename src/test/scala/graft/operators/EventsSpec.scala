@@ -31,7 +31,7 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
       .view.mapValues(_.length.toLong).toMap
     val sizes = first.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
     val got = Events.q93CohortRetention(spark, sfDir).collect().map { r =>
-      ((r.getTimestamp(0).getTime, r.getLong(1)),
+      ((r.getDate(0).getTime, r.getLong(1)),
         (r.getLong(2), r.getLong(3), r.getDouble(4)))
     }.toMap
     val expected = counts.map { case ((cw, off), n) =>

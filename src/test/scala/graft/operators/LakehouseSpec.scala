@@ -40,8 +40,8 @@ class LakehouseSpec extends AnyFunSuite with SparkSpec {
     val rows = Lakehouse.q110Scd2Dim(spark, sfDir).collect()
     val byUser = rows.groupBy(_.getAs[Long]("user_id"))
     byUser.foreach { case (u, rs) =>
-      val sorted = rs.sortBy(_.getAs[Int]("version"))
-      assert(sorted.map(_.getAs[Int]("version")).toSeq == (1 to rs.length),
+      val sorted = rs.sortBy(_.getAs[Long]("version"))
+      assert(sorted.map(_.getAs[Long]("version")).toSeq == (1L to rs.length.toLong),
         s"user $u versions not dense")
       assert(sorted.count(_.getAs[Boolean]("is_current")) == 1, s"user $u current rows")
       assert(sorted.last.getAs[Boolean]("is_current"), s"user $u last row must be current")
@@ -98,7 +98,7 @@ class LakehouseSpec extends AnyFunSuite with SparkSpec {
   test("q112 recovers the planted near-dup pairs, including nonzero-distance fuzzy hits") {
     val rows = Resolution.q112FuzzyMatch(spark, sfDir).collect()
     assert(rows.length >= 20, s"expected the planted near-dup pairs, got ${rows.length}")
-    assert(rows.exists(_.getAs[Int]("dist") > 0), "no nonzero-distance hit — filter is vacuous")
+    assert(rows.exists(_.getAs[Long]("dist") > 0), "no nonzero-distance hit — filter is vacuous")
     assert(rows.forall(r => r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
   }
 

@@ -93,7 +93,7 @@ class ReconcileSpec extends AnyFunSuite with SparkSpec {
     }).toSet
     val got = Resolution.q136SortedNeighborhood(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
-        r.getAs[Long]("gap"), r.getAs[Integer]("dist").toLong)).toSet
+        r.getAs[Long]("gap"), r.getAs[Long]("dist"))).toSet
     assert(got == expected, s"got ${got.size} pairs expected ${expected.size}")
     assert(got.nonEmpty, "fixture must contain sorted-adjacent near-dups")
   }

@@ -284,7 +284,7 @@ class SelectionSpec extends AnyFunSuite with SparkSpec {
     val sf = "/root/testdata/sf0.001"
     val got = Selection.q117Skyline(spark, sf).collect()
       .map(r => (r.getAs[Long]("p_partkey"),
-        r.getAs[java.math.BigDecimal]("price").doubleValue(), r.getAs[Int]("p_size")))
+        r.getAs[Double]("price"), r.getAs[Int]("p_size")))
     // independent quadratic reference over the raw table
     val parts = graft.sources.Tables.part(spark, sf)
       .select($"p_partkey", $"p_retailprice", $"p_size").collect()

@@ -58,7 +58,7 @@ class TemporalSpec extends AnyFunSuite with SparkSpec {
   test("q119: dense spine, observed days exact, gaps carry the last observation") {
     val rows = Temporal.q119GapFill(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Date]("day").toLocalDate,
-        r.getAs[java.math.BigDecimal]("filled"), r.getAs[Boolean]("is_observed")))
+        r.getAs[java.lang.Double]("filled"), r.getAs[Boolean]("is_observed")))
     assert(rows.nonEmpty)
     assert(rows.forall(_._3 != null), "filled must never be null on the spine")
     val gmax = events.map(_._2).max / 1000000L / 86400L
