@@ -24,6 +24,73 @@ object Corpus {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).repartition(spark.sparkContext.defaultParallelism)
 
+  /** q229 — vocabulary growth curve (Heaps' law, measured): the corpus
+    * is cut into ten equal doc-id deciles (a proxy for ingest order)
+    * and each decile reports the tokens it adds and the vocabulary it
+    * CONTRIBUTES FIRST — cumulative types vs cumulative tokens is the
+    * V(N) ≈ K·N^β curve that answers the scaling question "does more
+    * data still buy new vocabulary, or are we re-reading the same
+    * types?" (the saturation signal a corpus steward reads before
+    * paying for the next crawl). Every figure is an exact integer:
+    * a term's debut decile is min(doc_id) over its occurrences mapped
+    * through the same bucket arithmetic as the docs, so Σ new_terms
+    * telescopes to the exact distinct-type count.
+    *
+    * Scale shape: one (token → min(doc_id)) aggregation with map-side
+    * combine (vocabulary-sized output, sublinear by this very law),
+    * one per-doc token count rollup, and windows only over the 10-row
+    * decile relation. The bucket boundary is a broadcast 1-row max —
+    * no sort, no rank, no corpus-sized window anywhere.
+    */
+  def q229VocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir)
+    val mx = d.agg(max($"doc_id").as("mx"))
+    val bucketed = d.crossJoin(broadcast(mx))
+      .withColumn("bucket", expr("(doc_id * 10) div (mx + 1)"))
+    val docStats = bucketed.groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(size(toks).cast("long")).as("n_tokens"))
+    val debuts = bucketed
+      .select($"doc_id", $"mx", explode(toks).as("token"))
+      .groupBy($"token")
+      .agg(min($"doc_id").as("first_doc"), max($"mx").as("mx"))
+      .select(expr("(first_doc * 10) div (mx + 1)").as("bucket"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("new_terms"))
+    val w = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docStats.join(debuts, Seq("bucket"), "left")
+      .na.fill(0L, Seq("new_terms"))
+      .select($"bucket", $"n_docs", $"n_tokens", $"new_terms",
+        sum($"n_docs").over(w).as("cum_docs"),
+        sum($"n_tokens").over(w).as("cum_tokens"),
+        sum($"new_terms").over(w).as("cum_vocab"))
+      .orderBy($"bucket")
+  }
+
+  val q229Sql: String =
+    """WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+      |b AS (SELECT doc_id, text, (doc_id * 10) // (mx + 1) AS bucket
+      |      FROM documents, mx),
+      |ds AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+      |              CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT)
+      |                AS n_tokens
+      |       FROM b GROUP BY 1),
+      |tf AS (SELECT t.token, min(b.doc_id) AS first_doc
+      |       FROM b, unnest(string_split(trim(b.text), ' ')) AS t(token)
+      |       GROUP BY 1),
+      |nw AS (SELECT (first_doc * 10) // (mx + 1) AS bucket,
+      |              CAST(count(*) AS BIGINT) AS new_terms
+      |       FROM tf, mx GROUP BY 1)
+      |SELECT ds.bucket, n_docs, n_tokens, coalesce(new_terms, 0) AS new_terms,
+      |       CAST(sum(n_docs) OVER w AS BIGINT) AS cum_docs,
+      |       CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+      |       CAST(sum(coalesce(new_terms, 0)) OVER w AS BIGINT) AS cum_vocab
+      |FROM ds LEFT JOIN nw USING (bucket)
+      |WINDOW w AS (ORDER BY ds.bucket ROWS BETWEEN UNBOUNDED PRECEDING
+      |             AND CURRENT ROW)
+      |ORDER BY ds.bucket""".stripMargin
+
   /** q68 — vocabulary builder with cumulative coverage: token frequencies,
     * frequency rank, and the cumulative share of the corpus each rank
     * prefix covers, gated at min_count >= 5. This is the tokenizer-prep
@@ -1175,6 +1242,7 @@ object Corpus {
     "q192_shard_manifest" -> (q192ShardManifest _),
     "q189_boilerplate_strip" -> (q189BoilerplateStrip _),
     "q68_vocab_coverage" -> (q68VocabCoverage _),
+    "q229_vocab_growth" -> (q229VocabGrowth _),
     "q78_temperature_mix" -> (q78TemperatureMix _),
     "q80_shard_layout" -> (q80ShardLayout _),
     "q137_rendezvous_sharding" -> (q137RendezvousSharding _),
@@ -1194,6 +1262,7 @@ object Corpus {
     "q192_shard_manifest" -> q192Sql,
     "q189_boilerplate_strip" -> q189Sql,
     "q68_vocab_coverage" -> q68Sql,
+    "q229_vocab_growth" -> q229Sql,
     "q78_temperature_mix" -> q78Sql,
     "q69_bigram_lift" -> q69Sql,
     "q70_stratified_split" -> q70Sql,

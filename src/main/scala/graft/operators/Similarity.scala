@@ -41,6 +41,13 @@ object Similarity {
 
   private val topkPanelK = 32
 
+  // q48's IVF coarse-quantizer constants, shared by q230 and the q48
+  // pipeline. Declared at the TOP of the object: Scala vals initialize
+  // in declaration order, and a SQL string interpolating a val declared
+  // BELOW it silently reads 0 (this bit q230Sql once — LIMIT 0 pivots).
+  private val ivfPivots = 32
+  private val ivfProbe = 4
+
   /** Exact cosine top-5 over a bounded query panel ([[samplePanel]], 32
     * queries) against the FULL corpus — the shape exact search takes at
     * 100 TB (ANN recall ground truth, spot audits): the panel broadcasts
@@ -577,15 +584,21 @@ object Similarity {
     val pivots = emb.orderBy($"vec_id").limit(ivfRecallNlist)
       .select($"vec_id".as("p_id"), $"embedding".as("pe"))
     val w = Window.partitionBy($"vec_id").orderBy($"cs_p".desc, $"p_id")
-    val ranked = emb
+    // the n×nlist assignment kernel runs ONCE: the rk ≤ nprobe slice
+    // (8n narrow rows) feeds both the m=1 index (rk = 1 ⊂ rk ≤ 8) and
+    // the query probes, so the checkpoint stops Spark re-deriving the
+    // pivot cross join for each consumer
+    val near = emb
       .repartition(spark.sparkContext.defaultParallelism)
       .crossJoin(broadcast(pivots))
       .withColumn("cs_p", VectorFunctions.cosineSim($"embedding", $"pe"))
       .withColumn("rk", row_number().over(w))
-    val idx = ranked.filter($"rk" === 1).select($"vec_id".as("b_id"), $"p_id")
-    val panel = samplePanel(spark, dir, topkPanelK).select($"vec_id".as("a_id"))
-    val pq = ranked.join(broadcast(panel), ranked("vec_id") === panel("a_id"))
       .filter($"rk" <= ivfRecallNprobe)
+      .select($"vec_id", $"p_id", $"rk")
+      .localCheckpoint()
+    val idx = near.filter($"rk" === 1).select($"vec_id".as("b_id"), $"p_id")
+    val panel = samplePanel(spark, dir, topkPanelK).select($"vec_id".as("a_id"))
+    val pq = near.join(broadcast(panel), near("vec_id") === panel("a_id"))
       .select($"a_id", $"p_id")
     val cand = pq.join(idx, Seq("p_id"))
       .filter($"a_id" =!= $"b_id")
@@ -651,6 +664,90 @@ object Similarity {
       |       CAST(sum(q.vec_id) AS BIGINT) AS a_checksum
       |FROM q LEFT JOIN ov ON ov.a_id = q.vec_id
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q230 — hard-negative mining for contrastive training (the ANCE
+    * shape: negatives come FROM the ANN index, not from random
+    * sampling): per vector, the k=3 most-similar IVF candidates whose
+    * cosine sits strictly BELOW the 0.45 near-dup threshold — similar
+    * enough to be hard (a random negative teaches an embedding model
+    * nothing once topics separate; the fixture's similarity background
+    * modes at ~0.40, so this band is where the training signal lives)
+    * but never a secret positive (the false-negative poisoning that
+    * silently caps contrastive quality — the q48 near-dup band is
+    * excluded by construction). Candidates are exactly q48's coarse
+    * IVF generation (32 pivots, 4-probe multi-assignment) run in BOTH
+    * directions (per-anchor mining is asymmetric, so a<b halving does
+    * not apply; the distinct dedups the multi-pivot co-occurrences).
+    *
+    * Scale shape: inherits q48's bucketed candidate volume (~n²m²/C,
+    * C ~ √n at scale — never all-pairs); the per-anchor top-k is the
+    * O(k)-state [[graft.functions.TopKByScore]] aggregator (map-side
+    * partial top-k; the shuffle carries k rows per anchor per
+    * partition, never the band), with ranks from the aggregator's
+    * sorted buffer — no per-anchor window over candidates.
+    */
+  def q230HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint() // assignment and both verification sides
+    val pivots = emb.orderBy($"vec_id").limit(ivfPivots)
+      .select($"vec_id".as("p_id"), $"embedding".as("pe"))
+    val w = Window.partitionBy($"vec_id").orderBy($"cs_p".desc, $"p_id")
+    val assign = emb
+      .crossJoin(broadcast(pivots))
+      .withColumn("cs_p", VectorFunctions.cosineSim($"embedding", $"pe"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= ivfProbe)
+      .select($"vec_id", $"p_id")
+      .localCheckpoint() // both sides of the candidate self-join
+    val cand = assign.as("x").join(assign.as("y"),
+        $"x.p_id" === $"y.p_id" && $"x.vec_id" =!= $"y.vec_id")
+      .select($"x.vec_id".as("a_id"), $"y.vec_id".as("neg_id"))
+      .distinct()
+    val va = emb.select($"vec_id".as("a_id"), $"embedding".as("ea"))
+    val vb = emb.select($"vec_id".as("neg_id"), $"embedding".as("eb"))
+    val top3 = graft.functions.TopKByScore(3)
+    cand
+      .join(va, Seq("a_id"))
+      .join(vb, Seq("neg_id"))
+      .withColumn("cs", VectorFunctions.cosineSim($"ea", $"eb"))
+      .filter(!isnan($"cs") && $"cs" < 0.45)
+      .groupBy($"a_id".as("vec_id"))
+      .agg(top3($"cs", $"neg_id").as("top"))
+      .select($"vec_id", posexplode($"top").as(Seq("pos", "t")))
+      .select($"vec_id", ($"pos" + 1).cast("long").as("rk"),
+        $"t.b_id".as("neg_id"), $"t.cs".as("cs"))
+      .orderBy($"vec_id", $"rk")
+  }
+
+  val q230Sql: String =
+    s"""WITH piv AS (SELECT vec_id AS p_id, embedding AS pe
+       |            FROM embeddings ORDER BY vec_id LIMIT $ivfPivots),
+       |scored AS (SELECT e.vec_id, p.p_id,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], p.pe::DOUBLE[]) DESC, p.p_id) AS rk
+       |  FROM embeddings e CROSS JOIN piv p),
+       |assign AS (SELECT vec_id, p_id FROM scored WHERE rk <= $ivfProbe),
+       |cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS neg_id
+       |         FROM assign x JOIN assign y
+       |           ON x.p_id = y.p_id AND x.vec_id <> y.vec_id),
+       |band AS (SELECT c.a_id, c.neg_id,
+       |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cs
+       |  FROM cand c JOIN embeddings a ON c.a_id = a.vec_id
+       |              JOIN embeddings b ON c.neg_id = b.vec_id
+       |  WHERE NOT isnan(list_cosine_similarity(a.embedding::DOUBLE[],
+       |                                         b.embedding::DOUBLE[]))
+       |    AND list_cosine_similarity(a.embedding::DOUBLE[],
+       |                               b.embedding::DOUBLE[]) < 0.45),
+       |rk AS (SELECT a_id AS vec_id, neg_id, cs,
+       |         ROW_NUMBER() OVER (PARTITION BY a_id
+       |           ORDER BY cs DESC, neg_id) AS rk
+       |       FROM band)
+       |SELECT vec_id, CAST(rk AS BIGINT) AS rk, neg_id, cs
+       |FROM rk WHERE rk <= 3
+       |ORDER BY vec_id, rk""".stripMargin
 
   /** q227 — ANN method scorecard: the q224 dedup-scorecard discipline
     * applied to the similarity index — every declared ANN family's
@@ -846,9 +943,6 @@ object Similarity {
       .select($"a_id", $"b_id", $"cs")
       .orderBy($"a_id", $"b_id")
   }
-
-  private val ivfPivots = 32
-  private val ivfProbe = 4
 
   /** Two-stage embedding near-dup — the full-corpus scale path the q46
     * audit calibrates: IVF-style coarse quantization as the candidate
@@ -1280,6 +1374,7 @@ object Similarity {
     "q225_lsh_tuned_recall" -> (q225LshTunedRecall _),
     "q226_ivf_recall" -> (q226IvfRecall _),
     "q227_ann_scorecard" -> (q227AnnScorecard _),
+    "q230_hard_negatives" -> (q230HardNegatives _),
     "q35_ann_lsh" -> (q35AnnLsh _),
     "q193_mutual_nn" -> (q193MutualNn _),
     "q36_label_centroids" -> (q36LabelCentroids _),
@@ -1300,6 +1395,7 @@ object Similarity {
     "q225_lsh_tuned_recall" -> q225Sql,
     "q226_ivf_recall" -> q226Sql,
     "q227_ann_scorecard" -> q227Sql,
+    "q230_hard_negatives" -> q230Sql,
     "q35_ann_lsh" -> q35Sql,
     "q193_mutual_nn" -> q193Sql,
     "q36_label_centroids" -> q36Sql,

@@ -197,6 +197,105 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** q228 — classifier-agreement scorecard (Cohen's κ): the q28
+    * lang-id heuristic graded against the corpus's labeled `lang`
+    * column — the inter-rater / model-vs-gold agreement statistic every
+    * labeling pipeline reports before trusting an automatic annotator
+    * at scale. One row per class (support, predicted count, correct
+    * count, precision/recall/F1 in exact basis points) plus an
+    * `__all__` row carrying observed agreement and κ itself. κ is the
+    * chance-corrected agreement (po − pe)/(1 − pe) computed as
+    * (n·Σdiag − S) / (n² − S) with S = Σ_c row_c·col_c — both operands
+    * assembled exactly in BIGINT and divided ONCE as doubles (κ can be
+    * negative, and Spark's `div` truncates toward zero where DuckDB's
+    * `//` floors, so a negative integer division would diverge between
+    * engines; one IEEE division of bit-identical operands cannot).
+    * Basis-point divisions stay integral — their numerators are
+    * provably non-negative, where floor == truncate in both engines.
+    *
+    * Scale shape: rides q28's one-pass scoring (no new corpus scan
+    * beyond it), then everything is |langs|² — the confusion matrix is
+    * constant-sized at any corpus scale, the class rollups are
+    * aggregations of that tiny relation, and the κ terms are one
+    * broadcast 1-row cross join.
+    */
+  def q228KappaAgreement(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val conf = q28LangId(spark, dir)
+      .groupBy($"labeled_lang", $"predicted_lang")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // |langs|² rows; branch point for rows/cols/diag
+    val rows = conf.groupBy($"labeled_lang".as("clazz"))
+      .agg(sum($"c").as("n_labeled"))
+    val cols = conf.groupBy($"predicted_lang".as("clazz"))
+      .agg(sum($"c").as("n_predicted"))
+    val diag = conf.filter($"labeled_lang" === $"predicted_lang")
+      .select($"labeled_lang".as("clazz"), $"c".as("n_correct"))
+    val per = rows.join(cols, Seq("clazz"), "full_outer")
+      .join(diag, Seq("clazz"), "left")
+      .na.fill(0L, Seq("n_labeled", "n_predicted", "n_correct"))
+      .localCheckpoint() // feeds both the class rows and the κ terms
+    val classRows = per.select($"clazz", $"n_labeled", $"n_predicted", $"n_correct",
+      when($"n_predicted" > 0L, expr("(n_correct * 10000) div n_predicted"))
+        .as("precision_bp"),
+      when($"n_labeled" > 0L, expr("(n_correct * 10000) div n_labeled"))
+        .as("recall_bp"),
+      when($"n_labeled" + $"n_predicted" > 0L,
+        expr("(2 * n_correct * 10000) div (n_labeled + n_predicted)"))
+        .as("f1_bp"),
+      lit(null).cast("double").as("kappa"))
+    val allRow = per.agg(
+        sum($"n_labeled").as("n"),
+        sum($"n_correct").as("d"),
+        sum($"n_labeled" * $"n_predicted").as("s"))
+      .select(lit("__all__").as("clazz"),
+        $"n".as("n_labeled"), $"n".as("n_predicted"), $"d".as("n_correct"),
+        expr("(d * 10000) div n").as("precision_bp"),
+        expr("(d * 10000) div n").as("recall_bp"),
+        expr("(d * 10000) div n").as("f1_bp"),
+        (($"n" * $"d" - $"s").cast("double") /
+          ($"n" * $"n" - $"s").cast("double")).as("kappa"))
+    classRows.unionByName(allRow).orderBy($"clazz")
+  }
+
+  val q228Sql: String =
+    s"""WITH conf AS (
+       |  SELECT labeled_lang, predicted_lang, CAST(count(*) AS BIGINT) AS c
+       |  FROM ($q28Sql) z GROUP BY 1, 2),
+       |r AS (SELECT labeled_lang AS clazz, CAST(sum(c) AS BIGINT) AS n_labeled
+       |      FROM conf GROUP BY 1),
+       |co AS (SELECT predicted_lang AS clazz, CAST(sum(c) AS BIGINT) AS n_predicted
+       |       FROM conf GROUP BY 1),
+       |dg AS (SELECT labeled_lang AS clazz, c AS n_correct FROM conf
+       |       WHERE labeled_lang = predicted_lang),
+       |per AS (
+       |  SELECT coalesce(r.clazz, co.clazz) AS clazz,
+       |         coalesce(n_labeled, 0) AS n_labeled,
+       |         coalesce(n_predicted, 0) AS n_predicted,
+       |         coalesce(n_correct, 0) AS n_correct
+       |  FROM r FULL OUTER JOIN co ON r.clazz = co.clazz
+       |  LEFT JOIN dg ON dg.clazz = coalesce(r.clazz, co.clazz)),
+       |tot AS (SELECT CAST(sum(n_labeled) AS BIGINT) AS n,
+       |               CAST(sum(n_correct) AS BIGINT) AS d,
+       |               CAST(sum(n_labeled * n_predicted) AS BIGINT) AS s
+       |        FROM per)
+       |SELECT clazz, n_labeled, n_predicted, n_correct,
+       |       CASE WHEN n_predicted > 0
+       |            THEN (n_correct * 10000) // n_predicted END AS precision_bp,
+       |       CASE WHEN n_labeled > 0
+       |            THEN (n_correct * 10000) // n_labeled END AS recall_bp,
+       |       CASE WHEN n_labeled + n_predicted > 0
+       |            THEN (2 * n_correct * 10000) // (n_labeled + n_predicted)
+       |            END AS f1_bp,
+       |       CAST(NULL AS DOUBLE) AS kappa
+       |FROM per
+       |UNION ALL
+       |SELECT '__all__', n, n, d,
+       |       (d * 10000) // n, (d * 10000) // n, (d * 10000) // n,
+       |       CAST(n * d - s AS DOUBLE) / CAST(n * n - s AS DOUBLE)
+       |FROM tot
+       |ORDER BY clazz""".stripMargin
+
   /** Document fingerprinting: byte-exact fingerprint (md5 of
     * whitespace-normalized text) + order-invariant content fingerprint
     * (md5 of the sorted distinct vocabulary) with cluster sizes — the
@@ -1821,6 +1920,7 @@ object TextAnalysis {
     "q26_token_stats" -> (q26TokenStats _),
     "q27_quality_score" -> (q27QualityScore _),
     "q28_lang_id" -> (q28LangId _),
+    "q228_kappa_agreement" -> (q228KappaAgreement _),
     "q29_fingerprint" -> (q29Fingerprint _),
     "q53_training_mix" -> (q53TrainingMix _),
     "q55_sequence_packing" -> (q55SequencePacking _),
@@ -1849,6 +1949,7 @@ object TextAnalysis {
     "q26_token_stats" -> q26Sql,
     "q27_quality_score" -> q27Sql,
     "q28_lang_id" -> q28Sql,
+    "q228_kappa_agreement" -> q228Sql,
     "q29_fingerprint" -> q29Sql,
     "q53_training_mix" -> q53Sql,
     "q55_sequence_packing" -> q55Sql,

@@ -81,7 +81,11 @@ object ScaleEvidence {
       case "gaps" => gapScale(spark,
         if (args.length > 1) args.drop(1).map(_.toInt).toSeq
         else Seq(1000000, 2000000, 4000000, 8000000, 16000000))
-      case other => sys.error(s"unknown mode $other (ssjoin|skew|stream|probe|memoscale|qnorm|triangles|intervals|graphiter|gaps)")
+      case "ann" => annScale(spark,
+        if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+        else Seq(2000, 8000, 32000, 128000),
+        resetShuffle _, () => shuffleMB)
+      case other => sys.error(s"unknown mode $other (ssjoin|skew|stream|probe|memoscale|qnorm|triangles|intervals|graphiter|gaps|ann)")
     }
     spark.stop()
   }
@@ -652,5 +656,109 @@ object ScaleEvidence {
     println(s"iceberg runtime (org.apache.iceberg.spark.SparkCatalog): ${has("org.apache.iceberg.spark.SparkCatalog")}")
     println(s"icebergAvailable probe gate                            : ${graft.sources.Sinks.icebergAvailable}")
     println(s"hadoop-aws S3A (org.apache.hadoop.fs.s3a.S3AFileSystem): ${has("org.apache.hadoop.fs.s3a.S3AFileSystem")}")
+  }
+
+  /** `ann [n…]` — measured scaling evidence for the tuned ANN index
+    * configurations (q225 multi-table LSH, q226 IVF): synthetic unit-ish
+    * embedding corpora at growing n, recording per rung
+    *
+    *  - the mean candidate FRACTION per panel query — the q225 claim is
+    *    that ~probes·n/2^bits stays a constant fraction of the corpus at
+    *    any n (and the fixed-nlist IVF likewise ~nprobe/nlist), while an
+    *    nlist ≈ √n IVF's fraction SHRINKS as the corpus grows — the knob
+    *    a 100 TB deployment actually turns;
+    *  - recall@5 of 160 against the exact panel ground truth — showing
+    *    how a FROZEN configuration decays as n grows (the honest reason
+    *    index parameters must scale with the corpus, not folklore);
+    *  - wall seconds and shuffle MB per rung.
+    *
+    * Vectors are deterministic xxhash64 uniforms (Spark-only naming —
+    * no oracle needed for evidence runs); planes/pivots mirror the
+    * production constructions (4×8 sign planes, Hamming-1 probes;
+    * single-assignment lists, 8 probes).
+    */
+  private def annScale(spark: org.apache.spark.sql.SparkSession, sizes: Seq[Int],
+      resetShuffle: () => Unit, shuffleMB: () => (Double, Double)): Unit = {
+    import spark.implicits._
+    val top5 = graft.functions.TopKByScore(5)
+    def run(n: Int): String = {
+      val t0 = System.nanoTime()
+      resetShuffle()
+      val emb = spark.range(n).select($"id".as("vec_id"),
+        expr("""transform(sequence(0, 63),
+               |  d -> CAST((pmod(xxhash64(id, d), 2001) - 1000) / 1000.0 AS FLOAT))"""
+          .stripMargin).as("embedding"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
+      val panel = emb.select($"vec_id", xxhash64($"vec_id").as("o"))
+        .orderBy($"o", $"vec_id").limit(32).select($"vec_id".as("a_id"))
+        .localCheckpoint()
+      val pe = emb.join(broadcast(panel), emb("vec_id") === panel("a_id"))
+        .select($"a_id", $"embedding".as("ea")).localCheckpoint()
+      // exact ground truth: panel × corpus, bounded top-5 state
+      val exact = emb.crossJoin(broadcast(pe))
+        .filter($"vec_id" =!= $"a_id")
+        .withColumn("cs", graft.functions.VectorFunctions.cosineSim($"ea", $"embedding"))
+        .filter(!isnan($"cs"))
+        .groupBy($"a_id").agg(top5($"cs", $"vec_id").as("top"))
+        .select($"a_id", explode($"top.b_id").as("b_id"))
+        .localCheckpoint()
+      def recallAndFrac(cand: DataFrame): (Long, Double) = {
+        val c = cand.localCheckpoint()
+        val frac = c.count().toDouble / 32.0 / n
+        val hits = exact.join(c, Seq("a_id", "b_id")).count()
+        (hits, frac)
+      }
+      // --- tuned multi-table LSH (4 tables × 8 planes, Hamming-1 probes)
+      val planes = spark.range(32).select($"id".cast("int").as("p"))
+        .crossJoin(spark.range(64).select($"id".cast("int").as("d")))
+        .withColumn("w", (pmod(xxhash64($"p", $"d"), lit(2001L)) - 1000L))
+      val vx = emb.select($"vec_id", posexplode($"embedding").as(Seq("d", "v")))
+      val buckets = vx.join(broadcast(planes), Seq("d"))
+        .withColumn("prod", round($"v".cast("double") * $"w" * 1e6).cast("long"))
+        .groupBy($"vec_id", $"p").agg(sum($"prod").as("s"))
+        .withColumn("tbl", expr("p DIV 8"))
+        .withColumn("bit",
+          when($"s" > 0, expr("shiftleft(CAST(1 AS BIGINT), p % 8)")).otherwise(0L))
+        .groupBy($"vec_id", $"tbl").agg(sum($"bit").as("bucket"))
+        .localCheckpoint()
+      val probeList = "bucket" +: (0 until 8).map(h => s"bucket ^ ${1L << h}L")
+      val probes = buckets.join(broadcast(panel), buckets("vec_id") === panel("a_id"))
+        .select($"a_id", $"tbl",
+          explode(expr(probeList.mkString("array(", ", ", ")"))).as("bucket"))
+      val lshCand = probes
+        .join(buckets.select($"vec_id".as("b_id"), $"tbl", $"bucket"), Seq("tbl", "bucket"))
+        .filter($"a_id" =!= $"b_id").select($"a_id", $"b_id").distinct()
+      val (lshHits, lshFrac) = recallAndFrac(lshCand)
+      // --- IVF, fixed nlist=64 and grown nlist≈√n, m=1 lists, 8 probes
+      def ivf(nlist: Int): (Long, Double) = {
+        val pivots = emb.filter($"vec_id" < nlist)
+          .select($"vec_id".as("p_id"), $"embedding".as("pv"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"vec_id").orderBy($"cs_p".desc, $"p_id")
+        val near = emb.crossJoin(broadcast(pivots))
+          .withColumn("cs_p", graft.functions.VectorFunctions.cosineSim($"embedding", $"pv"))
+          .withColumn("rk", row_number().over(w))
+          .filter($"rk" <= 8).select($"vec_id", $"p_id", $"rk")
+          .localCheckpoint()
+        val idx = near.filter($"rk" === 1).select($"vec_id".as("b_id"), $"p_id")
+        val pq = near.join(broadcast(panel), near("vec_id") === panel("a_id"))
+          .select($"a_id", $"p_id")
+        recallAndFrac(pq.join(idx, Seq("p_id")).filter($"a_id" =!= $"b_id")
+          .select($"a_id", $"b_id"))
+      }
+      val (i64Hits, i64Frac) = ivf(64)
+      val sq = math.max(64, math.ceil(math.sqrt(n.toDouble)).toInt)
+      val (isqHits, isqFrac) = ivf(sq)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val (sw, _) = shuffleMB()
+      org.apache.spark.sql.graft.CheckpointUtils.sweepUnpinned(spark.sparkContext)
+      f"ann n=$n%7d  lsh(4x8,r1): cand=${lshFrac * 100}%5.1f%% hits=$lshHits%3d/160" +
+        f"  ivf(64,p8): cand=${i64Frac * 100}%5.1f%% hits=$i64Hits%3d/160" +
+        f"  ivf($sq%4d,p8): cand=${isqFrac * 100}%5.1f%% hits=$isqHits%3d/160" +
+        f"  wall=$wall%7.1fs shufW=$sw%8.1fMB"
+    }
+    println(run(sizes.head) + "  (JIT warmup, discard)")
+    sizes.foreach(n => println(run(n)))
   }
 }

@@ -599,4 +599,36 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "candidates must form only within probe buckets:\n" +
         p.linesIterator.filter(_.contains("Join")).mkString("\n"))
   }
+
+  test("q225: tuned-index candidates join on the (tbl, bucket) equi key") {
+    val p = plan("q225_lsh_tuned_recall")
+    assert(!p.contains("CartesianProduct"), "no cartesian candidate join")
+    assert(p.contains("tbl#") && p.contains("bucket#"),
+      "candidates must form only within per-table probe buckets")
+  }
+
+  test("q226/q230: nested loops only where bounded by design; candidates " +
+      "ride the pivot-list equi key") {
+    // permitted nested loops: the pivot assignment (nlist rows,
+    // broadcast — here hidden behind the assignment checkpoint) and, in
+    // q226 only, the exact ground-truth arm (32-row panel broadcast).
+    // Candidate formation itself must be a hash/sort join on the list id.
+    Seq("q226_ivf_recall" -> 2, "q230_hard_negatives" -> 1).foreach {
+      case (q, maxNested) =>
+        val p = plan(q)
+        assert(!p.contains("CartesianProduct"),
+          s"$q: every broadcast side must be panel- or pivot-bounded")
+        val nested = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+        assert(nested <= maxNested,
+          s"$q: $nested nested loops (max $maxNested):\n" +
+            p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+        assert(p.contains("p_id#"), s"$q: candidates must join on the pivot key")
+    }
+  }
+
+  test("q222: churn enumerates edges once — a single self-join, no full-outer") {
+    val p = plan("q222_graph_churn")
+    assert(!p.contains("FullOuter"), "single-pass census needs no full-outer join")
+    assert(!p.contains("CartesianProduct"))
+  }
 }

@@ -451,4 +451,40 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
     assert(totalMin * 2 <= totalWin,
       s"winnowing should at least halve the position count: $totalMin/$totalWin")
   }
+
+  test("q229: the growth curve replays from a driver-side debut census and telescopes") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val mx = docs.map(_._1).max
+    def bucketOf(id: Long): Long = id * 10 / (mx + 1)
+    def toksOf(t: String): Array[String] = t.trim.split(" ", -1)
+    val perBucket = docs.groupBy(d => bucketOf(d._1)).view.mapValues { ds =>
+      (ds.length.toLong, ds.map(d => toksOf(d._2).length.toLong).sum)
+    }.toMap
+    val debut = docs.flatMap { case (id, t) => toksOf(t).map(_ -> id) }
+      .groupBy(_._1).view.mapValues(v => bucketOf(v.map(_._2).min)).toMap
+    val newTerms = debut.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Corpus.q229VocabGrowth(spark, sfDir).collect().map { r =>
+      r.getAs[Long]("bucket") -> ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("new_terms"), r.getAs[Long]("cum_docs"),
+        r.getAs[Long]("cum_tokens"), r.getAs[Long]("cum_vocab")))
+    }.toMap
+    assert(got.keySet == perBucket.keySet)
+    var (cd, ct, cv) = (0L, 0L, 0L)
+    perBucket.keys.toSeq.sorted.foreach { b =>
+      val (nd, nt) = perBucket(b)
+      val nw = newTerms.getOrElse(b, 0L)
+      cd += nd; ct += nt; cv += nw
+      assert(got(b) == ((nd, nt, nw, cd, ct, cv)), s"bucket $b: ${got(b)}")
+    }
+    // telescoping: the final cumulative vocabulary IS the distinct type
+    // count, and every token ever seen is accounted in cum_tokens
+    assert(cv == debut.size.toLong)
+    assert(ct == docs.map(d => toksOf(d._2).length.toLong).sum)
+    // the curve must flatten (Heaps): the last decile adds fewer new
+    // types than the first on any corpus with repeated vocabulary
+    val first = newTerms(perBucket.keys.min)
+    val last = newTerms.getOrElse(perBucket.keys.max, 0L)
+    assert(last < first, s"no vocabulary saturation: first=$first last=$last")
+  }
 }

@@ -343,4 +343,156 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(perQuery.map(_._3).sum > perQuery.map(_._2).sum,
       "multi-probe should strictly improve total recall here")
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def cosD(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def top5Of(aId: Long, av: Array[Float],
+      cands: Seq[(Long, Array[Float])]): Set[Long] =
+    cands.filter(_._1 != aId)
+      .map { case (bId, bv) => (bId, cosD(av, bv)) }
+      .filterNot(_._2.isNaN)
+      .sortBy { case (bId, cs) => (-cs, bId) }.take(5).map(_._1).toSet
+
+  test("q225: table 0 of the multi-table index IS the single-table index, " +
+      "and tuned recall dominates q221 per query") {
+    val single = Similarity.lshVectors(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("bucket")).toMap
+    val multi = Similarity.lshMultiBuckets(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("tbl"), r.getAs[Long]("bucket")))
+    // seeding pin: plane p = tbl*8 + h means table 0 replays lshVectors
+    multi.filter(_._2 == 0L).foreach { case (v, _, b) =>
+      assert(single(v) == b, s"vec $v: table-0 bucket $b != single-table ${single(v)}")
+    }
+    assert(multi.map(_._2).distinct.sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+    // per-query dominance: q225's candidate set per query is a SUPERSET
+    // of q221's (same Hamming-1 probes on table 0, plus 3 more tables),
+    // and superset candidates cannot evict a true top-5 neighbor
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Seq[Float]]("embedding").toArray)
+      .toMap
+    val panel = emb.keys.toSeq.sortBy(id => (md5hex(id.toString), id)).take(32)
+    val all = emb.toSeq
+    val byTblBucket = multi.groupBy(t => (t._2, t._3))
+      .view.mapValues(_.map(t => (t._1, emb(t._1))).toSeq).toMap
+    val singleByBucket = single.toSeq.groupBy(_._2)
+      .view.mapValues(_.map(t => (t._1, emb(t._1)))).toMap
+    val perQuery = panel.map { aId =>
+      val av = emb(aId)
+      val exact = top5Of(aId, av, all)
+      val sb = single(aId)
+      val probes1 = sb +: (0 until 8).map(h => sb ^ (1L << h))
+      val c221 = probes1.flatMap(b => singleByBucket.getOrElse(b, Seq.empty))
+      val c225 = multi.filter(_._1 == aId).flatMap { case (_, tbl, b) =>
+        (b +: (0 until 8).map(h => b ^ (1L << h)))
+          .flatMap(pb => byTblBucket.getOrElse((tbl, pb), Seq.empty))
+      }.distinctBy(_._1)
+      val h221 = (exact intersect top5Of(aId, av, c221)).size.toLong
+      val h225 = (exact intersect top5Of(aId, av, c225)).size.toLong
+      (aId, h221, h225)
+    }
+    val got = Similarity.q225LshTunedRecall(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("hits") ->
+        ((r.getAs[Long]("n_queries"), r.getAs[Long]("a_checksum")))).toMap
+    val expected = perQuery.groupBy(_._3).map { case (h, qs) =>
+      h -> ((qs.size.toLong, qs.map(_._1).sum))
+    }
+    assert(got == expected, s"got $got expected $expected")
+    perQuery.foreach { case (a, s, m) =>
+      assert(m >= s, s"query $a lost recall going multi-table: $s -> $m") }
+    assert(perQuery.map(_._3).sum > perQuery.map(_._2).sum,
+      "the tuned index should strictly improve total recall here")
+  }
+
+  test("q226: IVF recall histogram replays driver-side (m=1 lists, 8-probe queries)") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Seq[Float]]("embedding").toArray)
+      .toMap
+    val pivots = emb.keys.toSeq.sorted.take(64).map(id => id -> emb(id))
+    def ranked(v: Array[Float]): Seq[Long] =
+      pivots.map { case (pid, pv) => (pid, cosD(v, pv)) }
+        .sortBy { case (pid, cs) => (-cs, pid) }.map(_._1)
+    val idx = emb.toSeq.map { case (id, v) => id -> ranked(v).head }
+    val byList = idx.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val panel = emb.keys.toSeq.sortBy(id => (md5hex(id.toString), id)).take(32)
+    val all = emb.toSeq
+    val perQuery = panel.map { aId =>
+      val av = emb(aId)
+      val exact = top5Of(aId, av, all)
+      val cands = ranked(av).take(8)
+        .flatMap(p => byList.getOrElse(p, Seq.empty))
+        .map(id => (id, emb(id)))
+      aId -> (exact intersect top5Of(aId, av, cands)).size.toLong
+    }
+    val got = Similarity.q226IvfRecall(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("hits") ->
+        ((r.getAs[Long]("n_queries"), r.getAs[Long]("a_checksum")))).toMap
+    val expected = perQuery.groupBy(_._2).map { case (h, qs) =>
+      h -> ((qs.size.toLong, qs.map(_._1).sum))
+    }
+    assert(got == expected, s"got $got expected $expected")
+    assert(got.values.map(_._1).sum == 32L, "histogram must cover the full panel")
+  }
+
+  test("q227: scorecard equals the rollup of the four recall histograms") {
+    def hist(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("hits"), r.getAs[Long]("n_queries"))).toSeq
+    val parts = Map(
+      "lsh_single" -> hist(Similarity.q217AnnRecall(spark, sfDir)),
+      "lsh_multiprobe" -> hist(Similarity.q221MultiProbeRecall(spark, sfDir)),
+      "lsh_tuned" -> hist(Similarity.q225LshTunedRecall(spark, sfDir)),
+      "ivf" -> hist(Similarity.q226IvfRecall(spark, sfDir)))
+    val got = Similarity.q227AnnScorecard(spark, sfDir).collect().map { r =>
+      r.getAs[String]("method") -> ((r.getAs[Long]("hits_total"),
+        r.getAs[Long]("queries_with_hit"), r.getAs[Long]("n_queries"),
+        r.getAs[Long]("recall_bp")))
+    }.toMap
+    assert(got.keySet == parts.keySet)
+    parts.foreach { case (m, h) =>
+      val hitsTotal = h.map { case (k, n) => k * n }.sum
+      val qHit = h.collect { case (k, n) if k > 0 => n }.sum
+      val n = h.map(_._2).sum
+      assert(got(m) == ((hitsTotal, qHit, n, hitsTotal * 10000 / (n * 5))),
+        s"method $m: ${got(m)} vs ($hitsTotal, $qHit, $n)")
+      assert(n == 32L, s"method $m histogram must cover the panel")
+    }
+  }
+
+  test("q230: hard negatives sit strictly below the near-dup band, ranks replay") {
+    val rows = Similarity.q230HardNegatives(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rk"),
+        r.getAs[Long]("neg_id"), r.getAs[Double]("cs")))
+    assert(rows.nonEmpty, "the sub-threshold band must be populated here")
+    rows.foreach { case (v, _, n, cs) =>
+      assert(cs < 0.45, s"($v,$n) cs=$cs is a near-dup, not a negative")
+      assert(v != n, "anchor can never be its own negative")
+    }
+    // ranks are dense 1..k per anchor and ordered by (cs desc, neg_id)
+    rows.groupBy(_._1).foreach { case (v, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to rs.length.toLong), s"anchor $v ranks")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 > b._4 || (a._4 == b._4 && a._3 < b._3),
+            s"anchor $v rank order broken: $a then $b")
+        case _ =>
+      }
+    }
+    // no emitted negative may be a verified near-dup pair (q48's output)
+    val dups = Similarity.q48IvfNeardup(spark, sfDir).collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      .toSet
+    rows.foreach { case (v, _, n, _) =>
+      assert(!dups.contains((v, n)), s"($v,$n) is a verified near-dup") }
+  }
 }

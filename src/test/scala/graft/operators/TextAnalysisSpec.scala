@@ -152,6 +152,41 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
       s"expected all branches live, got $preds")
   }
 
+  test("q228: per-class stats and kappa replay from a brute confusion recount") {
+    val preds = TextAnalysis.q28LangId(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("labeled_lang"), r.getAs[String]("predicted_lang")))
+    val n = preds.length.toLong
+    val rowsOf = preds.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val colsOf = preds.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val diagOf = preds.filter(p => p._1 == p._2)
+      .groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val classes = (rowsOf.keySet ++ colsOf.keySet).toSeq.sorted
+    val got = TextAnalysis.q228KappaAgreement(spark, sfDir).collect().map { r =>
+      r.getAs[String]("clazz") -> ((r.getAs[Long]("n_labeled"),
+        r.getAs[Long]("n_predicted"), r.getAs[Long]("n_correct")))
+    }.toMap
+    assert(got.keySet == classes.toSet + "__all__")
+    classes.foreach { c =>
+      assert(got(c) == ((rowsOf.getOrElse(c, 0L), colsOf.getOrElse(c, 0L),
+        diagOf.getOrElse(c, 0L))), s"class $c")
+    }
+    val d = diagOf.values.sum
+    val s = classes.map(c => rowsOf.getOrElse(c, 0L) * colsOf.getOrElse(c, 0L)).sum
+    assert(got("__all__") == ((n, n, d)))
+    val kappa = TextAnalysis.q228KappaAgreement(spark, sfDir)
+      .filter("clazz = '__all__'").collect()(0).getAs[Double]("kappa")
+    assert(kappa == (n * d - s).toDouble / (n * n - s).toDouble)
+    assert(kappa >= -1.0 && kappa <= 1.0)
+    // this fixture's lang labels are synthetic and do NOT encode the
+    // marker words, so κ honestly reads ~0 (chance agreement) while raw
+    // observed agreement is nonzero — exactly the gap the
+    // chance-correction exists to expose. Pin that the statistic is
+    // doing that job: po > 0 with κ near zero.
+    assert(d > 0L, "observed agreement must be nonzero")
+    assert(math.abs(kappa) < 0.2,
+      s"synthetic labels should sit near chance, got $kappa")
+  }
+
   test("sequence packing lays docs contiguously within per-source budgets") {
     val rows = TextAnalysis.q55SequencePacking(spark, sfDir).collect()
     assert(rows.nonEmpty)
