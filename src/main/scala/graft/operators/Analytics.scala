@@ -935,8 +935,12 @@ object Analytics {
                           THEN -((-(y2 - y) * 1000000) div greatest(wk2 - wk, 1))
                           ELSE ((y2 - y) * 1000000) div greatest(wk2 - wk, 1)
                      END AS BIGINT)""").as("v"))
+    // (segment, v) counts are the ONLY consumer of the pair relation:
+    // checkpoint so the pair totals below read this (value-domain-sized)
+    // table instead of re-running the pair join a second time
     val cnts = slopes.groupBy($"segment", $"v").agg(count(lit(1)).as("c"))
       .withColumn("bkt", expr("v >> 30"))
+      .localCheckpoint()
     val offs = cnts.groupBy($"segment", $"bkt").agg(sum($"c").as("bc"))
       .withColumn("off", coalesce(sum($"bc").over(
         org.apache.spark.sql.expressions.Window.partitionBy($"segment")
@@ -951,7 +955,7 @@ object Analytics {
         org.apache.spark.sql.expressions.Window.currentRow)
     cnts.join(broadcast(offs), Seq("segment", "bkt"))
       .withColumn("cum", sum($"c").over(wIn) + $"off")
-      .join(broadcast(slopes.groupBy($"segment").agg(count(lit(1)).as("n"))),
+      .join(broadcast(cnts.groupBy($"segment").agg(sum($"c").as("n"))),
         "segment")
       .groupBy($"segment", $"n")
       .agg(min(when($"cum" * 2 >= $"n", $"v")).as("theilsen_slope_micro"))

@@ -91,6 +91,7 @@ object Resolution {
         row_number().over(Window.partitionBy($"bkt").orderBy($"k", $"doc_id"))
           .cast("long") + $"off")
       .select($"doc_id", $"sig", $"rn")
+      .localCheckpoint() // probe side and join side both read the ranks
     val probes = ranked
       .withColumn("g", explode(array((1 until w).map(lit): _*)))
       .select($"doc_id".as("id_a"), $"sig".as("sig_a"),

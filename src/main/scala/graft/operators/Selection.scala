@@ -824,8 +824,12 @@ object Selection {
     val vals = Tables.lineitem(spark, dir)
       .select($"l_returnflag".as("flag"),
         round($"l_extendedprice" * 100).cast("long").as("v"))
+    // the distinct-value counts feed three branches (bucket offsets, the
+    // cum scan, the per-flag totals) — checkpoint so the fact is scanned
+    // once for them, not once per branch
     val cnts = vals.groupBy($"flag", $"v").agg(count(lit(1)).as("c"))
       .withColumn("bkt", expr("v div 1000000"))
+      .localCheckpoint()
     val offs = cnts.groupBy($"flag", $"bkt").agg(sum($"c").as("bc"))
       .withColumn("off", coalesce(sum($"bc").over(
         Window.partitionBy($"flag").orderBy($"bkt")
@@ -838,7 +842,7 @@ object Selection {
     // two-filter form re-executing the whole cum pipeline per quartile
     val fences = cnts.join(broadcast(offs), Seq("flag", "bkt"))
       .withColumn("cum", sum($"c").over(wIn) + $"off")
-      .join(broadcast(vals.groupBy($"flag").agg(count(lit(1)).as("n"))), "flag")
+      .join(broadcast(cnts.groupBy($"flag").agg(sum($"c").as("n"))), "flag")
       .groupBy($"flag").agg(
         min(when($"cum" * 4 >= $"n", $"v")).as("q1_cents"),
         min(when($"cum" * 4 >= $"n" * 3, $"v")).as("q3_cents"))

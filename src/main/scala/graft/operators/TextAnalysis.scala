@@ -296,6 +296,75 @@ object TextAnalysis {
        |FROM tot
        |ORDER BY clazz""".stripMargin
 
+  /** q231 — preference-pair construction (the DPO/RLHF data-prep op):
+    * per (source, length-bucket) stratum, pair the highest-quality
+    * document (chosen) with the lowest (rejected), keeping only strata
+    * with ≥2 docs and a strictly positive quality gap (a zero-gap pair
+    * teaches a reward model nothing). Matching chosen and rejected
+    * INSIDE a length stratum is deliberate methodology, not
+    * convenience: document length confounds naive quality pairing (long
+    * docs score differently), and a matched pair isolates the quality
+    * signal the preference model is supposed to learn.
+    *
+    * Scale shape: ONE hash aggregation with map-side combine — chosen
+    * and rejected are order-invariant max/min over (quality, id)
+    * structs, so no per-stratum window, no rank shuffle, output
+    * |sources × buckets| rows at any corpus size. Ties resolve by
+    * doc_id (smallest wins on both ends) so the pairing is total-order
+    * deterministic; the oracle derives the same pairs through rank
+    * windows — two mechanisms, one gate. The quality score and gap are
+    * IEEE arithmetic on exact ratios, bit-equal across engines (q27
+    * precedent).
+    */
+  def q231PreferencePairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = docs(spark, dir)
+      .withColumn("toksc", toks)
+      .withColumn("n_tokens", size($"toksc").cast("long"))
+      .withColumn("quality", qualityScoreCol($"text", $"toksc"))
+      .withColumn("len_bucket", expr("n_tokens div 16"))
+      .select($"source", $"len_bucket", $"doc_id", $"quality")
+    scored.groupBy($"source", $"len_bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        max(struct($"quality", (-$"doc_id").as("nid"))).as("c"),
+        min(struct($"quality", $"doc_id".as("id"))).as("r"))
+      .filter($"n_docs" >= 2L)
+      .select($"source", $"len_bucket", $"n_docs",
+        (-$"c.nid").as("chosen_id"), $"r.id".as("rejected_id"),
+        $"c.quality".as("chosen_q"), $"r.quality".as("rejected_q"),
+        ($"c.quality" - $"r.quality").as("quality_gap"))
+      .filter($"quality_gap" > 0.0)
+      .orderBy($"source", $"len_bucket")
+  }
+
+  val q231Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source, text, string_split(trim(text), ' ') AS toks
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(toks) AS BIGINT) // 16 AS len_bucket,
+       |    ${qualitySqlExpr("text", "toks")} AS quality
+       |  FROM t),
+       |rk AS (
+       |  SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY source, len_bucket
+       |      ORDER BY quality DESC, doc_id) AS rc,
+       |    ROW_NUMBER() OVER (PARTITION BY source, len_bucket
+       |      ORDER BY quality ASC, doc_id) AS rr,
+       |    CAST(COUNT(*) OVER (PARTITION BY source, len_bucket) AS BIGINT)
+       |      AS n_docs
+       |  FROM s)
+       |SELECT c.source, c.len_bucket, c.n_docs,
+       |       c.doc_id AS chosen_id, r.doc_id AS rejected_id,
+       |       c.quality AS chosen_q, r.quality AS rejected_q,
+       |       c.quality - r.quality AS quality_gap
+       |FROM rk c JOIN rk r
+       |  ON c.source = r.source AND c.len_bucket = r.len_bucket
+       |WHERE c.rc = 1 AND r.rr = 1 AND c.n_docs >= 2
+       |  AND c.quality - r.quality > 0
+       |ORDER BY c.source, c.len_bucket""".stripMargin
+
   /** Document fingerprinting: byte-exact fingerprint (md5 of
     * whitespace-normalized text) + order-invariant content fingerprint
     * (md5 of the sorted distinct vocabulary) with cluster sizes — the
@@ -1921,6 +1990,7 @@ object TextAnalysis {
     "q27_quality_score" -> (q27QualityScore _),
     "q28_lang_id" -> (q28LangId _),
     "q228_kappa_agreement" -> (q228KappaAgreement _),
+    "q231_preference_pairs" -> (q231PreferencePairs _),
     "q29_fingerprint" -> (q29Fingerprint _),
     "q53_training_mix" -> (q53TrainingMix _),
     "q55_sequence_packing" -> (q55SequencePacking _),
@@ -1950,6 +2020,7 @@ object TextAnalysis {
     "q27_quality_score" -> q27Sql,
     "q28_lang_id" -> q28Sql,
     "q228_kappa_agreement" -> q228Sql,
+    "q231_preference_pairs" -> q231Sql,
     "q29_fingerprint" -> q29Sql,
     "q53_training_mix" -> q53Sql,
     "q55_sequence_packing" -> q55Sql,

@@ -187,6 +187,35 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
       s"synthetic labels should sit near chance, got $kappa")
   }
 
+  test("q231: preference pairs replay from a driver-side per-stratum argmax/argmin") {
+    val scored = TextAnalysis.q27QualityScore(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Double]("quality")))
+    val srcOf = spark.read.parquet(s"$sfDir/documents.parquet").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+    val expected = scored.groupBy(d => (srcOf(d._1), d._2 / 16)).flatMap {
+      case ((src, lb), ds) if ds.length >= 2 =>
+        val chosen = ds.minBy(d => (-d._3, d._1))
+        val rejected = ds.minBy(d => (d._3, d._1))
+        val gap = chosen._3 - rejected._3
+        if (gap > 0)
+          Some((src, lb) -> ((ds.length.toLong, chosen._1, rejected._1, gap)))
+        else None
+      case _ => None
+    }
+    val got = TextAnalysis.q231PreferencePairs(spark, sfDir).collect().map { r =>
+      (r.getAs[String]("source"), r.getAs[Long]("len_bucket")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("chosen_id"),
+          r.getAs[Long]("rejected_id"), r.getAs[Double]("quality_gap")))
+    }.toMap
+    assert(got == expected, s"got ${got.size} pairs expected ${expected.size}")
+    assert(got.nonEmpty, "fixture must produce preference pairs")
+    // a pair never degenerates: chosen and rejected are distinct docs
+    got.values.foreach { case (_, c, rj, gap) =>
+      assert(c != rj && gap > 0.0)
+    }
+  }
+
   test("sequence packing lays docs contiguously within per-source budgets") {
     val rows = TextAnalysis.q55SequencePacking(spark, sfDir).collect()
     assert(rows.nonEmpty)
