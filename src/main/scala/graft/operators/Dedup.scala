@@ -845,6 +845,98 @@ object Dedup {
        |WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.7
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** q233 — dedup funnel with token accounting: the cost-benefit
+    * statement for the whole dedup tier, as one oracle-gated census.
+    * Four cumulative stages — raw → exact-duplicate removal (q30's
+    * keep-min-id rule) → near-dup cluster collapse (q51 components,
+    * keep each cluster's representative) → containment pruning (q179's
+    * ≥80%-contained docs dropped) — each reporting surviving docs,
+    * surviving TOKENS, the kept fraction of raw tokens in exact basis
+    * points, and an id checksum (one doc moving between stages flips
+    * the hash). q63's manifest emits the final per-doc artifact; this
+    * is the stage-by-stage accounting a curation owner reads to decide
+    * whether the next stage still pays for its compute.
+    *
+    * Scale shape: every filter is a semi/anti equi-join against a
+    * relation an existing operator already builds (exact-keep = one
+    * fingerprint aggregation; cluster drops and subsumed docs ride the
+    * memoized q51/q179 tables), followed by four 1-row aggregates — no
+    * new join or shuffle shapes.
+    */
+  def q233DedupFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir)
+      .select($"doc_id", $"text",
+        size(split(trim($"text"), " ")).cast("long").as("nt"))
+      .localCheckpoint() // the raw census and three survivor joins
+    val exactKeep = base
+      .withColumn("fp", md5(lower(trim(regexp_replace($"text", "\\s+", " ")))))
+      .groupBy($"fp").agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
+    val clusterDrop = q51DedupClusters(spark, dir)
+      .filter($"doc_id" =!= $"cluster_rep").select($"doc_id")
+    val subsumed = q179Containment(spark, dir)
+      .select($"a_id".as("doc_id")).distinct()
+    val s1 = base.join(exactKeep, Seq("doc_id"), "left_semi").localCheckpoint()
+    val s2 = s1.join(clusterDrop, Seq("doc_id"), "left_anti").localCheckpoint()
+    val s3 = s2.join(subsumed, Seq("doc_id"), "left_anti")
+    def census(df: DataFrame, ord: Long, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"), sum($"nt").as("n_tokens"),
+          sum($"doc_id").as("id_checksum"))
+        .select(lit(ord).as("stage"), lit(name).as("stage_name"),
+          $"n_docs", $"n_tokens", $"id_checksum")
+    val stages = census(base, 0L, "raw")
+      .unionByName(census(s1, 1L, "exact"))
+      .unionByName(census(s2, 2L, "neardup"))
+      .unionByName(census(s3, 3L, "containment"))
+    stages.crossJoin(broadcast(base.agg(sum($"nt").as("raw_tokens"))))
+      .select($"stage", $"stage_name", $"n_docs", $"n_tokens",
+        expr("(n_tokens * 10000) div raw_tokens").as("kept_bp"),
+        $"id_checksum")
+      .orderBy($"stage")
+  }
+
+  // lazy: interpolates clusterCtes, declared LATER in this file — an
+  // eager val here would freeze "null" into the SQL (the q230Sql lesson;
+  // laziness defers assembly until the oracle map is read)
+  lazy val q233Sql: String =
+    s"""WITH RECURSIVE $q31CoreCtes,
+       |$clusterCtes,
+       |base AS (SELECT doc_id,
+       |           CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS nt,
+       |           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+       |         FROM documents),
+       |ek AS (SELECT min(doc_id) AS doc_id FROM base GROUP BY fp),
+       |s1 AS (SELECT b.doc_id, b.nt FROM base b JOIN ek USING (doc_id)),
+       |cd AS (SELECT doc_id FROM comp WHERE doc_id <> cluster_rep),
+       |s2 AS (SELECT doc_id, nt FROM s1
+       |       WHERE doc_id NOT IN (SELECT doc_id FROM cd)),
+       |cver AS (SELECT a.doc_id AS a_id,
+       |           CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS i,
+       |           CAST(len(a.grams) AS BIGINT) AS na
+       |         FROM grams a JOIN grams b ON a.doc_id <> b.doc_id),
+       |sub AS (SELECT DISTINCT a_id AS doc_id FROM cver WHERE i * 5 >= na * 4),
+       |s3 AS (SELECT doc_id, nt FROM s2
+       |       WHERE doc_id NOT IN (SELECT doc_id FROM sub)),
+       |u AS (
+       |  SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS stage_name,
+       |         CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(nt) AS BIGINT) AS n_tokens,
+       |         CAST(sum(doc_id) AS BIGINT) AS id_checksum FROM base
+       |  UNION ALL
+       |  SELECT 1, 'exact', CAST(count(*) AS BIGINT), CAST(sum(nt) AS BIGINT),
+       |         CAST(sum(doc_id) AS BIGINT) FROM s1
+       |  UNION ALL
+       |  SELECT 2, 'neardup', CAST(count(*) AS BIGINT), CAST(sum(nt) AS BIGINT),
+       |         CAST(sum(doc_id) AS BIGINT) FROM s2
+       |  UNION ALL
+       |  SELECT 3, 'containment', CAST(count(*) AS BIGINT),
+       |         CAST(sum(nt) AS BIGINT), CAST(sum(doc_id) AS BIGINT) FROM s3),
+       |rt AS (SELECT CAST(sum(nt) AS BIGINT) AS raw_tokens FROM base)
+       |SELECT stage, stage_name, n_docs, n_tokens,
+       |       (n_tokens * 10000) // raw_tokens AS kept_bp, id_checksum
+       |FROM u, rt ORDER BY stage""".stripMargin
+
   /** q194 — near-dup threshold sensitivity sweep: the same verified
     * pair relation read at five Jaccard thresholds (0.70–0.90), each
     * reporting pair count, docs involved, and an id checksum — the
@@ -1693,6 +1785,7 @@ object Dedup {
     "q32_simhash" -> (q32Simhash _),
     "q33_ngram_jaccard" -> (q33NgramJaccard _),
     "q47_ngram_jaccard_inverted" -> (q47NgramJaccardInverted _),
+    "q233_dedup_funnel" -> (q233DedupFunnel _),
     "q224_method_scorecard" -> (q224MethodScorecard _),
     "q194_threshold_sweep" -> (q194ThresholdSweep _),
     "q179_containment" -> (q179Containment _),
@@ -1713,6 +1806,7 @@ object Dedup {
     "q32_simhash" -> q32Sql,
     "q33_ngram_jaccard" -> q33Sql,
     "q47_ngram_jaccard_inverted" -> q47Sql,
+    "q233_dedup_funnel" -> q233Sql,
     "q224_method_scorecard" -> q224Sql,
     "q194_threshold_sweep" -> q194Sql,
     "q179_containment" -> q179Sql,

@@ -365,6 +365,94 @@ object TextAnalysis {
        |  AND c.quality - r.quality > 0
        |ORDER BY c.source, c.len_bucket""".stripMargin
 
+  /** q232 — padding-waste audit for batch shaping: every training batch
+    * pads to its longest member, so batch COMPOSITION sets the GPU
+    * efficiency floor. Two deterministic strategies over the same
+    * corpus, 32 docs per batch:
+    *
+    *  - `arrival`: batch = doc_id div 32 (ingest order — what a naive
+    *    loader does);
+    *  - `length_bucketed`: docs grouped into n_tokens div 8 buckets,
+    *    batched within their bucket in doc_id order (what every real
+    *    loader does instead).
+    *
+    * Output is one row per strategy: batches, token sum, pad-token sum,
+    * and waste in exact basis points of the padded volume — the
+    * measured justification for length bucketing, as an oracle-gated
+    * query rather than loader folklore.
+    *
+    * Scale shape: `arrival` is pure bucket arithmetic (batch id from
+    * doc_id — one aggregation); `length_bucketed` ranks only WITHIN a
+    * length bucket (the q136 discipline: the window partition is
+    * bucket-bounded by the token-length domain, never corpus-wide), and
+    * each strategy ends in a 2-level rollup. No global sort anywhere.
+    */
+  def q232PaddingAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lens = docs(spark, dir)
+      .select($"doc_id", size(toks).cast("long").as("n_tokens"))
+      .localCheckpoint() // both strategies read it
+    def rollup(batched: DataFrame, strategy: String): DataFrame =
+      batched
+        .groupBy($"batch")
+        .agg(count(lit(1)).as("n"), sum($"n_tokens").as("tok"),
+          max($"n_tokens").as("mx"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum($"n").as("n_docs"),
+          sum($"tok").as("token_sum"),
+          sum($"mx" * $"n" - $"tok").as("pad_sum"))
+        .select(lit(strategy).as("strategy"), $"n_docs", $"n_batches",
+          $"token_sum", $"pad_sum",
+          expr("(pad_sum * 10000) div (token_sum + pad_sum)").as("waste_bp"))
+    val arrival = rollup(
+      lens.withColumn("batch",
+        concat(lit("a"), expr("doc_id div 32").cast("string"))),
+      "arrival")
+    val wB = Window.partitionBy($"lb").orderBy($"doc_id")
+    val bucketed = rollup(
+      lens.withColumn("lb", expr("n_tokens div 8"))
+        .withColumn("rk", row_number().over(wB).cast("long") - 1L)
+        .withColumn("batch", concat($"lb".cast("string"), lit("_"),
+          expr("rk div 32").cast("string"))),
+      "length_bucketed")
+    arrival.unionByName(bucketed).orderBy($"strategy")
+  }
+
+  val q232Sql: String =
+    """WITH lens AS (
+      |  SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS BIGINT)
+      |           AS n_tokens
+      |  FROM documents),
+      |a AS (SELECT 'a' || CAST(doc_id // 32 AS VARCHAR) AS batch, n_tokens
+      |      FROM lens),
+      |b AS (SELECT CAST(n_tokens // 8 AS VARCHAR) || '_' ||
+      |             CAST((ROW_NUMBER() OVER (PARTITION BY n_tokens // 8
+      |                     ORDER BY doc_id) - 1) // 32 AS VARCHAR) AS batch,
+      |             n_tokens
+      |      FROM lens),
+      |ra AS (SELECT batch, CAST(count(*) AS BIGINT) AS n,
+      |              CAST(sum(n_tokens) AS BIGINT) AS tok,
+      |              CAST(max(n_tokens) AS BIGINT) AS mx
+      |       FROM a GROUP BY 1),
+      |rb AS (SELECT batch, CAST(count(*) AS BIGINT) AS n,
+      |              CAST(sum(n_tokens) AS BIGINT) AS tok,
+      |              CAST(max(n_tokens) AS BIGINT) AS mx
+      |       FROM b GROUP BY 1),
+      |u AS (
+      |  SELECT 'arrival' AS strategy, CAST(sum(n) AS BIGINT) AS n_docs,
+      |         CAST(count(*) AS BIGINT) AS n_batches,
+      |         CAST(sum(tok) AS BIGINT) AS token_sum,
+      |         CAST(sum(mx * n - tok) AS BIGINT) AS pad_sum
+      |  FROM ra
+      |  UNION ALL
+      |  SELECT 'length_bucketed', CAST(sum(n) AS BIGINT),
+      |         CAST(count(*) AS BIGINT), CAST(sum(tok) AS BIGINT),
+      |         CAST(sum(mx * n - tok) AS BIGINT)
+      |  FROM rb)
+      |SELECT strategy, n_docs, n_batches, token_sum, pad_sum,
+      |       (pad_sum * 10000) // (token_sum + pad_sum) AS waste_bp
+      |FROM u ORDER BY strategy""".stripMargin
+
   /** Document fingerprinting: byte-exact fingerprint (md5 of
     * whitespace-normalized text) + order-invariant content fingerprint
     * (md5 of the sorted distinct vocabulary) with cluster sizes — the
@@ -1991,6 +2079,7 @@ object TextAnalysis {
     "q28_lang_id" -> (q28LangId _),
     "q228_kappa_agreement" -> (q228KappaAgreement _),
     "q231_preference_pairs" -> (q231PreferencePairs _),
+    "q232_padding_audit" -> (q232PaddingAudit _),
     "q29_fingerprint" -> (q29Fingerprint _),
     "q53_training_mix" -> (q53TrainingMix _),
     "q55_sequence_packing" -> (q55SequencePacking _),
@@ -2021,6 +2110,7 @@ object TextAnalysis {
     "q28_lang_id" -> q28Sql,
     "q228_kappa_agreement" -> q228Sql,
     "q231_preference_pairs" -> q231Sql,
+    "q232_padding_audit" -> q232Sql,
     "q29_fingerprint" -> q29Sql,
     "q53_training_mix" -> q53Sql,
     "q55_sequence_packing" -> q55Sql,

@@ -397,4 +397,36 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(got("minhash_lsh")._5 == 0L, "minhash cannot emit sub-threshold pairs")
     assert(got.values.forall(v => v._2 <= v._1 && v._2 <= v._3))
   }
+
+  test("q233: funnel stages replay from the parent operators and are cumulative") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("text").trim.split(" ", -1).length.toLong))
+    val nt = docs.toMap
+    val exactKeep = Dedup.q30ExactDedup(spark, sfDir).collect()
+      .map(_.getAs[Long]("keep_id")).toSet
+    val clusterDrop = Dedup.q51DedupClusters(spark, sfDir).collect()
+      .filter(r => r.getAs[Long]("doc_id") != r.getAs[Long]("cluster_rep"))
+      .map(_.getAs[Long]("doc_id")).toSet
+    val subsumed = Dedup.q179Containment(spark, sfDir).collect()
+      .map(_.getAs[Long]("a_id")).toSet
+    val s1 = docs.map(_._1).filter(exactKeep)
+    val s2 = s1.filterNot(clusterDrop)
+    val s3 = s2.filterNot(subsumed)
+    def stats(ids: Seq[Long]) =
+      (ids.length.toLong, ids.map(nt).sum, ids.sum)
+    val expected = Map(
+      0L -> stats(docs.map(_._1).toSeq), 1L -> stats(s1.toSeq),
+      2L -> stats(s2.toSeq), 3L -> stats(s3.toSeq))
+    val got = Dedup.q233DedupFunnel(spark, sfDir).collect().map { r =>
+      r.getAs[Long]("stage") -> ((r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("id_checksum")))
+    }.toMap
+    assert(got == expected, s"got $got expected $expected")
+    // cumulative: each stage's census is monotone non-increasing, and
+    // the fixture must actually lose something by the end
+    (0L to 2L).foreach { s =>
+      assert(got(s + 1)._1 <= got(s)._1 && got(s + 1)._2 <= got(s)._2) }
+    assert(got(3L)._1 < got(0L)._1, "the funnel should drop documents here")
+  }
 }

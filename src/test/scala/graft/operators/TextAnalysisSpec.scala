@@ -216,6 +216,34 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q232: padding audit replays serially and length bucketing must win") {
+    val lens = spark.read.parquet(s"$sfDir/documents.parquet").collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("text").trim.split(" ", -1).length.toLong))
+    def audit(batches: Iterable[Seq[Long]]): (Long, Long, Long) = {
+      val perBatch = batches.map(ls => (ls.length.toLong, ls.sum, ls.max))
+      (perBatch.size.toLong, perBatch.map(_._2).sum,
+        perBatch.map(b => b._3 * b._1 - b._2).sum)
+    }
+    val arrival = audit(lens.groupBy(_._1 / 32).values.map(_.map(_._2).toSeq))
+    val bucketed = audit(
+      lens.groupBy(_._2 / 8).values.flatMap(
+        _.sortBy(_._1).grouped(32).map(_.map(_._2).toSeq)))
+    val got = TextAnalysis.q232PaddingAudit(spark, sfDir).collect().map { r =>
+      r.getAs[String]("strategy") -> ((r.getAs[Long]("n_batches"),
+        r.getAs[Long]("token_sum"), r.getAs[Long]("pad_sum"),
+        r.getAs[Long]("waste_bp")))
+    }.toMap
+    def bp(tok: Long, pad: Long): Long = pad * 10000 / (tok + pad)
+    assert(got("arrival") ==
+      ((arrival._1, arrival._2, arrival._3, bp(arrival._2, arrival._3))))
+    assert(got("length_bucketed") ==
+      ((bucketed._1, bucketed._2, bucketed._3, bp(bucketed._2, bucketed._3))))
+    // the audit's entire point: bucketing must beat arrival order
+    assert(got("length_bucketed")._4 < got("arrival")._4,
+      s"length bucketing did not reduce waste: $got")
+  }
+
   test("sequence packing lays docs contiguously within per-source budgets") {
     val rows = TextAnalysis.q55SequencePacking(spark, sfDir).collect()
     assert(rows.nonEmpty)
