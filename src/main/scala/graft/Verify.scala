@@ -31,7 +31,8 @@ object Verify {
     def stable(dt: DataType): Boolean = dt match {
       case _: LongType | _: IntegerType | _: ShortType | _: ByteType |
            _: DoubleType | _: FloatType | _: StringType | _: DateType |
-           _: BooleanType | _: TimestampType | _: BinaryType => true
+           _: BooleanType | _: TimestampType | _: TimestampNTZType |
+           _: BinaryType => true
       case ArrayType(e, _) => stable(e)
       case _ => false
     }
