@@ -453,6 +453,61 @@ object TextAnalysis {
       |       (pad_sum * 10000) // (token_sum + pad_sum) AS waste_bp
       |FROM u ORDER BY strategy""".stripMargin
 
+  /** q234 — Count–Min-sketch frequency calibration: the point-query
+    * sketch (CMS) audited against exact counts, completing the sketch
+    * tier next to HLL distincts (q96/q219), GK percentiles (q99), and
+    * the MinHash/SimHash signatures — CMS is what a 100 TB pipeline
+    * uses for "how often does THIS token appear" without keeping the
+    * full vocabulary resident (counters are mergeable across
+    * executors/partitions exactly like the HLL registers). The audit
+    * probes the 20 highest-exact-count tokens and emits, per token,
+    * the exact count plus the CMS one-sided-error booleans — estimate
+    * ≥ truth always (counters only over-count on collision), estimate
+    * ≤ truth + ε·N for the configured ε=1% at 3-nines confidence.
+    * Sketch VALUES are never emitted (the q99 discipline — estimates
+    * are hash-layout-specific); DuckDB answers TRUE literals, so the
+    * driver gate flips iff the sketch violates its own guarantee.
+    *
+    * Scale shape: the exact arm is one token aggregation (the same
+    * shuffle the vocabulary census pays); the sketch arm is
+    * `df.stat.countMinSketch` — a mergeable bounded-memory aggregation
+    * whose result is a constant-size driver object (rows × width
+    * counters), probed k=20 times driver-side. CMS addition is
+    * commutative integer counting, so the estimates are
+    * partition-order invariant (unlike GK, whose merge-order-dependent
+    * values forced q99's rank-interval formulation).
+    */
+  def q234CmsCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tx = docs(spark, dir).select(explode(toks).as("tok"))
+      .localCheckpoint() // exact arm + sketch arm read the same relation
+    val cms = tx.stat.countMinSketch("tok", eps = 0.01, confidence = 0.999,
+      seed = 42)
+    val n = cms.totalCount()
+    // bounded k=20 driver-side probe (the Similarity.scala:938 pattern —
+    // a constant-size meta read, not a distributed loop), keeping the
+    // repo's zero-scalar-UDF invariant: the sketch object lives on the
+    // driver, so the 20 point queries run where it is
+    val top = tx.groupBy($"tok").agg(count(lit(1)).as("true_count"))
+      .orderBy($"true_count".desc, $"tok").limit(20).collect()
+    val audited = top.toSeq.map { r =>
+      val (t, c) = (r.getString(0), r.getLong(1))
+      val e = cms.estimateCount(t)
+      (t, c, e >= c, e <= c + (0.01 * n).toLong)
+    }
+    audited.toDF("tok", "true_count", "never_undercounts", "within_eps_n")
+      .orderBy($"true_count".desc, $"tok")
+  }
+
+  val q234Sql: String =
+    """SELECT tok, true_count,
+      |       TRUE AS never_undercounts, TRUE AS within_eps_n
+      |FROM (
+      |  SELECT t.tok, CAST(count(*) AS BIGINT) AS true_count
+      |  FROM documents, unnest(string_split(trim(text), ' ')) AS t(tok)
+      |  GROUP BY 1 ORDER BY true_count DESC, tok LIMIT 20) z
+      |ORDER BY true_count DESC, tok""".stripMargin
+
   /** Document fingerprinting: byte-exact fingerprint (md5 of
     * whitespace-normalized text) + order-invariant content fingerprint
     * (md5 of the sorted distinct vocabulary) with cluster sizes — the
@@ -2080,6 +2135,7 @@ object TextAnalysis {
     "q228_kappa_agreement" -> (q228KappaAgreement _),
     "q231_preference_pairs" -> (q231PreferencePairs _),
     "q232_padding_audit" -> (q232PaddingAudit _),
+    "q234_cms_calibration" -> (q234CmsCalibration _),
     "q29_fingerprint" -> (q29Fingerprint _),
     "q53_training_mix" -> (q53TrainingMix _),
     "q55_sequence_packing" -> (q55SequencePacking _),
@@ -2111,6 +2167,7 @@ object TextAnalysis {
     "q228_kappa_agreement" -> q228Sql,
     "q231_preference_pairs" -> q231Sql,
     "q232_padding_audit" -> q232Sql,
+    "q234_cms_calibration" -> q234Sql,
     "q29_fingerprint" -> q29Sql,
     "q53_training_mix" -> q53Sql,
     "q55_sequence_packing" -> q55Sql,

@@ -244,6 +244,30 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
       s"length bucketing did not reduce waste: $got")
   }
 
+  test("q234: CMS calibration booleans hold, estimates are seed-deterministic, " +
+      "and an absent token stays inside the collision bound") {
+    val rows = TextAnalysis.q234CmsCalibration(spark, sfDir).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("never_undercounts"),
+        s"${r.getAs[String]("tok")}: CMS undercounted")
+      assert(r.getAs[Boolean]("within_eps_n"),
+        s"${r.getAs[String]("tok")}: CMS above the eps*N bound")
+    }
+    // determinism + absent-key bound, straight on the sketch object
+    import org.apache.spark.sql.functions._
+    val tx = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(split(trim(col("text")), " ")).as("tok"))
+    val a = tx.stat.countMinSketch("tok", 0.01, 0.999, 42)
+    val b = tx.stat.countMinSketch("tok", 0.01, 0.999, 42)
+    val probes = Seq("the", "value", "zzz_not_a_token_zzz")
+    probes.foreach(t =>
+      assert(a.estimateCount(t) == b.estimateCount(t), s"nondeterministic: $t"))
+    val absent = a.estimateCount("zzz_not_a_token_zzz")
+    assert(absent >= 0 && absent <= (0.01 * a.totalCount()).toLong,
+      s"absent-token estimate $absent outside the collision bound")
+  }
+
   test("sequence packing lays docs contiguously within per-source budgets") {
     val rows = TextAnalysis.q55SequencePacking(spark, sfDir).collect()
     assert(rows.nonEmpty)
