@@ -508,6 +508,72 @@ object TextAnalysis {
       |  GROUP BY 1 ORDER BY true_count DESC, tok LIMIT 20) z
       |ORDER BY true_count DESC, tok""".stripMargin
 
+  /** q235 — Bloom-filter membership calibration: the prefilter
+    * primitive the incremental dedup path (q59) leans on, audited the
+    * q234 way. A Bloom filter over the TRAIN slice's doc ids
+    * (`doc_id % 20 != 0` — the q63 split) is probed with EVERY doc id;
+    * the census reports, per slice, probe count, claimed members, true
+    * members, and the two guarantees as booleans: zero false negatives
+    * on the train side (a Bloom "no" is definitive — that is what
+    * makes it a safe dedup prefilter), and an eval-side false-positive
+    * rate within 3× the configured 1% (fpp is an expectation, not a
+    * bound; 3× is the audit's alarm threshold). Filter bits are never
+    * emitted — booleans only, the sketch-audit discipline.
+    *
+    * Scale shape: the filter is Spark's native `BloomFilterAggregate`
+    * (the exact expression runtime join-filtering injects) — a
+    * mergeable bounded-memory aggregation producing ONE binary row,
+    * broadcast to the probe side where native `BloomFilterMightContain`
+    * evaluates membership in codegen. No UDF, no driver round-trip for
+    * the probes; the census output is 2 rows at any corpus size.
+    */
+  def q235BloomCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.ColumnBridge
+    val ids = docs(spark, dir).select($"doc_id",
+      ($"doc_id" % 20 =!= 0).as("is_train")).localCheckpoint()
+    val train = ids.filter($"is_train")
+    val nBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(100000L, 0.01)
+    val bfAgg = ColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        ColumnBridge.expression($"doc_id"),
+        ColumnBridge.expression(lit(100000L)),
+        ColumnBridge.expression(lit(nBits))).toAggregateExpression())
+    // one-row bounded meta read: might_contain requires its filter to be
+    // a CONSTANT (or scalar subquery), so the constant-size binary is
+    // collected once and embedded as a literal — the filter bytes are
+    // the broadcast, not the data
+    val bfBytes = train.agg(bfAgg.as("bf"))
+      .collect()(0).getAs[Array[Byte]]("bf")
+    val census = ids
+      .withColumn("claimed", ColumnBridge.column(
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          ColumnBridge.expression(lit(bfBytes)),
+          ColumnBridge.expression($"doc_id"))))
+      .groupBy($"is_train")
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when($"claimed", 1L).otherwise(0L)).as("n_claimed"))
+    // n_claimed itself is hash-layout-specific (like sketch values) and
+    // is never emitted — only the guarantee booleans cross the gate
+    census
+      .select(
+        when($"is_train", "train").otherwise("eval").as("slice"),
+        $"n_probes",
+        when($"is_train", $"n_claimed" === $"n_probes")
+          .otherwise(lit(true)).as("no_false_negatives"),
+        when(!$"is_train", $"n_claimed" * 100L <= $"n_probes" * 3L)
+          .otherwise(lit(true)).as("fp_within_3x_fpp"))
+      .orderBy($"slice")
+  }
+
+  val q235Sql: String =
+    """SELECT CASE WHEN doc_id % 20 <> 0 THEN 'train' ELSE 'eval' END AS slice,
+      |       CAST(count(*) AS BIGINT) AS n_probes,
+      |       TRUE AS no_false_negatives, TRUE AS fp_within_3x_fpp
+      |FROM documents
+      |GROUP BY 1 ORDER BY slice""".stripMargin
+
   /** Document fingerprinting: byte-exact fingerprint (md5 of
     * whitespace-normalized text) + order-invariant content fingerprint
     * (md5 of the sorted distinct vocabulary) with cluster sizes — the
@@ -2136,6 +2202,7 @@ object TextAnalysis {
     "q231_preference_pairs" -> (q231PreferencePairs _),
     "q232_padding_audit" -> (q232PaddingAudit _),
     "q234_cms_calibration" -> (q234CmsCalibration _),
+    "q235_bloom_calibration" -> (q235BloomCalibration _),
     "q29_fingerprint" -> (q29Fingerprint _),
     "q53_training_mix" -> (q53TrainingMix _),
     "q55_sequence_packing" -> (q55SequencePacking _),
@@ -2168,6 +2235,7 @@ object TextAnalysis {
     "q231_preference_pairs" -> q231Sql,
     "q232_padding_audit" -> q232Sql,
     "q234_cms_calibration" -> q234Sql,
+    "q235_bloom_calibration" -> q235Sql,
     "q29_fingerprint" -> q29Sql,
     "q53_training_mix" -> q53Sql,
     "q55_sequence_packing" -> q55Sql,

@@ -268,6 +268,17 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
       s"absent-token estimate $absent outside the collision bound")
   }
 
+  test("q235: Bloom guarantees hold and the filter is doing real work") {
+    val rows = TextAnalysis.q235BloomCalibration(spark, sfDir).collect()
+      .map(r => r.getAs[String]("slice") -> ((r.getAs[Long]("n_probes"),
+        r.getAs[Boolean]("no_false_negatives"),
+        r.getAs[Boolean]("fp_within_3x_fpp")))).toMap
+    assert(rows.keySet == Set("train", "eval"))
+    rows.values.foreach { case (_, nfn, fpb) => assert(nfn && fpb) }
+    // the split must exercise both sides
+    assert(rows("train")._1 > 0 && rows("eval")._1 > 0)
+  }
+
   test("sequence packing lays docs contiguously within per-source budgets") {
     val rows = TextAnalysis.q55SequencePacking(spark, sfDir).collect()
     assert(rows.nonEmpty)
