@@ -421,8 +421,13 @@ object Lakehouse {
     // DROP/CREATE or read each other's data
     val tok = new java.io.File(tmp).getName.replaceAll("[^A-Za-z0-9_]", "_")
     val (tOrders, tLineitem) = (s"graft_bkt_orders_$tok", s"graft_bkt_lineitem_$tok")
-    s2.sql(s"DROP TABLE IF EXISTS $tOrders")
-    s2.sql(s"DROP TABLE IF EXISTS $tLineitem")
+    // sweep ALL graft_bkt_* catalog entries, not just this run's names:
+    // per-run tokens mean a prior run's tables would otherwise linger
+    // forever, pointing at scratch dirs Scratch.dir() already deleted —
+    // dangling paths that trip any catalog-wide listTables+resolve.
+    // SHOW TABLES is a bounded meta read (catalog rows, not data).
+    s2.sql("SHOW TABLES LIKE 'graft_bkt_*'").collect()
+      .foreach(r => s2.sql(s"DROP TABLE IF EXISTS ${r.getAs[String]("tableName")}"))
     Tables.orders(s2, dir).select($"o_orderkey", $"o_orderpriority")
       .repartition(buckets, $"o_orderkey")
       .write.format("parquet").option("path", s"$tmp/orders")

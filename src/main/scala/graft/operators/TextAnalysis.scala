@@ -253,8 +253,16 @@ object TextAnalysis {
         expr("(d * 10000) div n").as("precision_bp"),
         expr("(d * 10000) div n").as("recall_bp"),
         expr("(d * 10000) div n").as("f1_bp"),
-        (($"n" * $"d" - $"s").cast("double") /
-          ($"n" * $"n" - $"s").cast("double")).as("kappa"))
+        // κ terms assembled in DOUBLE: n·n in BIGINT wraps silently past
+        // ~3.04e9 docs under Spark's non-ANSI arithmetic while DuckDB
+        // errors, so the engines would diverge exactly at scale. κ is an
+        // IEEE division anyway, so exactness of the squared term is not
+        // load-bearing; both arms build the identical double tree.
+        // (s itself stays an exact BIGINT sum — per-class products bound
+        // it well below 2^63 until classes themselves reach ~3e9 docs.)
+        (($"n".cast("double") * $"d".cast("double") - $"s".cast("double")) /
+          ($"n".cast("double") * $"n".cast("double") - $"s".cast("double")))
+          .as("kappa"))
     classRows.unionByName(allRow).orderBy($"clazz")
   }
 
@@ -292,7 +300,8 @@ object TextAnalysis {
        |UNION ALL
        |SELECT '__all__', n, n, d,
        |       (d * 10000) // n, (d * 10000) // n, (d * 10000) // n,
-       |       CAST(n * d - s AS DOUBLE) / CAST(n * n - s AS DOUBLE)
+       |       (CAST(n AS DOUBLE) * CAST(d AS DOUBLE) - CAST(s AS DOUBLE))
+       |         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(s AS DOUBLE))
        |FROM tot
        |ORDER BY clazz""".stripMargin
 
@@ -463,7 +472,13 @@ object TextAnalysis {
     * probes the 20 highest-exact-count tokens and emits, per token,
     * the exact count plus the CMS one-sided-error booleans — estimate
     * ≥ truth always (counters only over-count on collision), estimate
-    * ≤ truth + ε·N for the configured ε=1% at 3-nines confidence.
+    * ≤ truth + 3·ε·N for the configured ε=1%. The audited bound is 3×
+    * the per-probe guarantee deliberately (the q235 alarm discipline):
+    * ε·N holds per probe at 0.999 confidence, so across k=20 probes
+    * some fixture/seed pairing has ≈2% joint odds of one excursion —
+    * and with a hardcoded-TRUE oracle that tail would fail the driver
+    * gate deterministically and permanently. 3·ε·N has vanishing joint
+    * tail mass while still alarming on any real sketch defect.
     * Sketch VALUES are never emitted (the q99 discipline — estimates
     * are hash-layout-specific); DuckDB answers TRUE literals, so the
     * driver gate flips iff the sketch violates its own guarantee.
@@ -493,15 +508,15 @@ object TextAnalysis {
     val audited = top.toSeq.map { r =>
       val (t, c) = (r.getString(0), r.getLong(1))
       val e = cms.estimateCount(t)
-      (t, c, e >= c, e <= c + (0.01 * n).toLong)
+      (t, c, e >= c, e <= c + 3L * (0.01 * n).toLong)
     }
-    audited.toDF("tok", "true_count", "never_undercounts", "within_eps_n")
+    audited.toDF("tok", "true_count", "never_undercounts", "within_3eps_n")
       .orderBy($"true_count".desc, $"tok")
   }
 
   val q234Sql: String =
     """SELECT tok, true_count,
-      |       TRUE AS never_undercounts, TRUE AS within_eps_n
+      |       TRUE AS never_undercounts, TRUE AS within_3eps_n
       |FROM (
       |  SELECT t.tok, CAST(count(*) AS BIGINT) AS true_count
       |  FROM documents, unnest(string_split(trim(text), ' ')) AS t(tok)
@@ -516,8 +531,11 @@ object TextAnalysis {
     * members, and the two guarantees as booleans: zero false negatives
     * on the train side (a Bloom "no" is definitive — that is what
     * makes it a safe dedup prefilter), and an eval-side false-positive
-    * rate within 3× the configured 1% (fpp is an expectation, not a
-    * bound; 3× is the audit's alarm threshold). Filter bits are never
+    * rate within 3× the configured 1% plus a constant +5 count slack
+    * (fpp is an expectation, not a bound; the FP count is ~Poisson, so
+    * a pure rate alarm is noise-fragile on small eval slices). The
+    * filter capacity derives from the ACTUAL train count, so sizing
+    * stays calibrated at any corpus scale. Filter bits are never
     * emitted — booleans only, the sketch-audit discipline.
     *
     * Scale shape: the filter is Spark's native `BloomFilterAggregate`
@@ -533,12 +551,18 @@ object TextAnalysis {
     val ids = docs(spark, dir).select($"doc_id",
       ($"doc_id" % 20 =!= 0).as("is_train")).localCheckpoint()
     val train = ids.filter($"is_train")
+    // capacity derived from the ACTUAL train count (one count over the
+    // checkpointed id relation, a bounded meta read) — a hardcoded
+    // capacity under-sizes the filter beyond the fixture's scale and the
+    // eval-side FP rate then blows the 3×-fpp alarm from miscalibrated
+    // sizing rather than a violated guarantee
+    val capacity = math.max(train.count(), 1L)
     val nBits = org.apache.spark.util.sketch.BloomFilter
-      .optimalNumOfBits(100000L, 0.01)
+      .optimalNumOfBits(capacity, 0.01)
     val bfAgg = ColumnBridge.column(
       new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
         ColumnBridge.expression($"doc_id"),
-        ColumnBridge.expression(lit(100000L)),
+        ColumnBridge.expression(lit(capacity)),
         ColumnBridge.expression(lit(nBits))).toAggregateExpression())
     // one-row bounded meta read: might_contain requires its filter to be
     // a CONSTANT (or scalar subquery), so the constant-size binary is
@@ -562,7 +586,13 @@ object TextAnalysis {
         $"n_probes",
         when($"is_train", $"n_claimed" === $"n_probes")
           .otherwise(lit(true)).as("no_false_negatives"),
-        when(!$"is_train", $"n_claimed" * 100L <= $"n_probes" * 3L)
+        // 3×fpp rate alarm PLUS a constant +5 count slack: with a tightly
+        // sized filter the eval-side FP count is ~Poisson(fpp·n_eval), and
+        // on a small slice (25 probes at fixture SF) a single collision is
+        // already 4% — over the 3× rate alone. The +5 bounds the joint
+        // tail below ~1e-6 at every slice size and is asymptotically
+        // dominated by the 3× term (the q234 alarm discipline).
+        when(!$"is_train", $"n_claimed" * 100L <= $"n_probes" * 3L + 500L)
           .otherwise(lit(true)).as("fp_within_3x_fpp"))
       .orderBy($"slice")
   }
@@ -641,12 +671,16 @@ object TextAnalysis {
     import spark.implicits._
     val w = 5
     val tp = docs(spark, dir)
-      .select($"doc_id", posexplode(toks).as(Seq("p", "tok")))
+      // n = token count computed on the PRE-explode row (exactly the
+      // oracle's len(t)) — NOT a second unbounded count window over the
+      // exploded relation, which would re-shuffle and re-sort every token
+      // just to recover a value the array already knows (r11 verdict #1).
+      .select($"doc_id", size(toks).cast("long").as("n"),
+        posexplode(toks).as(Seq("p", "tok")))
       .withColumn("h", graft.functions.Md5Prefix60($"tok"))
     val frame = Window.partitionBy($"doc_id").orderBy($"p")
       .rowsBetween(Window.currentRow, w - 1)
     tp.withColumn("mn", min($"h").over(frame))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
       .filter($"p" <= $"n" - w && $"n" >= w)
       .select($"doc_id", $"n", $"mn").distinct()
       .groupBy($"doc_id", $"n")
