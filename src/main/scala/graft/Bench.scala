@@ -157,11 +157,40 @@ object Bench {
     // so each carries its own load stamps: [sec, load_before, load_after].
     // A build whose recorded loads dwarf load_start is a co-tenant burst,
     // not a regression — the same per-rep adjudication queries get.
-    val mbReps = graft.operators.OpUtils.SessionMemo.buildTelemetry.toSeq.sortBy(_._1)
+    val mbTelemetry = graft.operators.OpUtils.SessionMemo.buildTelemetry
+    val mbReps = mbTelemetry.toSeq.sortBy(_._1)
       .map { case (k, es) =>
         "\"" + k + "\":" + es.map { case (s, l0, l1) =>
           f"[$s%.3f,$l0%.2f,$l1%.2f]" }.mkString("[", ",", "]")
       }.mkString("{", ",", "}")
+    // Memo-build regression tripwire: builds run ONCE (no second pass to
+    // adjudicate against), so compare each against a committed quiet-hour
+    // reference figure (tools/memo_ref.json, measured on an idle box) and
+    // alert IN-BAND when a build exceeds 2.5x its reference — the alert
+    // carries the build's own load stamps, so the artifact itself says
+    // "ambient burst" (loads >> load_start) vs "regression" (flat loads).
+    // The r11 driver run's 31.3 s containment_pairs build (vs 5.4 s r10)
+    // could not be adjudicated from the artifact alone; this closes that.
+    // Reference file missing or unparsable => tripwire inert (empty map).
+    val memoRef: Map[String, Double] = {
+      val path = sys.env.getOrElse("SPARK_GRAFT_MEMO_REF",
+        "tools/memo_ref.json")
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path)), "UTF-8")
+        """"([^"]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Exception => Map.empty }
+    }
+    val alerts = builds.flatMap { case (k, sec) =>
+      memoRef.get(k).filter(ref => sec > ref * 2.5).map { ref =>
+        val loads = mbTelemetry.getOrElse(k, Nil)
+          .map { case (_, l0, l1) => f"[$l0%.2f,$l1%.2f]" }
+          .mkString("[", ",", "]")
+        "\"" + k + "\":" + f"""{"sec":$sec%.3f,"ref":$ref%.3f,"loads":$loads}"""
+      }
+    }
+    val mbAlerts = alerts.mkString("{", ",", "}")
     // A query that failed one whole pass but recovered in the other still
     // reports a valid min — name it here so a flaky failure (intermittent
     // OOM) survives the driver's tail window instead of hiding as a -1
@@ -173,7 +202,7 @@ object Bench {
     // "total"/"n_valid" repeat the headline at the very END of the line:
     // the driver retains a bounded tail, and BENCH_r09's tail lost
     // q1-q36 of the queries map — the headline must be the last thing cut.
-    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","reps":$repsJson,$suite,"queries":$qs,"memo_build":$mb,"memo_build_reps":$mbReps,"sf":"$sfDir","spark_version":"${spark.version}","failed":$failed,"partial_failures":$partialFailures,"total":${f"$total%.3f"},"n_valid":$nValid}"""
+    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","reps":$repsJson,$suite,"queries":$qs,"memo_build":$mb,"memo_build_reps":$mbReps,"memo_build_alerts":$mbAlerts,"sf":"$sfDir","spark_version":"${spark.version}","failed":$failed,"partial_failures":$partialFailures,"total":${f"$total%.3f"},"n_valid":$nValid}"""
     println(line)
     val mirror = sys.env.getOrElse("SPARK_GRAFT_BENCH_COPY", "/root/repo/BENCH_LOCAL.json")
     val mirrored =
@@ -188,8 +217,20 @@ object Bench {
     // lives in the full line above AND in the mirror file; this line
     // carries the headline totals plus the mirror path so the tail
     // always ends in valid JSON no matter how narrow the window.
-    val summary = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","spark_version":"${spark.version}","n_valid":$nValid,"failed":$failed,"partial_failures":$partialFailures,"memo_build_total":${f"${builds.map(_._2).sum}%.3f"},"full_json":${if (mirrored) "\"" + mirror + "\"" else "null"},"total":${f"$total%.3f"}}"""
+    val summary = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","spark_version":"${spark.version}","n_valid":$nValid,"failed":$failed,"partial_failures":$partialFailures,"memo_build_total":${f"${builds.map(_._2).sum}%.3f"},"memo_build_alerts":$mbAlerts,"full_json":${if (mirrored) "\"" + mirror + "\"" else "null"},"total":${f"$total%.3f"}}"""
     println(summary)
+    // The driver parses the LAST line of the retained stdout tail, but
+    // when it drives Bench through sbt the "[success] Total time" footer
+    // lands AFTER our output (r11: parsed=null despite a clean summary
+    // line). A JVM shutdown hook on the captured System.out runs after
+    // sbt prints its footer and re-emits the summary as the true last
+    // act of the process, so the tail always ENDS in the parseable
+    // summary. Under tools/run.sh (plain java) the summary just appears
+    // twice — still valid JSON last.
+    val out = System.out
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      out.println(summary); out.flush()
+    }))
     spark.stop()
   }
 }

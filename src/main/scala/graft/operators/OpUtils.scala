@@ -127,11 +127,25 @@ object OpUtils {
       while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
     }
 
-    def apply(spark: SparkSession, dir: String, key: String)(
+    /** `logicVersion` (optional) is folded into the WARM-tier artifact
+      * key only: ground-truth/index memos whose bytes depend on tuned
+      * parameters or scoring logic (panel_top5, lsh_buckets*) must bump
+      * it on any such change, or a persisted artifact from a previous
+      * code version would silently serve stale ground truth to every
+      * consumer. The hot tier needs no version (it dies with the
+      * session) and the bench ledger keeps the unversioned `name.key`
+      * so memo_build line items stay comparable across rounds. A bump
+      * orphans the prior version's artifact until the corpus itself is
+      * re-fingerprinted — acceptable leak, reaped with the generation.
+      */
+    def apply(spark: SparkSession, dir: String, key: String,
+        logicVersion: String = "")(
         build: => DataFrame): DataFrame = {
       pruneStopped()
+      val artKey =
+        if (logicVersion.isEmpty) s"$name.$key" else s"$name.$key-$logicVersion"
       cells.computeIfAbsent((spark, dir, key), _ => new Cell).get {
-        SessionMemo.artifactPath(spark, dir, s"$name.$key") match {
+        SessionMemo.artifactPath(spark, dir, artKey) match {
           case Some(p) if SessionMemo.artifactExists(spark, p) =>
             val t0 = System.nanoTime()
             val df = spark.read.parquet(p)

@@ -29,17 +29,36 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.7, s"recall $recall (${ivf.size}/${brute.size})")
   }
 
-  test("q193 mutual pairs are exactly q35's reciprocal rank-1 edges") {
-    // q35 emits each vector's in-bucket top-3 over the SAME memoized LSH
-    // buckets, so its rank-1 edges are an independent route to the NN
-    // relation; mutual pairs must be exactly the reciprocal rank-1 edges.
-    val rank1 = Similarity.q35AnnLsh(spark, sfDir)
-      .filter("rk = 1").collect()
-      .map(r => r.getAs[Long]("a_id") ->
-        ((r.getAs[Long]("b_id"), r.getAs[Double]("cs")))).toMap
-    val expected = rank1.collect {
-      case (a, (b, cs)) if a < b && rank1.get(b).exists(_._1 == a) =>
-        (a, b, cs)
+  test("q193 mutual pairs replay from a driver-side fold over the multi-table index") {
+    // independent route: collect the tuned index's (vec_id, tbl, bucket)
+    // rows, form candidate sets serially, score with the same sequential
+    // double fold the native CosineSimilarity expression uses, take each
+    // anchor's (cs desc, id asc) argmax, keep reciprocal pairs.
+    val buckets = Similarity.lshMultiBuckets(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("tbl"), r.getAs[Long]("bucket")))
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byCell: Seq[Seq[Long]] =
+      buckets.toSeq.groupBy(t => (t._2, t._3)).values.toSeq.map(_.map(_._1))
+    val cands: Set[(Long, Long)] = byCell.flatMap(cell =>
+      for (x <- cell; y <- cell if x != y) yield (x, y)).toSet // multi-table co-occurrences score once
+    val nn = cands.groupBy(_._1).flatMap { case (a, ps) =>
+      val scored = ps.toSeq.map { case (_, b) => (b, cos(emb(a), emb(b))) }
+        .filterNot(t => t._2.isNaN)
+      if (scored.isEmpty) None
+      else Some(a -> scored.minBy { case (b, cs) => (-cs, b) })
+    }
+    val expected = nn.collect {
+      case (a, (b, cs)) if a < b && nn.get(b).exists(_._1 == a) => (a, b, cs)
     }.toSet
     val got = Similarity.q193MutualNn(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
@@ -49,9 +68,6 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     // mutuality makes pairs a matching: every id appears at most once
     val ids = got.toSeq.flatMap(p => Seq(p._1, p._2))
     assert(ids.distinct.size == ids.size, "a vector joined two mutual pairs")
-    // and cs is symmetric bit-for-bit: cs(a,b) recomputed from q35's
-    // reverse edge must be identical
-    got.foreach { case (a, b, cs) => assert(rank1(b)._2 == cs) }
   }
 
   test("q50 typed-UDAF centroids agree bit-for-bit with q36 column form") {
