@@ -937,6 +937,128 @@ object Dedup {
        |       (n_tokens * 10000) // raw_tokens AS kept_bp, id_checksum
        |FROM u, rt ORDER BY stage""".stripMargin
 
+  /** q237 — the DPO data path composed END-TO-END (the r11 verdict's
+    * composition ask): funnel-surviving documents (q233's stage-3 set —
+    * exact-keep, not near-dup-dropped, not containment-subsumed) →
+    * stratified preference pairs (q231's chosen/rejected per (source,
+    * length-bucket), so the dedup stages can never silently feed a
+    * duplicate into both sides of a pair) → packed into 1024-token
+    * training sequences per source (q63's cumulative-DIV packing) with
+    * the shared content-free train/val/test label
+    * ([[Corpus.splitColumn]] on the pair's chosen id — one label per
+    * PAIR, so chosen and rejected can never straddle a split boundary).
+    * `cum_tokens` is the conservation checksum: the running packed
+    * token total is IN the gated output, so a pair appearing, vanishing
+    * or changing length anywhere upstream flips every later row's hash.
+    *
+    * Scale shape: strictly the parts' own shapes — the funnel stages
+    * are semi/anti equi-joins riding the memoized q51/q179 relations,
+    * pairing is ONE hash aggregation (order-invariant struct max/min,
+    * no rank window), and the packing window partitions by source
+    * ordered by len_bucket — a |buckets|-bounded relation (pairs are
+    * one row per stratum), never corpus-sized. No new shuffle shapes.
+    */
+  def q237DpoManifest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", $"text")
+      .localCheckpoint() // exact-keep aggregation + survivor joins
+    val exactKeep = base
+      .withColumn("fp", md5(lower(trim(regexp_replace($"text", "\\s+", " ")))))
+      .groupBy($"fp").agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
+    val clusterDrop = q51DedupClusters(spark, dir)
+      .filter($"doc_id" =!= $"cluster_rep").select($"doc_id")
+    val subsumed = q179Containment(spark, dir)
+      .select($"a_id".as("doc_id")).distinct()
+    val survivors = base
+      .join(exactKeep, Seq("doc_id"), "left_semi")
+      .join(clusterDrop, Seq("doc_id"), "left_anti")
+      .join(subsumed, Seq("doc_id"), "left_anti")
+    val scored = survivors
+      .withColumn("toksc", split(trim($"text"), " "))
+      .withColumn("n_tokens", size($"toksc").cast("long"))
+      .withColumn("quality", TextAnalysis.qualityScoreCol($"text", $"toksc"))
+      .withColumn("len_bucket", expr("n_tokens div 16"))
+      .select($"source", $"len_bucket", $"doc_id", $"n_tokens", $"quality")
+    // trailing struct fields (nt) ride along without affecting the
+    // argmax: comparison is lexicographic and the id field is unique
+    val pairs = scored.groupBy($"source", $"len_bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        max(struct($"quality", (-$"doc_id").as("nid"), $"n_tokens".as("nt"))).as("c"),
+        min(struct($"quality", $"doc_id".as("id"), $"n_tokens".as("nt"))).as("r"))
+      .filter($"n_docs" >= 2L)
+      .select($"source", $"len_bucket", $"n_docs",
+        (-$"c.nid").as("chosen_id"), $"r.id".as("rejected_id"),
+        $"c.quality".as("chosen_q"), $"r.quality".as("rejected_q"),
+        ($"c.quality" - $"r.quality").as("quality_gap"),
+        ($"c.nt" + $"r.nt").as("pair_tokens"))
+      .filter($"quality_gap" > 0.0)
+    val w = Window.partitionBy($"source").orderBy($"len_bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pairs
+      .withColumn("cum_tokens", sum($"pair_tokens").over(w))
+      .withColumn("seq_id", expr("(cum_tokens - pair_tokens) DIV 1024"))
+      .withColumn("split", Corpus.splitColumn($"chosen_id"))
+      .select($"source", $"len_bucket", $"n_docs", $"chosen_id",
+        $"rejected_id", $"chosen_q", $"rejected_q", $"quality_gap",
+        $"pair_tokens", $"cum_tokens", $"seq_id", $"split")
+      .orderBy($"source", $"len_bucket")
+  }
+
+  // lazy: interpolates clusterCtes, declared later in this file (the
+  // q233Sql/q230Sql init-order discipline)
+  lazy val q237Sql: String =
+    s"""WITH RECURSIVE $q31CoreCtes,
+       |$clusterCtes,
+       |fps AS (SELECT doc_id,
+       |          md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+       |        FROM documents),
+       |ek AS (SELECT min(doc_id) AS doc_id FROM fps GROUP BY fp),
+       |cd AS (SELECT doc_id FROM comp WHERE doc_id <> cluster_rep),
+       |cver AS (SELECT a.doc_id AS a_id,
+       |           CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS i,
+       |           CAST(len(a.grams) AS BIGINT) AS na
+       |         FROM grams a JOIN grams b ON a.doc_id <> b.doc_id),
+       |sub AS (SELECT DISTINCT a_id AS doc_id FROM cver WHERE i * 5 >= na * 4),
+       |surv AS (SELECT d.doc_id, d.source,
+       |           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       |           CAST(len(t.toks) AS BIGINT) // 16 AS len_bucket,
+       |           ${TextAnalysis.qualitySqlExpr("d.text", "t.toks")} AS quality
+       |         FROM documents d JOIN toks t ON t.doc_id = d.doc_id
+       |         WHERE d.doc_id IN (SELECT doc_id FROM ek)
+       |           AND d.doc_id NOT IN (SELECT doc_id FROM cd)
+       |           AND d.doc_id NOT IN (SELECT doc_id FROM sub)),
+       |rk AS (SELECT *,
+       |         ROW_NUMBER() OVER (PARTITION BY source, len_bucket
+       |           ORDER BY quality DESC, doc_id) AS rc,
+       |         ROW_NUMBER() OVER (PARTITION BY source, len_bucket
+       |           ORDER BY quality ASC, doc_id) AS rr,
+       |         CAST(COUNT(*) OVER (PARTITION BY source, len_bucket) AS BIGINT)
+       |           AS n_docs
+       |       FROM surv),
+       |p AS (SELECT c.source, c.len_bucket, c.n_docs,
+       |        c.doc_id AS chosen_id, r.doc_id AS rejected_id,
+       |        c.quality AS chosen_q, r.quality AS rejected_q,
+       |        c.quality - r.quality AS quality_gap,
+       |        c.n_tokens + r.n_tokens AS pair_tokens
+       |      FROM rk c JOIN rk r
+       |        ON c.source = r.source AND c.len_bucket = r.len_bucket
+       |      WHERE c.rc = 1 AND r.rr = 1 AND c.n_docs >= 2
+       |        AND c.quality - r.quality > 0)
+       |SELECT source, len_bucket, n_docs, chosen_id, rejected_id,
+       |       chosen_q, rejected_q, quality_gap,
+       |       CAST(pair_tokens AS BIGINT) AS pair_tokens,
+       |       CAST(SUM(pair_tokens) OVER (PARTITION BY source
+       |              ORDER BY len_bucket) AS BIGINT) AS cum_tokens,
+       |       CAST((SUM(pair_tokens) OVER (PARTITION BY source
+       |               ORDER BY len_bucket) - pair_tokens) // 1024 AS BIGINT)
+       |         AS seq_id,
+       |       ${Corpus.splitSqlExpr("chosen_id")} AS split
+       |FROM p
+       |ORDER BY source, len_bucket""".stripMargin
+
   /** q194 — near-dup threshold sensitivity sweep: the same verified
     * pair relation read at five Jaccard thresholds (0.70–0.90), each
     * reporting pair count, docs involved, and an id checksum — the
@@ -1786,6 +1908,7 @@ object Dedup {
     "q33_ngram_jaccard" -> (q33NgramJaccard _),
     "q47_ngram_jaccard_inverted" -> (q47NgramJaccardInverted _),
     "q233_dedup_funnel" -> (q233DedupFunnel _),
+    "q237_dpo_manifest" -> (q237DpoManifest _),
     "q224_method_scorecard" -> (q224MethodScorecard _),
     "q194_threshold_sweep" -> (q194ThresholdSweep _),
     "q179_containment" -> (q179Containment _),
@@ -1807,6 +1930,7 @@ object Dedup {
     "q33_ngram_jaccard" -> q33Sql,
     "q47_ngram_jaccard_inverted" -> q47Sql,
     "q233_dedup_funnel" -> q233Sql,
+    "q237_dpo_manifest" -> q237Sql,
     "q224_method_scorecard" -> q224Sql,
     "q194_threshold_sweep" -> q194Sql,
     "q179_containment" -> q179Sql,

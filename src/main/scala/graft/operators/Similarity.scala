@@ -605,6 +605,31 @@ object Similarity {
   private val ivfRecallNlist = 64
   private val ivfRecallNprobe = 8
 
+  /** The measured IVF scaling policy — THE documented constructor for an
+    * IVF index over a corpus of n vectors (r11 `ScaleEvidence ann`
+    * finding, verified by the r12 `ivf-policy` row): a FIXED nlist keeps
+    * the candidate fraction flat but each list grows O(n) (per-query cost
+    * grows linearly), while a √n-grown nlist at FIXED nprobe sees its
+    * candidate fraction — and with it recall — decay as nprobe/nlist
+    * shrinks. The policy that holds BOTH per-list size and recall:
+    *
+    *   nlist  = max(4, ⌊√n⌋)          (lists stay ~√n entries)
+    *   nprobe = max(1, ⌈nlist / 8⌉)   (candidate fraction pinned ≈ 1/8,
+    *                                   the ratio the fixture-scale sweep
+    *                                   measured as the ~12% recall knee)
+    *
+    * Integer floors/ceils only — both engines (and the oracle SQL's
+    * GREATEST/floor(sqrt)/`//` mirror) compute the identical parameters
+    * from the identical count. q226 keeps the frozen fixture-scale sweep
+    * point (64, 8) as the tuning artifact; q236 runs THIS policy
+    * oracle-gated, and `ScaleEvidence ann` measures it across 64×
+    * corpus growth.
+    */
+  private[graft] def ivfPolicyNlist(n: Long): Int =
+    math.max(4, math.sqrt(n.toDouble).toInt)
+  private[graft] def ivfPolicyNprobe(nlist: Int): Int =
+    math.max(1, (nlist + 7) / 8)
+
   /** q226 — IVF recall@5: the third ANN family (coarse-quantizer
     * inverted lists, the FAISS-IVF shape) evaluated by the exact
     * q217/q221/q225 overlap histogram. Index side: every vector lands
@@ -714,6 +739,114 @@ object Similarity {
       |       CAST(sum(q.vec_id) AS BIGINT) AS a_checksum
       |FROM q LEFT JOIN ov ON ov.a_id = q.vec_id
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q236 — IVF recall with the SCALING POLICY active ([[ivfPolicyNlist]]
+    * / [[ivfPolicyNprobe]]): the same exact-ground-truth overlap
+    * histogram as q226, but (nlist, nprobe) are DERIVED from the corpus
+    * count instead of frozen at the fixture-scale sweep point — the
+    * constructor a 100 TB deployment actually calls, made oracle-gated
+    * so the policy arithmetic itself (floor/√/ceil in both engines) can
+    * never drift. The derived parameters are emitted as columns, so the
+    * gate covers parameter derivation AND the recall they produce.
+    * One extra count() over the slim id column is the policy's only
+    * added cost.
+    */
+  def q236IvfPolicyRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact = exactPanelTop5(spark, dir)
+    val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val nCorpus = emb.count() // bounded meta read: the policy's one input
+    val nlist = ivfPolicyNlist(nCorpus)
+    val nprobe = ivfPolicyNprobe(nlist)
+    val pivots = emb.orderBy($"vec_id").limit(nlist)
+      .select($"vec_id".as("p_id"), $"embedding".as("pe"))
+    val w = Window.partitionBy($"vec_id").orderBy($"cs_p".desc, $"p_id")
+    val near = emb
+      .repartition(spark.sparkContext.defaultParallelism)
+      .crossJoin(broadcast(pivots))
+      .withColumn("cs_p", VectorFunctions.cosineSim($"embedding", $"pe"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= nprobe)
+      .select($"vec_id", $"p_id", $"rk")
+      .localCheckpoint() // feeds the m=1 index AND the query probes
+    val idx = near.filter($"rk" === 1).select($"vec_id".as("b_id"), $"p_id")
+    val panel = samplePanel(spark, dir, topkPanelK).select($"vec_id".as("a_id"))
+    val pq = near.join(broadcast(panel), near("vec_id") === panel("a_id"))
+      .select($"a_id", $"p_id")
+    val cand = pq.join(idx, Seq("p_id"))
+      .filter($"a_id" =!= $"b_id")
+      .select($"a_id", $"b_id")
+    val pe2 = emb.join(broadcast(panel), emb("vec_id") === panel("a_id"))
+      .select($"a_id", $"embedding".as("ea"))
+    val top5 = graft.functions.TopKByScore(5)
+    val ann = cand
+      .join(broadcast(pe2), Seq("a_id"))
+      .join(emb.select($"vec_id".as("b_id"), $"embedding".as("eb")), Seq("b_id"))
+      .withColumn("cs", VectorFunctions.cosineSim($"ea", $"eb"))
+      .filter(!isnan($"cs"))
+      .groupBy($"a_id")
+      .agg(top5($"cs", $"b_id").as("top"))
+      .select($"a_id", explode($"top").as("t"))
+      .select($"a_id", $"t.b_id".as("b_id"))
+    val hits = exact.join(ann, Seq("a_id", "b_id"))
+      .groupBy($"a_id").agg(count(lit(1)).as("hits"))
+    panel.join(hits, Seq("a_id"), "left")
+      .withColumn("hits", coalesce($"hits", lit(0L)))
+      .groupBy($"hits")
+      .agg(count(lit(1)).as("n_queries"), sum($"a_id").as("a_checksum"))
+      .select(lit(nlist.toLong).as("nlist"), lit(nprobe.toLong).as("nprobe"),
+        $"hits", $"n_queries", $"a_checksum")
+      .orderBy($"hits")
+  }
+
+  val q236Sql: String =
+    s"""WITH prm AS (
+      |  SELECT GREATEST(4, CAST(floor(sqrt(count(*))) AS BIGINT)) AS nlist,
+      |         GREATEST(1, (GREATEST(4, CAST(floor(sqrt(count(*))) AS BIGINT)) + 7) // 8) AS nprobe
+      |  FROM embeddings),
+      |piv AS (SELECT vec_id AS p_id, embedding AS pe
+      |        FROM embeddings ORDER BY vec_id
+      |        LIMIT (SELECT nlist FROM prm)),
+      |rkp AS (SELECT e.vec_id, p.p_id,
+      |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], p.pe::DOUBLE[]) DESC, p.p_id) AS rk
+      |  FROM embeddings e CROSS JOIN piv p),
+      |idx AS (SELECT vec_id AS b_id, p_id FROM rkp WHERE rk = 1),
+      |q AS (SELECT vec_id, embedding FROM embeddings
+      |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $topkPanelK),
+      |scored AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cs
+      |  FROM q a JOIN embeddings b ON a.vec_id <> b.vec_id),
+      |ex AS (SELECT a_id, b_id FROM (
+      |  SELECT a_id, b_id, ROW_NUMBER() OVER (
+      |    PARTITION BY a_id ORDER BY cs DESC, b_id) AS rk
+      |  FROM scored WHERE NOT isnan(cs)) t WHERE rk <= 5),
+      |pq AS (SELECT r.vec_id AS a_id, r.p_id FROM rkp r
+      |       JOIN q ON q.vec_id = r.vec_id
+      |       WHERE r.rk <= (SELECT nprobe FROM prm)),
+      |cand AS (SELECT pq.a_id, i.b_id
+      |         FROM pq JOIN idx i ON i.p_id = pq.p_id
+      |         WHERE i.b_id <> pq.a_id),
+      |cscored AS (
+      |  SELECT c.a_id, c.b_id,
+      |    list_cosine_similarity(qa.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS cs
+      |  FROM cand c JOIN q qa ON qa.vec_id = c.a_id
+      |  JOIN embeddings eb ON eb.vec_id = c.b_id),
+      |ann AS (SELECT a_id, b_id FROM (
+      |  SELECT a_id, b_id, ROW_NUMBER() OVER (
+      |    PARTITION BY a_id ORDER BY cs DESC, b_id) AS rk
+      |  FROM cscored WHERE NOT isnan(cs)) t WHERE rk <= 5),
+      |ov AS (SELECT e.a_id, CAST(count(*) AS BIGINT) AS hits
+      |       FROM ex e JOIN ann a ON a.a_id = e.a_id AND a.b_id = e.b_id
+      |       GROUP BY 1)
+      |SELECT (SELECT nlist FROM prm) AS nlist,
+      |       (SELECT nprobe FROM prm) AS nprobe,
+      |       coalesce(ov.hits, 0) AS hits,
+      |       CAST(count(*) AS BIGINT) AS n_queries,
+      |       CAST(sum(q.vec_id) AS BIGINT) AS a_checksum
+      |FROM q LEFT JOIN ov ON ov.a_id = q.vec_id
+      |GROUP BY 1, 2, 3 ORDER BY hits""".stripMargin
 
   /** q230 — hard-negative mining for contrastive training (the ANCE
     * shape: negatives come FROM the ANN index, not from random
@@ -1436,6 +1569,7 @@ object Similarity {
     "q221_multiprobe_recall" -> (q221MultiProbeRecall _),
     "q225_lsh_tuned_recall" -> (q225LshTunedRecall _),
     "q226_ivf_recall" -> (q226IvfRecall _),
+    "q236_ivf_policy_recall" -> (q236IvfPolicyRecall _),
     "q227_ann_scorecard" -> (q227AnnScorecard _),
     "q230_hard_negatives" -> (q230HardNegatives _),
     "q35_ann_lsh" -> (q35AnnLsh _),
@@ -1457,6 +1591,7 @@ object Similarity {
     "q221_multiprobe_recall" -> q221Sql,
     "q225_lsh_tuned_recall" -> q225Sql,
     "q226_ivf_recall" -> q226Sql,
+    "q236_ivf_policy_recall" -> q236Sql,
     "q227_ann_scorecard" -> q227Sql,
     "q230_hard_negatives" -> q230Sql,
     "q35_ann_lsh" -> q35Sql,

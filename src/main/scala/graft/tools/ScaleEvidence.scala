@@ -730,8 +730,12 @@ object ScaleEvidence {
         .join(buckets.select($"vec_id".as("b_id"), $"tbl", $"bucket"), Seq("tbl", "bucket"))
         .filter($"a_id" =!= $"b_id").select($"a_id", $"b_id").distinct()
       val (lshHits, lshFrac) = recallAndFrac(lshCand)
-      // --- IVF, fixed nlist=64 and grown nlist≈√n, m=1 lists, 8 probes
-      def ivf(nlist: Int): (Long, Double) = {
+      // --- IVF: fixed nlist=64/p8, grown nlist≈√n at FIXED p8 (the
+      // decay demonstration), and the adopted POLICY (nlist=⌊√n⌋,
+      // nprobe=⌈nlist/8⌉ — Similarity.ivfPolicy*, the q236 constructor):
+      // the policy row must hold recall AND candidate fraction across
+      // the 64× growth, which is the r11-verdict "done" criterion.
+      def ivf(nlist: Int, nprobe: Int): (Long, Double) = {
         val pivots = emb.filter($"vec_id" < nlist)
           .select($"vec_id".as("p_id"), $"embedding".as("pv"))
         val w = org.apache.spark.sql.expressions.Window
@@ -739,7 +743,7 @@ object ScaleEvidence {
         val near = emb.crossJoin(broadcast(pivots))
           .withColumn("cs_p", graft.functions.VectorFunctions.cosineSim($"embedding", $"pv"))
           .withColumn("rk", row_number().over(w))
-          .filter($"rk" <= 8).select($"vec_id", $"p_id", $"rk")
+          .filter($"rk" <= nprobe).select($"vec_id", $"p_id", $"rk")
           .localCheckpoint()
         val idx = near.filter($"rk" === 1).select($"vec_id".as("b_id"), $"p_id")
         val pq = near.join(broadcast(panel), near("vec_id") === panel("a_id"))
@@ -747,15 +751,19 @@ object ScaleEvidence {
         recallAndFrac(pq.join(idx, Seq("p_id")).filter($"a_id" =!= $"b_id")
           .select($"a_id", $"b_id"))
       }
-      val (i64Hits, i64Frac) = ivf(64)
+      val (i64Hits, i64Frac) = ivf(64, 8)
       val sq = math.max(64, math.ceil(math.sqrt(n.toDouble)).toInt)
-      val (isqHits, isqFrac) = ivf(sq)
+      val (isqHits, isqFrac) = ivf(sq, 8)
+      val pl = graft.operators.Similarity.ivfPolicyNlist(n.toLong)
+      val pp = graft.operators.Similarity.ivfPolicyNprobe(pl)
+      val (polHits, polFrac) = ivf(pl, pp)
       val wall = (System.nanoTime() - t0) / 1e9
       val (sw, _) = shuffleMB()
       org.apache.spark.sql.graft.CheckpointUtils.sweepUnpinned(spark.sparkContext)
       f"ann n=$n%7d  lsh(4x8,r1): cand=${lshFrac * 100}%5.1f%% hits=$lshHits%3d/160" +
         f"  ivf(64,p8): cand=${i64Frac * 100}%5.1f%% hits=$i64Hits%3d/160" +
         f"  ivf($sq%4d,p8): cand=${isqFrac * 100}%5.1f%% hits=$isqHits%3d/160" +
+        f"  ivf-policy($pl%4d,p$pp%-2d): cand=${polFrac * 100}%5.1f%% hits=$polHits%3d/160" +
         f"  wall=$wall%7.1fs shufW=$sw%8.1fMB"
     }
     println(run(sizes.head) + "  (JIT warmup, discard)")

@@ -429,4 +429,71 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       assert(got(s + 1)._1 <= got(s)._1 && got(s + 1)._2 <= got(s)._2) }
     assert(got(3L)._1 < got(0L)._1, "the funnel should drop documents here")
   }
+
+  test("q237: DPO manifest rides funnel survivors, pairs/packing/split replay serially") {
+    // survivor set replayed from the parent operators (the q233 route)
+    val exactKeep = Dedup.q30ExactDedup(spark, sfDir).collect()
+      .map(_.getAs[Long]("keep_id")).toSet
+    val clusterDrop = Dedup.q51DedupClusters(spark, sfDir).collect()
+      .filter(r => r.getAs[Long]("doc_id") != r.getAs[Long]("cluster_rep"))
+      .map(_.getAs[Long]("doc_id")).toSet
+    val subsumed = Dedup.q179Containment(spark, sfDir).collect()
+      .map(_.getAs[Long]("a_id")).toSet
+    val survivors = spark.read.parquet(s"$sfDir/documents.parquet").collect()
+      .map(_.getAs[Long]("doc_id"))
+      .filter(d => exactKeep(d) && !clusterDrop(d) && !subsumed(d)).toSet
+    // quality/length per doc from the already-pinned q27 surface
+    val scored = TextAnalysis.q27QualityScore(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("quality")))).toMap
+    val srcOf = spark.read.parquet(s"$sfDir/documents.parquet").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+    // serial pair construction per (source, len-bucket) over SURVIVORS
+    val expected = survivors.toSeq
+      .map(d => (srcOf(d), scored(d)._1 / 16, d, scored(d)._1, scored(d)._2))
+      .groupBy(t => (t._1, t._2)).flatMap {
+        case ((src, lb), ds) if ds.length >= 2 =>
+          val c = ds.minBy(t => (-t._5, t._3))
+          val r = ds.minBy(t => (t._5, t._3))
+          val gap = c._5 - r._5
+          if (gap > 0)
+            Some((src, lb) ->
+              ((ds.length.toLong, c._3, r._3, gap, c._4 + r._4)))
+          else None
+        case _ => None
+      }
+    val rows = Dedup.q237DpoManifest(spark, sfDir).collect()
+    val got = rows.map { r =>
+      (r.getAs[String]("source"), r.getAs[Long]("len_bucket")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("chosen_id"),
+          r.getAs[Long]("rejected_id"), r.getAs[Double]("quality_gap"),
+          r.getAs[Long]("pair_tokens")))
+    }.toMap
+    assert(got == expected, s"got ${got.size} pairs expected ${expected.size}")
+    assert(got.nonEmpty, "fixture must produce DPO pairs")
+    // pairing only ever draws from funnel survivors, both sides distinct
+    rows.foreach { r =>
+      assert(survivors(r.getAs[Long]("chosen_id")), "chosen not a survivor")
+      assert(survivors(r.getAs[Long]("rejected_id")), "rejected not a survivor")
+      assert(r.getAs[Long]("chosen_id") != r.getAs[Long]("rejected_id"))
+    }
+    // packing conservation: per source in len_bucket order, cum_tokens is
+    // the exact running sum and seq_id its 1024-quotient before the pair
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      var cum = 0L
+      rs.sortBy(_.getAs[Long]("len_bucket")).foreach { r =>
+        assert(r.getAs[Long]("seq_id") == cum / 1024, s"$src seq_id")
+        cum += r.getAs[Long]("pair_tokens")
+        assert(r.getAs[Long]("cum_tokens") == cum, s"$src cum_tokens")
+      }
+    }
+    // one split label per PAIR, from the chosen id's content-free hash
+    rows.foreach { r =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(r.getAs[Long]("chosen_id").toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.charAt(31)
+      val want = if (hex <= 'b') "train" else if (hex <= 'd') "val" else "test"
+      assert(r.getAs[String]("split") == want, s"split of ${r.getAs[Long]("chosen_id")}")
+    }
+  }
 }

@@ -70,6 +70,26 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(ids.distinct.size == ids.size, "a vector joined two mutual pairs")
   }
 
+  test("q236: policy parameters derive from the corpus count, histogram complete, recall held") {
+    val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    val nlist = Similarity.ivfPolicyNlist(n)
+    val nprobe = Similarity.ivfPolicyNprobe(nlist)
+    assert(nlist == math.max(4, math.sqrt(n.toDouble).toInt))
+    assert(nprobe == math.max(1, (nlist + 7) / 8))
+    val rows = Similarity.q236IvfPolicyRecall(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("nlist") == nlist.toLong, "nlist column")
+      assert(r.getAs[Long]("nprobe") == nprobe.toLong, "nprobe column")
+    }
+    // the histogram partitions the whole panel
+    assert(rows.map(_.getAs[Long]("n_queries")).sum == 32L)
+    // the policy's whole point: recall comparable to the fixed-sweep
+    // point — most of the panel recovers at least one true neighbor
+    val withHit = rows.filter(_.getAs[Long]("hits") > 0L)
+      .map(_.getAs[Long]("n_queries")).sum
+    assert(withHit >= 24L, s"policy recall collapsed: $withHit/32 queries with a hit")
+  }
+
   test("q50 typed-UDAF centroids agree bit-for-bit with q36 column form") {
     val q36 = Similarity.q36LabelCentroids(spark, sfDir)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
