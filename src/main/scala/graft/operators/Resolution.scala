@@ -37,8 +37,9 @@ object Resolution {
     val b = d.select($"doc_id".as("doc_b"), $"sig".as("sig_b"), $"blk")
     a.join(b, Seq("blk"))
       .filter($"doc_a" < $"doc_b")
-      .withColumn("dist", levenshtein($"sig_a", $"sig_b").cast("long"))
-      .filter($"dist" <= 40)
+      // banded thresholded DP (see q136): -1 above the bound, exact within
+      .withColumn("dist", levenshtein($"sig_a", $"sig_b", 40).cast("long"))
+      .filter($"dist" >= 0L)
       .select($"doc_a", $"doc_b", $"dist")
       .orderBy($"doc_a", $"doc_b")
   }
@@ -98,8 +99,12 @@ object Resolution {
         ($"rn" + $"g").as("rt"), $"g".cast("long").as("gap"))
     probes.join(ranked.select($"doc_id".as("id_b"), $"sig".as("sig_b"),
         $"rn".as("rt")), Seq("rt"))
-      .withColumn("dist", levenshtein($"sig_a", $"sig_b").cast("long"))
-      .filter($"dist" <= 40)
+      // thresholded kernel: the banded O(threshold·len) DP (vs full
+      // O(len²)) returns -1 above the bound and the EXACT distance
+      // within it, so kept rows are integer-identical to the oracle's
+      // full Wagner-Fischer
+      .withColumn("dist", levenshtein($"sig_a", $"sig_b", 40).cast("long"))
+      .filter($"dist" >= 0L)
       .select(least($"id_a", $"id_b").as("doc_a"),
         greatest($"id_a", $"id_b").as("doc_b"), $"gap", $"dist")
       .orderBy($"doc_a", $"doc_b", $"gap")

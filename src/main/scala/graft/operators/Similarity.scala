@@ -278,6 +278,32 @@ object Similarity {
       .orderBy($"a_id")
   }
 
+  /** Un-checkpointed q193 pipeline for plan-shape pinning (the q31/q48
+    * precedent: the declared query checkpoints its NN relation, so its
+    * explained plan is just the mutuality join over a leaf — the
+    * candidate-join shape lives here).
+    */
+  private[graft] def q193Pipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bk = lshMultiBuckets(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val cand = bk.as("x").join(bk.as("y"),
+        $"x.tbl" === $"y.tbl" && $"x.bucket" === $"y.bucket" &&
+          $"x.vec_id" =!= $"y.vec_id")
+      .select($"x.vec_id".as("a_id"), $"y.vec_id".as("b_id"))
+      .distinct()
+    val va = emb.select($"vec_id".as("a_id"), $"embedding".as("ea"))
+    val vb = emb.select($"vec_id".as("b_id"), $"embedding".as("eb"))
+    cand
+      .join(va, Seq("a_id"))
+      .join(vb, Seq("b_id"))
+      .withColumn("cs", VectorFunctions.cosineSim($"ea", $"eb"))
+      .filter(!isnan($"cs"))
+      .groupBy($"a_id")
+      .agg(min(struct((-$"cs").as("nc"), $"b_id".as("b"))).as("t"))
+      .select($"a_id", $"t.b".as("b_id"), (-$"t.nc").as("cs"))
+  }
+
   val q193Sql: String =
     s"""WITH $lshMultiCtes,
       |mcand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id

@@ -631,4 +631,55 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("FullOuter"), "single-pass census needs no full-outer join")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q236: policy-derived IVF keeps the q226 shape — candidates on the pivot key") {
+    val p = plan("q236_ivf_policy_recall")
+    assert(!p.contains("CartesianProduct"),
+      "every broadcast side must be panel- or pivot-bounded")
+    val nested = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(nested <= 2,
+      s"$nested nested loops (max 2: pivot assignment + exact arm):\n" +
+        p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(p.contains("p_id#"), "candidates must join on the pivot key")
+  }
+
+  test("q193: mutual-NN candidates form only within (tbl, bucket) cells") {
+    // the declared query checkpoints its NN relation, so the candidate
+    // shape is pinned on the un-checkpointed pipeline view (q31/q48
+    // precedent)
+    val p = graft.operators.Similarity.q193Pipeline(spark, sfDir)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("CartesianProduct"), "no cartesian candidate join")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the index self-join must be an equi join on (tbl, bucket)")
+    assert(p.contains("tbl#") && p.contains("bucket#"),
+      "candidates must join on the per-table bucket key")
+    assert(p.contains("cosinesimilarity"), "native codegen kernel in plan")
+  }
+
+  test("q237: DPO composition — anti-join drops, no nested loop, window above the stratum aggregate") {
+    val p = plan("q237_dpo_manifest")
+    assert(p.contains("LeftAnti"), "funnel drop stages must be anti joins")
+    assert(p.contains("LeftSemi"), "exact-keep must be a semi join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the packing window consumes the per-stratum aggregate (one row per
+    // (source, len_bucket)), never the corpus: in plan order the window
+    // must sit ABOVE the pairing aggregate
+    val w = p.indexOf("Window")
+    val a = p.indexOf("SortAggregate") max p.indexOf("HashAggregate")
+    assert(w >= 0 && a >= 0 && w < a,
+      "packing window must consume the stratum aggregate, not the corpus")
+  }
+
+  test("q112/q136: fuzzy verification uses the thresholded (banded) kernel") {
+    // levenshtein(l, r, 40) plans the O(threshold·len) banded DP; the
+    // unbounded two-arg form (full O(len²) Wagner-Fischer) must not creep
+    // back into either verification stage
+    Seq("q112_fuzzy_match", "q136_sorted_neighborhood").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("levenshtein(sig_a") && p.contains("Some(40))"),
+        s"$q must verify with the thresholded kernel:\n" +
+          p.linesIterator.filter(_.contains("levenshtein")).take(3).mkString("\n"))
+    }
+  }
 }
