@@ -140,6 +140,67 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("thresholded levenshtein == full kernel clamped at the bound, on random pairs") {
+    // q112/q136 verify with levenshtein(l, r, 40) (banded O(k·len) DP).
+    // Law: for ANY pair, the thresholded form returns the full distance
+    // when it is <= k and -1 otherwise — the exact contract the oracle
+    // comparison relies on. Random strings over a small alphabet produce
+    // distances straddling the bound.
+    val sGen = Gen.chooseNum(0, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', ' ')).map(_.mkString))
+    var below = 0; var above = 0
+    samples(Gen.zip(Gen.listOfN(25, Gen.zip(sGen, sGen)), Gen.oneOf(3, 10, 40)), 3)
+      .foreach { case (pairs, k) =>
+        val rows = pairs.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+          .toDF("id", "a", "b")
+          .select($"id", levenshtein($"a", $"b").as("full"),
+            levenshtein($"a", $"b", k).as("banded"))
+          .collect()
+        rows.foreach { r =>
+          val (full, banded) = (r.getAs[Int]("full"), r.getAs[Int]("banded"))
+          if (full <= k) { below += 1; assert(banded == full,
+            s"banded($k) must equal full distance $full") }
+          else { above += 1; assert(banded == -1,
+            s"banded($k) must return -1 above the bound, got $banded (full $full)") }
+        }
+      }
+    // across all samples both branches must have been exercised
+    assert(below > 0 && above > 0, s"degenerate sampling: below=$below above=$above")
+  }
+
+  test("TopKByScore equals the sort-based reference and is partition-order invariant") {
+    // the bounded-state aggregator behind q34/q225/q226/q230/q236: its
+    // (score desc, id asc) top-k must equal a full sort's head, under any
+    // partitioning (map-side partials merge associatively).
+    val rowGen = Gen.listOfN(60,
+      Gen.zip(Gen.chooseNum(0, 3), Gen.chooseNum(1, 200),
+        Gen.chooseNum(-1000, 1000).map(_ / 997.0)))
+    samples(rowGen, 3).foreach { rows =>
+      // dedup ids within a group: ties on (score, id) would make the
+      // reference ambiguous only if the SAME id repeats
+      val data = rows.distinctBy(r => (r._1, r._2))
+      val expected = data.groupBy(_._1).view.mapValues(
+        _.sortBy(r => (-r._3, r._2.toLong)).take(5)
+          .map(r => (r._2.toLong, r._3))).toMap
+      Seq(1, 7).foreach { nPart =>
+        val top5 = graft.functions.TopKByScore(5)
+        val got = data.toDF("g", "id", "score")
+          .repartition(nPart)
+          .groupBy($"g")
+          .agg(top5($"score", $"id".cast("long")).as("top"))
+          .select($"g", posexplode($"top").as(Seq("pos", "t")))
+          .select($"g", $"pos", $"t.b_id", $"t.cs")
+          .collect()
+          .groupBy(_.getAs[Int]("g"))
+          .view.mapValues(_.sortBy(_.getAs[Int]("pos"))
+            .map(r => (r.getAs[Long]("b_id"), r.getAs[Double]("cs"))).toList)
+          .toMap
+        assert(got == expected.map { case (k, v) => k -> v.toList },
+          s"nPart=$nPart")
+      }
+    }
+  }
+
   test("chunking covers every token exactly once per 64-token stripe") {
     val sizeGen = Gen.chooseNum(1, 400)
     samples(Gen.listOfN(6, sizeGen), 3).foreach { sizes =>
