@@ -671,6 +671,28 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "packing window must consume the stratum aggregate, not the corpus")
   }
 
+  test("q220: exactly one window (the bounded minimizer frame) — no unbounded count") {
+    // the r11 regression class: a second, UNBOUNDED count(*) window over
+    // the exploded token relation to recover n, when size(toks) on the
+    // pre-explode row already knows it. Pin one Window node, with the
+    // bounded ROWS frame.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = SparkEntry.queries("q220_minimizer_signature")(spark, sfDir)
+    val windows = df.queryExecution.analyzed.collect { case w: LWindow => w }
+    assert(windows.size == 1,
+      s"q220 must plan exactly one window, got ${windows.size}")
+    assert(windows.head.windowExpressions.toString.contains("specifiedwindowframe(RowFrame"),
+      "the one window must be the bounded ROWS sliding-min frame")
+  }
+
+  test("q231: preference pairing is window-free — one hash aggregation") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = SparkEntry.queries("q231_preference_pairs")(spark, sfDir)
+    val windows = df.queryExecution.analyzed.collect { case w: LWindow => w }
+    assert(windows.isEmpty,
+      "chosen/rejected must come from struct max/min aggregates, not rank windows")
+  }
+
   test("q112/q136: fuzzy verification uses the thresholded (banded) kernel") {
     // levenshtein(l, r, 40) plans the O(threshold·len) banded DP; the
     // unbounded two-arg form (full O(len²) Wagner-Fischer) must not creep
