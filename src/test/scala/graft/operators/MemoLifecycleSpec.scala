@@ -323,6 +323,49 @@ class MemoLifecycleSpec extends AnyFunSuite with SparkSpec {
     Dedup.release(spark, dir)
   }
 
+  test("logicVersion keys the warm artifact: a bump rebuilds instead of serving stale bytes") {
+    // ground-truth/index memos (panel_top5, lsh_buckets*) fold a
+    // logic-version token into the artifact key; without it a persisted
+    // artifact from an older scoring/seeding would silently serve stale
+    // ground truth to a fresh session.
+    val dir = Files.createTempDirectory("graft_memo_ver").toString
+    val artRoot = Files.createTempDirectory("graft_art_ver").toString
+    writeCorpus(dir, "verkey")
+    val memo = new OpUtils.SessionMemo("vtest")
+    def build(s: org.apache.spark.sql.SparkSession, version: String, value: Long) = {
+      import s.implicits._
+      memo(s, dir, "k", version) {
+        Seq((value, "x")).toDF("v", "s").localCheckpoint()
+      }
+    }
+    spark.conf.set("spark.graft.artifactDir", artRoot)
+    try {
+      assert(build(spark, "v1", 1L).collect().head.getLong(0) == 1L)
+      val fp = OpUtils.SessionMemo.corpusFingerprint(spark, dir)
+      assert(new java.io.File(s"$artRoot/$fp/vtest.k-v1.parquet/_SUCCESS").exists(),
+        "versioned artifact path must carry the logic-version token")
+      // ledger key stays UNVERSIONED (cross-round bench comparability)
+      assert(OpUtils.SessionMemo.buildSeconds.keySet.exists(_.startsWith("vtest.k")))
+      assert(!OpUtils.SessionMemo.buildSeconds.keySet.exists(_.contains("k-v1")))
+
+      // fresh session, SAME version: loads the artifact (value 1 even
+      // though the build closure would now produce 2)
+      val s2 = spark.newSession()
+      s2.conf.set("spark.graft.artifactDir", artRoot)
+      assert(build(s2, "v1", 2L).collect().head.getLong(0) == 1L,
+        "same version must serve the persisted artifact")
+
+      // fresh session, BUMPED version: must REBUILD (value 3), not serve v1
+      val s3 = spark.newSession()
+      s3.conf.set("spark.graft.artifactDir", artRoot)
+      assert(build(s3, "v2", 3L).collect().head.getLong(0) == 3L,
+        "a version bump must orphan the old artifact and rebuild")
+      assert(new java.io.File(s"$artRoot/$fp/vtest.k-v2.parquet/_SUCCESS").exists())
+    } finally {
+      spark.conf.unset("spark.graft.artifactDir")
+    }
+  }
+
   test("nested memo builds keep the ledger additive (child time excluded from parent)") {
     // triangle_counts is DERIVED from edge_triangles: a cold touch of
     // q125 builds both, the child inside the parent's build closure.
