@@ -1,5 +1,6 @@
 package graft.ml
 
+import graft.operators.OpUtils.SpreadOps
 import org.apache.spark.ml.{Pipeline, PipelineModel}
 import org.apache.spark.ml.classification.LogisticRegression
 import org.apache.spark.ml.clustering.KMeans
@@ -75,7 +76,7 @@ object Scoring {
     val assigned = clusterEmbeddings(spark, dir, k)
       .join(Tables.embeddings(spark, dir), Seq("vec_id"))
       .select($"vec_id", $"cluster", $"embedding")
-      .repartition(spark.sparkContext.defaultParallelism)
+      .spreadAcrossCores
       .localCheckpoint()
     val a = assigned.select($"vec_id".as("a_id"), $"cluster", $"embedding".as("ea"))
     val b = assigned.select($"vec_id".as("b_id"), $"cluster", $"embedding".as("eb"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.OpUtils.SpreadOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -669,7 +670,7 @@ object Analytics {
     import spark.implicits._
     import org.apache.spark.sql.types.{LongType, MapType, StringType}
     Tables.events(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+      .spreadAcrossCores
       .select(explode(from_json($"props", MapType(StringType, LongType))).as(Seq("k", "v")))
       .groupBy($"k")
       .agg(count(lit(1)).as("n"), sum($"v").as("sum_v"), max($"v").as("max_v"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.OpUtils.SpreadOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -22,7 +23,7 @@ object Corpus {
     * group — one scan partition otherwise).
     */
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).repartition(spark.sparkContext.defaultParallelism)
+    Tables.documents(spark, dir).spreadAcrossCores
 
   /** q229 — vocabulary growth curve (Heaps' law, measured): the corpus
     * is cut into ten equal doc-id deciles (a proxy for ingest order)

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.OpUtils.SpreadOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -93,7 +94,7 @@ object Dedup {
   private def withGramsOf(spark: SparkSession, docsDf: DataFrame): DataFrame = {
     import spark.implicits._
     docsDf
-      .repartition(spark.sparkContext.defaultParallelism)
+      .spreadAcrossCores
       .withColumn("toks", split(trim($"text"), " "))
       .select($"doc_id", gramsCol.as("grams"))
   }
@@ -219,7 +220,7 @@ object Dedup {
       // the sort inside the agg's result projection would serialize the
       // heavy array work there; an explicit-N exchange first spreads it
       // (and the downstream pair-compare kernel) across all cores
-      .repartition(spark.sparkContext.defaultParallelism)
+      .spreadAcrossCores
       .select($"doc_id", array_sort($"hl").as("harr"), $"n")
   }
 
@@ -304,7 +305,7 @@ object Dedup {
     val docs = hx.groupBy($"doc_id")
       .agg(collect_list($"h").as("hl"), count(lit(1)).as("n"))
       // spread the per-doc array_sort across cores (see hashedDocsFrom)
-      .repartition(spark.sparkContext.defaultParallelism)
+      .spreadAcrossCores
       .select($"doc_id", array_sort($"hl").as("harr"), $"n")
     val da = docs.select($"doc_id".as("a_id"), $"harr".as("ha"), $"n".as("na"))
     val db = docs.select($"doc_id".as("b_id"), $"harr".as("hb"), $"n".as("nb"))
@@ -403,7 +404,7 @@ object Dedup {
       .reduce(_ + _)
     val docs = hx.groupBy($"doc_id")
       .agg(collect_list($"h").as("hl"), count(lit(1)).as("n"))
-      .repartition(spark.sparkContext.defaultParallelism)
+      .spreadAcrossCores
       .select($"doc_id", array_sort($"hl").as("harr"), $"n")
     val da = docs.select($"doc_id".as("a_id"), $"harr".as("ha"), $"n".as("na"))
     val db = docs.select($"doc_id".as("b_id"), $"harr".as("hb"), $"n".as("nb"))
@@ -687,7 +688,7 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select($"doc_id", $"text")
-      .repartition(spark.sparkContext.defaultParallelism)
+      .spreadAcrossCores
       .withColumn("toks", split(trim($"text"), " "))
       .select($"doc_id", gramsCol.as("grams"))
       .select($"doc_id", explode($"grams").as("g"))
@@ -701,7 +702,7 @@ object Dedup {
     val spark = corpus.sparkSession
     import spark.implicits._
     def gxOf(df: DataFrame): DataFrame = df
-      .repartition(spark.sparkContext.defaultParallelism)
+      .spreadAcrossCores
       .withColumn("toks", split(trim($"text"), " "))
       .select($"doc_id", gramsCol.as("grams"))
       .select($"doc_id", explode($"grams").as("g"))
@@ -769,7 +770,7 @@ object Dedup {
       .agg(collect_list(struct($"df", $"h")).as("pairs"),
         count(lit(1)).as("n"))
       // spread the per-doc sorts across cores (see hashedDocsFrom)
-      .repartition(spark.sparkContext.defaultParallelism)
+      .spreadAcrossCores
       .select($"doc_id",
         array_sort(expr("transform(pairs, p -> p.h)")).as("harr"),
         $"n",
@@ -1438,7 +1439,7 @@ object Dedup {
   def q59IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+      .spreadAcrossCores
       .withColumn("fp", md5(lower(trim(regexp_replace($"text", "\\s+", " ")))))
       .select($"doc_id", $"fp")
       .localCheckpoint() // existing/incoming/bloom all branch here

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.OpUtils.SpreadOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -28,7 +29,7 @@ object Events {
     import spark.implicits._
     Tables.events(spark, dir)
       // single-row-group input: parallelize the per-row JSON parse
-      .repartition(spark.sparkContext.defaultParallelism)
+      .spreadAcrossCores
       .withColumn("k", get_json_object($"props", "$.k").cast("long"))
       .groupBy($"event_type")
       .agg(
@@ -66,7 +67,7 @@ object Events {
     import spark.implicits._
     Tables.events(spark, dir)
       // single-row-group input: parallelize the per-row parse
-      .repartition(spark.sparkContext.defaultParallelism)
+      .spreadAcrossCores
       .withColumn("v", parse_json($"props"))
       .withColumn("k_long", variant_get($"v", "$.k", "long"))
       .withColumn("k_str", variant_get($"v", "$.k", "string"))
@@ -115,7 +116,7 @@ object Events {
     import spark.implicits._
     val out = scratchDir("graft_variant_events")
     graft.sources.Ingest.compactEventsVariant(
-      Tables.events(spark, dir).repartition(spark.sparkContext.defaultParallelism),
+      Tables.events(spark, dir).spreadAcrossCores,
       out)
     spark.read.parquet(out)
       .withColumn("k_long", variant_get($"props_v", "$.k", "long"))
@@ -343,7 +344,7 @@ object Events {
   def q60Pseudonymize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+      .spreadAcrossCores
       .select(
         $"event_id",
         substring(md5(concat(lit("uid:"), $"user_id".cast("string"))), 1, 16)

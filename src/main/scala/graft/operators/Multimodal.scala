@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.OpUtils.SpreadOps
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -222,7 +223,7 @@ object Multimodal {
   def q52MediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val src = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+      .spreadAcrossCores
       .select($"doc_id", $"text".cast("binary").as("blob"))
     decodeImages(src)
       .toDF()
@@ -283,7 +284,7 @@ object Multimodal {
     // slice the same string form and hash its UTF-8 bytes — the q37
     // precedent for binary-surface parity)
     Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+      .spreadAcrossCores
       .select($"doc_id", $"text")
       .withColumn("n_units", length($"text").cast("long"))
       .withColumn("n_frames", expr("(n_units + 255) DIV 256"))

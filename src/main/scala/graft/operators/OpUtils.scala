@@ -15,6 +15,28 @@ object OpUtils {
   /** The matching SQL fragment for the oracle side. */
   def decSql(expr: String): String = s"CAST($expr AS DECIMAL(18,4))"
 
+  /** Fixture-parallelism spread, made scale-safe: the harness parquet is
+    * a single row group (one scan partition), so CPU-bound per-row work
+    * (regexp/split/cosine kernels) would run single-threaded without a
+    * spread. But an UNCONDITIONAL `repartition(defaultParallelism)` is a
+    * scale bug in the other direction — at 100 TB the scan already has
+    * far more partitions than cores, and the "spread" becomes a
+    * full-corpus shuffle DOWN to the core count. `spreadAcrossCores`
+    * repartitions only when the input has fewer partitions than half the
+    * session's cores (the ModelRunner discipline, `ModelRunner.scala:
+    * 103-108`): a planning-time partition-count probe, no data movement
+    * when the input already parallelizes. At fixture SF behavior is
+    * identical to the old unconditional form.
+    */
+  implicit final class SpreadOps[T](private val ds: org.apache.spark.sql.Dataset[T])
+      extends AnyVal {
+    def spreadAcrossCores: org.apache.spark.sql.Dataset[T] = {
+      val cores = ds.sparkSession.sparkContext.defaultParallelism
+      if (ds.rdd.getNumPartitions < math.max(2, cores / 2)) ds.repartition(cores)
+      else ds
+    }
+  }
+
   /** F8: exact-k seeded random sample — `orderBy(rand(seed)).limit(k)`,
     * mirroring the reference's test pipeline
     * (`citibike_project/tests/pipeline.py:1-10`). Deterministic for a

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.OpUtils.SpreadOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -70,7 +71,7 @@ object Similarity {
     val corpus = Tables.embeddings(spark, dir)
       // single-row-group fixture input: spread the scan side across cores
       // so the O(|panel|·n·dim) kernel parallelizes
-      .repartition(spark.sparkContext.defaultParallelism)
+      .spreadAcrossCores
       .select($"vec_id".as("b_id"), $"embedding".as("eb"))
     val top5 = graft.functions.TopKByScore(5)
     corpus.join(broadcast(panel), $"a_id" =!= $"b_id")
@@ -111,7 +112,7 @@ object Similarity {
   def cosineTopkAllPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-    val a = emb.repartition(spark.sparkContext.defaultParallelism)
+    val a = emb.spreadAcrossCores
       .select($"vec_id".as("a_id"), $"embedding".as("ea"))
     val b = emb.select($"vec_id".as("b_id"), $"embedding".as("eb"))
     val w = Window.partitionBy($"a_id").orderBy($"cs".desc, $"b_id")
@@ -146,7 +147,7 @@ object Similarity {
           (conv(substring(md5(concat($"h".cast("string"), lit("_"), $"d".cast("string"))), 1, 15), 16, 10)
             .cast("long") % 2001 - 1000).cast("long"))
       val vx = Tables.embeddings(spark, dir)
-        .repartition(spark.sparkContext.defaultParallelism)
+        .spreadAcrossCores
         .select($"vec_id", posexplode($"embedding").as(Seq("d", "v")))
       val buckets = vx.join(broadcast(planes), Seq("d"))
         .withColumn("prod", round($"v".cast("double") * $"w" * 1e6).cast("long"))
@@ -159,7 +160,7 @@ object Similarity {
       // both pair-join sides read this; checkpoint so the bucket pipeline
       // (hash planes + dot products) runs once
       buckets.join(emb, Seq("vec_id"))
-        .repartition(spark.sparkContext.defaultParallelism)
+        .spreadAcrossCores
         .localCheckpoint()
     }
 
@@ -529,7 +530,7 @@ object Similarity {
           (conv(substring(md5(concat($"p".cast("string"), lit("_"), $"d".cast("string"))), 1, 15), 16, 10)
             .cast("long") % 2001 - 1000).cast("long"))
       val vx = Tables.embeddings(spark, dir)
-        .repartition(spark.sparkContext.defaultParallelism)
+        .spreadAcrossCores
         .select($"vec_id", posexplode($"embedding").as(Seq("d", "v")))
       vx.join(broadcast(planes), Seq("d"))
         .withColumn("prod", round($"v".cast("double") * $"w" * 1e6).cast("long"))
@@ -690,7 +691,7 @@ object Similarity {
     // the query probes, so the checkpoint stops Spark re-deriving the
     // pivot cross join for each consumer
     val near = emb
-      .repartition(spark.sparkContext.defaultParallelism)
+      .spreadAcrossCores
       .crossJoin(broadcast(pivots))
       .withColumn("cs_p", VectorFunctions.cosineSim($"embedding", $"pe"))
       .withColumn("rk", row_number().over(w))
@@ -788,7 +789,7 @@ object Similarity {
       .select($"vec_id".as("p_id"), $"embedding".as("pe"))
     val w = Window.partitionBy($"vec_id").orderBy($"cs_p".desc, $"p_id")
     val near = emb
-      .repartition(spark.sparkContext.defaultParallelism)
+      .spreadAcrossCores
       .crossJoin(broadcast(pivots))
       .withColumn("cs_p", VectorFunctions.cosineSim($"embedding", $"pe"))
       .withColumn("rk", row_number().over(w))
@@ -912,7 +913,7 @@ object Similarity {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding")
-      .repartition(spark.sparkContext.defaultParallelism)
+      .spreadAcrossCores
       .localCheckpoint() // assignment and both verification sides
     val pivots = emb.orderBy($"vec_id").limit(ivfPivots)
       .select($"vec_id".as("p_id"), $"embedding".as("pe"))
@@ -1129,7 +1130,7 @@ object Similarity {
   def q46EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val s = samplePanel(spark, dir, neardupAuditK).localCheckpoint()
-    val a = s.repartition(spark.sparkContext.defaultParallelism)
+    val a = s.spreadAcrossCores
       .select($"vec_id".as("a_id"), $"embedding".as("ea"))
     val b = s.select($"vec_id".as("b_id"), $"embedding".as("eb"))
     a.join(broadcast(b), $"a_id" < $"b_id")
@@ -1156,7 +1157,7 @@ object Similarity {
   def embeddingNeardupAllPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-    val a = emb.repartition(spark.sparkContext.defaultParallelism)
+    val a = emb.spreadAcrossCores
       .select($"vec_id".as("a_id"), $"embedding".as("ea"))
     val b = emb.select($"vec_id".as("b_id"), $"embedding".as("eb"))
     a.join(broadcast(b), $"a_id" < $"b_id")
@@ -1207,7 +1208,7 @@ object Similarity {
     // assignment and both verification sides branch from the embeddings
     val emb = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding")
-      .repartition(spark.sparkContext.defaultParallelism)
+      .spreadAcrossCores
       .localCheckpoint()
     val pivots = emb.orderBy($"vec_id").limit(ivfPivots)
       .select($"vec_id".as("p_id"), $"embedding".as("pe"))
@@ -1315,7 +1316,7 @@ object Similarity {
     import spark.implicits._
     // both pair-join sides and the verdict join branch from the table
     val emb = Tables.embeddings(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+      .spreadAcrossCores
       .localCheckpoint()
     val a = emb.select($"vec_id".as("a_id"), $"label", $"embedding".as("ea"))
     val b = emb.select($"vec_id".as("b_id"), $"label", $"embedding".as("eb"))
@@ -1392,7 +1393,7 @@ object Similarity {
         s"aggregate(transform(c, y -> CAST(round(y * y * $nano) AS BIGINT)), CAST(0 AS BIGINT), (acc, t) -> acc + t)"))
     val w = Window.partitionBy($"vec_id").orderBy($"score".desc, $"c_label")
     Tables.embeddings(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+      .spreadAcrossCores
       .crossJoin(broadcast(cent))
       .withColumn("dot_u", expr(
         s"aggregate(zip_with(embedding, c, (x, y) -> CAST(round(CAST(x AS DOUBLE) * y * $nano) AS BIGINT)), CAST(0 AS BIGINT), (acc, t) -> acc + t)"))
@@ -1470,7 +1471,7 @@ object Similarity {
   def q64QuantizeEmbeddings(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.embeddings(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+      .spreadAcrossCores
       .select($"label", posexplode($"embedding").as(Seq("d", "v")))
       .withColumn("vd", $"v".cast("double") * 127)
       .withColumn("q", greatest(lit(-127L), least(lit(127L),

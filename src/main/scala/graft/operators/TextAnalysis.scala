@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.OpUtils.SpreadOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -59,7 +60,7 @@ object TextAnalysis {
     * otherwise run single-threaded.
     */
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).repartition(spark.sparkContext.defaultParallelism)
+    Tables.documents(spark, dir).spreadAcrossCores
 
   /** Token counting (whitespace tokenizer + distinct vocabulary). */
   def q26TokenStats(spark: SparkSession, dir: String): DataFrame = {
@@ -1651,7 +1652,7 @@ object TextAnalysis {
       .select($"vec_id".as("q_id"), $"embedding".as("eq"))
     val top10 = graft.functions.TopKByScore(10)
     val sem = emb
-      .repartition(spark.sparkContext.defaultParallelism)
+      .spreadAcrossCores
       .select($"vec_id".as("doc_id"), $"embedding".as("eb"))
       .join(broadcast(qv), $"doc_id" =!= $"q_id")
       .withColumn("cs",
@@ -1960,7 +1961,7 @@ object TextAnalysis {
       .select($"vec_id".as("q_id"), $"embedding".as("eq"))
     val top20 = graft.functions.TopKByScore(20)
     val sem = emb
-      .repartition(spark.sparkContext.defaultParallelism)
+      .spreadAcrossCores
       .select($"vec_id".as("doc_id"), $"embedding".as("eb"))
       .join(broadcast(qv), $"doc_id" =!= $"q_id")
       .withColumn("cs",

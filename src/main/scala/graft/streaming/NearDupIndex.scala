@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.operators.OpUtils.SpreadOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
@@ -153,7 +154,7 @@ object NearDupIndex {
     joined
       .groupBy($"doc_id")
       .agg(collect_list(struct($"df", $"h")).as("pairs"), count(lit(1)).as("n"))
-      .repartition(spark.sparkContext.defaultParallelism)
+      .spreadAcrossCores
       .select($"doc_id",
         array_sort(expr("transform(pairs, p -> p.h)")).as("harr"),
         $"n",

@@ -1,5 +1,6 @@
 package graft.tools
 
+import graft.operators.OpUtils.SpreadOps
 import java.util.concurrent.atomic.AtomicLong
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.DataFrame
@@ -688,7 +689,7 @@ object ScaleEvidence {
         expr("""transform(sequence(0, 63),
                |  d -> CAST((pmod(xxhash64(id, d), 2001) - 1000) / 1000.0 AS FLOAT))"""
           .stripMargin).as("embedding"))
-        .repartition(spark.sparkContext.defaultParallelism)
+        .spreadAcrossCores
         .localCheckpoint()
       val panel = emb.select($"vec_id", xxhash64($"vec_id").as("o"))
         .orderBy($"o", $"vec_id").limit(32).select($"vec_id".as("a_id"))
