@@ -32,7 +32,22 @@ object OpUtils {
       extends AnyVal {
     def spreadAcrossCores: org.apache.spark.sql.Dataset[T] = {
       val cores = ds.sparkSession.sparkContext.defaultParallelism
-      if (ds.rdd.getNumPartitions < math.max(2, cores / 2)) ds.repartition(cores)
+      // A plan that already contains an exchange is post-shuffle: its
+      // parallelism is spark.sql.shuffle.partitions (sized >= cores by
+      // configuration discipline), so no spread is needed — and probing
+      // it with .rdd would be actively harmful: under AQE the top node
+      // is AdaptiveSparkPlanExec, whose .execute() EAGERLY materializes
+      // every upstream shuffle stage, double-paying the pipeline once
+      // for the probe and once for the real run.
+      val postShuffle = {
+        val p = ds.queryExecution.executedPlan
+        p.isInstanceOf[org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec] ||
+          p.exists(_.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
+      }
+      if (postShuffle) ds
+      // exchange-free plan (scan/checkpoint leaf + maps): .rdd only
+      // builds the DAG — a free planning-time partition-count probe
+      else if (ds.rdd.getNumPartitions < math.max(2, cores / 2)) ds.repartition(cores)
       else ds
     }
   }
