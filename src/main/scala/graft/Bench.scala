@@ -35,6 +35,17 @@ object Bench {
     */
   final case class Rep(sec: Double, load0: Double, load1: Double, gcSec: Double)
 
+  // Latest run's summary line + the stdout it should be re-emitted on.
+  // A STATIC holder with a register-once flag (r12 advisor): each
+  // main() registering its own hook would, in a long-lived JVM running
+  // Bench repeatedly, accumulate hooks that all fire concurrently at
+  // exit in nondeterministic order — the retained tail could end with a
+  // stale earlier run's summary or interleaved bytes. One hook, always
+  // printing the most recent summary, keeps the tail contract exact.
+  private val latestSummary =
+    new java.util.concurrent.atomic.AtomicReference[(java.io.PrintStream, String)]()
+  private val hookRegistered = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   private def loadAvg: Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
@@ -172,18 +183,36 @@ object Bench {
     // The r11 driver run's 31.3 s containment_pairs build (vs 5.4 s r10)
     // could not be adjudicated from the artifact alone; this closes that.
     // Reference file missing or unparsable => tripwire inert (empty map).
+    // Path resolution (r12 advisor): a cwd-relative default silently
+    // disarms the tripwire when Bench runs from a subdirectory, so walk
+    // up from cwd looking for tools/memo_ref.json (bounded repo-root
+    // discovery) when the plain relative path doesn't resolve.
     val memoRef: Map[String, Double] = {
-      val path = sys.env.getOrElse("SPARK_GRAFT_MEMO_REF",
-        "tools/memo_ref.json")
+      val path: Option[java.nio.file.Path] =
+        sys.env.get("SPARK_GRAFT_MEMO_REF").map(java.nio.file.Paths.get(_))
+          .orElse {
+            Iterator.iterate(java.nio.file.Paths.get("").toAbsolutePath)(_.getParent)
+              .takeWhile(_ != null).take(8)
+              .map(_.resolve("tools/memo_ref.json"))
+              .find(java.nio.file.Files.isReadable(_))
+          }
       try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(path)), "UTF-8")
+        val txt = new String(java.nio.file.Files.readAllBytes(path.get), "UTF-8")
         """"([^"]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Exception => Map.empty }
     }
+    // Ledger keys gain an `@<dirBasename>` suffix when one key touched
+    // several corpora in this process (the multi-SF case); the committed
+    // reference is keyed by the bare name, so strip the suffix for the
+    // lookup (r12 advisor) — otherwise the tripwire is silently inert
+    // for exactly the builds being compared.
     val alerts = builds.flatMap { case (k, sec) =>
-      memoRef.get(k).filter(ref => sec > ref * 2.5).map { ref =>
+      val bare = k.lastIndexOf('@') match {
+        case -1 => k
+        case i  => k.substring(0, i)
+      }
+      memoRef.get(bare).filter(ref => sec > ref * 2.5).map { ref =>
         val loads = mbTelemetry.getOrElse(k, Nil)
           .map { case (_, l0, l1) => f"[$l0%.2f,$l1%.2f]" }
           .mkString("[", ",", "]")
@@ -219,6 +248,16 @@ object Bench {
     // always ends in valid JSON no matter how narrow the window.
     val summary = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","spark_version":"${spark.version}","n_valid":$nValid,"failed":$failed,"partial_failures":$partialFailures,"memo_build_total":${f"${builds.map(_._2).sum}%.3f"},"memo_build_alerts":$mbAlerts,"full_json":${if (mirrored) "\"" + mirror + "\"" else "null"},"total":${f"$total%.3f"}}"""
     println(summary)
+    // File artifact for the summary (r12 verdict item 7): nothing should
+    // have to parse stdout at all — the compact summary object lands next
+    // to the full-line mirror as BENCH_SUMMARY.json.
+    try {
+      val sumPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY",
+        new java.io.File(new java.io.File(mirror).getAbsoluteFile.getParent,
+          "BENCH_SUMMARY.json").getPath)
+      java.nio.file.Files.write(java.nio.file.Paths.get(sumPath),
+        (summary + "\n").getBytes("UTF-8"))
+    } catch { case _: Exception => () } // best-effort, like the mirror
     // The driver parses the LAST line of the retained stdout tail, but
     // when it drives Bench through sbt the "[success] Total time" footer
     // lands AFTER our output (r11: parsed=null despite a clean summary
@@ -226,11 +265,15 @@ object Bench {
     // sbt prints its footer and re-emits the summary as the true last
     // act of the process, so the tail always ENDS in the parseable
     // summary. Under tools/run.sh (plain java) the summary just appears
-    // twice — still valid JSON last.
-    val out = System.out
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      out.println(summary); out.flush()
-    }))
+    // twice — still valid JSON last. The hook is registered ONCE per JVM
+    // and reads the static holder, so repeated Bench runs in one JVM
+    // re-emit only the latest run's summary (r12 advisor).
+    latestSummary.set((System.out, summary))
+    if (hookRegistered.compareAndSet(false, true))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        val v = latestSummary.get()
+        if (v != null) { v._1.println(v._2); v._1.flush() }
+      }))
     spark.stop()
   }
 }

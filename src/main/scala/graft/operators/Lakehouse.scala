@@ -421,13 +421,30 @@ object Lakehouse {
     // DROP/CREATE or read each other's data
     val tok = new java.io.File(tmp).getName.replaceAll("[^A-Za-z0-9_]", "_")
     val (tOrders, tLineitem) = (s"graft_bkt_orders_$tok", s"graft_bkt_lineitem_$tok")
-    // sweep ALL graft_bkt_* catalog entries, not just this run's names:
-    // per-run tokens mean a prior run's tables would otherwise linger
-    // forever, pointing at scratch dirs Scratch.dir() already deleted —
-    // dangling paths that trip any catalog-wide listTables+resolve.
+    // sweep STALE graft_bkt_* catalog entries: per-run tokens mean a
+    // prior run's tables would otherwise linger forever, pointing at
+    // scratch dirs Scratch.dir() already deleted — dangling paths that
+    // trip any catalog-wide listTables+resolve. Only entries whose
+    // external LOCATION no longer exists are dropped (r12 advisor): a
+    // catalog-wide unconditional drop would delete a concurrent run's
+    // live tables between its saveAsTable and read, breaking the
+    // per-run-token isolation the tokens exist to provide. A prior
+    // run's dirs are already deleted by this run's Scratch.dir() call
+    // above (same prefix), so its entries always qualify as stale.
     // SHOW TABLES is a bounded meta read (catalog rows, not data).
-    s2.sql("SHOW TABLES LIKE 'graft_bkt_*'").collect()
-      .foreach(r => s2.sql(s"DROP TABLE IF EXISTS ${r.getAs[String]("tableName")}"))
+    s2.sql("SHOW TABLES LIKE 'graft_bkt_*'").collect().foreach { r =>
+      val t = r.getAs[String]("tableName")
+      val locGone =
+        try {
+          val meta = s2.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(t))
+          val p = new org.apache.hadoop.fs.Path(meta.location)
+          !p.getFileSystem(s2.sparkContext.hadoopConfiguration).exists(p)
+        } catch { case _: Exception => true } // unresolvable entry = stale
+      if (locGone) s2.sql(s"DROP TABLE IF EXISTS $t")
+    }
+    // this run's own names are always safe to clear (fresh unique token)
+    Seq(tOrders, tLineitem).foreach(t => s2.sql(s"DROP TABLE IF EXISTS $t"))
     Tables.orders(s2, dir).select($"o_orderkey", $"o_orderpriority")
       .repartition(buckets, $"o_orderkey")
       .write.format("parquet").option("path", s"$tmp/orders")

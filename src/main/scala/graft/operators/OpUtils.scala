@@ -32,21 +32,32 @@ object OpUtils {
       extends AnyVal {
     def spreadAcrossCores: org.apache.spark.sql.Dataset[T] = {
       val cores = ds.sparkSession.sparkContext.defaultParallelism
-      // A plan that already contains an exchange is post-shuffle: its
-      // parallelism is spark.sql.shuffle.partitions (sized >= cores by
-      // configuration discipline), so no spread is needed — and probing
-      // it with .rdd would be actively harmful: under AQE the top node
-      // is AdaptiveSparkPlanExec, whose .execute() EAGERLY materializes
-      // every upstream shuffle stage, double-paying the pipeline once
-      // for the probe and once for the real run.
-      val postShuffle = {
-        val p = ds.queryExecution.executedPlan
-        p.isInstanceOf[org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec] ||
-          p.exists(_.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
-      }
-      if (postShuffle) ds
-      // exchange-free plan (scan/checkpoint leaf + maps): .rdd only
-      // builds the DAG — a free planning-time partition-count probe
+      // A plan that already contains a SHUFFLE exchange is post-shuffle:
+      // its parallelism is spark.sql.shuffle.partitions (sized >= cores
+      // by configuration discipline), so no spread is needed — and
+      // probing it with .rdd would be actively harmful: under AQE,
+      // .execute() EAGERLY materializes every upstream shuffle stage,
+      // double-paying the pipeline once for the probe and once for the
+      // real run. A BROADCAST exchange does NOT count (r12 advisor): a
+      // broadcast-hash-join plan's output parallelism follows its
+      // STREAMED side — at fixture scale often the 1-partition scan —
+      // so broadcast-only plans must still be probed and spread. The
+      // probe on a broadcast-only AQE plan materializes only the
+      // (dimension-bounded) broadcast stage, which the real run then
+      // reuses from the same cached final plan — no shuffle stage can
+      // be double-paid because none exists in the plan.
+      def hasShuffle(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p.exists {
+          case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => true
+          // AQE's node is a leaf to `exists`; recurse into what it wraps
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            hasShuffle(a.inputPlan)
+          case _ => false
+        }
+      if (hasShuffle(ds.queryExecution.executedPlan)) ds
+      // shuffle-free plan (scan/checkpoint leaf + maps + broadcasts):
+      // .rdd builds the DAG and at most the bounded broadcast stage —
+      // a cheap planning-time partition-count probe
       else if (ds.rdd.getNumPartitions < math.max(2, cores / 2)) ds.repartition(cores)
       else ds
     }
