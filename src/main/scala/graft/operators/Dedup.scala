@@ -695,6 +695,46 @@ object Dedup {
       .select($"doc_id", expr("xxhash64(g)").as("h"))
   }
 
+  /** Per-doc derived dedup state of a batch, computable from the batch
+    * ALONE — the seam the incremental DPO manifest
+    * ([[graft.streaming.DpoIncremental]]) persists per micro-batch:
+    * `(doc_id, harr, n, bands)` where `harr`/`n` are the q31/q179
+    * verification arrays (numerically-sorted distinct md5-60 bigram
+    * hashes — the DICTIONARY path's values without the corpus-wide
+    * dictionary build; [[gramDict]]'s h is a pure function of the gram
+    * string) and `bands` are the q31 minhash XOR band keys. Every field
+    * is a pure function of the doc's text under fixed seeded constants,
+    * so values appended today are bit-identical to what a full q31/q179
+    * recompute over any future corpus superset would derive — the
+    * property that makes append-only maintenance EXACT (DpoIncrementalSpec
+    * pins the resulting manifest against the full q237 recompute).
+    */
+  private[graft] def incrementalDocState(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val gx = docs.select($"doc_id", $"text")
+      .spreadAcrossCores
+      .withColumn("toks", split(trim($"text"), " "))
+      .select($"doc_id", gramsCol.as("grams"))
+      .select($"doc_id", explode($"grams").as("g"))
+    val h60 = graft.functions.Md5Prefix60($"g")
+    val hx = gx.select($"doc_id", (h60 % P).as("hm"), h60.as("h"))
+    val sigCols = (0 until nPerm).map(i =>
+      min(expr(s"(${permA(i)} * hm + ${permB(i)}) % $P")).as(s"s$i"))
+    val aggCols = Seq(collect_list($"h").as("hl"),
+      count(lit(1)).as("n")) ++ sigCols
+    val per = hx.groupBy($"doc_id").agg(aggCols.head, aggCols.tail: _*)
+    def xorKey(from: Int): Column =
+      (from + 1 until from + bandRows).foldLeft(col(s"s$from"))((acc, i) =>
+        acc.bitwiseXOR(col(s"s$i")))
+    val nBands = nPerm / bandRows
+    val bandStructs = (0 until nBands).map(b =>
+      struct(lit(b).as("band_id"), xorKey(b * bandRows).as("key")))
+    per
+      .select($"doc_id", array_sort($"hl").as("harr"), $"n",
+        array(bandStructs: _*).as("bands"))
+  }
+
   /** Shared exploded-shingle relation of a corpus + batch union — the
     * head of the cross-set near-dup pipeline.
     */

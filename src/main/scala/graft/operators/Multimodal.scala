@@ -315,13 +315,198 @@ object Multimodal {
       |FROM f
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Perceptual hashes of one media payload: 64-bit aHash packed as 8
+    * bands of 8 bits (band k = bits 8k..8k+7 — the banding key layout is
+    * the storage layout, so candidate generation never re-slices), plus a
+    * 56-bit dHash (8 rows x 7 horizontal gradients) in one BIGINT — bit
+    * 55 is the highest, so the value stays positive in every engine.
+    */
+  final case class PHashRecord(doc_id: Long, bands: Array[Int], dhash: Long)
+
+  /** Perceptual-hash kernel — the multimodal arm of the dedup tier (r12
+    * verdict item 2). REAL branch: decode via [[ImageDecoder]]'s JDK
+    * codecs, resample to the same 8x8 grid the thumbnail stage uses, and
+    * hash integer lumas (BT.601, integer-div by 1000 — exact). STUB
+    * branch (non-image payloads, the fixture case): the luma grid is the
+    * first 64 payload bytes zero-padded — deterministic arithmetic the
+    * DuckDB oracle mirrors byte for byte, the q52 gating convention.
+    *
+    *  - aHash bit i: `luma[i] * 64 > sum(lumas)` — mean-threshold in
+    *    exact integer form (no IEEE mean, no rounding divergence).
+    *  - dHash bit (r,c): `luma[8r+c] > luma[8r+c+1]` — horizontal
+    *    gradient sign, robust to uniform brightness shifts.
+    */
+  object PHasher {
+    /** Integer BT.601 luma of the image resampled to 8x8 — same resize
+      * op as [[ImageDecoder]]'s thumbnail stage.
+      */
+    def lumas8x8(im: java.awt.image.BufferedImage): Array[Int] = {
+      val thumb = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = thumb.createGraphics()
+      try g.drawImage(im, 0, 0, 8, 8, null) finally g.dispose()
+      val out = new Array[Int](64)
+      var i = 0
+      while (i < 64) {
+        val rgb = thumb.getRGB(i % 8, i / 8)
+        out(i) = (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
+          114 * (rgb & 0xFF)) / 1000
+        i += 1
+      }
+      out
+    }
+
+    /** Deterministic stand-in grid for payloads without a decodable
+      * image: first 64 bytes unsigned, zero-padded.
+      */
+    def stubLumas(bytes: Array[Byte]): Array[Int] =
+      Array.tabulate(64)(i => if (i < bytes.length) bytes(i) & 0xFF else 0)
+
+    def aHashBands(lumas: Array[Int]): Array[Int] = {
+      val total = lumas.sum.toLong
+      Array.tabulate(8) { k =>
+        var band = 0
+        var j = 0
+        while (j < 8) {
+          if (lumas(8 * k + j).toLong * 64 > total) band |= 1 << j
+          j += 1
+        }
+        band
+      }
+    }
+
+    def dHash(lumas: Array[Int]): Long = {
+      var h = 0L
+      var i = 0
+      while (i < 56) {
+        val r = i / 7
+        val c = i % 7
+        if (lumas(8 * r + c) > lumas(8 * r + c + 1)) h |= 1L << i
+        i += 1
+      }
+      h
+    }
+
+    def pHash(id: Long, bytes: Array[Byte]): PHashRecord = {
+      val lumas =
+        if (ImageDecoder.mediaTypeOf(bytes).startsWith("image/"))
+          Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+            .map(lumas8x8).getOrElse(stubLumas(bytes))
+        else stubLumas(bytes)
+      PHashRecord(id, aHashBands(lumas), dHash(lumas))
+    }
+  }
+
+  /** pHash stage over any (doc_id, blob) relation — one per-partition
+    * pass at the codec boundary, no shuffle (the decodeImages shape).
+    */
+  def pHashAll(df: DataFrame): Dataset[PHashRecord] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => PHasher.pHash(id, bytes) })
+  }
+
+  /** q238 — perceptual-hash image near-dup pairs: the q32 Hamming-banding
+    * machinery applied to the multimodal tier. Candidates are generated
+    * by an equi-join on (band_id, band_key) over the 8 x 8-bit aHash
+    * bands; by pigeonhole, Hamming distance <= 7 flips at most 7 of the
+    * 8 bands, so every qualifying pair shares at least one exact band —
+    * candidate generation is LOSSLESS for the emitted threshold, never
+    * an all-pairs scan. Band rows CARRY both signatures (the q32 trick),
+    * so verification (xor + popcount per band, summed) runs inside the
+    * join's codegen stage and only surviving pairs reach the distinct.
+    * `ham_dhash` reports the gradient-hash distance of each surviving
+    * pair — an independent second perceptual axis inside the hash gate.
+    *
+    * At 100 TB: n x 8 small band rows, shuffled by band key (or
+    * broadcast below threshold); near-identical images concentrate in
+    * shared buckets, and the quadratic blowup inside one bucket is
+    * bounded by that bucket's population, exactly like q32's text
+    * SimHash — this is the plan you'd run on a billion-image corpus.
+    */
+  def q238PhashNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = Tables.documents(spark, dir)
+      .spreadAcrossCores
+      .select($"doc_id", $"text".cast("binary").as("blob"))
+    phashPairs(src)
+  }
+
+  /** The banded pair pipeline over any (doc_id, blob) relation — q238's
+    * body, factored so the spec can drive the REAL image branch through
+    * the identical joins with planted near-identical images.
+    */
+  def phashPairs(src: DataFrame): DataFrame = {
+    val spark = src.sparkSession
+    import spark.implicits._
+    // the band self-join reads the hashed relation twice — checkpoint so
+    // the decode stage runs once (the q32 signature discipline)
+    val ph = pHashAll(src).toDF().localCheckpoint()
+    val bands = ph
+      .select($"doc_id", $"bands", $"dhash", posexplode($"bands"))
+      .toDF("doc_id", "bands", "dhash", "band_id", "bkey")
+    bands.as("x").join(bands.as("y"),
+        col("x.band_id") === col("y.band_id") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.bands").as("ba"), col("y.bands").as("bb"),
+        col("x.dhash").as("da"), col("y.dhash").as("db"))
+      .withColumn("ham_ahash", expr(
+        "CAST(aggregate(zip_with(ba, bb, (a, b) -> bit_count(a ^ b)), 0, (acc, v) -> acc + v) AS BIGINT)"))
+      .filter($"ham_ahash" <= 7)
+      .withColumn("ham_dhash", bit_count($"da".bitwiseXOR($"db")).cast("long"))
+      .select($"doc_a", $"doc_b", $"ham_ahash", $"ham_dhash")
+      .distinct()
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val q238Sql: String =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    [CASE WHEN i <= length(text) THEN ascii(substring(text, i, 1))
+      |          ELSE 0 END for i in range(1, 65)] AS luma
+      |  FROM documents),
+      |s AS (SELECT doc_id, luma, list_sum(luma) AS total FROM g),
+      |h AS (
+      |  SELECT doc_id,
+      |    [CAST(list_sum([CASE WHEN luma[8*k + j + 1] * 64 > total
+      |                         THEN (1 << j) ELSE 0 END
+      |                    for j in range(0, 8)]) AS INTEGER)
+      |     for k in range(0, 8)] AS bands,
+      |    CAST(list_sum([CASE WHEN luma[8*(i//7) + (i%7) + 1] >
+      |                             luma[8*(i//7) + (i%7) + 2]
+      |                        THEN (CAST(1 AS BIGINT) << i) ELSE 0 END
+      |                   for i in range(0, 56)]) AS BIGINT) AS dhash
+      |  FROM s),
+      |bands AS (SELECT doc_id, k AS band_id, bands[k+1] AS bkey, bands, dhash
+      |          FROM h, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS t(k)),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM bands x JOIN bands y
+      |    ON x.band_id = y.band_id AND x.bkey = y.bkey
+      |   AND x.doc_id < y.doc_id)
+      |SELECT c.doc_a, c.doc_b,
+      |  CAST(list_sum([bit_count(xor(ha.bands[i+1], hb.bands[i+1]))
+      |                 for i in range(0, 8)]) AS BIGINT) AS ham_ahash,
+      |  CAST(bit_count(xor(ha.dhash, hb.dhash)) AS BIGINT) AS ham_dhash
+      |FROM cand c
+      |JOIN h ha ON ha.doc_id = c.doc_a
+      |JOIN h hb ON hb.doc_id = c.doc_b
+      |WHERE list_sum([bit_count(xor(ha.bands[i+1], hb.bands[i+1]))
+      |                for i in range(0, 8)]) <= 7
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_binary_ops" -> (q37BinaryOps _),
     "q52_media_features" -> (q52MediaFeatures _),
-    "q66_frame_sample" -> (q66FrameSample _))
+    "q66_frame_sample" -> (q66FrameSample _),
+    "q238_phash_neardup" -> (q238PhashNeardup _))
 
   val oracleSql: Map[String, String] = Map(
     "q37_binary_ops" -> q37Sql,
     "q52_media_features" -> q52Sql,
-    "q66_frame_sample" -> q66Sql)
+    "q66_frame_sample" -> q66Sql,
+    "q238_phash_neardup" -> q238Sql)
 }

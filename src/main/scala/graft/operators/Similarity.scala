@@ -522,27 +522,46 @@ object Similarity {
   private[operators] def lshMultiBuckets(spark: SparkSession, dir: String): DataFrame =
     // artifact versioned on the index parameters (4 tables × 8 bits,
     // md5("{p}_{d}") plane seeding) — bump on any re-tune
-    memo(spark, dir, "lsh_buckets_multi", "b8xL4.md5seed.v1") {
-      import spark.implicits._
-      val planes = spark.range(32).select($"id".cast("int").as("p"))
-        .crossJoin(spark.range(64).select($"id".cast("int").as("d")))
-        .withColumn("w",
-          (conv(substring(md5(concat($"p".cast("string"), lit("_"), $"d".cast("string"))), 1, 15), 16, 10)
-            .cast("long") % 2001 - 1000).cast("long"))
-      val vx = Tables.embeddings(spark, dir)
-        .spreadAcrossCores
-        .select($"vec_id", posexplode($"embedding").as(Seq("d", "v")))
-      vx.join(broadcast(planes), Seq("d"))
-        .withColumn("prod", round($"v".cast("double") * $"w" * 1e6).cast("long"))
-        .groupBy($"vec_id", $"p")
-        .agg(sum($"prod").as("s"))
-        .withColumn("tbl", expr("p DIV 8"))
-        .withColumn("bit",
-          when($"s" > 0, expr("shiftleft(CAST(1 AS BIGINT), p % 8)")).otherwise(0L))
-        .groupBy($"vec_id", $"tbl")
-        .agg(sum($"bit").as("bucket"))
+    memo(spark, dir, "lsh_buckets_multi", lshMultiLogicVersion) {
+      multiBucketsOf(Tables.embeddings(spark, dir).spreadAcrossCores)
         .localCheckpoint()
     }
+
+  /** Version token for anything persisting multi-table buckets (the memo
+    * artifact above AND the incremental [[graft.streaming.AnnIndex]]
+    * stores) — bump on any re-tune of tables/bits/seeding.
+    */
+  private[graft] val lshMultiLogicVersion = "b8xL4.md5seed.v1"
+
+  /** The multi-table bucket kernel over ANY (vec_id, embedding) relation
+    * — factored from [[lshMultiBuckets]] so the incremental ANN index
+    * ([[graft.streaming.AnnIndex]]) hashes micro-batches with the exact
+    * same planes/arithmetic as the batch index. Plane weights are
+    * seeded (md5) and DATA-INDEPENDENT: a batch hashed today lands in
+    * the same buckets a full rebuild would assign, which is what makes
+    * append-only incremental maintenance exact for LSH (contrast the
+    * NearDupIndex frozen-df snapshot, which is data-dependent and needs
+    * rebuild-on-doubling).
+    */
+  private[graft] def multiBucketsOf(vecs: DataFrame): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val planes = spark.range(32).select($"id".cast("int").as("p"))
+      .crossJoin(spark.range(64).select($"id".cast("int").as("d")))
+      .withColumn("w",
+        (conv(substring(md5(concat($"p".cast("string"), lit("_"), $"d".cast("string"))), 1, 15), 16, 10)
+          .cast("long") % 2001 - 1000).cast("long"))
+    val vx = vecs.select($"vec_id", posexplode($"embedding").as(Seq("d", "v")))
+    vx.join(broadcast(planes), Seq("d"))
+      .withColumn("prod", round($"v".cast("double") * $"w" * 1e6).cast("long"))
+      .groupBy($"vec_id", $"p")
+      .agg(sum($"prod").as("s"))
+      .withColumn("tbl", expr("p DIV 8"))
+      .withColumn("bit",
+        when($"s" > 0, expr("shiftleft(CAST(1 AS BIGINT), p % 8)")).otherwise(0L))
+      .groupBy($"vec_id", $"tbl")
+      .agg(sum($"bit").as("bucket"))
+  }
 
   /** q225 — TUNED multi-table multi-probe recall@5: the adopted ANN
     * configuration (see [[lshMultiBuckets]] — 4 tables × 8 bits ×

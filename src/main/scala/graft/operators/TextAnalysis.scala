@@ -32,7 +32,7 @@ object TextAnalysis {
     * ·0.5/·0.3/·0.2 and two adds) is IEEE-deterministic and mirrored
     * verbatim by [[qualitySqlExpr]] on the oracle side.
     */
-  private[operators] def qualityScoreCol(text: Column, toksCol: Column): Column = {
+  private[graft] def qualityScoreCol(text: Column, toksCol: Column): Column = {
     val nTokens = size(toksCol)
     val shortRatio =
       size(filter(toksCol, t => length(t) < 4)).cast("double") / nTokens
@@ -1374,12 +1374,22 @@ object TextAnalysis {
     * `contains_str` boolean re-confirms each hit at the STRING level
     * (space-padded substring probe) — an independent mechanism inside
     * the hash gate; a positional false positive flips it.
+    *
+    * The positional postings relation (doc, pos, token) is the
+    * session-memoized `text.postings` (r12 verdict item 5): an inverted
+    * index is corpus infrastructure, not per-query work — built once per
+    * (session, corpus), adjudicated as a memo_build line item with a
+    * quiet-hour reference, and every phrase query after the first pays
+    * only the two positional joins.
     */
   def q148PhraseSearch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val tk = docs(spark, dir).select($"doc_id", $"text", toks.as("t"))
-      .localCheckpoint() // feeds the index, the trigram census, and the probe
-    val tx = tk.select($"doc_id", posexplode($"t")).toDF("doc_id", "pos", "tok")
+      .localCheckpoint() // feeds the trigram census and the string probe
+    val tx = memo(spark, dir, "postings") {
+      docs(spark, dir).select($"doc_id", posexplode(toks))
+        .toDF("doc_id", "pos", "tok").localCheckpoint()
+    }
     val tris = tk.select($"doc_id", explode(expr(
         """CASE WHEN size(t) < 3 THEN CAST(array() AS ARRAY<STRING>)
           |ELSE transform(sequence(0, size(t)-3),

@@ -1,0 +1,249 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType, StructField, StructType}
+
+/** Incrementally-maintained ANN index — the [[NearDupIndex]] discipline
+  * applied to the tuned multi-table LSH index (r12 verdict item 3).
+  *
+  * [[graft.operators.Similarity.lshMultiBuckets]] is session-memoized and
+  * rebuilt per session; a streaming vector corpus needs the index
+  * maintained per batch. The key structural difference from the text
+  * index: LSH plane weights are SEEDED and DATA-INDEPENDENT
+  * ([[graft.operators.Similarity.multiBucketsOf]] — md5-derived, never
+  * trained), so a batch hashed today lands in exactly the buckets a full
+  * rebuild would assign. Append-only maintenance is therefore EXACT —
+  * no frozen-frequency snapshot, no rebuild-on-doubling for correctness
+  * (CorpusStreamsSpec pins per-batch candidates equal to the batch-path
+  * recompute bit for bit). Rebuild exists only as COMPACTION (file-count
+  * cap) and crash self-heal (corpus/index row-count divergence), the
+  * NearDupIndex lifecycle with the correctness trigger deleted.
+  *
+  * Stores under `indexDir`:
+  *  - `bk/`   — (vec_id, tbl, bucket): the slim 4·n-row bucket relation
+  *    (vectors live in the corpus store, never duplicated here).
+  *  - `meta/` — (n_vecs at last compaction, logicVersion): a probe built
+  *    for different tables/bits/seeding must refuse, not mis-bucket
+  *    (the NearDupIndex threshold-guard pattern).
+  *
+  * Per-batch cost = batch + candidates: the batch's buckets are computed
+  * from the batch alone (64·|batch| plane products), the store is only
+  * ever SCANNED against a broadcast of the batch's bucket keys, and
+  * verification fetches corpus embeddings for candidate partners only.
+  * No corpus-sized shuffle anywhere — the property CorpusStreamsSpec
+  * pins on the probe plan.
+  *
+  * Crash story: derived state, corpus parquet is the source of truth.
+  * Stores append after the corpus append; divergence (count mismatch,
+  * both parquet-footer metadata reads) triggers an in-line [[rebuild]],
+  * which also auto-bootstraps an intake pointed at a pre-existing
+  * corpus.
+  */
+object AnnIndex {
+
+  // tbl is LONG: multiBucketsOf derives it via `p DIV 8` (IntegralDivide)
+  val bkSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("tbl", LongType),
+    StructField("bucket", LongType)))
+
+  /** embeddings-shaped schema for streaming file sources and store reads. */
+  val vecSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  private def readOrEmpty(spark: SparkSession, dir: String,
+      schema: StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.schema(schema).parquet(dir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  private def metaRow(spark: SparkSession, indexDir: String): Option[(Long, String)] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else try {
+      val r = spark.read.parquet(s"$indexDir/meta").head()
+      Some((r.getLong(0), r.getString(1)))
+    } catch { case _: Exception => None } // crash mid-write => rebuild heals
+  }
+
+  private def writeMeta(spark: SparkSession, indexDir: String, n: Long): Unit = {
+    import spark.implicits._
+    Seq((n, graft.operators.Similarity.lshMultiLogicVersion))
+      .toDF("n_vecs", "logic_version").coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/meta")
+  }
+
+  /** An index persisted under a different tables/bits/seeding version
+    * must refuse probes: buckets would be incomparable garbage, not
+    * degraded recall.
+    */
+  private def checkVersion(spark: SparkSession, indexDir: String): Unit =
+    metaRow(spark, indexDir).foreach { case (_, v) =>
+      require(v == graft.operators.Similarity.lshMultiLogicVersion,
+        s"index at $indexDir was built with LSH version $v, this code is " +
+          s"${graft.operators.Similarity.lshMultiLogicVersion} — rebuild() required")
+    }
+
+  /** Candidate (batch, corpus) pairs from probing the persisted bucket
+    * store with a batch's bucket rows: equi-join on (tbl, bucket) with
+    * the batch side BROADCAST, so the store is scanned once and nothing
+    * corpus-sized shuffles. Multi-table co-occurrences dedup to one
+    * candidate (the q193/q225 convention).
+    */
+  def candidatePairs(spark: SparkSession, indexDir: String,
+      batchBk: DataFrame): DataFrame = {
+    import spark.implicits._
+    val store = readOrEmpty(spark, s"$indexDir/bk", bkSchema)
+    store.join(broadcast(batchBk.select($"vec_id".as("b_id"), $"tbl", $"bucket")),
+        Seq("tbl", "bucket"))
+      .filter($"vec_id" =!= $"b_id")
+      .select($"vec_id".as("a_id"), $"b_id")
+      .distinct()
+  }
+
+  /** Plan view for the cost-shape pin: the full per-batch probe
+    * (hash batch → candidates → cosine verify) over the current stores,
+    * no writes, fully symbolic (no checkpoint) so the joins stay visible
+    * in the explained plan.
+    */
+  private[graft] def batchProbePlan(spark: SparkSession, indexDir: String,
+      corpusDir: String, batch: DataFrame, maxCosine: Double): DataFrame = {
+    val bk = graft.operators.Similarity.multiBucketsOf(batch)
+    rejectedIds(spark, indexDir, corpusDir, batch,
+      candidatePairs(spark, indexDir, bk), maxCosine)
+  }
+
+  /** Verify stage: fetch corpus embeddings for candidate partners only
+    * (broadcast the bounded candidate id list against the corpus scan),
+    * exact cosine, emit batch ids with any indexed neighbor at
+    * `cosine >= maxCosine` — the embedding near-dup rejection rule.
+    */
+  private def rejectedIds(spark: SparkSession, indexDir: String,
+      corpusDir: String, batch: DataFrame, cand: DataFrame,
+      maxCosine: Double): DataFrame = {
+    import spark.implicits._
+    val corpus = readOrEmpty(spark, corpusDir, vecSchema)
+    val ca = corpus.join(broadcast(cand.select($"a_id").distinct()),
+        corpus("vec_id") === $"a_id")
+      .select($"a_id", $"embedding".as("ea"))
+    val cb = batch.select($"vec_id".as("b_id"), $"embedding".as("eb"))
+    cand
+      .join(broadcast(cb), Seq("b_id"))
+      .join(broadcast(ca), Seq("a_id"))
+      .withColumn("cs", graft.functions.VectorFunctions.cosineSim($"ea", $"eb"))
+      .filter(!isnan($"cs") && $"cs" >= maxCosine)
+      .select($"b_id".as("vec_id"))
+      .distinct()
+  }
+
+  /** Full index (re)derivation from the corpus store — bootstrap over an
+    * existing corpus, compaction, crash recovery. One O(corpus) hashing
+    * pass; unlike [[NearDupIndex.rebuild]] the OUTPUT is identical to
+    * what incremental appends produced (data-independent hashes), so
+    * this never changes candidates, only file layout.
+    */
+  def rebuild(spark: SparkSession, corpusDir: String, indexDir: String): Long = {
+    import spark.implicits._
+    val corpus = readOrEmpty(spark, corpusDir, vecSchema)
+      .select($"vec_id", $"embedding")
+    val bk = graft.operators.Similarity.multiBucketsOf(corpus).localCheckpoint()
+    val n = bk.select($"vec_id").distinct().count()
+    val nf = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, n / 100000L)).toInt
+    bk.coalesce(nf).write.mode("overwrite").parquet(s"$indexDir/bk")
+    writeMeta(spark, indexDir, n)
+    org.apache.spark.sql.graft.CheckpointUtils.sweepUnpinned(spark.sparkContext)
+    n
+  }
+
+  /** One micro-batch of indexed ANN admission: reject batch vectors with
+    * an indexed cosine neighbor >= maxCosine (embedding near-dup), then
+    * append survivors to the corpus store AND their bucket rows to the
+    * index. In-batch near-dups are both admitted (the
+    * [[CorpusStreams.admitNearDupBatch]] policy — in-batch clustering is
+    * a separate step). Replay-safe the same way: a re-delivered batch's
+    * ids are already indexed, so the exact id anti-join drops them
+    * before any append.
+    */
+  def admitBatch(batch: DataFrame, corpusDir: String, indexDir: String,
+      maxCosine: Double = 0.92): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    checkVersion(spark, indexDir)
+    if (metaRow(spark, indexDir).isEmpty) writeMeta(spark, indexDir, 0L)
+    // exact replay gate: ids already in the corpus drop out (id list is
+    // corpus-sided but the probe side broadcasts — store only scanned)
+    val existingIds = readOrEmpty(spark, corpusDir, vecSchema).select($"vec_id")
+    val idHits = existingIds
+      .join(broadcast(batch.select($"vec_id")), Seq("vec_id")).distinct()
+    val fresh = batch.join(broadcast(idHits), Seq("vec_id"), "left_anti")
+      .select($"vec_id", $"embedding", $"label")
+      .localCheckpoint()
+    val batchBk = graft.operators.Similarity.multiBucketsOf(fresh).localCheckpoint()
+    val rejected = rejectedIds(spark, indexDir, corpusDir, fresh,
+      candidatePairs(spark, indexDir, batchBk).localCheckpoint(), maxCosine)
+    val admitted = fresh.join(broadcast(rejected), Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    admitted.write.mode("append").parquet(corpusDir)
+    val admittedBk = batchBk
+      .join(broadcast(admitted.select($"vec_id")), Seq("vec_id"))
+      .localCheckpoint()
+    val nAdmitted = admittedBk.select($"vec_id").distinct().count()
+    val nw = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
+      (nAdmitted + 99999L) / 100000L)).toInt
+    admittedBk.repartition(nw, $"bucket").write.mode("append").parquet(s"$indexDir/bk")
+
+    // Compaction/self-heal triggers (NO correctness trigger — see object
+    // doc): file-count cap, and corpus/index divergence (crash between
+    // the two appends, or an intake bootstrapped onto an existing
+    // corpus). Both probes are metadata reads.
+    val idxCount = readOrEmpty(spark, s"$indexDir/bk", bkSchema)
+      .select($"vec_id").distinct().count()
+    val corpusCount = readOrEmpty(spark, corpusDir, vecSchema).count()
+    if (corpusCount != idxCount ||
+        storeFileCount(spark, s"$indexDir/bk") > maxStoreFiles(spark))
+      rebuild(spark, corpusDir, indexDir)
+    org.apache.spark.sql.graft.CheckpointUtils.sweepUnpinned(spark.sparkContext)
+  }
+
+  private def storeFileCount(spark: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).count(s => s.isFile && s.getPath.getName.endsWith(".parquet")).toLong
+  }
+
+  /** Max parquet files in `bk/` before a compaction rebuild
+    * (`spark.graft.annIndex.maxStoreFiles`, default 512).
+    */
+  private def maxStoreFiles(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.annIndex.maxStoreFiles")
+      .map(_.toLong).getOrElse(512L)
+
+  /** The indexed ANN admission policy as a continuous query — the
+    * [[NearDupIndex.nearDupIntakeIndexed]] sibling for vector corpora:
+    * embedding files land in `srcDir`, each micro-batch admits vectors
+    * with no indexed near-duplicate neighbor, per-batch cost = batch +
+    * candidates.
+    */
+  def annIntakeIndexed(spark: SparkSession, srcDir: String,
+      corpusDir: String, indexDir: String, checkpointDir: String,
+      maxCosine: Double = 0.92,
+      glob: String = "embeddings.parquet"): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.schema(vecSchema)
+      .option("pathGlobFilter", glob)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        admitBatch(batch, corpusDir, indexDir, maxCosine)
+      }
+      .start()
+}

@@ -138,4 +138,61 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(Multimodal.ImageDecoder.mediaTypeOf("GIF89a".getBytes) == "image/gif")
     assert(Multimodal.ImageDecoder.mediaTypeOf("hello".getBytes) == "application/octet-stream")
   }
+
+  /** A 64x64 horizontal-gradient PNG; `patch` overwrites an 8x8 corner
+    * block with a constant — a small local edit, the "rescaled/retouched
+    * copy" a perceptual hash must survive.
+    */
+  private def gradientPng(patch: Boolean, invert: Boolean = false): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 64).foreach { y =>
+      (0 until 64).foreach { x =>
+        val v = if (invert) 255 - x * 4 else x * 4
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+    }
+    if (patch) (0 until 8).foreach(y => (0 until 8).foreach(x => img.setRGB(x, y, 0xFF0000)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("q238 REAL branch: Hamming banding recovers planted near-identical images") {
+    import spark.implicits._
+    val base = gradientPng(patch = false)
+    val nearDup = gradientPng(patch = true)       // same image, one corner retouched
+    val unrelated = gradientPng(patch = false, invert = true) // reversed gradient
+    val src = Seq((1L, base), (2L, nearDup), (3L, unrelated))
+      .toDF("doc_id", "blob")
+    // the REAL decode path is taken: all three blobs sniff as PNG
+    val hashes = Multimodal.pHashAll(src).collect().map(r => r.doc_id -> r).toMap
+    assert(hashes.keySet == Set(1L, 2L, 3L))
+    // gradient vs inverted gradient disagree on most aHash bits
+    val hamFar = hashes(1L).bands.zip(hashes(3L).bands)
+      .map { case (a, b) => Integer.bitCount(a ^ b) }.sum
+    assert(hamFar > 7, s"unrelated images must not pair (ham=$hamFar)")
+    // the banded pair pipeline finds exactly the planted near-dup pair
+    val pairs = Multimodal.phashPairs(src).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)),
+      s"expected exactly the planted pair, got ${pairs.toSeq}")
+    val (_, _, hamA, hamD) = pairs.head
+    assert(hamA <= 7, s"planted near-dup aHash distance $hamA must be within the band threshold")
+    assert(hamD <= 14, s"planted near-dup dHash distance $hamD should be small")
+  }
+
+  test("PHasher stub arithmetic mirrors the oracle's byte grid") {
+    // 100 bytes ascending: luma[i] = i for i < 64; total = 63*64/2 = 2016
+    val bytes = Array.tabulate[Byte](100)(_.toByte)
+    val lumas = Multimodal.PHasher.stubLumas(bytes)
+    assert(lumas.toSeq == (0 until 64))
+    val bands = Multimodal.PHasher.aHashBands(lumas)
+    // bit set iff i*64 > 2016 <=> i > 31.5 <=> i >= 32: bands 0-3 empty,
+    // bands 4-7 full
+    assert(bands.toSeq == Seq(0, 0, 0, 0, 255, 255, 255, 255))
+    // ascending rows: every horizontal gradient is negative (l < r) -> 0
+    assert(Multimodal.PHasher.dHash(lumas) == 0L)
+    // short payload zero-pads
+    assert(Multimodal.PHasher.stubLumas(Array[Byte](65, 66)).take(3).toSeq == Seq(65, 66, 0))
+  }
 }
