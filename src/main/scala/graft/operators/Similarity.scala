@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.operators.OpUtils.SpreadOps
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -894,6 +894,177 @@ object Similarity {
       |FROM q LEFT JOIN ov ON ov.a_id = q.vec_id
       |GROUP BY 1, 2, 3 ORDER BY hits""".stripMargin
 
+  // Product-quantization geometry: 64 dims = 8 subspaces × 8 dims, 16
+  // centroids per subspace → codes are 8 nibbles = 4 bytes/vector, a 64×
+  // compression of the 256-byte fp32 row. Declared at the top of the PQ
+  // block (the q230 val-initialization-order lesson applies here too).
+  private val pqSubspaces = 8
+  private val pqSubDim = 8
+  private val pqCodebookK = 16
+
+  /** Squared L2 between two equal-length DOUBLE vectors, accumulated
+    * left-to-right (exact-products-then-sequential-sum — the same order
+    * DuckDB's `list_sum(list_transform(list_zip(..)))` mirror uses, so
+    * the doubles match bit-for-bit before they are frozen to integers).
+    */
+  private def pqSqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (s, v) => s + v)
+
+  /** q239 — PQ-compressed ADC recall@5: the embedding-COMPRESSION tier of
+    * the ANN family (FAISS `IndexPQ` shape). 100 TB of fp32 embeddings is
+    * ~100 TB of index; product quantization stores 4 bytes per vector
+    * (64× smaller — the difference between "fits in cluster RAM" and
+    * "doesn't"), and queries scan CODES, touching no raw vectors at all:
+    *
+    *   - vectors are L2-NORMALIZED first (the FAISS cosine recipe:
+    *     squared L2 on unit vectors = 2 − 2·cos, so the ADC ranking
+    *     approximates exactly the cosine ranking the ground truth uses);
+    *   - per subspace m (8 dims each), the codebook is the sub-vectors of
+    *     the [[pqCodebookK]] lowest-vec_id normalized vectors — the house
+    *     deterministic oracle-expressible quantizer (q226's pivot
+    *     convention; at scale the codebook comes from the KMeans trainer
+    *     in graft.ml.Scoring and is a 16×64 constant either way);
+    *   - assignment: each vector's sub-vector takes the code of its
+    *     nearest centroid (min squared-L2, ties to the lowest c_id) via a
+    *     min(struct) aggregate — map-side partial, no window, one pass of
+    *     n·M·K 8-dim kernels over a BROADCAST codebook;
+    *   - query side (asymmetric distance): each panel query precomputes
+    *     its 128-entry LUT (squared L2 from its sub-vectors to every
+    *     centroid), FROZEN to BIGINT at 1e12 (house integer-frozen
+    *     scoring: the cross-subspace sum is then order-free and
+    *     bit-identical in both engines); approx distance to a corpus
+    *     vector = Σ_m lut[m·16 + code_m] — 8 array lookups per (query,
+    *     vector), evaluated as one whole-stage-codegen expression over
+    *     the packed code arrays against the broadcast LUTs;
+    *   - per-query top-5 through the bounded-state TopKByScore aggregator
+    *     (negated distance — map-side partial top-k, no corpus sort),
+    *     evaluated by the exact q34-panel overlap histogram, so q225
+    *     (LSH) / q226 (IVF) / q239 (PQ) form the measured
+    *     recall-per-byte table: PQ trades ~64× memory for whatever this
+    *     histogram reports.
+    *
+    * Scale shape: codebook broadcast (16 rows), assignment linear in n
+    * with no shuffle, codes relation is n × 4 bytes, the ADC scan is one
+    * broadcast-LUT pass over codes, and the only shuffle anywhere is the
+    * k-bounded top-k partial aggregation. At 100 TB the scan cost is
+    * bounded by reading 4-byte codes, not 256-byte vectors.
+    */
+  def q239PqAdcRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact = exactPanelTop5(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    // normalized corpus (zero-norm vectors carry no direction — excluded
+    // from the PQ corpus; the exact arm's isnan filter excludes them too)
+    val nv = emb
+      .withColumn("n2", VectorFunctions.dotProduct($"embedding", $"embedding"))
+      .filter($"n2" > 0d)
+      .select($"vec_id",
+        transform($"embedding", x => x.cast("double") / sqrt($"n2")).as("v"))
+    val subSlices = (0 until pqSubspaces)
+      .map(m => slice($"v", m * pqSubDim + 1, pqSubDim))
+    // codebook: 16 lowest-vec_id normalized vectors, exploded per
+    // subspace (partition-less row_number is over the 16-row post-limit
+    // relation — bounded by construction)
+    val cent = nv.orderBy($"vec_id").limit(pqCodebookK)
+      .withColumn("c_id", row_number().over(Window.orderBy($"vec_id")))
+      .select($"c_id", posexplode(array(subSlices: _*)).as(Seq("m", "cv")))
+    // assignment: one broadcast-codebook pass, min(struct) argmin —
+    // map-side partial aggregation, ties to the lowest c_id
+    val codes = nv.spreadAcrossCores
+      .select($"vec_id".as("b_id"), posexplode(array(subSlices: _*)).as(Seq("m", "sv")))
+      .join(broadcast(cent), Seq("m"))
+      .withColumn("d", pqSqDist($"sv", $"cv"))
+      .groupBy($"b_id", $"m")
+      .agg(min(struct($"d", $"c_id")).as("mn"))
+      .groupBy($"b_id")
+      .agg(transform(array_sort(collect_list(struct($"m", $"mn.c_id".as("code")))),
+        s => s.getField("code")).as("codes"))
+    val panel = samplePanel(spark, dir, topkPanelK).select($"vec_id".as("a_id"))
+    // per-query frozen LUT: |panel|·M·K kernels, packed to a 128-entry
+    // array indexed m·16 + c_id (1-based — element_at's convention)
+    val lutArr = nv.join(broadcast(panel), nv("vec_id") === panel("a_id"))
+      .select($"a_id", posexplode(array(subSlices: _*)).as(Seq("m", "sv")))
+      .join(broadcast(cent), Seq("m"))
+      .select($"a_id", ($"m" * pqCodebookK + $"c_id").as("i"),
+        floor(pqSqDist($"sv", $"cv") * lit(1e12)).cast("long").as("lf"))
+      .groupBy($"a_id")
+      .agg(transform(array_sort(collect_list(struct($"i", $"lf"))),
+        s => s.getField("lf")).as("lut"))
+    val top5 = graft.functions.TopKByScore(5)
+    val ann = codes.crossJoin(broadcast(lutArr))
+      .filter($"a_id" =!= $"b_id")
+      .withColumn("negd", -aggregate(
+        transform($"codes", (c, m) => element_at($"lut", (m * pqCodebookK + c).cast("int"))),
+        lit(0L), (s, v) => s + v).cast("double"))
+      .groupBy($"a_id")
+      .agg(top5($"negd", $"b_id").as("top"))
+      .select($"a_id", explode($"top").as("t"))
+      .select($"a_id", $"t.b_id".as("b_id"))
+    val hits = exact.join(ann, Seq("a_id", "b_id"))
+      .groupBy($"a_id").agg(count(lit(1)).as("hits"))
+    panel.join(hits, Seq("a_id"), "left")
+      .withColumn("hits", coalesce($"hits", lit(0L)))
+      .groupBy($"hits")
+      .agg(count(lit(1)).as("n_queries"), sum($"a_id").as("a_checksum"))
+      .orderBy($"hits")
+  }
+
+  val q239Sql: String = {
+    val sq = "list_sum(list_transform(list_zip(%s, %s), z -> (z[1]-z[2])*(z[1]-z[2])))"
+    s"""WITH nv AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding::DOUBLE[],
+      |      x -> x / sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
+      |  FROM embeddings
+      |  WHERE list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+      |ms AS (SELECT unnest(range(0, $pqSubspaces)) AS m),
+      |cent AS (
+      |  SELECT c_id, m, v[m*$pqSubDim+1 : m*$pqSubDim+$pqSubDim] AS cv FROM (
+      |    SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) AS c_id, v
+      |    FROM (SELECT vec_id, v FROM nv ORDER BY vec_id LIMIT $pqCodebookK) z) c, ms),
+      |sub AS (SELECT vec_id, m, v[m*$pqSubDim+1 : m*$pqSubDim+$pqSubDim] AS sv FROM nv, ms),
+      |codes AS (
+      |  SELECT vec_id AS b_id, m, c_id AS code FROM (
+      |    SELECT s.vec_id, s.m, c.c_id, ROW_NUMBER() OVER (
+      |      PARTITION BY s.vec_id, s.m
+      |      ORDER BY ${sq.format("s.sv", "c.cv")}, c.c_id) AS rk
+      |    FROM sub s JOIN cent c ON c.m = s.m) t WHERE rk = 1),
+      |q AS (SELECT vec_id FROM embeddings
+      |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $topkPanelK),
+      |lut AS (
+      |  SELECT s.vec_id AS a_id, s.m, c.c_id,
+      |    CAST(floor(${sq.format("s.sv", "c.cv")} * 1e12) AS BIGINT) AS lf
+      |  FROM sub s JOIN q ON q.vec_id = s.vec_id
+      |  JOIN cent c ON c.m = s.m),
+      |adc AS (
+      |  SELECT l.a_id, c.b_id, sum(l.lf) AS dist
+      |  FROM codes c JOIN lut l ON l.m = c.m AND l.c_id = c.code
+      |  WHERE c.b_id <> l.a_id
+      |  GROUP BY 1, 2),
+      |ann AS (SELECT a_id, b_id FROM (
+      |  SELECT a_id, b_id, ROW_NUMBER() OVER (
+      |    PARTITION BY a_id ORDER BY dist, b_id) AS rk
+      |  FROM adc) t WHERE rk <= 5),
+      |scored AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cs
+      |  FROM (SELECT e.* FROM embeddings e JOIN q ON q.vec_id = e.vec_id) a
+      |  JOIN embeddings b ON a.vec_id <> b.vec_id),
+      |ex AS (SELECT a_id, b_id FROM (
+      |  SELECT a_id, b_id, ROW_NUMBER() OVER (
+      |    PARTITION BY a_id ORDER BY cs DESC, b_id) AS rk
+      |  FROM scored WHERE NOT isnan(cs)) t WHERE rk <= 5),
+      |ov AS (SELECT e.a_id, CAST(count(*) AS BIGINT) AS hits
+      |       FROM ex e JOIN ann a ON a.a_id = e.a_id AND a.b_id = e.b_id
+      |       GROUP BY 1)
+      |SELECT coalesce(ov.hits, 0) AS hits,
+      |       CAST(count(*) AS BIGINT) AS n_queries,
+      |       CAST(sum(q.vec_id) AS BIGINT) AS a_checksum
+      |FROM q LEFT JOIN ov ON ov.a_id = q.vec_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** q230 — hard-negative mining for contrastive training (the ANCE
     * shape: negatives come FROM the ANN index, not from random
     * sampling): per vector, the k=3 most-similar IVF candidates whose
@@ -1616,6 +1787,7 @@ object Similarity {
     "q225_lsh_tuned_recall" -> (q225LshTunedRecall _),
     "q226_ivf_recall" -> (q226IvfRecall _),
     "q236_ivf_policy_recall" -> (q236IvfPolicyRecall _),
+    "q239_pq_adc_recall" -> (q239PqAdcRecall _),
     "q227_ann_scorecard" -> (q227AnnScorecard _),
     "q230_hard_negatives" -> (q230HardNegatives _),
     "q35_ann_lsh" -> (q35AnnLsh _),
@@ -1638,6 +1810,7 @@ object Similarity {
     "q225_lsh_tuned_recall" -> q225Sql,
     "q226_ivf_recall" -> q226Sql,
     "q236_ivf_policy_recall" -> q236Sql,
+    "q239_pq_adc_recall" -> q239Sql,
     "q227_ann_scorecard" -> q227Sql,
     "q230_hard_negatives" -> q230Sql,
     "q35_ann_lsh" -> q35Sql,

@@ -531,4 +531,63 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     rows.foreach { case (v, _, n, _) =>
       assert(!dups.contains((v, n)), s"($v,$n) is a verified near-dup") }
   }
+
+  test("q239: PQ-ADC recall histogram replays driver-side " +
+      "(8x8 subspaces, 16-centroid codebook, frozen LUT)") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Seq[Float]]("embedding").toArray)
+      .toMap
+    // the engine's arithmetic, replayed serially: double accumulation
+    // left-to-right everywhere, squared-L2 argmin ties to the lowest
+    // c_id, LUT frozen at 1e12, integer ADC sums
+    def norm2(v: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { val x = v(i).toDouble; s += x * x; i += 1 }; s
+    }
+    val nv = emb.toSeq.collect { case (id, v) if norm2(v) > 0 =>
+      val n = math.sqrt(norm2(v))
+      id -> v.map(_.toDouble / n)
+    }.toMap
+    def sqd(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }; s
+    }
+    def sliceOf(v: Array[Double], m: Int): Array[Double] = v.slice(m * 8, m * 8 + 8)
+    val cents = nv.keys.toSeq.sorted.take(16).zipWithIndex
+      .map { case (id, i) => (i + 1) -> nv(id) }
+    def codeOf(v: Array[Double], m: Int): Int =
+      cents.map { case (c, cv) => (c, sqd(sliceOf(v, m), sliceOf(cv, m))) }
+        .minBy { case (c, d) => (d, c) }._1
+    val codes = nv.map { case (id, v) => id -> (0 until 8).map(codeOf(v, _)) }
+    val panel = emb.keys.toSeq.sortBy(id => (md5hex(id.toString), id)).take(32)
+    val all = emb.toSeq
+    val perQuery = panel.map { aId =>
+      val hits: Long =
+        if (!nv.contains(aId)) 0L
+        else {
+          val exact = top5Of(aId, emb(aId), all)
+          val av = nv(aId)
+          val lut = (for { m <- 0 until 8; (c, cv) <- cents } yield
+            (m, c) -> math.floor(sqd(sliceOf(av, m), sliceOf(cv, m)) * 1e12).toLong).toMap
+          val ann = codes.toSeq.filter(_._1 != aId)
+            .map { case (bId, cs) =>
+              (bId, cs.zipWithIndex.map { case (c, m) => lut((m, c)) }.sum) }
+            .sortBy { case (bId, d) => (d, bId) }.take(5).map(_._1).toSet
+          (exact intersect ann).size.toLong
+        }
+      aId -> hits
+    }
+    val got = Similarity.q239PqAdcRecall(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("hits") ->
+        ((r.getAs[Long]("n_queries"), r.getAs[Long]("a_checksum")))).toMap
+    val expected = perQuery.groupBy(_._2).map { case (h, qs) =>
+      h -> ((qs.size.toLong, qs.map(_._1).sum))
+    }
+    assert(got == expected, s"got $got expected $expected")
+    assert(got.values.map(_._1).sum == 32L, "histogram must cover the full panel")
+    // the compression tier must beat chance: with 4-byte codes some of
+    // the panel still recovers true neighbors on this fixture
+    assert(got.filter(_._1 > 0L).values.map(_._1).sum >= 1L,
+      "PQ recall collapsed to zero across the whole panel")
+  }
 }
