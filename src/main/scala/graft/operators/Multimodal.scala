@@ -498,15 +498,231 @@ object Multimodal {
       |                for i in range(0, 8)]) <= 7
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Audio fingerprint of one media payload: the Haitsma–Kalker (Philips
+    * robust hash) shape reduced to one temporal band — 64 frame ENERGIES
+    * over the signal, then
+    *
+    *  - `sbands` (the banding/robust axis): delta-sign bits — bit i
+    *    (i < 63) = `E[i+1] > E[i]`, bit 63 = 0 — packed as 8 bands of 8
+    *    bits in the q238 band-key layout. Energy-delta signs survive
+    *    volume scaling and re-encoding jitter the way dHash gradients
+    *    survive brightness shifts;
+    *  - `ebands` (the reported second axis): mean-threshold bits —
+    *    `E[i] * 64 > ΣE` in exact integer arithmetic (the aHash rule on
+    *    energies), same 8-band packing.
+    */
+  final case class AudioFpRecord(doc_id: Long, sbands: Array[Int], ebands: Array[Int])
+
+  object AudioFingerprinter {
+    /** 64 frame energies (Σ unit² per frame, exact BIGINT): frame length
+      * ⌈n/64⌉, tail frames empty → 0. Units are PCM16 samples (real
+      * branch) or unsigned payload bytes (stub branch); max |unit| 2¹⁵
+      * keeps Σ over even hour-long PCM inside Long.
+      */
+    def energies64(units: Array[Int]): Array[Long] = {
+      val n = units.length
+      val L = math.max(1, (n + 63) / 64)
+      val out = new Array[Long](64)
+      var f = 0
+      while (f < 64) {
+        var s = 0L
+        var i = f * L
+        val end = math.min((f + 1) * L, n)
+        while (i < end) { s += units(i).toLong * units(i); i += 1 }
+        out(f) = s
+        f += 1
+      }
+      out
+    }
+
+    def signBands(e: Array[Long]): Array[Int] =
+      Array.tabulate(8) { k =>
+        var band = 0
+        var j = 0
+        while (j < 8) {
+          val i = 8 * k + j
+          if (i < 63 && e(i + 1) > e(i)) band |= 1 << j
+          j += 1
+        }
+        band
+      }
+
+    def meanBands(e: Array[Long]): Array[Int] = {
+      val total = e.sum
+      Array.tabulate(8) { k =>
+        var band = 0
+        var j = 0
+        while (j < 8) {
+          if (e(8 * k + j) * 64 > total) band |= 1 << j
+          j += 1
+        }
+        band
+      }
+    }
+
+    /** PCM16 samples, all channels interleaved (the [[AudioDecoder]] read
+      * path, factored for the fingerprint stage); None when the payload
+      * is not JDK-decodable 16-bit audio.
+      */
+    def pcm16Samples(bytes: Array[Byte]): Option[Array[Int]] = {
+      if (!AudioDecoder.mediaTypeOf(bytes).startsWith("audio/")) return None
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = ais.getFormat
+          if (fmt.getSampleSizeInBits != 16) None
+          else {
+            val data = ais.readAllBytes()
+            val order =
+              if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+              else java.nio.ByteOrder.LITTLE_ENDIAN
+            val sb = java.nio.ByteBuffer.wrap(data).order(order).asShortBuffer()
+            val out = new Array[Int](sb.remaining())
+            var i = 0
+            while (i < out.length) { out(i) = sb.get(i).toInt; i += 1 }
+            Some(out)
+          }
+        } finally ais.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException |
+             _: java.io.IOException => None
+      }
+    }
+
+    /** Deterministic stand-in units for payloads without decodable audio:
+      * unsigned bytes (the stub convention the DuckDB oracle mirrors).
+      */
+    def stubUnits(bytes: Array[Byte]): Array[Int] =
+      Array.tabulate(bytes.length)(i => bytes(i) & 0xFF)
+
+    def fingerprint(id: Long, bytes: Array[Byte]): AudioFpRecord = {
+      val units = pcm16Samples(bytes).getOrElse(stubUnits(bytes))
+      val e = energies64(units)
+      AudioFpRecord(id, signBands(e), meanBands(e))
+    }
+  }
+
+  /** Fingerprint stage over any (doc_id, blob) relation — one
+    * per-partition pass at the codec boundary, no shuffle.
+    */
+  def audioFpAll(df: DataFrame): Dataset[AudioFpRecord] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => AudioFingerprinter.fingerprint(id, bytes) })
+  }
+
+  /** q240 — audio fingerprint near-dup pairs: q238's Hamming-banding
+    * machinery over [[AudioFingerprinter]]'s energy-delta signatures —
+    * the audio arm of the dedup tier, completing the text (q31/q32) /
+    * image (q238) / audio modality triple. Candidates equi-join on
+    * (band_id, band_key) over the 8 × 8-bit delta-sign bands; Hamming
+    * ≤ 7 pigeonholes into at least one exact shared band, so candidate
+    * generation is LOSSLESS for the emitted threshold, never all-pairs.
+    * Band rows carry both signatures, verification runs inside the
+    * join's codegen stage, and `ham_energy` reports the mean-threshold
+    * axis of each surviving pair as an independent second signal.
+    *
+    * Fixture blobs are text, so every row routes to the stub units
+    * (bytes-as-samples) that the DuckDB oracle mirrors exactly; the REAL
+    * branch (JDK PCM16 decode → the same frame-energy arithmetic) is
+    * spec-pinned on generated WAVs: a tone with a shifted copy recovered
+    * at small Hamming, a reversed-envelope tone rejected.
+    *
+    * At 100 TB: n × 8 small band rows shuffled by band key; bucket
+    * population bounds the quadratic term exactly as in q32/q238.
+    */
+  def q240AudioFpNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = Tables.documents(spark, dir)
+      .spreadAcrossCores
+      .select($"doc_id", $"text".cast("binary").as("blob"))
+    audioFpPairs(src)
+  }
+
+  /** The banded pair pipeline over any (doc_id, blob) relation — q240's
+    * body, factored so the spec can drive the REAL audio branch through
+    * the identical joins with planted near-identical WAVs.
+    */
+  def audioFpPairs(src: DataFrame): DataFrame = {
+    val spark = src.sparkSession
+    import spark.implicits._
+    val fp = audioFpAll(src).toDF().localCheckpoint()
+    val bands = fp
+      .select($"doc_id", $"sbands", $"ebands", posexplode($"sbands"))
+      .toDF("doc_id", "sbands", "ebands", "band_id", "bkey")
+    bands.as("x").join(bands.as("y"),
+        col("x.band_id") === col("y.band_id") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sbands").as("sa"), col("y.sbands").as("sb"),
+        col("x.ebands").as("ea"), col("y.ebands").as("eb"))
+      .withColumn("ham_sign", expr(
+        "CAST(aggregate(zip_with(sa, sb, (a, b) -> bit_count(a ^ b)), 0, (acc, v) -> acc + v) AS BIGINT)"))
+      .filter($"ham_sign" <= 7)
+      .withColumn("ham_energy", expr(
+        "CAST(aggregate(zip_with(ea, eb, (a, b) -> bit_count(a ^ b)), 0, (acc, v) -> acc + v) AS BIGINT)"))
+      .select($"doc_a", $"doc_b", $"ham_sign", $"ham_energy")
+      .distinct()
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val q240Sql: String =
+    """WITH d AS (SELECT doc_id, text, length(text) AS n,
+      |                  GREATEST(1, (length(text) + 63) // 64) AS L
+      |           FROM documents),
+      |e AS (
+      |  SELECT doc_id,
+      |    [coalesce(list_sum(
+      |       [CAST(ascii(substring(text, CAST(i AS INT), 1)) AS BIGINT)
+      |          * ascii(substring(text, CAST(i AS INT), 1))
+      |        for i in range(f * L + 1, LEAST((f + 1) * L, n) + 1)]), 0)
+      |     for f in range(0, 64)] AS e
+      |  FROM d),
+      |h AS (
+      |  SELECT doc_id,
+      |    [CAST(list_sum([CASE WHEN 8*k + j < 63
+      |                          AND e[8*k + j + 2] > e[8*k + j + 1]
+      |                         THEN (1 << j) ELSE 0 END
+      |                    for j in range(0, 8)]) AS INTEGER)
+      |     for k in range(0, 8)] AS sbands,
+      |    [CAST(list_sum([CASE WHEN e[8*k + j + 1] * 64 > list_sum(e)
+      |                         THEN (1 << j) ELSE 0 END
+      |                    for j in range(0, 8)]) AS INTEGER)
+      |     for k in range(0, 8)] AS ebands
+      |  FROM e),
+      |bands AS (SELECT doc_id, k AS band_id, sbands[k+1] AS bkey, sbands, ebands
+      |          FROM h, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS t(k)),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM bands x JOIN bands y
+      |    ON x.band_id = y.band_id AND x.bkey = y.bkey
+      |   AND x.doc_id < y.doc_id)
+      |SELECT c.doc_a, c.doc_b,
+      |  CAST(list_sum([bit_count(xor(ha.sbands[i+1], hb.sbands[i+1]))
+      |                 for i in range(0, 8)]) AS BIGINT) AS ham_sign,
+      |  CAST(list_sum([bit_count(xor(ha.ebands[i+1], hb.ebands[i+1]))
+      |                 for i in range(0, 8)]) AS BIGINT) AS ham_energy
+      |FROM cand c
+      |JOIN h ha ON ha.doc_id = c.doc_a
+      |JOIN h hb ON hb.doc_id = c.doc_b
+      |WHERE list_sum([bit_count(xor(ha.sbands[i+1], hb.sbands[i+1]))
+      |                for i in range(0, 8)]) <= 7
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_binary_ops" -> (q37BinaryOps _),
     "q52_media_features" -> (q52MediaFeatures _),
     "q66_frame_sample" -> (q66FrameSample _),
-    "q238_phash_neardup" -> (q238PhashNeardup _))
+    "q238_phash_neardup" -> (q238PhashNeardup _),
+    "q240_audiofp_neardup" -> (q240AudioFpNeardup _))
 
   val oracleSql: Map[String, String] = Map(
     "q37_binary_ops" -> q37Sql,
     "q52_media_features" -> q52Sql,
     "q66_frame_sample" -> q66Sql,
-    "q238_phash_neardup" -> q238Sql)
+    "q238_phash_neardup" -> q238Sql,
+    "q240_audiofp_neardup" -> q240Sql)
 }

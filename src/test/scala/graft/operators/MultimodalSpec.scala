@@ -181,6 +181,76 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(hamD <= 14, s"planted near-dup dHash distance $hamD should be small")
   }
 
+  /** Mono PCM16 WAV whose 440 Hz tone ramps linearly in amplitude —
+    * ascending (or descending) frame energies, the envelope the
+    * fingerprint bits encode.
+    */
+  private def rampWav(peak: Int, nFrames: Int, descending: Boolean = false,
+      scale: Double = 1.0): Array[Byte] = {
+    val pcm = new Array[Byte](nFrames * 2)
+    val bb = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until nFrames).foreach { i =>
+      val pos = if (descending) nFrames - 1 - i else i
+      val amp = peak.toDouble * pos / nFrames * scale
+      val v = (amp * math.sin(2 * math.Pi * 440.0 * i / 8000.0)).toShort
+      bb.putShort(i * 2, v)
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("q240 REAL branch: energy-delta fingerprint is volume-invariant, " +
+      "banding recovers the planted re-mastered copy") {
+    import spark.implicits._
+    val base = rampWav(peak = 12000, nFrames = 6400)
+    val louder = rampWav(peak = 12000, nFrames = 6400, scale = 1.25) // re-mastered copy
+    val reversed = rampWav(peak = 12000, nFrames = 6400, descending = true)
+    val src = Seq((1L, base), (2L, louder), (3L, reversed)).toDF("doc_id", "blob")
+    val fps = Multimodal.audioFpAll(src).collect().map(r => r.doc_id -> r).toMap
+    assert(fps.keySet == Set(1L, 2L, 3L))
+    // the Haitsma–Kalker property: pure volume scaling preserves every
+    // energy-delta sign, so the robust axis is IDENTICAL
+    val hamLoud = fps(1L).sbands.zip(fps(2L).sbands)
+      .map { case (a, b) => Integer.bitCount(a ^ b) }.sum
+    assert(hamLoud == 0, s"volume-scaled copy must fingerprint identically (ham=$hamLoud)")
+    // a reversed envelope inverts (almost) every delta sign
+    val hamRev = fps(1L).sbands.zip(fps(3L).sbands)
+      .map { case (a, b) => Integer.bitCount(a ^ b) }.sum
+    assert(hamRev > 7, s"reversed envelope must not pair (ham=$hamRev)")
+    val pairs = Multimodal.audioFpPairs(src).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)),
+      s"expected exactly the planted pair, got ${pairs.toSeq}")
+    assert(pairs.head._3 == 0L, "planted pair's sign distance")
+  }
+
+  test("AudioFingerprinter stub arithmetic mirrors the oracle's frame grid") {
+    // 100 bytes valued 1..100: L = 2, E[f] = (2f+1)^2 + (2f+2)^2 for
+    // f < 50, zero after — strictly ascending then flat
+    val bytes = Array.tabulate[Byte](100)(i => (i + 1).toByte)
+    val units = Multimodal.AudioFingerprinter.stubUnits(bytes)
+    assert(units.take(3).toSeq == Seq(1, 2, 3) && units.length == 100)
+    val e = Multimodal.AudioFingerprinter.energies64(units)
+    assert(e(0) == 1 * 1 + 2 * 2)
+    assert(e(49) == 99L * 99 + 100L * 100)
+    assert(e(50) == 0L && e(63) == 0L)
+    // delta-sign bits 0..48 set (ascending), 49+ clear (0 and flat-zero)
+    assert(Multimodal.AudioFingerprinter.signBands(e).toSeq ==
+      Seq(255, 255, 255, 255, 255, 255, 1, 0))
+    // mean-threshold: total = sum i^2, i=1..100 = 338350; E[f]*64 > total
+    // first holds at f=25 (51^2+52^2 = 5305 > 5286.7), through f=49
+    assert(Multimodal.AudioFingerprinter.meanBands(e).toSeq ==
+      Seq(0, 0, 0, 254, 255, 255, 3, 0))
+    // n < 64 zero-pads: single unit, every energy after frame 0 is 0
+    val tiny = Multimodal.AudioFingerprinter.energies64(Array(5))
+    assert(tiny(0) == 25L && tiny.drop(1).forall(_ == 0L))
+  }
+
   test("PHasher stub arithmetic mirrors the oracle's byte grid") {
     // 100 bytes ascending: luma[i] = i for i < 64; total = 63*64/2 = 2016
     val bytes = Array.tabulate[Byte](100)(_.toByte)
