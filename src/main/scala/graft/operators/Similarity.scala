@@ -894,12 +894,20 @@ object Similarity {
       |FROM q LEFT JOIN ov ON ov.a_id = q.vec_id
       |GROUP BY 1, 2, 3 ORDER BY hits""".stripMargin
 
-  // Product-quantization geometry: 64 dims = 8 subspaces × 8 dims, 16
-  // centroids per subspace → codes are 8 nibbles = 4 bytes/vector, a 64×
-  // compression of the 256-byte fp32 row. Declared at the top of the PQ
-  // block (the q230 val-initialization-order lesson applies here too).
-  private val pqSubspaces = 8
-  private val pqSubDim = 8
+  // Product-quantization geometry: 64 dims = 16 subspaces × 4 dims, 16
+  // centroids per subspace → codes are 16 nibbles = 8 bytes/vector, a 32×
+  // compression of the 256-byte fp32 row. MEASURED, not guessed
+  // (`tools/pq_sweep.py`, same panel/ground truth as the LSH/IVF sweeps,
+  // swept M ∈ {4,8,16} × K ∈ {8..64} at sf0.01 AND sf0.1): at every equal
+  // byte budget more subspaces beats more centroids (6 B: M=8/K=64 26
+  // hits vs M=16/K=8 17 at sf0.1), M=16/K=16 more than doubles the
+  // 4-byte M=8/K=16 point (37 vs 15 of 160) and is the knee of the
+  // recall-per-byte curve (K=32 buys 47 at 10 B, K=64 flattens at 45 —
+  // and K beyond 16 would break the oracle-expressible lowest-vec_id
+  // codebook budget anyway). Declared at the top of the PQ block (the
+  // q230 val-initialization-order lesson applies here too).
+  private val pqSubspaces = 16
+  private val pqSubDim = 4
   private val pqCodebookK = 16
 
   /** Squared L2 between two equal-length DOUBLE vectors, accumulated
@@ -911,49 +919,16 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (s, v) => s + v)
 
-  /** q239 — PQ-compressed ADC recall@5: the embedding-COMPRESSION tier of
-    * the ANN family (FAISS `IndexPQ` shape). 100 TB of fp32 embeddings is
-    * ~100 TB of index; product quantization stores 4 bytes per vector
-    * (64× smaller — the difference between "fits in cluster RAM" and
-    * "doesn't"), and queries scan CODES, touching no raw vectors at all:
-    *
-    *   - vectors are L2-NORMALIZED first (the FAISS cosine recipe:
-    *     squared L2 on unit vectors = 2 − 2·cos, so the ADC ranking
-    *     approximates exactly the cosine ranking the ground truth uses);
-    *   - per subspace m (8 dims each), the codebook is the sub-vectors of
-    *     the [[pqCodebookK]] lowest-vec_id normalized vectors — the house
-    *     deterministic oracle-expressible quantizer (q226's pivot
-    *     convention; at scale the codebook comes from the KMeans trainer
-    *     in graft.ml.Scoring and is a 16×64 constant either way);
-    *   - assignment: each vector's sub-vector takes the code of its
-    *     nearest centroid (min squared-L2, ties to the lowest c_id) via a
-    *     min(struct) aggregate — map-side partial, no window, one pass of
-    *     n·M·K 8-dim kernels over a BROADCAST codebook;
-    *   - query side (asymmetric distance): each panel query precomputes
-    *     its 128-entry LUT (squared L2 from its sub-vectors to every
-    *     centroid), FROZEN to BIGINT at 1e12 (house integer-frozen
-    *     scoring: the cross-subspace sum is then order-free and
-    *     bit-identical in both engines); approx distance to a corpus
-    *     vector = Σ_m lut[m·16 + code_m] — 8 array lookups per (query,
-    *     vector), evaluated as one whole-stage-codegen expression over
-    *     the packed code arrays against the broadcast LUTs;
-    *   - per-query top-5 through the bounded-state TopKByScore aggregator
-    *     (negated distance — map-side partial top-k, no corpus sort),
-    *     evaluated by the exact q34-panel overlap histogram, so q225
-    *     (LSH) / q226 (IVF) / q239 (PQ) form the measured
-    *     recall-per-byte table: PQ trades ~64× memory for whatever this
-    *     histogram reports.
-    *
-    * Scale shape: codebook broadcast (16 rows), assignment linear in n
-    * with no shuffle, codes relation is n × 4 bytes, the ADC scan is one
-    * broadcast-LUT pass over codes, and the only shuffle anywhere is the
-    * k-bounded top-k partial aggregation. At 100 TB the scan cost is
-    * bounded by reading 4-byte codes, not 256-byte vectors.
+  /** The PQ-ADC retrieval kernel over ANY (vec_id, embedding) relation —
+    * q239's body, factored so [[graft.tools.ScaleEvidence]] can measure
+    * the identical arithmetic across synthetic corpus growth and byte
+    * budgets. `panel` is a bounded (a_id) query relation; returns the
+    * per-query ADC top-5 as (a_id, b_id).
     */
-  def q239PqAdcRecall(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def pqAnnTop5(emb: DataFrame, panel: DataFrame,
+      mSub: Int, subDim: Int, kCent: Int): DataFrame = {
+    val spark = emb.sparkSession
     import spark.implicits._
-    val exact = exactPanelTop5(spark, dir)
-    val emb = Tables.embeddings(spark, dir)
     // normalized corpus (zero-norm vectors carry no direction — excluded
     // from the PQ corpus; the exact arm's isnan filter excludes them too)
     val nv = emb
@@ -961,12 +936,12 @@ object Similarity {
       .filter($"n2" > 0d)
       .select($"vec_id",
         transform($"embedding", x => x.cast("double") / sqrt($"n2")).as("v"))
-    val subSlices = (0 until pqSubspaces)
-      .map(m => slice($"v", m * pqSubDim + 1, pqSubDim))
-    // codebook: 16 lowest-vec_id normalized vectors, exploded per
-    // subspace (partition-less row_number is over the 16-row post-limit
-    // relation — bounded by construction)
-    val cent = nv.orderBy($"vec_id").limit(pqCodebookK)
+    val subSlices = (0 until mSub)
+      .map(m => slice($"v", m * subDim + 1, subDim))
+    // codebook: kCent lowest-vec_id normalized vectors, exploded per
+    // subspace (partition-less row_number is over the kCent-row
+    // post-limit relation — bounded by construction)
+    val cent = nv.orderBy($"vec_id").limit(kCent)
       .withColumn("c_id", row_number().over(Window.orderBy($"vec_id")))
       .select($"c_id", posexplode(array(subSlices: _*)).as(Seq("m", "cv")))
     // assignment: one broadcast-codebook pass, min(struct) argmin —
@@ -980,27 +955,74 @@ object Similarity {
       .groupBy($"b_id")
       .agg(transform(array_sort(collect_list(struct($"m", $"mn.c_id".as("code")))),
         s => s.getField("code")).as("codes"))
-    val panel = samplePanel(spark, dir, topkPanelK).select($"vec_id".as("a_id"))
-    // per-query frozen LUT: |panel|·M·K kernels, packed to a 128-entry
-    // array indexed m·16 + c_id (1-based — element_at's convention)
+    // per-query frozen LUT: |panel|·M·K kernels, packed to an M·K-entry
+    // array indexed m·K + c_id (1-based — element_at's convention)
     val lutArr = nv.join(broadcast(panel), nv("vec_id") === panel("a_id"))
       .select($"a_id", posexplode(array(subSlices: _*)).as(Seq("m", "sv")))
       .join(broadcast(cent), Seq("m"))
-      .select($"a_id", ($"m" * pqCodebookK + $"c_id").as("i"),
+      .select($"a_id", ($"m" * kCent + $"c_id").as("i"),
         floor(pqSqDist($"sv", $"cv") * lit(1e12)).cast("long").as("lf"))
       .groupBy($"a_id")
       .agg(transform(array_sort(collect_list(struct($"i", $"lf"))),
         s => s.getField("lf")).as("lut"))
     val top5 = graft.functions.TopKByScore(5)
-    val ann = codes.crossJoin(broadcast(lutArr))
+    codes.crossJoin(broadcast(lutArr))
       .filter($"a_id" =!= $"b_id")
       .withColumn("negd", -aggregate(
-        transform($"codes", (c, m) => element_at($"lut", (m * pqCodebookK + c).cast("int"))),
+        transform($"codes", (c, m) => element_at($"lut", (m * kCent + c).cast("int"))),
         lit(0L), (s, v) => s + v).cast("double"))
       .groupBy($"a_id")
       .agg(top5($"negd", $"b_id").as("top"))
       .select($"a_id", explode($"top").as("t"))
       .select($"a_id", $"t.b_id".as("b_id"))
+  }
+
+  /** q239 — PQ-compressed ADC recall@5: the embedding-COMPRESSION tier of
+    * the ANN family (FAISS `IndexPQ` shape). 100 TB of fp32 embeddings is
+    * ~100 TB of index; product quantization stores 8 bytes per vector
+    * (32× smaller — the difference between "fits in cluster RAM" and
+    * "doesn't"), and queries scan CODES, touching no raw vectors at all:
+    *
+    *   - vectors are L2-NORMALIZED first (the FAISS cosine recipe:
+    *     squared L2 on unit vectors = 2 − 2·cos, so the ADC ranking
+    *     approximates exactly the cosine ranking the ground truth uses);
+    *   - per subspace m (4 dims each), the codebook is the sub-vectors of
+    *     the [[pqCodebookK]] lowest-vec_id normalized vectors — the house
+    *     deterministic oracle-expressible quantizer (q226's pivot
+    *     convention; at scale the codebook comes from the KMeans trainer
+    *     in graft.ml.Scoring and is a 16×64 constant either way);
+    *   - assignment: each vector's sub-vector takes the code of its
+    *     nearest centroid (min squared-L2, ties to the lowest c_id) via a
+    *     min(struct) aggregate — map-side partial, no window, one pass of
+    *     n·M·K 4-dim kernels over a BROADCAST codebook;
+    *   - query side (asymmetric distance): each panel query precomputes
+    *     its 256-entry LUT (squared L2 from its sub-vectors to every
+    *     centroid), FROZEN to BIGINT at 1e12 (house integer-frozen
+    *     scoring: the cross-subspace sum is then order-free and
+    *     bit-identical in both engines); approx distance to a corpus
+    *     vector = Σ_m lut[m·16 + code_m] — 16 array lookups per (query,
+    *     vector), evaluated as one whole-stage-codegen expression over
+    *     the packed code arrays against the broadcast LUTs;
+    *   - per-query top-5 through the bounded-state TopKByScore aggregator
+    *     (negated distance — map-side partial top-k, no corpus sort),
+    *     evaluated by the exact q34-panel overlap histogram, so q225
+    *     (LSH) / q226 (IVF) / q239 (PQ) form the measured
+    *     recall-per-byte table: PQ trades ~32× memory for whatever this
+    *     histogram reports (37/160 at sf0.1, vs 15 for the 4-byte
+    *     geometry — see the sweep note on [[pqSubspaces]]).
+    *
+    * Scale shape: codebook broadcast (16 rows), assignment linear in n
+    * with no shuffle, codes relation is n × 8 bytes, the ADC scan is one
+    * broadcast-LUT pass over codes, and the only shuffle anywhere is the
+    * k-bounded top-k partial aggregation. At 100 TB the scan cost is
+    * bounded by reading 8-byte codes, not 256-byte vectors.
+    */
+  def q239PqAdcRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact = exactPanelTop5(spark, dir)
+    val panel = samplePanel(spark, dir, topkPanelK).select($"vec_id".as("a_id"))
+    val ann = pqAnnTop5(Tables.embeddings(spark, dir), panel,
+      pqSubspaces, pqSubDim, pqCodebookK)
     val hits = exact.join(ann, Seq("a_id", "b_id"))
       .groupBy($"a_id").agg(count(lit(1)).as("hits"))
     panel.join(hits, Seq("a_id"), "left")

@@ -1959,18 +1959,32 @@ object TextAnalysis {
     * is bit-identical to DuckDB's `list_cosine_similarity`), so ranks —
     * and therefore the fused relation — hash-match the oracle.
     */
-  def q185HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+  /** The lexical retrieval arm shared by q185 (fusion) and q241
+    * (agreement): the memoized BM25 top-20 as dense (doc_id, r_lex)
+    * ranks — the partition-less window runs over the bounded 20-row
+    * pool, never the corpus.
+    */
+  private def lexArm(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val lex = q131Bm25TopK(spark, dir)
+    q131Bm25TopK(spark, dir)
       .select($"doc_id", $"score")
       .withColumn("r_lex", row_number()
         .over(Window.orderBy($"score".desc, $"doc_id")).cast("long"))
       .select($"doc_id", $"r_lex")
+  }
+
+  /** The semantic retrieval arm shared by q185 and q241: cosine top-20
+    * for the deterministic md5-first query vector (broadcast query row,
+    * bounded-state TopKByScore — partitions shrink to ≤20 rows before
+    * the shuffle, never a corpus window sort).
+    */
+  private def semArm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
     val qv = emb.orderBy(md5($"vec_id".cast("string")), $"vec_id").limit(1)
       .select($"vec_id".as("q_id"), $"embedding".as("eq"))
     val top20 = graft.functions.TopKByScore(20)
-    val sem = emb
+    emb
       .spreadAcrossCores
       .select($"vec_id".as("doc_id"), $"embedding".as("eb"))
       .join(broadcast(qv), $"doc_id" =!= $"q_id")
@@ -1981,6 +1995,12 @@ object TextAnalysis {
       .agg(top20($"cs", $"doc_id").as("top"))
       .select(posexplode($"top").as(Seq("pos", "t")))
       .select($"t.b_id".as("doc_id"), ($"pos" + 1).cast("long").as("r_sem"))
+  }
+
+  def q185HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lex = lexArm(spark, dir)
+    val sem = semArm(spark, dir)
     lex.join(sem, Seq("doc_id"), "full_outer")
       .select($"doc_id",
         coalesce($"r_lex", lit(0L)).as("r_lex"),
@@ -2020,6 +2040,89 @@ object TextAnalysis {
        |         COALESCE(1000000 // (60 + s.r_sem), 0) AS rrf_micro
        |FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
        |ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin
+
+  /** q241 — retrieval × curation rank agreement (Kendall τ): do the
+    * retriever's best results rank the way the quality filter would rank
+    * them? τ between the BM25 rank and the q27 composite-quality rank
+    * over the SAME memoized top-20 pool — both rankings are total on the
+    * pool by construction (no sparse-intersection degeneracy), and both
+    * use row_number (no ties), so τ-a = τ-b = (C − D) / pairs — ENTIRELY
+    * integer arithmetic once the ranks exist: counts are BIGINT, and the
+    * reported `tau_micro` is the single truncating integer division
+    * `(C − D) · 1e6 div pairs` (Spark `div` and DuckDB `//` both
+    * truncate toward zero, verified on negative operands). This is the
+    * rank-level sibling of q95 (score-level Pearson between quality
+    * filters) and q228 (label-level Cohen's κ): three agreement
+    * statistics, each over its own signal type, each integer-frozen. A
+    * τ near 0 says relevance and quality are independent axes (fuse
+    * them, as q63's manifest does); a strongly negative τ says the
+    * retriever surfaces exactly what curation would cut.
+    *
+    * Scale shape: the pool is the memoized BM25 top-20; quality scores
+    * are computed ONLY for the 20 pooled docs (broadcast semi-join into
+    * the corpus scan, never a full-corpus quality pass); the
+    * partition-less rank windows and the C(20, 2) pair enumeration run
+    * over the bounded pool — constant work regardless of corpus size.
+    */
+  def q241RankAgreement(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pool = lexArm(spark, dir)
+    val dq = docs(spark, dir).join(broadcast(pool), Seq("doc_id"))
+      .withColumn("toks", toks)
+      .select($"doc_id", $"r_lex", qualityScoreCol($"text", $"toks").as("quality"))
+    // ≤20 rows; checkpoint so the pair self-join doesn't re-scan
+    val both = dq
+      .withColumn("r_q", row_number()
+        .over(Window.orderBy($"quality".desc, $"doc_id")).cast("long"))
+      .select($"doc_id", $"r_lex", $"r_q")
+      .localCheckpoint()
+    val x = both.select($"doc_id".as("id_x"), $"r_lex".as("lx"), $"r_q".as("sx"))
+    val y = both.select($"doc_id".as("id_y"), $"r_lex".as("ly"), $"r_q".as("sy"))
+    val stats = x.join(y, $"id_x" < $"id_y")
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(when((($"lx" - $"ly") * ($"sx" - $"sy")) > 0, 1L)
+          .otherwise(0L)), lit(0L)).as("concordant"),
+        coalesce(sum(when((($"lx" - $"ly") * ($"sx" - $"sy")) < 0, 1L)
+          .otherwise(0L)), lit(0L)).as("discordant"))
+    both.agg(count(lit(1)).as("n_common"))
+      .crossJoin(stats)
+      .select($"n_common", $"n_pairs", $"concordant", $"discordant",
+        when($"n_pairs" > 0,
+          expr("((concordant - discordant) * 1000000) div n_pairs"))
+          .otherwise(0L).as("tau_micro"))
+  }
+
+  val q241Sql: String =
+    s"""WITH $q131Ctes,
+       |bm AS (
+       |  SELECT tf.doc_id, CAST(sum((idf_micro * 22 * A * tf)
+       |    // (10 * A * tf + 3 * A + 9 * len * N)) AS BIGINT) AS score
+       |  FROM tf JOIN len ON tf.doc_id = len.doc_id
+       |  GROUP BY 1 ORDER BY score DESC, tf.doc_id LIMIT 20),
+       |lex AS (SELECT doc_id, CAST(ROW_NUMBER() OVER
+       |          (ORDER BY score DESC, doc_id) AS BIGINT) AS r_lex
+       |        FROM bm),
+       |dq AS (SELECT d.doc_id, l.r_lex,
+       |         ${qualitySqlExpr("d.text", "string_split(trim(d.text), ' ')")} AS quality
+       |       FROM documents d JOIN lex l ON l.doc_id = d.doc_id),
+       |common AS (SELECT doc_id, r_lex,
+       |             CAST(ROW_NUMBER() OVER (ORDER BY quality DESC, doc_id)
+       |               AS BIGINT) AS r_q
+       |           FROM dq),
+       |p AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       |        CAST(coalesce(sum(CASE WHEN (x.r_lex - y.r_lex)
+       |                                  * (x.r_q - y.r_q) > 0
+       |                               THEN 1 ELSE 0 END), 0) AS BIGINT) AS concordant,
+       |        CAST(coalesce(sum(CASE WHEN (x.r_lex - y.r_lex)
+       |                                  * (x.r_q - y.r_q) < 0
+       |                               THEN 1 ELSE 0 END), 0) AS BIGINT) AS discordant
+       |      FROM common x JOIN common y ON x.doc_id < y.doc_id)
+       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM common) AS n_common,
+       |       n_pairs, concordant, discordant,
+       |       CAST(CASE WHEN n_pairs > 0
+       |            THEN ((concordant - discordant) * 1000000) // n_pairs
+       |            ELSE 0 END AS BIGINT) AS tau_micro
+       |FROM p""".stripMargin
 
   /** q206 — BPE merge training (the first 3 merges): the tokenizer-
     * TRAINING operator — q26 counts tokens with a fixed BPE-ish regex;
@@ -2224,6 +2327,7 @@ object TextAnalysis {
     "q206_bpe_merges" -> (q206BpeMerges _),
     "q213_bpe_compression" -> (q213BpeCompression _),
     "q185_hybrid_rrf" -> (q185HybridRrf _),
+    "q241_rank_agreement" -> (q241RankAgreement _),
     "q188_bigram_nll" -> (q188BigramNll _),
     "q195_quality_calibration" -> (q195QualityCalibration _),
     "q218_quantile_normalize" -> (q218QuantileNormalize _),
@@ -2257,6 +2361,7 @@ object TextAnalysis {
     "q206_bpe_merges" -> q206Sql,
     "q213_bpe_compression" -> q213Sql,
     "q185_hybrid_rrf" -> q185Sql,
+    "q241_rank_agreement" -> q241Sql,
     "q188_bigram_nll" -> q188Sql,
     "q195_quality_calibration" -> q195Sql,
     "q218_quantile_normalize" -> q218Sql,

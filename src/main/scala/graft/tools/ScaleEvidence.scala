@@ -758,6 +758,18 @@ object ScaleEvidence {
       val pl = graft.operators.Similarity.ivfPolicyNlist(n.toLong)
       val pp = graft.operators.Similarity.ivfPolicyNprobe(pl)
       val (polHits, polFrac) = ivf(pl, pp)
+      // --- PQ-ADC (q239's kernel, the compression tier): the scan is
+      // always the full code relation (no candidate fraction — the
+      // scaling lever is BYTES per vector, not a corpus-dependent
+      // parameter); the adopted 8-byte geometry vs the halved budget,
+      // measured across the same growth
+      def pq(mSub: Int, subDim: Int): Long = {
+        val ann = graft.operators.Similarity
+          .pqAnnTop5(emb, panel, mSub, subDim, 16).localCheckpoint()
+        exact.join(ann, Seq("a_id", "b_id")).count()
+      }
+      val pq8 = pq(16, 4)
+      val pq4 = pq(8, 8)
       val wall = (System.nanoTime() - t0) / 1e9
       val (sw, _) = shuffleMB()
       org.apache.spark.sql.graft.CheckpointUtils.sweepUnpinned(spark.sparkContext)
@@ -765,6 +777,7 @@ object ScaleEvidence {
         f"  ivf(64,p8): cand=${i64Frac * 100}%5.1f%% hits=$i64Hits%3d/160" +
         f"  ivf($sq%4d,p8): cand=${isqFrac * 100}%5.1f%% hits=$isqHits%3d/160" +
         f"  ivf-policy($pl%4d,p$pp%-2d): cand=${polFrac * 100}%5.1f%% hits=$polHits%3d/160" +
+        f"  pq(16x4,8B): hits=$pq8%3d/160  pq(8x8,4B): hits=$pq4%3d/160" +
         f"  wall=$wall%7.1fs shufW=$sw%8.1fMB"
     }
     println(run(sizes.head) + "  (JIT warmup, discard)")

@@ -533,7 +533,7 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
   }
 
   test("q239: PQ-ADC recall histogram replays driver-side " +
-      "(8x8 subspaces, 16-centroid codebook, frozen LUT)") {
+      "(16x4-dim subspaces, 16-centroid codebook, frozen LUT)") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Seq[Float]]("embedding").toArray)
       .toMap
@@ -552,13 +552,13 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       var s = 0.0; var i = 0
       while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }; s
     }
-    def sliceOf(v: Array[Double], m: Int): Array[Double] = v.slice(m * 8, m * 8 + 8)
+    def sliceOf(v: Array[Double], m: Int): Array[Double] = v.slice(m * 4, m * 4 + 4)
     val cents = nv.keys.toSeq.sorted.take(16).zipWithIndex
       .map { case (id, i) => (i + 1) -> nv(id) }
     def codeOf(v: Array[Double], m: Int): Int =
       cents.map { case (c, cv) => (c, sqd(sliceOf(v, m), sliceOf(cv, m))) }
         .minBy { case (c, d) => (d, c) }._1
-    val codes = nv.map { case (id, v) => id -> (0 until 8).map(codeOf(v, _)) }
+    val codes = nv.map { case (id, v) => id -> (0 until 16).map(codeOf(v, _)) }
     val panel = emb.keys.toSeq.sortBy(id => (md5hex(id.toString), id)).take(32)
     val all = emb.toSeq
     val perQuery = panel.map { aId =>
@@ -567,7 +567,7 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
         else {
           val exact = top5Of(aId, emb(aId), all)
           val av = nv(aId)
-          val lut = (for { m <- 0 until 8; (c, cv) <- cents } yield
+          val lut = (for { m <- 0 until 16; (c, cv) <- cents } yield
             (m, c) -> math.floor(sqd(sliceOf(av, m), sliceOf(cv, m)) * 1e12).toLong).toMap
           val ann = codes.toSeq.filter(_._1 != aId)
             .map { case (bId, cs) =>
