@@ -925,29 +925,48 @@ object Similarity {
     * budgets. `panel` is a bounded (a_id) query relation; returns the
     * per-query ADC top-5 as (a_id, b_id).
     */
-  private[graft] def pqAnnTop5(emb: DataFrame, panel: DataFrame,
-      mSub: Int, subDim: Int, kCent: Int): DataFrame = {
+  /** L2-normalized view of a (vec_id, embedding) relation — the PQ model
+    * domain (zero-norm vectors carry no direction — excluded; the exact
+    * arm's isnan filter excludes them too).
+    */
+  private def pqNormalized(emb: DataFrame): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    // normalized corpus (zero-norm vectors carry no direction — excluded
-    // from the PQ corpus; the exact arm's isnan filter excludes them too)
-    val nv = emb
+    emb
       .withColumn("n2", VectorFunctions.dotProduct($"embedding", $"embedding"))
       .filter($"n2" > 0d)
       .select($"vec_id",
         transform($"embedding", x => x.cast("double") / sqrt($"n2")).as("v"))
-    val subSlices = (0 until mSub)
-      .map(m => slice($"v", m * subDim + 1, subDim))
-    // codebook: kCent lowest-vec_id normalized vectors, exploded per
-    // subspace (partition-less row_number is over the kCent-row
-    // post-limit relation — bounded by construction)
-    val cent = nv.orderBy($"vec_id").limit(kCent)
+  }
+
+  private def pqSubSlices(mSub: Int, subDim: Int): Seq[Column] =
+    (0 until mSub).map(m => slice(col("v"), m * subDim + 1, subDim))
+
+  /** Codebook over a normalized corpus: the sub-vectors of the kCent
+    * lowest-vec_id vectors, exploded per subspace as (c_id, m, cv) —
+    * the partition-less row_number is over the kCent-row post-limit
+    * relation, bounded by construction.
+    */
+  private def pqCentroids(nv: DataFrame, mSub: Int, subDim: Int,
+      kCent: Int): DataFrame = {
+    val spark = nv.sparkSession
+    import spark.implicits._
+    nv.orderBy($"vec_id").limit(kCent)
       .withColumn("c_id", row_number().over(Window.orderBy($"vec_id")))
-      .select($"c_id", posexplode(array(subSlices: _*)).as(Seq("m", "cv")))
-    // assignment: one broadcast-codebook pass, min(struct) argmin —
-    // map-side partial aggregation, ties to the lowest c_id
-    val codes = nv.spreadAcrossCores
-      .select($"vec_id".as("b_id"), posexplode(array(subSlices: _*)).as(Seq("m", "sv")))
+      .select($"c_id", posexplode(array(pqSubSlices(mSub, subDim): _*)).as(Seq("m", "cv")))
+  }
+
+  /** PQ assignment: one broadcast-codebook pass, min(struct) argmin
+    * (map-side partial aggregation, ties to the lowest c_id), packed to
+    * an m-ordered code array per vector — the n × (mSub·log2 kCent)-bit
+    * relation that IS the index.
+    */
+  private def pqCodesOf(nv: DataFrame, cent: DataFrame, mSub: Int,
+      subDim: Int): DataFrame = {
+    val spark = nv.sparkSession
+    import spark.implicits._
+    nv.spreadAcrossCores
+      .select($"vec_id".as("b_id"), posexplode(array(pqSubSlices(mSub, subDim): _*)).as(Seq("m", "sv")))
       .join(broadcast(cent), Seq("m"))
       .withColumn("d", pqSqDist($"sv", $"cv"))
       .groupBy($"b_id", $"m")
@@ -955,22 +974,47 @@ object Similarity {
       .groupBy($"b_id")
       .agg(transform(array_sort(collect_list(struct($"m", $"mn.c_id".as("code")))),
         s => s.getField("code")).as("codes"))
-    // per-query frozen LUT: |panel|·M·K kernels, packed to an M·K-entry
-    // array indexed m·K + c_id (1-based — element_at's convention)
-    val lutArr = nv.join(broadcast(panel), nv("vec_id") === panel("a_id"))
-      .select($"a_id", posexplode(array(subSlices: _*)).as(Seq("m", "sv")))
+  }
+
+  /** Per-query frozen ADC LUTs: |panel|·M·K squared-L2 kernels, each
+    * FROZEN to BIGINT at 1e12 and packed to an M·K-entry array indexed
+    * m·K + c_id (1-based — element_at's convention).
+    */
+  private def pqLutsOf(nv: DataFrame, cent: DataFrame, panel: DataFrame,
+      mSub: Int, subDim: Int, kCent: Int): DataFrame = {
+    val spark = nv.sparkSession
+    import spark.implicits._
+    nv.join(broadcast(panel), nv("vec_id") === panel("a_id"))
+      .select($"a_id", posexplode(array(pqSubSlices(mSub, subDim): _*)).as(Seq("m", "sv")))
       .join(broadcast(cent), Seq("m"))
       .select($"a_id", ($"m" * kCent + $"c_id").as("i"),
         floor(pqSqDist($"sv", $"cv") * lit(1e12)).cast("long").as("lf"))
       .groupBy($"a_id")
       .agg(transform(array_sort(collect_list(struct($"i", $"lf"))),
         s => s.getField("lf")).as("lut"))
+  }
+
+  /** The integer ADC distance of a packed code array against a packed
+    * LUT array: mSub lookups summed — one whole-stage-codegen
+    * expression, order-free (BIGINT terms).
+    */
+  private def adcDist(codes: Column, lut: Column, kCent: Int): Column =
+    aggregate(
+      transform(codes, (c, m) => element_at(lut, (m * kCent + c).cast("int"))),
+      lit(0L), (s, v) => s + v)
+
+  private[graft] def pqAnnTop5(emb: DataFrame, panel: DataFrame,
+      mSub: Int, subDim: Int, kCent: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val nv = pqNormalized(emb)
+    val cent = pqCentroids(nv, mSub, subDim, kCent)
+    val codes = pqCodesOf(nv, cent, mSub, subDim)
+    val lutArr = pqLutsOf(nv, cent, panel, mSub, subDim, kCent)
     val top5 = graft.functions.TopKByScore(5)
     codes.crossJoin(broadcast(lutArr))
       .filter($"a_id" =!= $"b_id")
-      .withColumn("negd", -aggregate(
-        transform($"codes", (c, m) => element_at($"lut", (m * kCent + c).cast("int"))),
-        lit(0L), (s, v) => s + v).cast("double"))
+      .withColumn("negd", -adcDist($"codes", $"lut", kCent).cast("double"))
       .groupBy($"a_id")
       .agg(top5($"negd", $"b_id").as("top"))
       .select($"a_id", explode($"top").as("t"))
@@ -1063,6 +1107,142 @@ object Similarity {
       |  SELECT l.a_id, c.b_id, sum(l.lf) AS dist
       |  FROM codes c JOIN lut l ON l.m = c.m AND l.c_id = c.code
       |  WHERE c.b_id <> l.a_id
+      |  GROUP BY 1, 2),
+      |ann AS (SELECT a_id, b_id FROM (
+      |  SELECT a_id, b_id, ROW_NUMBER() OVER (
+      |    PARTITION BY a_id ORDER BY dist, b_id) AS rk
+      |  FROM adc) t WHERE rk <= 5),
+      |scored AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cs
+      |  FROM (SELECT e.* FROM embeddings e JOIN q ON q.vec_id = e.vec_id) a
+      |  JOIN embeddings b ON a.vec_id <> b.vec_id),
+      |ex AS (SELECT a_id, b_id FROM (
+      |  SELECT a_id, b_id, ROW_NUMBER() OVER (
+      |    PARTITION BY a_id ORDER BY cs DESC, b_id) AS rk
+      |  FROM scored WHERE NOT isnan(cs)) t WHERE rk <= 5),
+      |ov AS (SELECT e.a_id, CAST(count(*) AS BIGINT) AS hits
+      |       FROM ex e JOIN ann a ON a.a_id = e.a_id AND a.b_id = e.b_id
+      |       GROUP BY 1)
+      |SELECT coalesce(ov.hits, 0) AS hits,
+      |       CAST(count(*) AS BIGINT) AS n_queries,
+      |       CAST(sum(q.vec_id) AS BIGINT) AS a_checksum
+      |FROM q LEFT JOIN ov ON ov.a_id = q.vec_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** q242 — IVF+PQ recall@5: the COMPOSED production pipeline (FAISS
+    * `IndexIVFPQ` shape) — q226's coarse quantizer prunes the corpus to
+    * nprobe/nlist of its inverted lists, q239's frozen ADC scores the
+    * survivors from 8-byte codes. This is the operator the PQ scale
+    * audit says a 100 TB deployment actually runs: `ScaleEvidence ann`
+    * measured that standalone-PQ recall decays across corpus growth
+    * (fixed codebook, densifying competitors) while IVF's policy holds
+    * its candidate fraction — composed, the scan touches only the CODES
+    * of ~12% of the corpus per query: neither the raw vectors (PQ's
+    * 32× memory win) nor the full code relation (IVF's pruning win).
+    * Same exact-panel overlap histogram as q225/q226/q236/q239, so the
+    * four-way table reads: what recall survives pruning alone (q226),
+    * quantization alone (q239), and both (this query).
+    *
+    * Scale shape: the IVF probe kernel is q226's (one n×nlist pass,
+    * checkpointed, feeding index and probes); candidates join the
+    * 8-byte code relation on b_id and the broadcast LUTs on a_id; ADC
+    * is one codegen expression per candidate; top-5 is the
+    * bounded-state aggregator. No stage touches raw vectors after the
+    * probe pass.
+    */
+  def q242IvfPqRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact = exactPanelTop5(spark, dir)
+    val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val pivots = emb.orderBy($"vec_id").limit(ivfRecallNlist)
+      .select($"vec_id".as("p_id"), $"embedding".as("pe"))
+    val w = Window.partitionBy($"vec_id").orderBy($"cs_p".desc, $"p_id")
+    // q226's probe kernel: the rk ≤ nprobe slice feeds both the m=1
+    // index and the query probes (checkpoint stops re-derivation)
+    val near = emb
+      .spreadAcrossCores
+      .crossJoin(broadcast(pivots))
+      .withColumn("cs_p", VectorFunctions.cosineSim($"embedding", $"pe"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= ivfRecallNprobe)
+      .select($"vec_id", $"p_id", $"rk")
+      .localCheckpoint()
+    val idx = near.filter($"rk" === 1).select($"vec_id".as("b_id"), $"p_id")
+    val panel = samplePanel(spark, dir, topkPanelK).select($"vec_id".as("a_id"))
+    val cand = near.join(broadcast(panel), near("vec_id") === panel("a_id"))
+      .select($"a_id", $"p_id")
+      .join(idx, Seq("p_id"))
+      .filter($"a_id" =!= $"b_id")
+      .select($"a_id", $"b_id")
+    // PQ side: the adopted 16×4/16 geometry, scoring ONLY the candidates
+    val nv = pqNormalized(emb)
+    val cent = pqCentroids(nv, pqSubspaces, pqSubDim, pqCodebookK)
+    val codes = pqCodesOf(nv, cent, pqSubspaces, pqSubDim)
+    val lutArr = pqLutsOf(nv, cent, panel, pqSubspaces, pqSubDim, pqCodebookK)
+    val top5 = graft.functions.TopKByScore(5)
+    val ann = cand
+      .join(codes, Seq("b_id"))
+      .join(broadcast(lutArr), Seq("a_id"))
+      .withColumn("negd", -adcDist($"codes", $"lut", pqCodebookK).cast("double"))
+      .groupBy($"a_id")
+      .agg(top5($"negd", $"b_id").as("top"))
+      .select($"a_id", explode($"top").as("t"))
+      .select($"a_id", $"t.b_id".as("b_id"))
+    val hits = exact.join(ann, Seq("a_id", "b_id"))
+      .groupBy($"a_id").agg(count(lit(1)).as("hits"))
+    panel.join(hits, Seq("a_id"), "left")
+      .withColumn("hits", coalesce($"hits", lit(0L)))
+      .groupBy($"hits")
+      .agg(count(lit(1)).as("n_queries"), sum($"a_id").as("a_checksum"))
+      .orderBy($"hits")
+  }
+
+  val q242Sql: String = {
+    val sq = "list_sum(list_transform(list_zip(%s, %s), z -> (z[1]-z[2])*(z[1]-z[2])))"
+    s"""WITH piv AS (SELECT vec_id AS p_id, embedding AS pe
+      |            FROM embeddings ORDER BY vec_id LIMIT $ivfRecallNlist),
+      |rkp AS (SELECT e.vec_id, p.p_id,
+      |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], p.pe::DOUBLE[]) DESC, p.p_id) AS rk
+      |  FROM embeddings e CROSS JOIN piv p),
+      |idx AS (SELECT vec_id AS b_id, p_id FROM rkp WHERE rk = 1),
+      |q AS (SELECT vec_id FROM embeddings
+      |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $topkPanelK),
+      |pq AS (SELECT r.vec_id AS a_id, r.p_id FROM rkp r
+      |       JOIN q ON q.vec_id = r.vec_id WHERE r.rk <= $ivfRecallNprobe),
+      |cand AS (SELECT pq.a_id, i.b_id
+      |         FROM pq JOIN idx i ON i.p_id = pq.p_id
+      |         WHERE i.b_id <> pq.a_id),
+      |nv AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding::DOUBLE[],
+      |      x -> x / sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
+      |  FROM embeddings
+      |  WHERE list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+      |ms AS (SELECT unnest(range(0, $pqSubspaces)) AS m),
+      |cent AS (
+      |  SELECT c_id, m, v[m*$pqSubDim+1 : m*$pqSubDim+$pqSubDim] AS cv FROM (
+      |    SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) AS c_id, v
+      |    FROM (SELECT vec_id, v FROM nv ORDER BY vec_id LIMIT $pqCodebookK) z) c, ms),
+      |sub AS (SELECT vec_id, m, v[m*$pqSubDim+1 : m*$pqSubDim+$pqSubDim] AS sv FROM nv, ms),
+      |codes AS (
+      |  SELECT vec_id AS b_id, m, c_id AS code FROM (
+      |    SELECT s.vec_id, s.m, c.c_id, ROW_NUMBER() OVER (
+      |      PARTITION BY s.vec_id, s.m
+      |      ORDER BY ${sq.format("s.sv", "c.cv")}, c.c_id) AS rk
+      |    FROM sub s JOIN cent c ON c.m = s.m) t WHERE rk = 1),
+      |lut AS (
+      |  SELECT s.vec_id AS a_id, s.m, c.c_id,
+      |    CAST(floor(${sq.format("s.sv", "c.cv")} * 1e12) AS BIGINT) AS lf
+      |  FROM sub s JOIN q ON q.vec_id = s.vec_id
+      |  JOIN cent c ON c.m = s.m),
+      |adc AS (
+      |  SELECT cd.a_id, cd.b_id, sum(l.lf) AS dist
+      |  FROM cand cd
+      |  JOIN codes k ON k.b_id = cd.b_id
+      |  JOIN lut l ON l.a_id = cd.a_id AND l.m = k.m AND l.c_id = k.code
       |  GROUP BY 1, 2),
       |ann AS (SELECT a_id, b_id FROM (
       |  SELECT a_id, b_id, ROW_NUMBER() OVER (
@@ -1202,7 +1382,9 @@ object Similarity {
       "lsh_single" -> q217AnnRecall(spark, dir),
       "lsh_multiprobe" -> q221MultiProbeRecall(spark, dir),
       "lsh_tuned" -> q225LshTunedRecall(spark, dir),
-      "ivf" -> q226IvfRecall(spark, dir))
+      "ivf" -> q226IvfRecall(spark, dir),
+      "pq" -> q239PqAdcRecall(spark, dir),
+      "ivfpq" -> q242IvfPqRecall(spark, dir))
     parts.map { case (m, df) =>
       df.select(lit(m).as("method"), $"hits", $"n_queries")
     }.reduce(_ unionByName _)
@@ -1223,7 +1405,11 @@ object Similarity {
       |  UNION ALL
       |  SELECT 'lsh_tuned', hits, n_queries FROM ($q225Sql) z3
       |  UNION ALL
-      |  SELECT 'ivf', hits, n_queries FROM ($q226Sql) z4)
+      |  SELECT 'ivf', hits, n_queries FROM ($q226Sql) z4
+      |  UNION ALL
+      |  SELECT 'pq', hits, n_queries FROM ($q239Sql) z5
+      |  UNION ALL
+      |  SELECT 'ivfpq', hits, n_queries FROM ($q242Sql) z6)
       |SELECT method,
       |       CAST(sum(hits * n_queries) AS BIGINT) AS hits_total,
       |       CAST(sum(CASE WHEN hits > 0 THEN n_queries ELSE 0 END) AS BIGINT)
@@ -1810,6 +1996,7 @@ object Similarity {
     "q226_ivf_recall" -> (q226IvfRecall _),
     "q236_ivf_policy_recall" -> (q236IvfPolicyRecall _),
     "q239_pq_adc_recall" -> (q239PqAdcRecall _),
+    "q242_ivfpq_recall" -> (q242IvfPqRecall _),
     "q227_ann_scorecard" -> (q227AnnScorecard _),
     "q230_hard_negatives" -> (q230HardNegatives _),
     "q35_ann_lsh" -> (q35AnnLsh _),
@@ -1833,6 +2020,7 @@ object Similarity {
     "q226_ivf_recall" -> q226Sql,
     "q236_ivf_policy_recall" -> q236Sql,
     "q239_pq_adc_recall" -> q239Sql,
+    "q242_ivfpq_recall" -> q242Sql,
     "q227_ann_scorecard" -> q227Sql,
     "q230_hard_negatives" -> q230Sql,
     "q35_ann_lsh" -> q35Sql,

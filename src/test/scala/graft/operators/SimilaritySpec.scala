@@ -480,14 +480,16 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(got.values.map(_._1).sum == 32L, "histogram must cover the full panel")
   }
 
-  test("q227: scorecard equals the rollup of the four recall histograms") {
+  test("q227: scorecard equals the rollup of the six recall histograms") {
     def hist(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
       df.collect().map(r => (r.getAs[Long]("hits"), r.getAs[Long]("n_queries"))).toSeq
     val parts = Map(
       "lsh_single" -> hist(Similarity.q217AnnRecall(spark, sfDir)),
       "lsh_multiprobe" -> hist(Similarity.q221MultiProbeRecall(spark, sfDir)),
       "lsh_tuned" -> hist(Similarity.q225LshTunedRecall(spark, sfDir)),
-      "ivf" -> hist(Similarity.q226IvfRecall(spark, sfDir)))
+      "ivf" -> hist(Similarity.q226IvfRecall(spark, sfDir)),
+      "pq" -> hist(Similarity.q239PqAdcRecall(spark, sfDir)),
+      "ivfpq" -> hist(Similarity.q242IvfPqRecall(spark, sfDir)))
     val got = Similarity.q227AnnScorecard(spark, sfDir).collect().map { r =>
       r.getAs[String]("method") -> ((r.getAs[Long]("hits_total"),
         r.getAs[Long]("queries_with_hit"), r.getAs[Long]("n_queries"),
