@@ -397,6 +397,12 @@ object Multimodal {
     }
   }
 
+  /** Version token for anything persisting aHash band signatures (the
+    * [[graft.streaming.FingerprintIndex]] stores) — bump on any change
+    * to the 8×8 grid, the luma formula, or the band layout.
+    */
+  private[graft] val pHashLogicVersion = "ahash8x8.bt601.v1"
+
   /** pHash stage over any (doc_id, blob) relation — one per-partition
     * pass at the codec boundary, no shuffle (the decodeImages shape).
     */
@@ -602,6 +608,13 @@ object Multimodal {
       AudioFpRecord(id, signBands(e), meanBands(e))
     }
   }
+
+  /** Version token for anything persisting audio delta-sign signatures
+    * (the [[graft.streaming.FingerprintIndex]] stores) — bump on any
+    * change to the 64-frame grid, the energy formula, or the band
+    * layout.
+    */
+  private[graft] val audioFpLogicVersion = "energysign64.v1"
 
   /** Fingerprint stage over any (doc_id, blob) relation — one
     * per-partition pass at the codec boundary, no shuffle.
