@@ -702,21 +702,10 @@ object Similarity {
     import spark.implicits._
     val exact = exactPanelTop5(spark, dir)
     val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
-    val pivots = emb.orderBy($"vec_id").limit(ivfRecallNlist)
-      .select($"vec_id".as("p_id"), $"embedding".as("pe"))
-    val w = Window.partitionBy($"vec_id").orderBy($"cs_p".desc, $"p_id")
-    // the n×nlist assignment kernel runs ONCE: the rk ≤ nprobe slice
-    // (8n narrow rows) feeds both the m=1 index (rk = 1 ⊂ rk ≤ 8) and
-    // the query probes, so the checkpoint stops Spark re-deriving the
-    // pivot cross join for each consumer
-    val near = emb
-      .spreadAcrossCores
-      .crossJoin(broadcast(pivots))
-      .withColumn("cs_p", VectorFunctions.cosineSim($"embedding", $"pe"))
-      .withColumn("rk", row_number().over(w))
-      .filter($"rk" <= ivfRecallNprobe)
-      .select($"vec_id", $"p_id", $"rk")
-      .localCheckpoint()
+    // the n×nlist assignment kernel runs ONCE per (session, dir): the
+    // memoized rk ≤ nprobe slice (8n narrow rows) feeds the m=1 index
+    // (rk = 1 ⊂ rk ≤ 8), the query probes, and q242's composed pipeline
+    val near = ivfNearMemo(spark, dir)
     val idx = near.filter($"rk" === 1).select($"vec_id".as("b_id"), $"p_id")
     val panel = samplePanel(spark, dir, topkPanelK).select($"vec_id".as("a_id"))
     val pq = near.join(broadcast(panel), near("vec_id") === panel("a_id"))
@@ -1021,6 +1010,45 @@ object Similarity {
       .select($"a_id", $"t.b_id".as("b_id"))
   }
 
+  /** Version token for anything persisting PQ codes of the adopted
+    * geometry — bump on any re-tune of subspaces/centroids/freezing.
+    */
+  private[graft] val pqLogicVersion = "m16x4.k16.sq1e12.v1"
+
+  /** The fixture corpus's PQ code relation as a session memo — codes are
+    * corpus INFRASTRUCTURE (the n×8-byte index), not per-query work;
+    * q239, q242 and through them q227 all ride one build per (session,
+    * dir), an adjudicated memo_build line item (the lsh_buckets
+    * discipline).
+    */
+  private[graft] def pqCodesMemo(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "pq_codes", pqLogicVersion) {
+      val nv = pqNormalized(Tables.embeddings(spark, dir))
+      pqCodesOf(nv, pqCentroids(nv, pqSubspaces, pqSubDim, pqCodebookK),
+        pqSubspaces, pqSubDim).localCheckpoint()
+    }
+
+  /** The q226-shape IVF probe relation (rk ≤ nprobe pivot assignments at
+    * the frozen fixture-scale point nlist=64/nprobe=8) as a session memo
+    * — shared by q226 and q242 (and q227 through both). q236 derives its
+    * own policy parameters and stays standalone.
+    */
+  private def ivfNearMemo(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "ivf_near", s"nlist$ivfRecallNlist.p$ivfRecallNprobe.v1") {
+      import spark.implicits._
+      val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+      val pivots = emb.orderBy($"vec_id").limit(ivfRecallNlist)
+        .select($"vec_id".as("p_id"), $"embedding".as("pe"))
+      val w = Window.partitionBy($"vec_id").orderBy($"cs_p".desc, $"p_id")
+      emb.spreadAcrossCores
+        .crossJoin(broadcast(pivots))
+        .withColumn("cs_p", VectorFunctions.cosineSim($"embedding", $"pe"))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= ivfRecallNprobe)
+        .select($"vec_id", $"p_id", $"rk")
+        .localCheckpoint()
+    }
+
   /** q239 — PQ-compressed ADC recall@5: the embedding-COMPRESSION tier of
     * the ANN family (FAISS `IndexPQ` shape). 100 TB of fp32 embeddings is
     * ~100 TB of index; product quantization stores 8 bytes per vector
@@ -1065,8 +1093,20 @@ object Similarity {
     import spark.implicits._
     val exact = exactPanelTop5(spark, dir)
     val panel = samplePanel(spark, dir, topkPanelK).select($"vec_id".as("a_id"))
-    val ann = pqAnnTop5(Tables.embeddings(spark, dir), panel,
-      pqSubspaces, pqSubDim, pqCodebookK)
+    // the same stage composition as [[pqAnnTop5]], with the code
+    // relation riding the session memo (one build per session/dir)
+    val nv = pqNormalized(Tables.embeddings(spark, dir))
+    val cent = pqCentroids(nv, pqSubspaces, pqSubDim, pqCodebookK)
+    val codes = pqCodesMemo(spark, dir)
+    val lutArr = pqLutsOf(nv, cent, panel, pqSubspaces, pqSubDim, pqCodebookK)
+    val top5 = graft.functions.TopKByScore(5)
+    val ann = codes.crossJoin(broadcast(lutArr))
+      .filter($"a_id" =!= $"b_id")
+      .withColumn("negd", -adcDist($"codes", $"lut", pqCodebookK).cast("double"))
+      .groupBy($"a_id")
+      .agg(top5($"negd", $"b_id").as("top"))
+      .select($"a_id", explode($"top").as("t"))
+      .select($"a_id", $"t.b_id".as("b_id"))
     val hits = exact.join(ann, Seq("a_id", "b_id"))
       .groupBy($"a_id").agg(count(lit(1)).as("hits"))
     panel.join(hits, Seq("a_id"), "left")
@@ -1156,19 +1196,8 @@ object Similarity {
     import spark.implicits._
     val exact = exactPanelTop5(spark, dir)
     val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
-    val pivots = emb.orderBy($"vec_id").limit(ivfRecallNlist)
-      .select($"vec_id".as("p_id"), $"embedding".as("pe"))
-    val w = Window.partitionBy($"vec_id").orderBy($"cs_p".desc, $"p_id")
-    // q226's probe kernel: the rk ≤ nprobe slice feeds both the m=1
-    // index and the query probes (checkpoint stops re-derivation)
-    val near = emb
-      .spreadAcrossCores
-      .crossJoin(broadcast(pivots))
-      .withColumn("cs_p", VectorFunctions.cosineSim($"embedding", $"pe"))
-      .withColumn("rk", row_number().over(w))
-      .filter($"rk" <= ivfRecallNprobe)
-      .select($"vec_id", $"p_id", $"rk")
-      .localCheckpoint()
+    // q226's probe kernel via the shared session memo
+    val near = ivfNearMemo(spark, dir)
     val idx = near.filter($"rk" === 1).select($"vec_id".as("b_id"), $"p_id")
     val panel = samplePanel(spark, dir, topkPanelK).select($"vec_id".as("a_id"))
     val cand = near.join(broadcast(panel), near("vec_id") === panel("a_id"))
@@ -1176,10 +1205,11 @@ object Similarity {
       .join(idx, Seq("p_id"))
       .filter($"a_id" =!= $"b_id")
       .select($"a_id", $"b_id")
-    // PQ side: the adopted 16×4/16 geometry, scoring ONLY the candidates
+    // PQ side: the adopted 16×4/16 geometry from the shared code memo,
+    // scoring ONLY the candidates
     val nv = pqNormalized(emb)
     val cent = pqCentroids(nv, pqSubspaces, pqSubDim, pqCodebookK)
-    val codes = pqCodesOf(nv, cent, pqSubspaces, pqSubDim)
+    val codes = pqCodesMemo(spark, dir)
     val lutArr = pqLutsOf(nv, cent, panel, pqSubspaces, pqSubDim, pqCodebookK)
     val top5 = graft.functions.TopKByScore(5)
     val ann = cand
