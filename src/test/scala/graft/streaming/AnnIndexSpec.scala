@@ -92,6 +92,29 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("rebuild() required"))
   }
 
+  test("divergence self-heal: a corpus vector landing without bucket rows triggers rebuild") {
+    val (corpus, index) = freshDirs()
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(d => math.sin(seed * 64 + d + 1).toFloat)
+    AnnIndex.admitBatch(Seq((1L, vec(1), 0)).toDF("vec_id", "embedding", "label"),
+      corpus, index)
+    // crash between the two appends: vector in corpus, no bucket rows
+    Seq((50L, vec(50), 0)).toDF("vec_id", "embedding", "label")
+      .write.mode("append").parquet(corpus)
+    AnnIndex.admitBatch(Seq((2L, vec(2), 0)).toDF("vec_id", "embedding", "label"),
+      corpus, index)
+    val idxIds = spark.read.schema(AnnIndex.bkSchema).parquet(s"$index/bk")
+      .select($"vec_id").distinct().as[Long].collect().toSet
+    assert(idxIds == Set(1L, 2L, 50L), s"rebuild must index the orphan: $idxIds")
+    // the healed index rejects the orphan's exact copy
+    AnnIndex.admitBatch(Seq((51L, vec(50), 0)).toDF("vec_id", "embedding", "label"),
+      corpus, index)
+    val admitted = spark.read.schema(AnnIndex.vecSchema).parquet(corpus)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(!admitted.contains(51L),
+      s"the healed index must reject the orphan's exact copy: $admitted")
+  }
+
   test("rebuild is pure compaction: candidates before == after") {
     val (corpus, index) = freshDirs()
     AnnIndex.admitBatch(fixtureVecs.filter($"vec_id" % 2 === 0), corpus, index)

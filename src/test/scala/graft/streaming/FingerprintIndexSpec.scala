@@ -147,6 +147,31 @@ class FingerprintIndexSpec extends AnyFunSuite with SparkSpec {
     assert(before == after, "rebuild must not change candidates (payload-pure hashes)")
   }
 
+  test("divergence self-heal: a corpus row landing without its signature triggers rebuild") {
+    val (corpus, index) = freshDirs()
+    FingerprintIndex.admitBatch(
+      Seq((1L, gradientPng(patch = false))).toDF("doc_id", "blob"),
+      corpus, index, FingerprintIndex.imageHasher)
+    // simulate a crash between the two appends: a payload reaches the
+    // corpus store but its signature never lands in fp/
+    Seq((50L, gradientPng(patch = false, invert = true))).toDF("doc_id", "blob")
+      .write.mode("append").parquet(corpus)
+    assert(spark.read.schema(FingerprintIndex.fpSchema).parquet(s"$index/fp").count() == 1L)
+    // next admission detects the count divergence and rebuilds; after the
+    // heal the orphan is indexed — its retouched copy must now be caught
+    FingerprintIndex.admitBatch(
+      Seq((2L, "unrelated text".getBytes("UTF-8"))).toDF("doc_id", "blob"),
+      corpus, index, FingerprintIndex.imageHasher)
+    assert(spark.read.schema(FingerprintIndex.fpSchema).parquet(s"$index/fp").count() == 3L,
+      "rebuild must index the orphaned corpus row")
+    val inv = Seq((51L, gradientPng(patch = true, invert = true))).toDF("doc_id", "blob")
+    FingerprintIndex.admitBatch(inv, corpus, index, FingerprintIndex.imageHasher)
+    val admitted = spark.read.schema(FingerprintIndex.blobSchema).parquet(corpus)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(!admitted.contains(51L),
+      s"the healed index must reject the orphan's near-dup: $admitted")
+  }
+
   test("per-batch probe plan: every join broadcasts — the store is never shuffle-joined") {
     val (corpus, index) = freshDirs()
     val blobs = graft.sources.Tables.documents(spark, sfDir)
