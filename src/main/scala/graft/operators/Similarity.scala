@@ -364,13 +364,7 @@ object Similarity {
       .agg(top5($"cs", $"b_id").as("top"))
       .select($"a_id", explode($"top").as("t"))
       .select($"a_id", $"t.b_id".as("b_id"))
-    val hits = exact.join(ann, Seq("a_id", "b_id"))
-      .groupBy($"a_id").agg(count(lit(1)).as("hits"))
-    panel.join(hits, Seq("a_id"), "left")
-      .withColumn("hits", coalesce($"hits", lit(0L)))
-      .groupBy($"hits")
-      .agg(count(lit(1)).as("n_queries"), sum($"a_id").as("a_checksum"))
-      .orderBy($"hits")
+    recallHistogram(exact, ann, panel).orderBy($"hits")
   }
 
   val q217Sql: String =
@@ -441,13 +435,7 @@ object Similarity {
       .agg(top5($"cs", $"b_id").as("top"))
       .select($"a_id", explode($"top").as("t"))
       .select($"a_id", $"t.b_id".as("b_id"))
-    val hits = exact.join(ann, Seq("a_id", "b_id"))
-      .groupBy($"a_id").agg(count(lit(1)).as("hits"))
-    panel.join(hits, Seq("a_id"), "left")
-      .withColumn("hits", coalesce($"hits", lit(0L)))
-      .groupBy($"hits")
-      .agg(count(lit(1)).as("n_queries"), sum($"a_id").as("a_checksum"))
-      .orderBy($"hits")
+    recallHistogram(exact, ann, panel).orderBy($"hits")
   }
 
   val q221Sql: String = {
@@ -601,13 +589,7 @@ object Similarity {
       .agg(top5($"cs", $"b_id").as("top"))
       .select($"a_id", explode($"top").as("t"))
       .select($"a_id", $"t.b_id".as("b_id"))
-    val hits = exact.join(ann, Seq("a_id", "b_id"))
-      .groupBy($"a_id").agg(count(lit(1)).as("hits"))
-    panel.join(hits, Seq("a_id"), "left")
-      .withColumn("hits", coalesce($"hits", lit(0L)))
-      .groupBy($"hits")
-      .agg(count(lit(1)).as("n_queries"), sum($"a_id").as("a_checksum"))
-      .orderBy($"hits")
+    recallHistogram(exact, ann, panel).orderBy($"hits")
   }
 
   val q225Sql: String = {
@@ -725,13 +707,7 @@ object Similarity {
       .agg(top5($"cs", $"b_id").as("top"))
       .select($"a_id", explode($"top").as("t"))
       .select($"a_id", $"t.b_id".as("b_id"))
-    val hits = exact.join(ann, Seq("a_id", "b_id"))
-      .groupBy($"a_id").agg(count(lit(1)).as("hits"))
-    panel.join(hits, Seq("a_id"), "left")
-      .withColumn("hits", coalesce($"hits", lit(0L)))
-      .groupBy($"hits")
-      .agg(count(lit(1)).as("n_queries"), sum($"a_id").as("a_checksum"))
-      .orderBy($"hits")
+    recallHistogram(exact, ann, panel).orderBy($"hits")
   }
 
   val q226Sql: String =
@@ -823,12 +799,7 @@ object Similarity {
       .agg(top5($"cs", $"b_id").as("top"))
       .select($"a_id", explode($"top").as("t"))
       .select($"a_id", $"t.b_id".as("b_id"))
-    val hits = exact.join(ann, Seq("a_id", "b_id"))
-      .groupBy($"a_id").agg(count(lit(1)).as("hits"))
-    panel.join(hits, Seq("a_id"), "left")
-      .withColumn("hits", coalesce($"hits", lit(0L)))
-      .groupBy($"hits")
-      .agg(count(lit(1)).as("n_queries"), sum($"a_id").as("a_checksum"))
+    recallHistogram(exact, ann, panel)
       .select(lit(nlist.toLong).as("nlist"), lit(nprobe.toLong).as("nprobe"),
         $"hits", $"n_queries", $"a_checksum")
       .orderBy($"hits")
@@ -992,14 +963,14 @@ object Similarity {
       transform(codes, (c, m) => element_at(lut, (m * kCent + c).cast("int"))),
       lit(0L), (s, v) => s + v)
 
-  private[graft] def pqAnnTop5(emb: DataFrame, panel: DataFrame,
-      mSub: Int, subDim: Int, kCent: Int): DataFrame = {
-    val spark = emb.sparkSession
+  /** ADC full-code scan + bounded top-5: packed codes against broadcast
+    * LUTs — the shared tail of [[pqAnnTop5]] and q239 (one definition, so
+    * a scoring/tie-break change cannot desynchronize the memoized path
+    * from the ScaleEvidence kernel).
+    */
+  private def pqAdcTop5(codes: DataFrame, lutArr: DataFrame, kCent: Int): DataFrame = {
+    val spark = codes.sparkSession
     import spark.implicits._
-    val nv = pqNormalized(emb)
-    val cent = pqCentroids(nv, mSub, subDim, kCent)
-    val codes = pqCodesOf(nv, cent, mSub, subDim)
-    val lutArr = pqLutsOf(nv, cent, panel, mSub, subDim, kCent)
     val top5 = graft.functions.TopKByScore(5)
     codes.crossJoin(broadcast(lutArr))
       .filter($"a_id" =!= $"b_id")
@@ -1008,6 +979,32 @@ object Similarity {
       .agg(top5($"negd", $"b_id").as("top"))
       .select($"a_id", explode($"top").as("t"))
       .select($"a_id", $"t.b_id".as("b_id"))
+  }
+
+  /** The shared exact-overlap recall rollup (unordered — callers append
+    * their projection/orderBy): per-panel-query hit counts vs the exact
+    * ground truth, zero-filled over the whole panel, grouped into the
+    * (hits, n_queries, a_checksum) histogram every recall query gates on.
+    */
+  private def recallHistogram(exact: DataFrame, ann: DataFrame,
+      panel: DataFrame): DataFrame = {
+    val spark = exact.sparkSession
+    import spark.implicits._
+    val hits = exact.join(ann, Seq("a_id", "b_id"))
+      .groupBy($"a_id").agg(count(lit(1)).as("hits"))
+    panel.join(hits, Seq("a_id"), "left")
+      .withColumn("hits", coalesce($"hits", lit(0L)))
+      .groupBy($"hits")
+      .agg(count(lit(1)).as("n_queries"), sum($"a_id").as("a_checksum"))
+  }
+
+  private[graft] def pqAnnTop5(emb: DataFrame, panel: DataFrame,
+      mSub: Int, subDim: Int, kCent: Int): DataFrame = {
+    val nv = pqNormalized(emb)
+    val cent = pqCentroids(nv, mSub, subDim, kCent)
+    val codes = pqCodesOf(nv, cent, mSub, subDim)
+    val lutArr = pqLutsOf(nv, cent, panel, mSub, subDim, kCent)
+    pqAdcTop5(codes, lutArr, kCent)
   }
 
   /** Version token for anything persisting PQ codes of the adopted
@@ -1097,23 +1094,9 @@ object Similarity {
     // relation riding the session memo (one build per session/dir)
     val nv = pqNormalized(Tables.embeddings(spark, dir))
     val cent = pqCentroids(nv, pqSubspaces, pqSubDim, pqCodebookK)
-    val codes = pqCodesMemo(spark, dir)
     val lutArr = pqLutsOf(nv, cent, panel, pqSubspaces, pqSubDim, pqCodebookK)
-    val top5 = graft.functions.TopKByScore(5)
-    val ann = codes.crossJoin(broadcast(lutArr))
-      .filter($"a_id" =!= $"b_id")
-      .withColumn("negd", -adcDist($"codes", $"lut", pqCodebookK).cast("double"))
-      .groupBy($"a_id")
-      .agg(top5($"negd", $"b_id").as("top"))
-      .select($"a_id", explode($"top").as("t"))
-      .select($"a_id", $"t.b_id".as("b_id"))
-    val hits = exact.join(ann, Seq("a_id", "b_id"))
-      .groupBy($"a_id").agg(count(lit(1)).as("hits"))
-    panel.join(hits, Seq("a_id"), "left")
-      .withColumn("hits", coalesce($"hits", lit(0L)))
-      .groupBy($"hits")
-      .agg(count(lit(1)).as("n_queries"), sum($"a_id").as("a_checksum"))
-      .orderBy($"hits")
+    val ann = pqAdcTop5(pqCodesMemo(spark, dir), lutArr, pqCodebookK)
+    recallHistogram(exact, ann, panel).orderBy($"hits")
   }
 
   val q239Sql: String = {
@@ -1220,13 +1203,7 @@ object Similarity {
       .agg(top5($"negd", $"b_id").as("top"))
       .select($"a_id", explode($"top").as("t"))
       .select($"a_id", $"t.b_id".as("b_id"))
-    val hits = exact.join(ann, Seq("a_id", "b_id"))
-      .groupBy($"a_id").agg(count(lit(1)).as("hits"))
-    panel.join(hits, Seq("a_id"), "left")
-      .withColumn("hits", coalesce($"hits", lit(0L)))
-      .groupBy($"hits")
-      .agg(count(lit(1)).as("n_queries"), sum($"a_id").as("a_checksum"))
-      .orderBy($"hits")
+    recallHistogram(exact, ann, panel).orderBy($"hits")
   }
 
   val q242Sql: String = {

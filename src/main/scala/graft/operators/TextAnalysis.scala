@@ -2043,50 +2043,60 @@ object TextAnalysis {
 
   /** q241 — retrieval × curation rank agreement (Kendall τ): do the
     * retriever's best results rank the way the quality filter would rank
-    * them? τ between the BM25 rank and the q27 composite-quality rank
-    * over the SAME memoized top-20 pool — both rankings are total on the
-    * pool by construction (no sparse-intersection degeneracy), and both
-    * use row_number (no ties), so τ-a = τ-b = (C − D) / pairs — ENTIRELY
-    * integer arithmetic once the ranks exist: counts are BIGINT, and the
-    * reported `tau_micro` is the single truncating integer division
-    * `(C − D) · 1e6 div pairs` (Spark `div` and DuckDB `//` both
-    * truncate toward zero, verified on negative operands). This is the
-    * rank-level sibling of q95 (score-level Pearson between quality
-    * filters) and q228 (label-level Cohen's κ): three agreement
-    * statistics, each over its own signal type, each integer-frozen. A
-    * τ near 0 says relevance and quality are independent axes (fuse
-    * them, as q63's manifest does); a strongly negative τ says the
-    * retriever surfaces exactly what curation would cut.
+    * them? τ between the BM25 score and the q27 composite-quality score
+    * over the SAME memoized top-20 pool — both signals are defined on
+    * every pooled doc by construction (no sparse-intersection
+    * degeneracy). Concordance is decided on the UNDERLYING signals, not
+    * on row_number ranks: a pair tied on either signal contributes ZERO
+    * (a forced rank would convert the tie into a doc_id-order accident
+    * and bias τ), and both engines see bit-identical values (integer
+    * BM25 scores; the IEEE-deterministic shared quality expression), so
+    * the tie test cannot diverge. Reported `tau_micro` is the τ-a form
+    * (C − D) / all-pairs — ties in the denominator, zero in the
+    * numerator — as one truncating integer division (Spark `div` and
+    * DuckDB `//` both truncate toward zero, verified on negative
+    * operands), with per-signal tie counts emitted so a reader can
+    * derive τ-b if they want it. This is the rank-level sibling of q95
+    * (score-level Pearson between quality filters) and q228
+    * (label-level Cohen's κ). A τ near 0 says relevance and quality are
+    * independent axes (fuse them, as q63's manifest does); a strongly
+    * negative τ says the retriever surfaces exactly what curation would
+    * cut.
     *
     * Scale shape: the pool is the memoized BM25 top-20; quality scores
     * are computed ONLY for the 20 pooled docs (broadcast semi-join into
-    * the corpus scan, never a full-corpus quality pass); the
-    * partition-less rank windows and the C(20, 2) pair enumeration run
-    * over the bounded pool — constant work regardless of corpus size.
+    * the corpus scan, never a full-corpus quality pass); the C(20, 2)
+    * pair enumeration runs over the bounded pool — constant work
+    * regardless of corpus size.
     */
   def q241RankAgreement(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pool = lexArm(spark, dir)
-    val dq = docs(spark, dir).join(broadcast(pool), Seq("doc_id"))
-      .withColumn("toks", toks)
-      .select($"doc_id", $"r_lex", qualityScoreCol($"text", $"toks").as("quality"))
+    val pool = q131Bm25TopK(spark, dir).select($"doc_id", $"score")
     // ≤20 rows; checkpoint so the pair self-join doesn't re-scan
-    val both = dq
-      .withColumn("r_q", row_number()
-        .over(Window.orderBy($"quality".desc, $"doc_id")).cast("long"))
-      .select($"doc_id", $"r_lex", $"r_q")
+    val both = docs(spark, dir).join(broadcast(pool), Seq("doc_id"))
+      .withColumn("toks", toks)
+      .select($"doc_id", $"score", qualityScoreCol($"text", $"toks").as("quality"))
       .localCheckpoint()
-    val x = both.select($"doc_id".as("id_x"), $"r_lex".as("lx"), $"r_q".as("sx"))
-    val y = both.select($"doc_id".as("id_y"), $"r_lex".as("ly"), $"r_q".as("sy"))
+    val x = both.select($"doc_id".as("id_x"), $"score".as("lx"), $"quality".as("qx"))
+    val y = both.select($"doc_id".as("id_y"), $"score".as("ly"), $"quality".as("qy"))
+    // concordance from the UNDERLYING signals: a pair tied on either
+    // signal contributes zero (never a doc_id-order accident)
     val stats = x.join(y, $"id_x" < $"id_y")
       .agg(count(lit(1)).as("n_pairs"),
-        coalesce(sum(when((($"lx" - $"ly") * ($"sx" - $"sy")) > 0, 1L)
+        coalesce(sum(when($"lx" =!= $"ly" &&
+          (($"lx" > $"ly") === ($"qx" > $"qy")) && $"qx" =!= $"qy", 1L)
           .otherwise(0L)), lit(0L)).as("concordant"),
-        coalesce(sum(when((($"lx" - $"ly") * ($"sx" - $"sy")) < 0, 1L)
-          .otherwise(0L)), lit(0L)).as("discordant"))
+        coalesce(sum(when($"lx" =!= $"ly" &&
+          (($"lx" > $"ly") === ($"qx" < $"qy")) && $"qx" =!= $"qy", 1L)
+          .otherwise(0L)), lit(0L)).as("discordant"),
+        coalesce(sum(when($"lx" === $"ly", 1L).otherwise(0L)), lit(0L))
+          .as("ties_lex"),
+        coalesce(sum(when($"qx" === $"qy", 1L).otherwise(0L)), lit(0L))
+          .as("ties_q"))
     both.agg(count(lit(1)).as("n_common"))
       .crossJoin(stats)
       .select($"n_common", $"n_pairs", $"concordant", $"discordant",
+        $"ties_lex", $"ties_q",
         when($"n_pairs" > 0,
           expr("((concordant - discordant) * 1000000) div n_pairs"))
           .otherwise(0L).as("tau_micro"))
@@ -2099,26 +2109,25 @@ object TextAnalysis {
        |    // (10 * A * tf + 3 * A + 9 * len * N)) AS BIGINT) AS score
        |  FROM tf JOIN len ON tf.doc_id = len.doc_id
        |  GROUP BY 1 ORDER BY score DESC, tf.doc_id LIMIT 20),
-       |lex AS (SELECT doc_id, CAST(ROW_NUMBER() OVER
-       |          (ORDER BY score DESC, doc_id) AS BIGINT) AS r_lex
-       |        FROM bm),
-       |dq AS (SELECT d.doc_id, l.r_lex,
+       |common AS (SELECT d.doc_id, b.score,
        |         ${qualitySqlExpr("d.text", "string_split(trim(d.text), ' ')")} AS quality
-       |       FROM documents d JOIN lex l ON l.doc_id = d.doc_id),
-       |common AS (SELECT doc_id, r_lex,
-       |             CAST(ROW_NUMBER() OVER (ORDER BY quality DESC, doc_id)
-       |               AS BIGINT) AS r_q
-       |           FROM dq),
+       |       FROM documents d JOIN bm b ON b.doc_id = d.doc_id),
        |p AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-       |        CAST(coalesce(sum(CASE WHEN (x.r_lex - y.r_lex)
-       |                                  * (x.r_q - y.r_q) > 0
+       |        CAST(coalesce(sum(CASE WHEN x.score <> y.score
+       |                                AND x.quality <> y.quality
+       |                                AND (x.score > y.score) = (x.quality > y.quality)
        |                               THEN 1 ELSE 0 END), 0) AS BIGINT) AS concordant,
-       |        CAST(coalesce(sum(CASE WHEN (x.r_lex - y.r_lex)
-       |                                  * (x.r_q - y.r_q) < 0
-       |                               THEN 1 ELSE 0 END), 0) AS BIGINT) AS discordant
+       |        CAST(coalesce(sum(CASE WHEN x.score <> y.score
+       |                                AND x.quality <> y.quality
+       |                                AND (x.score > y.score) = (x.quality < y.quality)
+       |                               THEN 1 ELSE 0 END), 0) AS BIGINT) AS discordant,
+       |        CAST(coalesce(sum(CASE WHEN x.score = y.score
+       |                               THEN 1 ELSE 0 END), 0) AS BIGINT) AS ties_lex,
+       |        CAST(coalesce(sum(CASE WHEN x.quality = y.quality
+       |                               THEN 1 ELSE 0 END), 0) AS BIGINT) AS ties_q
        |      FROM common x JOIN common y ON x.doc_id < y.doc_id)
        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM common) AS n_common,
-       |       n_pairs, concordant, discordant,
+       |       n_pairs, concordant, discordant, ties_lex, ties_q,
        |       CAST(CASE WHEN n_pairs > 0
        |            THEN ((concordant - discordant) * 1000000) // n_pairs
        |            ELSE 0 END AS BIGINT) AS tau_micro

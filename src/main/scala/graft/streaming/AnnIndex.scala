@@ -178,6 +178,17 @@ object AnnIndex {
     import spark.implicits._
     checkVersion(spark, indexDir)
     if (metaRow(spark, indexDir).isEmpty) writeMeta(spark, indexDir, 0L)
+    // Compaction/self-heal triggers BEFORE the probe (no correctness
+    // trigger — object doc): a corpus vector orphaned by a crash between
+    // the two appends must be re-indexed before this batch probes, or
+    // its near-dups would be admitted past a store that cannot see it.
+    // Both probes are metadata reads.
+    val preIdxCount = readOrEmpty(spark, s"$indexDir/bk", bkSchema)
+      .select($"vec_id").distinct().count()
+    val preCorpusCount = readOrEmpty(spark, corpusDir, vecSchema).count()
+    if (preCorpusCount != preIdxCount ||
+        storeFileCount(spark, s"$indexDir/bk") > maxStoreFiles(spark))
+      rebuild(spark, corpusDir, indexDir)
     // exact replay gate: ids already in the corpus drop out (id list is
     // corpus-sided but the probe side broadcasts — store only scanned)
     val existingIds = readOrEmpty(spark, corpusDir, vecSchema).select($"vec_id")
@@ -199,17 +210,6 @@ object AnnIndex {
     val nw = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
       (nAdmitted + 99999L) / 100000L)).toInt
     admittedBk.repartition(nw, $"bucket").write.mode("append").parquet(s"$indexDir/bk")
-
-    // Compaction/self-heal triggers (NO correctness trigger — see object
-    // doc): file-count cap, and corpus/index divergence (crash between
-    // the two appends, or an intake bootstrapped onto an existing
-    // corpus). Both probes are metadata reads.
-    val idxCount = readOrEmpty(spark, s"$indexDir/bk", bkSchema)
-      .select($"vec_id").distinct().count()
-    val corpusCount = readOrEmpty(spark, corpusDir, vecSchema).count()
-    if (corpusCount != idxCount ||
-        storeFileCount(spark, s"$indexDir/bk") > maxStoreFiles(spark))
-      rebuild(spark, corpusDir, indexDir)
     org.apache.spark.sql.graft.CheckpointUtils.sweepUnpinned(spark.sparkContext)
   }
 

@@ -177,6 +177,16 @@ object FingerprintIndex {
     import spark.implicits._
     checkVersion(spark, indexDir, hasher)
     if (metaRow(spark, indexDir).isEmpty) writeMeta(spark, indexDir, 0L, hasher)
+    // Compaction/self-heal triggers BEFORE the probe (no correctness
+    // trigger — object doc): a corpus row orphaned by a crash between
+    // the two appends must be re-indexed before this batch probes, or
+    // its near-dups would be admitted past a store that cannot see it.
+    // Both probes are metadata reads.
+    val preIdxCount = readOrEmpty(spark, s"$indexDir/fp", fpSchema).count()
+    val preCorpusCount = readOrEmpty(spark, corpusDir, blobSchema).count()
+    if (preCorpusCount != preIdxCount ||
+        storeFileCount(spark, s"$indexDir/fp") > maxStoreFiles(spark))
+      rebuild(spark, corpusDir, indexDir, hasher)
     val existingIds = readOrEmpty(spark, corpusDir, blobSchema).select($"doc_id")
     val idHits = existingIds
       .join(broadcast(batch.select($"doc_id")), Seq("doc_id")).distinct()
@@ -199,14 +209,6 @@ object FingerprintIndex {
     val nw = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
       (nAdmitted + 99999L) / 100000L)).toInt
     admittedFp.coalesce(nw).write.mode("append").parquet(s"$indexDir/fp")
-
-    // Compaction/self-heal triggers (no correctness trigger — object
-    // doc): file-count cap, corpus/store divergence. Metadata reads.
-    val idxCount = readOrEmpty(spark, s"$indexDir/fp", fpSchema).count()
-    val corpusCount = readOrEmpty(spark, corpusDir, blobSchema).count()
-    if (corpusCount != idxCount ||
-        storeFileCount(spark, s"$indexDir/fp") > maxStoreFiles(spark))
-      rebuild(spark, corpusDir, indexDir, hasher)
     org.apache.spark.sql.graft.CheckpointUtils.sweepUnpinned(spark.sparkContext)
   }
 

@@ -806,10 +806,16 @@ object ScaleEvidence {
     * of the stub's window, not of real image decode; the cost curves are
     * the measurement here, not the admission rate.)
     *
-    * Measured r13 (20k docs, 11 waves, 32 cores): indexed wall FLAT at
-    * 3.1–3.8 s/wave (fixed per-batch overhead dominates) while the naive
-    * arm grows 0.7 → 6.3 s with the cumulative corpus, crossing over at
-    * wave 7 — the per-batch-cost claim, measured.
+    * Measured r13 (20k docs, 11 waves, 32 cores, SAME aHash family both
+    * arms): indexed wall FLAT at 3.0–5.0 s/wave (fixed per-batch
+    * overhead dominates) while the naive arm grows 1.5 → 21.2 s with
+    * the cumulative arrivals, crossing over at wave 4 — the
+    * per-batch-cost claim, measured. Part of the naive blow-up is that
+    * it re-pairs every ARRIVAL (no admission dedup), so its
+    * boilerplate-collapsed buckets grow quadratically (17M candidate
+    * pairs by wave 10) — which is precisely the work admission-time
+    * dedup exists to avoid; the flat idx column alone carries the
+    * per-batch claim.
     */
   private def fpStream(spark: org.apache.spark.sql.SparkSession, nDocs: Int,
       nWaves: Int, reset: () => Unit, shuffle: () => (Double, Double)): Unit = {
@@ -839,13 +845,15 @@ object ScaleEvidence {
       val (swIdx, _) = shuffle()
       val admitted = spark.read.schema(FingerprintIndex.blobSchema)
         .parquet(corpusDir).count()
-      // naive arm: re-hash the cumulative corpus, full band self-join
-      // (measure only — admissions come from the indexed arm)
+      // naive arm: re-hash the cumulative corpus with the SAME hasher
+      // family (aHash — a mismatched hasher would bias the comparison)
+      // and run the full band self-join (measure only — admissions come
+      // from the indexed arm)
       naiveCum += bn
       val t1 = System.nanoTime()
       val cum = blobs.filter($"doc_id" % nWaves <= w)
-      val nPairs = graft.operators.Multimodal.audioFpPairs(cum)
-        .filter($"ham_sign" <= 7).count()
+      val nPairs = graft.operators.Multimodal.phashPairs(cum)
+        .filter($"ham_ahash" <= 7).count()
       val wallNaive = (System.nanoTime() - t1) / 1e9
       println(f"fpstream wave=$w%2d batch=$bn%6d corpus=$admitted%7d " +
         f"idx: wall=$wallIdx%6.2fs shufW=$swIdx%7.1fMB   " +

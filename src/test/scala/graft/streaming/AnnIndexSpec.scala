@@ -101,18 +101,19 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     // crash between the two appends: vector in corpus, no bucket rows
     Seq((50L, vec(50), 0)).toDF("vec_id", "embedding", "label")
       .write.mode("append").parquet(corpus)
-    AnnIndex.admitBatch(Seq((2L, vec(2), 0)).toDF("vec_id", "embedding", "label"),
-      corpus, index)
-    val idxIds = spark.read.schema(AnnIndex.bkSchema).parquet(s"$index/bk")
-      .select($"vec_id").distinct().as[Long].collect().toSet
-    assert(idxIds == Set(1L, 2L, 50L), s"rebuild must index the orphan: $idxIds")
-    // the healed index rejects the orphan's exact copy
-    AnnIndex.admitBatch(Seq((51L, vec(50), 0)).toDF("vec_id", "embedding", "label"),
+    // the STRICT form: the very next batch carries the orphan's exact
+    // copy — the pre-probe divergence rebuild must heal the store before
+    // this batch's probe, or the duplicate slips in forever
+    AnnIndex.admitBatch(
+      Seq((51L, vec(50), 0), (2L, vec(2), 0)).toDF("vec_id", "embedding", "label"),
       corpus, index)
     val admitted = spark.read.schema(AnnIndex.vecSchema).parquet(corpus)
       .select($"vec_id").as[Long].collect().toSet
-    assert(!admitted.contains(51L),
-      s"the healed index must reject the orphan's exact copy: $admitted")
+    assert(admitted == Set(1L, 2L, 50L),
+      s"the healed index must reject the orphan's exact copy in the SAME batch: $admitted")
+    val idxIds = spark.read.schema(AnnIndex.bkSchema).parquet(s"$index/bk")
+      .select($"vec_id").distinct().as[Long].collect().toSet
+    assert(idxIds == Set(1L, 2L, 50L), s"index and corpus agree after the heal: $idxIds")
   }
 
   test("rebuild is pure compaction: candidates before == after") {

@@ -157,19 +157,18 @@ class FingerprintIndexSpec extends AnyFunSuite with SparkSpec {
     Seq((50L, gradientPng(patch = false, invert = true))).toDF("doc_id", "blob")
       .write.mode("append").parquet(corpus)
     assert(spark.read.schema(FingerprintIndex.fpSchema).parquet(s"$index/fp").count() == 1L)
-    // next admission detects the count divergence and rebuilds; after the
-    // heal the orphan is indexed — its retouched copy must now be caught
-    FingerprintIndex.admitBatch(
-      Seq((2L, "unrelated text".getBytes("UTF-8"))).toDF("doc_id", "blob"),
-      corpus, index, FingerprintIndex.imageHasher)
-    assert(spark.read.schema(FingerprintIndex.fpSchema).parquet(s"$index/fp").count() == 3L,
-      "rebuild must index the orphaned corpus row")
-    val inv = Seq((51L, gradientPng(patch = true, invert = true))).toDF("doc_id", "blob")
-    FingerprintIndex.admitBatch(inv, corpus, index, FingerprintIndex.imageHasher)
+    // the STRICT form: the very next batch carries the orphan's
+    // retouched copy — the pre-probe divergence rebuild must heal the
+    // store before this batch's probe, or the near-dup slips in forever
+    val batch = Seq((51L, gradientPng(patch = true, invert = true)),
+      (2L, "unrelated text".getBytes("UTF-8"))).toDF("doc_id", "blob")
+    FingerprintIndex.admitBatch(batch, corpus, index, FingerprintIndex.imageHasher)
     val admitted = spark.read.schema(FingerprintIndex.blobSchema).parquet(corpus)
       .select($"doc_id").as[Long].collect().toSet
-    assert(!admitted.contains(51L),
-      s"the healed index must reject the orphan's near-dup: $admitted")
+    assert(admitted == Set(1L, 2L, 50L),
+      s"the healed index must reject the orphan's near-dup in the SAME batch: $admitted")
+    assert(spark.read.schema(FingerprintIndex.fpSchema).parquet(s"$index/fp").count() == 3L,
+      "store and corpus agree after the heal + admission")
   }
 
   test("per-batch probe plan: every join broadcasts — the store is never shuffle-joined") {
