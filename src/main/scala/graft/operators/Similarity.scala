@@ -1274,6 +1274,72 @@ object Similarity {
       |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** q243 — index economics census: the BYTE column of the
+    * recall-per-byte story, gated. q227 reports what recall each ANN
+    * family buys; this reports what each family COSTS, with index
+    * cardinalities measured from the actual index relations (a silently
+    * shrunken index — dropped table, lost list — fails the hash gate
+    * here even while its recall query still returns a histogram):
+    *
+    *   - `raw` — the fp32 corpus itself (what exact search scans):
+    *     n rows × 256 B (64 float dims);
+    *   - `lsh_tuned` — the q225 multi-table bucket relation: 4n rows
+    *     (4 tables × n), 32 B/vec of bucket keys;
+    *   - `ivf` — the q226 m=1 inverted index (rk = 1 slice of the
+    *     probe relation): n rows, 8 B/vec of list ids;
+    *   - `pq` — the q239 code relation: one packed code row per
+    *     non-zero-norm vector, 8 B/vec (16 nibbles).
+    *
+    * Every count is a bounded aggregate over a memoized relation (the
+    * census costs three count() scans, no shuffles beyond 1-row aggs);
+    * bytes_per_vec are the frozen storage constants the docstrings
+    * claim, now hash-checked against the oracle's identical arithmetic.
+    * Read next to q227: lsh_tuned buys 80/160 at 32 B/vec, pq buys
+    * 37/160 at 8 B/vec, ivf 73/160 at 8 B/vec + raw-vector fetches.
+    */
+  def q243IndexEconomics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = Tables.embeddings(spark, dir)
+      .agg(count(lit(1)).as("n_vectors"))
+    def row(method: String, rel: DataFrame, bytesPerVec: Long): DataFrame =
+      rel.agg(count(lit(1)).as("index_rows"))
+        .crossJoin(broadcast(n))
+        .select(lit(method).as("method"), $"index_rows", $"n_vectors",
+          lit(bytesPerVec).as("bytes_per_vec"))
+    row("raw", Tables.embeddings(spark, dir), 256L)
+      .unionByName(row("lsh_tuned", lshMultiBuckets(spark, dir), 32L))
+      .unionByName(row("ivf", ivfNearMemo(spark, dir).filter($"rk" === 1), 8L))
+      .unionByName(row("pq", pqCodesMemo(spark, dir), 8L))
+      .orderBy($"method")
+  }
+
+  val q243Sql: String =
+    s"""WITH $lshMultiCtes,
+      |nv AS (
+      |  SELECT vec_id FROM embeddings
+      |  WHERE list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+      |piv AS (SELECT vec_id AS p_id, embedding AS pe
+      |        FROM embeddings ORDER BY vec_id LIMIT $ivfRecallNlist),
+      |rk1 AS (SELECT vec_id FROM (
+      |  SELECT e.vec_id, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], p.pe::DOUBLE[]) DESC, p.p_id) AS rk
+      |  FROM embeddings e CROSS JOIN piv p) t WHERE rk = 1),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_vectors FROM embeddings)
+      |SELECT method, index_rows, n_vectors, bytes_per_vec FROM (
+      |  SELECT 'raw' AS method,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS index_rows,
+      |    n_vectors, CAST(256 AS BIGINT) AS bytes_per_vec FROM n
+      |  UNION ALL
+      |  SELECT 'lsh_tuned', (SELECT CAST(count(*) AS BIGINT) FROM bk),
+      |    n_vectors, 32 FROM n
+      |  UNION ALL
+      |  SELECT 'ivf', (SELECT CAST(count(*) AS BIGINT) FROM rk1),
+      |    n_vectors, 8 FROM n
+      |  UNION ALL
+      |  SELECT 'pq', (SELECT CAST(count(*) AS BIGINT) FROM nv),
+      |    n_vectors, 8 FROM n) z
+      |ORDER BY method""".stripMargin
+
   /** q230 — hard-negative mining for contrastive training (the ANCE
     * shape: negatives come FROM the ANN index, not from random
     * sampling): per vector, the k=3 most-similar IVF candidates whose
@@ -2004,6 +2070,7 @@ object Similarity {
     "q236_ivf_policy_recall" -> (q236IvfPolicyRecall _),
     "q239_pq_adc_recall" -> (q239PqAdcRecall _),
     "q242_ivfpq_recall" -> (q242IvfPqRecall _),
+    "q243_index_economics" -> (q243IndexEconomics _),
     "q227_ann_scorecard" -> (q227AnnScorecard _),
     "q230_hard_negatives" -> (q230HardNegatives _),
     "q35_ann_lsh" -> (q35AnnLsh _),
@@ -2028,6 +2095,7 @@ object Similarity {
     "q236_ivf_policy_recall" -> q236Sql,
     "q239_pq_adc_recall" -> q239Sql,
     "q242_ivfpq_recall" -> q242Sql,
+    "q243_index_economics" -> q243Sql,
     "q227_ann_scorecard" -> q227Sql,
     "q230_hard_negatives" -> q230Sql,
     "q35_ann_lsh" -> q35Sql,
