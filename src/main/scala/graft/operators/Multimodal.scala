@@ -468,6 +468,14 @@ object Multimodal {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** ASCII-corpus assumption (shared with [[q240Sql]]): the oracle
+    * mirrors the unsigned-byte stub with character-based
+    * `ascii(substring(text, ...))` / `length(text)`, which equals the
+    * byte view only while the fixture corpus is pure ASCII (it is, by
+    * construction — TESTDATA.md). On a non-ASCII corpus the engines
+    * would diverge (chars != bytes); switch the oracle to
+    * `octet_length` + blob indexing if such fixtures ever land.
+    */
   val q238Sql: String =
     """WITH g AS (
       |  SELECT doc_id,
@@ -682,6 +690,9 @@ object Multimodal {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Same ASCII-corpus assumption as [[q238Sql]]: character-based
+    * `ascii`/`length` mirror the byte stub only on a pure-ASCII fixture.
+    */
   val q240Sql: String =
     """WITH d AS (SELECT doc_id, text, length(text) AS n,
       |                  GREATEST(1, (length(text) + 63) // 64) AS L

@@ -40,7 +40,9 @@ import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType, 
   * which also auto-bootstraps an intake pointed at a pre-existing
   * corpus.
   */
-object AnnIndex {
+object AnnIndex extends IndexLifecycle {
+
+  protected def confScope: String = "annIndex"
 
   // tbl is LONG: multiBucketsOf derives it via `p DIV 8` (IntegralDivide)
   val bkSchema: StructType = StructType(Seq(
@@ -54,24 +56,8 @@ object AnnIndex {
     StructField("embedding", ArrayType(FloatType)),
     StructField("label", IntegerType)))
 
-  private def readOrEmpty(spark: SparkSession, dir: String,
-      schema: StructType): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.schema(schema).parquet(dir)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-  }
-
-  private def metaRow(spark: SparkSession, indexDir: String): Option[(Long, String)] = {
-    val p = new org.apache.hadoop.fs.Path(s"$indexDir/meta")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else try {
-      val r = spark.read.parquet(s"$indexDir/meta").head()
-      Some((r.getLong(0), r.getString(1)))
-    } catch { case _: Exception => None } // crash mid-write => rebuild heals
-  }
+  private def metaRow(spark: SparkSession, indexDir: String): Option[(Long, String)] =
+    metaRowRaw(spark, indexDir).map(r => (r.getLong(0), r.getString(1)))
 
   private def writeMeta(spark: SparkSession, indexDir: String, n: Long): Unit = {
     import spark.implicits._
@@ -155,9 +141,7 @@ object AnnIndex {
       .select($"vec_id", $"embedding")
     val bk = graft.operators.Similarity.multiBucketsOf(corpus).localCheckpoint()
     val n = bk.select($"vec_id").distinct().count()
-    val nf = math.max(1L, math.min(
-      spark.sparkContext.defaultParallelism.toLong, n / 100000L)).toInt
-    bk.coalesce(nf).write.mode("overwrite").parquet(s"$indexDir/bk")
+    bk.coalesce(compactFiles(spark, n)).write.mode("overwrite").parquet(s"$indexDir/bk")
     writeMeta(spark, indexDir, n)
     org.apache.spark.sql.graft.CheckpointUtils.sweepUnpinned(spark.sparkContext)
     n
@@ -178,17 +162,14 @@ object AnnIndex {
     import spark.implicits._
     checkVersion(spark, indexDir)
     if (metaRow(spark, indexDir).isEmpty) writeMeta(spark, indexDir, 0L)
-    // Compaction/self-heal triggers BEFORE the probe (no correctness
-    // trigger — object doc): a corpus vector orphaned by a crash between
-    // the two appends must be re-indexed before this batch probes, or
-    // its near-dups would be admitted past a store that cannot see it.
-    // Both probes are metadata reads.
+    // Pre-probe self-heal ([[IndexLifecycle.healIfNeeded]] — ordering
+    // argument in the trait doc). Both probes are metadata reads.
     val preIdxCount = readOrEmpty(spark, s"$indexDir/bk", bkSchema)
       .select($"vec_id").distinct().count()
     val preCorpusCount = readOrEmpty(spark, corpusDir, vecSchema).count()
-    if (preCorpusCount != preIdxCount ||
-        storeFileCount(spark, s"$indexDir/bk") > maxStoreFiles(spark))
+    healIfNeeded(spark, preCorpusCount, preIdxCount, Seq(s"$indexDir/bk")) {
       rebuild(spark, corpusDir, indexDir)
+    }
     // exact replay gate: ids already in the corpus drop out (id list is
     // corpus-sided but the probe side broadcasts — store only scanned)
     val existingIds = readOrEmpty(spark, corpusDir, vecSchema).select($"vec_id")
@@ -207,25 +188,13 @@ object AnnIndex {
       .join(broadcast(admitted.select($"vec_id")), Seq("vec_id"))
       .localCheckpoint()
     val nAdmitted = admittedBk.select($"vec_id").distinct().count()
-    val nw = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
-      (nAdmitted + 99999L) / 100000L)).toInt
-    admittedBk.repartition(nw, $"bucket").write.mode("append").parquet(s"$indexDir/bk")
+    admittedBk.repartition(appendWriters(spark, nAdmitted), $"bucket")
+      .write.mode("append").parquet(s"$indexDir/bk")
+    compactIfOverCap(spark, Seq(s"$indexDir/bk")) {
+      rebuild(spark, corpusDir, indexDir)
+    }
     org.apache.spark.sql.graft.CheckpointUtils.sweepUnpinned(spark.sparkContext)
   }
-
-  private def storeFileCount(spark: SparkSession, dir: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) 0L
-    else fs.listStatus(p).count(s => s.isFile && s.getPath.getName.endsWith(".parquet")).toLong
-  }
-
-  /** Max parquet files in `bk/` before a compaction rebuild
-    * (`spark.graft.annIndex.maxStoreFiles`, default 512).
-    */
-  private def maxStoreFiles(spark: SparkSession): Long =
-    spark.conf.getOption("spark.graft.annIndex.maxStoreFiles")
-      .map(_.toLong).getOrElse(512L)
 
   /** The indexed ANN admission policy as a continuous query — the
     * [[NearDupIndex.nearDupIntakeIndexed]] sibling for vector corpora:

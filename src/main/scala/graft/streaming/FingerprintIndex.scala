@@ -41,7 +41,9 @@ final case class BandedHasher(name: String, version: String,
   * signature at Hamming ≤ maxHam (lossless by the 8-band pigeonhole for
   * maxHam ≤ 7).
   */
-object FingerprintIndex {
+object FingerprintIndex extends IndexLifecycle {
+
+  protected def confScope: String = "fpIndex"
 
   val fpSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
@@ -68,25 +70,10 @@ object FingerprintIndex {
     df => graft.operators.Multimodal.audioFpAll(df).toDF()
       .select(col("doc_id"), col("sbands").as("bands")))
 
-  private def readOrEmpty(spark: SparkSession, dir: String,
-      schema: StructType): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.schema(schema).parquet(dir)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-  }
-
   private def metaRow(spark: SparkSession,
-      indexDir: String): Option[(Long, String, String)] = {
-    val p = new org.apache.hadoop.fs.Path(s"$indexDir/meta")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else try {
-      val r = spark.read.parquet(s"$indexDir/meta").head()
-      Some((r.getLong(0), r.getString(1), r.getString(2)))
-    } catch { case _: Exception => None } // crash mid-write => rebuild heals
-  }
+      indexDir: String): Option[(Long, String, String)] =
+    metaRowRaw(spark, indexDir)
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
 
   private def writeMeta(spark: SparkSession, indexDir: String, n: Long,
       hasher: BandedHasher): Unit = {
@@ -155,9 +142,7 @@ object FingerprintIndex {
     val corpus = readOrEmpty(spark, corpusDir, blobSchema)
     val fp = hasher.hash(corpus).localCheckpoint()
     val n = fp.select($"doc_id").distinct().count()
-    val nf = math.max(1L, math.min(
-      spark.sparkContext.defaultParallelism.toLong, n / 100000L)).toInt
-    fp.coalesce(nf).write.mode("overwrite").parquet(s"$indexDir/fp")
+    fp.coalesce(compactFiles(spark, n)).write.mode("overwrite").parquet(s"$indexDir/fp")
     writeMeta(spark, indexDir, n, hasher)
     org.apache.spark.sql.graft.CheckpointUtils.sweepUnpinned(spark.sparkContext)
     n
@@ -173,20 +158,22 @@ object FingerprintIndex {
     */
   def admitBatch(batch: DataFrame, corpusDir: String, indexDir: String,
       hasher: BandedHasher, maxHam: Long = 7L): Unit = {
+    // 8-band pigeonhole: candidate generation is lossless only for
+    // Hamming <= 7 (one band must match exactly). A larger threshold
+    // would silently under-reject — refuse at the API boundary.
+    require(maxHam <= 7L,
+      s"maxHam=$maxHam exceeds the 8-band pigeonhole bound (lossless only for <= 7)")
     val spark = batch.sparkSession
     import spark.implicits._
     checkVersion(spark, indexDir, hasher)
     if (metaRow(spark, indexDir).isEmpty) writeMeta(spark, indexDir, 0L, hasher)
-    // Compaction/self-heal triggers BEFORE the probe (no correctness
-    // trigger — object doc): a corpus row orphaned by a crash between
-    // the two appends must be re-indexed before this batch probes, or
-    // its near-dups would be admitted past a store that cannot see it.
-    // Both probes are metadata reads.
+    // Pre-probe self-heal ([[IndexLifecycle.healIfNeeded]] — ordering
+    // argument in the trait doc). Both probes are metadata reads.
     val preIdxCount = readOrEmpty(spark, s"$indexDir/fp", fpSchema).count()
     val preCorpusCount = readOrEmpty(spark, corpusDir, blobSchema).count()
-    if (preCorpusCount != preIdxCount ||
-        storeFileCount(spark, s"$indexDir/fp") > maxStoreFiles(spark))
+    healIfNeeded(spark, preCorpusCount, preIdxCount, Seq(s"$indexDir/fp")) {
       rebuild(spark, corpusDir, indexDir, hasher)
+    }
     val existingIds = readOrEmpty(spark, corpusDir, blobSchema).select($"doc_id")
     val idHits = existingIds
       .join(broadcast(batch.select($"doc_id")), Seq("doc_id")).distinct()
@@ -206,25 +193,13 @@ object FingerprintIndex {
       .join(broadcast(admitted.select($"doc_id")), Seq("doc_id"))
       .localCheckpoint()
     val nAdmitted = admittedFp.count()
-    val nw = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
-      (nAdmitted + 99999L) / 100000L)).toInt
-    admittedFp.coalesce(nw).write.mode("append").parquet(s"$indexDir/fp")
+    admittedFp.coalesce(appendWriters(spark, nAdmitted))
+      .write.mode("append").parquet(s"$indexDir/fp")
+    compactIfOverCap(spark, Seq(s"$indexDir/fp")) {
+      rebuild(spark, corpusDir, indexDir, hasher)
+    }
     org.apache.spark.sql.graft.CheckpointUtils.sweepUnpinned(spark.sparkContext)
   }
-
-  private def storeFileCount(spark: SparkSession, dir: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) 0L
-    else fs.listStatus(p).count(s => s.isFile && s.getPath.getName.endsWith(".parquet")).toLong
-  }
-
-  /** Max parquet files in `fp/` before a compaction rebuild
-    * (`spark.graft.fpIndex.maxStoreFiles`, default 512).
-    */
-  private def maxStoreFiles(spark: SparkSession): Long =
-    spark.conf.getOption("spark.graft.fpIndex.maxStoreFiles")
-      .map(_.toLong).getOrElse(512L)
 
   /** The fingerprint-indexed admission policy as a continuous query —
     * media blob files land in `srcDir`, each micro-batch admits payloads

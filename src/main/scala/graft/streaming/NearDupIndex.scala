@@ -61,7 +61,9 @@ import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
   * corpus. Exactly-once admission itself rides the streaming
   * checkpoint, as in the naive path.
   */
-object NearDupIndex {
+object NearDupIndex extends IndexLifecycle {
+
+  protected def confScope: String = "nearDupIndex"
 
   val docsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
@@ -77,29 +79,8 @@ object NearDupIndex {
     StructField("h", LongType),
     StructField("df", LongType)))
 
-  private def readOrEmpty(spark: SparkSession, dir: String,
-      schema: StructType): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.schema(schema).parquet(dir)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-  }
-
-  private def metaRow(spark: SparkSession, indexDir: String): Option[(Long, Double)] = {
-    val p = new org.apache.hadoop.fs.Path(s"$indexDir/meta")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else try {
-      val r = spark.read.parquet(s"$indexDir/meta").head()
-      Some((r.getLong(0), r.getDouble(1)))
-    } catch {
-      // crash mid-meta-write (empty/partial dir): treat as unknown —
-      // the doubling check then triggers a rebuild, which self-heals
-      // every store from the corpus
-      case _: Exception => None
-    }
-  }
+  private def metaRow(spark: SparkSession, indexDir: String): Option[(Long, Double)] =
+    metaRowRaw(spark, indexDir).map(r => (r.getLong(0), r.getDouble(1)))
 
   private def metaCount(spark: SparkSession, indexDir: String): Long =
     metaRow(spark, indexDir).map(_._1).getOrElse(0L)
@@ -267,11 +248,7 @@ object NearDupIndex {
       hx.join(spark.read.schema(rankSchema).parquet(s"$indexDir/rank"), Seq("h")),
       minJaccard).localCheckpoint()
     val n = idx.count()
-    // compact output: ~100k docs per file up to the core count — rebuild
-    // doubles as store compaction (see the small-files guard in
-    // admitBatch), so its own file count must stay well under the cap
-    val nf = math.max(1L, math.min(
-      spark.sparkContext.defaultParallelism.toLong, n / 100000L)).toInt
+    val nf = compactFiles(spark, n)
     idx.select($"doc_id", $"harr", $"n")
       .coalesce(nf).write.mode("overwrite").parquet(s"$indexDir/docs")
     idx.select(explode($"prefix").as("ph"), $"doc_id", $"n")
@@ -301,6 +278,27 @@ object NearDupIndex {
     // stamp the threshold from the FIRST touch (rebuild refreshes the
     // count later; a young index must already refuse mismatched probes)
     if (metaRow(spark, indexDir).isEmpty) writeMeta(spark, indexDir, 0L, minJaccard)
+    // Pre-probe self-heal ([[IndexLifecycle.healIfNeeded]]): a corpus
+    // doc orphaned by a crash between the corpus append and the index
+    // append (the replayed batch is exact-dup-gated out, so the appends
+    // never re-run), or an intake pointed at a pre-existing/naive-path
+    // corpus without a bootstrap rebuild(), must be re-indexed BEFORE
+    // this batch probes — or its near-dups would be admitted past a
+    // store that cannot see it (the r13 AnnIndex/FingerprintIndex
+    // review finding; the same window existed here). Both counts are
+    // parquet-footer metadata reads.
+    healIfNeeded(spark,
+      corpusCount = {
+        val p = new org.apache.hadoop.fs.Path(corpusDir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p))
+          spark.read.schema(CorpusStreams.corpusStoreSchema).parquet(corpusDir).count()
+        else 0L
+      },
+      indexCount = indexedDocCount(spark, indexDir),
+      storeDirs = Seq(s"$indexDir/px")) {
+      rebuild(spark, corpusDir, indexDir, minJaccard)
+    }
     val corpusPath = new org.apache.hadoop.fs.Path(corpusDir)
     val fs = corpusPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val existingFp: DataFrame =
@@ -353,15 +351,11 @@ object NearDupIndex {
     admittedIdx.select(explode($"prefix").as("ph"), $"doc_id", $"n")
       .repartition(nw, $"ph").write.mode("append").parquet(s"$indexDir/px")
 
-    // Rebuild triggers, in priority order:
+    // Post-append SNAPSHOT-REFRESH triggers (divergence and the file
+    // cap moved to the pre-probe heal — the correctness ordering):
     //  - doubling: the docs store count (now INCLUDING this batch's
     //    append) reached 2x the last-snapshot size — refresh the frozen
     //    rarity order (amortized O(1)/doc);
-    //  - small-files: a MATURE corpus stops doubling, so append-mode
-    //    stores would otherwise accumulate one file per batch forever
-    //    and per-batch scan cost would become listing/footer-bound.
-    //    Rebuild rewrites every store compactly, so capping the file
-    //    count folds compaction into the existing lifecycle;
     //  - storm: candidate volume way out of proportion to the batch
     //    (measured: a fresh site-wide boilerplate header post-snapshot
     //    has df 0 = "rarest", floods every prefix, and candidates jump
@@ -369,23 +363,18 @@ object NearDupIndex {
     //    regardless, but on a MATURE corpus nothing else would refresh
     //    the snapshot — rebuilding now makes the next batch clean
     //    instead of waiting out the file cap;
-    //  - divergence: the corpus and the index disagree on row count — a
-    //    crash between the corpus append and the index append (the
-    //    replayed batch is exact-dup-gated out, so the appends never
-    //    re-run), or an intake pointed at a pre-existing/naive-path
-    //    corpus without a bootstrap rebuild(). Either way docs exist
-    //    that the index cannot see — a silent recall gap — so rebuild
-    //    NOW from the source of truth rather than waiting out the file
-    //    cap. Both counts are parquet-footer metadata reads.
+    //  - plus the cheap post-append cap re-check (a mature corpus stops
+    //    doubling, so append-mode stores would otherwise accumulate one
+    //    file per batch forever; re-checking after the append means the
+    //    final batch of a stream cannot strand the store over the cap).
     val total = indexedDocCount(spark, indexDir)
-    val corpusTotal =
-      spark.read.schema(CorpusStreams.corpusStoreSchema).parquet(corpusDir).count()
     val batchRows = batchIdx.count()
     if (total >= 2 * math.max(1L, metaCount(spark, indexDir)) ||
-        corpusTotal != total ||
-        storeFileCount(spark, s"$indexDir/px") > maxStoreFiles(spark) ||
         nCand > stormFactor(spark) * math.max(1L, batchRows))
       rebuild(spark, corpusDir, indexDir, minJaccard)
+    else compactIfOverCap(spark, Seq(s"$indexDir/px")) {
+      rebuild(spark, corpusDir, indexDir, minJaccard)
+    }
     org.apache.spark.sql.graft.CheckpointUtils.sweepUnpinned(spark.sparkContext)
   }
 
@@ -398,34 +387,6 @@ object NearDupIndex {
   private def stormFactor(spark: SparkSession): Long =
     spark.conf.getOption("spark.graft.nearDupIndex.stormCandidateFactor")
       .map(_.toLong).getOrElse(32L)
-
-  /** Parallel writers for a batch append: one per
-    * `spark.graft.nearDupIndex.rowsPerAppendFile` admitted rows (default
-    * 100k — the rebuild's docs-per-file target), capped at the session's
-    * parallelism. Hash distribution (doc_id / ph) spreads the write; the
-    * floor of 1 keeps tiny batches at one file per store.
-    */
-  private def appendWriters(spark: SparkSession, rows: Long): Int = {
-    val target = spark.conf.getOption("spark.graft.nearDupIndex.rowsPerAppendFile")
-      .map(_.toLong).getOrElse(100000L)
-    math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
-      (rows + target - 1) / math.max(1L, target))).toInt
-  }
-
-  private def storeFileCount(spark: SparkSession, dir: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) 0L
-    else fs.listStatus(p).count(s => s.isFile && s.getPath.getName.endsWith(".parquet")).toLong
-  }
-
-  /** Max parquet files per store before a compaction rebuild
-    * (`spark.graft.nearDupIndex.maxStoreFiles`, default 512 — at one
-    * file per micro-batch that is 512 batches past the last doubling).
-    */
-  private def maxStoreFiles(spark: SparkSession): Long =
-    spark.conf.getOption("spark.graft.nearDupIndex.maxStoreFiles")
-      .map(_.toLong).getOrElse(512L)
 
   private def indexedDocCount(spark: SparkSession, indexDir: String): Long = {
     val p = new org.apache.hadoop.fs.Path(s"$indexDir/docs")

@@ -346,15 +346,19 @@ class CorpusStreamsSpec extends AnyFunSuite with SparkSpec {
     Seq((2L, "src0", "fp-crash", 40L, t2))
       .toDF("doc_id", "source", "fp", "n_tokens", "text")
       .coalesce(1).write.mode("append").parquet(corpus)
-    // next batch: divergence detected -> in-line rebuild indexes doc 2...
-    NearDupIndex.admitBatch(docsDf(3L -> toks("c", 40)), corpus, indexDir)
-    assert(spark.read.parquet(s"$indexDir/docs").count() == 3L,
-      "divergence must trigger a rebuild that indexes the orphaned doc")
-    // ...so a near-dup of the once-orphaned doc 2 is rejected again
+    // the STRICT form (the r13 AnnIndex/FingerprintIndex review pin):
+    // the orphan's near-dup arrives in the SAME post-crash batch — the
+    // pre-probe divergence rebuild must heal the store before this
+    // batch's probe, or the duplicate slips in forever
     NearDupIndex.admitBatch(
-      docsDf(9L -> (toks("b", 39) + " qq")), corpus, indexDir)
+      docsDf(3L -> toks("c", 40), 9L -> (toks("b", 39) + " qq")),
+      corpus, indexDir)
     assert(spark.read.parquet(corpus).select("doc_id")
-      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L),
+      "the healed index must reject the orphan's near-dup in the SAME batch")
+    assert(spark.read.parquet(s"$indexDir/docs").select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L),
+      "index and corpus agree after the heal")
   }
 
   test("mature-corpus small-files guard: file cap triggers a compacting rebuild") {
