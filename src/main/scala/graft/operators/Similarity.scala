@@ -1025,24 +1025,349 @@ object Similarity {
         pqSubspaces, pqSubDim).localCheckpoint()
     }
 
+  // ——— trained PQ codebooks (q244) ———————————————————————————————————
+  // The r13 scale audit's honest negative: the fixed 16-lowest-vec_id
+  // codebook's recall DECAYS 37→16/160 across 64× corpus growth — a
+  // quantizer that never sees the corpus distribution cannot keep up
+  // with it. The answer is TRAINED codebooks: per-subspace k-means over
+  // a deterministic corpus sample. Not MLlib KMeans — its kmeans|| init
+  // and float reduction order are partitioning-dependent, so two runs
+  // of the same pipeline could emit different indexes (disqualifying
+  // for a reproducible-build index, and inexpressible to the oracle).
+  // Instead: Lloyd's algorithm in FROZEN INTEGER arithmetic — normalized
+  // coordinates frozen to BIGINT at 1e6, squared-L2 and centroid means
+  // computed entirely in exact integer space (BIGINT sums are
+  // order-free; the one division per coordinate is truncating integer
+  // division, verified identical in Spark `div` and DuckDB `//` on
+  // negatives) — so training is bit-deterministic under ANY
+  // partitioning AND mirrors exactly in unrolled oracle SQL.
+  // Training size/depth measured, not guessed (graft.tools.TrainedPqSweep
+  // at the scale audit's decayed point n=128000, grid S ∈ {64,256,1024} ×
+  // T ∈ {0,2,4,8}): iters=0 reproduces the fixed codebook exactly
+  // (16/160 — Lloyd IS the win, not sample init); S=64 (4 points per
+  // centroid) overfits and collapses back (24→18→16); S=256 knees at
+  // T=4 (32/160); S=1024 — 64 training points per centroid, the classic
+  // k-means sizing — keeps improving through T=8 (33→38→41/160).
+  // Adopted: 64·K sample, 8 iterations.
+  private val pqTrainSample = 1024
+  private val pqTrainIters = 8
+  private val pqFreezeScale = 1e6
+
+  /** Version token for anything persisting TRAINED-PQ state — bump on
+    * any re-tune of sample size, iterations, freeze scale or geometry.
+    */
+  private[graft] val pqTrainedLogicVersion = "m16x4.k16.s1024.t8.f1e6.v1"
+
+  /** Integer squared L2 between two equal-length BIGINT vectors —
+    * order-free exact arithmetic (the trained-PQ analog of [[pqSqDist]];
+    * frozen coords ≤ 1e6, so per-dim terms ≤ 4e12 and any cross-subspace
+    * sum stays far inside BIGINT).
+    */
+  private def isqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (s, v) => s + v)
+
+  private def freezeSub(sv: Column): Column =
+    transform(sv, x => floor(x * lit(pqFreezeScale)).cast("long"))
+
+  /** Per-subspace k-means codebook over a normalized corpus: Lloyd's
+    * algorithm on the [[pqTrainSample]] lowest-vec_id vectors (the
+    * deterministic training sample — at 100 TB a codebook is always
+    * trained on a bounded sample, and boundedness is what keeps every
+    * stage here broadcast-sized), [[pqTrainIters]] fixed iterations from
+    * the q239 deterministic init (frozen sub-vectors of the kCent
+    * lowest-vec_id vectors):
+    *
+    *   - ASSIGN: argmin of integer squared-L2, ties to the lowest c_id
+    *     (the house min(struct) convention);
+    *   - UPDATE: per-coordinate `sum div count` — exact BIGINT sums,
+    *     one truncating division — so the new centroid is identical
+    *     whatever order rows arrive in;
+    *   - an emptied cluster keeps its previous centroid (coalesce), so
+    *     the codebook never shrinks.
+    *
+    * Returns (m, c_id, fc: Array[Long]) — kCent·mSub rows, broadcast
+    * everywhere it is consumed.
+    */
+  private[graft] def pqTrainedCentroids(nv: DataFrame, mSub: Int,
+      subDim: Int, kCent: Int, sampleN: Int, iters: Int): DataFrame = {
+    val spark = nv.sparkSession
+    import spark.implicits._
+    val samp = nv.orderBy($"vec_id").limit(sampleN)
+      .select($"vec_id", posexplode(array(pqSubSlices(mSub, subDim): _*)).as(Seq("m", "sv")))
+      .select($"vec_id", $"m", freezeSub($"sv").as("fs"))
+      .localCheckpoint()
+    var cent = nv.orderBy($"vec_id").limit(kCent)
+      .withColumn("c_id", row_number().over(Window.orderBy($"vec_id")))
+      .select($"c_id", posexplode(array(pqSubSlices(mSub, subDim): _*)).as(Seq("m", "cv")))
+      .select($"m", $"c_id", freezeSub($"cv").as("fc"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val asg = samp.join(broadcast(cent), Seq("m"))
+        .withColumn("d", isqDist($"fs", $"fc"))
+        .groupBy($"m", $"vec_id")
+        .agg(min(struct($"d", $"c_id")).as("mn"), first($"fs").as("fs"))
+      val upd = asg
+        .select($"m", $"mn.c_id".as("c_id"), posexplode($"fs").as(Seq("dim", "x")))
+        .groupBy($"m", $"c_id", $"dim")
+        .agg(sum($"x").as("sx"), count(lit(1)).as("cnt"))
+        .select($"m", $"c_id", $"dim", expr("sx div cnt").as("cx"))
+        .groupBy($"m", $"c_id")
+        .agg(transform(array_sort(collect_list(struct($"dim", $"cx"))),
+          s => s.getField("cx")).as("fc2"))
+      cent = cent.join(upd, Seq("m", "c_id"), "left_outer")
+        .select($"m", $"c_id", coalesce($"fc2", $"fc").as("fc"))
+        .localCheckpoint()
+    }
+    cent
+  }
+
+  /** Trained-PQ assignment over the FULL corpus: one broadcast-codebook
+    * pass in frozen integer arithmetic, min(struct) argmin, packed to
+    * the m-ordered code array — [[pqCodesOf]] with the trained codebook
+    * and BIGINT distances.
+    */
+  private def pqTrainedCodesOf(nv: DataFrame, cent: DataFrame, mSub: Int,
+      subDim: Int): DataFrame = {
+    val spark = nv.sparkSession
+    import spark.implicits._
+    nv.spreadAcrossCores
+      .select($"vec_id".as("b_id"), posexplode(array(pqSubSlices(mSub, subDim): _*)).as(Seq("m", "sv")))
+      .select($"b_id", $"m", freezeSub($"sv").as("fs"))
+      .join(broadcast(cent), Seq("m"))
+      .withColumn("d", isqDist($"fs", $"fc"))
+      .groupBy($"b_id", $"m")
+      .agg(min(struct($"d", $"c_id")).as("mn"))
+      .groupBy($"b_id")
+      .agg(transform(array_sort(collect_list(struct($"m", $"mn.c_id".as("code")))),
+        s => s.getField("code")).as("codes"))
+  }
+
+  /** Per-query trained-PQ LUTs: the panel's frozen sub-vectors against
+    * the trained codebook — already exact BIGINT (no 1e12 re-freeze:
+    * the integer distance IS the frozen value), packed m·K + c_id as in
+    * [[pqLutsOf]]. Panel joined BEFORE the explode (bounded rows only).
+    */
+  private def pqTrainedLutsOf(nv: DataFrame, cent: DataFrame,
+      panel: DataFrame, mSub: Int, subDim: Int, kCent: Int): DataFrame = {
+    val spark = nv.sparkSession
+    import spark.implicits._
+    nv.join(broadcast(panel), nv("vec_id") === panel("a_id"))
+      .select($"a_id", posexplode(array(pqSubSlices(mSub, subDim): _*)).as(Seq("m", "sv")))
+      .select($"a_id", $"m", freezeSub($"sv").as("fs"))
+      .join(broadcast(cent), Seq("m"))
+      .select($"a_id", ($"m" * kCent + $"c_id").as("i"),
+        isqDist($"fs", $"fc").as("lf"))
+      .groupBy($"a_id")
+      .agg(transform(array_sort(collect_list(struct($"i", $"lf"))),
+        s => s.getField("lf")).as("lut"))
+  }
+
+  /** The trained-PQ retrieval kernel over ANY (vec_id, embedding)
+    * relation — q244's body, factored so [[graft.tools.ScaleEvidence]]
+    * measures the identical arithmetic across synthetic corpus growth
+    * (the r14 companion to [[pqAnnTop5]]).
+    */
+  private[graft] def trainedPqAnnTop5(emb: DataFrame, panel: DataFrame,
+      mSub: Int, subDim: Int, kCent: Int, sampleN: Int, iters: Int): DataFrame = {
+    val nv = pqNormalized(emb)
+    val cent = pqTrainedCentroids(nv, mSub, subDim, kCent, sampleN, iters)
+    pqAdcTop5(pqTrainedCodesOf(nv, cent, mSub, subDim),
+      pqTrainedLutsOf(nv, cent, panel, mSub, subDim, kCent), kCent)
+  }
+
+  /** Trained codebook as a session memo (256 rows — the training loop
+    * runs once per (session, dir), not once per consumer).
+    */
+  private def pqTrainedCentMemo(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "pq_trained_cent", pqTrainedLogicVersion) {
+      pqTrainedCentroids(pqNormalized(Tables.embeddings(spark, dir)),
+        pqSubspaces, pqSubDim, pqCodebookK, pqTrainSample, pqTrainIters)
+    }
+
+  /** The trained-PQ code relation as a session memo — the n×8-byte
+    * trained index, shared by q244/q227/q243 (the pq_codes discipline).
+    */
+  private[graft] def pqTrainedCodesMemo(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "pq_trained_codes", pqTrainedLogicVersion) {
+      pqTrainedCodesOf(pqNormalized(Tables.embeddings(spark, dir)),
+        pqTrainedCentMemo(spark, dir), pqSubspaces, pqSubDim).localCheckpoint()
+    }
+
+  /** q244 — TRAINED-PQ ADC recall@5: the r13 scale audit's stated
+    * production answer, shipped. Same geometry, byte budget (8 B/vec)
+    * and ADC scan shape as q239; the ONLY change is the codebook —
+    * k-means-trained on a deterministic 1024-vector sample (64 training
+    * points per centroid) in frozen integer arithmetic (see
+    * [[pqTrainedCentroids]]) instead of the 16 lowest-vec_id
+    * sub-vectors. Measured against q239 on the same panel/ground truth,
+    * this is the codebook-quality experiment as an oracle-gated query:
+    * any recall difference between the two histograms is attributable
+    * to training alone. `ScaleEvidence ann` re-trains per corpus size
+    * and measures the r13 decay finding's answer: across the same 64×
+    * growth where the fixed codebook decays 37→16/160, the trained
+    * codebook holds essentially FLAT past the first rung (59→40→45→41
+    * at s1024/t8 — 2.6× the fixed codebook at n=128k; the first rung is
+    * inflated because the sample is half that corpus). Training closes
+    * the scale defect at this byte budget; the remaining recall gap vs
+    * lsh_tuned/ivf is the 8-byte quantization floor itself, which is
+    * why the composed IVF+PQ pipeline (q242) remains the production
+    * answer — now with a trained codebook available for its
+    * quantization stage.
+    *
+    * At 100 TB: training cost is sample-bounded (a broadcast-sized
+    * k-means, paid once per index build); codes stay 8 B/vec; the probe
+    * scan is unchanged. The determinism argument doubles as the
+    * production reproducibility story: the index bytes are a pure
+    * function of (corpus, logicVersion), so a rebuilt index can be
+    * byte-verified against its predecessor.
+    */
+  def q244TrainedPqRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact = exactPanelTop5(spark, dir)
+    val panel = samplePanel(spark, dir, topkPanelK).select($"vec_id".as("a_id"))
+    val nv = pqNormalized(Tables.embeddings(spark, dir))
+    val cent = pqTrainedCentMemo(spark, dir)
+    val ann = pqAdcTop5(pqTrainedCodesMemo(spark, dir),
+      pqTrainedLutsOf(nv, cent, panel, pqSubspaces, pqSubDim, pqCodebookK),
+      pqCodebookK)
+    recallHistogram(exact, ann, panel).orderBy($"hits")
+  }
+
+  val q244Sql: String = {
+    val isq = "list_sum(list_transform(list_zip(%s, %s), z -> (z[1]-z[2])*(z[1]-z[2])))"
+    val iterCtes = (1 to pqTrainIters).map { k =>
+      val mean = (1 to pqSubDim)
+        .map(d => s"CAST(sum(fs[$d]) // count(*) AS BIGINT)").mkString(", ")
+      s"""asg$k AS MATERIALIZED (
+        |  SELECT m, vec_id, fs, c_id FROM (
+        |    SELECT s.m, s.vec_id, s.fs, c.c_id, ROW_NUMBER() OVER (
+        |      PARTITION BY s.m, s.vec_id
+        |      ORDER BY ${isq.format("s.fs", "c.fc")}, c.c_id) AS rk
+        |    FROM samp s JOIN cent${k - 1} c ON c.m = s.m) t WHERE rk = 1),
+        |cent$k AS MATERIALIZED (
+        |  SELECT p.m, p.c_id, coalesce(u.fc, p.fc) AS fc
+        |  FROM cent${k - 1} p LEFT JOIN (
+        |    SELECT m, c_id, [$mean] AS fc
+        |    FROM asg$k GROUP BY m, c_id) u
+        |  ON u.m = p.m AND u.c_id = p.c_id)""".stripMargin
+    }.mkString(",\n")
+    // The k-means chain is deep (8 asg/cent pairs, each referenced
+    // twice); DuckDB inlines non-materialized CTEs per REFERENCE, so
+    // the un-hinted chain re-evaluates training 2^T times (measured:
+    // 4.5 min -> 1.1 s at sf0.01 with the hint). MATERIALIZED on every
+    // multiply-referenced/chained CTE keeps the oracle linear in T.
+    s"""WITH nv AS MATERIALIZED (
+      |  SELECT vec_id,
+      |    list_transform(embedding::DOUBLE[],
+      |      x -> x / sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
+      |  FROM embeddings
+      |  WHERE list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+      |ms AS (SELECT unnest(range(0, $pqSubspaces)) AS m),
+      |fsub AS MATERIALIZED (
+      |  SELECT vec_id, m,
+      |    list_transform(v[m*$pqSubDim+1 : m*$pqSubDim+$pqSubDim],
+      |      x -> CAST(floor(x * ${pqFreezeScale.toLong}.0) AS BIGINT)) AS fs
+      |  FROM nv, ms),
+      |samp AS MATERIALIZED (
+      |  SELECT f.* FROM fsub f JOIN (
+      |    SELECT vec_id FROM nv ORDER BY vec_id LIMIT $pqTrainSample) s
+      |  ON s.vec_id = f.vec_id),
+      |cent0 AS MATERIALIZED (
+      |  SELECT f.m, c.c_id, f.fs AS fc FROM (
+      |    SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) AS c_id,
+      |           vec_id
+      |    FROM (SELECT vec_id FROM nv ORDER BY vec_id LIMIT $pqCodebookK) z) c
+      |  JOIN fsub f ON f.vec_id = c.vec_id),
+      |$iterCtes,
+      |codes AS MATERIALIZED (
+      |  SELECT vec_id AS b_id, m, c_id AS code FROM (
+      |    SELECT f.vec_id, f.m, c.c_id, ROW_NUMBER() OVER (
+      |      PARTITION BY f.vec_id, f.m
+      |      ORDER BY ${isq.format("f.fs", "c.fc")}, c.c_id) AS rk
+      |    FROM fsub f JOIN cent$pqTrainIters c ON c.m = f.m) t WHERE rk = 1),
+      |q AS (SELECT vec_id FROM embeddings
+      |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $topkPanelK),
+      |lut AS MATERIALIZED (
+      |  SELECT f.vec_id AS a_id, f.m, c.c_id,
+      |    CAST(${isq.format("f.fs", "c.fc")} AS BIGINT) AS lf
+      |  FROM fsub f JOIN q ON q.vec_id = f.vec_id
+      |  JOIN cent$pqTrainIters c ON c.m = f.m),
+      |adc AS (
+      |  SELECT l.a_id, c.b_id, sum(l.lf) AS dist
+      |  FROM codes c JOIN lut l ON l.m = c.m AND l.c_id = c.code
+      |  WHERE c.b_id <> l.a_id
+      |  GROUP BY 1, 2),
+      |ann AS (SELECT a_id, b_id FROM (
+      |  SELECT a_id, b_id, ROW_NUMBER() OVER (
+      |    PARTITION BY a_id ORDER BY dist, b_id) AS rk
+      |  FROM adc) t WHERE rk <= 5),
+      |scored AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cs
+      |  FROM (SELECT e.* FROM embeddings e JOIN q ON q.vec_id = e.vec_id) a
+      |  JOIN embeddings b ON a.vec_id <> b.vec_id),
+      |ex AS (SELECT a_id, b_id FROM (
+      |  SELECT a_id, b_id, ROW_NUMBER() OVER (
+      |    PARTITION BY a_id ORDER BY cs DESC, b_id) AS rk
+      |  FROM scored WHERE NOT isnan(cs)) t WHERE rk <= 5),
+      |ov AS (SELECT e.a_id, CAST(count(*) AS BIGINT) AS hits
+      |       FROM ex e JOIN ann a ON a.a_id = e.a_id AND a.b_id = e.b_id
+      |       GROUP BY 1)
+      |SELECT coalesce(ov.hits, 0) AS hits,
+      |       CAST(count(*) AS BIGINT) AS n_queries,
+      |       CAST(sum(q.vec_id) AS BIGINT) AS a_checksum
+      |FROM q LEFT JOIN ov ON ov.a_id = q.vec_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** The q226-shape IVF probe relation (rk ≤ nprobe pivot assignments at
     * the frozen fixture-scale point nlist=64/nprobe=8) as a session memo
     * — shared by q226 and q242 (and q227 through both). q236 derives its
     * own policy parameters and stays standalone.
     */
+  /** Version token for anything persisting IVF assignments — bump on any
+    * change to the assignment arithmetic (cosine ranking, tie order) or
+    * the √n policy derivation.
+    */
+  private[graft] val ivfLogicVersion = "cos.rowk.sqrtn-div8.v1"
+
+  /** The nlist lowest-vec_id vectors of a corpus as coarse pivots —
+    * q226's deterministic, oracle-expressible quantizer, shared with
+    * [[graft.streaming.IvfIndex]] (which FREEZES the result at rebuild
+    * time: between rebuilds new lower-id arrivals must not move pivots).
+    */
+  private[graft] def ivfPivotsOf(emb: DataFrame, nlist: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.orderBy($"vec_id").limit(nlist)
+      .select($"vec_id".as("p_id"), $"embedding".as("pe"))
+  }
+
+  /** The rk ≤ nprobe pivot-assignment relation of ANY (vec_id,
+    * embedding) relation against a given pivot set — the q226-shape
+    * kernel, factored so the session memo, the batch path and the
+    * incremental [[graft.streaming.IvfIndex]] share one arithmetic
+    * (the multiBucketsOf discipline).
+    */
+  private[graft] def ivfNearOf(emb: DataFrame, pivots: DataFrame,
+      nprobe: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy($"vec_id").orderBy($"cs_p".desc, $"p_id")
+    emb.spreadAcrossCores
+      .crossJoin(broadcast(pivots))
+      .withColumn("cs_p", VectorFunctions.cosineSim($"embedding", $"pe"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= nprobe)
+      .select($"vec_id", $"p_id", $"rk")
+  }
+
   private def ivfNearMemo(spark: SparkSession, dir: String): DataFrame =
     memo(spark, dir, "ivf_near", s"nlist$ivfRecallNlist.p$ivfRecallNprobe.v1") {
       import spark.implicits._
       val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
-      val pivots = emb.orderBy($"vec_id").limit(ivfRecallNlist)
-        .select($"vec_id".as("p_id"), $"embedding".as("pe"))
-      val w = Window.partitionBy($"vec_id").orderBy($"cs_p".desc, $"p_id")
-      emb.spreadAcrossCores
-        .crossJoin(broadcast(pivots))
-        .withColumn("cs_p", VectorFunctions.cosineSim($"embedding", $"pe"))
-        .withColumn("rk", row_number().over(w))
-        .filter($"rk" <= ivfRecallNprobe)
-        .select($"vec_id", $"p_id", $"rk")
+      ivfNearOf(emb, ivfPivotsOf(emb, ivfRecallNlist), ivfRecallNprobe)
         .localCheckpoint()
     }
 
@@ -1291,25 +1616,40 @@ object Similarity {
     *     non-zero-norm vector, 8 B/vec (16 nibbles).
     *
     * Every count is a bounded aggregate over a memoized relation (the
-    * census costs three count() scans, no shuffles beyond 1-row aggs);
+    * census costs four count() scans, no shuffles beyond 1-row aggs);
     * bytes_per_vec are the frozen storage constants the docstrings
     * claim, now hash-checked against the oracle's identical arithmetic.
     * Read next to q227: lsh_tuned buys 80/160 at 32 B/vec, pq buys
-    * 37/160 at 8 B/vec, ivf 73/160 at 8 B/vec + raw-vector fetches.
+    * 37/160 (trained: 46/160) at 8 B/vec, ivf 73/160 at 8 B/vec +
+    * raw-vector fetches.
+    *
+    * `probe_ms` is the TIME column (r13 verdict item 7): each family's
+    * steady-state recall-query wall milliseconds, frozen constants from
+    * the r14 quiet-box bench at sf0.1 (load_start 0.25; raw = q34's
+    * exact panel scan, lsh_tuned = q225, ivf = q226, pq = q239;
+    * pq_trained from a same-box warm MiniSuite rep — its first bench
+    * appearance is this round's closing run). Frozen, not live-timed:
+    * a live timing column could never be oracle-stable, and the gate's
+    * value is the integrity of the recall-per-byte-per-second TABLE,
+    * not re-measuring inside a correctness query. Re-freeze from the
+    * committed bench whenever a family's plan materially changes (the
+    * plan ledger flags exactly that).
     */
   def q243IndexEconomics(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val n = Tables.embeddings(spark, dir)
       .agg(count(lit(1)).as("n_vectors"))
-    def row(method: String, rel: DataFrame, bytesPerVec: Long): DataFrame =
+    def row(method: String, rel: DataFrame, bytesPerVec: Long,
+        probeMs: Long): DataFrame =
       rel.agg(count(lit(1)).as("index_rows"))
         .crossJoin(broadcast(n))
         .select(lit(method).as("method"), $"index_rows", $"n_vectors",
-          lit(bytesPerVec).as("bytes_per_vec"))
-    row("raw", Tables.embeddings(spark, dir), 256L)
-      .unionByName(row("lsh_tuned", lshMultiBuckets(spark, dir), 32L))
-      .unionByName(row("ivf", ivfNearMemo(spark, dir).filter($"rk" === 1), 8L))
-      .unionByName(row("pq", pqCodesMemo(spark, dir), 8L))
+          lit(bytesPerVec).as("bytes_per_vec"), lit(probeMs).as("probe_ms"))
+    row("raw", Tables.embeddings(spark, dir), 256L, 662L)
+      .unionByName(row("lsh_tuned", lshMultiBuckets(spark, dir), 32L, 722L))
+      .unionByName(row("ivf", ivfNearMemo(spark, dir).filter($"rk" === 1), 8L, 430L))
+      .unionByName(row("pq", pqCodesMemo(spark, dir), 8L, 909L))
+      .unionByName(row("pq_trained", pqTrainedCodesMemo(spark, dir), 8L, 860L))
       .orderBy($"method")
   }
 
@@ -1325,19 +1665,23 @@ object Similarity {
       |    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], p.pe::DOUBLE[]) DESC, p.p_id) AS rk
       |  FROM embeddings e CROSS JOIN piv p) t WHERE rk = 1),
       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_vectors FROM embeddings)
-      |SELECT method, index_rows, n_vectors, bytes_per_vec FROM (
+      |SELECT method, index_rows, n_vectors, bytes_per_vec, probe_ms FROM (
       |  SELECT 'raw' AS method,
       |    (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS index_rows,
-      |    n_vectors, CAST(256 AS BIGINT) AS bytes_per_vec FROM n
+      |    n_vectors, CAST(256 AS BIGINT) AS bytes_per_vec,
+      |    CAST(662 AS BIGINT) AS probe_ms FROM n
       |  UNION ALL
       |  SELECT 'lsh_tuned', (SELECT CAST(count(*) AS BIGINT) FROM bk),
-      |    n_vectors, 32 FROM n
+      |    n_vectors, 32, 722 FROM n
       |  UNION ALL
       |  SELECT 'ivf', (SELECT CAST(count(*) AS BIGINT) FROM rk1),
-      |    n_vectors, 8 FROM n
+      |    n_vectors, 8, 430 FROM n
       |  UNION ALL
       |  SELECT 'pq', (SELECT CAST(count(*) AS BIGINT) FROM nv),
-      |    n_vectors, 8 FROM n) z
+      |    n_vectors, 8, 909 FROM n
+      |  UNION ALL
+      |  SELECT 'pq_trained', (SELECT CAST(count(*) AS BIGINT) FROM nv),
+      |    n_vectors, 8, 860 FROM n) z
       |ORDER BY method""".stripMargin
 
   /** q230 — hard-negative mining for contrastive training (the ANCE
@@ -1457,6 +1801,7 @@ object Similarity {
       "lsh_tuned" -> q225LshTunedRecall(spark, dir),
       "ivf" -> q226IvfRecall(spark, dir),
       "pq" -> q239PqAdcRecall(spark, dir),
+      "pq_trained" -> q244TrainedPqRecall(spark, dir),
       "ivfpq" -> q242IvfPqRecall(spark, dir))
     parts.map { case (m, df) =>
       df.select(lit(m).as("method"), $"hits", $"n_queries")
@@ -1481,6 +1826,8 @@ object Similarity {
       |  SELECT 'ivf', hits, n_queries FROM ($q226Sql) z4
       |  UNION ALL
       |  SELECT 'pq', hits, n_queries FROM ($q239Sql) z5
+      |  UNION ALL
+      |  SELECT 'pq_trained', hits, n_queries FROM ($q244Sql) z7
       |  UNION ALL
       |  SELECT 'ivfpq', hits, n_queries FROM ($q242Sql) z6)
       |SELECT method,
@@ -2071,6 +2418,7 @@ object Similarity {
     "q239_pq_adc_recall" -> (q239PqAdcRecall _),
     "q242_ivfpq_recall" -> (q242IvfPqRecall _),
     "q243_index_economics" -> (q243IndexEconomics _),
+    "q244_trained_pq_recall" -> (q244TrainedPqRecall _),
     "q227_ann_scorecard" -> (q227AnnScorecard _),
     "q230_hard_negatives" -> (q230HardNegatives _),
     "q35_ann_lsh" -> (q35AnnLsh _),
@@ -2096,6 +2444,7 @@ object Similarity {
     "q239_pq_adc_recall" -> q239Sql,
     "q242_ivfpq_recall" -> q242Sql,
     "q243_index_economics" -> q243Sql,
+    "q244_trained_pq_recall" -> q244Sql,
     "q227_ann_scorecard" -> q227Sql,
     "q230_hard_negatives" -> q230Sql,
     "q35_ann_lsh" -> q35Sql,

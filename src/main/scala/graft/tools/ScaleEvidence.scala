@@ -774,6 +774,16 @@ object ScaleEvidence {
       }
       val pq8 = pq(16, 4)
       val pq4 = pq(8, 8)
+      // --- TRAINED PQ (q244's kernel): same 8-byte budget, codebook
+      // re-trained per corpus size on the deterministic 1024-vector
+      // sample (the adopted 64·K sizing, TrainedPqSweep) — the r13
+      // honest negative's stated answer, measured: does training hold
+      // recall where the fixed codebook decays?
+      val pqt8 = {
+        val ann = graft.operators.Similarity
+          .trainedPqAnnTop5(emb, panel, 16, 4, 16, 1024, 8).localCheckpoint()
+        exact.join(ann, Seq("a_id", "b_id")).count()
+      }
       val wall = (System.nanoTime() - t0) / 1e9
       val (sw, _) = shuffleMB()
       org.apache.spark.sql.graft.CheckpointUtils.sweepUnpinned(spark.sparkContext)
@@ -782,6 +792,7 @@ object ScaleEvidence {
         f"  ivf($sq%4d,p8): cand=${isqFrac * 100}%5.1f%% hits=$isqHits%3d/160" +
         f"  ivf-policy($pl%4d,p$pp%-2d): cand=${polFrac * 100}%5.1f%% hits=$polHits%3d/160" +
         f"  pq(16x4,8B): hits=$pq8%3d/160  pq(8x8,4B): hits=$pq4%3d/160" +
+        f"  pq-trained(16x4,8B,s1024,t8): hits=$pqt8%3d/160" +
         f"  wall=$wall%7.1fs shufW=$sw%8.1fMB"
     }
     println(run(sizes.head) + "  (JIT warmup, discard)")

@@ -480,7 +480,7 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(got.values.map(_._1).sum == 32L, "histogram must cover the full panel")
   }
 
-  test("q227: scorecard equals the rollup of the six recall histograms") {
+  test("q227: scorecard equals the rollup of the seven recall histograms") {
     def hist(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
       df.collect().map(r => (r.getAs[Long]("hits"), r.getAs[Long]("n_queries"))).toSeq
     val parts = Map(
@@ -489,6 +489,7 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       "lsh_tuned" -> hist(Similarity.q225LshTunedRecall(spark, sfDir)),
       "ivf" -> hist(Similarity.q226IvfRecall(spark, sfDir)),
       "pq" -> hist(Similarity.q239PqAdcRecall(spark, sfDir)),
+      "pq_trained" -> hist(Similarity.q244TrainedPqRecall(spark, sfDir)),
       "ivfpq" -> hist(Similarity.q242IvfPqRecall(spark, sfDir)))
     val got = Similarity.q227AnnScorecard(spark, sfDir).collect().map { r =>
       r.getAs[String]("method") -> ((r.getAs[Long]("hits_total"),
@@ -591,5 +592,79 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     // the panel still recovers true neighbors on this fixture
     assert(got.filter(_._1 > 0L).values.map(_._1).sum >= 1L,
       "PQ recall collapsed to zero across the whole panel")
+  }
+
+  test("q244: trained-PQ recall histogram replays driver-side " +
+      "(frozen-integer Lloyd, 1024-sample, 8 iterations)") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Seq[Float]]("embedding").toArray)
+      .toMap
+    def norm2(v: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { val x = v(i).toDouble; s += x * x; i += 1 }; s
+    }
+    val nv = emb.toSeq.collect { case (id, v) if norm2(v) > 0 =>
+      val n = math.sqrt(norm2(v))
+      id -> v.map(_.toDouble / n)
+    }.toMap
+    // the engine's arithmetic replayed serially: coordinates frozen to
+    // BIGINT at 1e6, squared-L2 and centroid means entirely in Long
+    // space (Scala Long `/` truncates toward zero exactly as Spark
+    // `div`), argmin ties to the lowest c_id, empty clusters keep
+    // their previous centroid
+    def fsub(v: Array[Double], m: Int): Array[Long] =
+      v.slice(m * 4, m * 4 + 4).map(x => math.floor(x * 1e6).toLong)
+    def isq(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }; s
+    }
+    val ids = nv.keys.toSeq.sorted
+    val sampIds = ids.take(1024)
+    var cent: Map[(Int, Int), Array[Long]] = (for {
+      (id, i) <- ids.take(16).zipWithIndex
+      m <- 0 until 16
+    } yield (m, i + 1) -> fsub(nv(id), m)).toMap
+    for (_ <- 1 to 8) {
+      val asg = for { id <- sampIds; m <- 0 until 16 } yield {
+        val fs = fsub(nv(id), m)
+        val c = (1 to 16).map(c => (c, isq(fs, cent((m, c)))))
+          .minBy { case (ci, d) => (d, ci) }._1
+        ((m, c), fs)
+      }
+      val upd = asg.groupBy(_._1).map { case (k, rows) =>
+        k -> Array.tabulate(4)(d => rows.map(_._2(d)).sum / rows.size)
+      }
+      cent = cent.map { case (k, old) => k -> upd.getOrElse(k, old) }
+    }
+    def codeOf(v: Array[Double], m: Int): Int =
+      (1 to 16).map(c => (c, isq(fsub(v, m), cent((m, c)))))
+        .minBy { case (c, d) => (d, c) }._1
+    val codes = nv.map { case (id, v) => id -> (0 until 16).map(codeOf(v, _)) }
+    val panel = emb.keys.toSeq.sortBy(id => (md5hex(id.toString), id)).take(32)
+    val all = emb.toSeq
+    val perQuery = panel.map { aId =>
+      val hits: Long =
+        if (!nv.contains(aId)) 0L
+        else {
+          val exact = top5Of(aId, emb(aId), all)
+          val av = nv(aId)
+          val lut = (for { m <- 0 until 16; c <- 1 to 16 } yield
+            (m, c) -> isq(fsub(av, m), cent((m, c)))).toMap
+          val ann = codes.toSeq.filter(_._1 != aId)
+            .map { case (bId, cs) =>
+              (bId, cs.zipWithIndex.map { case (c, m) => lut((m, c)) }.sum) }
+            .sortBy { case (bId, d) => (d, bId) }.take(5).map(_._1).toSet
+          (exact intersect ann).size.toLong
+        }
+      aId -> hits
+    }
+    val got = Similarity.q244TrainedPqRecall(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("hits") ->
+        ((r.getAs[Long]("n_queries"), r.getAs[Long]("a_checksum")))).toMap
+    val expected = perQuery.groupBy(_._2).map { case (h, qs) =>
+      h -> ((qs.size.toLong, qs.map(_._1).sum))
+    }
+    assert(got == expected, s"got $got expected $expected")
+    assert(got.values.map(_._1).sum == 32L, "histogram must cover the full panel")
   }
 }

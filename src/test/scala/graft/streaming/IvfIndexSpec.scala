@@ -1,0 +1,138 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Incremental IVF index: frozen-pivot incremental assignment is
+  * bit-equal to the batch path under the same epoch, the doubling
+  * rebuild re-policies (√n nlist, nprobe = ⌈nlist/8⌉), admission
+  * rejects indexed cosine near-dups through the inverted lists, and the
+  * per-batch probe never shuffles the corpus-sided stores.
+  */
+class IvfIndexSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def freshDirs(): (String, String) = {
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_idx")
+    (base.resolve("corpus").toString, base.resolve("index").toString)
+  }
+
+  private def fixtureVecs = graft.sources.Tables.embeddings(spark, sfDir)
+
+  test("incremental intake == batch-path recompute across a re-policy rebuild boundary") {
+    val (corpus, index) = freshDirs()
+    // three waves: wave 2 crosses the doubling trigger (re-policy
+    // rebuild with fresh pivots), wave 3 lands in the NEW epoch and is
+    // appended incrementally under its frozen pivots
+    IvfIndex.admitBatch(fixtureVecs.filter($"vec_id" % 10 < 4), corpus, index)
+    IvfIndex.admitBatch(fixtureVecs.filter($"vec_id" % 10 >= 4 && $"vec_id" % 10 <= 7),
+      corpus, index)
+    val metaAfterRebuild = spark.read.parquet(s"$index/meta").head()
+    IvfIndex.admitBatch(fixtureVecs.filter($"vec_id" % 10 === 8), corpus, index)
+    val meta = spark.read.parquet(s"$index/meta").head()
+    assert(meta.getLong(0) == metaAfterRebuild.getLong(0),
+      "wave 3 must NOT have re-policied (no doubling): same snapshot count")
+    // the epoch's params are the q236 policy of the snapshot size
+    val lastN = meta.getLong(0)
+    assert(meta.getInt(1) == graft.operators.Similarity.ivfPolicyNlist(lastN))
+    assert(meta.getInt(2) == graft.operators.Similarity.ivfPolicyNprobe(meta.getInt(1)))
+    // the store (rebuild-written epoch base + wave-3 incremental
+    // append) is bit-equal to a from-scratch batch assignment of the
+    // WHOLE admitted corpus under the SAME frozen pivots/params
+    val admitted = spark.read.schema(IvfIndex.vecSchema).parquet(corpus)
+      .select($"vec_id", $"embedding")
+    val piv = spark.read.schema(IvfIndex.pivSchema).parquet(s"$index/piv")
+    val batchPath = graft.operators.Similarity
+      .ivfNearOf(admitted, piv, meta.getInt(2))
+      .as[(Long, Long, Int)].collect().toSet
+    val store = spark.read.schema(IvfIndex.nearSchema).parquet(s"$index/near")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(store.nonEmpty && store == batchPath,
+      s"incremental store diverged from batch path: only-store=${(store -- batchPath).take(5)}, " +
+        s"only-batch=${(batchPath -- store).take(5)}")
+    // candidate pin through the public probe: an unseen batch's
+    // candidates from the incremental store == the batch path's
+    val probeBatch = fixtureVecs.filter($"vec_id" % 10 === 9)
+      .select($"vec_id", $"embedding")
+    val bn = graft.operators.Similarity.ivfNearOf(probeBatch, piv, meta.getInt(2))
+    val incr = IvfIndex.candidatePairs(spark, index, bn)
+      .as[(Long, Long)].collect().toSet
+    val lists = graft.operators.Similarity.ivfNearOf(admitted, piv, meta.getInt(2))
+      .filter($"rk" === 1).select($"vec_id".as("a_id"), $"p_id")
+    val batchCand = lists
+      .join(bn.select($"vec_id".as("b_id"), $"p_id"), Seq("p_id"))
+      .filter($"a_id" =!= $"b_id").select($"a_id", $"b_id")
+      .distinct().as[(Long, Long)].collect().toSet
+    assert(incr.nonEmpty && incr == batchCand)
+  }
+
+  test("admission rejects an indexed near-identical vector; replay appends nothing") {
+    val (corpus, index) = freshDirs()
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(d => math.sin(seed * 64 + d + 1).toFloat)
+    val batch1 = (1 to 8).map(i => (i.toLong, vec(i), 0))
+      .toDF("vec_id", "embedding", "label")
+    IvfIndex.admitBatch(batch1, corpus, index)
+    // 101 is an exact copy of vector 1 (cosine 1.0 — same nearest
+    // pivot, so the m=1 list join surfaces it); 9 is unrelated
+    val batch2 = Seq((101L, vec(1), 0), (9L, vec(9), 0))
+      .toDF("vec_id", "embedding", "label")
+    IvfIndex.admitBatch(batch2, corpus, index)
+    val admitted = spark.read.schema(IvfIndex.vecSchema).parquet(corpus)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(admitted == (1L to 8L).toSet + 9L,
+      s"the exact copy must be rejected, the new vector admitted: $admitted")
+    IvfIndex.admitBatch(batch2, corpus, index)
+    val n = spark.read.schema(IvfIndex.vecSchema).parquet(corpus).count()
+    assert(n == 9L, s"replay must append nothing, corpus has $n rows")
+    val idxN = spark.read.schema(IvfIndex.nearSchema).parquet(s"$index/near")
+      .select($"vec_id").distinct().count()
+    assert(idxN == 9L)
+  }
+
+  test("divergence self-heal: an orphaned corpus vector's near-dup is rejected in the SAME batch") {
+    val (corpus, index) = freshDirs()
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(d => math.sin(seed * 64 + d + 1).toFloat)
+    IvfIndex.admitBatch((1 to 6).map(i => (i.toLong, vec(i), 0))
+      .toDF("vec_id", "embedding", "label"), corpus, index)
+    // crash between the two appends: vector in corpus, no assignments
+    Seq((50L, vec(50), 0)).toDF("vec_id", "embedding", "label")
+      .write.mode("append").parquet(corpus)
+    // the companion must be genuinely unrelated: the sin-family has
+    // accidental near-identities (64·43 ≈ 438·2π, so vec(7) ≈ vec(50)
+    // at cosine 0.9995!) — seed 9 is safe against every corpus seed
+    IvfIndex.admitBatch(
+      Seq((51L, vec(50), 0), (9L, vec(9), 0)).toDF("vec_id", "embedding", "label"),
+      corpus, index)
+    val admitted = spark.read.schema(IvfIndex.vecSchema).parquet(corpus)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(admitted == (1L to 6L).toSet + 9L + 50L,
+      s"the healed index must reject the orphan's exact copy in the SAME batch: $admitted")
+  }
+
+  test("per-batch probe plan: every join broadcasts — the stores are never shuffle-joined") {
+    val (corpus, index) = freshDirs()
+    IvfIndex.admitBatch(fixtureVecs.filter($"vec_id" % 2 === 0), corpus, index)
+    val probe = IvfIndex.batchProbePlan(spark, index, corpus,
+      fixtureVecs.filter($"vec_id" % 2 === 1), maxCosine = 0.92)
+    val plan = probe.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "corpus-sided store must only be scanned against broadcast batch keys:\n" + plan)
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("version guard: an index persisted under different assignment arithmetic refuses probes") {
+    val (corpus, index) = freshDirs()
+    IvfIndex.admitBatch(fixtureVecs.limit(10), corpus, index)
+    Seq((10L, 4, 1, "euclid.rowk.v9"))
+      .toDF("n_vecs", "nlist", "nprobe", "logic_version")
+      .coalesce(1).write.mode("overwrite").parquet(s"$index/meta")
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.admitBatch(fixtureVecs.limit(10), corpus, index)
+    }
+    assert(e.getMessage.contains("rebuild() required"))
+  }
+}
