@@ -889,7 +889,7 @@ object Similarity {
     * domain (zero-norm vectors carry no direction — excluded; the exact
     * arm's isnan filter excludes them too).
     */
-  private def pqNormalized(emb: DataFrame): DataFrame = {
+  private[graft] def pqNormalized(emb: DataFrame): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     emb
@@ -1093,33 +1093,56 @@ object Similarity {
       subDim: Int, kCent: Int, sampleN: Int, iters: Int): DataFrame = {
     val spark = nv.sparkSession
     import spark.implicits._
-    val samp = nv.orderBy($"vec_id").limit(sampleN)
-      .select($"vec_id", posexplode(array(pqSubSlices(mSub, subDim): _*)).as(Seq("m", "sv")))
-      .select($"vec_id", $"m", freezeSub($"sv").as("fs"))
-      .localCheckpoint()
-    var cent = nv.orderBy($"vec_id").limit(kCent)
-      .withColumn("c_id", row_number().over(Window.orderBy($"vec_id")))
-      .select($"c_id", posexplode(array(pqSubSlices(mSub, subDim): _*)).as(Seq("m", "cv")))
-      .select($"m", $"c_id", freezeSub($"cv").as("fc"))
-      .localCheckpoint()
-    for (_ <- 1 to iters) {
-      val asg = samp.join(broadcast(cent), Seq("m"))
-        .withColumn("d", isqDist($"fs", $"fc"))
-        .groupBy($"m", $"vec_id")
-        .agg(min(struct($"d", $"c_id")).as("mn"), first($"fs").as("fs"))
-      val upd = asg
-        .select($"m", $"mn.c_id".as("c_id"), posexplode($"fs").as(Seq("dim", "x")))
-        .groupBy($"m", $"c_id", $"dim")
-        .agg(sum($"x").as("sx"), count(lit(1)).as("cnt"))
-        .select($"m", $"c_id", $"dim", expr("sx div cnt").as("cx"))
-        .groupBy($"m", $"c_id")
-        .agg(transform(array_sort(collect_list(struct($"dim", $"cx"))),
-          s => s.getField("cx")).as("fc2"))
-      cent = cent.join(upd, Seq("m", "c_id"), "left_outer")
-        .select($"m", $"c_id", coalesce($"fc2", $"fc").as("fc"))
-        .localCheckpoint()
+    // DRIVER-SIDE Lloyd over the BOUNDED sample (the q204 bounded-
+    // collect class: 64·K rows of normalized doubles is ~1 MB by the
+    // frozen sizing constants — never corpus-sized). Iterative k-means
+    // on a constant-size sample as 3·iters distributed shuffles was
+    // pure scheduler overhead (~2 s/iteration on 16k rows); the same
+    // exact integer arithmetic runs driver-side in milliseconds, and
+    // the ASSIGNMENT stages (corpus-sized) stay fully distributed.
+    // The arithmetic is bit-for-bit the spec's serial replay: floor to
+    // 1e6, integer squared-L2 argmin with ties to the lowest c_id,
+    // per-coordinate Long `sum / count` (truncating — Spark div ≡
+    // DuckDB // ≡ JVM Long division), emptied clusters keep their
+    // previous centroid. The collected `v` doubles are SPARK's own
+    // normalized values, so no driver/executor float divergence can
+    // enter before the freeze.
+    val samp: Array[Array[Double]] = nv.orderBy($"vec_id").limit(sampleN)
+      .select($"vec_id", $"v").as[(Long, Seq[Double])].collect()
+      .sortBy(_._1).map(_._2.toArray)
+    def fsub(v: Array[Double], m: Int): Array[Long] =
+      Array.tabulate(subDim)(d => math.floor(v(m * subDim + d) * pqFreezeScale).toLong)
+    def isqL(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }; s
     }
-    cent
+    val rows = for (m <- 0 until mSub) yield {
+      val fs = samp.map(fsub(_, m))
+      // init: the kCent lowest-vec_id vectors (samp is vec_id-sorted)
+      var cent: Array[Array[Long]] = fs.take(kCent).map(_.clone())
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(cent.length)(new Array[Long](subDim))
+        val counts = new Array[Long](cent.length)
+        fs.foreach { f =>
+          var best = 0; var bestD = Long.MaxValue
+          var c = 0
+          while (c < cent.length) {
+            val d = isqL(f, cent(c))
+            if (d < bestD) { bestD = d; best = c } // strict < keeps lowest c_id on ties
+            c += 1
+          }
+          counts(best) += 1L
+          var i = 0
+          while (i < subDim) { sums(best)(i) += f(i); i += 1 }
+        }
+        cent = Array.tabulate(cent.length) { c =>
+          if (counts(c) == 0L) cent(c)
+          else Array.tabulate(subDim)(i => sums(c)(i) / counts(c))
+        }
+      }
+      cent.zipWithIndex.map { case (fc, i) => (m, i + 1, fc.toSeq) }
+    }
+    spark.createDataset(rows.flatten).toDF("m", "c_id", "fc")
   }
 
   /** Trained-PQ assignment over the FULL corpus: one broadcast-codebook
@@ -1234,16 +1257,32 @@ object Similarity {
     recallHistogram(exact, ann, panel).orderBy($"hits")
   }
 
-  val q244Sql: String = {
-    val isq = "list_sum(list_transform(list_zip(%s, %s), z -> (z[1]-z[2])*(z[1]-z[2])))"
-    val iterCtes = (1 to pqTrainIters).map { k =>
-      val mean = (1 to pqSubDim)
+  /** Integer squared-L2 between two BIGINT lists, as DuckDB SQL — the
+    * oracle mirror of [[isqDist]].
+    */
+  private val isqSqlFmt =
+    "list_sum(list_transform(list_zip(%s, %s), z -> (z[1]-z[2])*(z[1]-z[2])))"
+
+  /** The unrolled frozen-integer Lloyd chain as oracle CTEs — shared by
+    * q244 (PQ geometry) and q245 (coarse-pivot geometry: one subspace of
+    * the full dimension). Emits `nv/ms/fsub/samp/cent0/asg1..cent$iters`.
+    *
+    * Every chained CTE carries the MATERIALIZED hint: the chain is deep
+    * (iters asg/cent pairs, each referenced twice) and DuckDB inlines
+    * non-materialized CTEs per REFERENCE, so the un-hinted chain
+    * re-evaluates training 2^T times (measured: 4.5 min -> 1.1 s at
+    * sf0.01 with the hint). The hint keeps the oracle linear in T.
+    */
+  private def trainedKmeansSqlCtes(mSub: Int, subDim: Int, kCent: Int,
+      sampleN: Int, iters: Int): String = {
+    val iterCtes = (1 to iters).map { k =>
+      val mean = (1 to subDim)
         .map(d => s"CAST(sum(fs[$d]) // count(*) AS BIGINT)").mkString(", ")
       s"""asg$k AS MATERIALIZED (
         |  SELECT m, vec_id, fs, c_id FROM (
         |    SELECT s.m, s.vec_id, s.fs, c.c_id, ROW_NUMBER() OVER (
         |      PARTITION BY s.m, s.vec_id
-        |      ORDER BY ${isq.format("s.fs", "c.fc")}, c.c_id) AS rk
+        |      ORDER BY ${isqSqlFmt.format("s.fs", "c.fc")}, c.c_id) AS rk
         |    FROM samp s JOIN cent${k - 1} c ON c.m = s.m) t WHERE rk = 1),
         |cent$k AS MATERIALIZED (
         |  SELECT p.m, p.c_id, coalesce(u.fc, p.fc) AS fc
@@ -1252,34 +1291,35 @@ object Similarity {
         |    FROM asg$k GROUP BY m, c_id) u
         |  ON u.m = p.m AND u.c_id = p.c_id)""".stripMargin
     }.mkString(",\n")
-    // The k-means chain is deep (8 asg/cent pairs, each referenced
-    // twice); DuckDB inlines non-materialized CTEs per REFERENCE, so
-    // the un-hinted chain re-evaluates training 2^T times (measured:
-    // 4.5 min -> 1.1 s at sf0.01 with the hint). MATERIALIZED on every
-    // multiply-referenced/chained CTE keeps the oracle linear in T.
-    s"""WITH nv AS MATERIALIZED (
+    s"""nv AS MATERIALIZED (
       |  SELECT vec_id,
       |    list_transform(embedding::DOUBLE[],
       |      x -> x / sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
       |  FROM embeddings
       |  WHERE list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
-      |ms AS (SELECT unnest(range(0, $pqSubspaces)) AS m),
+      |ms AS (SELECT unnest(range(0, $mSub)) AS m),
       |fsub AS MATERIALIZED (
       |  SELECT vec_id, m,
-      |    list_transform(v[m*$pqSubDim+1 : m*$pqSubDim+$pqSubDim],
+      |    list_transform(v[m*$subDim+1 : m*$subDim+$subDim],
       |      x -> CAST(floor(x * ${pqFreezeScale.toLong}.0) AS BIGINT)) AS fs
       |  FROM nv, ms),
       |samp AS MATERIALIZED (
       |  SELECT f.* FROM fsub f JOIN (
-      |    SELECT vec_id FROM nv ORDER BY vec_id LIMIT $pqTrainSample) s
+      |    SELECT vec_id FROM nv ORDER BY vec_id LIMIT $sampleN) s
       |  ON s.vec_id = f.vec_id),
       |cent0 AS MATERIALIZED (
       |  SELECT f.m, c.c_id, f.fs AS fc FROM (
       |    SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) AS c_id,
       |           vec_id
-      |    FROM (SELECT vec_id FROM nv ORDER BY vec_id LIMIT $pqCodebookK) z) c
+      |    FROM (SELECT vec_id FROM nv ORDER BY vec_id LIMIT $kCent) z) c
       |  JOIN fsub f ON f.vec_id = c.vec_id),
-      |$iterCtes,
+      |$iterCtes""".stripMargin
+  }
+
+  val q244Sql: String = {
+    val isq = isqSqlFmt
+    s"""WITH ${trainedKmeansSqlCtes(pqSubspaces, pqSubDim, pqCodebookK,
+          pqTrainSample, pqTrainIters)},
       |codes AS MATERIALIZED (
       |  SELECT vec_id AS b_id, m, c_id AS code FROM (
       |    SELECT f.vec_id, f.m, c.c_id, ROW_NUMBER() OVER (
@@ -1302,6 +1342,166 @@ object Similarity {
       |  SELECT a_id, b_id, ROW_NUMBER() OVER (
       |    PARTITION BY a_id ORDER BY dist, b_id) AS rk
       |  FROM adc) t WHERE rk <= 5),
+      |scored AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cs
+      |  FROM (SELECT e.* FROM embeddings e JOIN q ON q.vec_id = e.vec_id) a
+      |  JOIN embeddings b ON a.vec_id <> b.vec_id),
+      |ex AS (SELECT a_id, b_id FROM (
+      |  SELECT a_id, b_id, ROW_NUMBER() OVER (
+      |    PARTITION BY a_id ORDER BY cs DESC, b_id) AS rk
+      |  FROM scored WHERE NOT isnan(cs)) t WHERE rk <= 5),
+      |ov AS (SELECT e.a_id, CAST(count(*) AS BIGINT) AS hits
+      |       FROM ex e JOIN ann a ON a.a_id = e.a_id AND a.b_id = e.b_id
+      |       GROUP BY 1)
+      |SELECT coalesce(ov.hits, 0) AS hits,
+      |       CAST(count(*) AS BIGINT) AS n_queries,
+      |       CAST(sum(q.vec_id) AS BIGINT) AS a_checksum
+      |FROM q LEFT JOIN ov ON ov.a_id = q.vec_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // ——— trained coarse pivots (q245) ——————————————————————————————————
+  // The q226 docstring has always said it: "at scale the pivot set
+  // comes from the KMeans trainer". q244's frozen-integer Lloyd makes
+  // that trainer oracle-expressible, so the IVF family's pivots get the
+  // same upgrade as PQ's codebooks — ONE training kernel, two
+  // quantizers: pqTrainedCentroids with mSub=1/subDim=64/kCent=nlist is
+  // a coarse quantizer (the full vector is the single "subspace").
+  // the adopted 64-points-per-centroid sizing: K=64 pivots train on a
+  // 4096-vector sample (a LIMIT larger than the fixture corpus = the
+  // whole corpus, deterministically, in both engines; at 100 TB it is
+  // the bounded sample the rule intends)
+  private val ivfTrainSample = 64 * ivfRecallNlist
+  private[graft] val ivfTrainedLogicVersion = "k64.d64.s4096.t8.f1e6.v1"
+
+  /** The m=1 trained-coarse inverted lists of a normalized relation:
+    * (b_id, c_id) — each vector's nearest trained pivot by
+    * frozen-integer L2 (q245's index kernel, shared with ScaleEvidence).
+    */
+  private[graft] def trainedCoarseLists(nv: DataFrame, cent: DataFrame): DataFrame = {
+    val spark = nv.sparkSession
+    import spark.implicits._
+    pqTrainedCodesOf(nv, cent, 1, pqSubspaces * pqSubDim)
+      .select($"b_id", element_at($"codes", 1).as("c_id"))
+  }
+
+  /** A panel's nprobe nearest trained pivots by frozen-integer L2:
+    * (a_id, c_id) — q245's probe kernel, shared with ScaleEvidence.
+    */
+  private[graft] def trainedCoarseProbes(nv: DataFrame, cent: DataFrame,
+      panel: DataFrame, nprobe: Int): DataFrame = {
+    val spark = nv.sparkSession
+    import spark.implicits._
+    val dim = pqSubspaces * pqSubDim
+    nv.join(broadcast(panel), nv("vec_id") === panel("a_id"))
+      .select($"a_id", posexplode(array(pqSubSlices(1, dim): _*)).as(Seq("m", "sv")))
+      .select($"a_id", $"m", freezeSub($"sv").as("fs"))
+      .join(broadcast(cent), Seq("m"))
+      .withColumn("d", isqDist($"fs", $"fc"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"a_id").orderBy($"d", $"c_id")))
+      .filter($"rk" <= nprobe)
+      .select($"a_id", $"c_id")
+  }
+
+  /** Trained coarse pivots (nlist=64 centroids over the full 64-dim
+    * frozen vectors) as a session memo.
+    */
+  private def ivfTrainedCentMemo(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "ivf_trained_cent", ivfTrainedLogicVersion) {
+      pqTrainedCentroids(pqNormalized(Tables.embeddings(spark, dir)),
+        1, pqSubspaces * pqSubDim, ivfRecallNlist, ivfTrainSample, pqTrainIters)
+    }
+
+  /** The trained m=1 inverted lists (vec → nearest trained pivot by
+    * frozen-integer L2) as a session memo — the index relation.
+    */
+  private def ivfTrainedListsMemo(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "ivf_trained_lists", ivfTrainedLogicVersion) {
+      import spark.implicits._
+      trainedCoarseLists(pqNormalized(Tables.embeddings(spark, dir)),
+        ivfTrainedCentMemo(spark, dir))
+        .localCheckpoint()
+    }
+
+  /** q245 — trained-pivot IVF recall@5: q226's shape with the coarse
+    * quantizer TRAINED (frozen-integer Lloyd over the full vectors, 64
+    * centroids from the 1024-vector sample) instead of the 64
+    * lowest-vec_id pivots. Same nprobe=8 probe budget and the same
+    * exact-cosine verify tail, so any recall difference vs q226 is
+    * attributable to pivot quality alone — the coarse-quantizer sibling
+    * of the q239-vs-q244 codebook experiment. Assignment and probing
+    * rank by integer squared-L2 on the frozen normalized vectors (the
+    * FAISS IVF-flat metric on unit vectors; q226 ranks by cosine —
+    * equivalent ranking for UNIT-norm pivots, and for trained centroids
+    * L2-to-centroid is the standard k-means assignment).
+    *
+    * At 100 TB: training is sample-bounded exactly as q244; assignment
+    * is one broadcast-centroid pass; probes stay nprobe/nlist of the
+    * corpus. [[graft.streaming.IvfIndex]]'s frozen-pivot epochs carry
+    * over unchanged — a trained pivot set is just a different frozen
+    * `piv/` store payload.
+    */
+  def q245IvfTrainedRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact = exactPanelTop5(spark, dir)
+    val panel = samplePanel(spark, dir, topkPanelK).select($"vec_id".as("a_id"))
+    val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val nv = pqNormalized(emb)
+    val cent = ivfTrainedCentMemo(spark, dir)
+    val lists = ivfTrainedListsMemo(spark, dir)
+    val probes = trainedCoarseProbes(nv, cent, panel, ivfRecallNprobe)
+    val cand = probes.join(lists, Seq("c_id"))
+      .filter($"a_id" =!= $"b_id")
+      .select($"a_id", $"b_id")
+    val pe2 = emb.join(broadcast(panel), emb("vec_id") === panel("a_id"))
+      .select($"a_id", $"embedding".as("ea"))
+    val top5 = graft.functions.TopKByScore(5)
+    val ann = cand
+      .join(broadcast(pe2), Seq("a_id"))
+      .join(emb.select($"vec_id".as("b_id"), $"embedding".as("eb")), Seq("b_id"))
+      .withColumn("cs", VectorFunctions.cosineSim($"ea", $"eb"))
+      .filter(!isnan($"cs"))
+      .groupBy($"a_id")
+      .agg(top5($"cs", $"b_id").as("top"))
+      .select($"a_id", explode($"top").as("t"))
+      .select($"a_id", $"t.b_id".as("b_id"))
+    recallHistogram(exact, ann, panel).orderBy($"hits")
+  }
+
+  val q245Sql: String = {
+    val dim = pqSubspaces * pqSubDim
+    s"""WITH ${trainedKmeansSqlCtes(1, dim, ivfRecallNlist,
+          ivfTrainSample, pqTrainIters)},
+      |lists AS MATERIALIZED (
+      |  SELECT vec_id AS b_id, c_id FROM (
+      |    SELECT f.vec_id, c.c_id, ROW_NUMBER() OVER (
+      |      PARTITION BY f.vec_id
+      |      ORDER BY ${isqSqlFmt.format("f.fs", "c.fc")}, c.c_id) AS rk
+      |    FROM fsub f JOIN cent$pqTrainIters c ON c.m = f.m) t WHERE rk = 1),
+      |q AS (SELECT vec_id FROM embeddings
+      |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $topkPanelK),
+      |probes AS MATERIALIZED (
+      |  SELECT a_id, c_id FROM (
+      |    SELECT f.vec_id AS a_id, c.c_id, ROW_NUMBER() OVER (
+      |      PARTITION BY f.vec_id
+      |      ORDER BY ${isqSqlFmt.format("f.fs", "c.fc")}, c.c_id) AS rk
+      |    FROM fsub f JOIN q ON q.vec_id = f.vec_id
+      |    JOIN cent$pqTrainIters c ON c.m = f.m) t WHERE rk <= $ivfRecallNprobe),
+      |cand AS (
+      |  SELECT p.a_id, l.b_id FROM probes p
+      |  JOIN lists l ON l.c_id = p.c_id
+      |  WHERE l.b_id <> p.a_id),
+      |cscored AS (
+      |  SELECT c.a_id, c.b_id,
+      |    list_cosine_similarity(qa.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS cs
+      |  FROM cand c JOIN embeddings qa ON qa.vec_id = c.a_id
+      |  JOIN embeddings eb ON eb.vec_id = c.b_id),
+      |ann AS (SELECT a_id, b_id FROM (
+      |  SELECT a_id, b_id, ROW_NUMBER() OVER (
+      |    PARTITION BY a_id ORDER BY cs DESC, b_id) AS rk
+      |  FROM cscored WHERE NOT isnan(cs)) t WHERE rk <= 5),
       |scored AS (
       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
       |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cs
@@ -1648,6 +1848,7 @@ object Similarity {
     row("raw", Tables.embeddings(spark, dir), 256L, 662L)
       .unionByName(row("lsh_tuned", lshMultiBuckets(spark, dir), 32L, 722L))
       .unionByName(row("ivf", ivfNearMemo(spark, dir).filter($"rk" === 1), 8L, 430L))
+      .unionByName(row("ivf_trained", ivfTrainedListsMemo(spark, dir), 8L, 740L))
       .unionByName(row("pq", pqCodesMemo(spark, dir), 8L, 909L))
       .unionByName(row("pq_trained", pqTrainedCodesMemo(spark, dir), 8L, 860L))
       .orderBy($"method")
@@ -1676,6 +1877,9 @@ object Similarity {
       |  UNION ALL
       |  SELECT 'ivf', (SELECT CAST(count(*) AS BIGINT) FROM rk1),
       |    n_vectors, 8, 430 FROM n
+      |  UNION ALL
+      |  SELECT 'ivf_trained', (SELECT CAST(count(*) AS BIGINT) FROM nv),
+      |    n_vectors, 8, 740 FROM n
       |  UNION ALL
       |  SELECT 'pq', (SELECT CAST(count(*) AS BIGINT) FROM nv),
       |    n_vectors, 8, 909 FROM n
@@ -1790,8 +1994,13 @@ object Similarity {
     * to pick the index family for a corpus — and because it is a
     * declared, oracle-gated query, the comparison can never silently
     * rot as the index implementations evolve. Costs ~nothing beyond
-    * its inputs: the four histograms are ≤6 rows each and the heavy
-    * parts underneath ride the session memos.
+    * its inputs: each histogram is ≤6 rows and the heavy parts
+    * underneath ride the session memos. Cost note (the >3 s-quiet
+    * ledger rule): this rollup now spans EIGHT methods, so its wall
+    * time is by construction the SUM of eight bounded-panel recall
+    * pipelines — each sub-second warm; growth here tracks family
+    * count, not corpus size, and the memoized indexes keep every
+    * added method's marginal cost at its probe/verify stages only.
     */
   def q227AnnScorecard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1800,6 +2009,7 @@ object Similarity {
       "lsh_multiprobe" -> q221MultiProbeRecall(spark, dir),
       "lsh_tuned" -> q225LshTunedRecall(spark, dir),
       "ivf" -> q226IvfRecall(spark, dir),
+      "ivf_trained" -> q245IvfTrainedRecall(spark, dir),
       "pq" -> q239PqAdcRecall(spark, dir),
       "pq_trained" -> q244TrainedPqRecall(spark, dir),
       "ivfpq" -> q242IvfPqRecall(spark, dir))
@@ -1824,6 +2034,8 @@ object Similarity {
       |  SELECT 'lsh_tuned', hits, n_queries FROM ($q225Sql) z3
       |  UNION ALL
       |  SELECT 'ivf', hits, n_queries FROM ($q226Sql) z4
+      |  UNION ALL
+      |  SELECT 'ivf_trained', hits, n_queries FROM ($q245Sql) z8
       |  UNION ALL
       |  SELECT 'pq', hits, n_queries FROM ($q239Sql) z5
       |  UNION ALL
@@ -2419,6 +2631,7 @@ object Similarity {
     "q242_ivfpq_recall" -> (q242IvfPqRecall _),
     "q243_index_economics" -> (q243IndexEconomics _),
     "q244_trained_pq_recall" -> (q244TrainedPqRecall _),
+    "q245_ivf_trained_recall" -> (q245IvfTrainedRecall _),
     "q227_ann_scorecard" -> (q227AnnScorecard _),
     "q230_hard_negatives" -> (q230HardNegatives _),
     "q35_ann_lsh" -> (q35AnnLsh _),
@@ -2445,6 +2658,7 @@ object Similarity {
     "q242_ivfpq_recall" -> q242Sql,
     "q243_index_economics" -> q243Sql,
     "q244_trained_pq_recall" -> q244Sql,
+    "q245_ivf_trained_recall" -> q245Sql,
     "q227_ann_scorecard" -> q227Sql,
     "q230_hard_negatives" -> q230Sql,
     "q35_ann_lsh" -> q35Sql,

@@ -762,6 +762,20 @@ object ScaleEvidence {
       val pl = graft.operators.Similarity.ivfPolicyNlist(n.toLong)
       val pp = graft.operators.Similarity.ivfPolicyNprobe(pl)
       val (polHits, polFrac) = ivf(pl, pp)
+      // --- TRAINED coarse pivots at the policy point (q245's kernel,
+      // 64 points/centroid sample, 8 Lloyd iterations): does pivot
+      // training lift recall at the SAME candidate budget across growth?
+      val (polTHits, polTFrac) = {
+        val nvr = graft.operators.Similarity.pqNormalized(emb)
+        val cent = graft.operators.Similarity
+          .pqTrainedCentroids(nvr, 1, 64, pl, 64 * pl, 8)
+        val lists = graft.operators.Similarity
+          .trainedCoarseLists(nvr, cent).localCheckpoint()
+        val probes = graft.operators.Similarity
+          .trainedCoarseProbes(nvr, cent, panel, pp).localCheckpoint()
+        recallAndFrac(probes.join(lists, Seq("c_id"))
+          .filter($"a_id" =!= $"b_id").select($"a_id", $"b_id"))
+      }
       // --- PQ-ADC (q239's kernel, the compression tier): the scan is
       // always the full code relation (no candidate fraction — the
       // scaling lever is BYTES per vector, not a corpus-dependent
@@ -791,6 +805,7 @@ object ScaleEvidence {
         f"  ivf(64,p8): cand=${i64Frac * 100}%5.1f%% hits=$i64Hits%3d/160" +
         f"  ivf($sq%4d,p8): cand=${isqFrac * 100}%5.1f%% hits=$isqHits%3d/160" +
         f"  ivf-policy($pl%4d,p$pp%-2d): cand=${polFrac * 100}%5.1f%% hits=$polHits%3d/160" +
+        f"  ivf-trained($pl%4d,p$pp%-2d): cand=${polTFrac * 100}%5.1f%% hits=$polTHits%3d/160" +
         f"  pq(16x4,8B): hits=$pq8%3d/160  pq(8x8,4B): hits=$pq4%3d/160" +
         f"  pq-trained(16x4,8B,s1024,t8): hits=$pqt8%3d/160" +
         f"  wall=$wall%7.1fs shufW=$sw%8.1fMB"

@@ -480,7 +480,7 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(got.values.map(_._1).sum == 32L, "histogram must cover the full panel")
   }
 
-  test("q227: scorecard equals the rollup of the seven recall histograms") {
+  test("q227: scorecard equals the rollup of the eight recall histograms") {
     def hist(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
       df.collect().map(r => (r.getAs[Long]("hits"), r.getAs[Long]("n_queries"))).toSeq
     val parts = Map(
@@ -488,6 +488,7 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       "lsh_multiprobe" -> hist(Similarity.q221MultiProbeRecall(spark, sfDir)),
       "lsh_tuned" -> hist(Similarity.q225LshTunedRecall(spark, sfDir)),
       "ivf" -> hist(Similarity.q226IvfRecall(spark, sfDir)),
+      "ivf_trained" -> hist(Similarity.q245IvfTrainedRecall(spark, sfDir)),
       "pq" -> hist(Similarity.q239PqAdcRecall(spark, sfDir)),
       "pq_trained" -> hist(Similarity.q244TrainedPqRecall(spark, sfDir)),
       "ivfpq" -> hist(Similarity.q242IvfPqRecall(spark, sfDir)))
@@ -659,6 +660,77 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       aId -> hits
     }
     val got = Similarity.q244TrainedPqRecall(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("hits") ->
+        ((r.getAs[Long]("n_queries"), r.getAs[Long]("a_checksum")))).toMap
+    val expected = perQuery.groupBy(_._2).map { case (h, qs) =>
+      h -> ((qs.size.toLong, qs.map(_._1).sum))
+    }
+    assert(got == expected, s"got $got expected $expected")
+    assert(got.values.map(_._1).sum == 32L, "histogram must cover the full panel")
+  }
+
+  test("q245: trained-pivot IVF recall histogram replays driver-side " +
+      "(frozen-integer Lloyd over full vectors, 64 pivots, nprobe=8)") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Seq[Float]]("embedding").toArray)
+      .toMap
+    def norm2(v: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { val x = v(i).toDouble; s += x * x; i += 1 }; s
+    }
+    val nv = emb.toSeq.collect { case (id, v) if norm2(v) > 0 =>
+      val n = math.sqrt(norm2(v))
+      id -> v.map(_.toDouble / n)
+    }.toMap
+    // the single-subspace (dim 64) instantiation of the q244 training
+    // arithmetic: K=64 pivots, 64·K-sample (= the whole fixture corpus
+    // here), 8 Lloyd iterations, Long-truncating centroid means
+    def fvec(v: Array[Double]): Array[Long] = v.map(x => math.floor(x * 1e6).toLong)
+    def isq(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }; s
+    }
+    val ids = nv.keys.toSeq.sorted
+    val sampIds = ids.take(4096)
+    var cent: Map[Int, Array[Long]] = ids.take(64).zipWithIndex
+      .map { case (id, i) => (i + 1) -> fvec(nv(id)) }.toMap
+    val ks = cent.keys.toSeq.sorted
+    for (_ <- 1 to 8) {
+      val asg = sampIds.map { id =>
+        val fs = fvec(nv(id))
+        val c = ks.map(c => (c, isq(fs, cent(c)))).minBy { case (ci, d) => (d, ci) }._1
+        (c, fs)
+      }
+      val upd = asg.groupBy(_._1).map { case (k, rows) =>
+        k -> Array.tabulate(64)(d => rows.map(_._2(d)).sum / rows.size)
+      }
+      cent = cent.map { case (k, old) => k -> upd.getOrElse(k, old) }
+    }
+    def nearestPivots(v: Array[Double], take: Int): Seq[Int] = {
+      val fs = fvec(v)
+      ks.map(c => (c, isq(fs, cent(c)))).sortBy { case (c, d) => (d, c) }
+        .take(take).map(_._1)
+    }
+    val lists = nv.map { case (id, v) => id -> nearestPivots(v, 1).head }
+    val panel = emb.keys.toSeq.sortBy(id => (md5hex(id.toString), id)).take(32)
+    val all = emb.toSeq
+    val perQuery = panel.map { aId =>
+      val hits: Long =
+        if (!nv.contains(aId)) 0L
+        else {
+          val exact = top5Of(aId, emb(aId), all)
+          val probed = nearestPivots(nv(aId), 8).toSet
+          val cand = lists.collect {
+            case (bId, c) if bId != aId && probed.contains(c) => bId }.toSet
+          val ann = cand.toSeq
+            .map(bId => bId -> cosD(emb(aId), emb(bId)))
+            .filterNot { case (_, cs) => cs.isNaN }
+            .sortBy { case (bId, cs) => (-cs, bId) }.take(5).map(_._1).toSet
+          (exact intersect ann).size.toLong
+        }
+      aId -> hits
+    }
+    val got = Similarity.q245IvfTrainedRecall(spark, sfDir).collect()
       .map(r => r.getAs[Long]("hits") ->
         ((r.getAs[Long]("n_queries"), r.getAs[Long]("a_checksum")))).toMap
     val expected = perQuery.groupBy(_._2).map { case (h, qs) =>
