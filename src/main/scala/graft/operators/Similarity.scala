@@ -1094,12 +1094,17 @@ object Similarity {
     val spark = nv.sparkSession
     import spark.implicits._
     // DRIVER-SIDE Lloyd over the BOUNDED sample (the q204 bounded-
-    // collect class: 64·K rows of normalized doubles is ~1 MB by the
-    // frozen sizing constants — never corpus-sized). Iterative k-means
+    // collect class: 64·K rows of normalized doubles is ~1 MB at the
+    // frozen query constants — never corpus-sized). Iterative k-means
     // on a constant-size sample as 3·iters distributed shuffles was
     // pure scheduler overhead (~2 s/iteration on 16k rows); the same
-    // exact integer arithmetic runs driver-side in milliseconds, and
-    // the ASSIGNMENT stages (corpus-sized) stay fully distributed.
+    // exact integer arithmetic runs driver-side in milliseconds at the
+    // query constants, and the ASSIGNMENT stages (corpus-sized) stay
+    // fully distributed. Cost is O(sampleN·kCent·dim·iters) SERIAL:
+    // with the 64-points-per-centroid rule that is O(K²·dim·iters), so
+    // callers growing K past ~1000 (ScaleEvidence's policy arm reaches
+    // K=357 ≈ 5 s) should shard the Lloyd loop (PQ's M subspaces
+    // already parallelize naturally) before scaling further.
     // The arithmetic is bit-for-bit the spec's serial replay: floor to
     // 1e6, integer squared-L2 argmin with ties to the lowest c_id,
     // per-coordinate Long `sum / count` (truncating — Spark div ≡
@@ -1816,7 +1821,8 @@ object Similarity {
     *     non-zero-norm vector, 8 B/vec (16 nibbles).
     *
     * Every count is a bounded aggregate over a memoized relation (the
-    * census costs four count() scans, no shuffles beyond 1-row aggs);
+    * census costs one count() scan per row — six, no shuffles beyond
+    * 1-row aggs);
     * bytes_per_vec are the frozen storage constants the docstrings
     * claim, now hash-checked against the oracle's identical arithmetic.
     * Read next to q227: lsh_tuned buys 80/160 at 32 B/vec, pq buys

@@ -102,31 +102,8 @@ object AnnIndex extends IndexLifecycle {
   private[graft] def batchProbePlan(spark: SparkSession, indexDir: String,
       corpusDir: String, batch: DataFrame, maxCosine: Double): DataFrame = {
     val bk = graft.operators.Similarity.multiBucketsOf(batch)
-    rejectedIds(spark, indexDir, corpusDir, batch,
+    cosineRejectedIds(spark, corpusDir, vecSchema, batch,
       candidatePairs(spark, indexDir, bk), maxCosine)
-  }
-
-  /** Verify stage: fetch corpus embeddings for candidate partners only
-    * (broadcast the bounded candidate id list against the corpus scan),
-    * exact cosine, emit batch ids with any indexed neighbor at
-    * `cosine >= maxCosine` — the embedding near-dup rejection rule.
-    */
-  private def rejectedIds(spark: SparkSession, indexDir: String,
-      corpusDir: String, batch: DataFrame, cand: DataFrame,
-      maxCosine: Double): DataFrame = {
-    import spark.implicits._
-    val corpus = readOrEmpty(spark, corpusDir, vecSchema)
-    val ca = corpus.join(broadcast(cand.select($"a_id").distinct()),
-        corpus("vec_id") === $"a_id")
-      .select($"a_id", $"embedding".as("ea"))
-    val cb = batch.select($"vec_id".as("b_id"), $"embedding".as("eb"))
-    cand
-      .join(broadcast(cb), Seq("b_id"))
-      .join(broadcast(ca), Seq("a_id"))
-      .withColumn("cs", graft.functions.VectorFunctions.cosineSim($"ea", $"eb"))
-      .filter(!isnan($"cs") && $"cs" >= maxCosine)
-      .select($"b_id".as("vec_id"))
-      .distinct()
   }
 
   /** Full index (re)derivation from the corpus store — bootstrap over an
@@ -175,11 +152,20 @@ object AnnIndex extends IndexLifecycle {
     val existingIds = readOrEmpty(spark, corpusDir, vecSchema).select($"vec_id")
     val idHits = existingIds
       .join(broadcast(batch.select($"vec_id")), Seq("vec_id")).distinct()
+    // in-batch exact-id dedup (review finding): a vec_id delivered
+    // twice in ONE micro-batch passes the corpus anti-join whole, and
+    // the duplicated corpus row would diverge the row-vs-distinct heal
+    // counts FOREVER (a full rebuild per batch from then on).
+    // Deterministic winner: lowest embedding hash.
     val fresh = batch.join(broadcast(idHits), Seq("vec_id"), "left_anti")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"vec_id")
+          .orderBy(xxhash64($"embedding"), $"label")))
+      .filter($"rk" === 1)
       .select($"vec_id", $"embedding", $"label")
       .localCheckpoint()
     val batchBk = graft.operators.Similarity.multiBucketsOf(fresh).localCheckpoint()
-    val rejected = rejectedIds(spark, indexDir, corpusDir, fresh,
+    val rejected = cosineRejectedIds(spark, corpusDir, vecSchema, fresh,
       candidatePairs(spark, indexDir, batchBk).localCheckpoint(), maxCosine)
     val admitted = fresh.join(broadcast(rejected), Seq("vec_id"), "left_anti")
       .localCheckpoint()

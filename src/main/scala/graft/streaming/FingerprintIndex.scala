@@ -209,7 +209,12 @@ object FingerprintIndex extends IndexLifecycle {
   def mediaIntakeIndexed(spark: SparkSession, srcDir: String,
       corpusDir: String, indexDir: String, checkpointDir: String,
       hasher: BandedHasher, maxHam: Long = 7L,
-      glob: String = "*.parquet"): org.apache.spark.sql.streaming.StreamingQuery =
+      glob: String = "*.parquet"): org.apache.spark.sql.streaming.StreamingQuery = {
+    // fail at CONSTRUCTION, not on the first micro-batch hours later
+    // (admitBatch re-checks, but a misconfigured stream should never
+    // start) — the 8-band pigeonhole bound, see admitBatch
+    require(maxHam <= 7L,
+      s"maxHam=$maxHam exceeds the 8-band pigeonhole bound (lossless only for <= 7)")
     spark.readStream.schema(blobSchema)
       .option("pathGlobFilter", glob)
       .parquet(srcDir)
@@ -219,4 +224,5 @@ object FingerprintIndex extends IndexLifecycle {
         admitBatch(batch, corpusDir, indexDir, hasher, maxHam)
       }
       .start()
+  }
 }

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, isnan}
 import org.apache.spark.sql.types.StructType
 
 /** The shared store lifecycle of the incrementally-maintained admission
@@ -135,4 +136,29 @@ private[streaming] trait IndexLifecycle {
       storeDirs: Seq[String])(rebuild: => Unit): Unit =
     if (storeDirs.exists(d => storeFileCount(spark, d) > maxStoreFiles(spark)))
       rebuild
+
+  /** The exact-cosine admission verify shared by the vector indexes
+    * ([[AnnIndex]], [[IvfIndex]] — one definition, the r13 lesson):
+    * fetch corpus embeddings for candidate partners only (broadcast the
+    * bounded candidate id list against the corpus scan), exact cosine,
+    * emit batch ids with any indexed neighbor at `cosine >= maxCosine`.
+    * `cand` is (a_id = corpus side, b_id = batch side); `vecSchema` is
+    * the corpus store schema (vec_id, embedding, ...).
+    */
+  protected final def cosineRejectedIds(spark: SparkSession,
+      corpusDir: String, vecSchema: StructType, batch: DataFrame,
+      cand: DataFrame, maxCosine: Double): DataFrame = {
+    val corpus = readOrEmpty(spark, corpusDir, vecSchema)
+    val ca = corpus.join(broadcast(cand.select(col("a_id")).distinct()),
+        corpus("vec_id") === col("a_id"))
+      .select(col("a_id"), col("embedding").as("ea"))
+    val cb = batch.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+    cand
+      .join(broadcast(cb), Seq("b_id"))
+      .join(broadcast(ca), Seq("a_id"))
+      .withColumn("cs", graft.functions.VectorFunctions.cosineSim(col("ea"), col("eb")))
+      .filter(!isnan(col("cs")) && col("cs") >= maxCosine)
+      .select(col("b_id").as("vec_id"))
+      .distinct()
+  }
 }

@@ -79,16 +79,6 @@ object IvfIndex extends IndexLifecycle {
       .write.mode("overwrite").parquet(s"$indexDir/meta")
   }
 
-  /** An index persisted under different assignment arithmetic must
-    * refuse probes — assignments would be incomparable garbage.
-    */
-  private def checkVersion(spark: SparkSession, indexDir: String): Unit =
-    metaRow(spark, indexDir).foreach { case (_, _, _, v) =>
-      require(v == graft.operators.Similarity.ivfLogicVersion,
-        s"index at $indexDir was built with IVF version $v, this code is " +
-          s"${graft.operators.Similarity.ivfLogicVersion} — rebuild() required")
-    }
-
   /** The current epoch's frozen (nlist, nprobe) — q236-policy values
     * stamped at the last rebuild (fallback to the policy of n=0 for a
     * store that has never rebuilt).
@@ -120,28 +110,6 @@ object IvfIndex extends IndexLifecycle {
       .distinct()
   }
 
-  /** Verify stage: fetch corpus embeddings for candidate partners only,
-    * exact cosine, emit batch ids with any indexed neighbor at
-    * `cosine >= maxCosine` — [[AnnIndex]]'s rejection rule over IVF
-    * candidates (the q48 IVF-near-dup semantics at micro-batch grain).
-    */
-  private def rejectedIds(spark: SparkSession, corpusDir: String,
-      batch: DataFrame, cand: DataFrame, maxCosine: Double): DataFrame = {
-    import spark.implicits._
-    val corpus = readOrEmpty(spark, corpusDir, vecSchema)
-    val ca = corpus.join(broadcast(cand.select($"a_id").distinct()),
-        corpus("vec_id") === $"a_id")
-      .select($"a_id", $"embedding".as("ea"))
-    val cb = batch.select($"vec_id".as("b_id"), $"embedding".as("eb"))
-    cand
-      .join(broadcast(cb), Seq("b_id"))
-      .join(broadcast(ca), Seq("a_id"))
-      .withColumn("cs", graft.functions.VectorFunctions.cosineSim($"ea", $"eb"))
-      .filter(!isnan($"cs") && $"cs" >= maxCosine)
-      .select($"b_id".as("vec_id"))
-      .distinct()
-  }
-
   /** Plan view for the cost-shape pin: the full per-batch probe (assign
     * against frozen pivots → candidates → cosine verify), no writes,
     * fully symbolic so the joins stay visible in the explained plan.
@@ -152,7 +120,7 @@ object IvfIndex extends IndexLifecycle {
     val piv = readOrEmpty(spark, s"$indexDir/piv", pivSchema)
     val bn = graft.operators.Similarity.ivfNearOf(
       batch.select(col("vec_id"), col("embedding")), piv, nprobe)
-    rejectedIds(spark, corpusDir, batch,
+    cosineRejectedIds(spark, corpusDir, vecSchema, batch,
       candidatePairs(spark, indexDir, bn), maxCosine)
   }
 
@@ -172,11 +140,20 @@ object IvfIndex extends IndexLifecycle {
     val piv = graft.operators.Similarity.ivfPivotsOf(corpus, nlist)
       .localCheckpoint()
     piv.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/piv")
+    // meta BEFORE the near store (review finding): if it were last, a
+    // crash between the near write and the meta write would leave
+    // matching counts under a missing/stale meta — the next batch
+    // would re-stamp first-touch params (nlist=4, nprobe=1) and probe
+    // a wide store far too narrowly, admitting near-dups the store can
+    // see. Written in this order, EVERY crash window leaves the near
+    // count diverged from the corpus count (or, for a pure-compaction
+    // rebuild, leaves the deterministic old store, which is the same
+    // relation), so the pre-probe heal catches it.
+    writeMeta(spark, indexDir, n, nlist, nprobe)
     val near = graft.operators.Similarity.ivfNearOf(corpus, piv, nprobe)
       .localCheckpoint()
     near.coalesce(compactFiles(spark, n)).write.mode("overwrite")
       .parquet(s"$indexDir/near")
-    writeMeta(spark, indexDir, n, nlist, nprobe)
     org.apache.spark.sql.graft.CheckpointUtils.sweepUnpinned(spark.sparkContext)
     n
   }
@@ -195,49 +172,72 @@ object IvfIndex extends IndexLifecycle {
       maxCosine: Double = 0.92): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
-    checkVersion(spark, indexDir)
-    if (metaRow(spark, indexDir).isEmpty) {
-      val (nl, np) = epochParams(spark, indexDir)
-      writeMeta(spark, indexDir, 0L, nl, np)
+    // ONE meta read serves the guard and the first-touch stamp (the
+    // hot-path meta chatter the review flagged); it is re-read only
+    // after a heal can have rewritten it.
+    val meta0 = metaRow(spark, indexDir)
+    meta0.foreach { case (_, _, _, v) =>
+      require(v == graft.operators.Similarity.ivfLogicVersion,
+        s"index at $indexDir was built with IVF version $v, this code is " +
+          s"${graft.operators.Similarity.ivfLogicVersion} — rebuild() required")
+    }
+    if (meta0.isEmpty) {
+      val nl = graft.operators.Similarity.ivfPolicyNlist(0L)
+      writeMeta(spark, indexDir, 0L, nl,
+        graft.operators.Similarity.ivfPolicyNprobe(nl))
     }
     // Pre-probe self-heal ([[IndexLifecycle.healIfNeeded]] — ordering
     // argument in the trait doc). Both probes are metadata reads.
     val preIdxCount = readOrEmpty(spark, s"$indexDir/near", nearSchema)
       .select($"vec_id").distinct().count()
     val preCorpusCount = readOrEmpty(spark, corpusDir, vecSchema).count()
+    var healed = false
     healIfNeeded(spark, preCorpusCount, preIdxCount,
         Seq(s"$indexDir/near")) {
-      rebuild(spark, corpusDir, indexDir)
+      rebuild(spark, corpusDir, indexDir); healed = true
     }
+    // the post-heal epoch: re-read only if the heal rewrote it
+    val meta1 = if (healed || meta0.isEmpty) metaRow(spark, indexDir) else meta0
+    val lastN = meta1.map(_._1).getOrElse(0L)
+    val nprobe = meta1.map(_._3).getOrElse(
+      graft.operators.Similarity.ivfPolicyNprobe(
+        graft.operators.Similarity.ivfPolicyNlist(0L)))
     val existingIds = readOrEmpty(spark, corpusDir, vecSchema).select($"vec_id")
     val idHits = existingIds
       .join(broadcast(batch.select($"vec_id")), Seq("vec_id")).distinct()
+    // in-batch exact-id dedup — same rationale and winner rule as
+    // [[AnnIndex.admitBatch]] (a duplicated vec_id in one batch would
+    // wedge the row-vs-distinct heal into perpetual rebuilds)
     val fresh = batch.join(broadcast(idHits), Seq("vec_id"), "left_anti")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"vec_id")
+          .orderBy(xxhash64($"embedding"), $"label")))
+      .filter($"rk" === 1)
       .select($"vec_id", $"embedding", $"label")
       .localCheckpoint()
-    val (_, nprobe) = epochParams(spark, indexDir)
     val piv = readOrEmpty(spark, s"$indexDir/piv", pivSchema).localCheckpoint()
     val batchNear = graft.operators.Similarity
       .ivfNearOf(fresh.select($"vec_id", $"embedding"), piv, nprobe)
       .localCheckpoint()
-    val rejected = rejectedIds(spark, corpusDir, fresh,
+    val rejected = cosineRejectedIds(spark, corpusDir, vecSchema, fresh,
       candidatePairs(spark, indexDir, batchNear).localCheckpoint(), maxCosine)
     val admitted = fresh.join(broadcast(rejected), Seq("vec_id"), "left_anti")
       .localCheckpoint()
+    val nAdmitted = admitted.count()
     admitted.write.mode("append").parquet(corpusDir)
     // RE-POLICY trigger (post-append, so the rebuild sees this batch):
     // doubling since the last snapshot re-derives nlist/nprobe/pivots
     // and every assignment — the incremental append is skipped, the
-    // rebuild already indexed the admitted rows.
-    val corpusTotal = readOrEmpty(spark, corpusDir, vecSchema).count()
-    val lastN = metaRow(spark, indexDir).map(_._1).getOrElse(0L)
+    // rebuild already indexed the admitted rows. corpusTotal is derived
+    // (pre-heal count + this batch's admissions — fresh ids are by
+    // construction absent from the corpus), not a second full count.
+    val corpusTotal = preCorpusCount + nAdmitted
     if (corpusTotal >= 2L * math.max(1L, lastN)) {
       rebuild(spark, corpusDir, indexDir)
     } else {
       val admittedNear = batchNear
         .join(broadcast(admitted.select($"vec_id")), Seq("vec_id"))
         .localCheckpoint()
-      val nAdmitted = admittedNear.select($"vec_id").distinct().count()
       admittedNear.repartition(appendWriters(spark, nAdmitted), $"p_id")
         .write.mode("append").parquet(s"$indexDir/near")
       compactIfOverCap(spark, Seq(s"$indexDir/near")) {

@@ -116,6 +116,27 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     assert(idxIds == Set(1L, 2L, 50L), s"index and corpus agree after the heal: $idxIds")
   }
 
+  test("a vec_id duplicated WITHIN one batch is admitted once (no perpetual heal wedge)") {
+    val (corpus, index) = freshDirs()
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(d => math.sin(seed * 64 + d + 1).toFloat)
+    // the duplicate passes the corpus anti-join whole; without in-batch
+    // dedup it would land twice and diverge the row-vs-distinct heal
+    // counts forever (a full rebuild per batch from then on)
+    AnnIndex.admitBatch(
+      Seq((1L, vec(1), 0), (1L, vec(1), 0), (2L, vec(2), 0))
+        .toDF("vec_id", "embedding", "label"), corpus, index)
+    assert(spark.read.schema(AnnIndex.vecSchema).parquet(corpus).count() == 2L,
+      "the duplicated id must be admitted exactly once")
+    AnnIndex.admitBatch(Seq((3L, vec(3), 0)).toDF("vec_id", "embedding", "label"),
+      corpus, index)
+    val idxN = spark.read.schema(AnnIndex.bkSchema).parquet(s"$index/bk")
+      .select($"vec_id").distinct().count()
+    val corpusN = spark.read.schema(AnnIndex.vecSchema).parquet(corpus).count()
+    assert(corpusN == 3L && idxN == 3L,
+      s"corpus ($corpusN) and index ($idxN) must agree — no heal wedge")
+  }
+
   test("rebuild is pure compaction: candidates before == after") {
     val (corpus, index) = freshDirs()
     AnnIndex.admitBatch(fixtureVecs.filter($"vec_id" % 2 === 0), corpus, index)

@@ -112,6 +112,24 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
       s"the healed index must reject the orphan's exact copy in the SAME batch: $admitted")
   }
 
+  test("a vec_id duplicated WITHIN one batch is admitted once (no perpetual heal wedge)") {
+    val (corpus, index) = freshDirs()
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(d => math.sin(seed * 64 + d + 1).toFloat)
+    IvfIndex.admitBatch(
+      Seq((1L, vec(1), 0), (1L, vec(1), 0), (2L, vec(2), 0))
+        .toDF("vec_id", "embedding", "label"), corpus, index)
+    assert(spark.read.schema(IvfIndex.vecSchema).parquet(corpus).count() == 2L,
+      "the duplicated id must be admitted exactly once")
+    IvfIndex.admitBatch(Seq((3L, vec(3), 0)).toDF("vec_id", "embedding", "label"),
+      corpus, index)
+    val idxN = spark.read.schema(IvfIndex.nearSchema).parquet(s"$index/near")
+      .select($"vec_id").distinct().count()
+    val corpusN = spark.read.schema(IvfIndex.vecSchema).parquet(corpus).count()
+    assert(corpusN == 3L && idxN == 3L,
+      s"corpus ($corpusN) and index ($idxN) must agree — no heal wedge")
+  }
+
   test("per-batch probe plan: every join broadcasts — the stores are never shuffle-joined") {
     val (corpus, index) = freshDirs()
     IvfIndex.admitBatch(fixtureVecs.filter($"vec_id" % 2 === 0), corpus, index)
