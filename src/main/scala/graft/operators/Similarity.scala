@@ -1410,6 +1410,24 @@ object Similarity {
       .select($"a_id", $"c_id")
   }
 
+  /** Trained coarse pivots in the (p_id, pe) payload shape
+    * [[graft.streaming.IvfIndex]]'s `piv/` store and [[ivfNearOf]]
+    * consume: q245's k-means centroids (frozen-integer Lloyd over the
+    * full vectors, 64-points-per-centroid sample, [[pqTrainIters]]
+    * iterations) thawed back to FLOAT at the freeze scale. Cosine
+    * ranking against them is scale-invariant in the pivot, and the
+    * ScaleEvidence spherical arm measures it at recall parity with the
+    * gated integer-L2 form across 64× growth.
+    */
+  private[graft] def trainedCoarsePivots(emb: DataFrame, nlist: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    pqTrainedCentroids(pqNormalized(emb), 1, pqSubspaces * pqSubDim,
+        nlist, 64 * nlist, pqTrainIters)
+      .select($"c_id".cast("long").as("p_id"),
+        expr(s"transform(fc, x -> CAST(x / ${pqFreezeScale.toLong}.0D AS FLOAT))").as("pe"))
+  }
+
   /** Trained coarse pivots (nlist=64 centroids over the full 64-dim
     * frozen vectors) as a session memo.
     */
@@ -1444,9 +1462,15 @@ object Similarity {
     *
     * At 100 TB: training is sample-bounded exactly as q244; assignment
     * is one broadcast-centroid pass; probes stay nprobe/nlist of the
-    * corpus. [[graft.streaming.IvfIndex]]'s frozen-pivot epochs carry
-    * over unchanged — a trained pivot set is just a different frozen
-    * `piv/` store payload.
+    * corpus. [[graft.streaming.IvfIndex]]'s frozen-pivot epochs are
+    * mechanically compatible (the `piv/` store accepts any (p_id, pe)
+    * payload) — but note the metric seam before wiring one in: the
+    * index ranks by COSINE to `pe`, which matches this query's integer
+    * L2 only for unit-norm pivots, and trained centroids are means
+    * (not unit norm). A trained-pivot epoch should either renormalize
+    * the centroids (the spherical-k-means form) or switch the index's
+    * assignment kernel to this query's frozen-L2 — left as the next
+    * measured step, not silently conflated.
     */
   def q245IvfTrainedRecall(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -130,6 +130,23 @@ object IvfIndex extends IndexLifecycle {
     * fresh pivot set, and re-assigns everything: one O(corpus·nlist)
     * pass, paid O(log n) times under the doubling trigger.
     */
+  /** Pivot source for rebuilds: `spark.graft.ivfIndex.trainedPivots`
+    * (default false = q226's lowest-vec_id pivots). When true, each
+    * rebuild TRAINS the epoch's pivots (q245's frozen-integer Lloyd, 64
+    * points per centroid, 8 iterations) and freezes the centroids as
+    * the `piv/` payload. Assignment stays the cosine [[ivfNearOf]]
+    * kernel either way — validated by the `ScaleEvidence ann`
+    * spherical arm: cosine-ranked assignment against trained centroids
+    * matches the gated q245 integer-L2 form's recall at every rung of
+    * 64× growth (73/85/97/105 vs 73/82/94/106 of 160), because cosine
+    * is scale-invariant in the pivot. The flag only steers the NEXT
+    * rebuild; probes always rank against the FROZEN stored payload, so
+    * epochs stay internally consistent whatever the flag does later.
+    */
+  private def trainedPivots(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.ivfIndex.trainedPivots")
+      .exists(_.toBoolean)
+
   def rebuild(spark: SparkSession, corpusDir: String, indexDir: String): Long = {
     import spark.implicits._
     val corpus = readOrEmpty(spark, corpusDir, vecSchema)
@@ -137,7 +154,9 @@ object IvfIndex extends IndexLifecycle {
     val n = corpus.count()
     val nlist = graft.operators.Similarity.ivfPolicyNlist(n)
     val nprobe = graft.operators.Similarity.ivfPolicyNprobe(nlist)
-    val piv = graft.operators.Similarity.ivfPivotsOf(corpus, nlist)
+    val piv = (if (trainedPivots(spark))
+      graft.operators.Similarity.trainedCoarsePivots(corpus, nlist)
+    else graft.operators.Similarity.ivfPivotsOf(corpus, nlist))
       .localCheckpoint()
     piv.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/piv")
     // meta BEFORE the near store (review finding): if it were last, a

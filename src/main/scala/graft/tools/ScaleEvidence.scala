@@ -765,16 +765,34 @@ object ScaleEvidence {
       // --- TRAINED coarse pivots at the policy point (q245's kernel,
       // 64 points/centroid sample, 8 Lloyd iterations): does pivot
       // training lift recall at the SAME candidate budget across growth?
+      val nvr = graft.operators.Similarity.pqNormalized(emb)
+      val centT = graft.operators.Similarity
+        .pqTrainedCentroids(nvr, 1, 64, pl, 64 * pl, 8).localCheckpoint()
       val (polTHits, polTFrac) = {
-        val nvr = graft.operators.Similarity.pqNormalized(emb)
-        val cent = graft.operators.Similarity
-          .pqTrainedCentroids(nvr, 1, 64, pl, 64 * pl, 8)
         val lists = graft.operators.Similarity
-          .trainedCoarseLists(nvr, cent).localCheckpoint()
+          .trainedCoarseLists(nvr, centT).localCheckpoint()
         val probes = graft.operators.Similarity
-          .trainedCoarseProbes(nvr, cent, panel, pp).localCheckpoint()
+          .trainedCoarseProbes(nvr, centT, panel, pp).localCheckpoint()
         recallAndFrac(probes.join(lists, Seq("c_id"))
           .filter($"a_id" =!= $"b_id").select($"a_id", $"b_id"))
+      }
+      // --- the SPHERICAL form of the same trained pivots: cosine-ranked
+      // assignment (IvfIndex's ivfNearOf kernel, which is what the
+      // streaming index would run if handed trained pivots verbatim —
+      // cosine is scale-invariant in the pivot, so no renormalization
+      // arm is needed). Measures the q245-docstring metric seam:
+      // integer-L2 rank vs cosine rank against non-unit centroids.
+      val (sphHits, sphFrac) = {
+        val pivT = centT.select($"c_id".cast("long").as("p_id"),
+          expr("transform(fc, x -> CAST(x / 1000000.0D AS FLOAT))").as("pe"))
+          .localCheckpoint()
+        val near = graft.operators.Similarity.ivfNearOf(emb, pivT, pp)
+          .localCheckpoint()
+        val idx = near.filter($"rk" === 1).select($"vec_id".as("b_id"), $"p_id")
+        val pq2 = near.join(broadcast(panel), near("vec_id") === panel("a_id"))
+          .select($"a_id", $"p_id")
+        recallAndFrac(pq2.join(idx, Seq("p_id")).filter($"a_id" =!= $"b_id")
+          .select($"a_id", $"b_id"))
       }
       // --- PQ-ADC (q239's kernel, the compression tier): the scan is
       // always the full code relation (no candidate fraction — the
@@ -806,6 +824,7 @@ object ScaleEvidence {
         f"  ivf($sq%4d,p8): cand=${isqFrac * 100}%5.1f%% hits=$isqHits%3d/160" +
         f"  ivf-policy($pl%4d,p$pp%-2d): cand=${polFrac * 100}%5.1f%% hits=$polHits%3d/160" +
         f"  ivf-trained($pl%4d,p$pp%-2d): cand=${polTFrac * 100}%5.1f%% hits=$polTHits%3d/160" +
+        f"  ivf-trained-sph: cand=${sphFrac * 100}%5.1f%% hits=$sphHits%3d/160" +
         f"  pq(16x4,8B): hits=$pq8%3d/160  pq(8x8,4B): hits=$pq4%3d/160" +
         f"  pq-trained(16x4,8B,s1024,t8): hits=$pqt8%3d/160" +
         f"  wall=$wall%7.1fs shufW=$sw%8.1fMB"

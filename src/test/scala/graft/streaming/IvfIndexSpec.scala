@@ -142,6 +142,41 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("trained-pivot epochs: rebuild freezes k-means centroids, incremental stays exact") {
+    val (corpus, index) = freshDirs()
+    spark.conf.set("spark.graft.ivfIndex.trainedPivots", "true")
+    try {
+      IvfIndex.admitBatch(fixtureVecs.filter($"vec_id" % 10 < 4), corpus, index)
+      IvfIndex.admitBatch(fixtureVecs.filter($"vec_id" % 10 >= 4 && $"vec_id" % 10 <= 7),
+        corpus, index)
+      // wave 3: incremental under the trained frozen pivots
+      IvfIndex.admitBatch(fixtureVecs.filter($"vec_id" % 10 === 8), corpus, index)
+      val meta = spark.read.parquet(s"$index/meta").head()
+      val piv = spark.read.schema(IvfIndex.pivSchema).parquet(s"$index/piv")
+      assert(piv.count() == meta.getInt(1).toLong,
+        "the epoch freezes exactly nlist trained centroids")
+      // trained pivots are MEANS, not corpus vectors: at least one
+      // centroid must differ from every corpus embedding (the payload
+      // proves training actually ran, vs the lowest-vec_id default)
+      val corpusVecs = spark.read.schema(IvfIndex.vecSchema).parquet(corpus)
+        .select($"embedding").as[Seq[Float]].collect().toSet
+      val pivVecs = piv.select($"pe").as[Seq[Float]].collect()
+      assert(pivVecs.exists(p => !corpusVecs.contains(p)),
+        "trained pivots must not all be raw corpus vectors")
+      // exactness pin unchanged: store == batch path under the SAME
+      // frozen (trained) pivots and epoch params
+      val admitted = spark.read.schema(IvfIndex.vecSchema).parquet(corpus)
+        .select($"vec_id", $"embedding")
+      val batchPath = graft.operators.Similarity
+        .ivfNearOf(admitted, piv, meta.getInt(2))
+        .as[(Long, Long, Int)].collect().toSet
+      val store = spark.read.schema(IvfIndex.nearSchema).parquet(s"$index/near")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(store.nonEmpty && store == batchPath,
+        "trained-pivot incremental store must equal the batch path")
+    } finally spark.conf.unset("spark.graft.ivfIndex.trainedPivots")
+  }
+
   test("version guard: an index persisted under different assignment arithmetic refuses probes") {
     val (corpus, index) = freshDirs()
     IvfIndex.admitBatch(fixtureVecs.limit(10), corpus, index)
