@@ -1279,45 +1279,46 @@ object Similarity {
     * sf0.01 with the hint). The hint keeps the oracle linear in T.
     */
   private def trainedKmeansSqlCtes(mSub: Int, subDim: Int, kCent: Int,
-      sampleN: Int, iters: Int): String = {
+      sampleN: Int, iters: Int, prefix: String = ""): String = {
+    val P = prefix
     val iterCtes = (1 to iters).map { k =>
       val mean = (1 to subDim)
         .map(d => s"CAST(sum(fs[$d]) // count(*) AS BIGINT)").mkString(", ")
-      s"""asg$k AS MATERIALIZED (
+      s"""${P}asg$k AS MATERIALIZED (
         |  SELECT m, vec_id, fs, c_id FROM (
         |    SELECT s.m, s.vec_id, s.fs, c.c_id, ROW_NUMBER() OVER (
         |      PARTITION BY s.m, s.vec_id
         |      ORDER BY ${isqSqlFmt.format("s.fs", "c.fc")}, c.c_id) AS rk
-        |    FROM samp s JOIN cent${k - 1} c ON c.m = s.m) t WHERE rk = 1),
-        |cent$k AS MATERIALIZED (
+        |    FROM ${P}samp s JOIN ${P}cent${k - 1} c ON c.m = s.m) t WHERE rk = 1),
+        |${P}cent$k AS MATERIALIZED (
         |  SELECT p.m, p.c_id, coalesce(u.fc, p.fc) AS fc
-        |  FROM cent${k - 1} p LEFT JOIN (
+        |  FROM ${P}cent${k - 1} p LEFT JOIN (
         |    SELECT m, c_id, [$mean] AS fc
-        |    FROM asg$k GROUP BY m, c_id) u
+        |    FROM ${P}asg$k GROUP BY m, c_id) u
         |  ON u.m = p.m AND u.c_id = p.c_id)""".stripMargin
     }.mkString(",\n")
-    s"""nv AS MATERIALIZED (
+    s"""${P}nv AS MATERIALIZED (
       |  SELECT vec_id,
       |    list_transform(embedding::DOUBLE[],
       |      x -> x / sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
       |  FROM embeddings
       |  WHERE list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
-      |ms AS (SELECT unnest(range(0, $mSub)) AS m),
-      |fsub AS MATERIALIZED (
+      |${P}ms AS (SELECT unnest(range(0, $mSub)) AS m),
+      |${P}fsub AS MATERIALIZED (
       |  SELECT vec_id, m,
       |    list_transform(v[m*$subDim+1 : m*$subDim+$subDim],
       |      x -> CAST(floor(x * ${pqFreezeScale.toLong}.0) AS BIGINT)) AS fs
-      |  FROM nv, ms),
-      |samp AS MATERIALIZED (
-      |  SELECT f.* FROM fsub f JOIN (
-      |    SELECT vec_id FROM nv ORDER BY vec_id LIMIT $sampleN) s
+      |  FROM ${P}nv, ${P}ms),
+      |${P}samp AS MATERIALIZED (
+      |  SELECT f.* FROM ${P}fsub f JOIN (
+      |    SELECT vec_id FROM ${P}nv ORDER BY vec_id LIMIT $sampleN) s
       |  ON s.vec_id = f.vec_id),
-      |cent0 AS MATERIALIZED (
+      |${P}cent0 AS MATERIALIZED (
       |  SELECT f.m, c.c_id, f.fs AS fc FROM (
       |    SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) AS c_id,
       |           vec_id
-      |    FROM (SELECT vec_id FROM nv ORDER BY vec_id LIMIT $kCent) z) c
-      |  JOIN fsub f ON f.vec_id = c.vec_id),
+      |    FROM (SELECT vec_id FROM ${P}nv ORDER BY vec_id LIMIT $kCent) z) c
+      |  JOIN ${P}fsub f ON f.vec_id = c.vec_id),
       |$iterCtes""".stripMargin
   }
 
@@ -1531,6 +1532,119 @@ object Similarity {
       |  SELECT a_id, b_id, ROW_NUMBER() OVER (
       |    PARTITION BY a_id ORDER BY cs DESC, b_id) AS rk
       |  FROM cscored WHERE NOT isnan(cs)) t WHERE rk <= 5),
+      |scored AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cs
+      |  FROM (SELECT e.* FROM embeddings e JOIN q ON q.vec_id = e.vec_id) a
+      |  JOIN embeddings b ON a.vec_id <> b.vec_id),
+      |ex AS (SELECT a_id, b_id FROM (
+      |  SELECT a_id, b_id, ROW_NUMBER() OVER (
+      |    PARTITION BY a_id ORDER BY cs DESC, b_id) AS rk
+      |  FROM scored WHERE NOT isnan(cs)) t WHERE rk <= 5),
+      |ov AS (SELECT e.a_id, CAST(count(*) AS BIGINT) AS hits
+      |       FROM ex e JOIN ann a ON a.a_id = e.a_id AND a.b_id = e.b_id
+      |       GROUP BY 1)
+      |SELECT coalesce(ov.hits, 0) AS hits,
+      |       CAST(count(*) AS BIGINT) AS n_queries,
+      |       CAST(sum(q.vec_id) AS BIGINT) AS a_checksum
+      |FROM q LEFT JOIN ov ON ov.a_id = q.vec_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** q246 — fully-TRAINED IVF+PQ recall@5: the last cell of the
+    * {fixed, trained} × {coarse, product, composed} quantizer matrix.
+    * q242 composes the FIXED coarse quantizer with the FIXED codebook
+    * (32/160 at sf0.1 — pruning∩quantization loss on two untrained
+    * stages); this runs the production shape with BOTH stages trained
+    * by the one frozen-integer Lloyd kernel: q245's trained pivots
+    * prune to nprobe/nlist of the corpus, q244's trained codebook
+    * scores the survivors from 8-byte codes, and after the probe pass
+    * no stage touches a raw vector. Same exact-panel histogram as the
+    * whole recall family, so the four-way composition readout
+    * (q226/q239/q242 fixed vs q245/q244/this trained) is directly
+    * comparable row-for-row in q227.
+    *
+    * Everything heavy rides the four trained session memos (centroids,
+    * coarse lists, PQ codes); per-query work is the bounded panel's
+    * probes + LUTs + the candidate-sized ADC join — the q242 cost shape
+    * with trained state.
+    */
+  def q246TrainedIvfPqRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact = exactPanelTop5(spark, dir)
+    val panel = samplePanel(spark, dir, topkPanelK).select($"vec_id".as("a_id"))
+    val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val nv = pqNormalized(emb)
+    // trained coarse prune (q245's kernels + memos)
+    val coarseCent = ivfTrainedCentMemo(spark, dir)
+    val lists = ivfTrainedListsMemo(spark, dir)
+    val probes = trainedCoarseProbes(nv, coarseCent, panel, ivfRecallNprobe)
+    val cand = probes.join(lists, Seq("c_id"))
+      .filter($"a_id" =!= $"b_id")
+      .select($"a_id", $"b_id")
+    // trained-codebook ADC over the candidates (q244's kernels + memos)
+    val pqCent = pqTrainedCentMemo(spark, dir)
+    val codes = pqTrainedCodesMemo(spark, dir)
+    val lutArr = pqTrainedLutsOf(nv, pqCent, panel,
+      pqSubspaces, pqSubDim, pqCodebookK)
+    val top5 = graft.functions.TopKByScore(5)
+    val ann = cand
+      .join(codes, Seq("b_id"))
+      .join(broadcast(lutArr), Seq("a_id"))
+      .withColumn("negd", -adcDist($"codes", $"lut", pqCodebookK).cast("double"))
+      .groupBy($"a_id")
+      .agg(top5($"negd", $"b_id").as("top"))
+      .select($"a_id", explode($"top").as("t"))
+      .select($"a_id", $"t.b_id".as("b_id"))
+    recallHistogram(exact, ann, panel).orderBy($"hits")
+  }
+
+  val q246Sql: String = {
+    val dim = pqSubspaces * pqSubDim
+    s"""WITH ${trainedKmeansSqlCtes(1, dim, ivfRecallNlist,
+          ivfTrainSample, pqTrainIters, prefix = "cv")},
+      |${trainedKmeansSqlCtes(pqSubspaces, pqSubDim, pqCodebookK,
+          pqTrainSample, pqTrainIters, prefix = "pv")},
+      |lists AS MATERIALIZED (
+      |  SELECT vec_id AS b_id, c_id FROM (
+      |    SELECT f.vec_id, c.c_id, ROW_NUMBER() OVER (
+      |      PARTITION BY f.vec_id
+      |      ORDER BY ${isqSqlFmt.format("f.fs", "c.fc")}, c.c_id) AS rk
+      |    FROM cvfsub f JOIN cvcent$pqTrainIters c ON c.m = f.m) t WHERE rk = 1),
+      |q AS (SELECT vec_id FROM embeddings
+      |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $topkPanelK),
+      |probes AS MATERIALIZED (
+      |  SELECT a_id, c_id FROM (
+      |    SELECT f.vec_id AS a_id, c.c_id, ROW_NUMBER() OVER (
+      |      PARTITION BY f.vec_id
+      |      ORDER BY ${isqSqlFmt.format("f.fs", "c.fc")}, c.c_id) AS rk
+      |    FROM cvfsub f JOIN q ON q.vec_id = f.vec_id
+      |    JOIN cvcent$pqTrainIters c ON c.m = f.m) t WHERE rk <= $ivfRecallNprobe),
+      |cand AS (
+      |  SELECT p.a_id, l.b_id FROM probes p
+      |  JOIN lists l ON l.c_id = p.c_id
+      |  WHERE l.b_id <> p.a_id),
+      |codes AS MATERIALIZED (
+      |  SELECT vec_id AS b_id, m, c_id AS code FROM (
+      |    SELECT f.vec_id, f.m, c.c_id, ROW_NUMBER() OVER (
+      |      PARTITION BY f.vec_id, f.m
+      |      ORDER BY ${isqSqlFmt.format("f.fs", "c.fc")}, c.c_id) AS rk
+      |    FROM pvfsub f JOIN pvcent$pqTrainIters c ON c.m = f.m) t WHERE rk = 1),
+      |lut AS MATERIALIZED (
+      |  SELECT f.vec_id AS a_id, f.m, c.c_id,
+      |    CAST(${isqSqlFmt.format("f.fs", "c.fc")} AS BIGINT) AS lf
+      |  FROM pvfsub f JOIN q ON q.vec_id = f.vec_id
+      |  JOIN pvcent$pqTrainIters c ON c.m = f.m),
+      |adc AS (
+      |  SELECT cd.a_id, cd.b_id, sum(l.lf) AS dist
+      |  FROM cand cd
+      |  JOIN codes k ON k.b_id = cd.b_id
+      |  JOIN lut l ON l.a_id = cd.a_id AND l.m = k.m AND l.c_id = k.code
+      |  GROUP BY 1, 2),
+      |ann AS (SELECT a_id, b_id FROM (
+      |  SELECT a_id, b_id, ROW_NUMBER() OVER (
+      |    PARTITION BY a_id ORDER BY dist, b_id) AS rk
+      |  FROM adc) t WHERE rk <= 5),
       |scored AS (
       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
       |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cs
@@ -2042,7 +2156,8 @@ object Similarity {
       "ivf_trained" -> q245IvfTrainedRecall(spark, dir),
       "pq" -> q239PqAdcRecall(spark, dir),
       "pq_trained" -> q244TrainedPqRecall(spark, dir),
-      "ivfpq" -> q242IvfPqRecall(spark, dir))
+      "ivfpq" -> q242IvfPqRecall(spark, dir),
+      "ivfpq_trained" -> q246TrainedIvfPqRecall(spark, dir))
     parts.map { case (m, df) =>
       df.select(lit(m).as("method"), $"hits", $"n_queries")
     }.reduce(_ unionByName _)
@@ -2071,7 +2186,9 @@ object Similarity {
       |  UNION ALL
       |  SELECT 'pq_trained', hits, n_queries FROM ($q244Sql) z7
       |  UNION ALL
-      |  SELECT 'ivfpq', hits, n_queries FROM ($q242Sql) z6)
+      |  SELECT 'ivfpq', hits, n_queries FROM ($q242Sql) z6
+      |  UNION ALL
+      |  SELECT 'ivfpq_trained', hits, n_queries FROM ($q246Sql) z9)
       |SELECT method,
       |       CAST(sum(hits * n_queries) AS BIGINT) AS hits_total,
       |       CAST(sum(CASE WHEN hits > 0 THEN n_queries ELSE 0 END) AS BIGINT)
@@ -2662,6 +2779,7 @@ object Similarity {
     "q243_index_economics" -> (q243IndexEconomics _),
     "q244_trained_pq_recall" -> (q244TrainedPqRecall _),
     "q245_ivf_trained_recall" -> (q245IvfTrainedRecall _),
+    "q246_trained_ivfpq_recall" -> (q246TrainedIvfPqRecall _),
     "q227_ann_scorecard" -> (q227AnnScorecard _),
     "q230_hard_negatives" -> (q230HardNegatives _),
     "q35_ann_lsh" -> (q35AnnLsh _),
@@ -2689,6 +2807,7 @@ object Similarity {
     "q243_index_economics" -> q243Sql,
     "q244_trained_pq_recall" -> q244Sql,
     "q245_ivf_trained_recall" -> q245Sql,
+    "q246_trained_ivfpq_recall" -> q246Sql,
     "q227_ann_scorecard" -> q227Sql,
     "q230_hard_negatives" -> q230Sql,
     "q35_ann_lsh" -> q35Sql,

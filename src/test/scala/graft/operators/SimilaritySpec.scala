@@ -480,7 +480,7 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(got.values.map(_._1).sum == 32L, "histogram must cover the full panel")
   }
 
-  test("q227: scorecard equals the rollup of the eight recall histograms") {
+  test("q227: scorecard equals the rollup of the nine recall histograms") {
     def hist(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
       df.collect().map(r => (r.getAs[Long]("hits"), r.getAs[Long]("n_queries"))).toSeq
     val parts = Map(
@@ -491,7 +491,8 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       "ivf_trained" -> hist(Similarity.q245IvfTrainedRecall(spark, sfDir)),
       "pq" -> hist(Similarity.q239PqAdcRecall(spark, sfDir)),
       "pq_trained" -> hist(Similarity.q244TrainedPqRecall(spark, sfDir)),
-      "ivfpq" -> hist(Similarity.q242IvfPqRecall(spark, sfDir)))
+      "ivfpq" -> hist(Similarity.q242IvfPqRecall(spark, sfDir)),
+      "ivfpq_trained" -> hist(Similarity.q246TrainedIvfPqRecall(spark, sfDir)))
     val got = Similarity.q227AnnScorecard(spark, sfDir).collect().map { r =>
       r.getAs[String]("method") -> ((r.getAs[Long]("hits_total"),
         r.getAs[Long]("queries_with_hit"), r.getAs[Long]("n_queries"),
@@ -731,6 +732,93 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       aId -> hits
     }
     val got = Similarity.q245IvfTrainedRecall(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("hits") ->
+        ((r.getAs[Long]("n_queries"), r.getAs[Long]("a_checksum")))).toMap
+    val expected = perQuery.groupBy(_._2).map { case (h, qs) =>
+      h -> ((qs.size.toLong, qs.map(_._1).sum))
+    }
+    assert(got == expected, s"got $got expected $expected")
+    assert(got.values.map(_._1).sum == 32L, "histogram must cover the full panel")
+  }
+
+  test("q246: fully-trained IVF+PQ replays driver-side " +
+      "(trained coarse prune composed with trained-codebook ADC)") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Seq[Float]]("embedding").toArray)
+      .toMap
+    def norm2(v: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { val x = v(i).toDouble; s += x * x; i += 1 }; s
+    }
+    val nv = emb.toSeq.collect { case (id, v) if norm2(v) > 0 =>
+      val n = math.sqrt(norm2(v))
+      id -> v.map(_.toDouble / n)
+    }.toMap
+    def isq(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }; s
+    }
+    val ids = nv.keys.toSeq.sorted
+    // ONE serial Lloyd, both geometries (the q244/q245 replays' shared
+    // core): trains on the sampleN lowest-vec_id vectors over the given
+    // coordinate slice
+    def lloyd(slice: Array[Double] => Array[Long], k: Int,
+        sampleN: Int): IndexedSeq[Array[Long]] = {
+      val samp = ids.take(sampleN).map(id => slice(nv(id)))
+      var cent: Array[Array[Long]] = samp.take(k).map(_.clone()).toArray
+      for (_ <- 1 to 8) {
+        val sums = Array.fill(cent.length)(new Array[Long](cent(0).length))
+        val counts = new Array[Long](cent.length)
+        samp.foreach { f =>
+          var best = 0; var bestD = Long.MaxValue; var c = 0
+          while (c < cent.length) {
+            val d = isq(f, cent(c)); if (d < bestD) { bestD = d; best = c }; c += 1
+          }
+          counts(best) += 1L
+          var i = 0
+          while (i < f.length) { sums(best)(i) += f(i); i += 1 }
+        }
+        cent = Array.tabulate(cent.length)(c =>
+          if (counts(c) == 0L) cent(c)
+          else Array.tabulate(cent(0).length)(i => sums(c)(i) / counts(c)))
+      }
+      cent.toIndexedSeq
+    }
+    def fvec(v: Array[Double]): Array[Long] = v.map(x => math.floor(x * 1e6).toLong)
+    def fsub(v: Array[Double], m: Int): Array[Long] =
+      v.slice(m * 4, m * 4 + 4).map(x => math.floor(x * 1e6).toLong)
+    val coarse = lloyd(fvec, 64, 4096)
+    val pqCents = (0 until 16).map(m => lloyd(fsub(_, m), 16, 1024))
+    def argmin(f: Array[Long], cs: IndexedSeq[Array[Long]]): Int =
+      cs.zipWithIndex.map { case (c, i) => (i + 1, isq(f, c)) }
+        .minBy { case (ci, d) => (d, ci) }._1
+    val lists = nv.map { case (id, v) => id -> argmin(fvec(v), coarse) }
+    val codes = nv.map { case (id, v) =>
+      id -> (0 until 16).map(m => argmin(fsub(v, m), pqCents(m))) }
+    val panel = emb.keys.toSeq.sortBy(id => (md5hex(id.toString), id)).take(32)
+    val all = emb.toSeq
+    val perQuery = panel.map { aId =>
+      val hits: Long =
+        if (!nv.contains(aId)) 0L
+        else {
+          val exact = top5Of(aId, emb(aId), all)
+          val av = nv(aId)
+          val fa = fvec(av)
+          val probed = coarse.zipWithIndex.map { case (c, i) => (i + 1, isq(fa, c)) }
+            .sortBy { case (ci, d) => (d, ci) }.take(8).map(_._1).toSet
+          val cand = lists.collect {
+            case (bId, c) if bId != aId && probed.contains(c) => bId }.toSet
+          val lut = (for { m <- 0 until 16; c <- 1 to 16 } yield
+            (m, c) -> isq(fsub(av, m), pqCents(m)(c - 1))).toMap
+          val ann = cand.toSeq
+            .map(bId => bId ->
+              codes(bId).zipWithIndex.map { case (c, m) => lut((m, c)) }.sum)
+            .sortBy { case (bId, d) => (d, bId) }.take(5).map(_._1).toSet
+          (exact intersect ann).size.toLong
+        }
+      aId -> hits
+    }
+    val got = Similarity.q246TrainedIvfPqRecall(spark, sfDir).collect()
       .map(r => r.getAs[Long]("hits") ->
         ((r.getAs[Long]("n_queries"), r.getAs[Long]("a_checksum")))).toMap
     val expected = perQuery.groupBy(_._2).map { case (h, qs) =>
