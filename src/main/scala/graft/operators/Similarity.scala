@@ -866,8 +866,8 @@ object Similarity {
   // and K beyond 16 would break the oracle-expressible lowest-vec_id
   // codebook budget anyway). Declared at the top of the PQ block (the
   // q230 val-initialization-order lesson applies here too).
-  private val pqSubspaces = 16
-  private val pqSubDim = 4
+  private[graft] val pqSubspaces = 16
+  private[graft] val pqSubDim = 4
   private val pqCodebookK = 16
 
   /** Squared L2 between two equal-length DOUBLE vectors, accumulated
@@ -1049,9 +1049,13 @@ object Similarity {
   // T=4 (32/160); S=1024 — 64 training points per centroid, the classic
   // k-means sizing — keeps improving through T=8 (33→38→41/160).
   // Adopted: 64·K sample, 8 iterations.
+  // private[graft]: ScaleEvidence's measurement arms must reference the
+  // SAME constants the gated kernels use (r14 advisor — a hardcoded
+  // copy would silently desynchronize the evidence from the kernel on
+  // the next re-tune that bumps pqTrainedLogicVersion).
   private val pqTrainSample = 1024
-  private val pqTrainIters = 8
-  private val pqFreezeScale = 1e6
+  private[graft] val pqTrainIters = 8
+  private[graft] val pqFreezeScale = 1e6
 
   /** Version token for anything persisting TRAINED-PQ state — bump on
     * any re-tune of sample size, iterations, freeze scale or geometry.
@@ -1088,8 +1092,23 @@ object Similarity {
     *
     * Returns (m, c_id, fc: Array[Long]) — kCent·mSub rows, broadcast
     * everywhere it is consumed.
+    *
+    * Dispatch: the serial driver-side loop below the
+    * [[lloydSerialOpsBudget]] op count, the bit-identical
+    * [[pqTrainedCentroidsSharded]] above it — every caller (the
+    * q244/q245/q246 memos, [[trainedCoarsePivots]],
+    * [[graft.streaming.IvfIndex]] epochs, the ScaleEvidence arms) gets
+    * the scale path automatically, and because the two kernels are
+    * bit-equal (spec-pinned, q247 oracle-gated) the dispatch can never
+    * change a gated result.
     */
   private[graft] def pqTrainedCentroids(nv: DataFrame, mSub: Int,
+      subDim: Int, kCent: Int, sampleN: Int, iters: Int): DataFrame =
+    if (sampleN.toDouble * kCent * subDim * iters * mSub > lloydSerialOpsBudget)
+      pqTrainedCentroidsSharded(nv, mSub, subDim, kCent, sampleN, iters)
+    else pqTrainedCentroidsSerial(nv, mSub, subDim, kCent, sampleN, iters)
+
+  private[graft] def pqTrainedCentroidsSerial(nv: DataFrame, mSub: Int,
       subDim: Int, kCent: Int, sampleN: Int, iters: Int): DataFrame = {
     val spark = nv.sparkSession
     import spark.implicits._
@@ -1101,10 +1120,12 @@ object Similarity {
     // exact integer arithmetic runs driver-side in milliseconds at the
     // query constants, and the ASSIGNMENT stages (corpus-sized) stay
     // fully distributed. Cost is O(sampleN·kCent·dim·iters) SERIAL:
-    // with the 64-points-per-centroid rule that is O(K²·dim·iters), so
-    // callers growing K past ~1000 (ScaleEvidence's policy arm reaches
-    // K=357 ≈ 5 s) should shard the Lloyd loop (PQ's M subspaces
-    // already parallelize naturally) before scaling further.
+    // with the 64-points-per-centroid rule that is O(K²·dim·iters) —
+    // which is why [[pqTrainedCentroids]] dispatches to the bit-equal
+    // [[pqTrainedCentroidsSharded]] past [[lloydSerialOpsBudget]]
+    // (≈ K 250 at the coarse-quantizer geometry); this serial form
+    // remains the REFERENCE the sharded kernel is spec-pinned against
+    // and the cheapest path at the frozen query constants.
     // The arithmetic is bit-for-bit the spec's serial replay: floor to
     // 1e6, integer squared-L2 argmin with ties to the lowest c_id,
     // per-coordinate Long `sum / count` (truncating — Spark div ≡
@@ -1148,6 +1169,121 @@ object Similarity {
       cent.zipWithIndex.map { case (fc, i) => (m, i + 1, fc.toSeq) }
     }
     spark.createDataset(rows.flatten).toDF("m", "c_id", "fc")
+  }
+
+  /** Serial-Lloyd op budget: [[pqTrainedCentroids]] dispatches to the
+    * sharded kernel when sampleN·kCent·subDim·iters·mSub exceeds this
+    * (~2 s of single-core integer multiply-adds at ~1e9 ops/s). At the
+    * 64-points-per-centroid rule the serial coarse-quantizer cost is
+    * 32768·K²·iters/8 ops — this budget flips to sharded near K ≈ 250,
+    * well before the K ≈ 1000 infeasibility knee the r14 audit named.
+    */
+  private[graft] val lloydSerialOpsBudget = 2e9
+
+  /** Distributed form of [[pqTrainedCentroidsSerial]] — BIT-IDENTICAL by
+    * construction, for coarse quantizers whose K outgrows the serial
+    * driver loop (the r14 self-documented scale defect: the serial cost
+    * law is O(K²·dim·iters) on ONE driver core under the
+    * 64-points-per-centroid rule, and the √n policy grows K with the
+    * corpus — at 10⁹ vectors nlist ≈ 31.6k makes the serial loop
+    * infeasible). Every stage of Lloyd's update is order-free in the
+    * frozen-integer arithmetic, so the loop distributes without changing
+    * one bit (SimilaritySpec's sharded-vs-serial replay pin; q247 gates
+    * this kernel against the same unrolled-k-means oracle SQL as
+    * q244/q245):
+    *
+    *  - the SAMPLE stays an executor-side relation — only the bounded
+    *    ids-only TakeOrdered (sampleN BIGINTs) touches the driver, never
+    *    the vector payload (the serial kernel collects the payload,
+    *    which at K = 31.6k would be ~1 GB through the driver);
+    *  - ASSIGN is a per-partition tight loop against the broadcast
+    *    centroid array — the identical strict-< / lowest-c_id argmin,
+    *    a pure per-row function, independent of partitioning;
+    *  - UPDATE reduces per-partition partial (sum, count) pairs —
+    *    BIGINT addition is associative-commutative so ANY merge order
+    *    reproduces the serial sums exactly, and the one truncating
+    *    division per coordinate runs once on the driver, literally the
+    *    serial kernel's `sums(c)(i) / counts(c)`;
+    *  - an emptied cluster keeps its previous centroid, as serial.
+    *
+    * Per iteration: one K·dim-long broadcast, one map pass over the
+    * sample, one ≤ partitions·K·mSub-row reduce — no corpus-sized
+    * shuffle, no O(sample) driver work. The RDD mapPartitions is the
+    * codec-boundary exception class: a K-way argmin accumulating into
+    * per-partition arrays has no Catalyst form that avoids materializing
+    * sampleN·K intermediate rows per iteration.
+    */
+  private[graft] def pqTrainedCentroidsSharded(nv: DataFrame, mSub: Int,
+      subDim: Int, kCent: Int, sampleN: Int, iters: Int): DataFrame = {
+    val spark = nv.sparkSession
+    import spark.implicits._
+    val ids: Array[Long] = nv.select($"vec_id").orderBy($"vec_id")
+      .limit(sampleN).as[Long].collect().sorted
+    if (ids.isEmpty)
+      return spark.createDataset(Seq.empty[(Int, Int, Seq[Long])])
+        .toDF("m", "c_id", "fc")
+    val thr = ids.last
+    val thrK = ids(math.min(kCent, ids.length) - 1)
+    val fsamp = nv.filter($"vec_id" <= thr)
+      .select($"vec_id", posexplode(array(pqSubSlices(mSub, subDim): _*)).as(Seq("m", "sv")))
+      .select($"m", $"vec_id", freezeSub($"sv").as("fs"))
+      .spreadAcrossCores
+      .as[(Int, Long, Array[Long])]
+      .localCheckpoint()
+    // init: the kCent lowest-vec_id frozen sub-vectors per m (bounded
+    // collect — kCent·mSub rows), exactly the serial `fs.take(kCent)`
+    val initRows = fsamp.filter(col("vec_id") <= thrK).collect()
+    var cent: Array[Array[Array[Long]]] = Array.tabulate(mSub)(m =>
+      initRows.filter(_._1 == m).sortBy(_._2).map(_._3))
+    val sc = spark.sparkContext
+    for (_ <- 1 to iters) {
+      val bc = sc.broadcast(cent)
+      val partials = fsamp.rdd.mapPartitions { it =>
+        val cm = bc.value
+        val acc = scala.collection.mutable.HashMap
+          .empty[(Int, Int), (Array[Long], Long)]
+        it.foreach { case (m, _, fs) =>
+          val cs = cm(m)
+          var best = 0; var bestD = Long.MaxValue
+          var c = 0
+          while (c < cs.length) {
+            val cc = cs(c)
+            var s = 0L; var i = 0
+            while (i < fs.length) { val d = fs(i) - cc(i); s += d * d; i += 1 }
+            if (s < bestD) { bestD = s; best = c } // strict <: lowest c_id wins ties
+            c += 1
+          }
+          val (sums, cnt) = acc.getOrElseUpdate((m, best),
+            (new Array[Long](subDim), 0L))
+          var i = 0
+          while (i < subDim) { sums(i) += fs(i); i += 1 }
+          acc((m, best)) = (sums, cnt + 1L)
+        }
+        acc.iterator
+      }.reduceByKey { (a, b) =>
+        val s = new Array[Long](subDim)
+        var i = 0
+        while (i < subDim) { s(i) = a._1(i) + b._1(i); i += 1 }
+        (s, a._2 + b._2)
+      }.collect()
+      bc.destroy()
+      val byKey = partials.toMap
+      cent = Array.tabulate(mSub) { m =>
+        Array.tabulate(cent(m).length) { c =>
+          byKey.get((m, c)) match {
+            case Some((sums, cnt)) if cnt > 0L =>
+              Array.tabulate(subDim)(i => sums(i) / cnt)
+            case _ => cent(m)(c)
+          }
+        }
+      }
+    }
+    org.apache.spark.sql.graft.CheckpointUtils.sweepUnpinned(sc)
+    val rows = for {
+      m <- 0 until mSub
+      (fc, i) <- cent(m).zipWithIndex
+    } yield (m, i + 1, fc.toSeq)
+    spark.createDataset(rows).toDF("m", "c_id", "fc")
   }
 
   /** Trained-PQ assignment over the FULL corpus: one broadcast-codebook
@@ -1420,14 +1556,87 @@ object Similarity {
     * ScaleEvidence spherical arm measures it at recall parity with the
     * gated integer-L2 form across 64× growth.
     */
-  private[graft] def trainedCoarsePivots(emb: DataFrame, nlist: Int): DataFrame = {
+  private[graft] def trainedCoarsePivots(emb: DataFrame, nlist: Int): DataFrame =
+    thawedPivots(pqTrainedCentroids(pqNormalized(emb), 1,
+      pqSubspaces * pqSubDim, nlist, 64 * nlist, pqTrainIters))
+
+  /** Frozen m=1 centroids thawed back to the (p_id, pe) FLOAT payload
+    * shape [[ivfNearOf]] consumes — factored so the ScaleEvidence
+    * spherical arm measures the IDENTICAL thaw the production pivots use
+    * (one definition, one [[pqFreezeScale]]; r14 advisor).
+    */
+  private[graft] def thawedPivots(cent: DataFrame): DataFrame = {
+    val spark = cent.sparkSession
+    import spark.implicits._
+    cent.select($"c_id".cast("long").as("p_id"),
+      expr(s"transform(fc, x -> CAST(x / ${pqFreezeScale.toLong}.0D AS FLOAT))").as("pe"))
+  }
+
+  // ——— production-geometry trained-PQ state over ANY corpus ————————————
+  // The factored entries [[graft.streaming.IvfIndex]] epochs consume —
+  // same kernels and constants as the q244/q246 memos, so the
+  // incremental index and the gated batch path cannot drift apart.
+
+  /** The trained 16×4/K16 codebook of an arbitrary (vec_id, embedding)
+    * corpus — [[pqTrainedCentroids]] at the q244 constants.
+    */
+  private[graft] def trainedPqCodebookOf(emb: DataFrame): DataFrame =
+    pqTrainedCentroids(pqNormalized(emb), pqSubspaces, pqSubDim,
+      pqCodebookK, pqTrainSample, pqTrainIters)
+
+  /** (vec_id, codes, resid): each vector's trained-PQ code array PLUS its
+    * own quantization residual ‖fv − recon(fv)‖² in frozen-integer units
+    * (the per-subspace argmin distances summed — free at coding time).
+    * The residual is what makes ADC-primary admission EXACT: in frozen
+    * space the triangle inequality gives ‖fq − fb‖ ∈ [|a − r|, a + r]
+    * with a = √adc(q, b) and r = √resid(b), both computed without
+    * touching the raw corpus vector — so a candidate is certainly-dup or
+    * certainly-clean outside the bracket and only the gray band pays an
+    * exact-cosine raw-vector fetch ([[graft.streaming.IvfIndex]]).
+    * Codes are bit-identical to [[pqTrainedCodesOf]] (same argmin, same
+    * tie rule; spec-pinned by IvfIndexSpec against the q246 batch path).
+    */
+  private[graft] def trainedPqCodesWithResid(emb: DataFrame,
+      cent: DataFrame): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    pqTrainedCentroids(pqNormalized(emb), 1, pqSubspaces * pqSubDim,
-        nlist, 64 * nlist, pqTrainIters)
-      .select($"c_id".cast("long").as("p_id"),
-        expr(s"transform(fc, x -> CAST(x / ${pqFreezeScale.toLong}.0D AS FLOAT))").as("pe"))
+    pqNormalized(emb).spreadAcrossCores
+      .select($"vec_id", posexplode(array(pqSubSlices(pqSubspaces, pqSubDim): _*)).as(Seq("m", "sv")))
+      .select($"vec_id", $"m", freezeSub($"sv").as("fs"))
+      .join(broadcast(cent), Seq("m"))
+      .withColumn("d", isqDist($"fs", $"fc"))
+      .groupBy($"vec_id", $"m")
+      .agg(min(struct($"d", $"c_id")).as("mn"))
+      .groupBy($"vec_id")
+      .agg(transform(array_sort(collect_list(struct($"m", $"mn.c_id".as("code")))),
+        s => s.getField("code")).as("codes"),
+        sum($"mn.d").as("resid"))
   }
+
+  /** Per-QUERY ADC LUTs against an epoch codebook, keyed by the query's
+    * own vec_id — [[pqTrainedLutsOf]] at production geometry with the
+    * panel = the relation itself (every micro-batch vector is a query;
+    * batches are bounded, so the panel broadcast stays bounded).
+    * `kEff` is the codebook's EFFECTIVE per-subspace size — min(16,
+    * epoch corpus) when the epoch trained on fewer vectors than K
+    * (the LUT pack is positional: both the pack stride and
+    * [[adcDistOf]]'s lookup stride must be the actual entry count).
+    */
+  private[graft] def trainedPqLutsFor(emb: DataFrame, cent: DataFrame,
+      kEff: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    pqTrainedLutsOf(pqNormalized(emb), cent,
+      emb.select($"vec_id".as("a_id")), pqSubspaces, pqSubDim, kEff)
+  }
+
+  /** [[adcDist]] at the caller's effective K — the one scoring
+    * arithmetic shared by q244/q246 (kEff = 16 at the query constants)
+    * and the incremental index's ADC admission (kEff from the epoch
+    * codebook).
+    */
+  private[graft] def adcDistOf(codes: Column, lut: Column, kEff: Int): Column =
+    adcDist(codes, lut, kEff)
 
   /** Trained coarse pivots (nlist=64 centroids over the full 64-dim
     * frozen vectors) as a session memo.
@@ -1673,7 +1882,7 @@ object Similarity {
     * change to the assignment arithmetic (cosine ranking, tie order) or
     * the √n policy derivation.
     */
-  private[graft] val ivfLogicVersion = "cos.rowk.sqrtn-div8.v1"
+  private[graft] val ivfLogicVersion = "cos.rowk.sqrtn-div8.adcx.v2"
 
   /** The nlist lowest-vec_id vectors of a corpus as coarse pivots —
     * q226's deterministic, oracle-expressible quantizer, shared with

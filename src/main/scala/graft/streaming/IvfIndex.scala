@@ -2,12 +2,11 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
 
-/** Incrementally-maintained IVF index — the [[IndexLifecycle]] applied
-  * to the coarse-quantizer inverted-list family (q226/q242's production
-  * path), closing the r13 verdict gap: the LSH family had [[AnnIndex]],
-  * but growing an IVF corpus still required a batch re-assignment pass.
+/** Incrementally-maintained IVF+PQ index — the [[IndexLifecycle]]
+  * applied to the coarse-quantizer inverted-list family (q226/q242/
+  * q246's production path).
   *
   * The structural position sits BETWEEN the siblings. [[AnnIndex]]'s
   * planes are data-independent, so append-only maintenance is exact
@@ -18,118 +17,139 @@ import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType, 
   * (q236 — `Similarity.ivfPolicyNlist/Nprobe`) says the right nlist
   * GROWS with the corpus. So:
   *
-  *  - between rebuilds the pivot set is FROZEN in its own store —
-  *    incremental assignment of a batch against frozen pivots is EXACT
-  *    (bit-equal to what the batch path computes under those pivots;
-  *    pinned by IvfIndexSpec). New lower-id arrivals must NOT move the
-  *    pivots mid-epoch, which is why pivots are persisted rather than
-  *    re-derived from the corpus on every batch;
+  *  - between rebuilds the pivot set AND the PQ codebook are FROZEN in
+  *    their own stores — incremental assignment/coding of a batch
+  *    against frozen state is EXACT (bit-equal to what the batch path
+  *    computes under that state; pinned by IvfIndexSpec). New lower-id
+  *    arrivals must NOT move the pivots mid-epoch, which is why the
+  *    state is persisted rather than re-derived per batch;
   *  - rebuild-on-doubling (the NearDupIndex discipline) RE-POLICIES:
-  *    fresh n → fresh nlist = ⌊√n⌋, nprobe = ⌈nlist/8⌉, fresh pivot
-  *    set, full O(corpus) re-assignment — paid O(log n) times, so
-  *    per-admitted-vector cost stays amortized O(1) while per-list
-  *    size and candidate fraction track the q236 policy across growth.
+  *    fresh n → fresh nlist = ⌊√n⌋, nprobe = ⌈nlist/8⌉, fresh pivots,
+  *    fresh codebook, full O(corpus) re-assignment — paid O(log n)
+  *    times, so per-admitted-vector cost stays amortized O(1) while
+  *    per-list size and candidate fraction track the q236 policy.
   *
   * Stores under `indexDir`:
-  *  - `near/` — (vec_id, p_id, rk): the rk ≤ nprobe assignment slice
-  *    (the q226-shape relation — rk = 1 IS the m=1 inverted index, the
-  *    full slice is the probe set, and q242's ADC stage consumes the
-  *    same shape).
+  *  - `near/` — (vec_id, p_id, rk, code, resid): the rk ≤ nprobe
+  *    assignment slice (the q226-shape relation — rk = 1 IS the m=1
+  *    inverted index, the full slice is the probe set), with the
+  *    vector's 16-byte trained-PQ payload INLINED on its rk = 1 row
+  *    (code = the q244-kernel code array, resid = the vector's own
+  *    quantization residual ‖fv − recon(fv)‖², frozen integer). Codes
+  *    live IN the inverted lists — the FAISS `IndexIVFPQ` layout — so
+  *    the ADC probe is one list scan with no code-store join, and
+  *    rk > 1 rows carry nulls (no ×nprobe duplication of code bytes).
   *  - `piv/`  — (p_id, pe): the frozen pivot set of the current epoch.
-  *  - `meta/` — (n_vecs at last rebuild, nlist, nprobe, logic_version).
+  *  - `cb/`   — (m, c_id, fc): the epoch's trained PQ codebook
+  *    (q244's frozen-integer Lloyd at the production 16×4/K16
+  *    geometry, trained on the epoch corpus at rebuild).
+  *  - `meta/` — (n_vecs at last rebuild, nlist, nprobe, logic_version,
+  *    pivot_src, pivot_fp, cb_fp, committed) — see the two-phase
+  *    commit note on [[rebuild]].
+  *
+  * '''ADC-primary admission (exact).''' A batch vector's candidates come
+  * from the inverted lists; each candidate row already carries the
+  * corpus side's code and residual, so the probe scores candidates from
+  * 16 LUT lookups without touching a raw corpus vector. Because frozen
+  * integer arithmetic is exact, the triangle inequality
+  * ‖fq − fb‖ ∈ [|a − r|, a + r] (a = √adc, r = √resid) makes the
+  * decision EXACT, not approximate: pairs with a + r below the
+  * rejection bound are certainly dups, pairs with |a − r| above it are
+  * certainly clean, and only the thin GRAY band pays the exact-cosine
+  * raw-vector fetch — at 100 TB the raw corpus is touched for a sliver
+  * of candidates instead of all of them. The admitted set is therefore
+  * BIT-EQUAL to the full exact-verify path (spec-pinned), which remains
+  * available as `spark.graft.ivfIndex.exactVerify=true`.
   *
   * Per-batch cost = batch + candidates: the batch assigns against the
-  * BROADCAST frozen pivots (nlist·|batch| cosine kernels), the list
-  * store is only ever SCANNED against a broadcast of the batch's probe
-  * rows, and verification fetches corpus embeddings for candidate
-  * partners only — no corpus-sized shuffle anywhere (the all-broadcast
-  * probe-plan pin).
+  * BROADCAST frozen pivots, codes against the BROADCAST frozen
+  * codebook, the list store is only ever SCANNED against a broadcast of
+  * the batch's probe rows, and raw-vector fetches are gray-band only —
+  * no corpus-sized shuffle anywhere (the all-broadcast probe-plan pin).
   *
   * Crash story identical to the siblings: corpus parquet is the source
   * of truth, stores append after it, pre-probe divergence heal rebuilds
-  * ([[IndexLifecycle]] ordering argument).
+  * ([[IndexLifecycle]] ordering argument) — extended here with the
+  * fingerprinted two-phase meta commit, because pivots/codebook are
+  * correctness-bearing state the count heal alone cannot see (the r14
+  * advisor's toggled-`trainedPivots` crash window).
   */
 object IvfIndex extends IndexLifecycle {
 
   protected def confScope: String = "ivfIndex"
 
-  // rk is INT: row_number's type, preserved by the shared kernel
+  // rk is INT: row_number's type, preserved by the shared kernel;
+  // code/resid are null on rk > 1 rows (payload lives in the rk = 1
+  // inverted-list row only)
   val nearSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("p_id", LongType),
-    StructField("rk", IntegerType)))
+    StructField("rk", IntegerType),
+    StructField("code", ArrayType(IntegerType)),
+    StructField("resid", LongType)))
 
   val pivSchema: StructType = StructType(Seq(
     StructField("p_id", LongType),
     StructField("pe", ArrayType(FloatType))))
 
+  val cbSchema: StructType = StructType(Seq(
+    StructField("m", IntegerType),
+    StructField("c_id", IntegerType),
+    StructField("fc", ArrayType(LongType))))
+
+  val metaSchema: StructType = StructType(Seq(
+    StructField("n_vecs", LongType),
+    StructField("nlist", IntegerType),
+    StructField("nprobe", IntegerType),
+    StructField("logic_version", StringType),
+    StructField("pivot_src", StringType),
+    StructField("pivot_fp", LongType),
+    StructField("cb_fp", LongType),
+    StructField("committed", BooleanType)))
+
   /** embeddings-shaped schema for streaming file sources and store reads. */
   val vecSchema: StructType = AnnIndex.vecSchema
 
-  private def metaRow(spark: SparkSession,
-      indexDir: String): Option[(Long, Int, Int, String)] =
-    metaRowRaw(spark, indexDir)
-      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+  private final case class Meta(n: Long, nlist: Int, nprobe: Int,
+      version: String, pivotFp: Long, cbFp: Long, committed: Boolean)
+
+  /** Meta parsed BY NAME with conservative defaults: a meta written by an
+    * older store format (or a partially-evolved one) parses with
+    * `committed = false`, so the epoch-consistency heal rebuilds it —
+    * the version guard still fires first on `logic_version`.
+    */
+  private def metaRow(spark: SparkSession, indexDir: String): Option[Meta] =
+    metaRowRaw(spark, indexDir).map { r =>
+      def get[T](name: String, dflt: T): T =
+        scala.util.Try(r.getAs[T](name)).toOption
+          .filterNot(_ == null).getOrElse(dflt)
+      Meta(get[Long]("n_vecs", 0L), get[Int]("nlist", 0),
+        get[Int]("nprobe", 0), get[String]("logic_version", ""),
+        get[Long]("pivot_fp", 0L), get[Long]("cb_fp", 0L),
+        get[Boolean]("committed", false))
+    }
+
+  /** Order-free content fingerprint of a bounded store relation (xxhash64
+    * per row folded with bit_xor — deterministic under any partitioning;
+    * empty relation = 0). Bounded inputs only: piv/ is nlist rows, cb/ is
+    * 256 — never corpus-sized.
+    */
+  private def fpOf(df: DataFrame, cols: Seq[String]): Long =
+    df.select(xxhash64(cols.map(col): _*).as("h"))
+      .agg(expr("coalesce(bit_xor(h), CAST(0 AS BIGINT))"))
+      .head().getLong(0)
 
   private def writeMeta(spark: SparkSession, indexDir: String, n: Long,
-      nlist: Int, nprobe: Int): Unit = {
+      nlist: Int, nprobe: Int, pivotSrc: String, pivotFp: Long, cbFp: Long,
+      committed: Boolean): Unit = {
     import spark.implicits._
-    Seq((n, nlist, nprobe, graft.operators.Similarity.ivfLogicVersion))
-      .toDF("n_vecs", "nlist", "nprobe", "logic_version").coalesce(1)
-      .write.mode("overwrite").parquet(s"$indexDir/meta")
+    Seq((n, nlist, nprobe, graft.operators.Similarity.ivfLogicVersion,
+        pivotSrc, pivotFp, cbFp, committed))
+      .toDF("n_vecs", "nlist", "nprobe", "logic_version", "pivot_src",
+        "pivot_fp", "cb_fp", "committed")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
   }
 
-  /** The current epoch's frozen (nlist, nprobe) — q236-policy values
-    * stamped at the last rebuild (fallback to the policy of n=0 for a
-    * store that has never rebuilt).
-    */
-  private def epochParams(spark: SparkSession, indexDir: String): (Int, Int) =
-    metaRow(spark, indexDir).map { case (_, nl, np, _) => (nl, np) }
-      .getOrElse {
-        val nl = graft.operators.Similarity.ivfPolicyNlist(0L)
-        (nl, graft.operators.Similarity.ivfPolicyNprobe(nl))
-      }
-
-  /** Candidate (corpus, batch) pairs from probing the persisted m=1
-    * lists with a batch's probe assignments: the batch assigns against
-    * the BROADCAST frozen pivots, then the rk = 1 list store is scanned
-    * once against a broadcast of the batch's probe rows (the q226
-    * candidate shape at micro-batch grain). No distinct needed on the
-    * store side (m=1: each corpus vector sits in exactly one list), but
-    * a batch vector probes nprobe lists, so pairs dedup.
-    */
-  def candidatePairs(spark: SparkSession, indexDir: String,
-      batchNear: DataFrame): DataFrame = {
-    import spark.implicits._
-    val store = readOrEmpty(spark, s"$indexDir/near", nearSchema)
-    val lists = store.filter($"rk" === 1).select($"vec_id".as("a_id"), $"p_id")
-    lists.join(broadcast(batchNear.select($"vec_id".as("b_id"), $"p_id")),
-        Seq("p_id"))
-      .filter($"a_id" =!= $"b_id")
-      .select($"a_id", $"b_id")
-      .distinct()
-  }
-
-  /** Plan view for the cost-shape pin: the full per-batch probe (assign
-    * against frozen pivots → candidates → cosine verify), no writes,
-    * fully symbolic so the joins stay visible in the explained plan.
-    */
-  private[graft] def batchProbePlan(spark: SparkSession, indexDir: String,
-      corpusDir: String, batch: DataFrame, maxCosine: Double): DataFrame = {
-    val (_, nprobe) = epochParams(spark, indexDir)
-    val piv = readOrEmpty(spark, s"$indexDir/piv", pivSchema)
-    val bn = graft.operators.Similarity.ivfNearOf(
-      batch.select(col("vec_id"), col("embedding")), piv, nprobe)
-    cosineRejectedIds(spark, corpusDir, vecSchema, batch,
-      candidatePairs(spark, indexDir, bn), maxCosine)
-  }
-
-  /** Full index (re)derivation from the corpus store — bootstrap,
-    * doubling RE-POLICY, compaction, crash recovery. Derives fresh
-    * q236-policy parameters from the CURRENT corpus size, freezes the
-    * fresh pivot set, and re-assigns everything: one O(corpus·nlist)
-    * pass, paid O(log n) times under the doubling trigger.
-    */
   /** Pivot source for rebuilds: `spark.graft.ivfIndex.trainedPivots`
     * (default false = q226's lowest-vec_id pivots). When true, each
     * rebuild TRAINS the epoch's pivots (q245's frozen-integer Lloyd, 64
@@ -141,86 +161,241 @@ object IvfIndex extends IndexLifecycle {
     * 64× growth (73/85/97/105 vs 73/82/94/106 of 160), because cosine
     * is scale-invariant in the pivot. The flag only steers the NEXT
     * rebuild; probes always rank against the FROZEN stored payload, so
-    * epochs stay internally consistent whatever the flag does later.
+    * epochs stay internally consistent whatever the flag does later —
+    * and the meta fingerprint makes a toggle-plus-crash window
+    * detectable (see [[rebuild]]).
     */
   private def trainedPivots(spark: SparkSession): Boolean =
     spark.conf.getOption("spark.graft.ivfIndex.trainedPivots")
       .exists(_.toBoolean)
 
+  /** `spark.graft.ivfIndex.exactVerify=true` restores the full
+    * exact-cosine verify over every candidate (the pre-ADC fallback).
+    * Default false: ADC-primary with gray-band exact — the SAME
+    * admitted set (spec-pinned), touching raw vectors for the gray
+    * band only.
+    */
+  private def exactVerify(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.ivfIndex.exactVerify")
+      .exists(_.toBoolean)
+
+  /** Candidate (corpus, batch) pairs WITH the corpus side's inlined ADC
+    * payload, from probing the persisted m=1 lists with a batch's probe
+    * assignments: the batch assigns against the BROADCAST frozen pivots,
+    * then the rk = 1 list store is scanned once against a broadcast of
+    * the batch's probe rows (the q226 candidate shape at micro-batch
+    * grain). No distinct needed on the store side (m=1: each corpus
+    * vector sits in exactly one list), but a batch vector probes nprobe
+    * lists, so pairs dedup — the payload is identical per a_id, so any
+    * surviving row is the right one.
+    */
+  def candidatePairsCoded(spark: SparkSession, indexDir: String,
+      batchNear: DataFrame): DataFrame = {
+    import spark.implicits._
+    val store = readOrEmpty(spark, s"$indexDir/near", nearSchema)
+    val lists = store.filter($"rk" === 1)
+      .select($"vec_id".as("a_id"), $"p_id", $"code", $"resid")
+    lists.join(broadcast(batchNear.select($"vec_id".as("b_id"), $"p_id")),
+        Seq("p_id"))
+      .filter($"a_id" =!= $"b_id")
+      .select($"a_id", $"b_id", $"code", $"resid")
+      .dropDuplicates("a_id", "b_id")
+  }
+
+  /** The bare (a_id, b_id) candidate pairs — [[candidatePairsCoded]]
+    * minus the payload (parquet column pruning keeps the narrow read).
+    */
+  def candidatePairs(spark: SparkSession, indexDir: String,
+      batchNear: DataFrame): DataFrame =
+    candidatePairsCoded(spark, indexDir, batchNear)
+      .select(col("a_id"), col("b_id"))
+
+  /** Batch ids with an indexed neighbor at cosine ≥ maxCosine, decided
+    * ADC-FIRST: score every candidate from its inlined (code, resid)
+    * against the batch vector's LUT — frozen-integer exact — and
+    * sandwich the true frozen distance with the triangle inequality.
+    * Certain-dups reject with no raw fetch; certain-cleans drop with no
+    * raw fetch; ONLY the gray band runs the exact-cosine verify. The
+    * union is bit-equal to exact-verifying every candidate (IvfIndexSpec
+    * pin) because the bands are sound:
+    *
+    *   frozen space (exact ints): |a − r| ≤ ‖fq − fb‖ ≤ a + r,
+    *   freeze noise: ‖fq − fb‖ within 8 units of 10⁶·‖q − b‖ (per-coord
+    *   floor error < 1, 64 dims → √64), and unit-domain geometry:
+    *   cos(q, b) ≥ maxCosine ⟺ ‖q − b‖ ≤ √(2(1 − maxCosine)).
+    *
+    * The [[adcEpsFrozen]] margin (64 units = 6.4e-5 in unit space)
+    * swallows the freeze noise AND the float error of the exact arm's
+    * cosineSim, erring only toward a wider gray band — never toward a
+    * wrong certain decision.
+    */
+  private val adcEpsFrozen = 64.0
+
+  private[streaming] def adcRejectedIds(spark: SparkSession,
+      corpusDir: String, batch: DataFrame, candCoded: DataFrame,
+      cb: DataFrame, maxCosine: Double): DataFrame = {
+    import spark.implicits._
+    val sim = graft.operators.Similarity
+    // the codebook's EFFECTIVE per-subspace size: an epoch trained on
+    // fewer vectors than K has that many centroids, and the positional
+    // LUT pack must stride by the actual count (0 on a first-touch
+    // empty store → no LUTs → no ADC rejections, matching the empty
+    // candidate set)
+    val kEff = cb.agg(coalesce(max($"c_id"), lit(0))).head().getInt(0)
+    val luts = sim.trainedPqLutsFor(
+        batch.select($"vec_id", $"embedding"), cb, kEff)
+      .select($"a_id".as("b_id"), $"lut")
+    // rejection bound as a frozen-unit DISTANCE (not squared): the
+    // sandwich compares √adc ± √resid against it
+    val boundF = math.sqrt(2.0 * (1.0 - maxCosine)) * sim.pqFreezeScale
+    val scored = candCoded
+      .join(broadcast(luts), Seq("b_id"))
+      .withColumn("a", sqrt(sim.adcDistOf($"code", $"lut", kEff).cast("double")))
+      .withColumn("r", sqrt($"resid".cast("double")))
+    val certain = scored
+      .filter($"a" + $"r" <= lit(boundF - adcEpsFrozen))
+      .select($"b_id".as("vec_id"))
+    val gray = scored
+      .filter($"a" + $"r" > lit(boundF - adcEpsFrozen) &&
+        abs($"a" - $"r") <= lit(boundF + adcEpsFrozen))
+      .select($"a_id", $"b_id")
+    val grayRejected = cosineRejectedIds(spark, corpusDir, vecSchema,
+      batch, gray, maxCosine)
+    certain.union(grayRejected).distinct()
+  }
+
+  /** Plan view for the cost-shape pin: the full per-batch probe (assign
+    * against frozen pivots → coded candidates → ADC sandwich →
+    * gray-band cosine verify), no writes, fully symbolic so the joins
+    * stay visible in the explained plan.
+    */
+  private[graft] def batchProbePlan(spark: SparkSession, indexDir: String,
+      corpusDir: String, batch: DataFrame, maxCosine: Double): DataFrame = {
+    val nprobe = metaRow(spark, indexDir).map(_.nprobe).getOrElse(1)
+    val piv = readOrEmpty(spark, s"$indexDir/piv", pivSchema)
+    val cb = readOrEmpty(spark, s"$indexDir/cb", cbSchema)
+    val bn = graft.operators.Similarity.ivfNearOf(
+      batch.select(col("vec_id"), col("embedding")), piv, nprobe)
+    adcRejectedIds(spark, corpusDir, batch,
+      candidatePairsCoded(spark, indexDir, bn), cb, maxCosine)
+  }
+
+  /** Full index (re)derivation from the corpus store — bootstrap,
+    * doubling RE-POLICY, compaction, crash recovery. Derives fresh
+    * q236-policy parameters from the CURRENT corpus size, freezes the
+    * fresh pivot set and trained codebook, and re-assigns/re-codes
+    * everything: one O(corpus·nlist) + one O(corpus·M·K) pass, paid
+    * O(log n) times under the doubling trigger. (The corpus-sized
+    * near⋈codes join below is rebuild-only — the per-batch path never
+    * shuffles corpus-sized relations.)
+    *
+    * '''Two-phase fingerprinted meta commit''' (r14 advisor: a crash
+    * between the piv/ overwrite and the near/ overwrite during a
+    * pure-compaction rebuild with `trainedPivots` toggled between
+    * sessions left trained pivots over old-pivot assignments with
+    * MATCHING row counts — invisible to the count heal). Write order:
+    *
+    *   1. piv/ and cb/ (the epoch state),
+    *   2. meta with their content fingerprints and `committed = false`,
+    *   3. near/ (the corpus-sized derived store),
+    *   4. meta again with `committed = true`.
+    *
+    * Every crash window is now detectable pre-probe: a crash before 2
+    * leaves stored fingerprints disagreeing with the stale meta's; a
+    * crash between 2 and 4 leaves `committed = false`; and a LOST meta
+    * under surviving data heals via the counts-or-missing-meta path in
+    * [[admitBatch]] (never re-stamped with first-touch params).
+    */
   def rebuild(spark: SparkSession, corpusDir: String, indexDir: String): Long = {
     import spark.implicits._
+    val sim = graft.operators.Similarity
     val corpus = readOrEmpty(spark, corpusDir, vecSchema)
       .select($"vec_id", $"embedding")
     val n = corpus.count()
-    val nlist = graft.operators.Similarity.ivfPolicyNlist(n)
-    val nprobe = graft.operators.Similarity.ivfPolicyNprobe(nlist)
-    val piv = (if (trainedPivots(spark))
-      graft.operators.Similarity.trainedCoarsePivots(corpus, nlist)
-    else graft.operators.Similarity.ivfPivotsOf(corpus, nlist))
+    val nlist = sim.ivfPolicyNlist(n)
+    val nprobe = sim.ivfPolicyNprobe(nlist)
+    val pivotSrc = if (trainedPivots(spark)) "trained" else "policy"
+    val piv = (if (pivotSrc == "trained") sim.trainedCoarsePivots(corpus, nlist)
+      else sim.ivfPivotsOf(corpus, nlist))
       .localCheckpoint()
+    val cb = sim.trainedPqCodebookOf(corpus).localCheckpoint()
     piv.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/piv")
-    // meta BEFORE the near store (review finding): if it were last, a
-    // crash between the near write and the meta write would leave
-    // matching counts under a missing/stale meta — the next batch
-    // would re-stamp first-touch params (nlist=4, nprobe=1) and probe
-    // a wide store far too narrowly, admitting near-dups the store can
-    // see. Written in this order, EVERY crash window leaves the near
-    // count diverged from the corpus count (or, for a pure-compaction
-    // rebuild, leaves the deterministic old store, which is the same
-    // relation), so the pre-probe heal catches it.
-    writeMeta(spark, indexDir, n, nlist, nprobe)
-    val near = graft.operators.Similarity.ivfNearOf(corpus, piv, nprobe)
+    cb.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/cb")
+    writeMeta(spark, indexDir, n, nlist, nprobe, pivotSrc,
+      fpOf(piv, Seq("p_id", "pe")), fpOf(cb, Seq("m", "c_id", "fc")),
+      committed = false)
+    val codes = sim.trainedPqCodesWithResid(corpus, cb)
+    val near = sim.ivfNearOf(corpus, piv, nprobe)
+      .join(codes.select($"vec_id", $"codes", $"resid"), Seq("vec_id"), "left")
+      .select($"vec_id", $"p_id", $"rk",
+        when($"rk" === 1, $"codes").as("code"),
+        when($"rk" === 1, $"resid").as("resid"))
       .localCheckpoint()
     near.coalesce(compactFiles(spark, n)).write.mode("overwrite")
       .parquet(s"$indexDir/near")
+    writeMeta(spark, indexDir, n, nlist, nprobe, pivotSrc,
+      fpOf(piv, Seq("p_id", "pe")), fpOf(cb, Seq("m", "c_id", "fc")),
+      committed = true)
     org.apache.spark.sql.graft.CheckpointUtils.sweepUnpinned(spark.sparkContext)
     n
   }
 
   /** One micro-batch of IVF-indexed admission: reject batch vectors with
-    * an indexed cosine neighbor >= maxCosine among their IVF candidates,
-    * append survivors to the corpus AND their frozen-pivot assignments
+    * an indexed cosine neighbor >= maxCosine among their IVF candidates
+    * (ADC-first, gray-band exact — see [[adcRejectedIds]]), append
+    * survivors to the corpus AND their frozen-epoch assignments + codes
     * to the list store; RE-POLICY rebuild when the corpus has doubled
-    * since the last snapshot (which also bootstraps a first-touch or
-    * pre-existing-corpus intake — the rebuild re-derives this batch's
-    * rows too, so the incremental append is skipped that batch).
-    * In-batch near-dups are both admitted; replay-safe via the exact id
-    * anti-join, as in the siblings.
+    * since the last snapshot OR on the FIRST admission into a
+    * never-rebuilt store (r14 advisor: a one-vector first batch under
+    * the doubling rule alone would strand an empty-pivot store if the
+    * stream ended there). In-batch near-dups are both admitted;
+    * replay-safe via the exact id anti-join, as in the siblings.
     */
   def admitBatch(batch: DataFrame, corpusDir: String, indexDir: String,
       maxCosine: Double = 0.92): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
-    // ONE meta read serves the guard and the first-touch stamp (the
-    // hot-path meta chatter the review flagged); it is re-read only
-    // after a heal can have rewritten it.
+    val sim = graft.operators.Similarity
+    // ONE meta read serves the guard, the consistency heal and the
+    // first-touch stamp; re-read only after a heal can have rewritten it.
     val meta0 = metaRow(spark, indexDir)
-    meta0.foreach { case (_, _, _, v) =>
-      require(v == graft.operators.Similarity.ivfLogicVersion,
-        s"index at $indexDir was built with IVF version $v, this code is " +
-          s"${graft.operators.Similarity.ivfLogicVersion} — rebuild() required")
-    }
-    if (meta0.isEmpty) {
-      val nl = graft.operators.Similarity.ivfPolicyNlist(0L)
-      writeMeta(spark, indexDir, 0L, nl,
-        graft.operators.Similarity.ivfPolicyNprobe(nl))
+    meta0.foreach { m =>
+      require(m.version == sim.ivfLogicVersion,
+        s"index at $indexDir was built with IVF version ${m.version}, this " +
+          s"code is ${sim.ivfLogicVersion} — rebuild() required")
     }
     // Pre-probe self-heal ([[IndexLifecycle.healIfNeeded]] — ordering
-    // argument in the trait doc). Both probes are metadata reads.
+    // argument in the trait doc), extended with the epoch-consistency
+    // check: counts catch orphaned rows, fingerprints + the committed
+    // flag catch mixed-epoch state the counts cannot see.
     val preIdxCount = readOrEmpty(spark, s"$indexDir/near", nearSchema)
       .select($"vec_id").distinct().count()
     val preCorpusCount = readOrEmpty(spark, corpusDir, vecSchema).count()
     var healed = false
-    healIfNeeded(spark, preCorpusCount, preIdxCount,
-        Seq(s"$indexDir/near")) {
-      rebuild(spark, corpusDir, indexDir); healed = true
+    def doRebuild(): Unit = { rebuild(spark, corpusDir, indexDir); healed = true }
+    meta0 match {
+      case None =>
+        if (preIdxCount > 0 || preCorpusCount > 0) doRebuild() // lost meta under data: re-derive, never re-stamp
+        else writeMeta(spark, indexDir, 0L, sim.ivfPolicyNlist(0L),
+          sim.ivfPolicyNprobe(sim.ivfPolicyNlist(0L)),
+          if (trainedPivots(spark)) "trained" else "policy",
+          0L, 0L, committed = true)
+      case Some(m) =>
+        val epochConsistent = m.committed &&
+          m.pivotFp == fpOf(readOrEmpty(spark, s"$indexDir/piv", pivSchema),
+            Seq("p_id", "pe")) &&
+          m.cbFp == fpOf(readOrEmpty(spark, s"$indexDir/cb", cbSchema),
+            Seq("m", "c_id", "fc"))
+        if (!epochConsistent) doRebuild()
     }
+    if (!healed)
+      healIfNeeded(spark, preCorpusCount, preIdxCount,
+        Seq(s"$indexDir/near")) { doRebuild() }
     // the post-heal epoch: re-read only if the heal rewrote it
     val meta1 = if (healed || meta0.isEmpty) metaRow(spark, indexDir) else meta0
-    val lastN = meta1.map(_._1).getOrElse(0L)
-    val nprobe = meta1.map(_._3).getOrElse(
-      graft.operators.Similarity.ivfPolicyNprobe(
-        graft.operators.Similarity.ivfPolicyNlist(0L)))
+    val lastN = meta1.map(_.n).getOrElse(0L)
+    val nprobe = meta1.map(_.nprobe).getOrElse(
+      sim.ivfPolicyNprobe(sim.ivfPolicyNlist(0L)))
     val existingIds = readOrEmpty(spark, corpusDir, vecSchema).select($"vec_id")
     val idHits = existingIds
       .join(broadcast(batch.select($"vec_id")), Seq("vec_id")).distinct()
@@ -235,27 +410,44 @@ object IvfIndex extends IndexLifecycle {
       .select($"vec_id", $"embedding", $"label")
       .localCheckpoint()
     val piv = readOrEmpty(spark, s"$indexDir/piv", pivSchema).localCheckpoint()
-    val batchNear = graft.operators.Similarity
+    val cb = readOrEmpty(spark, s"$indexDir/cb", cbSchema).localCheckpoint()
+    val batchNear = sim
       .ivfNearOf(fresh.select($"vec_id", $"embedding"), piv, nprobe)
       .localCheckpoint()
-    val rejected = cosineRejectedIds(spark, corpusDir, vecSchema, fresh,
-      candidatePairs(spark, indexDir, batchNear).localCheckpoint(), maxCosine)
+    val candCoded = candidatePairsCoded(spark, indexDir, batchNear)
+      .localCheckpoint()
+    val rejected =
+      if (exactVerify(spark))
+        cosineRejectedIds(spark, corpusDir, vecSchema, fresh,
+          candCoded.select($"a_id", $"b_id"), maxCosine)
+      else adcRejectedIds(spark, corpusDir, fresh, candCoded, cb, maxCosine)
     val admitted = fresh.join(broadcast(rejected), Seq("vec_id"), "left_anti")
       .localCheckpoint()
     val nAdmitted = admitted.count()
     admitted.write.mode("append").parquet(corpusDir)
     // RE-POLICY trigger (post-append, so the rebuild sees this batch):
-    // doubling since the last snapshot re-derives nlist/nprobe/pivots
-    // and every assignment — the incremental append is skipped, the
-    // rebuild already indexed the admitted rows. corpusTotal is derived
-    // (pre-heal count + this batch's admissions — fresh ids are by
-    // construction absent from the corpus), not a second full count.
+    // doubling since the last snapshot — or ANY admission while the
+    // store has never rebuilt (lastN == 0: the pivot/codebook stores
+    // are empty, so incremental appends could not index the rows) —
+    // re-derives nlist/nprobe/pivots/codebook and every assignment;
+    // the incremental append is skipped, the rebuild already indexed
+    // the admitted rows. corpusTotal is derived (pre-heal count + this
+    // batch's admissions — fresh ids are by construction absent from
+    // the corpus), not a second full count.
     val corpusTotal = preCorpusCount + nAdmitted
-    if (corpusTotal >= 2L * math.max(1L, lastN)) {
+    if (corpusTotal >= 2L * math.max(1L, lastN) ||
+        (lastN == 0L && corpusTotal > 0L)) {
       rebuild(spark, corpusDir, indexDir)
     } else {
+      val admittedCodes = sim.trainedPqCodesWithResid(
+        admitted.select($"vec_id", $"embedding"), cb)
       val admittedNear = batchNear
         .join(broadcast(admitted.select($"vec_id")), Seq("vec_id"))
+        .join(broadcast(admittedCodes.select($"vec_id", $"codes", $"resid")),
+          Seq("vec_id"), "left")
+        .select($"vec_id", $"p_id", $"rk",
+          when($"rk" === 1, $"codes").as("code"),
+          when($"rk" === 1, $"resid").as("resid"))
         .localCheckpoint()
       admittedNear.repartition(appendWriters(spark, nAdmitted), $"p_id")
         .write.mode("append").parquet(s"$indexDir/near")

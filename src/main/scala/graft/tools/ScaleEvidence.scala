@@ -90,7 +90,13 @@ object ScaleEvidence {
         args.lift(1).map(_.toInt).getOrElse(40000),
         args.lift(2).map(_.toInt).getOrElse(21),
         resetShuffle _, () => shuffleMB)
-      case other => sys.error(s"unknown mode $other (ssjoin|skew|stream|probe|memoscale|qnorm|triangles|intervals|graphiter|gaps|ann|fpstream)")
+      case "lloyd" => lloydScale(spark,
+        if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+        else Seq(64, 256, 512, 1024, 2048, 4096))
+      case "ivfindex" => ivfIndexStream(spark,
+        args.lift(1).map(_.toInt).getOrElse(128000),
+        args.lift(2).map(_.toInt).getOrElse(7))
+      case other => sys.error(s"unknown mode $other (ssjoin|skew|stream|probe|memoscale|qnorm|triangles|intervals|graphiter|gaps|ann|fpstream|lloyd|ivfindex)")
     }
     spark.stop()
   }
@@ -765,9 +771,15 @@ object ScaleEvidence {
       // --- TRAINED coarse pivots at the policy point (q245's kernel,
       // 64 points/centroid sample, 8 Lloyd iterations): does pivot
       // training lift recall at the SAME candidate budget across growth?
+      // constants REFERENCED from the gated kernel, not copied (r14
+      // advisor): a re-tune that bumps pqTrainedLogicVersion re-tunes
+      // this measurement arm with it.
       val nvr = graft.operators.Similarity.pqNormalized(emb)
+      val coarseDim = graft.operators.Similarity.pqSubspaces *
+        graft.operators.Similarity.pqSubDim
       val centT = graft.operators.Similarity
-        .pqTrainedCentroids(nvr, 1, 64, pl, 64 * pl, 8).localCheckpoint()
+        .pqTrainedCentroids(nvr, 1, coarseDim, pl, 64 * pl,
+          graft.operators.Similarity.pqTrainIters).localCheckpoint()
       val (polTHits, polTFrac) = {
         val lists = graft.operators.Similarity
           .trainedCoarseLists(nvr, centT).localCheckpoint()
@@ -783,8 +795,7 @@ object ScaleEvidence {
       // arm is needed). Measures the q245-docstring metric seam:
       // integer-L2 rank vs cosine rank against non-unit centroids.
       val (sphHits, sphFrac) = {
-        val pivT = centT.select($"c_id".cast("long").as("p_id"),
-          expr("transform(fc, x -> CAST(x / 1000000.0D AS FLOAT))").as("pe"))
+        val pivT = graft.operators.Similarity.thawedPivots(centT)
           .localCheckpoint()
         val near = graft.operators.Similarity.ivfNearOf(emb, pivT, pp)
           .localCheckpoint()
@@ -831,6 +842,121 @@ object ScaleEvidence {
     }
     println(run(sizes.head) + "  (JIT warmup, discard)")
     sizes.foreach(n => println(run(n)))
+  }
+
+  /** `lloyd [K…]` — wall-time + bit-equality evidence for the sharded
+    * Lloyd kernel past the serial-infeasibility knee (the r14 verdict's
+    * one named scale defect). Per K: a synthetic 64·K-vector corpus (the
+    * 64-points-per-centroid rule's sample IS the corpus), the production
+    * coarse-quantizer geometry (mSub=1, [[graft.operators.Similarity]]'s
+    * pqSubspaces·pqSubDim dims), pqTrainIters iterations. For K ≤ 1024
+    * the serial reference kernel ALSO runs and the two codebooks are
+    * REQUIRED bit-equal — the at-scale extension of SimilaritySpec's
+    * fixture-shape pin. Above that only the sharded kernel runs; the
+    * serial wall is extrapolable from its measured K² law, and not
+    * running it is the point (K=4096 serial ≈ 10+ min of single
+    * driver-core integer ops).
+    */
+  private def lloydScale(spark: org.apache.spark.sql.SparkSession,
+      ks: Seq[Int]): Unit = {
+    import spark.implicits._
+    val sim = graft.operators.Similarity
+    val dim = sim.pqSubspaces * sim.pqSubDim
+    val iters = sim.pqTrainIters
+    def collectSorted(df: DataFrame): Seq[(Int, Int, Seq[Long])] =
+      df.collect().toSeq
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
+        .sortBy(t => (t._1, t._2))
+    def run(k: Int): String = {
+      val n = 64 * k
+      val nv = sim.pqNormalized(spark.range(n).select($"id".as("vec_id"),
+          expr(s"""transform(sequence(0, ${dim - 1}),
+                 |  d -> CAST((pmod(xxhash64(id, d), 2001) - 1000) / 1000.0 AS FLOAT))"""
+            .stripMargin).as("embedding"))
+          .spreadAcrossCores)
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      val sh = collectSorted(
+        sim.pqTrainedCentroidsSharded(nv, 1, dim, k, 64 * k, iters))
+      val tSh = (System.nanoTime() - t0) / 1e9
+      val serialNote = if (k <= 1024) {
+        val t1 = System.nanoTime()
+        val se = collectSorted(
+          sim.pqTrainedCentroidsSerial(nv, 1, dim, k, 64 * k, iters))
+        val tSe = (System.nanoTime() - t1) / 1e9
+        require(sh == se, s"sharded != serial at K=$k")
+        f"serial=$tSe%8.1f s  BIT-EQUAL"
+      } else "serial=skipped (K^2 law; sharded-only rung)"
+      org.apache.spark.sql.graft.CheckpointUtils.sweepUnpinned(spark.sparkContext)
+      f"lloyd K=$k%5d n=$n%8d dim=$dim iters=$iters  " +
+        f"sharded=$tSh%8.1f s  $serialNote"
+    }
+    println(run(ks.head) + "  (JIT warmup, discard)")
+    ks.foreach(k => println(run(k)))
+  }
+
+  /** `ivfindex [n] [waves]` — the incremental IVF+PQ index under
+    * continuous intake at evidence scale: a synthetic corpus arrives in
+    * DOUBLING micro-batches (n/2^(waves−1) twice, then 2×, 4×, …)
+    * through [[graft.streaming.IvfIndex.admitBatch]] with trained
+    * pivots on. Per wave: admission wall seconds, whether the epoch
+    * re-policied (meta snapshot count moved), the epoch's nlist/nprobe,
+    * and a fixed 32-query panel's candidate FRACTION + probe wall
+    * against the post-wave store. The claims on trial (the r8
+    * NearDupIndex evidence, for the vector family): per-batch cost
+    * tracks the BATCH except on the O(log n) re-policy waves, and the
+    * √n policy holds the panel's candidate fraction flat across growth.
+    */
+  private def ivfIndexStream(spark: org.apache.spark.sql.SparkSession,
+      n: Int, waves: Int): Unit = {
+    import spark.implicits._
+    import graft.streaming.IvfIndex
+    val sim = graft.operators.Similarity
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_stream")
+    val corpusDir = root.resolve("corpus").toString
+    val indexDir = root.resolve("index").toString
+    val dim = sim.pqSubspaces * sim.pqSubDim
+    def emb(lo: Long, hi: Long): DataFrame =
+      spark.range(lo, hi).select($"id".as("vec_id"),
+        expr(s"""transform(sequence(0, ${dim - 1}),
+               |  d -> CAST((pmod(xxhash64(id, d), 2001) - 1000) / 1000.0 AS FLOAT))"""
+          .stripMargin).as("embedding"), lit(0).as("label"))
+        .spreadAcrossCores
+    spark.conf.set("spark.graft.ivfIndex.trainedPivots", "true")
+    try {
+      val base = math.max(1, n >> (waves - 1))
+      val sizes = base +: (0 until waves - 1).map(i => base << i)
+      val panel = emb(n.toLong, n.toLong + 32)
+        .select($"vec_id", $"embedding").localCheckpoint() // never admitted
+      var lo = 0L
+      var lastSnapshot = -1L
+      sizes.zipWithIndex.foreach { case (sz, w) =>
+        val batch = emb(lo, lo + sz).localCheckpoint()
+        val t0 = System.nanoTime()
+        IvfIndex.admitBatch(batch, corpusDir, indexDir)
+        val wall = (System.nanoTime() - t0) / 1e9
+        val meta = spark.read.parquet(s"$indexDir/meta").head()
+        val snap = meta.getAs[Long]("n_vecs")
+        val nlist = meta.getAs[Int]("nlist")
+        val nprobe = meta.getAs[Int]("nprobe")
+        val rebuilt = snap != lastSnapshot
+        lastSnapshot = snap
+        val corpusN = spark.read.schema(IvfIndex.vecSchema)
+          .parquet(corpusDir).count()
+        val piv = spark.read.schema(IvfIndex.pivSchema)
+          .parquet(s"$indexDir/piv").localCheckpoint()
+        val t1 = System.nanoTime()
+        val cand = IvfIndex.candidatePairs(spark, indexDir,
+          sim.ivfNearOf(panel, piv, nprobe)).count()
+        val probeWall = (System.nanoTime() - t1) / 1e9
+        org.apache.spark.sql.graft.CheckpointUtils.sweepUnpinned(spark.sparkContext)
+        println(f"ivfindex wave=$w%2d batch=$sz%7d corpus=$corpusN%7d  " +
+          f"admit=$wall%7.1f s ${if (rebuilt) "REBUILT" else "incr   "} " +
+          f"nlist=$nlist%4d p$nprobe%-3d  " +
+          f"panelCand=${cand / 32.0 / corpusN * 100}%5.2f%% probe=$probeWall%5.1f s")
+        lo += sz
+      }
+    } finally spark.conf.unset("spark.graft.ivfIndex.trainedPivots")
   }
 
   /** Streaming perceptual-dedup intake at stress scale: the Zipf blob

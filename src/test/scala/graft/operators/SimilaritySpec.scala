@@ -827,4 +827,46 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(got == expected, s"got $got expected $expected")
     assert(got.values.map(_._1).sum == 32L, "histogram must cover the full panel")
   }
+
+  test("sharded Lloyd == serial Lloyd bit-for-bit (every geometry the queries freeze)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // The r15 scale fix: pqTrainedCentroids dispatches past the serial
+    // op budget to the distributed kernel, which is only sound if the
+    // two are indistinguishable on BYTES. Pin every geometry the gated
+    // queries use (q244's 16×4/K16, q245/q246's coarse 1×64/K64) plus a
+    // small-K shape prone to emptied clusters, on BOTH the fixture
+    // corpus and a synthetic uniform corpus (different value
+    // distribution, different partition count).
+    val fixture = Similarity.pqNormalized(
+      spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select($"vec_id", $"embedding"))
+    val synth = Similarity.pqNormalized(
+      spark.range(3000).select($"id".as("vec_id"),
+        expr("""transform(sequence(0, 63),
+               |  d -> CAST((pmod(xxhash64(id, d), 2001) - 1000) / 1000.0 AS FLOAT))"""
+          .stripMargin).as("embedding")).repartition(7))
+    def collectSorted(df: org.apache.spark.sql.DataFrame) =
+      df.collect().toSeq
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
+        .sortBy(t => (t._1, t._2))
+    for {
+      (nv, tag) <- Seq((fixture, "fixture"), (synth, "synth"))
+      (mSub, subDim, k, samp, iters) <- Seq(
+        (16, 4, 16, 1024, 8), // q244 PQ geometry
+        (1, 64, 64, 4096, 8), // q245/q246 coarse geometry
+        (1, 64, 7, 100, 3))   // small-K odd shape (empty-cluster prone)
+    } {
+      val serial = collectSorted(
+        Similarity.pqTrainedCentroidsSerial(nv, mSub, subDim, k, samp, iters))
+      val sharded = collectSorted(
+        Similarity.pqTrainedCentroidsSharded(nv, mSub, subDim, k, samp, iters))
+      assert(serial.nonEmpty && sharded == serial,
+        s"sharded != serial at $tag m=$mSub k=$k s=$samp t=$iters")
+    }
+    // the empty relation degenerates identically (no rows, same schema)
+    val empty = fixture.filter($"vec_id" < -1)
+    assert(Similarity.pqTrainedCentroidsSharded(empty, 1, 64, 4, 16, 2).count() == 0L)
+    assert(Similarity.pqTrainedCentroidsSerial(empty, 1, 64, 4, 16, 2).count() == 0L)
+  }
 }

@@ -4,11 +4,13 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
-/** Incremental IVF index: frozen-pivot incremental assignment is
-  * bit-equal to the batch path under the same epoch, the doubling
-  * rebuild re-policies (√n nlist, nprobe = ⌈nlist/8⌉), admission
-  * rejects indexed cosine near-dups through the inverted lists, and the
-  * per-batch probe never shuffles the corpus-sided stores.
+/** Incremental IVF+PQ index: frozen-epoch incremental assignment AND
+  * coding are bit-equal to the batch path, the doubling rebuild
+  * re-policies (√n nlist, nprobe = ⌈nlist/8⌉), ADC-primary admission is
+  * bit-equal to the exact-verify path, admission rejects indexed cosine
+  * near-dups through the inverted lists, mixed-epoch crash states heal
+  * pre-probe via the meta fingerprints, and the per-batch probe never
+  * shuffles the corpus-sided stores.
   */
 class IvfIndexSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
@@ -20,11 +22,14 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
 
   private def fixtureVecs = graft.sources.Tables.embeddings(spark, sfDir)
 
+  private def vec(seed: Int): Array[Float] =
+    Array.tabulate(64)(d => math.sin(seed * 64 + d + 1).toFloat)
+
   test("incremental intake == batch-path recompute across a re-policy rebuild boundary") {
     val (corpus, index) = freshDirs()
     // three waves: wave 2 crosses the doubling trigger (re-policy
-    // rebuild with fresh pivots), wave 3 lands in the NEW epoch and is
-    // appended incrementally under its frozen pivots
+    // rebuild with fresh pivots + codebook), wave 3 lands in the NEW
+    // epoch and is appended incrementally under its frozen state
     IvfIndex.admitBatch(fixtureVecs.filter($"vec_id" % 10 < 4), corpus, index)
     IvfIndex.admitBatch(fixtureVecs.filter($"vec_id" % 10 >= 4 && $"vec_id" % 10 <= 7),
       corpus, index)
@@ -47,10 +52,29 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
       .ivfNearOf(admitted, piv, meta.getInt(2))
       .as[(Long, Long, Int)].collect().toSet
     val store = spark.read.schema(IvfIndex.nearSchema).parquet(s"$index/near")
+      .select($"vec_id", $"p_id", $"rk")
       .as[(Long, Long, Int)].collect().toSet
     assert(store.nonEmpty && store == batchPath,
       s"incremental store diverged from batch path: only-store=${(store -- batchPath).take(5)}, " +
         s"only-batch=${(batchPath -- store).take(5)}")
+    // the INLINED ADC payload is bit-equal to a batch recompute of the
+    // q246 coding kernel against the stored epoch codebook — across the
+    // rebuild boundary (epoch-base rows coded at rebuild, wave-3 rows
+    // coded incrementally under the frozen codebook)
+    val cb = spark.read.schema(IvfIndex.cbSchema).parquet(s"$index/cb")
+    val storeCodes = spark.read.schema(IvfIndex.nearSchema).parquet(s"$index/near")
+      .filter($"rk" === 1 && $"resid".isNotNull)
+      .select($"vec_id", $"code", $"resid")
+      .as[(Long, Seq[Int], Long)].collect().toSet
+    val batchCodes = graft.operators.Similarity
+      .trainedPqCodesWithResid(admitted, cb)
+      .select($"vec_id", $"codes", $"resid")
+      .as[(Long, Seq[Int], Long)].collect().toSet
+    assert(storeCodes.nonEmpty && storeCodes == batchCodes,
+      "inlined codes/residuals must equal the q246 batch coding kernel")
+    // rk > 1 rows carry no payload (no ×nprobe code duplication)
+    assert(spark.read.schema(IvfIndex.nearSchema).parquet(s"$index/near")
+      .filter($"rk" > 1 && ($"code".isNotNull || $"resid".isNotNull)).count() == 0L)
     // candidate pin through the public probe: an unseen batch's
     // candidates from the incremental store == the batch path's
     val probeBatch = fixtureVecs.filter($"vec_id" % 10 === 9)
@@ -67,10 +91,36 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
     assert(incr.nonEmpty && incr == batchCand)
   }
 
+  test("ADC-primary admission == exact-verify admission (identical admitted sets)") {
+    def run(exact: Boolean): Set[Long] = {
+      val (corpus, index) = freshDirs()
+      if (exact) spark.conf.set("spark.graft.ivfIndex.exactVerify", "true")
+      try {
+        IvfIndex.admitBatch(fixtureVecs.filter($"vec_id" % 3 === 0), corpus, index)
+        // wave 2 plants exact copies of indexed vectors under fresh ids
+        // (certain-reject band) among genuinely new vectors — the mix
+        // exercises certain-reject, certain-keep AND the gray band
+        val dupes = fixtureVecs
+          .filter($"vec_id" % 3 === 0 && $"vec_id" % 5 === 0)
+          .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding", $"label")
+        IvfIndex.admitBatch(
+          fixtureVecs.filter($"vec_id" % 3 === 1).unionByName(dupes),
+          corpus, index)
+        spark.read.schema(IvfIndex.vecSchema).parquet(corpus)
+          .select($"vec_id").as[Long].collect().toSet
+      } finally spark.conf.unset("spark.graft.ivfIndex.exactVerify")
+    }
+    val adc = run(exact = false)
+    val ex = run(exact = true)
+    assert(adc == ex,
+      s"ADC and exact admission diverged: only-adc=${(adc -- ex).take(5)}, " +
+        s"only-exact=${(ex -- adc).take(5)}")
+    assert(!adc.exists(_ >= 1000000L),
+      "planted exact copies must be rejected by the ADC path")
+  }
+
   test("admission rejects an indexed near-identical vector; replay appends nothing") {
     val (corpus, index) = freshDirs()
-    def vec(seed: Int): Array[Float] =
-      Array.tabulate(64)(d => math.sin(seed * 64 + d + 1).toFloat)
     val batch1 = (1 to 8).map(i => (i.toLong, vec(i), 0))
       .toDF("vec_id", "embedding", "label")
     IvfIndex.admitBatch(batch1, corpus, index)
@@ -93,8 +143,6 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
 
   test("divergence self-heal: an orphaned corpus vector's near-dup is rejected in the SAME batch") {
     val (corpus, index) = freshDirs()
-    def vec(seed: Int): Array[Float] =
-      Array.tabulate(64)(d => math.sin(seed * 64 + d + 1).toFloat)
     IvfIndex.admitBatch((1 to 6).map(i => (i.toLong, vec(i), 0))
       .toDF("vec_id", "embedding", "label"), corpus, index)
     // crash between the two appends: vector in corpus, no assignments
@@ -112,10 +160,55 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
       s"the healed index must reject the orphan's exact copy in the SAME batch: $admitted")
   }
 
+  test("epoch-consistency heal: mixed pivot/store state with MATCHING counts rebuilds pre-probe") {
+    val (corpus, index) = freshDirs()
+    IvfIndex.admitBatch((1 to 8).map(i => (i.toLong, vec(i), 0))
+      .toDF("vec_id", "embedding", "label"), corpus, index)
+    // simulate the r14 advisor crash window: the piv/ store is
+    // overwritten with a DIFFERENT pivot set (a trainedPivots toggle +
+    // crash between the piv and near writes of a pure-compaction
+    // rebuild) while near/ and every row count stay consistent — the
+    // count heal alone can NOT see this
+    val corrupted = spark.read.schema(IvfIndex.pivSchema)
+      .parquet(s"$index/piv")
+      .select($"p_id", reverse($"pe").as("pe"))
+      .localCheckpoint()
+    corrupted.coalesce(1).write.mode("overwrite").parquet(s"$index/piv")
+    // the next batch carries an exact copy of an indexed vector: the
+    // fingerprint mismatch must rebuild BEFORE the probe, so the copy
+    // is rejected in this same batch
+    IvfIndex.admitBatch(Seq((101L, vec(1), 0)).toDF("vec_id", "embedding", "label"),
+      corpus, index)
+    val admitted = spark.read.schema(IvfIndex.vecSchema).parquet(corpus)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(admitted == (1L to 8L).toSet,
+      s"the fingerprint heal must reject the copy in the SAME batch: $admitted")
+    // and the invariant is restored: stored fingerprint matches meta
+    val meta = spark.read.parquet(s"$index/meta").head()
+    assert(meta.getAs[Boolean]("committed"))
+  }
+
+  test("a one-vector first batch rebuilds: the stream may end there without stranding the store") {
+    val (corpus, index) = freshDirs()
+    IvfIndex.admitBatch(Seq((1L, vec(1), 0)).toDF("vec_id", "embedding", "label"),
+      corpus, index)
+    // r14 advisor: under the doubling rule alone (corpusTotal=1 < 2)
+    // this batch appended assignments computed against an EMPTY pivot
+    // store — near/ stayed empty while the corpus had one row
+    val idxN = spark.read.schema(IvfIndex.nearSchema).parquet(s"$index/near")
+      .select($"vec_id").distinct().count()
+    assert(idxN == 1L, s"first admission must rebuild, store has $idxN vecs")
+    assert(spark.read.schema(IvfIndex.pivSchema).parquet(s"$index/piv").count() >= 1L)
+    // an exact copy arriving next is rejected through the store
+    IvfIndex.admitBatch(Seq((2L, vec(1), 0)).toDF("vec_id", "embedding", "label"),
+      corpus, index)
+    val admitted = spark.read.schema(IvfIndex.vecSchema).parquet(corpus)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(admitted == Set(1L))
+  }
+
   test("a vec_id duplicated WITHIN one batch is admitted once (no perpetual heal wedge)") {
     val (corpus, index) = freshDirs()
-    def vec(seed: Int): Array[Float] =
-      Array.tabulate(64)(d => math.sin(seed * 64 + d + 1).toFloat)
     IvfIndex.admitBatch(
       Seq((1L, vec(1), 0), (1L, vec(1), 0), (2L, vec(2), 0))
         .toDF("vec_id", "embedding", "label"), corpus, index)
@@ -155,6 +248,7 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
       val piv = spark.read.schema(IvfIndex.pivSchema).parquet(s"$index/piv")
       assert(piv.count() == meta.getInt(1).toLong,
         "the epoch freezes exactly nlist trained centroids")
+      assert(meta.getAs[String]("pivot_src") == "trained")
       // trained pivots are MEANS, not corpus vectors: at least one
       // centroid must differ from every corpus embedding (the payload
       // proves training actually ran, vs the lowest-vec_id default)
@@ -171,6 +265,7 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
         .ivfNearOf(admitted, piv, meta.getInt(2))
         .as[(Long, Long, Int)].collect().toSet
       val store = spark.read.schema(IvfIndex.nearSchema).parquet(s"$index/near")
+        .select($"vec_id", $"p_id", $"rk")
         .as[(Long, Long, Int)].collect().toSet
       assert(store.nonEmpty && store == batchPath,
         "trained-pivot incremental store must equal the batch path")
