@@ -27,6 +27,15 @@ import org.apache.spark.sql.SparkSession
   * whose min drifts >1.5× across rounds is adjudicated from its reps: a
   * high recorded load or GC share explains the drift as ambient; flat
   * load with a uniformly slower rep pair is a real regression.
+  *
+  * SELF-adjudication (since r15): the artifact also carries the verdict,
+  * not just the evidence. Every query is compared against its committed
+  * quiet-box floor (`tools/query_ref.json`) and each ≥1.5× mover is
+  * classified in-band under `"load_adjudicated"` (ambient /
+  * ambient-uniform / gc / improved / check — see the inline comment at
+  * the computation) with `"ref_drift_median"` and
+  * `"unexplained_movers"` summarizing the suite; a driver bench under
+  * co-tenant load reads as noise from the committed JSON alone.
   */
 object Bench {
 
@@ -220,6 +229,68 @@ object Bench {
       }
     }
     val mbAlerts = alerts.mkString("{", ",", "}")
+    // PER-QUERY self-adjudication (r14 verdict item 3: the last three
+    // rounds each spent a verdict item adjudicating co-tenant noise
+    // from a later quiet run — the committed artifact should carry its
+    // own noise-vs-regression call). Compare each query's min against
+    // the committed quiet-box floor (tools/query_ref.json, same
+    // discovery walk as memo_ref) and classify every >=1.5x mover from
+    // IN-BAND evidence:
+    //  - "ambient": every rep of the query ran under recorded 1-min
+    //    loads >= max(2, 2x the suite's load_start) — the co-tenant
+    //    burst signature;
+    //  - "ambient-uniform": the query's ratio tracks the suite-wide
+    //    MEDIAN drift vs the reference while that drift is itself
+    //    elevated (>=1.15x) — uniform slowdown is load, not a plan
+    //    change (a regression is query-shaped, not suite-shaped);
+    //  - "gc": >30% of the best rep's wall was JVM GC;
+    //  - "check": none of the above explains it — a real candidate.
+    // Improvements >=1.5x are listed as "improved" so stale floors get
+    // re-trued from the next quiet run. Reference missing => inert.
+    val queryRef: Map[String, Double] = {
+      val path: Option[java.nio.file.Path] =
+        sys.env.get("SPARK_GRAFT_QUERY_REF").map(java.nio.file.Paths.get(_))
+          .orElse {
+            Iterator.iterate(java.nio.file.Paths.get("").toAbsolutePath)(_.getParent)
+              .takeWhile(_ != null).take(8)
+              .map(_.resolve("tools/query_ref.json"))
+              .find(java.nio.file.Files.isReadable(_))
+          }
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(path.get), "UTF-8")
+        """"([^"]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Exception => Map.empty }
+    }
+    val resMap = results.toMap
+    val ratios = results.collect {
+      case (n, v) if v > 0 && queryRef.getOrElse(n, 0.0) > 0 =>
+        n -> v / queryRef(n)
+    }.toMap
+    val driftMedian =
+      if (ratios.isEmpty) 1.0
+      else { val s = ratios.values.toSeq.sorted; s(s.length / 2) }
+    val adjudicated = ratios.toSeq.sortBy(-_._2).collect {
+      case (n, r) if r >= 1.5 || r <= 1.0 / 1.5 =>
+        val rs = reps.getOrElse(n, Nil).filter(_.sec >= 0)
+        val allHot = rs.nonEmpty && rs.forall(x =>
+          math.max(x.load0, x.load1) >= math.max(2.0, 2.0 * loadStart))
+        val best = if (rs.isEmpty) None else Some(rs.minBy(_.sec))
+        val gcShare = best.map(b => if (b.sec > 0) b.gcSec / b.sec else 0.0)
+          .getOrElse(0.0)
+        val cls =
+          if (r <= 1.0 / 1.5) "improved"
+          else if (allHot) "ambient"
+          else if (driftMedian >= 1.15 && r <= driftMedian * 1.3) "ambient-uniform"
+          else if (gcShare > 0.3) "gc"
+          else "check"
+        val loads = rs.map(x => f"[${x.load0}%.2f,${x.load1}%.2f]")
+          .mkString("[", ",", "]")
+        "\"" + n + "\":" + f"""{"sec":${resMap(n)}%.3f,""" +
+          f""""ref":${queryRef(n)}%.3f,"ratio":$r%.2f,"class":"$cls","loads":$loads}"""
+    }
+    val loadAdjudicated = adjudicated.mkString("{", ",", "}")
+    val unexplained = adjudicated.count(_.contains("\"class\":\"check\""))
     // A query that failed one whole pass but recovered in the other still
     // reports a valid min — name it here so a flaky failure (intermittent
     // OOM) survives the driver's tail window instead of hiding as a -1
@@ -231,7 +302,7 @@ object Bench {
     // "total"/"n_valid" repeat the headline at the very END of the line:
     // the driver retains a bounded tail, and BENCH_r09's tail lost
     // q1-q36 of the queries map — the headline must be the last thing cut.
-    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","reps":$repsJson,$suite,"queries":$qs,"memo_build":$mb,"memo_build_reps":$mbReps,"memo_build_alerts":$mbAlerts,"sf":"$sfDir","spark_version":"${spark.version}","failed":$failed,"partial_failures":$partialFailures,"total":${f"$total%.3f"},"n_valid":$nValid}"""
+    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","reps":$repsJson,$suite,"queries":$qs,"memo_build":$mb,"memo_build_reps":$mbReps,"memo_build_alerts":$mbAlerts,"ref_drift_median":${f"$driftMedian%.3f"},"load_adjudicated":$loadAdjudicated,"unexplained_movers":$unexplained,"sf":"$sfDir","spark_version":"${spark.version}","failed":$failed,"partial_failures":$partialFailures,"total":${f"$total%.3f"},"n_valid":$nValid}"""
     println(line)
     val mirror = sys.env.getOrElse("SPARK_GRAFT_BENCH_COPY", "/root/repo/BENCH_LOCAL.json")
     val mirrored =
@@ -246,7 +317,7 @@ object Bench {
     // lives in the full line above AND in the mirror file; this line
     // carries the headline totals plus the mirror path so the tail
     // always ends in valid JSON no matter how narrow the window.
-    val summary = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","spark_version":"${spark.version}","n_valid":$nValid,"failed":$failed,"partial_failures":$partialFailures,"memo_build_total":${f"${builds.map(_._2).sum}%.3f"},"memo_build_alerts":$mbAlerts,"full_json":${if (mirrored) "\"" + mirror + "\"" else "null"},"total":${f"$total%.3f"}}"""
+    val summary = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","spark_version":"${spark.version}","n_valid":$nValid,"failed":$failed,"partial_failures":$partialFailures,"memo_build_total":${f"${builds.map(_._2).sum}%.3f"},"memo_build_alerts":$mbAlerts,"ref_drift_median":${f"$driftMedian%.3f"},"load_adjudicated":$loadAdjudicated,"unexplained_movers":$unexplained,"full_json":${if (mirrored) "\"" + mirror + "\"" else "null"},"total":${f"$total%.3f"}}"""
     println(summary)
     // File artifact for the summary (r12 verdict item 7): nothing should
     // have to parse stdout at all — the compact summary object lands next

@@ -236,9 +236,9 @@ object Multimodal {
   val q52Sql: String =
     """SELECT doc_id,
       |  'application/octet-stream' AS media_type,
-      |  CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
-      |  CAST(16 + octet_length(text::BLOB) % 64 AS BIGINT) AS width,
-      |  CAST(16 + (octet_length(text::BLOB) // 64) % 64 AS BIGINT) AS height,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  CAST(16 + octet_length(encode(text)) % 64 AS BIGINT) AS width,
+      |  CAST(16 + (octet_length(encode(text)) // 64) % 64 AS BIGINT) AS height,
       |  CAST(NULL AS DOUBLE) AS mean_luma
       |FROM documents
       |ORDER BY doc_id""".stripMargin
@@ -254,15 +254,21 @@ object Multimodal {
         $"doc_id",
         octet_length($"text").cast("long").as("n_bytes"),
         base64(substring($"text", 1, 24).cast("binary")).as("head_b64"),
-        ascii(substring($"text", 10, 1)).cast("long").as("byte10"))
+        // the 10th BYTE (not the 10th character's codepoint — those only
+        // coincide on ASCII): substring over the UTF-8 binary, hex-parsed
+        when(octet_length($"text") >= 10,
+          conv(hex(substring($"text".cast("binary"), 10, 1)), 16, 10)
+            .cast("long")).otherwise(0L).as("byte10"))
       .orderBy($"doc_id")
   }
 
   val q37Sql: String =
     """SELECT doc_id,
-      |  CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
-      |  base64(substring(text, 1, 24)::BLOB) AS head_b64,
-      |  CAST(ascii(substring(text, 10, 1)) AS BIGINT) AS byte10
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  base64(encode(substring(text, 1, 24))) AS head_b64,
+      |  CAST(CASE WHEN octet_length(encode(text)) >= 10
+      |            THEN CAST(('0x' || hex(encode(text))[19:20]) AS INTEGER)
+      |            ELSE 0 END AS BIGINT) AS byte10
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
@@ -468,18 +474,22 @@ object Multimodal {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** ASCII-corpus assumption (shared with [[q240Sql]]): the oracle
-    * mirrors the unsigned-byte stub with character-based
-    * `ascii(substring(text, ...))` / `length(text)`, which equals the
-    * byte view only while the fixture corpus is pure ASCII (it is, by
-    * construction — TESTDATA.md). On a non-ASCII corpus the engines
-    * would diverge (chars != bytes); switch the oracle to
-    * `octet_length` + blob indexing if such fixtures ever land.
+  /** BYTE-TRUE oracle (shared discipline with [[q240Sql]], r14 verdict
+    * item 7): the unsigned-byte stub is mirrored on the oracle side by
+    * hex-indexing the UTF-8 encoding — `hex(encode(text))[2i−1:2i]`
+    * parsed via `'0x…'::INTEGER` — so the two engines agree on ANY
+    * corpus, not just pure-ASCII fixtures (`ascii`/`length`, the
+    * previous form, counted CHARACTERS and would have silently diverged
+    * on the first multi-byte fixture; `text::BLOB`, the other obvious
+    * form, hard-errors on non-ASCII in DuckDB v1.0.0). Byte values
+    * verified against python `bytes` on a planted multi-byte payload;
+    * MultimodalSpec pins the Spark stub to the same byte view.
     */
   val q238Sql: String =
     """WITH g AS (
       |  SELECT doc_id,
-      |    [CASE WHEN i <= length(text) THEN ascii(substring(text, i, 1))
+      |    [CASE WHEN i <= octet_length(encode(text))
+      |          THEN CAST(('0x' || hex(encode(text))[2*i-1:2*i]) AS INTEGER)
       |          ELSE 0 END for i in range(1, 65)] AS luma
       |  FROM documents),
       |s AS (SELECT doc_id, luma, list_sum(luma) AS total FROM g),
@@ -690,18 +700,19 @@ object Multimodal {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** Same ASCII-corpus assumption as [[q238Sql]]: character-based
-    * `ascii`/`length` mirror the byte stub only on a pure-ASCII fixture.
+  /** Same byte-true oracle discipline as [[q238Sql]]: frame energies
+    * from the UTF-8 BYTES via hex indexing, valid on any corpus.
     */
   val q240Sql: String =
-    """WITH d AS (SELECT doc_id, text, length(text) AS n,
-      |                  GREATEST(1, (length(text) + 63) // 64) AS L
+    """WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
+      |                  octet_length(encode(text)) AS n,
+      |                  GREATEST(1, (octet_length(encode(text)) + 63) // 64) AS L
       |           FROM documents),
       |e AS (
       |  SELECT doc_id,
       |    [coalesce(list_sum(
-      |       [CAST(ascii(substring(text, CAST(i AS INT), 1)) AS BIGINT)
-      |          * ascii(substring(text, CAST(i AS INT), 1))
+      |       [CAST(CAST(('0x' || hx[2*i-1:2*i]) AS INTEGER) AS BIGINT)
+      |          * CAST(('0x' || hx[2*i-1:2*i]) AS INTEGER)
       |        for i in range(f * L + 1, LEAST((f + 1) * L, n) + 1)]), 0)
       |     for f in range(0, 64)] AS e
       |  FROM d),

@@ -1278,7 +1278,10 @@ object Similarity {
         }
       }
     }
-    org.apache.spark.sql.graft.CheckpointUtils.sweepUnpinned(sc)
+    // free ONLY this kernel's own checkpoint (the iterative-algorithm
+    // discipline — a blanket sweepUnpinned here would drop the CALLER's
+    // unpinned checkpoints mid-pipeline)
+    org.apache.spark.sql.graft.CheckpointUtils.free(fsamp)
     val rows = for {
       m <- 0 until mSub
       (fc, i) <- cent(m).zipWithIndex
@@ -1760,6 +1763,127 @@ object Similarity {
       |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ——— q247: the SHARDED trainer, oracle-gated ——————————————————————
+  // q245 gates the serial Lloyd; the r15 scale fix (pqTrainedCentroids
+  // dispatches to the distributed kernel past ~K 250) deserves its own
+  // oracle gate, not just the spec's bit-equality pin — so this query
+  // calls pqTrainedCentroidsSharded EXPLICITLY (at these constants the
+  // dispatch would pick serial, which would leave the sharded code path
+  // oracle-uncovered) against the same unrolled k-means SQL. nlist=128
+  // doubles q245's granularity and keeps the family's candidate budget
+  // (nprobe = ⌈nlist/8⌉ = 16, the q236 policy ratio).
+  private val shardedNlist = 128
+  private val shardedNprobe = 16
+  private[graft] val shardedTrainedLogicVersion = "k128.d64.s8192.t8.f1e6.shard.v1"
+
+  private def shardedCentMemo(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "ivf_sharded_cent", shardedTrainedLogicVersion) {
+      pqTrainedCentroidsSharded(pqNormalized(Tables.embeddings(spark, dir)),
+        1, pqSubspaces * pqSubDim, shardedNlist, 64 * shardedNlist,
+        pqTrainIters).localCheckpoint()
+    }
+
+  private def shardedListsMemo(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "ivf_sharded_lists", shardedTrainedLogicVersion) {
+      import spark.implicits._
+      trainedCoarseLists(pqNormalized(Tables.embeddings(spark, dir)),
+        shardedCentMemo(spark, dir))
+        .localCheckpoint()
+    }
+
+  /** q247 — sharded-trained-pivot IVF recall@5: q245's exact shape with
+    * the coarse quantizer trained by the DISTRIBUTED Lloyd kernel
+    * ([[pqTrainedCentroidsSharded]], called explicitly — see the block
+    * comment above) at doubled granularity (nlist=128, nprobe=16 — the
+    * same ⅛ candidate budget). Because sharded ≡ serial bit-for-bit,
+    * ONE unrolled k-means oracle chain gates both kernels: this query
+    * failing while q245 passes would localize a divergence to the
+    * sharded path precisely.
+    *
+    * At 100 TB this is the kernel that actually runs: the √n policy
+    * grows nlist past the serial driver loop's feasibility around
+    * K ≈ 1000 (ScaleEvidence `lloyd`: serial 20.7 s at K=1024 on its
+    * K² law vs sharded 3.3 s, and sharded 33.5 s at K=4096 where
+    * serial extrapolates to ~5.5 min).
+    */
+  def q247ShardedIvfRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact = exactPanelTop5(spark, dir)
+    val panel = samplePanel(spark, dir, topkPanelK).select($"vec_id".as("a_id"))
+    val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val nv = pqNormalized(emb)
+    val cent = shardedCentMemo(spark, dir)
+    val lists = shardedListsMemo(spark, dir)
+    val probes = trainedCoarseProbes(nv, cent, panel, shardedNprobe)
+    val cand = probes.join(lists, Seq("c_id"))
+      .filter($"a_id" =!= $"b_id")
+      .select($"a_id", $"b_id")
+    val pe2 = emb.join(broadcast(panel), emb("vec_id") === panel("a_id"))
+      .select($"a_id", $"embedding".as("ea"))
+    val top5 = graft.functions.TopKByScore(5)
+    val ann = cand
+      .join(broadcast(pe2), Seq("a_id"))
+      .join(emb.select($"vec_id".as("b_id"), $"embedding".as("eb")), Seq("b_id"))
+      .withColumn("cs", VectorFunctions.cosineSim($"ea", $"eb"))
+      .filter(!isnan($"cs"))
+      .groupBy($"a_id")
+      .agg(top5($"cs", $"b_id").as("top"))
+      .select($"a_id", explode($"top").as("t"))
+      .select($"a_id", $"t.b_id".as("b_id"))
+    recallHistogram(exact, ann, panel).orderBy($"hits")
+  }
+
+  val q247Sql: String = {
+    val dim = pqSubspaces * pqSubDim
+    s"""WITH ${trainedKmeansSqlCtes(1, dim, shardedNlist,
+          64 * shardedNlist, pqTrainIters)},
+      |lists AS MATERIALIZED (
+      |  SELECT vec_id AS b_id, c_id FROM (
+      |    SELECT f.vec_id, c.c_id, ROW_NUMBER() OVER (
+      |      PARTITION BY f.vec_id
+      |      ORDER BY ${isqSqlFmt.format("f.fs", "c.fc")}, c.c_id) AS rk
+      |    FROM fsub f JOIN cent$pqTrainIters c ON c.m = f.m) t WHERE rk = 1),
+      |q AS (SELECT vec_id FROM embeddings
+      |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $topkPanelK),
+      |probes AS MATERIALIZED (
+      |  SELECT a_id, c_id FROM (
+      |    SELECT f.vec_id AS a_id, c.c_id, ROW_NUMBER() OVER (
+      |      PARTITION BY f.vec_id
+      |      ORDER BY ${isqSqlFmt.format("f.fs", "c.fc")}, c.c_id) AS rk
+      |    FROM fsub f JOIN q ON q.vec_id = f.vec_id
+      |    JOIN cent$pqTrainIters c ON c.m = f.m) t WHERE rk <= $shardedNprobe),
+      |cand AS (
+      |  SELECT p.a_id, l.b_id FROM probes p
+      |  JOIN lists l ON l.c_id = p.c_id
+      |  WHERE l.b_id <> p.a_id),
+      |cscored AS (
+      |  SELECT c.a_id, c.b_id,
+      |    list_cosine_similarity(qa.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS cs
+      |  FROM cand c JOIN embeddings qa ON qa.vec_id = c.a_id
+      |  JOIN embeddings eb ON eb.vec_id = c.b_id),
+      |ann AS (SELECT a_id, b_id FROM (
+      |  SELECT a_id, b_id, ROW_NUMBER() OVER (
+      |    PARTITION BY a_id ORDER BY cs DESC, b_id) AS rk
+      |  FROM cscored WHERE NOT isnan(cs)) t WHERE rk <= 5),
+      |scored AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cs
+      |  FROM (SELECT e.* FROM embeddings e JOIN q ON q.vec_id = e.vec_id) a
+      |  JOIN embeddings b ON a.vec_id <> b.vec_id),
+      |ex AS (SELECT a_id, b_id FROM (
+      |  SELECT a_id, b_id, ROW_NUMBER() OVER (
+      |    PARTITION BY a_id ORDER BY cs DESC, b_id) AS rk
+      |  FROM scored WHERE NOT isnan(cs)) t WHERE rk <= 5),
+      |ov AS (SELECT e.a_id, CAST(count(*) AS BIGINT) AS hits
+      |       FROM ex e JOIN ann a ON a.a_id = e.a_id AND a.b_id = e.b_id
+      |       GROUP BY 1)
+      |SELECT coalesce(ov.hits, 0) AS hits,
+      |       CAST(count(*) AS BIGINT) AS n_queries,
+      |       CAST(sum(q.vec_id) AS BIGINT) AS a_checksum
+      |FROM q LEFT JOIN ov ON ov.a_id = q.vec_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** q246 — fully-TRAINED IVF+PQ recall@5: the last cell of the
     * {fixed, trained} × {coarse, product, composed} quantizer matrix.
     * q242 composes the FIXED coarse quantizer with the FIXED codebook
@@ -2151,6 +2275,136 @@ object Similarity {
       |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** q248 — ADC-sandwich calibration: the r15 exact-admission claim as
+    * a hash-gated artifact. [[graft.streaming.IvfIndex]] decides
+    * admission from codes alone via the frozen-space triangle
+    * inequality (‖fq−fb‖ ∈ [|a−r|, a+r], a=√adc, r=√resid); this query
+    * classifies every trained-IVF panel candidate into the three bands
+    * at two thresholds (0.45 = the fixture's q48 near-dup band, 0.92 =
+    * the production admission gate) and counts TRUE dups (exact cosine
+    * ≥ threshold) per band. The gate pins SOUNDNESS as data:
+    *
+    *   - `certain_dup` rows must show n_true_dups == n_pairs (every
+    *     certain rejection is a real dup);
+    *   - `certain_clean` rows must show n_true_dups == 0 (no dup ever
+    *     escapes through the clean band);
+    *   - `gray` is the raw-vector-fetch bill — the fraction of
+    *     candidates ADC-exact admission does NOT decide from codes.
+    *
+    * Both engines compute the identical frozen integers, the identical
+    * IEEE sqrt/compare classification, and the identical sequential-
+    * fold cosine (the q46 parity precedent), so a single band count
+    * moving is a real arithmetic divergence. Everything heavy rides
+    * the trained session memos; per-query work is candidate-sized.
+    */
+  def q248AdcBands(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val nv = pqNormalized(emb)
+    val panel = samplePanel(spark, dir, topkPanelK).select($"vec_id".as("a_id"))
+    val probes = trainedCoarseProbes(nv, ivfTrainedCentMemo(spark, dir),
+      panel, ivfRecallNprobe)
+    val cand = probes.join(ivfTrainedListsMemo(spark, dir), Seq("c_id"))
+      .filter($"a_id" =!= $"b_id")
+      .select($"a_id", $"b_id")
+    val pqCent = pqTrainedCentMemo(spark, dir)
+    val codesR = trainedPqCodesWithResid(emb, pqCent)
+    val luts = pqTrainedLutsOf(nv, pqCent, panel,
+      pqSubspaces, pqSubDim, pqCodebookK)
+    val pe = emb.join(broadcast(panel), emb("vec_id") === panel("a_id"))
+      .select($"a_id", $"embedding".as("ea"))
+    val scored = cand
+      .join(codesR.select($"vec_id".as("b_id"), $"codes", $"resid"), Seq("b_id"))
+      .join(broadcast(luts), Seq("a_id"))
+      .join(broadcast(pe), Seq("a_id"))
+      .join(emb.select($"vec_id".as("b_id"), $"embedding".as("eb")), Seq("b_id"))
+      .withColumn("a", sqrt(adcDist($"codes", $"lut", pqCodebookK).cast("double")))
+      .withColumn("r", sqrt($"resid".cast("double")))
+      .withColumn("cs", VectorFunctions.cosineSim($"ea", $"eb"))
+      .filter(!isnan($"cs"))
+      .localCheckpoint() // two threshold passes over one candidate scan
+    val eps = 64.0
+    Seq("0.45" -> 0.45, "0.92" -> 0.92).map { case (label, th) =>
+      val bF = math.sqrt(2.0 * (1.0 - th)) * pqFreezeScale
+      scored
+        .withColumn("band",
+          when($"a" + $"r" <= lit(bF - eps), "certain_dup")
+            .when(abs($"a" - $"r") > lit(bF + eps), "certain_clean")
+            .otherwise("gray"))
+        .groupBy(lit(label).as("thresh"), $"band")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when($"cs" >= th, 1L).otherwise(0L)).as("n_true_dups"))
+    }.reduce(_.unionByName(_)).orderBy($"thresh", $"band")
+  }
+
+  val q248Sql: String = {
+    val dim = pqSubspaces * pqSubDim
+    s"""WITH ${trainedKmeansSqlCtes(1, dim, ivfRecallNlist,
+          ivfTrainSample, pqTrainIters, prefix = "cv")},
+      |${trainedKmeansSqlCtes(pqSubspaces, pqSubDim, pqCodebookK,
+          pqTrainSample, pqTrainIters, prefix = "pv")},
+      |lists AS MATERIALIZED (
+      |  SELECT vec_id AS b_id, c_id FROM (
+      |    SELECT f.vec_id, c.c_id, ROW_NUMBER() OVER (
+      |      PARTITION BY f.vec_id
+      |      ORDER BY ${isqSqlFmt.format("f.fs", "c.fc")}, c.c_id) AS rk
+      |    FROM cvfsub f JOIN cvcent$pqTrainIters c ON c.m = f.m) t WHERE rk = 1),
+      |q AS (SELECT vec_id FROM embeddings
+      |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $topkPanelK),
+      |probes AS MATERIALIZED (
+      |  SELECT a_id, c_id FROM (
+      |    SELECT f.vec_id AS a_id, c.c_id, ROW_NUMBER() OVER (
+      |      PARTITION BY f.vec_id
+      |      ORDER BY ${isqSqlFmt.format("f.fs", "c.fc")}, c.c_id) AS rk
+      |    FROM cvfsub f JOIN q ON q.vec_id = f.vec_id
+      |    JOIN cvcent$pqTrainIters c ON c.m = f.m) t WHERE rk <= $ivfRecallNprobe),
+      |cand AS (
+      |  SELECT p.a_id, l.b_id FROM probes p
+      |  JOIN lists l ON l.c_id = p.c_id
+      |  WHERE l.b_id <> p.a_id),
+      |codesd AS MATERIALIZED (
+      |  SELECT vec_id, m, c_id AS code, d FROM (
+      |    SELECT f.vec_id, f.m, c.c_id,
+      |      ${isqSqlFmt.format("f.fs", "c.fc")} AS d, ROW_NUMBER() OVER (
+      |      PARTITION BY f.vec_id, f.m
+      |      ORDER BY ${isqSqlFmt.format("f.fs", "c.fc")}, c.c_id) AS rk
+      |    FROM pvfsub f JOIN pvcent$pqTrainIters c ON c.m = f.m) t WHERE rk = 1),
+      |resid AS MATERIALIZED (
+      |  SELECT vec_id AS b_id, CAST(sum(d) AS BIGINT) AS resid
+      |  FROM codesd GROUP BY 1),
+      |lut AS MATERIALIZED (
+      |  SELECT f.vec_id AS a_id, f.m, c.c_id,
+      |    CAST(${isqSqlFmt.format("f.fs", "c.fc")} AS BIGINT) AS lf
+      |  FROM pvfsub f JOIN q ON q.vec_id = f.vec_id
+      |  JOIN pvcent$pqTrainIters c ON c.m = f.m),
+      |adc AS MATERIALIZED (
+      |  SELECT cd.a_id, cd.b_id, CAST(sum(l.lf) AS BIGINT) AS adc
+      |  FROM cand cd
+      |  JOIN codesd k ON k.vec_id = cd.b_id
+      |  JOIN lut l ON l.a_id = cd.a_id AND l.m = k.m AND l.c_id = k.code
+      |  GROUP BY 1, 2),
+      |scored AS MATERIALIZED (
+      |  SELECT a.a_id, a.b_id, sqrt(a.adc) AS av, sqrt(r.resid) AS rv,
+      |    list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS cs
+      |  FROM adc a
+      |  JOIN resid r ON r.b_id = a.b_id
+      |  JOIN embeddings ea ON ea.vec_id = a.a_id
+      |  JOIN embeddings eb ON eb.vec_id = a.b_id
+      |  WHERE NOT isnan(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]))),
+      |th AS (SELECT * FROM (VALUES ('0.45', 0.45), ('0.92', 0.92)) t(thresh, tv))
+      |SELECT thresh,
+      |  CASE WHEN av + rv <= sqrt(2.0 * (1.0 - tv)) * ${pqFreezeScale.toLong}.0 - 64.0
+      |       THEN 'certain_dup'
+      |       WHEN abs(av - rv) > sqrt(2.0 * (1.0 - tv)) * ${pqFreezeScale.toLong}.0 + 64.0
+      |       THEN 'certain_clean'
+      |       ELSE 'gray' END AS band,
+      |  CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(sum(CASE WHEN cs >= tv THEN 1 ELSE 0 END) AS BIGINT) AS n_true_dups
+      |FROM scored, th
+      |GROUP BY 1, 2
+      |ORDER BY thresh, band""".stripMargin
+  }
+
   /** q243 — index economics census: the BYTE column of the
     * recall-per-byte story, gated. q227 reports what recall each ANN
     * family buys; this reports what each family COSTS, with index
@@ -2167,8 +2421,13 @@ object Similarity {
     *   - `pq` — the q239 code relation: one packed code row per
     *     non-zero-norm vector, 8 B/vec (16 nibbles).
     *
+    *   - `ivfpq_indexed` — [[graft.streaming.IvfIndex]]'s production
+    *     store shape (r15): the m=1 lists with code + quantization
+    *     residual inlined per rk=1 row — 24 B/vec buys ADC-primary
+    *     admission that touches raw vectors for the gray band only.
+    *
     * Every count is a bounded aggregate over a memoized relation (the
-    * census costs one count() scan per row — six, no shuffles beyond
+    * census costs one count() scan per row — seven, no shuffles beyond
     * 1-row aggs);
     * bytes_per_vec are the frozen storage constants the docstrings
     * claim, now hash-checked against the oracle's identical arithmetic.
@@ -2204,6 +2463,13 @@ object Similarity {
       .unionByName(row("ivf_trained", ivfTrainedListsMemo(spark, dir), 8L, 740L))
       .unionByName(row("pq", pqCodesMemo(spark, dir), 8L, 909L))
       .unionByName(row("pq_trained", pqTrainedCodesMemo(spark, dir), 8L, 860L))
+      // the r15 production store (graft.streaming.IvfIndex): the m=1
+      // inverted lists with the trained-PQ payload INLINED per rk=1 row
+      // — 8 B list id + 8 B code (16 nibbles) + 8 B quantization
+      // residual (what makes ADC admission exact). probe_ms = q246's
+      // quiet floor (the batch twin of the index's ADC probe path).
+      .unionByName(row("ivfpq_indexed",
+        ivfNearMemo(spark, dir).filter($"rk" === 1), 24L, 773L))
       .orderBy($"method")
   }
 
@@ -2238,7 +2504,10 @@ object Similarity {
       |    n_vectors, 8, 909 FROM n
       |  UNION ALL
       |  SELECT 'pq_trained', (SELECT CAST(count(*) AS BIGINT) FROM nv),
-      |    n_vectors, 8, 860 FROM n) z
+      |    n_vectors, 8, 860 FROM n
+      |  UNION ALL
+      |  SELECT 'ivfpq_indexed', (SELECT CAST(count(*) AS BIGINT) FROM rk1),
+      |    n_vectors, 24, 773 FROM n) z
       |ORDER BY method""".stripMargin
 
   /** q230 — hard-negative mining for contrastive training (the ANCE
@@ -2989,6 +3258,8 @@ object Similarity {
     "q244_trained_pq_recall" -> (q244TrainedPqRecall _),
     "q245_ivf_trained_recall" -> (q245IvfTrainedRecall _),
     "q246_trained_ivfpq_recall" -> (q246TrainedIvfPqRecall _),
+    "q247_sharded_ivf_recall" -> (q247ShardedIvfRecall _),
+    "q248_adc_bands" -> (q248AdcBands _),
     "q227_ann_scorecard" -> (q227AnnScorecard _),
     "q230_hard_negatives" -> (q230HardNegatives _),
     "q35_ann_lsh" -> (q35AnnLsh _),
@@ -3017,6 +3288,8 @@ object Similarity {
     "q244_trained_pq_recall" -> q244Sql,
     "q245_ivf_trained_recall" -> q245Sql,
     "q246_trained_ivfpq_recall" -> q246Sql,
+    "q247_sharded_ivf_recall" -> q247Sql,
+    "q248_adc_bands" -> q248Sql,
     "q227_ann_scorecard" -> q227Sql,
     "q230_hard_negatives" -> q230Sql,
     "q35_ann_lsh" -> q35Sql,

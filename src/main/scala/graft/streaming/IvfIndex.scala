@@ -179,6 +179,26 @@ object IvfIndex extends IndexLifecycle {
     spark.conf.getOption("spark.graft.ivfIndex.exactVerify")
       .exists(_.toBoolean)
 
+  /** How many lists an ADMISSION probe scans
+    * (`spark.graft.ivfIndex.admitNprobe`, default 1, capped at the
+    * epoch's nprobe). The epoch nprobe (⌈nlist/8⌉, the q236 policy) is
+    * a RECALL budget — right for top-k queries, ruinous for admission:
+    * at 1/8 of the lists every admitted vector compares against ~12.5%
+    * of the corpus, which is O(n) per vector. A near-dup at the 0.92
+    * gate all but shares its twin's NEAREST list (an exact copy does so
+    * by construction), so admission probes 1 list by default —
+    * corpus/nlist ≈ √n candidates per vector under the √n policy,
+    * SUBLINEAR, the same trade LSH banding makes (false negatives only
+    * from pairs straddling a Voronoi boundary; raise the knob or set
+    * exactVerify for stricter gates). Measured on the r15 evidence
+    * ladder: the steady-state per-batch admit wall at nprobe=1 tracks
+    * the batch, not the corpus.
+    */
+  private def admitNprobe(spark: SparkSession, epochNprobe: Int): Int =
+    math.min(math.max(1, epochNprobe),
+      spark.conf.getOption("spark.graft.ivfIndex.admitNprobe")
+        .map(_.toInt).getOrElse(1))
+
   /** Candidate (corpus, batch) pairs WITH the corpus side's inlined ADC
     * payload, from probing the persisted m=1 lists with a batch's probe
     * assignments: the batch assigns against the BROADCAST frozen pivots,
@@ -255,10 +275,14 @@ object IvfIndex extends IndexLifecycle {
     val certain = scored
       .filter($"a" + $"r" <= lit(boundF - adcEpsFrozen))
       .select($"b_id".as("vec_id"))
+    // the gray band is SMALL by construction (only threshold-adjacent
+    // pairs) — checkpoint it so the exact-verify stage consumes a
+    // materialized relation instead of re-streaming the candidate join
     val gray = scored
       .filter($"a" + $"r" > lit(boundF - adcEpsFrozen) &&
         abs($"a" - $"r") <= lit(boundF + adcEpsFrozen))
       .select($"a_id", $"b_id")
+      .localCheckpoint()
     val grayRejected = cosineRejectedIds(spark, corpusDir, vecSchema,
       batch, gray, maxCosine)
     certain.union(grayRejected).distinct()
@@ -266,8 +290,11 @@ object IvfIndex extends IndexLifecycle {
 
   /** Plan view for the cost-shape pin: the full per-batch probe (assign
     * against frozen pivots → coded candidates → ADC sandwich →
-    * gray-band cosine verify), no writes, fully symbolic so the joins
-    * stay visible in the explained plan.
+    * gray-band cosine verify), no writes. The gray band materializes
+    * eagerly (its checkpoint inside [[adcRejectedIds]]), so its leaf is
+    * collapsed in the explained plan — the store-scan join shape it
+    * hides is the SAME shape the certain-reject branch shows unfolded,
+    * so the no-shuffle-join pin keeps its teeth.
     */
   private[graft] def batchProbePlan(spark: SparkSession, indexDir: String,
       corpusDir: String, batch: DataFrame, maxCosine: Double): DataFrame = {
@@ -275,7 +302,8 @@ object IvfIndex extends IndexLifecycle {
     val piv = readOrEmpty(spark, s"$indexDir/piv", pivSchema)
     val cb = readOrEmpty(spark, s"$indexDir/cb", cbSchema)
     val bn = graft.operators.Similarity.ivfNearOf(
-      batch.select(col("vec_id"), col("embedding")), piv, nprobe)
+      batch.select(col("vec_id"), col("embedding")), piv,
+      admitNprobe(spark, nprobe))
     adcRejectedIds(spark, corpusDir, batch,
       candidatePairsCoded(spark, indexDir, bn), cb, maxCosine)
   }
@@ -414,8 +442,20 @@ object IvfIndex extends IndexLifecycle {
     val batchNear = sim
       .ivfNearOf(fresh.select($"vec_id", $"embedding"), piv, nprobe)
       .localCheckpoint()
-    val candCoded = candidatePairsCoded(spark, indexDir, batchNear)
-      .localCheckpoint()
+    // DELIBERATELY NOT checkpointed: the candidate relation is
+    // batch × corpus × (admitNprobe/nlist) pairs — at a 32k batch
+    // against a 64k corpus with the epoch's recall nprobe that was
+    // ~270M wide rows (inlined code arrays), and materializing it OOMed
+    // a single JVM (measured: the r15 evidence ladder's wave-5 heap
+    // death) while buying nothing at cluster scale. Its two consumers
+    // (the certain-reject pass and the gray-band pass) each stream the
+    // rk=1 list scan + broadcast joins instead: scan-heavy,
+    // memory-light, fully distributed. The probe slice is the
+    // [[admitNprobe]] prefix of the epoch assignment (default: the
+    // nearest list only — √n candidates per vector under the policy);
+    // the store append below keeps the FULL epoch slice.
+    val probeNear = batchNear.filter($"rk" <= admitNprobe(spark, nprobe))
+    val candCoded = candidatePairsCoded(spark, indexDir, probeNear)
     val rejected =
       if (exactVerify(spark))
         cosineRejectedIds(spark, corpusDir, vecSchema, fresh,

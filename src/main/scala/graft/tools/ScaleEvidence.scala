@@ -925,9 +925,19 @@ object ScaleEvidence {
     spark.conf.set("spark.graft.ivfIndex.trainedPivots", "true")
     try {
       val base = math.max(1, n >> (waves - 1))
-      val sizes = base +: (0 until waves - 1).map(i => base << i)
+      // the doubling ladder trips a RE-POLICY rebuild every wave by
+      // construction (cumulative doubles each time); the four trailing
+      // STEADY-STATE waves (n/64 each, far below the next doubling
+      // trigger) are where the incremental per-batch cost claim is
+      // actually measured — admit wall there must track the BATCH, not
+      // the corpus
+      val sizes = (base +: (0 until waves - 1).map(i => base << i)) ++
+        Seq.fill(4)(math.max(1, n / 64))
+      // NOT checkpointed: admitBatch sweeps unpinned checkpoint blocks
+      // at its end, and this relation must survive every wave — it is a
+      // cheap generator, recomputing beats re-checkpointing per wave
       val panel = emb(n.toLong, n.toLong + 32)
-        .select($"vec_id", $"embedding").localCheckpoint() // never admitted
+        .select($"vec_id", $"embedding") // never admitted
       var lo = 0L
       var lastSnapshot = -1L
       sizes.zipWithIndex.foreach { case (sz, w) =>

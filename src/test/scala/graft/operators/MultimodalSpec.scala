@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.{conv, hex, octet_length, substring, when}
 import graft.SparkSpec
 
 class MultimodalSpec extends AnyFunSuite with SparkSpec {
@@ -264,5 +265,48 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(Multimodal.PHasher.dHash(lumas) == 0L)
     // short payload zero-pads
     assert(Multimodal.PHasher.stubLumas(Array[Byte](65, 66)).take(3).toSeq == Seq(65, 66, 0))
+  }
+
+  test("non-ASCII payloads: Spark stubs see UTF-8 BYTES, matching the byte-true oracles") {
+    import spark.implicits._
+    // the r14-documented divergence risk, now closed: a multi-byte
+    // payload where characters != bytes ('é' is 2 UTF-8 bytes, '—' is 3)
+    val s = "héllo wörld — ünïcode payload with ẞome united cøntent ~~"
+    val bytes = s.getBytes("UTF-8")
+    assert(bytes.length > s.length, "fixture must actually be multi-byte")
+    // Spark's string->binary cast is UTF-8: the stub grid over the cast
+    // column equals the byte view the hex-parse oracle computes
+    val df = Seq((1L, s)).toDF("doc_id", "text")
+      .select($"doc_id", $"text".cast("binary").as("blob"))
+    val ph = Multimodal.pHashAll(df).collect().head
+    val lumas = Multimodal.PHasher.stubLumas(bytes)
+    assert(ph.bands.toSeq == Multimodal.PHasher.aHashBands(lumas).toSeq)
+    assert(ph.dhash == Multimodal.PHasher.dHash(lumas))
+    assert(lumas.exists(_ > 127), "the grid must contain non-ASCII byte values")
+    val fp = Multimodal.audioFpAll(df).collect().head
+    val e = Multimodal.AudioFingerprinter.energies64(
+      Multimodal.AudioFingerprinter.stubUnits(bytes))
+    assert(fp.sbands.toSeq == Multimodal.AudioFingerprinter.signBands(e).toSeq)
+    assert(fp.ebands.toSeq == Multimodal.AudioFingerprinter.meanBands(e).toSeq)
+    // q37's byte10 on this payload is the 10th BYTE (the second byte of
+    // 'ö', 0xB6 = 182) — the old character form would have reported the
+    // codepoint of the 10th CHARACTER instead
+    val b10 = Seq((1L, s)).toDF("doc_id", "text")
+      .select(when(octet_length($"text") >= 10,
+        conv(hex(substring($"text".cast("binary"), 10, 1)), 16, 10)
+          .cast("long")).otherwise(0L).as("byte10"))
+      .head().getLong(0)
+    assert(b10 == (bytes(9) & 0xFF).toLong)
+    // and byte-identical multi-byte payloads pair up through the REAL
+    // banded joins of both modalities
+    val src = Seq((1L, s), (2L, s), (3L, "a completely different unrelated body of text without overlap"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", $"text".cast("binary").as("blob"))
+    val ppairs = Multimodal.phashPairs(src).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(ppairs.contains((1L, 2L, 0L)), s"phash pairs: ${ppairs.toSeq}")
+    val apairs = Multimodal.audioFpPairs(src).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(apairs.contains((1L, 2L, 0L)), s"audio pairs: ${apairs.toSeq}")
   }
 }
