@@ -116,12 +116,14 @@ object AnnIndex extends IndexLifecycle {
     import spark.implicits._
     val corpus = readOrEmpty(spark, corpusDir, vecSchema)
       .select($"vec_id", $"embedding")
-    val bk = graft.operators.Similarity.multiBucketsOf(corpus).localCheckpoint()
-    val n = bk.select($"vec_id").distinct().count()
-    bk.coalesce(compactFiles(spark, n)).write.mode("overwrite").parquet(s"$indexDir/bk")
-    writeMeta(spark, indexDir, n)
-    org.apache.spark.sql.graft.CheckpointUtils.sweepUnpinned(spark.sparkContext)
-    n
+    val ck = new CkptScope
+    try {
+      val bk = ck(graft.operators.Similarity.multiBucketsOf(corpus))
+      val n = bk.select($"vec_id").distinct().count()
+      bk.coalesce(compactFiles(spark, n)).write.mode("overwrite").parquet(s"$indexDir/bk")
+      writeMeta(spark, indexDir, n)
+      n
+    } finally ck.freeAll()
   }
 
   /** One micro-batch of indexed ANN admission: reject batch vectors with
@@ -137,6 +139,8 @@ object AnnIndex extends IndexLifecycle {
       maxCosine: Double = 0.92): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
+    val ck = new CkptScope
+    try {
     checkVersion(spark, indexDir)
     if (metaRow(spark, indexDir).isEmpty) writeMeta(spark, indexDir, 0L)
     // Pre-probe self-heal ([[IndexLifecycle.healIfNeeded]] — ordering
@@ -157,29 +161,26 @@ object AnnIndex extends IndexLifecycle {
     // the duplicated corpus row would diverge the row-vs-distinct heal
     // counts FOREVER (a full rebuild per batch from then on).
     // Deterministic winner: lowest embedding hash.
-    val fresh = batch.join(broadcast(idHits), Seq("vec_id"), "left_anti")
+    val fresh = ck(batch.join(broadcast(idHits), Seq("vec_id"), "left_anti")
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy($"vec_id")
           .orderBy(xxhash64($"embedding"), $"label")))
       .filter($"rk" === 1)
-      .select($"vec_id", $"embedding", $"label")
-      .localCheckpoint()
-    val batchBk = graft.operators.Similarity.multiBucketsOf(fresh).localCheckpoint()
+      .select($"vec_id", $"embedding", $"label"))
+    val batchBk = ck(graft.operators.Similarity.multiBucketsOf(fresh))
     val rejected = cosineRejectedIds(spark, corpusDir, vecSchema, fresh,
-      candidatePairs(spark, indexDir, batchBk).localCheckpoint(), maxCosine)
-    val admitted = fresh.join(broadcast(rejected), Seq("vec_id"), "left_anti")
-      .localCheckpoint()
+      ck(candidatePairs(spark, indexDir, batchBk)), maxCosine)
+    val admitted = ck(fresh.join(broadcast(rejected), Seq("vec_id"), "left_anti"))
     admitted.write.mode("append").parquet(corpusDir)
-    val admittedBk = batchBk
-      .join(broadcast(admitted.select($"vec_id")), Seq("vec_id"))
-      .localCheckpoint()
+    val admittedBk = ck(batchBk
+      .join(broadcast(admitted.select($"vec_id")), Seq("vec_id")))
     val nAdmitted = admittedBk.select($"vec_id").distinct().count()
     admittedBk.repartition(appendWriters(spark, nAdmitted), $"bucket")
       .write.mode("append").parquet(s"$indexDir/bk")
     compactIfOverCap(spark, Seq(s"$indexDir/bk")) {
       rebuild(spark, corpusDir, indexDir)
     }
-    org.apache.spark.sql.graft.CheckpointUtils.sweepUnpinned(spark.sparkContext)
+    } finally ck.freeAll()
   }
 
   /** The indexed ANN admission policy as a continuous query — the

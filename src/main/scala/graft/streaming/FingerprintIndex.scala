@@ -140,12 +140,14 @@ object FingerprintIndex extends IndexLifecycle {
       hasher: BandedHasher): Long = {
     import spark.implicits._
     val corpus = readOrEmpty(spark, corpusDir, blobSchema)
-    val fp = hasher.hash(corpus).localCheckpoint()
-    val n = fp.select($"doc_id").distinct().count()
-    fp.coalesce(compactFiles(spark, n)).write.mode("overwrite").parquet(s"$indexDir/fp")
-    writeMeta(spark, indexDir, n, hasher)
-    org.apache.spark.sql.graft.CheckpointUtils.sweepUnpinned(spark.sparkContext)
-    n
+    val ck = new CkptScope
+    try {
+      val fp = ck(hasher.hash(corpus))
+      val n = fp.select($"doc_id").distinct().count()
+      fp.coalesce(compactFiles(spark, n)).write.mode("overwrite").parquet(s"$indexDir/fp")
+      writeMeta(spark, indexDir, n, hasher)
+      n
+    } finally ck.freeAll()
   }
 
   /** One micro-batch of fingerprint-indexed admission: reject batch docs
@@ -165,6 +167,8 @@ object FingerprintIndex extends IndexLifecycle {
       s"maxHam=$maxHam exceeds the 8-band pigeonhole bound (lossless only for <= 7)")
     val spark = batch.sparkSession
     import spark.implicits._
+    val ck = new CkptScope
+    try {
     checkVersion(spark, indexDir, hasher)
     if (metaRow(spark, indexDir).isEmpty) writeMeta(spark, indexDir, 0L, hasher)
     // Pre-probe self-heal ([[IndexLifecycle.healIfNeeded]] — ordering
@@ -177,28 +181,25 @@ object FingerprintIndex extends IndexLifecycle {
     val existingIds = readOrEmpty(spark, corpusDir, blobSchema).select($"doc_id")
     val idHits = existingIds
       .join(broadcast(batch.select($"doc_id")), Seq("doc_id")).distinct()
-    val fresh = batch.join(broadcast(idHits), Seq("doc_id"), "left_anti")
-      .select($"doc_id", $"blob")
-      .localCheckpoint()
+    val fresh = ck(batch.join(broadcast(idHits), Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"blob"))
     // decode ONCE per batch; every downstream consumer reads the
     // checkpointed signatures, never the codec stage
-    val batchFp = hasher.hash(fresh).localCheckpoint()
+    val batchFp = ck(hasher.hash(fresh))
     val rejected = candidatePairs(spark, indexDir, batchFp)
       .filter($"ham" <= maxHam)
       .select($"b_id".as("doc_id")).distinct()
-    val admitted = fresh.join(broadcast(rejected), Seq("doc_id"), "left_anti")
-      .localCheckpoint()
+    val admitted = ck(fresh.join(broadcast(rejected), Seq("doc_id"), "left_anti"))
     admitted.write.mode("append").parquet(corpusDir)
-    val admittedFp = batchFp
-      .join(broadcast(admitted.select($"doc_id")), Seq("doc_id"))
-      .localCheckpoint()
+    val admittedFp = ck(batchFp
+      .join(broadcast(admitted.select($"doc_id")), Seq("doc_id")))
     val nAdmitted = admittedFp.count()
     admittedFp.coalesce(appendWriters(spark, nAdmitted))
       .write.mode("append").parquet(s"$indexDir/fp")
     compactIfOverCap(spark, Seq(s"$indexDir/fp")) {
       rebuild(spark, corpusDir, indexDir, hasher)
     }
-    org.apache.spark.sql.graft.CheckpointUtils.sweepUnpinned(spark.sparkContext)
+    } finally ck.freeAll()
   }
 
   /** The fingerprint-indexed admission policy as a continuous query —

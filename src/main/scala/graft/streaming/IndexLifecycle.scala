@@ -137,6 +137,32 @@ private[streaming] trait IndexLifecycle {
     if (storeDirs.exists(d => storeFileCount(spark, d) > maxStoreFiles(spark)))
       rebuild
 
+  /** Per-call checkpoint OWNERSHIP — the r15 lesson. The indexes used to
+    * end rebuild/admitBatch with a blanket
+    * `CheckpointUtils.sweepUnpinned`, which also dropped checkpoints the
+    * CALLER owned: a heal-path rebuild runs before the batch's own
+    * derivations, so a caller-checkpointed incoming batch lost its
+    * blocks and the subsequent probe crashed with
+    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (a truncated-lineage relation
+    * cannot recompute) — reproduced live by IndexOwnershipSpec across
+    * the family. Each call now checkpoints through its own scope and
+    * frees exactly what it created; caller-owned blocks are never
+    * touched, and nothing leaks (rebuild's relations are freed once
+    * their parquet is written, admitBatch's once the appends land).
+    */
+  protected final class CkptScope {
+    private val owned =
+      scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Dataset[_]]
+    /** localCheckpoint `ds` and register its blocks for [[freeAll]]. */
+    def apply[T](ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.Dataset[T] = {
+      val c = ds.localCheckpoint()
+      owned += c
+      c
+    }
+    def freeAll(): Unit =
+      owned.foreach(org.apache.spark.sql.graft.CheckpointUtils.free(_))
+  }
+
   /** The exact-cosine admission verify shared by the vector indexes
     * ([[AnnIndex]], [[IvfIndex]] — one definition, the r13 lesson):
     * fetch corpus embeddings for candidate partners only (broadcast the

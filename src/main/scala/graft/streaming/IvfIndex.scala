@@ -253,7 +253,7 @@ object IvfIndex extends IndexLifecycle {
 
   private[streaming] def adcRejectedIds(spark: SparkSession,
       corpusDir: String, batch: DataFrame, candCoded: DataFrame,
-      cb: DataFrame, maxCosine: Double): DataFrame = {
+      cb: DataFrame, maxCosine: Double, ck: CkptScope): DataFrame = {
     import spark.implicits._
     val sim = graft.operators.Similarity
     // the codebook's EFFECTIVE per-subspace size: an epoch trained on
@@ -278,11 +278,10 @@ object IvfIndex extends IndexLifecycle {
     // the gray band is SMALL by construction (only threshold-adjacent
     // pairs) — checkpoint it so the exact-verify stage consumes a
     // materialized relation instead of re-streaming the candidate join
-    val gray = scored
+    val gray = ck(scored
       .filter($"a" + $"r" > lit(boundF - adcEpsFrozen) &&
         abs($"a" - $"r") <= lit(boundF + adcEpsFrozen))
-      .select($"a_id", $"b_id")
-      .localCheckpoint()
+      .select($"a_id", $"b_id"))
     val grayRejected = cosineRejectedIds(spark, corpusDir, vecSchema,
       batch, gray, maxCosine)
     certain.union(grayRejected).distinct()
@@ -304,8 +303,11 @@ object IvfIndex extends IndexLifecycle {
     val bn = graft.operators.Similarity.ivfNearOf(
       batch.select(col("vec_id"), col("embedding")), piv,
       admitNprobe(spark, nprobe))
+    // the scope is deliberately NOT freed: the returned plan references
+    // the gray checkpoint and may execute later (diagnostic API — one
+    // tiny gray block per call)
     adcRejectedIds(spark, corpusDir, batch,
-      candidatePairsCoded(spark, indexDir, bn), cb, maxCosine)
+      candidatePairsCoded(spark, indexDir, bn), cb, maxCosine, new CkptScope)
   }
 
   /** Full index (re)derivation from the corpus store — bootstrap,
@@ -337,35 +339,35 @@ object IvfIndex extends IndexLifecycle {
   def rebuild(spark: SparkSession, corpusDir: String, indexDir: String): Long = {
     import spark.implicits._
     val sim = graft.operators.Similarity
+    val ck = new CkptScope
+    try {
     val corpus = readOrEmpty(spark, corpusDir, vecSchema)
       .select($"vec_id", $"embedding")
     val n = corpus.count()
     val nlist = sim.ivfPolicyNlist(n)
     val nprobe = sim.ivfPolicyNprobe(nlist)
     val pivotSrc = if (trainedPivots(spark)) "trained" else "policy"
-    val piv = (if (pivotSrc == "trained") sim.trainedCoarsePivots(corpus, nlist)
+    val piv = ck(if (pivotSrc == "trained") sim.trainedCoarsePivots(corpus, nlist)
       else sim.ivfPivotsOf(corpus, nlist))
-      .localCheckpoint()
-    val cb = sim.trainedPqCodebookOf(corpus).localCheckpoint()
+    val cb = ck(sim.trainedPqCodebookOf(corpus))
     piv.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/piv")
     cb.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/cb")
     writeMeta(spark, indexDir, n, nlist, nprobe, pivotSrc,
       fpOf(piv, Seq("p_id", "pe")), fpOf(cb, Seq("m", "c_id", "fc")),
       committed = false)
     val codes = sim.trainedPqCodesWithResid(corpus, cb)
-    val near = sim.ivfNearOf(corpus, piv, nprobe)
+    val near = ck(sim.ivfNearOf(corpus, piv, nprobe)
       .join(codes.select($"vec_id", $"codes", $"resid"), Seq("vec_id"), "left")
       .select($"vec_id", $"p_id", $"rk",
         when($"rk" === 1, $"codes").as("code"),
-        when($"rk" === 1, $"resid").as("resid"))
-      .localCheckpoint()
+        when($"rk" === 1, $"resid").as("resid")))
     near.coalesce(compactFiles(spark, n)).write.mode("overwrite")
       .parquet(s"$indexDir/near")
     writeMeta(spark, indexDir, n, nlist, nprobe, pivotSrc,
       fpOf(piv, Seq("p_id", "pe")), fpOf(cb, Seq("m", "c_id", "fc")),
       committed = true)
-    org.apache.spark.sql.graft.CheckpointUtils.sweepUnpinned(spark.sparkContext)
     n
+    } finally ck.freeAll()
   }
 
   /** One micro-batch of IVF-indexed admission: reject batch vectors with
@@ -384,6 +386,8 @@ object IvfIndex extends IndexLifecycle {
     val spark = batch.sparkSession
     import spark.implicits._
     val sim = graft.operators.Similarity
+    val ck = new CkptScope
+    try {
     // ONE meta read serves the guard, the consistency heal and the
     // first-touch stamp; re-read only after a heal can have rewritten it.
     val meta0 = metaRow(spark, indexDir)
@@ -430,18 +434,16 @@ object IvfIndex extends IndexLifecycle {
     // in-batch exact-id dedup — same rationale and winner rule as
     // [[AnnIndex.admitBatch]] (a duplicated vec_id in one batch would
     // wedge the row-vs-distinct heal into perpetual rebuilds)
-    val fresh = batch.join(broadcast(idHits), Seq("vec_id"), "left_anti")
+    val fresh = ck(batch.join(broadcast(idHits), Seq("vec_id"), "left_anti")
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy($"vec_id")
           .orderBy(xxhash64($"embedding"), $"label")))
       .filter($"rk" === 1)
-      .select($"vec_id", $"embedding", $"label")
-      .localCheckpoint()
-    val piv = readOrEmpty(spark, s"$indexDir/piv", pivSchema).localCheckpoint()
-    val cb = readOrEmpty(spark, s"$indexDir/cb", cbSchema).localCheckpoint()
-    val batchNear = sim
-      .ivfNearOf(fresh.select($"vec_id", $"embedding"), piv, nprobe)
-      .localCheckpoint()
+      .select($"vec_id", $"embedding", $"label"))
+    val piv = ck(readOrEmpty(spark, s"$indexDir/piv", pivSchema))
+    val cb = ck(readOrEmpty(spark, s"$indexDir/cb", cbSchema))
+    val batchNear = ck(sim
+      .ivfNearOf(fresh.select($"vec_id", $"embedding"), piv, nprobe))
     // DELIBERATELY NOT checkpointed: the candidate relation is
     // batch × corpus × (admitNprobe/nlist) pairs — at a 32k batch
     // against a 64k corpus with the epoch's recall nprobe that was
@@ -460,9 +462,8 @@ object IvfIndex extends IndexLifecycle {
       if (exactVerify(spark))
         cosineRejectedIds(spark, corpusDir, vecSchema, fresh,
           candCoded.select($"a_id", $"b_id"), maxCosine)
-      else adcRejectedIds(spark, corpusDir, fresh, candCoded, cb, maxCosine)
-    val admitted = fresh.join(broadcast(rejected), Seq("vec_id"), "left_anti")
-      .localCheckpoint()
+      else adcRejectedIds(spark, corpusDir, fresh, candCoded, cb, maxCosine, ck)
+    val admitted = ck(fresh.join(broadcast(rejected), Seq("vec_id"), "left_anti"))
     val nAdmitted = admitted.count()
     admitted.write.mode("append").parquet(corpusDir)
     // RE-POLICY trigger (post-append, so the rebuild sees this batch):
@@ -481,21 +482,20 @@ object IvfIndex extends IndexLifecycle {
     } else {
       val admittedCodes = sim.trainedPqCodesWithResid(
         admitted.select($"vec_id", $"embedding"), cb)
-      val admittedNear = batchNear
+      val admittedNear = ck(batchNear
         .join(broadcast(admitted.select($"vec_id")), Seq("vec_id"))
         .join(broadcast(admittedCodes.select($"vec_id", $"codes", $"resid")),
           Seq("vec_id"), "left")
         .select($"vec_id", $"p_id", $"rk",
           when($"rk" === 1, $"codes").as("code"),
-          when($"rk" === 1, $"resid").as("resid"))
-        .localCheckpoint()
+          when($"rk" === 1, $"resid").as("resid")))
       admittedNear.repartition(appendWriters(spark, nAdmitted), $"p_id")
         .write.mode("append").parquet(s"$indexDir/near")
       compactIfOverCap(spark, Seq(s"$indexDir/near")) {
         rebuild(spark, corpusDir, indexDir)
       }
     }
-    org.apache.spark.sql.graft.CheckpointUtils.sweepUnpinned(spark.sparkContext)
+    } finally ck.freeAll()
   }
 
   /** The IVF-indexed admission policy as a continuous query — the

@@ -200,8 +200,9 @@ object NearDupIndex extends IndexLifecycle {
     * the verify join are one probe execution, not two.
     */
   private def nearDupBatchIds(spark: SparkSession, indexDir: String,
-      batchIdx: DataFrame, minJaccard: Double): (DataFrame, Long) = {
-    val cand = candidatePairs(spark, indexDir, batchIdx, minJaccard).localCheckpoint()
+      batchIdx: DataFrame, minJaccard: Double,
+      ck: CkptScope): (DataFrame, Long) = {
+    val cand = ck(candidatePairs(spark, indexDir, batchIdx, minJaccard))
     (verifyStage(spark, indexDir, batchIdx, cand, minJaccard), cand.count())
   }
 
@@ -238,23 +239,26 @@ object NearDupIndex extends IndexLifecycle {
     import spark.implicits._
     val corpus = readOrEmpty(spark, corpusDir, CorpusStreams.corpusStoreSchema)
       .select($"doc_id", $"text")
-    val hx = graft.operators.Dedup.hxOfDocs(corpus).localCheckpoint()
+    val ck = new CkptScope
+    val n = try {
+    val hx = ck(graft.operators.Dedup.hxOfDocs(corpus))
     val rank = hx.groupBy($"h").agg(count(lit(1)).as("df"))
     rank.write.mode("overwrite").parquet(s"$indexDir/rank")
     // rebuild is the amortized O(corpus) pass: a plain shuffle join
     // against the fresh snapshot (indexRows' broadcast-the-batch trick
     // would broadcast the whole vocabulary here)
-    val idx = prefixRowsOf(
+    val idx = ck(prefixRowsOf(
       hx.join(spark.read.schema(rankSchema).parquet(s"$indexDir/rank"), Seq("h")),
-      minJaccard).localCheckpoint()
-    val n = idx.count()
-    val nf = compactFiles(spark, n)
+      minJaccard))
+    val nIdx = idx.count()
+    val nf = compactFiles(spark, nIdx)
     idx.select($"doc_id", $"harr", $"n")
       .coalesce(nf).write.mode("overwrite").parquet(s"$indexDir/docs")
     idx.select(explode($"prefix").as("ph"), $"doc_id", $"n")
       .coalesce(nf).write.mode("overwrite").parquet(s"$indexDir/px")
-    writeMeta(spark, indexDir, n, minJaccard)
-    org.apache.spark.sql.graft.CheckpointUtils.sweepUnpinned(spark.sparkContext)
+    writeMeta(spark, indexDir, nIdx, minJaccard)
+    nIdx
+    } finally ck.freeAll()
     n
   }
 
@@ -274,6 +278,8 @@ object NearDupIndex extends IndexLifecycle {
       minTokens: Int = 5, minJaccard: Double = 0.7): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
+    val ck = new CkptScope
+    try {
     checkThreshold(spark, indexDir, minJaccard)
     // stamp the threshold from the FIRST touch (rebuild refreshes the
     // count later; a young index must already refuse mismatched probes)
@@ -308,35 +314,31 @@ object NearDupIndex extends IndexLifecycle {
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("fp", org.apache.spark.sql.types.StringType))))
-    val fingered = batch
+    val fingered = ck(batch
       .withColumn("fp", md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
       .withColumn("n_tokens", size(split(trim(col("text")), " ")).cast("long"))
       .filter(col("n_tokens") >= minTokens)
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy($"fp").orderBy($"doc_id")))
       .filter($"rk" === 1).drop("rk")
-      .select($"doc_id", $"source", $"fp", $"n_tokens", $"text")
-      .localCheckpoint()
+      .select($"doc_id", $"source", $"fp", $"n_tokens", $"text"))
     // exact-dup gate with the corpus side only SCANNED: matched corpus
     // fps come from an inner join against the broadcast batch, then the
     // batch anti-joins that (batch-sized) hit list
     val fpHits = existingFp.join(broadcast(fingered.select($"fp")), Seq("fp"))
       .distinct()
-    val gated = fingered.join(broadcast(fpHits), Seq("fp"), "left_anti")
-      .localCheckpoint()
+    val gated = ck(fingered.join(broadcast(fpHits), Seq("fp"), "left_anti"))
 
-    val batchIdx = indexRows(
+    val batchIdx = ck(indexRows(
       graft.operators.Dedup.hxOfDocs(gated),
       readOrEmpty(spark, s"$indexDir/rank", rankSchema),
-      minJaccard).localCheckpoint()
-    val (nearDups, nCand) = nearDupBatchIds(spark, indexDir, batchIdx, minJaccard)
-    val admitted = gated.join(broadcast(nearDups), Seq("doc_id"), "left_anti")
-      .localCheckpoint()
+      minJaccard))
+    val (nearDups, nCand) = nearDupBatchIds(spark, indexDir, batchIdx, minJaccard, ck)
+    val admitted = ck(gated.join(broadcast(nearDups), Seq("doc_id"), "left_anti"))
     admitted.select($"doc_id", $"source", $"fp", $"n_tokens", $"text")
       .write.mode("append").parquet(corpusDir)
-    val admittedIdx = batchIdx
-      .join(broadcast(admitted.select($"doc_id")), Seq("doc_id"))
-      .localCheckpoint()
+    val admittedIdx = ck(batchIdx
+      .join(broadcast(admitted.select($"doc_id")), Seq("doc_id")))
     // Hash-bucketed parallel batch appends: writer count scales with the
     // batch (ceil(rows / rowsPerAppendFile), capped at core count) so a
     // fixture-sized batch still writes one file while a production batch
@@ -375,7 +377,7 @@ object NearDupIndex extends IndexLifecycle {
     else compactIfOverCap(spark, Seq(s"$indexDir/px")) {
       rebuild(spark, corpusDir, indexDir, minJaccard)
     }
-    org.apache.spark.sql.graft.CheckpointUtils.sweepUnpinned(spark.sparkContext)
+    } finally ck.freeAll()
   }
 
   /** Candidates-per-batch-row ratio above which the frozen snapshot is
