@@ -64,6 +64,29 @@ object Bench {
       .map(_.getCollectionTime).sum
   }
 
+
+  /** Committed reference map (name -> quiet-box seconds): env-var
+    * override, else a bounded upward walk from cwd for tools/<file> —
+    * one definition for memo_ref and query_ref so the r12 cwd-relative
+    * disarm fix cannot diverge between the two tripwires. Missing or
+    * unparsable => empty map (tripwire inert).
+    */
+  private def refMap(envVar: String, fileName: String): Map[String, Double] = {
+    val path: Option[java.nio.file.Path] =
+      sys.env.get(envVar).map(java.nio.file.Paths.get(_))
+        .orElse {
+          Iterator.iterate(java.nio.file.Paths.get("").toAbsolutePath)(_.getParent)
+            .takeWhile(_ != null).take(8)
+            .map(_.resolve(s"tools/$fileName"))
+            .find(java.nio.file.Files.isReadable(_))
+        }
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(path.get), "UTF-8")
+      """"([^"]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Exception => Map.empty }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -196,21 +219,8 @@ object Bench {
     // disarms the tripwire when Bench runs from a subdirectory, so walk
     // up from cwd looking for tools/memo_ref.json (bounded repo-root
     // discovery) when the plain relative path doesn't resolve.
-    val memoRef: Map[String, Double] = {
-      val path: Option[java.nio.file.Path] =
-        sys.env.get("SPARK_GRAFT_MEMO_REF").map(java.nio.file.Paths.get(_))
-          .orElse {
-            Iterator.iterate(java.nio.file.Paths.get("").toAbsolutePath)(_.getParent)
-              .takeWhile(_ != null).take(8)
-              .map(_.resolve("tools/memo_ref.json"))
-              .find(java.nio.file.Files.isReadable(_))
-          }
-      try {
-        val txt = new String(java.nio.file.Files.readAllBytes(path.get), "UTF-8")
-        """"([^"]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } catch { case _: Exception => Map.empty }
-    }
+    val memoRef: Map[String, Double] =
+      refMap("SPARK_GRAFT_MEMO_REF", "memo_ref.json")
     // Ledger keys gain an `@<dirBasename>` suffix when one key touched
     // several corpora in this process (the multi-SF case); the committed
     // reference is keyed by the bare name, so strip the suffix for the
@@ -247,21 +257,8 @@ object Bench {
     //  - "check": none of the above explains it — a real candidate.
     // Improvements >=1.5x are listed as "improved" so stale floors get
     // re-trued from the next quiet run. Reference missing => inert.
-    val queryRef: Map[String, Double] = {
-      val path: Option[java.nio.file.Path] =
-        sys.env.get("SPARK_GRAFT_QUERY_REF").map(java.nio.file.Paths.get(_))
-          .orElse {
-            Iterator.iterate(java.nio.file.Paths.get("").toAbsolutePath)(_.getParent)
-              .takeWhile(_ != null).take(8)
-              .map(_.resolve("tools/query_ref.json"))
-              .find(java.nio.file.Files.isReadable(_))
-          }
-      try {
-        val txt = new String(java.nio.file.Files.readAllBytes(path.get), "UTF-8")
-        """"([^"]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } catch { case _: Exception => Map.empty }
-    }
+    val queryRef: Map[String, Double] =
+      refMap("SPARK_GRAFT_QUERY_REF", "query_ref.json")
     val resMap = results.toMap
     val ratios = results.collect {
       case (n, v) if v > 0 && queryRef.getOrElse(n, 0.0) > 0 =>

@@ -1236,8 +1236,10 @@ object Similarity {
     var cent: Array[Array[Array[Long]]] = Array.tabulate(mSub)(m =>
       initRows.filter(_._1 == m).sortBy(_._2).map(_._3))
     val sc = spark.sparkContext
+    try {
     for (_ <- 1 to iters) {
       val bc = sc.broadcast(cent)
+      try {
       val partials = fsamp.rdd.mapPartitions { it =>
         val cm = bc.value
         val acc = scala.collection.mutable.HashMap
@@ -1266,7 +1268,6 @@ object Similarity {
         while (i < subDim) { s(i) = a._1(i) + b._1(i); i += 1 }
         (s, a._2 + b._2)
       }.collect()
-      bc.destroy()
       val byKey = partials.toMap
       cent = Array.tabulate(mSub) { m =>
         Array.tabulate(cent(m).length) { c =>
@@ -1277,11 +1278,13 @@ object Similarity {
           }
         }
       }
+      } finally bc.destroy()
     }
-    // free ONLY this kernel's own checkpoint (the iterative-algorithm
-    // discipline — a blanket sweepUnpinned here would drop the CALLER's
-    // unpinned checkpoints mid-pipeline)
-    org.apache.spark.sql.graft.CheckpointUtils.free(fsamp)
+    } finally
+      // free ONLY this kernel's own checkpoint — exception path included
+      // (the iterative-algorithm discipline; a blanket sweepUnpinned
+      // here would drop the CALLER's unpinned checkpoints mid-pipeline)
+      org.apache.spark.sql.graft.CheckpointUtils.free(fsamp)
     val rows = for {
       m <- 0 until mSub
       (fc, i) <- cent(m).zipWithIndex
@@ -1640,6 +1643,19 @@ object Similarity {
     */
   private[graft] def adcDistOf(codes: Column, lut: Column, kEff: Int): Column =
     adcDist(codes, lut, kEff)
+
+  /** ADC-sandwich constants — ONE definition for the incremental
+    * index's admission bands AND q248's gated calibration of them (the
+    * r14 advisor's hardcoded-copy-desync lesson): a margin re-tune
+    * re-tunes the gate with it. `adcEpsFrozen` swallows the freeze
+    * noise (per-coord floor error < 1 → ≤ √64 ≈ 8 frozen units over 64
+    * dims) plus the exact arm's float-cosine ulps, erring only toward
+    * a wider gray band; `adcBoundFrozen` is the unit-domain rejection
+    * bound ‖q−b‖ ≤ √(2(1−maxCosine)) in frozen units.
+    */
+  private[graft] val adcEpsFrozen = 64.0
+  private[graft] def adcBoundFrozen(maxCosine: Double): Double =
+    math.sqrt(2.0 * (1.0 - maxCosine)) * pqFreezeScale
 
   /** Trained coarse pivots (nlist=64 centroids over the full 64-dim
     * frozen vectors) as a session memo.
@@ -2323,9 +2339,9 @@ object Similarity {
       .withColumn("cs", VectorFunctions.cosineSim($"ea", $"eb"))
       .filter(!isnan($"cs"))
       .localCheckpoint() // two threshold passes over one candidate scan
-    val eps = 64.0
+    val eps = adcEpsFrozen
     Seq("0.45" -> 0.45, "0.92" -> 0.92).map { case (label, th) =>
-      val bF = math.sqrt(2.0 * (1.0 - th)) * pqFreezeScale
+      val bF = adcBoundFrozen(th)
       scored
         .withColumn("band",
           when($"a" + $"r" <= lit(bF - eps), "certain_dup")
@@ -2393,9 +2409,9 @@ object Similarity {
       |  WHERE NOT isnan(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]))),
       |th AS (SELECT * FROM (VALUES ('0.45', 0.45), ('0.92', 0.92)) t(thresh, tv))
       |SELECT thresh,
-      |  CASE WHEN av + rv <= sqrt(2.0 * (1.0 - tv)) * ${pqFreezeScale.toLong}.0 - 64.0
+      |  CASE WHEN av + rv <= sqrt(2.0 * (1.0 - tv)) * ${pqFreezeScale.toLong}.0 - $adcEpsFrozen
       |       THEN 'certain_dup'
-      |       WHEN abs(av - rv) > sqrt(2.0 * (1.0 - tv)) * ${pqFreezeScale.toLong}.0 + 64.0
+      |       WHEN abs(av - rv) > sqrt(2.0 * (1.0 - tv)) * ${pqFreezeScale.toLong}.0 + $adcEpsFrozen
       |       THEN 'certain_clean'
       |       ELSE 'gray' END AS band,
       |  CAST(count(*) AS BIGINT) AS n_pairs,

@@ -116,17 +116,22 @@ object IvfIndex extends IndexLifecycle {
   /** Meta parsed BY NAME with conservative defaults: a meta written by an
     * older store format (or a partially-evolved one) parses with
     * `committed = false`, so the epoch-consistency heal rebuilds it —
-    * the version guard still fires first on `logic_version`.
+    * the version guard still fires first on `logic_version`. The WHOLE
+    * construction sits inside one Try (not just the per-field reads):
+    * `getAs[Long]` on a type-evolved INT column succeeds under erasure
+    * and the ClassCastException only fires at unboxing — outside a
+    * per-field Try — so a type-evolved meta must collapse to None (the
+    * lost-meta rebuild path in [[admitBatch]]), never crash the probe.
     */
   private def metaRow(spark: SparkSession, indexDir: String): Option[Meta] =
-    metaRowRaw(spark, indexDir).map { r =>
+    metaRowRaw(spark, indexDir).flatMap { r =>
       def get[T](name: String, dflt: T): T =
         scala.util.Try(r.getAs[T](name)).toOption
           .filterNot(_ == null).getOrElse(dflt)
-      Meta(get[Long]("n_vecs", 0L), get[Int]("nlist", 0),
+      scala.util.Try(Meta(get[Long]("n_vecs", 0L), get[Int]("nlist", 0),
         get[Int]("nprobe", 0), get[String]("logic_version", ""),
         get[Long]("pivot_fp", 0L), get[Long]("cb_fp", 0L),
-        get[Boolean]("committed", false))
+        get[Boolean]("committed", false))).toOption
     }
 
   /** Order-free content fingerprint of a bounded store relation (xxhash64
@@ -195,9 +200,11 @@ object IvfIndex extends IndexLifecycle {
     * the batch, not the corpus.
     */
   private def admitNprobe(spark: SparkSession, epochNprobe: Int): Int =
+    // floor the KNOB at 1 (a non-positive setting must not silently
+    // disable admission dedup), then cap at the epoch's nprobe
     math.min(math.max(1, epochNprobe),
-      spark.conf.getOption("spark.graft.ivfIndex.admitNprobe")
-        .map(_.toInt).getOrElse(1))
+      math.max(1, spark.conf.getOption("spark.graft.ivfIndex.admitNprobe")
+        .map(_.toInt).getOrElse(1)))
 
   /** Candidate (corpus, batch) pairs WITH the corpus side's inlined ADC
     * payload, from probing the persisted m=1 lists with a batch's probe
@@ -244,13 +251,12 @@ object IvfIndex extends IndexLifecycle {
     *   floor error < 1, 64 dims → √64), and unit-domain geometry:
     *   cos(q, b) ≥ maxCosine ⟺ ‖q − b‖ ≤ √(2(1 − maxCosine)).
     *
-    * The [[adcEpsFrozen]] margin (64 units = 6.4e-5 in unit space)
+    * The `Similarity.adcEpsFrozen` margin (64 units = 6.4e-5 in unit
+    * space — one definition shared with q248's gated calibration)
     * swallows the freeze noise AND the float error of the exact arm's
     * cosineSim, erring only toward a wider gray band — never toward a
     * wrong certain decision.
     */
-  private val adcEpsFrozen = 64.0
-
   private[streaming] def adcRejectedIds(spark: SparkSession,
       corpusDir: String, batch: DataFrame, candCoded: DataFrame,
       cb: DataFrame, maxCosine: Double, ck: CkptScope): DataFrame = {
@@ -267,7 +273,8 @@ object IvfIndex extends IndexLifecycle {
       .select($"a_id".as("b_id"), $"lut")
     // rejection bound as a frozen-unit DISTANCE (not squared): the
     // sandwich compares √adc ± √resid against it
-    val boundF = math.sqrt(2.0 * (1.0 - maxCosine)) * sim.pqFreezeScale
+    val boundF = sim.adcBoundFrozen(maxCosine)
+    val adcEpsFrozen = sim.adcEpsFrozen
     val scored = candCoded
       .join(broadcast(luts), Seq("b_id"))
       .withColumn("a", sqrt(sim.adcDistOf($"code", $"lut", kEff).cast("double")))
@@ -352,9 +359,12 @@ object IvfIndex extends IndexLifecycle {
     val cb = ck(sim.trainedPqCodebookOf(corpus))
     piv.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/piv")
     cb.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/cb")
+    // fingerprints once per rebuild: piv/cb are checkpointed, so the
+    // values cannot move between the two meta writes
+    val fpPiv = fpOf(piv, Seq("p_id", "pe"))
+    val fpCb = fpOf(cb, Seq("m", "c_id", "fc"))
     writeMeta(spark, indexDir, n, nlist, nprobe, pivotSrc,
-      fpOf(piv, Seq("p_id", "pe")), fpOf(cb, Seq("m", "c_id", "fc")),
-      committed = false)
+      fpPiv, fpCb, committed = false)
     val codes = sim.trainedPqCodesWithResid(corpus, cb)
     val near = ck(sim.ivfNearOf(corpus, piv, nprobe)
       .join(codes.select($"vec_id", $"codes", $"resid"), Seq("vec_id"), "left")
@@ -364,8 +374,7 @@ object IvfIndex extends IndexLifecycle {
     near.coalesce(compactFiles(spark, n)).write.mode("overwrite")
       .parquet(s"$indexDir/near")
     writeMeta(spark, indexDir, n, nlist, nprobe, pivotSrc,
-      fpOf(piv, Seq("p_id", "pe")), fpOf(cb, Seq("m", "c_id", "fc")),
-      committed = true)
+      fpPiv, fpCb, committed = true)
     n
     } finally ck.freeAll()
   }
@@ -403,6 +412,11 @@ object IvfIndex extends IndexLifecycle {
     val preIdxCount = readOrEmpty(spark, s"$indexDir/near", nearSchema)
       .select($"vec_id").distinct().count()
     val preCorpusCount = readOrEmpty(spark, corpusDir, vecSchema).count()
+    // epoch state loaded ONCE per batch (checkpointed): the fingerprint
+    // check and the probe share the same read; reloaded only if a heal
+    // rewrote the stores
+    val piv0 = ck(readOrEmpty(spark, s"$indexDir/piv", pivSchema))
+    val cb0 = ck(readOrEmpty(spark, s"$indexDir/cb", cbSchema))
     var healed = false
     def doRebuild(): Unit = { rebuild(spark, corpusDir, indexDir); healed = true }
     meta0 match {
@@ -414,10 +428,8 @@ object IvfIndex extends IndexLifecycle {
           0L, 0L, committed = true)
       case Some(m) =>
         val epochConsistent = m.committed &&
-          m.pivotFp == fpOf(readOrEmpty(spark, s"$indexDir/piv", pivSchema),
-            Seq("p_id", "pe")) &&
-          m.cbFp == fpOf(readOrEmpty(spark, s"$indexDir/cb", cbSchema),
-            Seq("m", "c_id", "fc"))
+          m.pivotFp == fpOf(piv0, Seq("p_id", "pe")) &&
+          m.cbFp == fpOf(cb0, Seq("m", "c_id", "fc"))
         if (!epochConsistent) doRebuild()
     }
     if (!healed)
@@ -440,8 +452,8 @@ object IvfIndex extends IndexLifecycle {
           .orderBy(xxhash64($"embedding"), $"label")))
       .filter($"rk" === 1)
       .select($"vec_id", $"embedding", $"label"))
-    val piv = ck(readOrEmpty(spark, s"$indexDir/piv", pivSchema))
-    val cb = ck(readOrEmpty(spark, s"$indexDir/cb", cbSchema))
+    val piv = if (healed) ck(readOrEmpty(spark, s"$indexDir/piv", pivSchema)) else piv0
+    val cb = if (healed) ck(readOrEmpty(spark, s"$indexDir/cb", cbSchema)) else cb0
     val batchNear = ck(sim
       .ivfNearOf(fresh.select($"vec_id", $"embedding"), piv, nprobe))
     // DELIBERATELY NOT checkpointed: the candidate relation is

@@ -933,10 +933,15 @@ object ScaleEvidence {
       // the corpus
       val sizes = (base +: (0 until waves - 1).map(i => base << i)) ++
         Seq.fill(4)(math.max(1, n / 64))
-      // NOT checkpointed: admitBatch sweeps unpinned checkpoint blocks
-      // at its end, and this relation must survive every wave — it is a
-      // cheap generator, recomputing beats re-checkpointing per wave
-      val panel = emb(n.toLong, n.toLong + 32)
+      // a cheap generator, deliberately un-checkpointed (recomputing
+      // per wave costs ~nothing; under the r15 CkptScope contract a
+      // checkpoint would also survive admitBatch, but there is nothing
+      // to cache). Panel ids sit ABOVE every wave the run can admit —
+      // the doubling ladder ends at n and the steady-state waves add
+      // 4·(n/64), so ids from 2n are never admitted (the first cut,
+      // [n, n+32), landed inside the first steady wave and the panel
+      // was silently admitted mid-run — r15 review finding).
+      val panel = emb(2L * n, 2L * n + 32)
         .select($"vec_id", $"embedding") // never admitted
       var lo = 0L
       var lastSnapshot = -1L

@@ -207,6 +207,24 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
     assert(admitted == Set(1L))
   }
 
+  test("a non-positive admitNprobe conf cannot disable admission dedup") {
+    val (corpus, index) = freshDirs()
+    spark.conf.set("spark.graft.ivfIndex.admitNprobe", "0")
+    try {
+      IvfIndex.admitBatch((1 to 8).map(i => (i.toLong, vec(i), 0))
+        .toDF("vec_id", "embedding", "label"), corpus, index)
+      // the knob floors at 1 (r15 review: min/max were composed the
+      // wrong way round, so 0 emptied the probe slice and every copy
+      // was silently admitted)
+      IvfIndex.admitBatch(Seq((101L, vec(1), 0)).toDF("vec_id", "embedding", "label"),
+        corpus, index)
+      val admitted = spark.read.schema(IvfIndex.vecSchema).parquet(corpus)
+        .select($"vec_id").as[Long].collect().toSet
+      assert(admitted == (1L to 8L).toSet,
+        s"the exact copy must be rejected under admitNprobe=0: $admitted")
+    } finally spark.conf.unset("spark.graft.ivfIndex.admitNprobe")
+  }
+
   test("a vec_id duplicated WITHIN one batch is admitted once (no perpetual heal wedge)") {
     val (corpus, index) = freshDirs()
     IvfIndex.admitBatch(
