@@ -1538,6 +1538,16 @@ object Similarity {
     * (a_id, c_id) — q245's probe kernel, shared with ScaleEvidence.
     */
   private[graft] def trainedCoarseProbes(nv: DataFrame, cent: DataFrame,
+      panel: DataFrame, nprobe: Int): DataFrame =
+    trainedCoarseProbesRk(nv, cent, panel, nprobe)
+      .select(col("a_id"), col("c_id"))
+
+  /** [[trainedCoarseProbes]] with the probe RANK retained — q249's
+    * calibration needs to know at WHICH budget a pivot enters the probe
+    * set, not just membership (a separate def so the recall queries'
+    * plan fingerprints stay untouched by the extra column).
+    */
+  private[graft] def trainedCoarseProbesRk(nv: DataFrame, cent: DataFrame,
       panel: DataFrame, nprobe: Int): DataFrame = {
     val spark = nv.sparkSession
     import spark.implicits._
@@ -1550,7 +1560,7 @@ object Similarity {
       .withColumn("rk", row_number().over(
         Window.partitionBy($"a_id").orderBy($"d", $"c_id")))
       .filter($"rk" <= nprobe)
-      .select($"a_id", $"c_id")
+      .select($"a_id", $"c_id", $"rk")
   }
 
   /** Trained coarse pivots in the (p_id, pe) payload shape
@@ -2421,6 +2431,89 @@ object Similarity {
       |ORDER BY thresh, band""".stripMargin
   }
 
+  /** q249 — admission-probe calibration: the measured justification for
+    * [[graft.streaming.IvfIndex]]'s `admitNprobe = 1` default, gated.
+    * Admission probes k lists; a true near-dup pair is CAUGHT iff the
+    * earlier arrival's nearest list sits inside the later arrival's
+    * k-probe set — and either vector may arrive second, so a pair is
+    * caught at budget k iff min(rank of rk1(b) in a's probes, rank of
+    * rk1(a) in b's probes) ≤ k. This query takes the brute exact pair
+    * set (the q46 baseline kernel) at the fixture's near-dup band
+    * (0.45) and the production gate (0.92) and reports, per budget
+    * k ∈ {1, 2, 4, 8}, how many pairs the probe catches — the
+    * Voronoi-boundary miss rate the admitNprobe docstring names, as
+    * data. (The corpus-wide self-probe is calibration-shaped: bounded
+    * at fixture scale, a sampled panel in production — the brute pair
+    * set is already O(n²) by design, q46's documented role.)
+    */
+  def q249AdmitProbeCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = embeddingNeardupAllPairs(spark, dir) // (a_id, b_id, cs ≥ 0.45)
+    val nv = pqNormalized(Tables.embeddings(spark, dir))
+    val cent = ivfTrainedCentMemo(spark, dir)
+    val lists = ivfTrainedListsMemo(spark, dir) // (b_id, c_id): nearest list
+    val probes = trainedCoarseProbesRk(nv, cent,
+      nv.select($"vec_id".as("a_id")), ivfRecallNprobe)
+      .localCheckpoint() // consumed in both pair directions
+    val needAB = pairs
+      .join(lists.select($"b_id", $"c_id".as("cb")), Seq("b_id"))
+      .join(probes.select($"a_id", $"c_id".as("cb"), $"rk".as("rk_ab")),
+        Seq("a_id", "cb"), "left")
+      .select($"a_id", $"b_id", $"cs", $"rk_ab")
+    val needBA = pairs
+      .join(lists.select($"b_id".as("a_id"), $"c_id".as("ca")), Seq("a_id"))
+      .join(probes.select($"a_id".as("b_id"), $"c_id".as("ca"), $"rk".as("rk_ba")),
+        Seq("b_id", "ca"), "left")
+      .select($"a_id", $"b_id", $"rk_ba")
+    val need = needAB.join(needBA, Seq("a_id", "b_id"))
+      .withColumn("need", least($"rk_ab", $"rk_ba"))
+      .localCheckpoint() // eight aggregate passes over one probe join
+    val out = for {
+      (lbl, th) <- Seq("0.45" -> 0.45, "0.92" -> 0.92)
+      k <- Seq(1, 2, 4, 8)
+    } yield need.filter($"cs" >= th)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when($"need" <= k, 1L).otherwise(0L)).as("n_caught"))
+      .select(lit(lbl).as("thresh"), lit(k.toLong).as("nprobe_budget"),
+        $"n_pairs", coalesce($"n_caught", lit(0L)).as("n_caught"))
+    out.reduce(_.unionByName(_)).orderBy($"thresh", $"nprobe_budget")
+  }
+
+  val q249Sql: String = {
+    val dim = pqSubspaces * pqSubDim
+    s"""WITH ${trainedKmeansSqlCtes(1, dim, ivfRecallNlist,
+          ivfTrainSample, pqTrainIters)},
+      |pr AS MATERIALIZED (
+      |  SELECT a_id, c_id, rk FROM (
+      |    SELECT f.vec_id AS a_id, c.c_id, ROW_NUMBER() OVER (
+      |      PARTITION BY f.vec_id
+      |      ORDER BY ${isqSqlFmt.format("f.fs", "c.fc")}, c.c_id) AS rk
+      |    FROM fsub f JOIN cent$pqTrainIters c ON c.m = f.m) t
+      |  WHERE rk <= $ivfRecallNprobe),
+      |lists AS MATERIALIZED (SELECT a_id AS b_id, c_id FROM pr WHERE rk = 1),
+      |pairs AS MATERIALIZED (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cs
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45),
+      |need AS MATERIALIZED (
+      |  SELECT p.a_id, p.b_id, p.cs,
+      |    LEAST(coalesce(pab.rk, 999), coalesce(pba.rk, 999)) AS need
+      |  FROM pairs p
+      |  JOIN lists lb ON lb.b_id = p.b_id
+      |  JOIN lists la ON la.b_id = p.a_id
+      |  LEFT JOIN pr pab ON pab.a_id = p.a_id AND pab.c_id = lb.c_id
+      |  LEFT JOIN pr pba ON pba.a_id = p.b_id AND pba.c_id = la.c_id),
+      |grid AS (SELECT * FROM (VALUES ('0.45', 0.45), ('0.92', 0.92)) t(thresh, tv),
+      |              (VALUES (1), (2), (4), (8)) k(kb))
+      |SELECT thresh, CAST(kb AS BIGINT) AS nprobe_budget,
+      |  CAST(count(CASE WHEN cs >= tv THEN 1 END) AS BIGINT) AS n_pairs,
+      |  CAST(coalesce(sum(CASE WHEN cs >= tv AND need <= kb THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_caught
+      |FROM grid LEFT JOIN need ON true
+      |GROUP BY thresh, kb
+      |ORDER BY thresh, nprobe_budget""".stripMargin
+  }
+
   /** q243 — index economics census: the BYTE column of the
     * recall-per-byte story, gated. q227 reports what recall each ANN
     * family buys; this reports what each family COSTS, with index
@@ -3276,6 +3369,7 @@ object Similarity {
     "q246_trained_ivfpq_recall" -> (q246TrainedIvfPqRecall _),
     "q247_sharded_ivf_recall" -> (q247ShardedIvfRecall _),
     "q248_adc_bands" -> (q248AdcBands _),
+    "q249_admit_probe_calibration" -> (q249AdmitProbeCalibration _),
     "q227_ann_scorecard" -> (q227AnnScorecard _),
     "q230_hard_negatives" -> (q230HardNegatives _),
     "q35_ann_lsh" -> (q35AnnLsh _),
@@ -3306,6 +3400,7 @@ object Similarity {
     "q246_trained_ivfpq_recall" -> q246Sql,
     "q247_sharded_ivf_recall" -> q247Sql,
     "q248_adc_bands" -> q248Sql,
+    "q249_admit_probe_calibration" -> q249Sql,
     "q227_ann_scorecard" -> q227Sql,
     "q230_hard_negatives" -> q230Sql,
     "q35_ann_lsh" -> q35Sql,

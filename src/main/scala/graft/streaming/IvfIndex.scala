@@ -216,17 +216,37 @@ object IvfIndex extends IndexLifecycle {
     * lists, so pairs dedup — the payload is identical per a_id, so any
     * surviving row is the right one.
     */
+  /** Store-side list-membership depth for ADMISSION candidate
+    * generation (`spark.graft.ivfIndex.admitListRk`, capped at the
+    * epoch's stored nprobe slice): a pair is a candidate iff the
+    * batch's [[admitNprobe]]-probe set intersects the corpus vector's
+    * rk ≤ R stored assignments. R = 1 (single-assignment lists) looks
+    * natural but is MEASURED useless for dedup on isotropic corpora:
+    * in 64 dims the pivot-similarity gaps are tiny, so a 0.989-cosine
+    * clone's nearest-pivot argmax flips against its twin's ~95% of the
+    * time (the r15 clone ladder caught 1/640 planted near-dups at
+    * k=R=1). Multi-assignment overlap fixes what deeper probing alone
+    * cannot: the grid measurement (NOTES r15 §5c) drives the default.
+    */
+  private[streaming] def admitListRk(spark: SparkSession): Int =
+    math.max(1, spark.conf.getOption("spark.graft.ivfIndex.admitListRk")
+      .map(_.toInt).getOrElse(4))
+
   def candidatePairsCoded(spark: SparkSession, indexDir: String,
       batchNear: DataFrame): DataFrame = {
     import spark.implicits._
     val store = readOrEmpty(spark, s"$indexDir/near", nearSchema)
-    val lists = store.filter($"rk" === 1)
+    // ONE store scan: the rk ≤ R membership slice INCLUDES the rk = 1
+    // row that carries the ADC payload, so the pair-dedup group can
+    // recover (code, resid) via null-ignoring max — no second scan,
+    // no payload duplication in the store
+    val members = store.filter($"rk" <= admitListRk(spark))
       .select($"vec_id".as("a_id"), $"p_id", $"code", $"resid")
-    lists.join(broadcast(batchNear.select($"vec_id".as("b_id"), $"p_id")),
+    members.join(broadcast(batchNear.select($"vec_id".as("b_id"), $"p_id")),
         Seq("p_id"))
       .filter($"a_id" =!= $"b_id")
-      .select($"a_id", $"b_id", $"code", $"resid")
-      .dropDuplicates("a_id", "b_id")
+      .groupBy($"a_id", $"b_id")
+      .agg(max($"code").as("code"), max($"resid").as("resid"))
   }
 
   /** The bare (a_id, b_id) candidate pairs — [[candidatePairsCoded]]

@@ -95,7 +95,8 @@ object ScaleEvidence {
         else Seq(64, 256, 512, 1024, 2048, 4096))
       case "ivfindex" => ivfIndexStream(spark,
         args.lift(1).map(_.toInt).getOrElse(128000),
-        args.lift(2).map(_.toInt).getOrElse(7))
+        args.lift(2).map(_.toInt).getOrElse(7),
+        args.lift(3).map(_.toInt), args.lift(4).map(_.toInt))
       case other => sys.error(s"unknown mode $other (ssjoin|skew|stream|probe|memoscale|qnorm|triangles|intervals|graphiter|gaps|ann|fpstream|lloyd|ivfindex)")
     }
     spark.stop()
@@ -908,23 +909,46 @@ object ScaleEvidence {
     * √n policy holds the panel's candidate fraction flat across growth.
     */
   private def ivfIndexStream(spark: org.apache.spark.sql.SparkSession,
-      n: Int, waves: Int): Unit = {
+      n: Int, waves: Int, admitNprobe: Option[Int] = None,
+      admitListRk: Option[Int] = None): Unit = {
     import spark.implicits._
     import graft.streaming.IvfIndex
     val sim = graft.operators.Similarity
+    admitNprobe.foreach(k =>
+      spark.conf.set("spark.graft.ivfIndex.admitNprobe", k.toString))
+    admitListRk.foreach(r =>
+      spark.conf.set("spark.graft.ivfIndex.admitListRk", r.toString))
+    println(s"ivfindex admitNprobe=${admitNprobe.getOrElse("default")} " +
+      s"admitListRk=${admitListRk.getOrElse("default")}")
     val root = java.nio.file.Files.createTempDirectory("graft_ivf_stream")
     val corpusDir = root.resolve("corpus").toString
     val indexDir = root.resolve("index").toString
     val dim = sim.pqSubspaces * sim.pqSubDim
+    // ids ≡ 1 (mod 100) past wave 0: a planted NEAR-DUP (the fpStream
+    // clone discipline) of source id 2·(id mod base/2) — ALWAYS an
+    // even-id WAVE-0 vector (never itself a clone, and admitted waves
+    // before the clone arrives — the first cut derived sources at
+    // id−101, which mostly landed in the clone's OWN wave where
+    // in-batch pairs are admitted by policy, silently shrinking the
+    // real cross-wave sample to one pair per wave). The clone is the
+    // source plus a 0.15-scaled independent perturbation: cosine
+    // ≈ 1/√1.0225 ≈ 0.989 > the 0.92 admission gate (measured
+    // 0.988–0.990 on the first ids). Rejections therefore exercise the
+    // cross-batch indexed probe — the production-gate catch-rate
+    // measurement q249 cannot take from the fixture (no 0.92-band
+    // pairs there).
+    val base = math.max(2, n >> (waves - 1))
     def emb(lo: Long, hi: Long): DataFrame =
       spark.range(lo, hi).select($"id".as("vec_id"),
         expr(s"""transform(sequence(0, ${dim - 1}),
-               |  d -> CAST((pmod(xxhash64(id, d), 2001) - 1000) / 1000.0 AS FLOAT))"""
+               |  d -> CAST(CASE WHEN id % 100 = 1 AND id >= $base THEN
+               |    (pmod(xxhash64(2 * (id % ${base / 2}), d), 2001) - 1000) / 1000.0
+               |      + 0.15 * (pmod(xxhash64(id + 1000000, d), 2001) - 1000) / 1000.0
+               |  ELSE (pmod(xxhash64(id, d), 2001) - 1000) / 1000.0 END AS FLOAT))"""
           .stripMargin).as("embedding"), lit(0).as("label"))
         .spreadAcrossCores
     spark.conf.set("spark.graft.ivfIndex.trainedPivots", "true")
     try {
-      val base = math.max(1, n >> (waves - 1))
       // the doubling ladder trips a RE-POLICY rebuild every wave by
       // construction (cumulative doubles each time); the four trailing
       // STEADY-STATE waves (n/64 each, far below the next doubling
@@ -945,8 +969,13 @@ object ScaleEvidence {
         .select($"vec_id", $"embedding") // never admitted
       var lo = 0L
       var lastSnapshot = -1L
+      var prevCorpus = 0L
       sizes.zipWithIndex.foreach { case (sz, w) =>
         val batch = emb(lo, lo + sz).localCheckpoint()
+        // clones in this wave (sources are all wave-0 vectors, admitted
+        // long before; wave 0 itself plants none)
+        val planted =
+          (lo until lo + sz).count(id => id % 100 == 1 && id >= base).toLong
         val t0 = System.nanoTime()
         IvfIndex.admitBatch(batch, corpusDir, indexDir)
         val wall = (System.nanoTime() - t0) / 1e9
@@ -958,6 +987,8 @@ object ScaleEvidence {
         lastSnapshot = snap
         val corpusN = spark.read.schema(IvfIndex.vecSchema)
           .parquet(corpusDir).count()
+        val rejected = sz - (corpusN - prevCorpus)
+        prevCorpus = corpusN
         val piv = spark.read.schema(IvfIndex.pivSchema)
           .parquet(s"$indexDir/piv").localCheckpoint()
         val t1 = System.nanoTime()
@@ -968,10 +999,15 @@ object ScaleEvidence {
         println(f"ivfindex wave=$w%2d batch=$sz%7d corpus=$corpusN%7d  " +
           f"admit=$wall%7.1f s ${if (rebuilt) "REBUILT" else "incr   "} " +
           f"nlist=$nlist%4d p$nprobe%-3d  " +
+          f"rej=$rejected%4d/$planted%-4d planted  " +
           f"panelCand=${cand / 32.0 / corpusN * 100}%5.2f%% probe=$probeWall%5.1f s")
         lo += sz
       }
-    } finally spark.conf.unset("spark.graft.ivfIndex.trainedPivots")
+    } finally {
+      spark.conf.unset("spark.graft.ivfIndex.trainedPivots")
+      spark.conf.unset("spark.graft.ivfIndex.admitNprobe")
+      spark.conf.unset("spark.graft.ivfIndex.admitListRk")
+    }
   }
 
   /** Streaming perceptual-dedup intake at stress scale: the Zipf blob
