@@ -2032,7 +2032,7 @@ object Similarity {
     * change to the assignment arithmetic (cosine ranking, tie order) or
     * the √n policy derivation.
     */
-  private[graft] val ivfLogicVersion = "cos.rowk.sqrtn-div8.adcx.v2"
+  private[graft] val ivfLogicVersion = "cos.rowk.sqrtn-div8.adcx.mrk.v3"
 
   /** The nlist lowest-vec_id vectors of a corpus as coarse pivots —
     * q226's deterministic, oracle-expressible quantizer, shared with
@@ -2432,51 +2432,60 @@ object Similarity {
   }
 
   /** q249 — admission-probe calibration: the measured justification for
-    * [[graft.streaming.IvfIndex]]'s `admitNprobe = 1` default, gated.
-    * Admission probes k lists; a true near-dup pair is CAUGHT iff the
-    * earlier arrival's nearest list sits inside the later arrival's
-    * k-probe set — and either vector may arrive second, so a pair is
-    * caught at budget k iff min(rank of rk1(b) in a's probes, rank of
-    * rk1(a) in b's probes) ≤ k. This query takes the brute exact pair
-    * set (the q46 baseline kernel) at the fixture's near-dup band
-    * (0.45) and the production gate (0.92) and reports, per budget
-    * k ∈ {1, 2, 4, 8}, how many pairs the probe catches — the
-    * Voronoi-boundary miss rate the admitNprobe docstring names, as
-    * data. (The corpus-wide self-probe is calibration-shaped: bounded
-    * at fixture scale, a sampled panel in production — the brute pair
-    * set is already O(n²) by design, q46's documented role.)
+    * [[graft.streaming.IvfIndex]]'s `(admitNprobe = 1, admitListRk = 4)`
+    * defaults, gated — the (k, R) grid the r15 snapshot commit cited but
+    * never committed. Production admission is ASYMMETRIC in arrival
+    * order (r16 advisor): when `a` is already indexed and `b` arrives,
+    * the pair is caught iff `b`'s k-probe set intersects `a`'s rk ≤ R
+    * stored membership — ∃ list l: rank_b(l) ≤ k ∧ rank_a(l) ≤ R — and
+    * the transposed criterion when `b` arrived first. The r15 form's
+    * symmetric `min(rk_ab, rk_ba) ≤ k` over-counted (either-order
+    * catch ≥ fixed-order catch), so this reports BOTH directions
+    * separately per (thresh, k, R) cell; the expected catch under
+    * random arrival order is their mean, and the honest production
+    * floor is the smaller. Thresholds: the fixture's near-dup band
+    * (0.45) and the production gate (0.92 — usually empty on the
+    * fixture; q250's planted clones measure that band). (The
+    * corpus-wide brute pair set is calibration-shaped: bounded at
+    * fixture scale, a sampled panel in production — q46's documented
+    * role.)
     */
   def q249AdmitProbeCalibration(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val pairs = embeddingNeardupAllPairs(spark, dir) // (a_id, b_id, cs ≥ 0.45)
     val nv = pqNormalized(Tables.embeddings(spark, dir))
     val cent = ivfTrainedCentMemo(spark, dir)
-    val lists = ivfTrainedListsMemo(spark, dir) // (b_id, c_id): nearest list
     val probes = trainedCoarseProbesRk(nv, cent,
       nv.select($"vec_id".as("a_id")), ivfRecallNprobe)
-      .localCheckpoint() // consumed in both pair directions
-    val needAB = pairs
-      .join(lists.select($"b_id", $"c_id".as("cb")), Seq("b_id"))
-      .join(probes.select($"a_id", $"c_id".as("cb"), $"rk".as("rk_ab")),
-        Seq("a_id", "cb"), "left")
-      .select($"a_id", $"b_id", $"cs", $"rk_ab")
-    val needBA = pairs
-      .join(lists.select($"b_id".as("a_id"), $"c_id".as("ca")), Seq("a_id"))
-      .join(probes.select($"a_id".as("b_id"), $"c_id".as("ca"), $"rk".as("rk_ba")),
-        Seq("b_id", "ca"), "left")
-      .select($"a_id", $"b_id", $"rk_ba")
-    val need = needAB.join(needBA, Seq("a_id", "b_id"))
-      .withColumn("need", least($"rk_ab", $"rk_ba"))
-      .localCheckpoint() // eight aggregate passes over one probe join
+      .localCheckpoint() // consumed on both pair sides
+    // per pair, the cheapest membership rank reachable under each probe
+    // budget, in each direction: ra_k = min{rank_a(l) : rank_b(l) ≤ k}
+    // (b arrived second and probes k lists; a's membership pays R)
+    val ov = pairs.select($"a_id", $"b_id")
+      .join(probes.select($"a_id", $"c_id", $"rk".as("ra")), Seq("a_id"))
+      .join(probes.select($"a_id".as("b_id"), $"c_id", $"rk".as("rb")),
+        Seq("b_id", "c_id"))
+      .groupBy($"a_id", $"b_id")
+      .agg(min(when($"rb" === 1, $"ra")).as("ra_k1"),
+        min(when($"rb" <= 2, $"ra")).as("ra_k2"),
+        min(when($"ra" === 1, $"rb")).as("rb_k1"),
+        min(when($"ra" <= 2, $"rb")).as("rb_k2"))
+    val need = pairs.join(ov, Seq("a_id", "b_id"), "left")
+      .localCheckpoint() // sixteen aggregate passes over one overlap join
     val out = for {
       (lbl, th) <- Seq("0.45" -> 0.45, "0.92" -> 0.92)
-      k <- Seq(1, 2, 4, 8)
+      k <- Seq(1, 2)
+      r <- Seq(1, 2, 4, 8)
     } yield need.filter($"cs" >= th)
       .agg(count(lit(1)).as("n_pairs"),
-        sum(when($"need" <= k, 1L).otherwise(0L)).as("n_caught"))
-      .select(lit(lbl).as("thresh"), lit(k.toLong).as("nprobe_budget"),
-        $"n_pairs", coalesce($"n_caught", lit(0L)).as("n_caught"))
-    out.reduce(_.unionByName(_)).orderBy($"thresh", $"nprobe_budget")
+        sum(when(col(s"ra_k$k") <= r, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(s"rb_k$k") <= r, 1L).otherwise(0L)).as("cb"))
+      .select(lit(lbl).as("thresh"), lit(k.toLong).as("admit_nprobe"),
+        lit(r.toLong).as("admit_list_rk"), $"n_pairs",
+        coalesce($"ca", lit(0L)).as("n_caught_a_first"),
+        coalesce($"cb", lit(0L)).as("n_caught_b_first"))
+    out.reduce(_.unionByName(_))
+      .orderBy($"thresh", $"admit_nprobe", $"admit_list_rk")
   }
 
   val q249Sql: String = {
@@ -2490,28 +2499,38 @@ object Similarity {
       |      ORDER BY ${isqSqlFmt.format("f.fs", "c.fc")}, c.c_id) AS rk
       |    FROM fsub f JOIN cent$pqTrainIters c ON c.m = f.m) t
       |  WHERE rk <= $ivfRecallNprobe),
-      |lists AS MATERIALIZED (SELECT a_id AS b_id, c_id FROM pr WHERE rk = 1),
       |pairs AS MATERIALIZED (
       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
       |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cs
       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       |  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45),
-      |need AS MATERIALIZED (
-      |  SELECT p.a_id, p.b_id, p.cs,
-      |    LEAST(coalesce(pab.rk, 999), coalesce(pba.rk, 999)) AS need
+      |ov AS MATERIALIZED (
+      |  SELECT p.a_id, p.b_id,
+      |    min(CASE WHEN pb.rk = 1 THEN pa.rk END) AS ra_k1,
+      |    min(CASE WHEN pb.rk <= 2 THEN pa.rk END) AS ra_k2,
+      |    min(CASE WHEN pa.rk = 1 THEN pb.rk END) AS rb_k1,
+      |    min(CASE WHEN pa.rk <= 2 THEN pb.rk END) AS rb_k2
       |  FROM pairs p
-      |  JOIN lists lb ON lb.b_id = p.b_id
-      |  JOIN lists la ON la.b_id = p.a_id
-      |  LEFT JOIN pr pab ON pab.a_id = p.a_id AND pab.c_id = lb.c_id
-      |  LEFT JOIN pr pba ON pba.a_id = p.b_id AND pba.c_id = la.c_id),
+      |  JOIN pr pa ON pa.a_id = p.a_id
+      |  JOIN pr pb ON pb.a_id = p.b_id AND pb.c_id = pa.c_id
+      |  GROUP BY 1, 2),
+      |need AS MATERIALIZED (
+      |  SELECT p.a_id, p.b_id, p.cs, o.ra_k1, o.ra_k2, o.rb_k1, o.rb_k2
+      |  FROM pairs p LEFT JOIN ov o ON o.a_id = p.a_id AND o.b_id = p.b_id),
       |grid AS (SELECT * FROM (VALUES ('0.45', 0.45), ('0.92', 0.92)) t(thresh, tv),
-      |              (VALUES (1), (2), (4), (8)) k(kb))
-      |SELECT thresh, CAST(kb AS BIGINT) AS nprobe_budget,
+      |              (VALUES (1), (2)) k(kb), (VALUES (1), (2), (4), (8)) r(rb))
+      |SELECT thresh, CAST(kb AS BIGINT) AS admit_nprobe,
+      |  CAST(rb AS BIGINT) AS admit_list_rk,
       |  CAST(count(CASE WHEN cs >= tv THEN 1 END) AS BIGINT) AS n_pairs,
-      |  CAST(coalesce(sum(CASE WHEN cs >= tv AND need <= kb THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_caught
+      |  CAST(coalesce(sum(CASE WHEN cs >= tv AND
+      |    (CASE WHEN kb = 1 THEN ra_k1 ELSE ra_k2 END) <= rb
+      |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_caught_a_first,
+      |  CAST(coalesce(sum(CASE WHEN cs >= tv AND
+      |    (CASE WHEN kb = 1 THEN rb_k1 ELSE rb_k2 END) <= rb
+      |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_caught_b_first
       |FROM grid LEFT JOIN need ON true
-      |GROUP BY thresh, kb
-      |ORDER BY thresh, nprobe_budget""".stripMargin
+      |GROUP BY thresh, kb, rb
+      |ORDER BY thresh, admit_nprobe, admit_list_rk""".stripMargin
   }
 
   /** q243 — index economics census: the BYTE column of the
@@ -2531,9 +2550,17 @@ object Similarity {
     *     non-zero-norm vector, 8 B/vec (16 nibbles).
     *
     *   - `ivfpq_indexed` — [[graft.streaming.IvfIndex]]'s production
-    *     store shape (r15): the m=1 lists with code + quantization
-    *     residual inlined per rk=1 row — 24 B/vec buys ADC-primary
-    *     admission that touches raw vectors for the gray band only.
+    *     store shape (r16): the rk ≤ payload_rk membership slice
+    *     (default 4 — `admitListRk`) with code + quantization residual
+    *     inlined on EVERY membership row, 24 B each — FAISS
+    *     `IndexIVFPQ` extended to multi-assignment, so index_rows is
+    *     payload_rk × n and the per-VECTOR cost is ~96 B. The r15
+    *     rk=1-only layout was 24 B/vec but its admission missed ~95%
+    *     of 0.989-cosine clones (nearest-list argmax flips in 64d) and
+    *     served NULL payload on the rk>1 overlaps that would have
+    *     caught them; the 4× duplication is what buys a recall-bearing
+    *     ADC-primary admission that still touches raw vectors for the
+    *     gray band only (q250 measures the catch-rate it buys).
     *
     * Every count is a bounded aggregate over a memoized relation (the
     * census costs one count() scan per row — seven, no shuffles beyond
@@ -2572,13 +2599,15 @@ object Similarity {
       .unionByName(row("ivf_trained", ivfTrainedListsMemo(spark, dir), 8L, 740L))
       .unionByName(row("pq", pqCodesMemo(spark, dir), 8L, 909L))
       .unionByName(row("pq_trained", pqTrainedCodesMemo(spark, dir), 8L, 860L))
-      // the r15 production store (graft.streaming.IvfIndex): the m=1
-      // inverted lists with the trained-PQ payload INLINED per rk=1 row
-      // — 8 B list id + 8 B code (16 nibbles) + 8 B quantization
-      // residual (what makes ADC admission exact). probe_ms = q246's
-      // quiet floor (the batch twin of the index's ADC probe path).
+      // the r16 production store (graft.streaming.IvfIndex): the
+      // rk ≤ 4 multi-assignment membership slice with the trained-PQ
+      // payload inlined on EVERY row — 8 B list id + 8 B code (16
+      // nibbles) + 8 B quantization residual per ROW (≈ 4× that per
+      // vector; what makes ADC admission exact AND recall-bearing).
+      // probe_ms = q246's quiet floor (the batch twin of the index's
+      // ADC probe path).
       .unionByName(row("ivfpq_indexed",
-        ivfNearMemo(spark, dir).filter($"rk" === 1), 24L, 773L))
+        ivfNearMemo(spark, dir).filter($"rk" <= 4), 24L, 773L))
       .orderBy($"method")
   }
 
@@ -2589,10 +2618,12 @@ object Similarity {
       |  WHERE list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
       |piv AS (SELECT vec_id AS p_id, embedding AS pe
       |        FROM embeddings ORDER BY vec_id LIMIT $ivfRecallNlist),
-      |rk1 AS (SELECT vec_id FROM (
+      |rks AS MATERIALIZED (
       |  SELECT e.vec_id, ROW_NUMBER() OVER (PARTITION BY e.vec_id
       |    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], p.pe::DOUBLE[]) DESC, p.p_id) AS rk
-      |  FROM embeddings e CROSS JOIN piv p) t WHERE rk = 1),
+      |  FROM embeddings e CROSS JOIN piv p),
+      |rk1 AS (SELECT vec_id FROM rks WHERE rk = 1),
+      |rkm AS (SELECT vec_id FROM rks WHERE rk <= 4),
       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_vectors FROM embeddings)
       |SELECT method, index_rows, n_vectors, bytes_per_vec, probe_ms FROM (
       |  SELECT 'raw' AS method,
@@ -2615,7 +2646,7 @@ object Similarity {
       |  SELECT 'pq_trained', (SELECT CAST(count(*) AS BIGINT) FROM nv),
       |    n_vectors, 8, 860 FROM n
       |  UNION ALL
-      |  SELECT 'ivfpq_indexed', (SELECT CAST(count(*) AS BIGINT) FROM rk1),
+      |  SELECT 'ivfpq_indexed', (SELECT CAST(count(*) AS BIGINT) FROM rkm),
       |    n_vectors, 24, 773 FROM n) z
       |ORDER BY method""".stripMargin
 

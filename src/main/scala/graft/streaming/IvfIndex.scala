@@ -30,22 +30,29 @@ import org.apache.spark.sql.types.{ArrayType, BooleanType, FloatType, IntegerTyp
   *    per-list size and candidate fraction track the q236 policy.
   *
   * Stores under `indexDir`:
-  *  - `near/` — (vec_id, p_id, rk, code, resid): the rk ≤ nprobe
-  *    assignment slice (the q226-shape relation — rk = 1 IS the m=1
-  *    inverted index, the full slice is the probe set), with the
-  *    vector's 16-byte trained-PQ payload INLINED on its rk = 1 row
-  *    (code = the q244-kernel code array, resid = the vector's own
-  *    quantization residual ‖fv − recon(fv)‖², frozen integer). Codes
-  *    live IN the inverted lists — the FAISS `IndexIVFPQ` layout — so
-  *    the ADC probe is one list scan with no code-store join, and
-  *    rk > 1 rows carry nulls (no ×nprobe duplication of code bytes).
+  *  - `near/` — (vec_id, p_id, rk, code, resid): the
+  *    rk ≤ max(nprobe, payload_rk) assignment slice (the q226-shape
+  *    relation — rk = 1 IS the m=1 inverted index, rk ≤ nprobe the
+  *    probe set), with the vector's 16-byte trained-PQ payload INLINED
+  *    on EVERY rk ≤ payload_rk row (code = the q244-kernel code array,
+  *    resid = the vector's own quantization residual
+  *    ‖fv − recon(fv)‖², frozen integer). Codes live IN the inverted
+  *    lists — the FAISS `IndexIVFPQ` layout, extended to
+  *    multi-assignment: admission tests membership at rk ≤ payload_rk
+  *    (see [[admitListRk]]), so every membership row SELF-CARRIES its
+  *    payload and the candidate join recovers (code, resid) whichever
+  *    list matched — the r15 rk=1-only layout left rk>1-overlap
+  *    candidates with NULL payload, which the ADC bands silently
+  *    admitted (r16 advisor finding). The duplication is bounded by
+  *    payload_rk (default 4): ~4×24 B/vec buys a one-scan,
+  *    no-extra-join probe whose decisions are always payload-backed.
   *  - `piv/`  — (p_id, pe): the frozen pivot set of the current epoch.
   *  - `cb/`   — (m, c_id, fc): the epoch's trained PQ codebook
   *    (q244's frozen-integer Lloyd at the production 16×4/K16
   *    geometry, trained on the epoch corpus at rebuild).
-  *  - `meta/` — (n_vecs at last rebuild, nlist, nprobe, logic_version,
-  *    pivot_src, pivot_fp, cb_fp, committed) — see the two-phase
-  *    commit note on [[rebuild]].
+  *  - `meta/` — (n_vecs at last rebuild, nlist, nprobe, payload_rk,
+  *    logic_version, pivot_src, pivot_fp, cb_fp, committed) — see the
+  *    two-phase commit note on [[rebuild]].
   *
   * '''ADC-primary admission (exact).''' A batch vector's candidates come
   * from the inverted lists; each candidate row already carries the
@@ -79,8 +86,9 @@ object IvfIndex extends IndexLifecycle {
   protected def confScope: String = "ivfIndex"
 
   // rk is INT: row_number's type, preserved by the shared kernel;
-  // code/resid are null on rk > 1 rows (payload lives in the rk = 1
-  // inverted-list row only)
+  // code/resid are null on rk > payload_rk rows (the payload lives on
+  // the membership slice, duplicated per assignment — FAISS
+  // multi-assignment layout)
   val nearSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("p_id", LongType),
@@ -101,6 +109,7 @@ object IvfIndex extends IndexLifecycle {
     StructField("n_vecs", LongType),
     StructField("nlist", IntegerType),
     StructField("nprobe", IntegerType),
+    StructField("payload_rk", IntegerType),
     StructField("logic_version", StringType),
     StructField("pivot_src", StringType),
     StructField("pivot_fp", LongType),
@@ -111,7 +120,8 @@ object IvfIndex extends IndexLifecycle {
   val vecSchema: StructType = AnnIndex.vecSchema
 
   private final case class Meta(n: Long, nlist: Int, nprobe: Int,
-      version: String, pivotFp: Long, cbFp: Long, committed: Boolean)
+      payloadRk: Int, version: String, pivotFp: Long, cbFp: Long,
+      committed: Boolean)
 
   /** Meta parsed BY NAME with conservative defaults: a meta written by an
     * older store format (or a partially-evolved one) parses with
@@ -129,7 +139,8 @@ object IvfIndex extends IndexLifecycle {
         scala.util.Try(r.getAs[T](name)).toOption
           .filterNot(_ == null).getOrElse(dflt)
       scala.util.Try(Meta(get[Long]("n_vecs", 0L), get[Int]("nlist", 0),
-        get[Int]("nprobe", 0), get[String]("logic_version", ""),
+        get[Int]("nprobe", 0), get[Int]("payload_rk", 1),
+        get[String]("logic_version", ""),
         get[Long]("pivot_fp", 0L), get[Long]("cb_fp", 0L),
         get[Boolean]("committed", false))).toOption
     }
@@ -145,13 +156,14 @@ object IvfIndex extends IndexLifecycle {
       .head().getLong(0)
 
   private def writeMeta(spark: SparkSession, indexDir: String, n: Long,
-      nlist: Int, nprobe: Int, pivotSrc: String, pivotFp: Long, cbFp: Long,
-      committed: Boolean): Unit = {
+      nlist: Int, nprobe: Int, payloadRk: Int, pivotSrc: String,
+      pivotFp: Long, cbFp: Long, committed: Boolean): Unit = {
     import spark.implicits._
-    Seq((n, nlist, nprobe, graft.operators.Similarity.ivfLogicVersion,
+    Seq((n, nlist, nprobe, payloadRk,
+        graft.operators.Similarity.ivfLogicVersion,
         pivotSrc, pivotFp, cbFp, committed))
-      .toDF("n_vecs", "nlist", "nprobe", "logic_version", "pivot_src",
-        "pivot_fp", "cb_fp", "committed")
+      .toDF("n_vecs", "nlist", "nprobe", "payload_rk", "logic_version",
+        "pivot_src", "pivot_fp", "cb_fp", "committed")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
   }
 
@@ -207,40 +219,62 @@ object IvfIndex extends IndexLifecycle {
         .map(_.toInt).getOrElse(1)))
 
   /** Candidate (corpus, batch) pairs WITH the corpus side's inlined ADC
-    * payload, from probing the persisted m=1 lists with a batch's probe
-    * assignments: the batch assigns against the BROADCAST frozen pivots,
-    * then the rk = 1 list store is scanned once against a broadcast of
-    * the batch's probe rows (the q226 candidate shape at micro-batch
-    * grain). No distinct needed on the store side (m=1: each corpus
-    * vector sits in exactly one list), but a batch vector probes nprobe
-    * lists, so pairs dedup — the payload is identical per a_id, so any
-    * surviving row is the right one.
+    * payload, from probing the persisted membership lists with a
+    * batch's probe assignments: the batch assigns against the BROADCAST
+    * frozen pivots, then the rk ≤ R membership slice of the list store
+    * is scanned once against a broadcast of the batch's probe rows (the
+    * q226 candidate shape at micro-batch grain). A (corpus, batch) pair
+    * can co-occur in several lists (R-way membership × nprobe probes),
+    * so pairs dedup through the group-by — the payload is identical per
+    * a_id (every membership row self-carries it), so any surviving row
+    * is the right one.
     */
   /** Store-side list-membership depth for ADMISSION candidate
-    * generation (`spark.graft.ivfIndex.admitListRk`, capped at the
-    * epoch's stored nprobe slice): a pair is a candidate iff the
-    * batch's [[admitNprobe]]-probe set intersects the corpus vector's
-    * rk ≤ R stored assignments. R = 1 (single-assignment lists) looks
-    * natural but is MEASURED useless for dedup on isotropic corpora:
-    * in 64 dims the pivot-similarity gaps are tiny, so a 0.989-cosine
-    * clone's nearest-pivot argmax flips against its twin's ~95% of the
-    * time (the r15 clone ladder caught 1/640 planted near-dups at
-    * k=R=1). Multi-assignment overlap fixes what deeper probing alone
-    * cannot: the grid measurement (NOTES r15 §5c) drives the default.
+    * generation (`spark.graft.ivfIndex.admitListRk`): a pair is a
+    * candidate iff the batch's [[admitNprobe]]-probe set intersects the
+    * corpus vector's rk ≤ R stored assignments. R = 1
+    * (single-assignment lists) looks natural but is MEASURED useless
+    * for dedup on isotropic corpora: in 64 dims the pivot-similarity
+    * gaps are tiny, so a 0.989-cosine clone's nearest-pivot argmax
+    * flips against its twin's ~95% of the time (the r15 clone ladder
+    * caught 1/640 planted near-dups at k=R=1). Multi-assignment overlap
+    * fixes what deeper probing alone cannot: the (admitNprobe ×
+    * admitListRk) grid is MEASURED by the gated q250 planted-clone
+    * calibration and the `ScaleEvidence ivfindex` ladder (NOTES r16),
+    * which drive the default of 4.
+    *
+    * At WRITE time (rebuild / incremental append) the conf decides how
+    * deep the payload duplicates — capped at nlist, recorded in meta as
+    * `payload_rk`. At READ time ([[candidatePairsCoded]]) the effective
+    * depth is min(conf, the STORE's recorded payload_rk): membership
+    * beyond the payload depth would yield payload-less candidates the
+    * ADC bands cannot decide, so a raised conf takes effect at the next
+    * rebuild, never mid-epoch.
     */
   private[streaming] def admitListRk(spark: SparkSession): Int =
     math.max(1, spark.conf.getOption("spark.graft.ivfIndex.admitListRk")
       .map(_.toInt).getOrElse(4))
 
+  /** The store's recorded payload duplication depth (1 for pre-r16 or
+    * missing meta — the rk=1-only layout).
+    */
+  private[streaming] def storedPayloadRk(spark: SparkSession,
+      indexDir: String): Int =
+    metaRow(spark, indexDir).map(_.payloadRk).getOrElse(1)
+
   def candidatePairsCoded(spark: SparkSession, indexDir: String,
       batchNear: DataFrame): DataFrame = {
     import spark.implicits._
     val store = readOrEmpty(spark, s"$indexDir/near", nearSchema)
-    // ONE store scan: the rk ≤ R membership slice INCLUDES the rk = 1
-    // row that carries the ADC payload, so the pair-dedup group can
-    // recover (code, resid) via null-ignoring max — no second scan,
-    // no payload duplication in the store
-    val members = store.filter($"rk" <= admitListRk(spark))
+    // ONE store scan: every rk ≤ payload_rk membership row SELF-CARRIES
+    // the ADC payload (write-side duplication — see the store-layout
+    // doc), so whichever list matched, the pair-dedup group's max picks
+    // up the one (code, resid) the vector has. Membership depth is
+    // capped at the STORE's payload depth: rows beyond it would join
+    // payload-less and the ADC bands could not decide them (the r15
+    // null-payload admission hole).
+    val rEff = math.min(admitListRk(spark), storedPayloadRk(spark, indexDir))
+    val members = store.filter($"rk" <= rEff)
       .select($"vec_id".as("a_id"), $"p_id", $"code", $"resid")
     members.join(broadcast(batchNear.select($"vec_id".as("b_id"), $"p_id")),
         Seq("p_id"))
@@ -300,14 +334,22 @@ object IvfIndex extends IndexLifecycle {
       .withColumn("a", sqrt(sim.adcDistOf($"code", $"lut", kEff).cast("double")))
       .withColumn("r", sqrt($"resid".cast("double")))
     val certain = scored
-      .filter($"a" + $"r" <= lit(boundF - adcEpsFrozen))
+      .filter($"a".isNotNull && $"r".isNotNull &&
+        $"a" + $"r" <= lit(boundF - adcEpsFrozen))
       .select($"b_id".as("vec_id"))
     // the gray band is SMALL by construction (only threshold-adjacent
     // pairs) — checkpoint it so the exact-verify stage consumes a
-    // materialized relation instead of re-streaming the candidate join
+    // materialized relation instead of re-streaming the candidate join.
+    // A NULL sandwich (no payload: a zero-norm corpus vector the PQ
+    // model excludes, or a store violating the payload_rk invariant)
+    // fails SAFE into the gray band's exact verify — a certain decision
+    // is only ever made on payload-backed arithmetic (r16 advisor: the
+    // r15 layout silently ADMITTED null-payload pairs because all three
+    // band predicates evaluate null→false)
     val gray = ck(scored
-      .filter($"a" + $"r" > lit(boundF - adcEpsFrozen) &&
-        abs($"a" - $"r") <= lit(boundF + adcEpsFrozen))
+      .filter($"a".isNull || $"r".isNull ||
+        ($"a" + $"r" > lit(boundF - adcEpsFrozen) &&
+          abs($"a" - $"r") <= lit(boundF + adcEpsFrozen)))
       .select($"a_id", $"b_id"))
     val grayRejected = cosineRejectedIds(spark, corpusDir, vecSchema,
       batch, gray, maxCosine)
@@ -373,6 +415,11 @@ object IvfIndex extends IndexLifecycle {
     val n = corpus.count()
     val nlist = sim.ivfPolicyNlist(n)
     val nprobe = sim.ivfPolicyNprobe(nlist)
+    // admission membership depth for THIS epoch (frozen into meta): the
+    // conf capped at nlist (a vector has only nlist distinct lists);
+    // the stored slice deepens to cover it when it exceeds nprobe
+    val payloadRk = math.min(admitListRk(spark), math.max(1, nlist))
+    val storeRk = math.max(nprobe, payloadRk)
     val pivotSrc = if (trainedPivots(spark)) "trained" else "policy"
     val piv = ck(if (pivotSrc == "trained") sim.trainedCoarsePivots(corpus, nlist)
       else sim.ivfPivotsOf(corpus, nlist))
@@ -383,17 +430,17 @@ object IvfIndex extends IndexLifecycle {
     // values cannot move between the two meta writes
     val fpPiv = fpOf(piv, Seq("p_id", "pe"))
     val fpCb = fpOf(cb, Seq("m", "c_id", "fc"))
-    writeMeta(spark, indexDir, n, nlist, nprobe, pivotSrc,
+    writeMeta(spark, indexDir, n, nlist, nprobe, payloadRk, pivotSrc,
       fpPiv, fpCb, committed = false)
     val codes = sim.trainedPqCodesWithResid(corpus, cb)
-    val near = ck(sim.ivfNearOf(corpus, piv, nprobe)
+    val near = ck(sim.ivfNearOf(corpus, piv, storeRk)
       .join(codes.select($"vec_id", $"codes", $"resid"), Seq("vec_id"), "left")
       .select($"vec_id", $"p_id", $"rk",
-        when($"rk" === 1, $"codes").as("code"),
-        when($"rk" === 1, $"resid").as("resid")))
+        when($"rk" <= payloadRk, $"codes").as("code"),
+        when($"rk" <= payloadRk, $"resid").as("resid")))
     near.coalesce(compactFiles(spark, n)).write.mode("overwrite")
       .parquet(s"$indexDir/near")
-    writeMeta(spark, indexDir, n, nlist, nprobe, pivotSrc,
+    writeMeta(spark, indexDir, n, nlist, nprobe, payloadRk, pivotSrc,
       fpPiv, fpCb, committed = true)
     n
     } finally ck.freeAll()
@@ -443,7 +490,7 @@ object IvfIndex extends IndexLifecycle {
       case None =>
         if (preIdxCount > 0 || preCorpusCount > 0) doRebuild() // lost meta under data: re-derive, never re-stamp
         else writeMeta(spark, indexDir, 0L, sim.ivfPolicyNlist(0L),
-          sim.ivfPolicyNprobe(sim.ivfPolicyNlist(0L)),
+          sim.ivfPolicyNprobe(sim.ivfPolicyNlist(0L)), 1,
           if (trainedPivots(spark)) "trained" else "policy",
           0L, 0L, committed = true)
       case Some(m) =>
@@ -460,6 +507,11 @@ object IvfIndex extends IndexLifecycle {
     val lastN = meta1.map(_.n).getOrElse(0L)
     val nprobe = meta1.map(_.nprobe).getOrElse(
       sim.ivfPolicyNprobe(sim.ivfPolicyNlist(0L)))
+    // the EPOCH's recorded depths, not the live conf: incremental
+    // appends must write the exact slice the rebuild wrote, or the
+    // store==batch-path pin (and the heal's count invariant) drift
+    val payloadRkEpoch = meta1.map(_.payloadRk).getOrElse(1)
+    val storeRkEpoch = math.max(nprobe, payloadRkEpoch)
     val existingIds = readOrEmpty(spark, corpusDir, vecSchema).select($"vec_id")
     val idHits = existingIds
       .join(broadcast(batch.select($"vec_id")), Seq("vec_id")).distinct()
@@ -475,7 +527,7 @@ object IvfIndex extends IndexLifecycle {
     val piv = if (healed) ck(readOrEmpty(spark, s"$indexDir/piv", pivSchema)) else piv0
     val cb = if (healed) ck(readOrEmpty(spark, s"$indexDir/cb", cbSchema)) else cb0
     val batchNear = ck(sim
-      .ivfNearOf(fresh.select($"vec_id", $"embedding"), piv, nprobe))
+      .ivfNearOf(fresh.select($"vec_id", $"embedding"), piv, storeRkEpoch))
     // DELIBERATELY NOT checkpointed: the candidate relation is
     // batch × corpus × (admitNprobe/nlist) pairs — at a 32k batch
     // against a 64k corpus with the epoch's recall nprobe that was
@@ -519,8 +571,8 @@ object IvfIndex extends IndexLifecycle {
         .join(broadcast(admittedCodes.select($"vec_id", $"codes", $"resid")),
           Seq("vec_id"), "left")
         .select($"vec_id", $"p_id", $"rk",
-          when($"rk" === 1, $"codes").as("code"),
-          when($"rk" === 1, $"resid").as("resid")))
+          when($"rk" <= payloadRkEpoch, $"codes").as("code"),
+          when($"rk" <= payloadRkEpoch, $"resid").as("resid")))
       admittedNear.repartition(appendWriters(spark, nAdmitted), $"p_id")
         .write.mode("append").parquet(s"$indexDir/near")
       compactIfOverCap(spark, Seq(s"$indexDir/near")) {

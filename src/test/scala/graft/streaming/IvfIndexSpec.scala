@@ -42,6 +42,12 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
     val lastN = meta.getLong(0)
     assert(meta.getInt(1) == graft.operators.Similarity.ivfPolicyNlist(lastN))
     assert(meta.getInt(2) == graft.operators.Similarity.ivfPolicyNprobe(meta.getInt(1)))
+    // the epoch's recorded payload depth: the admitListRk default (4)
+    // capped at nlist, and the stored slice covers max(nprobe, it)
+    val payloadRk = meta.getAs[Int]("payload_rk")
+    assert(payloadRk ==
+      math.min(IvfIndex.admitListRk(spark), math.max(1, meta.getInt(1))))
+    val storeRk = math.max(meta.getInt(2), payloadRk)
     // the store (rebuild-written epoch base + wave-3 incremental
     // append) is bit-equal to a from-scratch batch assignment of the
     // WHOLE admitted corpus under the SAME frozen pivots/params
@@ -49,7 +55,7 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
       .select($"vec_id", $"embedding")
     val piv = spark.read.schema(IvfIndex.pivSchema).parquet(s"$index/piv")
     val batchPath = graft.operators.Similarity
-      .ivfNearOf(admitted, piv, meta.getInt(2))
+      .ivfNearOf(admitted, piv, storeRk)
       .as[(Long, Long, Int)].collect().toSet
     val store = spark.read.schema(IvfIndex.nearSchema).parquet(s"$index/near")
       .select($"vec_id", $"p_id", $"rk")
@@ -62,9 +68,15 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
     // rebuild boundary (epoch-base rows coded at rebuild, wave-3 rows
     // coded incrementally under the frozen codebook)
     val cb = spark.read.schema(IvfIndex.cbSchema).parquet(s"$index/cb")
+    // EVERY rk ≤ payload_rk row self-carries the vector's ONE payload
+    // (FAISS multi-assignment duplication): the distinct payload set
+    // over the whole membership slice equals the kernel's, and no
+    // membership row of a PQ-covered vector is payload-less (the r15
+    // rk=1-only layout left rk>1-overlap candidates NULL, which the
+    // ADC bands silently admitted)
     val storeCodes = spark.read.schema(IvfIndex.nearSchema).parquet(s"$index/near")
-      .filter($"rk" === 1 && $"resid".isNotNull)
-      .select($"vec_id", $"code", $"resid")
+      .filter($"rk" <= payloadRk && $"resid".isNotNull)
+      .select($"vec_id", $"code", $"resid").distinct()
       .as[(Long, Seq[Int], Long)].collect().toSet
     val batchCodes = graft.operators.Similarity
       .trainedPqCodesWithResid(admitted, cb)
@@ -72,23 +84,40 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, Seq[Int], Long)].collect().toSet
     assert(storeCodes.nonEmpty && storeCodes == batchCodes,
       "inlined codes/residuals must equal the q246 batch coding kernel")
-    // rk > 1 rows carry no payload (no ×nprobe code duplication)
+    val pqCovered = batchCodes.map(_._1)
     assert(spark.read.schema(IvfIndex.nearSchema).parquet(s"$index/near")
-      .filter($"rk" > 1 && ($"code".isNotNull || $"resid".isNotNull)).count() == 0L)
+      .filter($"rk" <= payloadRk && $"resid".isNull)
+      .select($"vec_id").as[Long].collect().toSet.intersect(pqCovered).isEmpty,
+      "every membership row of a PQ-covered vector must carry its payload")
+    // rows beyond the membership depth carry no payload (the
+    // duplication is bounded by payload_rk, not ×nprobe)
+    assert(spark.read.schema(IvfIndex.nearSchema).parquet(s"$index/near")
+      .filter($"rk" > payloadRk && ($"code".isNotNull || $"resid".isNotNull))
+      .count() == 0L)
     // candidate pin through the public probe: an unseen batch's
-    // candidates from the incremental store == the batch path's
+    // candidates from the incremental store == the batch path at the
+    // SAME membership depth (rk ≤ payload_rk — the admitListRk=4
+    // admission semantics, r15's final-commit change now pinned on
+    // both sides)
     val probeBatch = fixtureVecs.filter($"vec_id" % 10 === 9)
       .select($"vec_id", $"embedding")
     val bn = graft.operators.Similarity.ivfNearOf(probeBatch, piv, meta.getInt(2))
     val incr = IvfIndex.candidatePairs(spark, index, bn)
       .as[(Long, Long)].collect().toSet
-    val lists = graft.operators.Similarity.ivfNearOf(admitted, piv, meta.getInt(2))
-      .filter($"rk" === 1).select($"vec_id".as("a_id"), $"p_id")
-    val batchCand = lists
+    val listsAll = graft.operators.Similarity.ivfNearOf(admitted, piv, storeRk)
+      .select($"vec_id".as("a_id"), $"p_id", $"rk".as("a_rk"))
+      .localCheckpoint()
+    def candAt(depth: Int): Set[(Long, Long)] = listsAll
+      .filter($"a_rk" <= depth)
       .join(bn.select($"vec_id".as("b_id"), $"p_id"), Seq("p_id"))
       .filter($"a_id" =!= $"b_id").select($"a_id", $"b_id")
       .distinct().as[(Long, Long)].collect().toSet
+    val batchCand = candAt(payloadRk)
     assert(incr.nonEmpty && incr == batchCand)
+    // and the widened membership is a strict superset of the r15
+    // rk=1-only candidate set (the recall direction of the change)
+    val rk1Cand = candAt(1)
+    assert(rk1Cand.subsetOf(incr) && rk1Cand.size < incr.size)
   }
 
   test("ADC-primary admission == exact-verify admission (identical admitted sets)") {
@@ -117,6 +146,64 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
         s"only-exact=${(ex -- adc).take(5)}")
     assert(!adc.exists(_ >= 1000000L),
       "planted exact copies must be rejected by the ADC path")
+  }
+
+  test("ADC == exact admission for PERTURBED near-dups whose only list overlap is at rk > 1") {
+    // Multiplicative-jitter clones: cosine to the source ≥ 0.958 by the
+    // [0.7, 1.3] per-dim bound (typically ~0.985) — inside the 0.92
+    // gate but NOT exact copies, so the nearest-list argmax flips
+    // against the source's for most of them. Their candidate pairs
+    // overlap the corpus side at rk > 1 — exactly where the r15
+    // rk=1-only payload layout served NULL (code, resid) and the ADC
+    // bands silently admitted what exactVerify=true rejected (r16
+    // advisor finding; the exact-copy test above can NOT reach this
+    // path because a copy shares its twin's rk=1 list by construction).
+    def clones = fixtureVecs.filter($"vec_id" % 3 === 0 && $"vec_id" % 4 === 0)
+      .select(($"vec_id" + 2000000L).as("vec_id"),
+        expr("""transform(embedding, (x, d) -> CAST(
+               |  x * (1.0D + 0.3D * (pmod(xxhash64(vec_id, d), 2001) - 1000) / 1000.0D)
+               |  AS FLOAT))""".stripMargin).as("embedding"),
+        $"label")
+    def run(exact: Boolean): (Set[Long], String, String) = {
+      val (corpus, index) = freshDirs()
+      if (exact) spark.conf.set("spark.graft.ivfIndex.exactVerify", "true")
+      try {
+        IvfIndex.admitBatch(fixtureVecs.filter($"vec_id" % 3 === 0), corpus, index)
+        // wave 2 is clones-only and far below the doubling trigger, so
+        // the wave-1 epoch's pivots survive the run for the teeth check
+        IvfIndex.admitBatch(clones, corpus, index)
+        (spark.read.schema(IvfIndex.vecSchema).parquet(corpus)
+          .select($"vec_id").as[Long].collect().toSet, corpus, index)
+      } finally spark.conf.unset("spark.graft.ivfIndex.exactVerify")
+    }
+    val (adc, _, index) = run(exact = false)
+    val (ex, _, _) = run(exact = true)
+    assert(adc == ex,
+      s"ADC and exact admission diverged on perturbed near-dups: " +
+        s"only-adc=${(adc -- ex).take(5)}, only-exact=${(ex -- adc).take(5)}")
+    val caught = clones.select($"vec_id").as[Long].collect().toSet -- adc
+    assert(caught.nonEmpty, "no perturbed clone was rejected — the ladder " +
+      "geometry moved; re-tune the jitter so the test keeps its teeth")
+    // teeth: among the caught clones, at least one's ONLY membership
+    // overlap with its source sits at rk > 1 — the admission decision
+    // for it was payload-backed by the duplicated (code, resid), not by
+    // an rk=1 row
+    val meta = spark.read.parquet(s"$index/meta").head()
+    val payloadRk = meta.getAs[Int]("payload_rk")
+    val storeRk = math.max(meta.getAs[Int]("nprobe"), payloadRk)
+    val piv = spark.read.schema(IvfIndex.pivSchema).parquet(s"$index/piv")
+    val srcLists = graft.operators.Similarity
+      .ivfNearOf(fixtureVecs.filter($"vec_id" % 3 === 0)
+        .select($"vec_id", $"embedding"), piv, storeRk)
+      .select(($"vec_id" + 2000000L).as("vec_id"), $"p_id", $"rk".as("src_rk"))
+    val minOverlap = graft.operators.Similarity
+      .ivfNearOf(clones.select($"vec_id", $"embedding"), piv, 1)
+      .join(srcLists, Seq("vec_id", "p_id"))
+      .groupBy($"vec_id").agg(min($"src_rk").as("mn"))
+      .as[(Long, Int)].collect().toMap
+    assert(caught.exists(id => minOverlap.get(id).exists(_ > 1)),
+      s"every caught clone overlapped its source at rk=1 — the rk>1 " +
+        s"payload path went unexercised: $minOverlap")
   }
 
   test("admission rejects an indexed near-identical vector; replay appends nothing") {
@@ -276,11 +363,13 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
       assert(pivVecs.exists(p => !corpusVecs.contains(p)),
         "trained pivots must not all be raw corpus vectors")
       // exactness pin unchanged: store == batch path under the SAME
-      // frozen (trained) pivots and epoch params
+      // frozen (trained) pivots and epoch params (slice depth =
+      // max(nprobe, payload_rk), the r16 membership layout)
       val admitted = spark.read.schema(IvfIndex.vecSchema).parquet(corpus)
         .select($"vec_id", $"embedding")
       val batchPath = graft.operators.Similarity
-        .ivfNearOf(admitted, piv, meta.getInt(2))
+        .ivfNearOf(admitted, piv,
+          math.max(meta.getInt(2), meta.getAs[Int]("payload_rk")))
         .as[(Long, Long, Int)].collect().toSet
       val store = spark.read.schema(IvfIndex.nearSchema).parquet(s"$index/near")
         .select($"vec_id", $"p_id", $"rk")
