@@ -32,8 +32,8 @@ import org.apache.spark.sql.SparkSession
   * not just the evidence. Every query is compared against its committed
   * quiet-box floor (`tools/query_ref.json`) and each ≥1.5× mover is
   * classified in-band under `"load_adjudicated"` (ambient /
-  * ambient-uniform / gc / improved / check — see the inline comment at
-  * the computation) with `"ref_drift_median"` and
+  * ambient-uniform / ambient-moderate / gc / improved / check — see the
+  * inline comment at the computation) with `"ref_drift_median"` and
   * `"unexplained_movers"` summarizing the suite; a driver bench under
   * co-tenant load reads as noise from the committed JSON alone.
   */
@@ -253,6 +253,15 @@ object Bench {
     //    MEDIAN drift vs the reference while that drift is itself
     //    elevated (>=1.15x) — uniform slowdown is load, not a plan
     //    change (a regression is query-shaped, not suite-shaped);
+    //  - "ambient-moderate" (r15 verdict item 3): moderate uniform
+    //    load, scattered SMALL movers — the r15 artifact's failure
+    //    mode, where load_start was already 4.8 so the "ambient" rule's
+    //    2x-load_start threshold (9.6) self-defeated and 13 sub-1.5 s
+    //    movers landed formally unexplained. When the suite median
+    //    drift sits under 1.15 (no uniform story) but every rep of the
+    //    query ran under 1-min loads >= 4 and the query's own wall is
+    //    under 1.5 s, scheduling jitter at that load fully covers the
+    //    delta — sub-second queries are the documented noisiest class;
     //  - "gc": >30% of the best rep's wall was JVM GC;
     //  - "check": none of the above explains it — a real candidate.
     // Improvements >=1.5x are listed as "improved" so stale floors get
@@ -279,6 +288,9 @@ object Bench {
           if (r <= 1.0 / 1.5) "improved"
           else if (allHot) "ambient"
           else if (driftMedian >= 1.15 && r <= driftMedian * 1.3) "ambient-uniform"
+          else if (driftMedian < 1.15 && resMap(n) < 1.5 &&
+            rs.nonEmpty && rs.forall(x =>
+              math.max(x.load0, x.load1) >= 4.0)) "ambient-moderate"
           else if (gcShare > 0.3) "gc"
           else "check"
         val loads = rs.map(x => f"[${x.load0}%.2f,${x.load1}%.2f]")

@@ -2552,11 +2552,13 @@ object Similarity {
     * CORPUS-GEOMETRY-DEPENDENT: on the clustered fixture the
     * corpus-direction perturbation keeps the clone inside its source's
     * Voronoi cell, so cell (1,1) already catches 497/500 and R = 2
-    * closes the rest; on the ladder's ISOTROPIC corpus the same
-    * nearest-list design measured ~1/640 and only the rk ≤ 4
-    * membership recovers it (NOTES r16 grid). The production default
-    * (1, 4) is chosen for the adversarial isotropic floor, not the
-    * fixture's friendly ceiling. All construction arithmetic is
+    * closes the rest; on the ladder's ISOTROPIC corpus cell (1,1)
+    * misses 0.6–3.4% per wave and only the rk ≤ 4 membership measures
+    * zero-miss (NOTES r16 §3 — which also corrects r15's "1/640 at
+    * R=1" figure to a clone-generator artifact). The production
+    * default (1, 4) is chosen for the adversarial isotropic zero-miss
+    * floor, not the fixture's friendly ceiling. All construction
+    * arithmetic is
     * the proven double-precision parity chain (zip_with/aggregate ↔
     * list_zip/list_sum, one evaluation order), then the frozen-integer
     * assignment kernel — bit-stable across engines by the q244/q245
@@ -2691,12 +2693,15 @@ object Similarity {
     *     inlined on EVERY membership row, 24 B each — FAISS
     *     `IndexIVFPQ` extended to multi-assignment, so index_rows is
     *     payload_rk × n and the per-VECTOR cost is ~96 B. The r15
-    *     rk=1-only layout was 24 B/vec but its admission missed ~95%
-    *     of 0.989-cosine clones (nearest-list argmax flips in 64d) and
-    *     served NULL payload on the rk>1 overlaps that would have
-    *     caught them; the 4× duplication is what buys a recall-bearing
-    *     ADC-primary admission that still touches raw vectors for the
-    *     gray band only (q250 measures the catch-rate it buys).
+    *     rk=1-only layout was 24 B/vec; the r16 ladder grid (NOTES r16
+    *     §3) measures rk=1 admission missing 0.6–3.4% of planted
+    *     0.989-cosine isotropic clones per wave (Voronoi-boundary
+    *     argmax flips) — and the rk>1 overlaps that recover them
+    *     joined with NULL payload under the old layout, so the bands
+    *     silently admitted them. The 4× duplication is what buys the
+    *     measured zero-miss admission depth while still touching raw
+    *     vectors for the gray band only (q250 carries the
+    *     fixture-geometry catch grid).
     *
     * Every count is a bounded aggregate over a memoized relation (the
     * census costs one count() scan per row — seven, no shuffles beyond

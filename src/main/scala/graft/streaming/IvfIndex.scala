@@ -232,16 +232,24 @@ object IvfIndex extends IndexLifecycle {
   /** Store-side list-membership depth for ADMISSION candidate
     * generation (`spark.graft.ivfIndex.admitListRk`): a pair is a
     * candidate iff the batch's [[admitNprobe]]-probe set intersects the
-    * corpus vector's rk ≤ R stored assignments. R = 1
-    * (single-assignment lists) looks natural but is MEASURED useless
-    * for dedup on isotropic corpora: in 64 dims the pivot-similarity
-    * gaps are tiny, so a 0.989-cosine clone's nearest-pivot argmax
-    * flips against its twin's ~95% of the time (the r15 clone ladder
-    * caught 1/640 planted near-dups at k=R=1). Multi-assignment overlap
-    * fixes what deeper probing alone cannot: the (admitNprobe ×
-    * admitListRk) grid is MEASURED by the gated q250 planted-clone
-    * calibration and the `ScaleEvidence ivfindex` ladder (NOTES r16),
-    * which drive the default of 4.
+    * corpus vector's rk ≤ R stored assignments. The r15 claim that R=1
+    * catches only ~1/640 planted clones was a GENERATOR ARTIFACT (the
+    * in-wave clone-source bug shrank the real cross-batch sample to ~1
+    * pair per wave); the r16 clean grid (NOTES r16 §3, four full
+    * 128k-corpus ladder runs) measures R=1 at k=1 catching
+    * 1319/1340 planted 0.989-cosine isotropic clones (misses 0.6–3.4%
+    * per wave — the Voronoi-boundary argmax flips, rare but real),
+    * while R=4 is the measured ZERO-MISS depth: 1340/1340, at ~2.1×
+    * per-batch admission cost and 4× payload bytes. The R-axis beats
+    * the k-axis at equal candidate volume ((1,4) caught everything the
+    * (2,1) and (1,2) cells each missed ~5 of), because membership
+    * depth is paid in storage-local bytes while probe depth is paid on
+    * every batch. Default 4 = the zero-miss point; set 1 to restore
+    * the lean 24 B/vec profile where ~98.5% admission recall suffices.
+    * The gated q250 planted-clone calibration carries the
+    * fixture-geometry grid (clustered corpora sit near 100% already at
+    * R=1); the fixture spec pins ADC==exact exactly on the
+    * rk>1-overlap path.
     *
     * At WRITE time (rebuild / incremental append) the conf decides how
     * deep the payload duplicates — capped at nlist, recorded in meta as
@@ -311,9 +319,14 @@ object IvfIndex extends IndexLifecycle {
     * cosineSim, erring only toward a wider gray band — never toward a
     * wrong certain decision.
     */
-  private[streaming] def adcRejectedIds(spark: SparkSession,
-      corpusDir: String, batch: DataFrame, candCoded: DataFrame,
-      cb: DataFrame, maxCosine: Double, ck: CkptScope): DataFrame = {
+  /** The ADC sandwich of a coded candidate relation: each pair scored
+    * as (a = √adc, r = √resid) against the batch's LUTs — the shared
+    * kernel of [[adcRejectedIds]] and the [[admitBandCounts]]
+    * diagnostic (one definition, so a band re-tune cannot desync the
+    * evidence ladder's census from production).
+    */
+  private def adcScoredOf(spark: SparkSession, batch: DataFrame,
+      candCoded: DataFrame, cb: DataFrame): DataFrame = {
     import spark.implicits._
     val sim = graft.operators.Similarity
     // the codebook's EFFECTIVE per-subspace size: an epoch trained on
@@ -325,35 +338,83 @@ object IvfIndex extends IndexLifecycle {
     val luts = sim.trainedPqLutsFor(
         batch.select($"vec_id", $"embedding"), cb, kEff)
       .select($"a_id".as("b_id"), $"lut")
-    // rejection bound as a frozen-unit DISTANCE (not squared): the
-    // sandwich compares √adc ± √resid against it
-    val boundF = sim.adcBoundFrozen(maxCosine)
-    val adcEpsFrozen = sim.adcEpsFrozen
-    val scored = candCoded
+    candCoded
       .join(broadcast(luts), Seq("b_id"))
       .withColumn("a", sqrt(sim.adcDistOf($"code", $"lut", kEff).cast("double")))
       .withColumn("r", sqrt($"resid".cast("double")))
-    val certain = scored
-      .filter($"a".isNotNull && $"r".isNotNull &&
-        $"a" + $"r" <= lit(boundF - adcEpsFrozen))
+  }
+
+  /** Band predicates over an [[adcScoredOf]] relation — rejection bound
+    * as a frozen-unit DISTANCE (not squared): the sandwich compares
+    * √adc ± √resid against it. A NULL sandwich (no payload: a zero-norm
+    * corpus vector the PQ model excludes, or a store violating the
+    * payload_rk invariant) fails SAFE into the gray band's exact
+    * verify — a certain decision is only ever made on payload-backed
+    * arithmetic (r16 advisor: the r15 layout silently ADMITTED
+    * null-payload pairs because all three band predicates evaluate
+    * null→false).
+    */
+  private def certainPred(maxCosine: Double): org.apache.spark.sql.Column = {
+    val sim = graft.operators.Similarity
+    val boundF = sim.adcBoundFrozen(maxCosine)
+    col("a").isNotNull && col("r").isNotNull &&
+      col("a") + col("r") <= lit(boundF - sim.adcEpsFrozen)
+  }
+
+  private def grayPred(maxCosine: Double): org.apache.spark.sql.Column = {
+    val sim = graft.operators.Similarity
+    val boundF = sim.adcBoundFrozen(maxCosine)
+    col("a").isNull || col("r").isNull ||
+      (col("a") + col("r") > lit(boundF - sim.adcEpsFrozen) &&
+        abs(col("a") - col("r")) <= lit(boundF + sim.adcEpsFrozen))
+  }
+
+  private[streaming] def adcRejectedIds(spark: SparkSession,
+      corpusDir: String, batch: DataFrame, candCoded: DataFrame,
+      cb: DataFrame, maxCosine: Double, ck: CkptScope): DataFrame = {
+    import spark.implicits._
+    val scored = adcScoredOf(spark, batch, candCoded, cb)
+    val certain = scored.filter(certainPred(maxCosine))
       .select($"b_id".as("vec_id"))
     // the gray band is SMALL by construction (only threshold-adjacent
-    // pairs) — checkpoint it so the exact-verify stage consumes a
-    // materialized relation instead of re-streaming the candidate join.
-    // A NULL sandwich (no payload: a zero-norm corpus vector the PQ
-    // model excludes, or a store violating the payload_rk invariant)
-    // fails SAFE into the gray band's exact verify — a certain decision
-    // is only ever made on payload-backed arithmetic (r16 advisor: the
-    // r15 layout silently ADMITTED null-payload pairs because all three
-    // band predicates evaluate null→false)
-    val gray = ck(scored
-      .filter($"a".isNull || $"r".isNull ||
-        ($"a" + $"r" > lit(boundF - adcEpsFrozen) &&
-          abs($"a" - $"r") <= lit(boundF + adcEpsFrozen)))
+    // pairs plus the fail-safe null sandwiches) — checkpoint it so the
+    // exact-verify stage consumes a materialized relation instead of
+    // re-streaming the candidate join
+    val gray = ck(scored.filter(grayPred(maxCosine))
       .select($"a_id", $"b_id"))
     val grayRejected = cosineRejectedIds(spark, corpusDir, vecSchema,
       batch, gray, maxCosine)
     certain.union(grayRejected).distinct()
+  }
+
+  /** Diagnostic band census of one batch's admission-shaped ADC
+    * sandwich against the CURRENT index state: (certain_dup, gray,
+    * certain_clean) candidate-pair counts under the production
+    * predicates — the per-wave gray-fraction line the evidence ladder
+    * prints, so codebook staleness across epochs shows up as a
+    * WIDENING gray band (more raw-vector fetches) rather than silent
+    * cost growth. Read-only: probes exactly what [[admitBatch]] would,
+    * writes nothing.
+    */
+  private[graft] def admitBandCounts(spark: SparkSession, indexDir: String,
+      batch: DataFrame, maxCosine: Double = 0.92): (Long, Long, Long) = {
+    import spark.implicits._
+    val sim = graft.operators.Similarity
+    val nprobe = metaRow(spark, indexDir).map(_.nprobe).getOrElse(1)
+    val piv = readOrEmpty(spark, s"$indexDir/piv", pivSchema)
+    val cb = readOrEmpty(spark, s"$indexDir/cb", cbSchema)
+    val bn = sim.ivfNearOf(batch.select($"vec_id", $"embedding"), piv,
+      admitNprobe(spark, nprobe))
+    val candCoded = candidatePairsCoded(spark, indexDir, bn)
+    val row = adcScoredOf(spark, batch, candCoded, cb)
+      .agg(sum(when(certainPred(maxCosine), 1L).otherwise(0L)),
+        sum(when(!certainPred(maxCosine) && grayPred(maxCosine), 1L)
+          .otherwise(0L)),
+        sum(when(!certainPred(maxCosine) && !grayPred(maxCosine), 1L)
+          .otherwise(0L)))
+      .head()
+    def g(i: Int): Long = if (row.isNullAt(i)) 0L else row.getLong(i)
+    (g(0), g(1), g(2))
   }
 
   /** Plan view for the cost-shape pin: the full per-batch probe (assign

@@ -995,12 +995,25 @@ object ScaleEvidence {
         val cand = IvfIndex.candidatePairs(spark, indexDir,
           sim.ivfNearOf(panel, piv, nprobe)).count()
         val probeWall = (System.nanoTime() - t1) / 1e9
+        // the panel's ADMISSION-shaped band census (admitNprobe slice,
+        // production predicates): gray fraction per epoch is the
+        // codebook-staleness signal — a drifting corpus under a frozen
+        // codebook widens the gray band (more raw-vector fetches)
+        // before it slows anything else (r15 verdict item 5)
+        val (bCd, bGy, bCc) = IvfIndex.admitBandCounts(
+          spark, indexDir, panel.withColumn("label", lit(0)))
+        val bTot = math.max(1L, bCd + bGy + bCc)
         org.apache.spark.sql.graft.CheckpointUtils.sweepUnpinned(spark.sparkContext)
         println(f"ivfindex wave=$w%2d batch=$sz%7d corpus=$corpusN%7d  " +
           f"admit=$wall%7.1f s ${if (rebuilt) "REBUILT" else "incr   "} " +
           f"nlist=$nlist%4d p$nprobe%-3d  " +
           f"rej=$rejected%4d/$planted%-4d planted  " +
-          f"panelCand=${cand / 32.0 / corpusN * 100}%5.2f%% probe=$probeWall%5.1f s")
+          f"panelCand=${cand / 32.0 / corpusN * 100}%5.2f%% probe=$probeWall%5.1f s  " +
+          // bTot doubles as the ADMISSION-shaped candidate volume
+          // (admitNprobe slice × membership depth), vs panelCand's
+          // recall-shaped (nprobe-probe) volume above
+          f"admCand=${bTot * 100.0 / 32.0 / corpusN}%5.2f%% " +
+          f"bands=$bCd%d/$bGy%d/$bCc%d gray=${bGy * 100.0 / bTot}%5.2f%%")
         lo += sz
       }
     } finally {

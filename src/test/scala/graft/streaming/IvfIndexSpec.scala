@@ -152,8 +152,9 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
     // Multiplicative-jitter clones: cosine to the source ≥ 0.958 by the
     // [0.7, 1.3] per-dim bound (typically ~0.985) — inside the 0.92
     // gate but NOT exact copies, so the nearest-list argmax flips
-    // against the source's for most of them. Their candidate pairs
-    // overlap the corpus side at rk > 1 — exactly where the r15
+    // against the source's for some of them (the teeth assertion below
+    // proves the flip case occurs). Flipped pairs overlap the corpus
+    // side only at rk > 1 — exactly where the r15
     // rk=1-only payload layout served NULL (code, resid) and the ADC
     // bands silently admitted what exactVerify=true rejected (r16
     // advisor finding; the exact-copy test above can NOT reach this
