@@ -2471,20 +2471,27 @@ object Similarity {
         min(when($"ra" === 1, $"rb")).as("rb_k1"),
         min(when($"ra" <= 2, $"rb")).as("rb_k2"))
     val need = pairs.join(ov, Seq("a_id", "b_id"), "left")
-      .localCheckpoint() // sixteen aggregate passes over one overlap join
-    val out = for {
+    // ONE aggregation pass over the whole 16-cell grid (a broadcast
+    // grid × need left join, the oracle's own shape) — the r16 first
+    // cut ran 16 separate agg jobs over a checkpointed relation and
+    // paid ~0.15 s of job overhead per cell
+    val grid = (for {
       (lbl, th) <- Seq("0.45" -> 0.45, "0.92" -> 0.92)
       k <- Seq(1, 2)
       r <- Seq(1, 2, 4, 8)
-    } yield need.filter($"cs" >= th)
-      .agg(count(lit(1)).as("n_pairs"),
-        sum(when(col(s"ra_k$k") <= r, 1L).otherwise(0L)).as("ca"),
-        sum(when(col(s"rb_k$k") <= r, 1L).otherwise(0L)).as("cb"))
-      .select(lit(lbl).as("thresh"), lit(k.toLong).as("admit_nprobe"),
-        lit(r.toLong).as("admit_list_rk"), $"n_pairs",
-        coalesce($"ca", lit(0L)).as("n_caught_a_first"),
-        coalesce($"cb", lit(0L)).as("n_caught_b_first"))
-    out.reduce(_.unionByName(_))
+    } yield (lbl, th, k, r)).toDF("thresh", "tv", "kb", "rb")
+    val ra = when($"kb" === 1, $"ra_k1").otherwise($"ra_k2")
+    val rbDir = when($"kb" === 1, $"rb_k1").otherwise($"rb_k2")
+    broadcast(grid).join(need, lit(true), "left")
+      .groupBy($"thresh", $"kb", $"rb")
+      .agg(coalesce(sum(when($"cs" >= $"tv", 1L)), lit(0L)).as("n_pairs"),
+        coalesce(sum(when($"cs" >= $"tv" && ra <= $"rb", 1L)), lit(0L))
+          .as("n_caught_a_first"),
+        coalesce(sum(when($"cs" >= $"tv" && rbDir <= $"rb", 1L)), lit(0L))
+          .as("n_caught_b_first"))
+      .select($"thresh", $"kb".cast("long").as("admit_nprobe"),
+        $"rb".cast("long").as("admit_list_rk"),
+        $"n_pairs", $"n_caught_a_first", $"n_caught_b_first")
       .orderBy($"thresh", $"admit_nprobe", $"admit_list_rk")
   }
 
@@ -2597,17 +2604,21 @@ object Similarity {
       .groupBy($"vec_id", $"cs")
       .agg(min(when($"rc" === 1, $"rs")).as("rs_k1"),
         min(when($"rc" <= 2, $"rs")).as("rs_k2"))
-      .localCheckpoint() // eight aggregate passes over one probe join
-    val out = for { k <- Seq(1, 2); r <- Seq(1, 2, 4, 8) } yield ov
-      .agg(count(lit(1)).as("n_clones"),
-        sum(when($"cs" >= 0.92, 1L).otherwise(0L)).as("ng"),
-        sum(when($"cs" >= 0.92 && col(s"rs_k$k") <= r, 1L).otherwise(0L))
-          .as("nc"))
-      .select(lit(k.toLong).as("admit_nprobe"),
-        lit(r.toLong).as("admit_list_rk"), $"n_clones",
-        coalesce($"ng", lit(0L)).as("n_above_gate"),
-        coalesce($"nc", lit(0L)).as("n_caught"))
-    out.reduce(_.unionByName(_)).orderBy($"admit_nprobe", $"admit_list_rk")
+    // ONE aggregation pass over the 8-cell grid (the oracle's own
+    // grid-left-join shape; the first cut paid 8 separate agg jobs)
+    val grid = (for { k <- Seq(1, 2); r <- Seq(1, 2, 4, 8) }
+      yield (k, r)).toDF("kb", "rb")
+    val rs = when($"kb" === 1, $"rs_k1").otherwise($"rs_k2")
+    broadcast(grid).join(ov, lit(true), "left")
+      .groupBy($"kb", $"rb")
+      .agg(count($"vec_id").as("n_clones"),
+        coalesce(sum(when($"cs" >= 0.92, 1L)), lit(0L)).as("n_above_gate"),
+        coalesce(sum(when($"cs" >= 0.92 && rs <= $"rb", 1L)), lit(0L))
+          .as("n_caught"))
+      .select($"kb".cast("long").as("admit_nprobe"),
+        $"rb".cast("long").as("admit_list_rk"),
+        $"n_clones", $"n_above_gate", $"n_caught")
+      .orderBy($"admit_nprobe", $"admit_list_rk")
   }
 
   val q250Sql: String = {
