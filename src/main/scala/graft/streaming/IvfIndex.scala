@@ -374,14 +374,22 @@ object IvfIndex extends IndexLifecycle {
       cb: DataFrame, maxCosine: Double, ck: CkptScope): DataFrame = {
     import spark.implicits._
     val scored = adcScoredOf(spark, batch, candCoded, cb)
-    val certain = scored.filter(certainPred(maxCosine))
-      .select($"b_id".as("vec_id"))
-    // the gray band is SMALL by construction (only threshold-adjacent
-    // pairs plus the fail-safe null sandwiches) — checkpoint it so the
-    // exact-verify stage consumes a materialized relation instead of
-    // re-streaming the candidate join
-    val gray = ck(scored.filter(grayPred(maxCosine))
-      .select($"a_id", $"b_id"))
+    // ONE pass over the candidate join materializes BOTH decided bands
+    // (certain-dup ∪ gray), dropping the certain-clean bulk in the same
+    // scan — the r16 first cut filtered `scored` twice (the gray
+    // checkpoint, then the certain branch), re-running the store-scan
+    // candidate join per batch; measured on the evidence ladder this
+    // one-pass form cuts steady-state admission from 14.5–17.5 s to
+    // 8.6–10.0 s per 2k batch at a 130k corpus (NOTES r16 §3) — the
+    // rk ≤ 4 zero-miss default now costs ~15% over the r15 rk=1
+    // baseline instead of ~2.1×. The materialized relation
+    // stays SMALL by construction: threshold-adjacent pairs, actual dup
+    // pairs, and the fail-safe null sandwiches only.
+    val bands = ck(scored
+      .filter(certainPred(maxCosine) || grayPred(maxCosine))
+      .select($"a_id", $"b_id", certainPred(maxCosine).as("certain")))
+    val certain = bands.filter($"certain").select($"b_id".as("vec_id"))
+    val gray = bands.filter(!$"certain").select($"a_id", $"b_id")
     val grayRejected = cosineRejectedIds(spark, corpusDir, vecSchema,
       batch, gray, maxCosine)
     certain.union(grayRejected).distinct()
@@ -419,11 +427,13 @@ object IvfIndex extends IndexLifecycle {
 
   /** Plan view for the cost-shape pin: the full per-batch probe (assign
     * against frozen pivots → coded candidates → ADC sandwich →
-    * gray-band cosine verify), no writes. The gray band materializes
-    * eagerly (its checkpoint inside [[adcRejectedIds]]), so its leaf is
-    * collapsed in the explained plan — the store-scan join shape it
-    * hides is the SAME shape the certain-reject branch shows unfolded,
-    * so the no-shuffle-join pin keeps its teeth.
+    * gray-band cosine verify), no writes. Since the r16 one-pass band
+    * materialization, the candidate join executes eagerly into the
+    * bands checkpoint and this plan shows only the downstream
+    * exact-verify arm — the spec therefore pins the no-shuffle-join
+    * property on BOTH plans: [[candidatePairsCoded]]'s (the store-scan
+    * candidate join, pre-checkpoint) and this one (the gray arm's
+    * broadcast raw-vector fetch).
     */
   private[graft] def batchProbePlan(spark: SparkSession, indexDir: String,
       corpusDir: String, batch: DataFrame, maxCosine: Double): DataFrame = {
@@ -641,6 +651,103 @@ object IvfIndex extends IndexLifecycle {
       }
     }
     } finally ck.freeAll()
+  }
+
+  /** Ranked top-k similarity SEARCH over the persisted incremental
+    * index — the serving-tier probe that makes the store a queryable
+    * FAISS-style index, not only an admission filter (the q242/q246
+    * search shape at micro-batch grain over the streaming stores).
+    * Stages, all broadcast-shaped with per-query cost bounded by the
+    * probe slice (≈ nprobe/nlist of the corpus — the q236 policy):
+    *
+    *  1. queries assign against the BROADCAST frozen pivots → their
+    *     top-`nprobe` probe lists (default: the epoch's recall nprobe
+    *     from meta — the ⌈nlist/8⌉ recall budget, NOT the admission
+    *     slice; search recall comes from probe depth, membership depth
+    *     is an admission concept);
+    *  2. candidates = the rk = 1 single-assignment inverted lists
+    *     (q226/q242's search semantics) scanned ONCE against a
+    *     broadcast of the probe rows;
+    *  3. ADC scoring: each candidate's inlined code against the
+    *     query's LUT — frozen-integer exact, 16 lookups, no raw
+    *     vector — reduced to a per-query shortlist (max(k, 4k) unless
+    *     `shortlist` overrides) through the bounded-state
+    *     [[graft.functions.TopKByScore]] aggregator (map-side partial:
+    *     the shuffle carries shortlist rows per query per partition,
+    *     never the candidate set);
+    *  4. exact re-rank (`exactRerank=true`, default): the shortlist's
+    *     raw vectors fetched via broadcast-ids semi-join on the
+    *     corpus, ranked by exact cosine, keep k. With
+    *     `exactRerank=false` the ADC ranking is returned directly and
+    *     `score` is the NEGATED frozen ADC distance (higher = closer)
+    *     — rank-comparable, not a cosine.
+    *
+    * Returns (vec_id, rk, b_id, score), rk 1-based best-first.
+    * Zero-norm queries carry no direction (no LUT under the PQ model)
+    * and return no rows — the same exclusion the exact arm's NaN
+    * filter applies. Version-guarded like [[admitBatch]].
+    */
+  def topK(spark: SparkSession, indexDir: String, corpusDir: String,
+      queries: DataFrame, k: Int, shortlist: Int = 0,
+      exactRerank: Boolean = true): DataFrame = {
+    import spark.implicits._
+    val sim = graft.operators.Similarity
+    metaRow(spark, indexDir).foreach { m =>
+      require(m.version == sim.ivfLogicVersion,
+        s"index at $indexDir was built with IVF version ${m.version}, this " +
+          s"code is ${sim.ivfLogicVersion} — rebuild() required")
+    }
+    val nprobe = metaRow(spark, indexDir).map(_.nprobe).getOrElse(1)
+    val piv = readOrEmpty(spark, s"$indexDir/piv", pivSchema)
+    val cb = readOrEmpty(spark, s"$indexDir/cb", cbSchema)
+    val q = queries.select($"vec_id", $"embedding")
+    val probes = sim.ivfNearOf(q, piv, nprobe)
+      .select($"vec_id".as("q_id"), $"p_id")
+    val cand = readOrEmpty(spark, s"$indexDir/near", nearSchema)
+      .filter($"rk" === 1)
+      .select($"vec_id".as("n_id"), $"p_id", $"code")
+      .join(broadcast(probes), Seq("p_id"))
+      .filter($"n_id" =!= $"q_id")
+    val kEff = cb.agg(coalesce(max($"c_id"), lit(0))).head().getInt(0)
+    val luts = sim.trainedPqLutsFor(q, cb, kEff)
+      .select($"a_id".as("q_id"), $"lut")
+    val sl = if (shortlist > 0) shortlist else math.max(k, 4 * k)
+    val topSl = graft.functions.TopKByScore(sl)
+    val adcTop = cand.join(broadcast(luts), Seq("q_id"))
+      .withColumn("score", -sim.adcDistOf($"code", $"lut", kEff).cast("double"))
+      // a payload-less candidate (zero-norm corpus vector outside the
+      // PQ model) has no ADC score and cannot be ranked — excluded,
+      // like the exact arm's NaN cosine exclusion
+      .filter($"score".isNotNull && !isnan($"score"))
+      .groupBy($"q_id")
+      .agg(topSl($"score", $"n_id").as("top"))
+    if (!exactRerank) {
+      adcTop
+        .select($"q_id", posexplode($"top").as(Seq("pos", "t")))
+        .filter($"pos" < k)
+        .select($"q_id".as("vec_id"), ($"pos" + 1).cast("int").as("rk"),
+          $"t.b_id".as("b_id"), $"t.cs".as("score"))
+    } else {
+      val short = adcTop
+        .select($"q_id", explode($"top.b_id").as("n_id"))
+      val raw = readOrEmpty(spark, corpusDir, vecSchema)
+        .join(broadcast(short.select($"n_id").distinct()),
+          col("vec_id") === col("n_id"))
+        .select($"n_id", $"embedding".as("en"))
+      val qe = q.select($"vec_id".as("q_id"), $"embedding".as("eq"))
+      val topk = graft.functions.TopKByScore(k)
+      short
+        .join(broadcast(raw), Seq("n_id"))
+        .join(broadcast(qe), Seq("q_id"))
+        .withColumn("cs",
+          graft.functions.VectorFunctions.cosineSim($"eq", $"en"))
+        .filter(!isnan($"cs"))
+        .groupBy($"q_id")
+        .agg(topk($"cs", $"n_id").as("top"))
+        .select($"q_id", posexplode($"top").as(Seq("pos", "t")))
+        .select($"q_id".as("vec_id"), ($"pos" + 1).cast("int").as("rk"),
+          $"t.b_id".as("b_id"), $"t.cs".as("score"))
+    }
   }
 
   /** The IVF-indexed admission policy as a continuous query — the

@@ -332,12 +332,29 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
   test("per-batch probe plan: every join broadcasts — the stores are never shuffle-joined") {
     val (corpus, index) = freshDirs()
     IvfIndex.admitBatch(fixtureVecs.filter($"vec_id" % 2 === 0), corpus, index)
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    // the candidate-generation plan (store scan ⋈ broadcast batch
+    // probes, pre-checkpoint — since r16 the probe plan below executes
+    // this eagerly into the bands checkpoint, so its join shape is
+    // pinned here directly)
+    val meta = spark.read.parquet(s"$index/meta").head()
+    val piv = spark.read.schema(IvfIndex.pivSchema).parquet(s"$index/piv")
+    val bn = graft.operators.Similarity.ivfNearOf(
+      fixtureVecs.filter($"vec_id" % 2 === 1).select($"vec_id", $"embedding"),
+      piv, 1)
+    val candPlan = planOf(IvfIndex.candidatePairsCoded(spark, index, bn))
+    assert(!candPlan.contains("SortMergeJoin") &&
+      !candPlan.contains("ShuffledHashJoin"),
+      "corpus-sided store must only be scanned against broadcast batch keys:\n" + candPlan)
+    assert(candPlan.contains("BroadcastHashJoin"))
+    // the full probe plan (ADC bands → gray-band exact verify)
     val probe = IvfIndex.batchProbePlan(spark, index, corpus,
       fixtureVecs.filter($"vec_id" % 2 === 1), maxCosine = 0.92)
-    val plan = probe.queryExecution.explainString(
-      org.apache.spark.sql.execution.FormattedMode)
+    val plan = planOf(probe)
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
-      "corpus-sided store must only be scanned against broadcast batch keys:\n" + plan)
+      "gray-band exact verify must fetch raw vectors via broadcast only:\n" + plan)
     assert(plan.contains("BroadcastHashJoin"))
   }
 
@@ -378,6 +395,72 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
       assert(store.nonEmpty && store == batchPath,
         "trained-pivot incremental store must equal the batch path")
     } finally spark.conf.unset("spark.graft.ivfIndex.trainedPivots")
+  }
+
+  test("topK search: a planted twin ranks first; ADC shortlist == batch-kernel recompute") {
+    val (corpus, index) = freshDirs()
+    IvfIndex.admitBatch(fixtureVecs.filter($"vec_id" % 2 === 0), corpus, index)
+    // queries = exact copies of five indexed vectors under fresh ids:
+    // the exact re-rank must surface each twin at rank 1 with cosine ~1
+    val twins = fixtureVecs.filter($"vec_id" % 2 === 0 && $"vec_id" % 20 === 0)
+      .select(($"vec_id" + 5000000L).as("vec_id"), $"embedding")
+      .localCheckpoint()
+    val got = IvfIndex.topK(spark, index, corpus, twins, k = 3)
+      .filter($"rk" === 1)
+      .select($"vec_id", $"b_id", $"score")
+      .as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (q, b, s) =>
+      assert(b == q - 5000000L, s"query $q's rank-1 must be its twin, got $b")
+      assert(s > 0.9999, s"twin cosine must be ~1, got $s")
+    }
+    // the ADC stage (exactRerank=false) is bit-equal to a recompute
+    // from the batch kernels under the same frozen epoch state
+    val meta = spark.read.parquet(s"$index/meta").head()
+    val nprobe = meta.getAs[Int]("nprobe")
+    val piv = spark.read.schema(IvfIndex.pivSchema).parquet(s"$index/piv")
+    val cb = spark.read.schema(IvfIndex.cbSchema).parquet(s"$index/cb")
+    val sim = graft.operators.Similarity
+    val k = 3
+    val adc = IvfIndex.topK(spark, index, corpus, twins, k, exactRerank = false)
+      .select($"vec_id", $"rk", $"b_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val admitted = spark.read.schema(IvfIndex.vecSchema).parquet(corpus)
+      .select($"vec_id", $"embedding")
+    val lists = sim.ivfNearOf(admitted, piv, nprobe).filter($"rk" === 1)
+      .select($"vec_id".as("n_id"), $"p_id")
+    val probes = sim.ivfNearOf(twins, piv, nprobe)
+      .select($"vec_id".as("q_id"), $"p_id")
+    val kEff = cb.agg(coalesce(max($"c_id"), lit(0))).head().getInt(0)
+    val luts = sim.trainedPqLutsFor(twins, cb, kEff)
+      .select($"a_id".as("q_id"), $"lut")
+    val codes = sim.trainedPqCodesWithResid(admitted, cb)
+      .select($"vec_id".as("n_id"), $"codes")
+    val expect = lists.join(probes, Seq("p_id")).filter($"n_id" =!= $"q_id")
+      .join(codes, Seq("n_id")).join(luts, Seq("q_id"))
+      .withColumn("d", sim.adcDistOf($"codes", $"lut", kEff))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"q_id")
+          .orderBy($"d", $"n_id")))
+      .filter($"rk" <= k)
+      .select($"q_id", $"rk", $"n_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(adc.nonEmpty && adc == expect,
+      s"ADC top-k diverged from the batch-kernel recompute: " +
+        s"only-index=${(adc -- expect).take(5)}, only-batch=${(expect -- adc).take(5)}")
+  }
+
+  test("topK plan: candidate scan and re-rank join broadcast only") {
+    val (corpus, index) = freshDirs()
+    IvfIndex.admitBatch(fixtureVecs.filter($"vec_id" % 2 === 0), corpus, index)
+    val q = fixtureVecs.filter($"vec_id" % 2 === 1).limit(8)
+      .select($"vec_id", $"embedding").localCheckpoint()
+    val plan = IvfIndex.topK(spark, index, corpus, q, k = 5)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "topK must never shuffle-join the corpus-sided stores:\n" + plan)
+    assert(plan.contains("BroadcastHashJoin"))
   }
 
   test("version guard: an index persisted under different assignment arithmetic refuses probes") {
