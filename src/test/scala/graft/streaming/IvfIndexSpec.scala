@@ -463,6 +463,40 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("admitBandCounts: census totals the candidate set and bands agree with admission") {
+    val (corpus, index) = freshDirs()
+    IvfIndex.admitBatch(fixtureVecs.filter($"vec_id" % 2 === 0), corpus, index)
+    // a batch of exact copies + genuinely novel vectors. An exact
+    // copy's ADC distance to its twin IS the twin's quantization
+    // residual (a = r), so |a − r| = 0 ≤ bound + eps: a copy can land
+    // certain-dup (well-quantized twin, 2√resid under the bound) or
+    // gray (coarse residual — the fixture's 16-centroid geometry), but
+    // NEVER certain-clean
+    val copies = fixtureVecs.filter($"vec_id" % 2 === 0 && $"vec_id" % 10 === 0)
+      .select(($"vec_id" + 7000000L).as("vec_id"), $"embedding", $"label")
+    val batch = fixtureVecs.filter($"vec_id" % 2 === 1).unionByName(copies)
+      .localCheckpoint()
+    val (cd, gy, cc) = IvfIndex.admitBandCounts(spark, index, batch)
+    // the census is read-only over exactly the admission candidate set
+    val meta = spark.read.parquet(s"$index/meta").head()
+    val piv = spark.read.schema(IvfIndex.pivSchema).parquet(s"$index/piv")
+    val bn = graft.operators.Similarity.ivfNearOf(
+      batch.select($"vec_id", $"embedding"), piv, 1)
+    val nCand = IvfIndex.candidatePairs(spark, index, bn).count()
+    assert(cd + gy + cc == nCand,
+      s"band census ($cd+$gy+$cc) must total the candidate set ($nCand)")
+    val nCopies = copies.count()
+    assert(cd + gy >= nCopies,
+      s"each planted copy pairs with its twin OUTSIDE certain-clean " +
+        s"(|a−r| = 0), so decided-dup+gray ($cd+$gy) must cover $nCopies")
+    // and the bands are consistent with what admitBatch then does: the
+    // copies are rejected, the novel vectors admitted
+    IvfIndex.admitBatch(batch, corpus, index)
+    val admitted = spark.read.schema(IvfIndex.vecSchema).parquet(corpus)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(!admitted.exists(_ >= 7000000L))
+  }
+
   test("version guard: an index persisted under different assignment arithmetic refuses probes") {
     val (corpus, index) = freshDirs()
     IvfIndex.admitBatch(fixtureVecs.limit(10), corpus, index)
