@@ -1003,6 +1003,13 @@ object ScaleEvidence {
         val (bCd, bGy, bCc) = IvfIndex.admitBandCounts(
           spark, indexDir, panel.withColumn("label", lit(0)))
         val bTot = math.max(1L, bCd + bGy + bCc)
+        // the SERVING probe (r16 topK: ADC shortlist + exact re-rank)
+        // against the post-wave store — the search-side scale claim:
+        // per-query wall must track the probe slice (nprobe/nlist ≈
+        // 1/8 of the corpus under the policy), not the corpus
+        val t2 = System.nanoTime()
+        val tkRows = IvfIndex.topK(spark, indexDir, corpusDir, panel, 5).count()
+        val topkWall = (System.nanoTime() - t2) / 1e9
         org.apache.spark.sql.graft.CheckpointUtils.sweepUnpinned(spark.sparkContext)
         println(f"ivfindex wave=$w%2d batch=$sz%7d corpus=$corpusN%7d  " +
           f"admit=$wall%7.1f s ${if (rebuilt) "REBUILT" else "incr   "} " +
@@ -1013,7 +1020,8 @@ object ScaleEvidence {
           // (admitNprobe slice × membership depth), vs panelCand's
           // recall-shaped (nprobe-probe) volume above
           f"admCand=${bTot * 100.0 / 32.0 / corpusN}%5.2f%% " +
-          f"bands=$bCd%d/$bGy%d/$bCc%d gray=${bGy * 100.0 / bTot}%5.2f%%")
+          f"bands=$bCd%d/$bGy%d/$bCc%d gray=${bGy * 100.0 / bTot}%5.2f%%  " +
+          f"topk=$topkWall%4.1f s/${tkRows}r")
         lo += sz
       }
     } finally {
