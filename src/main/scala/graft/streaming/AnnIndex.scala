@@ -106,6 +106,47 @@ object AnnIndex extends IndexLifecycle {
       candidatePairs(spark, indexDir, bk), maxCosine)
   }
 
+  /** Ranked top-k similarity SEARCH over the persisted LSH index — the
+    * [[IvfIndex.topK]] sibling for the multi-table family (q225's
+    * search shape at serving grain, over the streaming store).
+    * Candidates come from bucket co-occurrence in ANY of the tables
+    * (data-independent hashes, so the candidate set is identical to a
+    * full-rebuild probe); each candidate pays ONE exact cosine against
+    * the query — this family has no quantization tier, its byte economy
+    * is the 32 B/vec bucket store (q243) — reduced per query through
+    * the bounded-state [[graft.functions.TopKByScore]] aggregator
+    * (map-side partial). All joins broadcast the query side or the
+    * candidate-ids slice; the bucket store and the corpus are only ever
+    * scanned. A zero-norm query or corpus vector's cosine is NaN —
+    * excluded before ranking, the family's standing convention.
+    * Returns (vec_id, rk, b_id, score), rk 1-based best-first, score =
+    * exact cosine. Version-guarded like every probe.
+    */
+  def topK(spark: SparkSession, indexDir: String, corpusDir: String,
+      queries: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    checkVersion(spark, indexDir)
+    val q = queries.select($"vec_id", $"embedding")
+    val cand = candidatePairs(spark, indexDir,
+      graft.operators.Similarity.multiBucketsOf(q)) // (a_id corpus, b_id query)
+    val corpusSlice = readOrEmpty(spark, corpusDir, vecSchema)
+      .join(broadcast(cand.select($"a_id").distinct()),
+        col("vec_id") === col("a_id"))
+      .select($"a_id", $"embedding".as("ea"))
+    val qe = q.select($"vec_id".as("b_id"), $"embedding".as("eb"))
+    val topk = graft.functions.TopKByScore(k)
+    cand
+      .join(broadcast(corpusSlice), Seq("a_id"))
+      .join(broadcast(qe), Seq("b_id"))
+      .withColumn("cs", graft.functions.VectorFunctions.cosineSim($"eb", $"ea"))
+      .filter(!isnan($"cs"))
+      .groupBy($"b_id")
+      .agg(topk($"cs", $"a_id").as("top"))
+      .select($"b_id".as("vec_id"), posexplode($"top").as(Seq("pos", "t")))
+      .select($"vec_id", ($"pos" + 1).cast("int").as("rk"),
+        $"t.b_id".as("b_id"), $"t.cs".as("score"))
+  }
+
   /** Full index (re)derivation from the corpus store — bootstrap over an
     * existing corpus, compaction, crash recovery. One O(corpus) hashing
     * pass; unlike [[NearDupIndex.rebuild]] the OUTPUT is identical to

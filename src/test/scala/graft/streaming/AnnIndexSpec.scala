@@ -137,6 +137,57 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
       s"corpus ($corpusN) and index ($idxN) must agree — no heal wedge")
   }
 
+  test("topK search: a planted twin ranks first; ranking == batch-path recompute") {
+    val (corpus, index) = freshDirs()
+    AnnIndex.admitBatch(fixtureVecs.filter($"vec_id" % 2 === 0), corpus, index)
+    // exact copies under fresh ids: a copy hashes to its twin's buckets
+    // in EVERY table (data-independent planes), so the candidate is
+    // guaranteed and the exact cosine puts the twin at rank 1
+    val twins = fixtureVecs.filter($"vec_id" % 2 === 0 && $"vec_id" % 20 === 0)
+      .select(($"vec_id" + 5000000L).as("vec_id"), $"embedding")
+      .localCheckpoint()
+    val k = 3
+    val got = AnnIndex.topK(spark, index, corpus, twins, k)
+      .select($"vec_id", $"rk", $"b_id", $"score")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(got.nonEmpty)
+    got.filter(_._2 == 1).foreach { case (q, _, b, s) =>
+      assert(b == q - 5000000L, s"query $q's rank-1 must be its twin, got $b")
+      assert(s > 0.9999, s"twin cosine must be ~1, got $s")
+    }
+    // full ranking == batch-path recompute: candidates from hashing
+    // both sides fresh, exact cosine, per-query (cs DESC, id) window
+    val admitted = spark.read.schema(AnnIndex.vecSchema).parquet(corpus)
+      .select($"vec_id", $"embedding")
+    val bkC = graft.operators.Similarity.multiBucketsOf(admitted)
+    val bkQ = graft.operators.Similarity.multiBucketsOf(twins)
+    val expect = bkC.as("x").join(bkQ.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+      .distinct()
+      .join(admitted.select($"vec_id".as("a_id"), $"embedding".as("ea")), Seq("a_id"))
+      .join(twins.select($"vec_id".as("b_id"), $"embedding".as("eb")), Seq("b_id"))
+      .withColumn("cs", graft.functions.VectorFunctions.cosineSim($"eb", $"ea"))
+      .filter(!isnan($"cs"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"b_id")
+          .orderBy($"cs".desc, $"a_id")))
+      .filter($"rk" <= k)
+      .select($"b_id", $"rk", $"a_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val gotSet = got.map(t => (t._1, t._2, t._3)).toSet
+    assert(gotSet == expect,
+      s"topK diverged from the batch path: only-index=${(gotSet -- expect).take(5)}, " +
+        s"only-batch=${(expect -- gotSet).take(5)}")
+    // plan: the store and corpus are never shuffle-joined
+    val plan = AnnIndex.topK(spark, index, corpus, twins, k)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"))
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
   test("rebuild is pure compaction: candidates before == after") {
     val (corpus, index) = freshDirs()
     AnnIndex.admitBatch(fixtureVecs.filter($"vec_id" % 2 === 0), corpus, index)
