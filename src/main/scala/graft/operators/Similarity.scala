@@ -2452,7 +2452,11 @@ object Similarity {
     */
   def q249AdmitProbeCalibration(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // checkpointed: the brute kernel is O(n²) and the pair relation
+    // feeds BOTH the overlap join and the grid left join — without the
+    // materialization the single-pass plan computes it twice
     val pairs = embeddingNeardupAllPairs(spark, dir) // (a_id, b_id, cs ≥ 0.45)
+      .localCheckpoint()
     val nv = pqNormalized(Tables.embeddings(spark, dir))
     val cent = ivfTrainedCentMemo(spark, dir)
     val probes = trainedCoarseProbesRk(nv, cent,

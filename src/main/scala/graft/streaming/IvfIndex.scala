@@ -711,7 +711,7 @@ object IvfIndex extends IndexLifecycle {
     val kEff = cb.agg(coalesce(max($"c_id"), lit(0))).head().getInt(0)
     val luts = sim.trainedPqLutsFor(q, cb, kEff)
       .select($"a_id".as("q_id"), $"lut")
-    val sl = if (shortlist > 0) shortlist else math.max(k, 4 * k)
+    val sl = if (shortlist > 0) shortlist else 4 * k
     val topSl = graft.functions.TopKByScore(sl)
     val adcTop = cand.join(broadcast(luts), Seq("q_id"))
       .withColumn("score", -sim.adcDistOf($"code", $"lut", kEff).cast("double"))
