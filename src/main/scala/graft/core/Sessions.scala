@@ -50,6 +50,32 @@ object Sessions {
       // the setting only changes behavior where coalescing was hurting.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Scan-split sizing (r16, guide §6): Spark charges every file
+      // spark.sql.files.openCostInBytes (default 4 MB — sized for remote
+      // object stores) when packing splits, and maxSplitBytes =
+      // min(maxPartitionBytes, max(openCost, bytes/parallelism)) — so on
+      // this harness's single-file ~11 MB fact tables the 4 MB floor
+      // planned THREE scan tasks on 32 cores and every CPU-dense first
+      // stage (decimal aggs, md5 shingles, sketch updates) ran ~3-way
+      // parallel. 512 KB models the real open cost of local/page-cached
+      // parquet; at production scale bytes/parallelism >> openCost, the
+      // max() ignores the floor entirely and splits stay maxPartitionBytes
+      // — the setting only changes behavior where the floor was the
+      // binding (wrong) term. Env-overridable for object-store deploys.
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", "524288"))
+      // Join strategy (r16, guide §3.1/§9): let the planner use shuffled
+      // hash join when its size conditions hold instead of always sorting
+      // both sides, and let AQE rewrite SMJ→SHJ at runtime when every
+      // post-shuffle partition is under 64 MB (bounded per-task build
+      // memory — far under executor-memory-per-core on any sane deploy;
+      // SMJ still planned for genuinely large per-partition sides, which
+      // is exactly the spill-safety split the guide prescribes). Measured
+      // on the join-dense suite queries: q215 2.6 s → 1.3 s, sort CPU
+      // gone from the profile.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCALMAP", "64m"))
       .config("spark.sql.session.timeZone", "UTC")
       // Spark-3-era `spark.sql.legacy.parquet.nanosAsLong` is no longer
       // set: the harness now ships events.ts as TIMESTAMP(MICROS,

@@ -193,15 +193,29 @@ object Analytics {
     * runs must itself be a declared, benched query.
     *
     * Checkability without exact counts: each key carries TWO independent
-    * HLL++ sketches per column (rsd 0.05 and 0.01). Both estimate the
-    * same truth D, so at 4 standard errors |est5 − est1|/est1 ≤
-    * (4·0.05 + 4·0.01)/(1 − 4·0.01) = 0.25, and est1 ≤ D·1.04 ≤ n·1.04.
-    * The emitted columns are the group keys, the exact row count, and
-    * these consistency booleans — all engine-portable (DuckDB emits TRUE
-    * literals), so the driver's hash gate stays fully active: a broken
-    * sketch (wrong rsd plumbing, bad merge) flips a boolean. Weaker than
-    * q42's truth-check by construction — q42 remains the periodic
-    * calibration run on a slice; this is the every-night shape.
+    * HLL sketches per column at different precisions (DataSketches
+    * `hll_sketch_agg` at lgK 12 and 14 ⇒ rse ≈ 1.04/√2¹² = 0.0163 and
+    * 1.04/√2¹⁴ = 0.0081 — at or under the 0.05/0.01 error budget this
+    * query has always declared). Both estimate the same truth D, so at
+    * 4 standard errors |est5 − est1|/est1 ≤ (4·0.0163 + 4·0.0081)/
+    * (1 − 4·0.0081) ≈ 0.101 — gated at the original, looser 0.25 — and
+    * est1 ≤ D·1.033 ≤ n·1.04. The emitted columns are the group keys,
+    * the exact row count, and these consistency booleans — all
+    * engine-portable (DuckDB emits TRUE literals), so the driver's hash
+    * gate stays fully active: a broken sketch (wrong lgK plumbing, bad
+    * merge) flips a boolean. Weaker than q42's truth-check by
+    * construction — q42 remains the periodic calibration run on a
+    * slice; this is the every-night shape.
+    *
+    * Why DataSketches and not `approx_count_distinct` (r16 optimization):
+    * Spark's HLL++ exposes its register file as per-word BIGINT buffer
+    * attributes — at rsd 0.01 that is 1,639 attributes PER SKETCH, so
+    * this 4-sketch aggregate planned with 3,383 aggregate attributes and
+    * every stage (partial, final, even the 3-row sort) paid ~1 s of
+    * giant-codegen overhead: 3.1 s measured wall at sf0.1. The
+    * DataSketches aggregate carries ONE binary buffer per sketch
+    * (compact plan, normal codegen): 0.42 s for the identical emitted
+    * booleans — and the same cross-system wire-format argument as q106.
     *
     * Scale: ONE pass, one hash aggregation, fixed-width sketch buffers,
     * and — unlike q42 — no Expand doubling of the input (PlanSpec pins
@@ -213,10 +227,10 @@ object Analytics {
       .groupBy($"l_returnflag")
       .agg(
         count(lit(1)).as("n"),
-        approx_count_distinct($"l_orderkey", hllRsd).as("o5"),
-        approx_count_distinct($"l_orderkey", 0.01).as("o1"),
-        approx_count_distinct($"l_partkey", hllRsd).as("p5"),
-        approx_count_distinct($"l_partkey", 0.01).as("p1"))
+        expr("hll_sketch_estimate(hll_sketch_agg(l_orderkey, 12))").as("o5"),
+        expr("hll_sketch_estimate(hll_sketch_agg(l_orderkey, 14))").as("o1"),
+        expr("hll_sketch_estimate(hll_sketch_agg(l_partkey, 12))").as("p5"),
+        expr("hll_sketch_estimate(hll_sketch_agg(l_partkey, 14))").as("p1"))
       .select($"l_returnflag", $"n",
         (abs($"o5" - $"o1").cast("double") / $"o1" <= lit(0.25)).as("orders_sketches_agree"),
         ($"o1".cast("double") <= $"n".cast("double") * 1.04).as("orders_est_bounded"),

@@ -2162,13 +2162,43 @@ object TextAnalysis {
     */
   def q206BpeMerges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val v = Tables.documents(spark, dir)
-      .select(explode(split(trim($"text"), " ")).as("w"))
-      .filter(length($"w") > 0)
-      .groupBy($"w").agg(count(lit(1)).as("n"))
-      .localCheckpoint()
-    bpeMerges(v, 3)
+    bpeTrainedMemo(spark, dir)
+      .filter($"tag" === "m")
+      .select($"merge_round", $"lhs", $"rhs", $"merged", $"pair_count")
+      .orderBy($"merge_round")
   }
+
+  /** Trained-BPE session memo (r16): q206 reads the merge table and q213
+    * reads the post-merge segmentation of the SAME 3-round training run —
+    * before this memo each query re-ran the full trainer (two identical
+    * trainings per suite pass, ~1.5 s each). One tagged relation carries
+    * both outputs ('m' rows = merge table, 's' rows = final symbol
+    * relation) so the training is paid once per (session, dir) and lands
+    * as an adjudicated memo_build line item, the bm25_pool discipline.
+    * logicVersion bumps if the trainer or round count ever changes.
+    */
+  private def bpeTrainedMemo(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "bpe3", "r3.v1") {
+      import spark.implicits._
+      val v = Tables.documents(spark, dir)
+        .select(explode(split(trim($"text"), " ")).as("w"))
+        .filter(length($"w") > 0)
+        .groupBy($"w").agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val (merges, syms) = bpeTrain(v, 3)
+      merges
+        .select(lit("m").as("tag"),
+          lit(null).cast("string").as("w"), lit(null).cast("long").as("pos"),
+          lit(null).cast("string").as("sym"),
+          $"merge_round", $"lhs", $"rhs", $"merged", $"pair_count")
+        .unionByName(syms.select(lit("s").as("tag"), $"w", $"pos", $"sym",
+          lit(null).cast("long").as("merge_round"),
+          lit(null).cast("string").as("lhs"),
+          lit(null).cast("string").as("rhs"),
+          lit(null).cast("string").as("merged"),
+          lit(null).cast("long").as("pair_count")))
+        .localCheckpoint()
+    }
 
   /** The BPE training loop over a weighted vocab relation (`w`, `n`) —
     * factored out so the spec can drive it on crafted vocabularies that
@@ -2303,8 +2333,8 @@ object TextAnalysis {
     val words = Tables.documents(spark, dir)
       .select($"source", explode(split(trim($"text"), " ")).as("w"))
       .filter(length($"w") > 0)
-    val v = words.groupBy($"w").agg(count(lit(1)).as("n")).localCheckpoint()
-    val finalSyms = bpeTrain(v, 3)._2
+    val finalSyms = bpeTrainedMemo(spark, dir)
+      .filter($"tag" === "s").select($"w", $"pos", $"sym")
     val symCount = finalSyms.groupBy($"w").agg(count(lit(1)).as("m"))
     words.groupBy($"source", $"w").agg(count(lit(1)).as("nw"))
       .join(symCount, Seq("w"))

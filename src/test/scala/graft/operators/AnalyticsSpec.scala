@@ -22,12 +22,14 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       assert(r.getAs[Boolean]("parts_est_bounded"), r.toString)
     }
     // the cross-sketch gate is weaker than truth by construction — also
-    // assert, test-side, that the rsd=0.01 sketch is within 4 standard
-    // errors of the EXACT distinct count (what q42 checks in-query)
+    // assert, test-side, that the high-precision sketch the query runs
+    // (DataSketches lgK=14, rse ≈ 0.0081) is within 4 standard errors of
+    // the EXACT distinct count (what q42 checks in-query)
     val exact = Tables.lineitem(spark, sfDir)
       .groupBy($"l_returnflag")
       .agg(org.apache.spark.sql.functions.countDistinct($"l_orderkey").as("d"),
-        org.apache.spark.sql.functions.approx_count_distinct($"l_orderkey", 0.01).as("e"))
+        org.apache.spark.sql.functions
+          .expr("hll_sketch_estimate(hll_sketch_agg(l_orderkey, 14))").as("e"))
       .collect()
     exact.foreach { r =>
       val (d, e) = (r.getAs[Long]("d"), r.getAs[Long]("e"))
