@@ -15,6 +15,42 @@ object OpUtils {
   /** The matching SQL fragment for the oracle side. */
   def decSql(expr: String): String = s"CAST($expr AS DECIMAL(18,4))"
 
+  /** Overlap INDEPENDENT bounded sub-pipelines on driver threads (r16,
+    * guide §2.6 "overlap independent jobs"): Spark happily runs several
+    * jobs at once inside one application — multi-arm rollups like the
+    * q227 scorecard were paying their arms' eager construction work
+    * (memo first-touch builds, per-arm probe/verify checkpoints) as a
+    * SEQUENTIAL chain of ~40 sub-second jobs, leaving 31 of 32 cores
+    * idle between stages. Each builder runs on its own thread and
+    * materializes its (bounded, ≤ panel-sized) result via
+    * `localCheckpoint`, so the later union consumes pre-computed leaves;
+    * results return in INPUT order, so downstream unions stay
+    * deterministic. Builders must be independent (no cross-arm
+    * dataflow) — shared session memos are safe: SessionMemo cells are
+    * computeIfAbsent + synchronized, so a concurrent first touch builds
+    * once and blocks the others. Failures propagate (ExecutionException
+    * unwrapped) — a failing arm fails the query loudly, same as the
+    * sequential form. Pool size caps driver-side concurrency (enough to
+    * fill a stage tail, not enough to thrash the scheduler — guide
+    * §2.6's "2-3 in flight is plenty" scaled to 9 tiny arms).
+    */
+  def buildConcurrently(parts: Seq[() => org.apache.spark.sql.DataFrame],
+      parallelism: Int = 8): Seq[org.apache.spark.sql.DataFrame] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(parallelism, parts.size)))
+    try {
+      val futs = parts.map { p =>
+        pool.submit(new java.util.concurrent.Callable[org.apache.spark.sql.DataFrame] {
+          override def call(): org.apache.spark.sql.DataFrame = p().localCheckpoint()
+        })
+      }
+      futs.map { f =>
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      }
+    } finally pool.shutdown()
+  }
+
   /** Fixture-parallelism spread, made scale-safe: the harness parquet is
     * a single row group (one scan partition), so CPU-bound per-row work
     * (regexp/split/cosine kernels) would run single-threaded without a

@@ -958,10 +958,13 @@ object Similarity {
     * LUT array: mSub lookups summed — one whole-stage-codegen
     * expression, order-free (BIGINT terms).
     */
+  // r16: codegen'd kernel (graft.functions.AdcLookupSum) — bit-identical
+  // to the previous aggregate(transform(codes, element_at(lut, m·k+c)))
+  // form including element_at's 1-based OOB→NULL semantics, but fused
+  // into whole-stage codegen; this is the per-candidate inner loop of
+  // every ADC scan (q239/q242/q244/q246/q248 + the incremental index).
   private def adcDist(codes: Column, lut: Column, kCent: Int): Column =
-    aggregate(
-      transform(codes, (c, m) => element_at(lut, (m * kCent + c).cast("int"))),
-      lit(0L), (s, v) => s + v)
+    graft.functions.VectorFunctions.adcLookupSum(codes, lut, kCent)
 
   /** ADC full-code scan + bounded top-5: packed codes against broadcast
     * LUTs — the shared tail of [[pqAnnTop5]] and q239 (one definition, so
@@ -1067,9 +1070,13 @@ object Similarity {
     * frozen coords ≤ 1e6, so per-dim terms ≤ 4e12 and any cross-subspace
     * sum stays far inside BIGINT).
     */
+  // r16: codegen'd kernel (graft.functions.IntSqDist) — bit-identical to
+  // the previous aggregate(zip_with(...)) form (exact Long arithmetic)
+  // but fused into whole-stage codegen instead of per-element interpreted
+  // lambdas + an intermediate array per row; this is the inner loop of
+  // every assignment/probe/Lloyd-scoring stage in the trained-PQ family.
   private def isqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (s, v) => s + v)
+    graft.functions.VectorFunctions.intSqDist(a, b)
 
   private def freezeSub(sv: Column): Column =
     transform(sv, x => floor(x * lit(pqFreezeScale)).cast("long"))
@@ -1674,6 +1681,20 @@ object Similarity {
     memo(spark, dir, "ivf_trained_cent", ivfTrainedLogicVersion) {
       pqTrainedCentroids(pqNormalized(Tables.embeddings(spark, dir)),
         1, pqSubspaces * pqSubDim, ivfRecallNlist, ivfTrainSample, pqTrainIters)
+    }
+
+  /** Full-corpus rk ≤ [[ivfRecallNprobe]] trained probe assignments WITH
+    * rank, as a session memo (r16): q249 consumes it on BOTH pair sides
+    * and q250 as the source-membership side — before the memo each query
+    * re-ran the n × nlist frozen-L2 scoring + per-vector rank window.
+    */
+  private def ivfTrainedProbesRkMemo(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "ivf_trained_probes_rk", ivfTrainedLogicVersion) {
+      import spark.implicits._
+      val nv = pqNormalized(Tables.embeddings(spark, dir))
+      trainedCoarseProbesRk(nv, ivfTrainedCentMemo(spark, dir),
+        nv.select($"vec_id".as("a_id")), ivfRecallNprobe)
+        .localCheckpoint()
     }
 
   /** The trained m=1 inverted lists (vec → nearest trained pivot by
@@ -2457,11 +2478,9 @@ object Similarity {
     // materialization the single-pass plan computes it twice
     val pairs = embeddingNeardupAllPairs(spark, dir) // (a_id, b_id, cs ≥ 0.45)
       .localCheckpoint()
-    val nv = pqNormalized(Tables.embeddings(spark, dir))
-    val cent = ivfTrainedCentMemo(spark, dir)
-    val probes = trainedCoarseProbesRk(nv, cent,
-      nv.select($"vec_id".as("a_id")), ivfRecallNprobe)
-      .localCheckpoint() // consumed on both pair sides
+    // r16: the full-corpus rk-probe relation rides the session memo
+    // shared with q250 instead of re-running the n × nlist window scan
+    val probes = ivfTrainedProbesRkMemo(spark, dir)
     // per pair, the cheapest membership rank reachable under each probe
     // budget, in each direction: ra_k = min{rank_a(l) : rank_b(l) ≤ k}
     // (b arrived second and probes k lists; a's membership pays R)
@@ -2598,8 +2617,8 @@ object Similarity {
     // under one frozen quantizer
     val pc = trainedCoarseProbesRk(cl.select($"vec_id", $"v"), cent,
       cl.select($"vec_id".as("a_id")), 2)
-    val ps = trainedCoarseProbesRk(nv, cent,
-      nv.select($"vec_id".as("a_id")), ivfRecallNprobe)
+    // r16: source membership rides the session memo shared with q249
+    val ps = ivfTrainedProbesRkMemo(spark, dir)
     val ov = cl.select($"vec_id", $"cs")
       .join(pc.select($"a_id".as("vec_id"), $"c_id", $"rk".as("rc")),
         Seq("vec_id"), "left")
@@ -2842,31 +2861,20 @@ object Similarity {
     */
   def q230HardNegatives(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val emb = Tables.embeddings(spark, dir)
-      .select($"vec_id", $"embedding")
-      .spreadAcrossCores
-      .localCheckpoint() // assignment and both verification sides
-    val pivots = emb.orderBy($"vec_id").limit(ivfPivots)
-      .select($"vec_id".as("p_id"), $"embedding".as("pe"))
-    val w = Window.partitionBy($"vec_id").orderBy($"cs_p".desc, $"p_id")
-    val assign = emb
-      .crossJoin(broadcast(pivots))
-      .withColumn("cs_p", VectorFunctions.cosineSim($"embedding", $"pe"))
-      .withColumn("rk", row_number().over(w))
-      .filter($"rk" <= ivfProbe)
-      .select($"vec_id", $"p_id")
-      .localCheckpoint() // both sides of the candidate self-join
-    val cand = assign.as("x").join(assign.as("y"),
-        $"x.p_id" === $"y.p_id" && $"x.vec_id" =!= $"y.vec_id")
-      .select($"x.vec_id".as("a_id"), $"y.vec_id".as("neg_id"))
-      .distinct()
-    val va = emb.select($"vec_id".as("a_id"), $"embedding".as("ea"))
-    val vb = emb.select($"vec_id".as("neg_id"), $"embedding".as("eb"))
+    // r16: the both-direction candidate set is the symmetrization of
+    // q48's a<b candidate set, and cosine is orientation-symmetric
+    // (per-element products and the norm product commute bitwise), so
+    // the candidate join + verification kernel now rides the shared
+    // [[ivfCandScoredMemo]] relation instead of being recomputed —
+    // mining the < 0.45 band of the SAME scored pairs q48 takes the
+    // ≥ 0.45 band from. Before: 3.0 s re-running assignment +
+    // candidate self-join + 2 embedding joins per execution; after:
+    // a filter + union + bounded top-3 over the checkpointed relation.
+    val scored = ivfCandScoredMemo(spark, dir)
+    val both = scored.select($"a_id", $"b_id".as("neg_id"), $"cs")
+      .unionByName(scored.select($"b_id".as("a_id"), $"a_id".as("neg_id"), $"cs"))
     val top3 = graft.functions.TopKByScore(3)
-    cand
-      .join(va, Seq("a_id"))
-      .join(vb, Seq("neg_id"))
-      .withColumn("cs", VectorFunctions.cosineSim($"ea", $"eb"))
+    both
       .filter(!isnan($"cs") && $"cs" < 0.45)
       .groupBy($"a_id".as("vec_id"))
       .agg(top3($"cs", $"neg_id").as("top"))
@@ -2922,16 +2930,24 @@ object Similarity {
     */
   def q227AnnScorecard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val parts = Seq(
-      "lsh_single" -> q217AnnRecall(spark, dir),
-      "lsh_multiprobe" -> q221MultiProbeRecall(spark, dir),
-      "lsh_tuned" -> q225LshTunedRecall(spark, dir),
-      "ivf" -> q226IvfRecall(spark, dir),
-      "ivf_trained" -> q245IvfTrainedRecall(spark, dir),
-      "pq" -> q239PqAdcRecall(spark, dir),
-      "pq_trained" -> q244TrainedPqRecall(spark, dir),
-      "ivfpq" -> q242IvfPqRecall(spark, dir),
-      "ivfpq_trained" -> q246TrainedIvfPqRecall(spark, dir))
+    // r16: the nine arms are independent bounded pipelines whose eager
+    // construction work (memo first-touches, probe/verify stages) ran as
+    // a sequential ~40-job chain; build them concurrently so the wall is
+    // the slowest arm, not the sum (guide §2.6 — OpUtils.buildConcurrently
+    // doc). Labels zip back in input order, so the union is unchanged.
+    val labels = Seq("lsh_single", "lsh_multiprobe", "lsh_tuned", "ivf",
+      "ivf_trained", "pq", "pq_trained", "ivfpq", "ivfpq_trained")
+    val builders: Seq[() => DataFrame] = Seq(
+      () => q217AnnRecall(spark, dir),
+      () => q221MultiProbeRecall(spark, dir),
+      () => q225LshTunedRecall(spark, dir),
+      () => q226IvfRecall(spark, dir),
+      () => q245IvfTrainedRecall(spark, dir),
+      () => q239PqAdcRecall(spark, dir),
+      () => q244TrainedPqRecall(spark, dir),
+      () => q242IvfPqRecall(spark, dir),
+      () => q246TrainedIvfPqRecall(spark, dir))
+    val parts = labels.zip(OpUtils.buildConcurrently(builders))
     parts.map { case (m, df) =>
       df.select(lit(m).as("method"), $"hits", $"n_queries")
     }.reduce(_ unionByName _)
@@ -3146,10 +3162,66 @@ object Similarity {
   /** Declared head — memoized per (session, dir): q77's clustering
     * consumes the same verified pair table.
     */
-  def q48IvfNeardup(spark: SparkSession, dir: String): DataFrame =
+  def q48IvfNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     memo(spark, dir, "q48_pairs") {
-      q48Pipeline(spark, dir).localCheckpoint()
+      // derived from the shared unthresholded scored-candidate relation
+      // (r16): q48 keeps the ≥ 0.45 band, q230 mines the < 0.45 band of
+      // the SAME relation, so the candidate join + cosine verification
+      // is paid once per (session, dir) — nested-memo accounting keeps
+      // the two ledger line items additive. Values identical to the
+      // unmemoized q48Pipeline (one filter over one kernel).
+      ivfCandScoredMemo(spark, dir)
+        .filter($"cs" >= 0.45)
+        .orderBy($"a_id", $"b_id")
+        .localCheckpoint()
     }
+  }
+
+  /** Unthresholded scored IVF candidates (a_id < b_id, cs): the q48
+    * coarse candidate generation (32 lowest-id pivots, rk ≤ ivfProbe
+    * multi-assignment, same-list co-occurrence) plus the exact-cosine
+    * verification kernel, WITHOUT the 0.45 cut — the shared stage of
+    * q48 (≥ band) and q230 (< band, both orientations; cosine is
+    * symmetric so the a<b half determines both). Bounded by the banded
+    * candidate volume (~n²m²/C, never all-pairs), so the checkpoint is
+    * candidate-sized at any corpus scale.
+    */
+  private[graft] def ivfCandScoredMemo(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "ivf_cand_scored") {
+      ivfCandScoredPipeline(spark, dir).localCheckpoint()
+    }
+
+  /** Unmemoized pipeline view of [[ivfCandScoredMemo]] (plan-shape tests
+    * pin this — the memoized head presents as a checkpoint leaf).
+    */
+  private[graft] def ivfCandScoredPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding")
+      .spreadAcrossCores
+      .localCheckpoint()
+    val pivots = emb.orderBy($"vec_id").limit(ivfPivots)
+      .select($"vec_id".as("p_id"), $"embedding".as("pe"))
+    val w = Window.partitionBy($"vec_id").orderBy($"cs_p".desc, $"p_id")
+    val assign = emb
+      .crossJoin(broadcast(pivots))
+      .withColumn("cs_p", VectorFunctions.cosineSim($"embedding", $"pe"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= ivfProbe)
+      .select($"vec_id", $"p_id")
+    val cand = assign.as("x").join(assign.as("y"),
+        $"x.p_id" === $"y.p_id" && $"x.vec_id" < $"y.vec_id")
+      .select($"x.vec_id".as("a_id"), $"y.vec_id".as("b_id"))
+      .distinct()
+    val va = emb.select($"vec_id".as("a_id"), $"embedding".as("ea"))
+    val vb = emb.select($"vec_id".as("b_id"), $"embedding".as("eb"))
+    cand
+      .join(va, Seq("a_id"))
+      .join(vb, Seq("b_id"))
+      .withColumn("cs", VectorFunctions.cosineSim($"ea", $"eb"))
+      .select($"a_id", $"b_id", $"cs")
+  }
 
   /** Unmemoized pipeline (plan-shape tests pin this view — the memoized
     * head presents as a checkpoint leaf after first touch).

@@ -13,8 +13,25 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Parquet schema-inference cache (r16): a bare `spark.read.parquet`
+    * runs a small footer-read job on EVERY call (~35 ms of driver+task
+    * latency), and the suite calls the loaders thousands of times —
+    * q103 alone planned 21 such jobs per execution. The corpus schemas
+    * are immutable per path within a process, so infer once per path and
+    * supply the schema explicitly afterwards — the bare-path equivalent
+    * of reading through a catalog with a declared schema, which is what
+    * a 100 TB deployment does anyway (Iceberg/HMS). Values and plans are
+    * unchanged: the supplied schema IS the inferred one.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "nation")

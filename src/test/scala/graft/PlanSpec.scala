@@ -613,7 +613,7 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // broadcast — here hidden behind the assignment checkpoint) and, in
     // q226 only, the exact ground-truth arm (32-row panel broadcast).
     // Candidate formation itself must be a hash/sort join on the list id.
-    Seq("q226_ivf_recall" -> 2, "q230_hard_negatives" -> 1).foreach {
+    Seq("q226_ivf_recall" -> 2).foreach {
       case (q, maxNested) =>
         val p = plan(q)
         assert(!p.contains("CartesianProduct"),
@@ -624,6 +624,27 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
             p.linesIterator.filter(_.contains("Join")).mkString("\n"))
         assert(p.contains("p_id#"), s"$q: candidates must join on the pivot key")
     }
+    // q230 rides the shared scored-candidate memo (r16): the pivot-key
+    // candidate property is pinned on the memo's PIPELINE view (the
+    // memoized head presents as a checkpoint leaf), and q230's own plan
+    // must be join-free over that leaf — filter + union + bounded top-k.
+    val pp = graft.operators.Similarity.ivfCandScoredPipeline(spark, sfDir)
+      .queryExecution.explainString(FormattedMode)
+    assert(!pp.contains("CartesianProduct"),
+      "ivf_cand_scored: every broadcast side must be pivot-bounded")
+    // the pipeline view (no checkpoints) repeats the pivot-assignment
+    // cross join on both self-join sides, and FormattedMode renders each
+    // node twice (tree + details): 2 bounded NLJs -> 4 matching lines
+    val ppNested = pp.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(ppNested <= 4,
+      s"ivf_cand_scored: $ppNested NLJ lines (max 4 — the duplicated " +
+        "pivot assignment, tree + details)")
+    assert(pp.contains("p_id#"),
+      "ivf_cand_scored: candidates must join on the pivot key")
+    val p230 = plan("q230_hard_negatives")
+    assert(!p230.contains("CartesianProduct") &&
+      !p230.contains("BroadcastNestedLoopJoin"),
+      "q230 must be a join-free pass over the checkpointed scored candidates")
   }
 
   test("q222: churn enumerates edges once — a single self-join, no full-outer") {
