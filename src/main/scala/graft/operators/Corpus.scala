@@ -694,45 +694,52 @@ object Corpus {
     * the universe, repeat — the submodular facility-location greedy
     * behind coverage-driven corpus curation ("which k docs teach the
     * vocabulary fastest"), with the classic (1−1/e) guarantee. Each
-    * round is ONE left-anti join (doc-token relation vs the covered-set
-    * relation, both keyed on the token — hash-shuffleable at any
-    * corpus size) + one hash aggregate + a TakeOrdered(1) argmax with
-    * the (gain desc, doc_id) tie rule; the covered set grows by the
-    * winner's tokens only (vocabulary-bounded, Heaps-sublinear — never
-    * corpus-sized), and `localCheckpoint` stops round i replanning
-    * rounds <i. `covered_after` is the running gain sum, so the output
-    * is pure relational algebra — no driver-side set is ever built.
-    * The oracle unrolls the same three rounds as chained CTEs with
-    * NOT IN — independent evaluation; one mis-ranked pick cascades
-    * into every later round and flips the hash.
+    * round is ONE broadcast left-anti join (doc-token relation vs the
+    * covered-set relation — the covered side is vocabulary-bounded,
+    * Heaps-sublinear, never corpus-sized, so it is the natural
+    * broadcast build side and the corpus relation is scanned in place,
+    * never re-shuffled by token) + one hash aggregate whose exchange
+    * carries one partial row per doc + a TakeOrdered(1) argmax with
+    * the (gain desc, doc_id) tie rule; `localCheckpoint` stops round i
+    * replanning rounds <i. `covered_after` is the running gain sum, so
+    * the output is pure relational algebra — no driver-side set is
+    * ever built. The oracle unrolls the same three rounds as chained
+    * CTEs with NOT IN — independent evaluation; one mis-ranked pick
+    * cascades into every later round and flips the hash.
     */
   def q143GreedyCoverage(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // coverage universe = bigram shingles (the q31 gram construction):
     // the fixture's unigram vocabulary is ~31 types, which one long doc
     // covers entirely — bigrams give a universe where greedy rounds
-    // actually compete
+    // actually compete. array_distinct INSIDE each doc's shingle array
+    // replaces the old corpus-wide .distinct(): doc_id is unique per
+    // row group, so per-doc-distinct (doc_id, tok) pairs are already
+    // globally distinct — identical relation, one full shuffle gone
+    // (guide §2.4).
     val tx = docs(spark, dir)
       .select($"doc_id", toks.as("toks"))
       .select($"doc_id", explode(expr(
         """CASE WHEN size(toks) < 2 THEN CAST(array() AS ARRAY<STRING>)
-          |ELSE transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))
+          |ELSE array_distinct(transform(sequence(0, size(toks)-2),
+          |  i -> concat(toks[i], ' ', toks[i+1])))
           |END""".stripMargin)).as("tok"))
-      .distinct()
       .localCheckpoint()
     var covered = tx.select($"tok").limit(0)
     var picks: DataFrame = null
     for (round <- 1 to 3) {
-      val pick = tx.join(covered, Seq("tok"), "left_anti")
+      val pick = tx.join(broadcast(covered), Seq("tok"), "left_anti")
         .groupBy($"doc_id").agg(count(lit(1)).as("gain"))
         .orderBy($"gain".desc, $"doc_id").limit(1)
         .withColumn("round", lit(round.toLong))
         .localCheckpoint()
       picks = if (picks == null) pick else picks.unionByName(pick)
-      covered = covered
-        .unionByName(tx.join(broadcast(pick.select($"doc_id")), Seq("doc_id"))
-          .select($"tok"))
-        .localCheckpoint()
+      // round 3's covered set has no consumer — skip its build job
+      if (round < 3)
+        covered = covered
+          .unionByName(tx.join(broadcast(pick.select($"doc_id")), Seq("doc_id"))
+            .select($"tok"))
+          .localCheckpoint()
     }
     picks
       .withColumn("covered_after",

@@ -1367,8 +1367,9 @@ object TextAnalysis {
     * (doc, pos, token) relation is the inverted index WITH positions,
     * and phrase matching is two equi-joins on `(doc_id, pos+k)` — the
     * classic positional-intersection algorithm, every join
-    * hash-shuffleable on the doc key, no regex and no per-row scan of
-    * full text in the match path. Occurrences are counted at every
+    * hash-shuffleable on the doc key, each join input pre-filtered to
+    * one token's postings by a broadcast of the phrase row, no regex
+    * and no per-row scan of full text in the match path. Occurrences are counted at every
     * position (overlapping matches included — both engines count
     * positionally, so the convention is shared). The emitted
     * `contains_str` boolean re-confirms each hit at the STRING level
@@ -1390,27 +1391,36 @@ object TextAnalysis {
       docs(spark, dir).select($"doc_id", posexplode(toks))
         .toDF("doc_id", "pos", "tok").localCheckpoint()
     }
+    // per-doc array_distinct makes (doc_id, g) rows unique at the
+    // source (doc_id is unique per document), so df = count(*) per
+    // trigram with map-side partial aggregation — the corpus-wide
+    // DISTINCT exchange is gone (guide §2.4)
     val tris = tk.select($"doc_id", explode(expr(
         """CASE WHEN size(t) < 3 THEN CAST(array() AS ARRAY<STRING>)
-          |ELSE transform(sequence(0, size(t)-3),
-          |  i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])) END""".stripMargin))
+          |ELSE array_distinct(transform(sequence(0, size(t)-3),
+          |  i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))) END""".stripMargin))
         .as("g"))
-    val phrase = tris.distinct()
+    val phrase = tris
       .groupBy($"g").agg(count(lit(1)).as("df"))
       .orderBy($"df".desc, $"g").limit(1)
       .select($"g", split($"g", " ").as("w"))
       .select($"g", $"w".getItem(0).as("w1"), $"w".getItem(1).as("w2"),
         $"w".getItem(2).as("w3"))
+      .localCheckpoint() // 1 row; three broadcast prefilters read it
+    // each positional join sees only the matching token's postings: tx
+    // is pre-filtered through a broadcast of the 1-row phrase BEFORE
+    // the join (guide §3.2 semi-join prefilter), so the join exchanges
+    // carry single-token postings lists, never the full index —
+    // filter-before-join on an inner join is row-identical to the old
+    // join-then-filter
     val m1 = tx.join(broadcast(phrase), $"tok" === $"w1")
-      .select($"doc_id", $"pos", $"g", $"w2", $"w3")
-    val m2 = m1.join(
-        tx.select($"doc_id", ($"pos" - 1).as("pos"), $"tok".as("t2")),
-        Seq("doc_id", "pos"))
-      .filter($"t2" === $"w2")
-    val occ = m2.join(
-        tx.select($"doc_id", ($"pos" - 2).as("pos"), $"tok".as("t3")),
-        Seq("doc_id", "pos"))
-      .filter($"t3" === $"w3")
+      .select($"doc_id", $"pos", $"g")
+    val p2 = tx.join(broadcast(phrase.select($"w2")), $"tok" === $"w2")
+      .select($"doc_id", ($"pos" - 1).as("pos"))
+    val p3 = tx.join(broadcast(phrase.select($"w3")), $"tok" === $"w3")
+      .select($"doc_id", ($"pos" - 2).as("pos"))
+    val occ = m1.join(p2, Seq("doc_id", "pos"))
+      .join(p3, Seq("doc_id", "pos"))
       .groupBy($"doc_id")
       .agg(first($"g").as("phrase"), count(lit(1)).as("n_occurrences"))
     occ.join(tk.select($"doc_id", $"text"), Seq("doc_id"))
@@ -1453,9 +1463,17 @@ object TextAnalysis {
     *
     * Scale shape: everything after BM25 operates on the CANDIDATE POOL
     * (20 rows — pool², not corpus², for the similarity matrix), so the
-    * reranker costs O(k²) regardless of corpus size; each greedy round
-    * is a left-anti + penalty-aggregate + TakeOrdered(1) over ≤20
-    * rows. The oracle unrolls the same five rounds as chained CTEs.
+    * reranker costs O(k²) regardless of corpus size. The five greedy
+    * rounds therefore fold into ONE single-row higher-order-function
+    * aggregate over the collected pool (each candidate carrying its
+    * pool-bounded similarity map): one job instead of a
+    * checkpoint-per-round loop — k² work either way, but none of the
+    * per-round job/broadcast scheduling overhead (guide §1.2/§2.6;
+    * interpretation cost of the HOF is irrelevant on one row). The
+    * greedy recurrence (argmax of rel_bp − max-sim-to-picked with the
+    * (mmr desc, doc_id) tie rule) is unchanged, and the oracle still
+    * unrolls the same five rounds as chained CTEs — independent
+    * evaluation.
     */
   def q149MmrRerank(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1467,28 +1485,51 @@ object TextAnalysis {
     val tk = docs(spark, dir)
       .join(broadcast(rel.select($"doc_id")), Seq("doc_id"))
       .select($"doc_id", array_distinct(toks).as("ts"))
-    val sim = tk.as("a").crossJoin(tk.as("b"))
+    val sim = tk.as("a").crossJoin(broadcast(tk.as("b")))
       .filter($"a.doc_id" =!= $"b.doc_id")
       .select($"a.doc_id".as("da"), $"b.doc_id".as("db"),
         size(array_intersect($"a.ts", $"b.ts")).cast("long").as("i"),
         (size($"a.ts") + size($"b.ts")).cast("long").as("ab"))
       .select($"da", $"db", expr("i * 10000 div (ab - i)").as("sim_bp"))
-      .localCheckpoint()
-    var picks = rel.orderBy($"rel_bp".desc, $"doc_id").limit(1)
-      .select(lit(1L).as("round"), $"doc_id", $"rel_bp", $"rel_bp".as("mmr"))
-      .localCheckpoint()
-    for (r <- 2 to 5) {
-      val pen = sim
-        .join(broadcast(picks.select($"doc_id".as("db"))), Seq("db"))
-        .groupBy($"da".as("doc_id")).agg(max($"sim_bp").as("pen"))
-      val next = rel.join(picks.select($"doc_id"), Seq("doc_id"), "left_anti")
-        .join(pen, Seq("doc_id"))
-        .withColumn("mmr", $"rel_bp" - $"pen")
-        .orderBy($"mmr".desc, $"doc_id").limit(1)
-        .select(lit(r.toLong).as("round"), $"doc_id", $"rel_bp", $"mmr")
-      picks = picks.unionByName(next).localCheckpoint()
-    }
-    picks.orderBy($"round")
+    val pool = rel
+      .join(sim.groupBy($"da".as("doc_id"))
+          .agg(map_from_entries(collect_list(struct($"db", $"sim_bp"))).as("sims")),
+        Seq("doc_id"), "left")
+      .select(struct($"doc_id", $"rel_bp",
+        coalesce($"sims", expr("cast(map() as map<bigint,bigint>)")).as("sims")).as("c"))
+      .agg(collect_list($"c").as("pool"))
+    // the 5-round greedy as one fold: round r filters out already-picked
+    // candidates, scores each as rel_bp − max sim to the picked set
+    // (round 1: rel_bp itself), appends the (mmr desc, doc_id) argmax —
+    // or nothing once the pool is exhausted. Order-independent of
+    // collect_list: every reduction is an argmax with a total tie rule.
+    val greedy =
+      """aggregate(
+        |  sequence(1, 5),
+        |  cast(array() as array<struct<round:bigint,doc_id:bigint,rel_bp:bigint,mmr:bigint>>),
+        |  (acc, r) -> concat(acc,
+        |    transform(
+        |      filter(array(
+        |        aggregate(
+        |          transform(
+        |            filter(pool, c -> !exists(acc, p -> p.doc_id = c.doc_id)),
+        |            c -> struct(
+        |              c.doc_id as doc_id, c.rel_bp as rel_bp,
+        |              CASE WHEN r = 1 THEN c.rel_bp
+        |                   ELSE c.rel_bp - aggregate(acc, cast(-1 as bigint),
+        |                          (m, p) -> greatest(m, element_at(c.sims, p.doc_id)))
+        |              END as mmr)),
+        |          cast(null as struct<doc_id:bigint,rel_bp:bigint,mmr:bigint>),
+        |          (b, c) -> CASE WHEN b IS NULL OR c.mmr > b.mmr
+        |                          OR (c.mmr = b.mmr AND c.doc_id < b.doc_id)
+        |                     THEN c ELSE b END)
+        |      ), x -> x IS NOT NULL),
+        |      x -> struct(cast(r as bigint) as round, x.doc_id as doc_id,
+        |                  x.rel_bp as rel_bp, x.mmr as mmr))))""".stripMargin
+    pool.select(explode(expr(greedy)).as("p"))
+      .select($"p.round".as("round"), $"p.doc_id".as("doc_id"),
+        $"p.rel_bp".as("rel_bp"), $"p.mmr".as("mmr"))
+      .orderBy($"round")
   }
 
   val q149Sql: String = {
